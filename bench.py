@@ -1,0 +1,71 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (count + a cheap checksum action) so lazy plans
+can't fake speed; the session is warmed once so JVM startup isn't billed to
+the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "standings_recompute",
+    "pricing_summary",
+    "top_revenue_orders",
+    "join_fk_lookup",
+    "join_anti_existing",
+    "dedup_first",
+    "agg_running_total",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from f1_data_pipeline_spark.queries import QUERIES
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers outside the timed region
+    spark.range(1).count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # also bench any extension keys flagged as headline by their module
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # force full execution of every output row/column
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

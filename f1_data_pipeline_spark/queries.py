@@ -1,0 +1,45 @@
+"""Query registry — fills the driver contract in __spark_entry__.py.
+
+One entry per implemented operator key from SURVEY.md §2. Each Spark
+callable takes (spark, sf_dir) → DataFrame; ORACLE holds the DuckDB-ANSI
+twin. Column names are aliased identically on both sides (the driver sorts
+columns by name before hashing values).
+
+Registration pattern: modules contribute (callable, sql) pairs via
+`register`; __spark_entry__ just re-exports the dicts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLE[name] = sql
+
+
+def _load_all() -> None:
+    """Import operator modules for their registration side effects."""
+    from f1_data_pipeline_spark.operators import standings
+
+    register(
+        "standings_recompute",
+        standings.customer_standings,
+        standings.CUSTOMER_STANDINGS_SQL,
+    )
+
+    from f1_data_pipeline_spark import queries_relational  # noqa: F401
+    from f1_data_pipeline_spark import queries_scalars  # noqa: F401
+    from f1_data_pipeline_spark import queries_text  # noqa: F401
+    from f1_data_pipeline_spark import queries_similarity  # noqa: F401
+    from f1_data_pipeline_spark import queries_streaming  # noqa: F401
+
+
+_load_all()

@@ -1,0 +1,513 @@
+"""Registry entries for relational core operators (SURVEY.md §2.B/C/D/E/F).
+
+Each key pairs a PySpark plan (built from operators.relational) with its
+DuckDB oracle SQL over the driver testdata tables. Aliases match exactly on
+both sides — the driver sorts columns by name before hashing values.
+
+Determinism rules used throughout:
+- double aggregates that involve arithmetic are ROUND(x, 2)-ed on both sides;
+- anything ranked/limited carries an explicit total tie-break order;
+- counts are BIGINT on both sides (DuckDB hugeint sums are CAST explicitly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from f1_data_pipeline_spark.operators import relational as R
+from f1_data_pipeline_spark.queries import register
+from f1_data_pipeline_spark.sources import load_table
+
+
+# --- B1 project_intersection ------------------------------------------------
+
+def q_project_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # target "table" declares 4 columns, one of which the input lacks —
+    # intersection keeps declared order and drops the missing one
+    # (reference: loaders/__init__.py:63-66).
+    li = load_table(spark, sf_dir, "lineitem")
+    return R.project_intersection(
+        li, ["l_orderkey", "l_linenumber", "l_comment_missing", "l_quantity"]
+    )
+
+
+register(
+    "project_intersection",
+    q_project_intersection,
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+
+
+# --- B2 filter_notnull_key ---------------------------------------------------
+
+def q_filter_notnull_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return R.filter_notnull_key(o, "o_custkey")
+
+
+register(
+    "filter_notnull_key",
+    q_filter_notnull_key,
+    "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IS NOT NULL",
+)
+
+
+# --- B3/C3 anti-join vs existing ---------------------------------------------
+
+def q_join_anti_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "existing" = customers already loaded with negative balances; keep only
+    # orders from other customers (reference: loaders/__init__.py:70-74).
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    existing = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return R.anti_join_existing(orders, existing, ["o_custkey"])
+
+
+register(
+    "join_anti_existing",
+    q_join_anti_existing,
+    """
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey
+    )
+    """,
+)
+
+
+# --- B4 keep-first dedup -----------------------------------------------------
+
+def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return R.dedup_first(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+    )
+
+
+register(
+    "dedup_first",
+    q_dedup_first,
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ) = 1
+    """,
+)
+
+
+# --- B5 filter_year_eq ---------------------------------------------------------
+
+def q_filter_year_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.year("l_shipdate") == 1997).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+
+register(
+    "filter_year_eq",
+    q_filter_year_eq,
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+    """,
+)
+
+
+# --- B6 filter_date_buffer -----------------------------------------------------
+
+def q_filter_date_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # late-data buffer: rows at least 7 days older than a cutoff
+    # (reference uses CURRENT_DATE, metadata.py:260-268; fixed cutoff here so
+    # the check is reproducible on any day).
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.date_sub(F.to_date(F.lit("2000-01-01")), 7)
+    return o.filter(
+        (F.col("o_orderdate") <= cutoff) & F.col("o_orderdate").isNotNull()
+    ).select("o_orderkey", "o_orderdate")
+
+
+register(
+    "filter_date_buffer",
+    q_filter_date_buffer,
+    """
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate <= DATE '2000-01-01' - INTERVAL 7 DAY
+      AND o_orderdate IS NOT NULL
+    """,
+)
+
+
+# --- B7 filter_session_type ----------------------------------------------------
+
+def q_filter_session_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+
+
+register(
+    "filter_session_type",
+    q_filter_session_type,
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'",
+)
+
+
+# --- C1 inner equi join --------------------------------------------------------
+
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session ⋈ round analog: orders ⋈ customer with filters on both sides
+    # (reference: metadata.py:310-318).
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1998)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+register(
+    "join_inner_equi",
+    q_join_inner_equi,
+    """
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1998 AND c_mktsegment = 'BUILDING'
+    """,
+)
+
+
+# --- C2 broadcast FK lookup join -------------------------------------------------
+
+def q_join_fk_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return R.fk_lookup_join(
+        li, supp, ["l_suppkey"],
+        select_cols=[F.col("l_orderkey"), F.col("l_linenumber"), F.col("s_name")],
+        how="left",
+    )
+
+
+register(
+    "join_fk_lookup",
+    q_join_fk_lookup,
+    """
+    SELECT l_orderkey, l_linenumber, s_name
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+
+
+# --- C4 merge upsert (dataflow half of A7) ---------------------------------------
+
+def q_join_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # existing = pre-2000 order totals; updates = re-stated totals (+10%) for
+    # 1999-2000 orders. Upsert: updated rows win, new rows appended, untouched
+    # rows kept (reference ON CONFLICT DO UPDATE, loaders/__init__.py:254-272).
+    # `* 2` is exact in binary floating point — no rounding step, so the
+    # doubles are bit-identical on both engines.
+    o = load_table(spark, sf_dir, "orders")
+    existing = o.filter(F.year("o_orderdate") < 2000).select(
+        "o_orderkey", F.col("o_totalprice").alias("total")
+    )
+    updates = o.filter(F.year("o_orderdate").between(1999, 2000)).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("total")
+    )
+    return R.merge_upsert_frames(existing, updates, ["o_orderkey"])
+
+
+register(
+    "join_merge_upsert",
+    q_join_merge_upsert,
+    """
+    WITH existing AS (
+        SELECT o_orderkey, o_totalprice AS total FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) < 2000
+    ), updates AS (
+        SELECT o_orderkey, o_totalprice * 2 AS total FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) BETWEEN 1999 AND 2000
+    )
+    SELECT COALESCE(u.o_orderkey, e.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.total ELSE e.total END AS total
+    FROM existing e FULL OUTER JOIN updates u ON e.o_orderkey = u.o_orderkey
+    """,
+)
+
+
+# --- D1/D2 max + coalesce --------------------------------------------------------
+
+def q_agg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.year("o_orderdate") == 1997)
+        .agg(F.max("o_totalprice").alias("max_totalprice"))
+    )
+
+
+register(
+    "agg_max",
+    q_agg_max,
+    """
+    SELECT MAX(o_totalprice) AS max_totalprice FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    """,
+)
+
+
+def q_agg_max_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence-reset shape: COALESCE(MAX(id), 0) over an empty relation
+    # (loaders/__init__.py:105).
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") < 0)
+    return o.agg(
+        F.coalesce(F.max("o_orderkey"), F.lit(0).cast("long")).alias("next_id_base")
+    )
+
+
+register(
+    "agg_max_coalesce",
+    q_agg_max_coalesce,
+    """
+    SELECT CAST(COALESCE(MAX(o_orderkey), 0) AS BIGINT) AS next_id_base
+    FROM orders WHERE o_totalprice < 0
+    """,
+)
+
+
+# --- D3 counts -------------------------------------------------------------------
+
+def q_agg_count_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+register(
+    "agg_count_records",
+    q_agg_count_records,
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_records
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+# --- D4 running total (accumulated-across-syncs shape) -----------------------------
+
+def q_agg_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference accumulates total_records across syncs (metadata.py:73);
+    # windowed cumulative sum is the set-based form.
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # decimal accumulation: windowed double sums are association-order
+    # dependent (Spark runs sequentially, DuckDB uses segment trees) — exact
+    # decimal addition removes the mismatch.
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 4)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+register(
+    "agg_running_total",
+    q_agg_running_total,
+    """
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+
+
+# --- E1 top-1 by date ---------------------------------------------------------------
+
+def q_top1_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return R.top1_by(
+        o.select("o_orderkey", "o_orderdate"),
+        [F.desc("o_orderdate"), F.desc("o_orderkey")],
+    )
+
+
+register(
+    "top1_by_date",
+    q_top1_by_date,
+    """
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderstatus = 'F'
+    ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    """,
+)
+
+
+# --- F set operations ----------------------------------------------------------------
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+register(
+    "set_union",
+    q_set_union,
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)
+
+
+register(
+    "set_except",
+    q_set_except,
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+
+
+# --- headline analytics (bench queries; TPC-H-flavored over available columns) -------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: whole-fact scan + partial-agg-friendly groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # All double sums accumulate in DECIMAL (order-independent, exact) and
+    # convert back to double only after the final ROUND — oracle-reproducible
+    # regardless of partial-agg association order. Averages divide the exact
+    # decimal sum (as double) by the bigint count: one deterministic fp op.
+    def dsum(col):
+        return F.sum(col.cast("decimal(22,6)"))
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(dsum(F.col("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(dsum(F.col("l_extendedprice")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(dsum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(dsum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(dsum(F.col("l_quantity")).cast("double") / n, 2).alias("avg_qty"),
+            F.round(dsum(F.col("l_extendedprice")).cast("double") / n, 2).alias(
+                "avg_price"
+            ),
+            F.round(dsum(F.col("l_discount")).cast("double") / n, 4).alias(
+                "avg_disc"
+            ),
+            n.alias("count_order"),
+        )
+    )
+
+
+register(
+    "pricing_summary",
+    q_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → big join → agg → top-k."""
+    cutoff = "1998-06-15"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(22,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k +
+    # driver merge) — never a global single-partition window sort.
+    return joined.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+register(
+    "top_revenue_orders",
+    q_top_revenue_orders,
+    """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
