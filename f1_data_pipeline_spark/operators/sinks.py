@@ -1,0 +1,210 @@
+"""Sinks: append-ignore, merge-upsert, surrogate keys, quarantine
+(SURVEY.md §2.A A6-A8, §2.I I1).
+
+The reference's sinks are row-at-a-time psycopg2 `INSERT ... ON CONFLICT`
+loops (loaders/__init__.py:77-101, 253-273 and siblings). On Spark + plain
+Parquet there is no transactional upsert, so the engine implements MERGE as
+read → full-outer merge → atomic overwrite (temp dir + rename), which keeps
+the reference's two core guarantees:
+
+- idempotent re-runs (README.md:12) — replaying the same batch is a no-op;
+- all-or-nothing per table (loaders/__init__.py:108-113) — a crashed write
+  never leaves a half-table behind.
+
+Scale notes: at 100 TB, overwrite amplification is bounded by partitioning
+facts on a stable key (season/date) and rewriting only touched partitions —
+`merge_upsert` takes `partition_by` for exactly that. On a real deployment
+the same dataflow drops into Delta/Iceberg `MERGE INTO` unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from f1_data_pipeline_spark.operators.relational import (
+    anti_join_existing,
+    merge_upsert_frames,
+)
+
+
+# ---------------------------------------------------------------------------
+# atomic table writes (I4 — txn commit/rollback analog)
+# ---------------------------------------------------------------------------
+
+def _table_exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS")) or (
+        os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path))
+    )
+
+
+def read_table(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Read a sink table; empty-but-typed frame if it doesn't exist yet."""
+    if _table_exists(path):
+        return spark.read.parquet(path)
+    if schema is None:
+        raise FileNotFoundError(f"table does not exist and no schema given: {path}")
+    return spark.createDataFrame([], schema)
+
+
+def write_atomic(df: DataFrame, path: str, partition_by: Sequence[str] | None = None) -> None:
+    """Write df to `path` with temp-dir + rename so readers never observe a
+    partial table (reference: one transaction per table load)."""
+    tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    backup = None
+    if os.path.exists(path):
+        backup = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+    os.rename(tmp, path)
+    if backup:
+        shutil.rmtree(backup, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# A6 — insert-ignore (ON CONFLICT DO NOTHING)
+# ---------------------------------------------------------------------------
+
+def insert_ignore(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_by: Sequence[Column] | None = None,
+) -> int:
+    """Append rows whose keys don't exist yet; duplicate keys within the
+    batch keep the first row by `order_by` (loaders/__init__.py:70-101).
+
+    Returns the number of rows actually appended. New rows land via append
+    (no rewrite of existing data) — conflict detection is a left-anti join
+    that AQE broadcasts when the key side is small.
+    """
+    existing = read_table(spark, path, new_rows.schema)
+    batch = new_rows
+    if order_by is not None:
+        w = Window.partitionBy(*keys).orderBy(*order_by)
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        batch = batch.dropDuplicates(list(keys))
+    to_insert = anti_join_existing(batch, existing, keys).persist()
+    n = to_insert.count()
+    if n:
+        if _table_exists(path):
+            to_insert.write.mode("append").parquet(path)
+        else:
+            write_atomic(to_insert, path)
+    to_insert.unpersist()
+    return n
+
+
+# ---------------------------------------------------------------------------
+# A7 — merge-upsert (ON CONFLICT DO UPDATE)
+# ---------------------------------------------------------------------------
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """MERGE `updates` into the table at `path` keyed on `keys`.
+
+    Update rows win per-column; unmatched update rows insert; untouched rows
+    are preserved. Deterministic and idempotent (H7). Returns update count.
+    """
+    existing = read_table(spark, path, updates.schema)
+    merged = merge_upsert_frames(existing, updates, keys)
+    n = updates.count()
+    write_atomic(merged, path, partition_by)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# A8/§7.5 — surrogate key allocation (SERIAL fidelity)
+# ---------------------------------------------------------------------------
+
+def allocate_surrogate_keys(
+    new_rows: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """new_id = max(existing.id) + row_number() over a declared natural-key
+    order — deterministic, collision-free, idempotent with the anti-join.
+
+    Reference: Postgres SERIAL + setval(max(id)) (loaders/__init__.py:103-106).
+    The max() is one scalar from a column-pruned scan (cheap at any scale);
+    row_number runs on a single-partition window over *new rows only*, which
+    is fine because ingest batches are bounded (one round), never fact-sized.
+    """
+    max_id = (
+        existing.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m")).collect()[0]["m"]
+    )
+    w = Window.orderBy(*order_by)
+    return new_rows.withColumn(
+        id_col, (F.lit(max_id) + F.row_number().over(w)).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# I1 — row-level quarantine (per-row SAVEPOINT analog)
+# ---------------------------------------------------------------------------
+
+def quarantine(
+    df: DataFrame, rules: Sequence[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """Split df into (valid, rejected) by quality rules.
+
+    `rules` is [(rule_name, predicate_that_must_hold)]. Rejected rows carry a
+    `_violations` column naming every failed rule — richer than the
+    reference, which only knows "some constraint fired" per row
+    (loaders/__init__.py:87-101). One projection, no shuffle; the two sides
+    share the scan.
+    """
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+                for name, pred in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("_violations", viol)
+    valid = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    rejected = tagged.filter(F.size("_violations") > 0)
+    return valid, rejected
+
+
+def not_null_rule(col: str) -> tuple[str, Column]:
+    return (f"not_null:{col}", F.col(col).isNotNull())
+
+
+def enum_rule(col: str, allowed: Sequence[str]) -> tuple[str, Column]:
+    return (f"enum:{col}", F.col(col).isin(list(allowed)) | F.col(col).isNull())
+
+
+def range_rule(col: str, lo, hi) -> tuple[str, Column]:
+    return (f"range:{col}", F.col(col).between(lo, hi) | F.col(col).isNull())
+
+
+def fk_violations(fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
+    """C5 — referential-integrity check: fact rows whose FK misses the dim
+    (left-anti join; count()==0 ⇔ constraint holds)."""
+    return fact.filter(F.col(fk).isNotNull()).join(
+        dim.select(F.col(pk).alias(fk)), [fk], "left_anti"
+    )

@@ -36,6 +36,7 @@ def _load_all() -> None:
     )
 
     from f1_data_pipeline_spark import queries_relational  # noqa: F401
+    from f1_data_pipeline_spark import queries_quality  # noqa: F401
     from f1_data_pipeline_spark import queries_scalars  # noqa: F401
     from f1_data_pipeline_spark import queries_text  # noqa: F401
     from f1_data_pipeline_spark import queries_similarity  # noqa: F401

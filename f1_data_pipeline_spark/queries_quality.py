@@ -1,0 +1,118 @@
+"""Registry entries for data-quality / sink dataflow operators
+(SURVEY.md §2.I I1 quarantine, §2.A A8 surrogate keys, §2.C C5 FK check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import sinks
+from f1_data_pipeline_spark.queries import register
+from f1_data_pipeline_spark.sources import load_table
+
+EVENT_TYPES_OK = ["click", "view", "purchase", "signup"]
+
+
+# --- I1 quarantine: rejected rows with named violations ------------------------
+
+def q_quarantine_bad_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    _, rejected = sinks.quarantine(
+        ev,
+        [
+            sinks.not_null_rule("user_id"),
+            sinks.enum_rule("event_type", EVENT_TYPES_OK),
+            sinks.range_rule("value", 0.0, 10.0),
+        ],
+    )
+    return rejected.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.concat_ws(",", "_violations").alias("violations"),
+    )
+
+
+register(
+    "quarantine_bad_rows",
+    q_quarantine_bad_rows,
+    """
+    WITH tagged AS (
+        SELECT event_id, event_type, value,
+               array_to_string(list_filter([
+                   CASE WHEN user_id IS NULL THEN 'not_null:user_id' END,
+                   CASE WHEN NOT (event_type IN ('click','view','purchase','signup')
+                                  OR event_type IS NULL)
+                        THEN 'enum:event_type' END,
+                   CASE WHEN NOT (value BETWEEN 0.0 AND 10.0 OR value IS NULL)
+                        THEN 'range:value' END
+               ], x -> x IS NOT NULL), ',') AS violations
+        FROM events
+    )
+    SELECT event_id, event_type, value, violations
+    FROM tagged WHERE violations <> ''
+    """,
+)
+
+
+# --- A8/§7.5 surrogate key allocation -------------------------------------------
+
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "existing" table contributes MAX(id); new rows get max+row_number over
+    # the declared natural-key order (deterministic SERIAL fidelity).
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id")
+    )
+    new_rows = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select(F.lit(None).cast("long").alias("id"), "c_custkey", "c_name")
+    )
+    out = sinks.allocate_surrogate_keys(
+        new_rows, supplier, "id", [F.asc("c_custkey")]
+    )
+    return out.select(F.col("id").cast("long").alias("id"), "c_custkey", "c_name")
+
+
+register(
+    "surrogate_keys",
+    q_surrogate_keys,
+    """
+    SELECT (SELECT COALESCE(MAX(s_suppkey), 0) FROM supplier)
+           + ROW_NUMBER() OVER (ORDER BY c_custkey ASC) AS id,
+           c_custkey, c_name
+    FROM customer WHERE c_acctbal > 7000
+    """,
+)
+
+
+# --- C5 FK integrity check --------------------------------------------------------
+
+def q_fk_integrity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inject violations: orders with custkey shifted out of range for a slice
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    dim = load_table(spark, sf_dir, "customer")
+    return sinks.fk_violations(fact, "o_custkey", dim, "c_custkey")
+
+
+register(
+    "fk_integrity_violations",
+    q_fk_integrity_violations,
+    """
+    WITH fact AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS o_custkey
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey FROM fact f
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = f.o_custkey)
+    """,
+)

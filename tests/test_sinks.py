@@ -1,0 +1,126 @@
+"""Sinks: insert-ignore, merge-upsert, surrogate keys, quarantine.
+
+The idempotency tests encode the reference's core guarantee: re-running any
+load leaves the table unchanged (README.md:12 via ON CONFLICT sinks).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import sinks
+
+
+@pytest.fixture
+def wh(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def _read(spark, path):
+    return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+
+def test_insert_ignore_appends_and_ignores(spark, wh):
+    path = f"{wh}/t"
+    b1 = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    n1 = sinks.insert_ignore(spark, b1, path, ["id"])
+    assert n1 == 2
+    # second batch: one conflict (id=2 ignored), one new
+    b2 = spark.createDataFrame([Row(id=2, v="CHANGED"), Row(id=3, v="c")])
+    n2 = sinks.insert_ignore(spark, b2, path, ["id"])
+    assert n2 == 1
+    assert _read(spark, path) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_insert_ignore_idempotent(spark, wh):
+    path = f"{wh}/t"
+    batch = spark.createDataFrame([Row(id=1, v="a")])
+    sinks.insert_ignore(spark, batch, path, ["id"])
+    n = sinks.insert_ignore(spark, batch, path, ["id"])
+    assert n == 0
+    assert _read(spark, path) == {(1, "a")}
+
+
+def test_insert_ignore_intra_batch_keep_first(spark, wh):
+    path = f"{wh}/t"
+    batch = spark.createDataFrame(
+        [Row(id=1, v="second", o=2), Row(id=1, v="first", o=1)]
+    )
+    sinks.insert_ignore(spark, batch, path, ["id"], order_by=[F.asc("o")])
+    assert _read(spark, path) == {(1, "first", 1)}
+
+
+def test_merge_upsert_updates_inserts_keeps(spark, wh):
+    path = f"{wh}/t"
+    sinks.insert_ignore(
+        spark,
+        spark.createDataFrame([Row(id=1, v="old1"), Row(id=2, v="old2")]),
+        path,
+        ["id"],
+    )
+    updates = spark.createDataFrame([Row(id=2, v="new2"), Row(id=3, v="new3")])
+    sinks.merge_upsert(spark, updates, path, ["id"])
+    assert _read(spark, path) == {(1, "old1"), (2, "new2"), (3, "new3")}
+
+
+def test_merge_upsert_idempotent(spark, wh):
+    path = f"{wh}/t"
+    updates = spark.createDataFrame([Row(id=1, v="x")])
+    sinks.merge_upsert(spark, updates, path, ["id"])
+    before = _read(spark, path)
+    sinks.merge_upsert(spark, updates, path, ["id"])
+    assert _read(spark, path) == before
+
+
+def test_surrogate_keys_deterministic_and_gapless(spark):
+    existing = spark.createDataFrame([Row(id=7, ref="x")])
+    new = spark.createDataFrame([(None, "b"), (None, "a")], "id int, ref string")
+    out = sinks.allocate_surrogate_keys(new, existing, "id", [F.asc("ref")])
+    got = {r.ref: r.id for r in out.collect()}
+    assert got == {"a": 8, "b": 9}
+
+
+def test_surrogate_keys_empty_existing(spark):
+    existing = spark.createDataFrame([], "id int, ref string")
+    new = spark.createDataFrame([(None, "a")], "id int, ref string")
+    out = sinks.allocate_surrogate_keys(new, existing, "id", [F.asc("ref")])
+    assert out.collect()[0].id == 1
+
+
+def test_quarantine_splits_and_names_rules(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, typ="R", pos=3),
+            Row(id=None, typ="R", pos=4),       # null key
+            Row(id=3, typ="BOGUS", pos=5),      # bad enum
+            Row(id=4, typ="Q1", pos=-1),        # out of range
+        ]
+    )
+    valid, rejected = sinks.quarantine(
+        df,
+        [
+            sinks.not_null_rule("id"),
+            sinks.enum_rule("typ", ["R", "Q1"]),
+            sinks.range_rule("pos", 0, 100),
+        ],
+    )
+    assert [r.id for r in valid.collect()] == [1]
+    rej = {r.typ: list(r["_violations"]) for r in rejected.collect()}
+    assert rej["BOGUS"] == ["enum:typ"]
+    assert any("not_null:id" in v for v in rej.values())
+
+
+def test_fk_violations(spark):
+    fact = spark.createDataFrame([Row(fk=1), Row(fk=99), Row(fk=None)])
+    dim = spark.createDataFrame([Row(id=1)])
+    bad = sinks.fk_violations(fact, "fk", dim, "id")
+    assert [r.fk for r in bad.collect()] == [99]  # null FK is allowed (SET NULL)
+
+
+def test_write_atomic_replaces_not_merges(spark, wh):
+    path = f"{wh}/t"
+    sinks.write_atomic(spark.createDataFrame([Row(id=1)]), path)
+    sinks.write_atomic(spark.createDataFrame([Row(id=2)]), path)
+    assert _read(spark, path) == {(2,)}
