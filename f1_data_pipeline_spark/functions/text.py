@@ -1,0 +1,98 @@
+"""Text expression helpers for the training-data operators (SURVEY.md §2.L).
+
+Everything is built from pyspark.sql.functions (JVM, codegen-friendly);
+counting uses the replace-length trick so the exact same logic is expressible
+in any SQL oracle dialect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword markers for the heuristic language-ID
+# operator. Deliberately tiny and deterministic — the operator's value is the
+# *shape* (n-gram/stopword scoring at scale), not lexicon quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "nicht", "das"),
+    "es": ("el", "la", "que", "los", "una"),
+    "fr": ("le", "les", "des", "une", "est"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (empty → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (distinct), the MinHash input unit."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+
+
+def occurrences(col: Column | str, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal word, counted on the
+    space-padded text — portable to any SQL dialect via replace+length."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    target = f" {needle} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(target), F.lit(""))))
+        / len(target)
+    ).cast("long")
+
+
+def punct_count(col: Column | str) -> Column:
+    """Count of .,!?;: characters (regexp-free: chained literal replaces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = c
+    for p in [".", ",", "!", "?", ";", ":"]:
+        stripped = F.replace(stripped, F.lit(p), F.lit(""))
+    return F.length(c) - F.length(stripped)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-marker hit count per language."""
+    return {
+        lang: sum(occurrences(col, w) for w in words).cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of marker scores, 'und' when all zero.
+    Ties break by language code order (deterministic)."""
+    scores = lang_scores(col)
+    # build argmax with a stable order: compare (score, -ord) descending
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(scores, reverse=True):  # reversed so earlier code wins ties
+        s = scores[lang]
+        cond = s >= F.greatest(best_score, F.lit(1))
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 (portable across engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)

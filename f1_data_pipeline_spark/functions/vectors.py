@@ -1,0 +1,35 @@
+"""Vector expression helpers over array<float> embedding columns.
+
+Pure Spark SQL higher-order functions (zip_with/aggregate) — computed in
+double, element order preserved, no UDF. At 100 TB these run inside
+whole-stage codegen per row; the quadratic part of similarity search is
+handled by the operators (blocking/LSH), not by these kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in index order (deterministic double accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

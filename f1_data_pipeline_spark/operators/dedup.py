@@ -1,0 +1,291 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.L X2/X3).
+
+Five escalating strategies, all shuffle-conscious:
+
+- exact:        content-hash groupBy (one shuffle on the hash)
+- minhash LSH:  shingle → 64 minhashes → banded buckets → bucket-local join.
+                The candidate join is on (band, band_hash) — never all-pairs —
+                which is the property that survives 100 TB.
+- simhash:      64-bit signature from token hashes; candidate blocking on
+                16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk).
+- n-gram Jaccard: exact token-set similarity on candidate pairs via an
+                inverted-index join (token → docs), no cross join.
+- embedding cosine: exact near-dup pairs over a label-blocked candidate set.
+
+Everything is built-in expressions (xxhash64, higher-order array functions,
+bit ops) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from f1_data_pipeline_spark.functions.text import fingerprint, tokens, word_shingles
+from f1_data_pipeline_spark.functions.vectors import cosine
+
+# ---------------------------------------------------------------------------
+# X2 — exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per identical content (hash-based, deterministic winner).
+
+    groupBy on md5(content) with min/max id: a single shuffle keyed on the
+    hash — at scale the hash distributes uniformly, so no skew.
+    """
+    h = fingerprint(content_col)
+    w = Window.partitionBy(h).orderBy(
+        F.asc(id_col) if keep == "min" else F.desc(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    text_col: Column | str, num_hashes: int = 64, shingle_size: int = 3
+) -> Column:
+    """Array of `num_hashes` minhash values over word shingles.
+
+    Each hash family member is xxhash64 seeded by its index (an extra hashed
+    literal column perturbs the hash — standard seeding trick). Empty shingle
+    sets yield nulls so degenerate docs never collide into one bucket.
+    """
+    sh = word_shingles(text_col, shingle_size)
+
+    def _hash_i(i: int):
+        # closure factory, NOT `lambda s, i=i` — a 2-param lambda would be
+        # interpreted by pyspark as the (element, index) higher-order form
+        # and every family member would hash with the same "seed".
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, _hash_i(i))) for i in range(num_hashes)]
+    )
+    return F.when(F.size(sh) > 0, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) with estimated Jaccard.
+
+    sig → `bands` band-hashes → explode → self-join on (band, hash) →
+    distinct pairs → estimate = fraction of agreeing minhashes. The join key
+    cardinality is O(docs × bands), and only same-bucket docs ever meet —
+    the all-pairs quadratic never materializes.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, shingle_size).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 variant — SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash of the token multiset, as a signed long.
+
+    Per token: h = xxhash64(token); bit i contributes +1 if set else −1.
+    Sign of each bit-sum becomes the signature bit. Expressed as one
+    aggregate over the token array — no explode, no shuffle.
+    """
+    toks = tokens(text_col)
+
+    # closure factory, NOT `lambda t, i=i`: pyspark interprets a 2-param
+    # lambda as the (element, index) higher-order form.
+    def _contrib(i: int):
+        return lambda t: (
+            F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        )
+
+    bit_sums = [
+        F.aggregate(F.transform(toks, _contrib(i)), F.lit(0), lambda acc, x: acc + x)
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit signature into 4 × 16-bit chunks; by
+    pigeonhole any pair within hamming ≤ 3 shares at least one exact chunk,
+    so candidates come from 4 chunk-equality joins — never all pairs.
+    """
+    sig = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    chunks = sig.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sim", 16 * c).bitwiseAND(F.lit(0xFFFF)).cast("int")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.select(
+        F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "chunk_idx", "chunk_val"
+    )
+    right = chunks.select(
+        F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "chunk_idx", "chunk_val"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 variant — exact n-gram (token-set) Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+def token_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over distinct token sets, threshold-filtered.
+
+    Inverted-index join: explode distinct tokens, join docs sharing a token,
+    count shared tokens per pair, then |A∪B| = |A|+|B|−shared. Join traffic
+    is Σ_token df(token)² — bounded by vocabulary skew, not doc count²;
+    at scale, drop ultra-high-df tokens first (stopword cut).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    inv = toks.select("id", "n", F.explode("toks").alias("tok"))
+    a = inv.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "tok")
+    b = inv.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4-adjacent — embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold.
+
+    With `block_col` the join is blocked (cluster/label/LSH bucket) so the
+    quadratic stays within blocks; without it this is the small-N exact path.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        *([F.col("blk").alias("blk")] if block_col else []),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        *([F.col("blk").alias("blk")] if block_col else []),
+    )
+    joined = a.join(b, ["blk"]) if block_col else a.crossJoin(b)
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

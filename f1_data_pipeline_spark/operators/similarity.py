@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (SURVEY.md §2.L X4).
+
+Three tiers, by scale:
+
+- brute-force top-k: exact, query-set × corpus. Correctness baseline and the
+  right choice when |queries| is small (broadcast the queries, stream the
+  corpus — one pass, no corpus shuffle).
+- LSH ANN: random-hyperplane signatures → bucket-equality join. Sub-linear
+  candidate sets; recall controlled by number of hyperplane tables.
+- IVF ANN: KMeans coarse quantizer (Spark ML, trained once), probe the
+  nearest `nprobe` centroids. The industry-standard scale path: candidate
+  count ≈ corpus/nlist × nprobe.
+
+Distance kernels come from functions.vectors (pure SQL expressions). The
+deterministic hyperplanes are generated from a fixed seed at import time —
+no randomness at query time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from f1_data_pipeline_spark.functions.vectors import cosine, dot, norm
+
+# ---------------------------------------------------------------------------
+# brute-force exact top-k
+# ---------------------------------------------------------------------------
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus (self excluded).
+
+    Plan shape: broadcast(queries) ⨯ corpus → per-row cosine → windowed
+    top-k partitioned by query. The corpus is scanned once and never
+    shuffled before the (small) per-query candidate reduction.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN (random hyperplanes, deterministic)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Bucket id = sign-bit pattern of the vector against each hyperplane."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col, plane) > 0)
+        bucket = bucket + F.when(bit, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return bucket
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket.
+
+    One equality join on the bucket id — candidate count ≈ N/2^planes per
+    query. Recall < 1 by design; raise by lowering n_planes or adding
+    multi-table probing.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (KMeans coarse quantizer via Spark ML)
+# ---------------------------------------------------------------------------
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with an inverted-file (IVF) index.
+
+    Train KMeans(nlist) on the corpus (one pass, seeded → deterministic),
+    assign every corpus vector to its nearest centroid, then search each
+    query only within its `nprobe` nearest centroid cells.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_ml = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(corpus_ml.select("features"))
+    assigned = km.transform(corpus_ml).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+    )
+
+    centroids = [c.tolist() for c in km.clusterCenters()]
+    # per-query: distances to all centroids (tiny — nlist entries), take nprobe
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cell_dists = F.array(
+        *[
+            F.struct(
+                (
+                    -2 * dot(F.col("q_vec"), F.array(*[F.lit(float(x)) for x in cent]))
+                    + F.lit(float(sum(x * x for x in cent)))
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    q_cells = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cell_dists), 1, nprobe), lambda s: s["cell"]
+            )
+        ),
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,1 +1,86 @@
-"""Registry entries — placeholder, filled by build step."""
+"""Registry entries for similarity search (SURVEY.md §2.L X4).
+
+Brute-force and cosine-pair operators carry an exact DuckDB oracle built on
+explicit unnest-based dot products (double arithmetic, rounded once at the
+end). LSH/IVF approximate variants have no SQL twin → rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import dedup as D
+from f1_data_pipeline_spark.operators import similarity as S
+from f1_data_pipeline_spark.queries import register
+from f1_data_pipeline_spark.sources import load_table
+
+N_QUERIES = 20  # query subset for top-k checks (keeps the oracle O(20·N·dim))
+
+
+def q_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.brute_force_topk(queries, emb, k=5)
+
+
+register(
+    "topk_similarity",
+    q_topk_similarity,
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]) AS raw_sim
+        FROM q, embeddings c
+        WHERE q.query_id <> c.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, ROUND(raw_sim, 4) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY ROUND(raw_sim, 4) DESC, neighbor_id ASC
+               ) AS rank
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, block_col="label"
+    )
+
+
+register(
+    "dedup_embedding_cosine",
+    q_dedup_embedding_cosine,
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
+    """,
+)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.lsh_ann_topk(queries, emb, k=5, n_planes=8)
+
+
+register("ann_lsh_topk", q_ann_lsh_topk, None)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return S.ivf_ann_topk(queries, emb, k=5, nlist=8, nprobe=2)
+
+
+register("ann_ivf_topk", q_ann_ivf_topk, None)

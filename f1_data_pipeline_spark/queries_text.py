@@ -1,1 +1,259 @@
-"""Registry entries — placeholder, filled by build step."""
+"""Registry entries for text analysis + dedup operators (SURVEY.md §2.L
+X2/X3/X5 and the training-data pipeline suite).
+
+Oracle-parity approach: tokenization and counting are expressed with
+replace/length and split primitives that behave identically in DuckDB; hash
+functions are md5 (portable). xxhash64-based operators (minhash/simhash)
+have no DuckDB twin → rows-only checks + pytest goldens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from f1_data_pipeline_spark.functions import text as X
+from f1_data_pipeline_spark.operators import dedup as D
+from f1_data_pipeline_spark.queries import register
+from f1_data_pipeline_spark.sources import load_table
+
+
+# --- X5 text_stats: per-language corpus profile --------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(X.token_count("text").cast("long")).alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 2
+            ).alias("avg_chars"),
+        )
+    )
+
+
+register(
+    "text_stats",
+    q_text_stats,
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+
+
+# --- token counting (whitespace + BPE-ish word/punct regex) ----------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # BPE-ish proxy: word-character runs count as tokens, as do punctuation
+    # marks — regexp_count with an identical pattern on both engines.
+    bpe = F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+    return docs.select(
+        "doc_id",
+        X.token_count("text").cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+register(
+    "token_count",
+    q_token_count,
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+
+
+# --- quality scoring --------------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = X.token_count("text")
+    punct = X.punct_count("text")
+    stop_hits = sum(X.occurrences("text", w) for w in X.LANG_MARKERS["en"])
+    # score: length-normalized stopword density minus punctuation noise —
+    # deterministic rational arithmetic, rounded once.
+    score = F.round(
+        (stop_hits.cast("double") / (n_tokens + 1))
+        - (punct.cast("double") / (n_chars + 1)),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        punct.cast("long").alias("n_punct"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        score.alias("quality_score"),
+    )
+
+
+_PUNCT_STRIP_SQL = (
+    "replace(replace(replace(replace(replace(replace(text,'.',''),',',''),"
+    "'!',''),'?',''),';',''),':','')"
+)
+_OCC = (
+    "CAST((len(' ' || text || ' ') - len(replace(' ' || text || ' ', ' {w} ', '')))"
+    " / {n} AS BIGINT)"
+)
+
+
+def _occ_sql(w: str) -> str:
+    return _OCC.format(w=w, n=len(f" {w} "))
+
+
+register(
+    "quality_score",
+    q_quality_score,
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(text) - len({_PUNCT_STRIP_SQL}) AS BIGINT) AS n_punct,
+               {" + ".join(_occ_sql(w) for w in X.LANG_MARKERS["en"])} AS stopword_hits
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct, stopword_hits,
+           ROUND(CAST(stopword_hits AS DOUBLE) / (n_tokens + 1)
+                 - CAST(n_punct AS DOUBLE) / (n_chars + 1), 4) AS quality_score
+    FROM t
+    """,
+)
+
+
+# --- language-ID heuristic ---------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        X.lang_id("text").alias("predicted_lang"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(w) for w in X.LANG_MARKERS[lang])
+
+
+register(
+    "lang_id",
+    q_lang_id,
+    f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql("en")} AS s_en,
+               {_lang_score_sql("de")} AS s_de,
+               {_lang_score_sql("es")} AS s_es,
+               {_lang_score_sql("fr")} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+)
+
+
+# --- document fingerprinting --------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint("text").alias("fp_md5"),
+        F.substring(X.fingerprint("text"), 1, 8).alias("fp_bucket"),
+    )
+
+
+register(
+    "doc_fingerprint",
+    q_doc_fingerprint,
+    """
+    SELECT doc_id, md5(text) AS fp_md5, substr(md5(text), 1, 8) AS fp_bucket
+    FROM documents
+    """,
+)
+
+
+# --- X2 exact dedup -----------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+register(
+    "dedup_exact",
+    q_dedup_exact,
+    """
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+    """,
+)
+
+
+# --- X3 exact token-set Jaccard (inverted index; full SQL oracle) --------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.token_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+register(
+    "dedup_ngram_jaccard",
+    q_dedup_ngram_jaccard,
+    """
+    WITH toks AS (
+        SELECT doc_id AS id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+        FROM documents
+    ), sized AS (
+        SELECT id, len(toks) AS n, unnest(toks) AS tok FROM toks
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS shared
+        FROM sized a JOIN sized b ON a.tok = b.tok AND a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 4) AS jaccard
+    FROM shared
+    WHERE ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 4) >= 0.8
+    """,
+)
+
+
+# --- X3 MinHash LSH + SimHash (no SQL twin → rows-only) ------------------------------
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+register("dedup_minhash", q_dedup_minhash, None)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
+
+
+register("dedup_simhash", q_dedup_simhash, None)

@@ -1,0 +1,105 @@
+"""Dedup + similarity operator goldens (the xxhash-based ops have no SQL
+oracle, so these pytest checks are their correctness gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import dedup as D
+from f1_data_pipeline_spark.operators import similarity as S
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different text about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = D.exact_dedup(_docs(spark), "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3]
+
+
+def test_minhash_finds_near_dup_not_distinct(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), "doc_id", "text", threshold=0.3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got          # identical → jaccard 1.0
+    assert (1, 2) in got          # near-dup shares most shingles
+    assert not any(3 in p for p in got)
+
+
+def test_minhash_exact_dup_estimates_one(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), "doc_id", "text", threshold=0.3)
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+    assert est[(1, 4)] == 1.0
+
+
+def test_simhash_identical_distance_zero(spark):
+    pairs = D.simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=16)
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert ham[(1, 4)] == 0
+    assert ham[(1, 2)] > 0
+
+
+def test_token_jaccard_exact_values(spark):
+    pairs = D.token_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.1)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert jac[(1, 4)] == 1.0
+    # docs 1,2: tokens {the,quick,brown,fox,jumps,over,lazy,dog|cat} →
+    # |A∩B|=7, |A∪B|=9 (8 distinct each, one divergent)
+    assert jac[(1, 2)] == round(7 / 9, 4)
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),   # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),   # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+
+
+def test_brute_force_topk_ordering(spark):
+    emb = _vecs(spark)
+    out = S.brute_force_topk(emb.filter("vec_id = 1"), emb, k=3).collect()
+    assert [r.neighbor_id for r in out] == [2, 3, 4]
+    assert out[0].cos_sim > 0.99 and out[2].cos_sim == -1.0
+
+
+def test_embedding_cosine_pairs_blocked(spark):
+    emb = _vecs(spark)
+    pairs = D.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.9, block_col="label")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}  # 4 is blocked away by label, 3 below threshold
+
+
+def test_lsh_ann_subset_of_exact(spark, sf_dir):
+    """ANN results must be true cosines (no fabricated scores): every
+    returned (query, neighbor, sim) must match the exact computation."""
+    from f1_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.brute_force_topk(queries, emb, k=500).collect()
+    }
+    ann = S.lsh_ann_topk(queries, emb, k=5, n_planes=6).collect()
+    assert ann, "LSH returned nothing — buckets degenerate"
+    for r in ann:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_ivf_ann_deterministic(spark, sf_dir):
+    from f1_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = S.ivf_ann_topk(queries, emb, k=3, nlist=4, nprobe=2).collect()
+    b = S.ivf_ann_topk(queries, emb, k=3, nlist=4, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
