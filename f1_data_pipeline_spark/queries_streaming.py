@@ -1,1 +1,147 @@
-"""Registry entries — placeholder, filled by build step."""
+"""Registry entries for streaming-extension operators (SURVEY.md §2.L
+X6 stream windows / X7 as-of join / X8 approx distinct) over `events`.
+
+Each operator is a batch/stream-agnostic transformation (streaming/windows
+.py); the driver runs the batch form. Window oracles use DuckDB
+`time_bucket` (epoch-aligned, same as Spark's `window`); the session
+window has a gaps-and-islands oracle; the as-of join an ASOF JOIN oracle.
+`approx_distinct` is HLL-based → rows-only (sketch parameters differ
+across engines; the exact twin `window_distinct_users` carries the SQL
+oracle instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.queries import register
+from f1_data_pipeline_spark.sources import load_table
+from f1_data_pipeline_spark.streaming import windows as W
+
+_VALUE_AGG_SQL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)"
+
+
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+register(
+    "stream_tumbling_window",
+    q_tumbling,
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {_VALUE_AGG_SQL} AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+
+
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_agg(
+        load_table(spark, sf_dir, "events"), "1 hour", "30 minutes"
+    )
+
+
+register(
+    "stream_sliding_window",
+    q_sliding,
+    f"""
+    WITH offs AS (SELECT unnest([0, 30]) AS off_min),
+    w AS (
+        SELECT time_bucket(INTERVAL '30 minutes', e.ts) - to_minutes(o.off_min)
+                   AS window_start,
+               e.event_type, e.value
+        FROM events e CROSS JOIN offs o
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {_VALUE_AGG_SQL} AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+)
+
+
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_agg(load_table(spark, sf_dir, "events"), "5 minutes")
+
+
+register(
+    "stream_session_window",
+    q_session,
+    f"""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, SUM(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, value
+            ROWS UNBOUNDED PRECEDING
+        ) AS sess
+        FROM o
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           {_VALUE_AGG_SQL} AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+
+
+def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    probes = events.filter(F.col("event_type") == "purchase")
+    quotes = events.filter(F.col("event_type") == "click")
+    return W.as_of_join(probes, quotes)
+
+
+register(
+    "as_of_join",
+    q_as_of_join,
+    """
+    SELECT p.event_id AS probe_id,
+           p.user_id,
+           p.ts AS probe_ts,
+           c.event_id AS quote_id,
+           c.ts AS quote_ts,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+               - CAST(floor(epoch(c.ts)) AS BIGINT) AS lag_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+
+
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.windowed_distinct_users(load_table(spark, sf_dir, "events"), "1 day")
+
+
+register(
+    "window_distinct_users",
+    q_window_distinct,
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+           COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.windowed_approx_distinct(load_table(spark, sf_dir, "events"), "1 day")
+
+
+register("approx_distinct", q_approx_distinct, None)

@@ -1,0 +1,125 @@
+"""Structured Streaming wiring: sources, watermarks, sinks, run helpers.
+
+Maps the reference's scheduled-batch-plus-watermark control plane
+(/root/reference/metadata.py:244-341 — the 2-day late-race buffer; the
+idempotent upsert sinks at loaders/__init__.py:254-272) onto native
+Structured Streaming: `withWatermark` is the buffer, checkpoints are the
+sync_status table, and foreachBatch+MERGE is the exactly-once sink.
+
+Scale notes: file sources list incrementally (maxFilesPerTrigger bounds a
+micro-batch); state store size is governed by the watermark horizon — a
+2-day watermark on a 1-hour window keeps ~48 windows of state per key, not
+unbounded history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from f1_data_pipeline_spark.operators import sinks
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+    watermark: str | None = "2 days",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """File-based event stream with an event-time watermark.
+
+    The watermark default mirrors the reference's `buffer_days=2` late-data
+    policy (metadata.py:244): rows later than max(event time) − 2 days are
+    dropped from open aggregations instead of reopening them.
+    """
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(path)
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return df
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+    query_name: str = "snapshot",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain all available input through a streaming query into an
+    in-memory table and return it as a DataFrame (test/snapshot helper —
+    the streaming analog of the reference's run-once cron invocation,
+    f1_pipeline.yml:9-11)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
+
+
+def start_merge_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """Exactly-once-effect sink: per micro-batch, MERGE the batch into the
+    target Parquet table keyed on `keys` (reference upsert semantics A7;
+    idempotent under micro-batch replay because MERGE is)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        sinks.merge_upsert(out.sparkSession, out, target_path, list(keys))
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_snapshot(
+    spark: SparkSession,
+    events_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    checkpoint_dir: str,
+    watermark: str | None = "2 days",
+    output_mode: str = "complete",
+    query_name: str = "stream_snapshot",
+    **reader_kwargs: Any,
+) -> DataFrame:
+    """readStream → transform → drain to memory. The declarative contract:
+    `transform` is the same function the batch path uses (windows.py)."""
+    stream = read_event_stream(
+        spark, events_dir, watermark=watermark, **reader_kwargs
+    )
+    return run_available_now(
+        transform(stream), checkpoint_dir, output_mode, query_name
+    )

@@ -1,0 +1,161 @@
+"""Structured Streaming path: batch/stream parity, watermark late-data
+eviction, stateful per-key operator, exactly-once merge sink.
+
+The DuckDB oracle can't express streaming semantics (SURVEY.md §7.4), so
+these are the deterministic goldens that back the rows-only checks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.sources import load_table
+from f1_data_pipeline_spark.streaming import stateful, structured, windows
+
+
+def _rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """sf0.001 events rewritten as normal µs-timestamp parquet (the ns→long
+    legacy read path doesn't apply to readStream with an explicit schema)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").coalesce(2).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_batch_parity_tumbling(spark, sf_dir, events_stream_dir, tmp_path):
+    batch = windows.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+    streamed = structured.stream_snapshot(
+        spark,
+        events_stream_dir,
+        lambda df: windows.tumbling_agg(df, "1 hour"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="tumbling_parity",
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert _rows_set(streamed, cols) == _rows_set(batch, cols)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + watermark: a row arriving in a later micro-batch with
+    event time older than (max event time − watermark) is dropped — the
+    streaming form of the reference's 2-day late-race buffer."""
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def mk(name, rows):
+        spark.createDataFrame(
+            rows, structured.EVENTS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, user=1):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, "click", 1.0, None)
+
+    import time
+
+    # batch 1 advances event time to 03:00 (watermark 02:00 at batch end);
+    # batch 2 evicts + emits the closed 00:00 window; batch 3 carries a row
+    # at 00:30 — older than the watermark AND its state gone → dropped.
+    # (Spark only drops late rows once the window state is evicted, which
+    # happens at end-of-batch — hence the committing middle batch.)
+    mk("b1", [ev(0, 5), ev(1, 180)])
+    time.sleep(1.1)
+    mk("b2", [ev(2, 185)])
+    time.sleep(1.1)
+    mk("b3", [ev(3, 30), ev(4, 190)])
+
+    stream = structured.read_event_stream(
+        spark, str(src) + "/b*", watermark="1 hour", max_files_per_trigger=1
+    )
+    agg = windows.tumbling_agg(stream, "1 hour")
+    out = structured.run_available_now(
+        agg, str(tmp_path / "ckpt"), output_mode="append", query_name="late_drop"
+    )
+    # the 00:00 window closed with only its on-time row; the late 00:30 row
+    # produced no output and did not reopen the window.
+    closed = [r for r in out.collect() if r["window_start"] == t0]
+    assert len(closed) == 1 and closed[0]["n_events"] == 1
+
+
+def test_stateful_user_profile(spark, events_stream_dir, tmp_path):
+    stream = structured.read_event_stream(
+        spark, events_stream_dir, watermark=None
+    )
+    profiles = stateful.user_profile_stream(stream)
+    out = structured.run_available_now(
+        profiles, str(tmp_path / "ckpt"), output_mode="update", query_name="profiles"
+    )
+    # update mode may emit a row per (user, micro-batch); the final row per
+    # user carries the full running totals — compare against batch truth.
+    latest = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    )
+    truth = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r["user_id"]: r["n_events"] for r in latest}
+    assert got == truth
+
+
+def test_merge_sink_idempotent(spark, events_stream_dir, tmp_path):
+    """foreachBatch MERGE target equals batch dedup result, and re-running
+    the whole stream over the same input leaves the target unchanged."""
+    target = str(tmp_path / "target")
+
+    def run(ckpt):
+        stream = structured.read_event_stream(spark, events_stream_dir, watermark=None)
+        q = structured.start_merge_sink(
+            stream,
+            target,
+            keys=["event_id"],
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+
+    run("ckpt1")
+    first = _rows_set(spark.read.parquet(target), ["event_id", "user_id"])
+    run("ckpt2")  # fresh checkpoint → full replay → MERGE must be a no-op
+    second = _rows_set(spark.read.parquet(target), ["event_id", "user_id"])
+    truth = _rows_set(spark.read.parquet(events_stream_dir), ["event_id", "user_id"])
+    assert first == truth and second == truth
+
+
+def test_as_of_join_golden(spark):
+    """Deterministic golden for the union-window as-of join, including the
+    equal-timestamp tie (quote at probe ts matches) and no-quote null."""
+    t = dt.datetime(2024, 1, 1)
+
+    def s(sec):
+        return t + dt.timedelta(seconds=sec)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    quotes = spark.createDataFrame(
+        [(1, s(10), 1, "click", 0.0, None), (2, s(20), 1, "click", 0.0, None),
+         (3, s(5), 2, "click", 0.0, None)],
+        schema,
+    )
+    probes = spark.createDataFrame(
+        [(10, s(15), 1, "purchase", 0.0, None),   # → quote 1
+         (11, s(20), 1, "purchase", 0.0, None),   # tie → quote 2
+         (12, s(4), 2, "purchase", 0.0, None),    # before any quote → null
+         (13, s(9), 3, "purchase", 0.0, None)],   # user with no quotes → null
+        schema,
+    )
+    got = {
+        r["probe_id"]: (r["quote_id"], r["lag_seconds"])
+        for r in windows.as_of_join(probes, quotes).collect()
+    }
+    assert got == {10: (1, 5), 11: (2, 0), 12: (None, None), 13: (None, None)}
