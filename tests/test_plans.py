@@ -1,0 +1,69 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB.
+
+A lost predicate pushdown or an accidental cartesian join is invisible in
+small-SF correctness runs but catastrophic at scale — pin them here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from f1_data_pipeline_spark.plans import audit
+from f1_data_pipeline_spark.queries import QUERIES
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["standings_recompute"](spark, sf_dir)
+    filters = " ".join(audit.pushed_filters(df))
+    # the o_orderstatus='F' predicate must reach the orders parquet scan
+    assert "EqualTo(o_orderstatus" in filters, filters
+    # lineitem scan must be pruned to its 3 needed columns
+    li = [s for s in audit.read_schemas(df) if "l_orderkey" in s]
+    assert li and all(
+        "l_comment" not in s and "l_shipdate" not in s for s in li
+    ), li
+
+
+def test_flagship_join_strategies(spark, sf_dir):
+    js = audit.join_strategies(QUERIES["standings_recompute"](spark, sf_dir))
+    # nation/customer joins broadcast; never a cartesian/nested-loop plan
+    assert js["broadcast_hash"] >= 1
+    assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
+
+
+def test_fk_lookup_broadcasts(spark, sf_dir):
+    js = audit.join_strategies(QUERIES["join_fk_lookup"](spark, sf_dir))
+    assert js["broadcast_hash"] >= 1
+    assert js["cartesian"] == 0
+
+
+def test_anti_join_not_cartesian(spark, sf_dir):
+    js = audit.join_strategies(QUERIES["join_anti_existing"](spark, sf_dir))
+    assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
+
+
+def test_window_aggs_single_shuffle(spark, sf_dir):
+    """Tumbling agg: one shuffle (partial→final agg), no join machinery."""
+    js = audit.join_strategies(QUERIES["stream_tumbling_window"](spark, sf_dir))
+    assert js["exchanges"] <= 2  # agg exchange (+ AQE reader wrapper)
+    assert js["cartesian"] == 0
+
+
+def test_as_of_join_single_shuffle(spark, sf_dir):
+    """Union-window as-of join must stay a single key shuffle — a range
+    cross-join here would explode quadratically on hot users."""
+    js = audit.join_strategies(QUERIES["as_of_join"](spark, sf_dir))
+    assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
+    assert js["sort_merge"] == 0 and js["shuffled_hash"] == 0
+
+
+def test_pricing_summary_pushdown(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    assert audit.pushed_filters(df), "date filter should reach the scan"
+
+
+def test_dedup_minhash_no_cartesian(spark, sf_dir):
+    """MinHash LSH candidate generation must join on band buckets, never
+    compare all pairs."""
+    js = audit.join_strategies(QUERIES["dedup_minhash"](spark, sf_dir))
+    assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
