@@ -86,31 +86,41 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) with estimated Jaccard.
 
-    sig → `bands` band-hashes → explode → self-join on (band, hash) →
-    distinct pairs → estimate = fraction of agreeing minhashes. The join key
-    cardinality is O(docs × bands), and only same-bucket docs ever meet —
-    the all-pairs quadratic never materializes.
+    shingle rows → one base xxhash64 per shingle → 64 seeded-hash `min`
+    aggregates (whole-stage-codegen'd hash aggregate, one shuffle on doc
+    id) → `bands` band-hashes → explode → self-join on (band, hash) →
+    distinct pairs → estimate = fraction of agreeing minhashes. The join
+    key cardinality is O(docs × bands), and only same-bucket docs ever
+    meet — the all-pairs quadratic never materializes.
+
+    Deliberately row-based, not array-HOF-based: computing the signature
+    as 64 `array_min(transform(...))` higher-order calls evaluates
+    interpreted (outside codegen), and Catalyst's project collapsing
+    re-inlines the whole signature expression into every band — measured
+    ~20× slower than this aggregate form at sf0.01.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    shingled = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle_size).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+        F.explode(word_shingles(text_col, shingle_size)).alias("s"),
+    ).select("id", F.xxhash64("s").alias("h"))
 
+    # 64 hash-family members: xxhash64 re-seeded by index over the one base
+    # hash. All 64 mins compute in a single codegen'd aggregate pass.
+    sig = shingled.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), "h")).alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+    # banded rows carry only (id, band, band_hash) — not the 64-long
+    # signature (16× per doc through the shuffle adds up at scale); the
+    # signature joins back for the (much smaller) candidate set only.
     banded = sig.select(
         "id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
+                        *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
                     )
                     for b in range(bands)
                 ]
@@ -118,17 +128,20 @@ def minhash_lsh_pairs(
         ).alias("band", "band_hash"),
     )
 
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    cand = (
+        banded.select(F.col("id").alias("id_a"), "band", "band_hash")
+        .join(banded.select(F.col("id").alias("id_b"), "band", "band_hash"),
+              ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    sig_arr = sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
     )
     cand = (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(sig_arr.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig_arr.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     est = (
         F.aggregate(
@@ -226,23 +239,80 @@ def token_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over distinct token sets, threshold-filtered.
 
-    Inverted-index join: explode distinct tokens, join docs sharing a token,
-    count shared tokens per pair, then |A∪B| = |A|+|B|−shared. Join traffic
-    is Σ_token df(token)² — bounded by vocabulary skew, not doc count²;
-    at scale, drop ultra-high-df tokens first (stopword cut).
+    Prefix-filter candidate generation (exact — no recall loss):
+
+    1. Any valid pair needs overlap s ≥ t(n_x+n_y)/(1+t) ≥ ⌈t·n_small⌉.
+       Pigeonhole: the smaller record's suffix of ⌈t·n⌉−1 rarest-last
+       tokens cannot hold all s shared tokens, so at least one shared
+       token lies in its prefix of n − ⌈t·n⌉ + 1 tokens (sorted
+       rarest-first by global document frequency).
+    2. Therefore joining prefix(smaller) × full-tokens(larger) finds
+       every valid pair; "smaller" is well-defined per pair via
+       (n, id) lexicographic order. A length filter n_small ≥ t·n_large
+       (exact in decimal — float boundaries would drop pairs) prunes
+       size-incompatible pairs in the join.
+    3. Candidates verify exactly via array_intersect on the full token
+       sets — O(candidates), never a token-level pair explosion.
+
+    Join traffic falls from Σ_token df(token)² (every shared stopword
+    pairs all its docs) to Σ_token prefix_df(token)·df(token), where
+    stopwords almost never appear in rarest-first prefixes — on templated
+    corpora this is the difference between quadratic blowup and
+    near-linear candidates.
     """
+    t_dec = F.lit(threshold).cast("decimal(10,6)")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(text_col)).alias("toks"),
     ).withColumn("n", F.size("toks"))
     inv = toks.select("id", "n", F.explode("toks").alias("tok"))
-    a = inv.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "tok")
-    b = inv.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "tok")
+
+    # global df-order, rarest first (ties by token for determinism)
+    dfreq = inv.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = inv.join(dfreq, "tok").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "tok")),
+    )
+    prefix_len = F.col("n") - F.ceil(t_dec * F.col("n")) + 1
+    prefix = ranked.filter(F.col("rk") <= prefix_len).select("id", "n", "tok")
+
+    small = prefix.select(F.col("id").alias("id_s"), F.col("n").alias("n_s"), "tok")
+    large = inv.select(F.col("id").alias("id_l"), F.col("n").alias("n_l"), "tok")
+    cand = (
+        small.join(large, "tok")
+        .filter(
+            # strict (n, id) order makes "smaller" unambiguous per pair
+            (F.col("n_s") < F.col("n_l"))
+            | ((F.col("n_s") == F.col("n_l")) & (F.col("id_s") < F.col("id_l")))
+        )
+        .filter(F.col("n_s").cast("decimal(20,6)") >= t_dec * F.col("n_l"))
+        .select(
+            F.least("id_s", "id_l").alias("id_a"),
+            F.greatest("id_s", "id_l").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # exact verification: join the full token sets back per candidate pair
+    # and intersect — O(candidates), never a token-level pair explosion.
     shared = (
-        a.join(b, "tok")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("shared"))
+        cand.join(
+            toks.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("shared", F.size(F.array_intersect("toks_a", "toks_b")))
     )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
