@@ -208,3 +208,32 @@ def fk_violations(fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFram
     return fact.filter(F.col(fk).isNotNull()).join(
         dim.select(F.col(pk).alias(fk)), [fk], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables — co-located joins without a shuffle (§4.1 access-path
+# tuning: the reference's secondary indexes become bucketing/clustering)
+# ---------------------------------------------------------------------------
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) catalog table.
+
+    Two tables bucketed on their join key with the same bucket count join
+    with NO exchange on either side (proven in tests/test_skew_bucketing.py)
+    — at 100 TB this is the difference between re-shuffling the fact table
+    every query and reading co-located buckets. Bucket count is a layout
+    decision: pick ≈ (table size / healthy partition size) and keep it
+    stable across writers so joins stay aligned.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
