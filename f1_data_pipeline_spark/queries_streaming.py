@@ -145,3 +145,22 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("approx_distinct", q_approx_distinct, None)
+
+
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact distinct users per event type (operators/skew.py):
+    two-phase salted aggregation, oracle-identical to COUNT(DISTINCT)."""
+    from f1_data_pipeline_spark.operators.skew import salted_two_phase_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_two_phase_agg(ev, ["event_type"], "user_id", salt_n=8)
+
+
+register(
+    "salted_distinct",
+    q_salted_distinct,
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_user_id
+    FROM events GROUP BY event_type
+    """,
+)

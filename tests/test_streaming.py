@@ -159,3 +159,18 @@ def test_as_of_join_golden(spark):
         for r in windows.as_of_join(probes, quotes).collect()
     }
     assert got == {10: (1, 5), 11: (2, 0), 12: (None, None), 13: (None, None)}
+
+
+def test_stream_batch_parity_session_window(spark, sf_dir, events_stream_dir, tmp_path):
+    """Session windows are the hardest stateful case (sessions merge as
+    events arrive); availableNow drain must converge to the batch answer."""
+    batch = windows.session_agg(load_table(spark, sf_dir, "events"), "5 minutes")
+    streamed = structured.stream_snapshot(
+        spark,
+        events_stream_dir,
+        lambda df: windows.session_agg(df, "5 minutes"),
+        checkpoint_dir=str(tmp_path / "ckpt_sess"),
+        query_name="session_parity",
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events", "total_value"]
+    assert _rows_set(streamed, cols) == _rows_set(batch, cols)
