@@ -511,3 +511,33 @@ register(
     ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
     """,
 )
+
+
+# --- B8 filter_fk_resolved ----------------------------------------------------
+
+def q_filter_fk_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-join FK lookup, then drop unresolved rows — the reference's
+    `if not (driver_id and team_id): continue` gate
+    (/root/reference/loaders/__init__.py:225-226)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # dims: only customers in segment 'BUILDING' "exist"
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"), F.col("c_name"))
+    )
+    joined = R.fk_lookup_join(orders, dim, ["o_custkey"], how="left")
+    return R.filter_fk_resolved(joined, ["c_name"]).select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+register(
+    "filter_fk_resolved",
+    q_filter_fk_resolved,
+    """
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)

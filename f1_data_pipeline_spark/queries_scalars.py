@@ -253,3 +253,42 @@ register(
     FROM raw
     """,
 )
+
+
+# --- G8/G10 — float and date safe casts (sanitizer members) ------------------------
+
+def q_fn_to_float_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→double and string→date coercion with null-on-malformed, the
+    remaining sanitizer members (loaders/__init__.py:134-141)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_tax", "l_shipdate", "l_returnflag"
+    )
+    raw = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_tax").cast("string").alias("tax_str"),
+        F.col("l_shipdate").cast("string").alias("date_str"),
+        F.col("l_returnflag").alias("junk"),  # never numeric/date → null
+    )
+    return raw.select(
+        "l_orderkey",
+        "l_linenumber",
+        S.to_float("tax_str").alias("tax_f"),
+        S.to_float("junk").alias("junk_f"),
+        S.to_date_safe("date_str").alias("ship_d"),
+        S.to_date_safe("junk").alias("junk_d"),
+    )
+
+
+register(
+    "fn_to_float_to_date",
+    q_fn_to_float_to_date,
+    """
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(CAST(l_tax AS VARCHAR) AS DOUBLE) AS tax_f,
+           TRY_CAST(l_returnflag AS DOUBLE) AS junk_f,
+           TRY_CAST(CAST(l_shipdate AS VARCHAR) AS DATE) AS ship_d,
+           TRY_CAST(l_returnflag AS DATE) AS junk_d
+    FROM lineitem
+    """,
+)
