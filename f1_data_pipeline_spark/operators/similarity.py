@@ -87,33 +87,46 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket.
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
-    One equality join on the bucket id — candidate count ≈ N/2^planes per
-    query. Recall < 1 by design; raise by lowering n_planes or adding
-    multi-table probing.
+    `n_tables` independent hash tables of `n_planes` sign bits each;
+    candidates are the union of same-bucket vectors across tables
+    (deduplicated before scoring). Single-table LSH has vanishing recall
+    once 2^planes ≫ per-bucket density — multiple tables is the standard
+    recall knob: P(candidate) = 1 − (1 − p^planes)^tables where
+    p = 1 − θ/π. Join is equality on (table, bucket); candidate volume
+    ≈ tables · N / 2^planes per query.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
+    sigs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        sigs.append(
+            F.struct(F.lit(t).alias("tbl"), lsh_bucket(vec_col, planes).alias("bkt"))
+        )
+    bucket_rows = F.explode(F.array(*sigs)).alias("tb")
+
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
-    )
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), bucket_rows
+    ).select("query_id", "q_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), bucket_rows
+    ).select("neighbor_id", "c_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair can collide in several tables — score it once
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", sim)
+        cand.withColumn("cos_sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))

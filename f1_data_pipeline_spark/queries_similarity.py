@@ -71,7 +71,10 @@ register(
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return S.lsh_ann_topk(queries, emb, k=5, n_planes=8)
+    # planes/tables tuned for ≈0.9 recall@5 on the synthetic embeddings
+    # (uniform-random 64-dim vectors are LSH's worst case — real embedding
+    # manifolds cluster, so production would raise planes, not tables)
+    return S.lsh_ann_topk(queries, emb, k=5, n_planes=4, n_tables=16)
 
 
 register("ann_lsh_topk", q_ann_lsh_topk, None)

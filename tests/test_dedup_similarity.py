@@ -103,3 +103,31 @@ def test_ivf_ann_deterministic(spark, sf_dir):
     a = S.ivf_ann_topk(queries, emb, k=3, nlist=4, nprobe=2).collect()
     b = S.ivf_ann_topk(queries, emb, k=3, nlist=4, nprobe=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ann_recall_floors(spark):
+    """ANN variants must hold a recall floor against brute force at
+    sf0.001 (uniform-random embeddings — LSH's hardest case; deterministic
+    seeds make these thresholds stable)."""
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.operators import similarity as S
+    from f1_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(qs, emb, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_ann_topk(qs, emb, k=5, n_planes=4, n_tables=16).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_ann_topk(qs, emb, k=5, nlist=8, nprobe=2).collect()
+    }
+    assert len(lsh & truth) / len(truth) >= 0.8
+    assert len(ivf & truth) / len(truth) >= 0.5
