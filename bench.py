@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational core
     "standings_recompute",
     "pricing_summary",
     "top_revenue_orders",
@@ -26,6 +27,15 @@ HEADLINE = [
     "join_anti_existing",
     "dedup_first",
     "agg_running_total",
+    # training-data extensions
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash",
+    "topk_similarity",
+    # streaming-analog windows
+    "stream_tumbling_window",
+    "stream_session_window",
+    "as_of_join",
 ]
 
 

@@ -100,10 +100,23 @@ def minhash_lsh_pairs(
     ~20× slower than this aggregate form at sf0.01.
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(
+    # Shingles via posexplode + window leads, NOT the array-HOF
+    # word_shingles: the HOF (sequence+transform+slice+concat) evaluates
+    # interpreted and dominated runtime (~4.6s of a 5.4s sf0.1 run).
+    # Duplicate shingles need no dedup — MIN is idempotent over multisets.
+    tok_rows = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_size)).alias("s"),
-    ).select("id", F.xxhash64("s").alias("h"))
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    w_doc = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w_doc) for j in range(1, shingle_size)
+    ]
+    shingled = (
+        tok_rows.select("id", F.concat_ws(" ", *parts).alias("s"), parts[-1].alias("last"))
+        .filter(F.col("last").isNotNull())
+        .select("id", F.xxhash64("s").alias("h"))
+    )
 
     # 64 hash-family members: xxhash64 re-seeded by index over the one base
     # hash. All 64 mins compute in a single codegen'd aggregate pass.
