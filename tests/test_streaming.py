@@ -174,3 +174,34 @@ def test_stream_batch_parity_session_window(spark, sf_dir, events_stream_dir, tm
     )
     cols = ["session_start", "session_end", "user_id", "n_events", "total_value"]
     assert _rows_set(streamed, cols) == _rows_set(batch, cols)
+
+
+def test_foreachbatch_windowed_merge_materialized_view(
+    spark, sf_dir, events_stream_dir, tmp_path
+):
+    """Streaming materialized view: windowed agg in update mode merged into
+    a parquet table per micro-batch — converges to the batch aggregate."""
+    target = str(tmp_path / "mv")
+    stream = structured.read_event_stream(
+        spark, events_stream_dir, watermark="2 days", max_files_per_trigger=1
+    )
+    agg = windows.tumbling_agg(stream, "1 hour")
+    from f1_data_pipeline_spark.operators import sinks
+
+    def merge_batch(batch, _id):
+        sinks.merge_upsert(
+            batch.sparkSession, batch, target,
+            ["window_start", "window_end", "event_type"],
+        )
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    batch_truth = windows.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert _rows_set(spark.read.parquet(target), cols) == _rows_set(batch_truth, cols)
