@@ -143,3 +143,20 @@ def json_get(col: Column | str, path: str) -> Column:
     """Ad-hoc JSON path extraction (string result, null on miss)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, path)
+
+
+# ---------------------------------------------------------------------------
+# G2/G3 — wall-clock expressions (metadata.py:19,27,71-72,101,264,316)
+# ---------------------------------------------------------------------------
+
+def date_buffer_cutoff(n_days: int, as_of: Column | None = None) -> Column:
+    """`CURRENT_DATE - INTERVAL 'n days'` (G2) — the late-data buffer bound.
+    Pass `as_of` to pin the clock (tests / reproducible oracles)."""
+    base = as_of if as_of is not None else F.current_date()
+    return F.date_sub(base, n_days)
+
+
+def now_utc() -> Column:
+    """`NOW()` (G3) — run timestamps for watermark/audit writes. The session
+    timezone is pinned to UTC (session.py) so this is unambiguous."""
+    return F.current_timestamp()
