@@ -127,7 +127,7 @@ def test_ann_recall_floors(spark):
     }
     ivf = {
         (r["query_id"], r["neighbor_id"])
-        for r in S.ivf_ann_topk(qs, emb, k=5, nlist=8, nprobe=2).collect()
+        for r in S.ivf_ann_topk(qs, emb, k=5, nlist=8, nprobe=4).collect()
     }
     assert len(lsh & truth) / len(truth) >= 0.8
-    assert len(ivf & truth) / len(truth) >= 0.5
+    assert len(ivf & truth) / len(truth) >= 0.8
