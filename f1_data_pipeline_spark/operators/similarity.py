@@ -199,3 +199,96 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build once, search many (the production shape —
+# retraining the quantizer per query batch would dominate at scale)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    seed: int = 42,
+) -> None:
+    """Train the coarse quantizer and persist the index:
+
+    - `{path}/cells`: corpus vectors with their cell id, *partitioned by
+      cell* so a probe reads only its cells' directories (partition
+      pruning = the IVF inverted list);
+    - `{path}/centroids`: nlist centroid vectors (broadcast-sized).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_ml = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(corpus_ml.select("features"))
+    km.transform(corpus_ml).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+
+    spark = corpus.sparkSession
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
+    spark.createDataFrame(
+        cents, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search(
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a persisted IVF index: nearest `nprobe` centroids per query
+    (tiny broadcast-side computation), then scan only those cells — the
+    cell partition filter prunes the index directories."""
+    spark = queries.sparkSession
+    centroids = [
+        (r["cell"], r["centroid"])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    ]
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cell_dists = F.array(
+        *[
+            F.struct(
+                (
+                    -2 * dot(F.col("q_vec"), F.array(*[F.lit(float(x)) for x in cent]))
+                    + F.lit(float(sum(x * x for x in cent)))
+                ).alias("d"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, cent in centroids
+        ]
+    )
+    q_cells = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(F.slice(F.array_sort(cell_dists), 1, nprobe), lambda s: s["cell"])
+        ),
+    )
+    probed = sorted(
+        {r["cell"] for r in q_cells.select("cell").distinct().collect()}
+    )
+    cells = spark.read.parquet(f"{index_path}/cells").filter(
+        F.col("cell").isin(probed)  # partition pruning on the index layout
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -164,3 +164,58 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per key (the exact twin of the
+    approx_percentile scale path — same pairing as distinct vs HLL)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+register(
+    "percentiles",
+    q_percentiles,
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (day, event_type): per-type, per-day, and grand totals in one
+    pass — free in Spark/DuckDB, absent from the reference (SURVEY §2.D)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select("day", "event_type", "n_events", "total_value")
+    )
+
+
+register(
+    "rollup_daily",
+    q_rollup_daily,
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (day, event_type)
+    """,
+)

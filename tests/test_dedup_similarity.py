@@ -131,3 +131,29 @@ def test_ann_recall_floors(spark):
     }
     assert len(lsh & truth) / len(truth) >= 0.8
     assert len(ivf & truth) / len(truth) >= 0.8
+
+
+def test_persisted_ivf_index_matches_inline(spark, tmp_path):
+    """build-once/search-many IVF equals the inline (retrain-per-call)
+    variant given the same quantizer seed, and the cell scan prunes to the
+    probed partitions."""
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.operators import similarity as S
+    from f1_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx, nlist=8)
+    persisted = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_search(qs, idx, k=5, nprobe=4).collect()
+    }
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_ann_topk(qs, emb, k=5, nlist=8, nprobe=4).collect()
+    }
+    assert persisted == inline

