@@ -219,3 +219,42 @@ register(
     GROUP BY ROLLUP (day, event_type)
     """,
 )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user value over event time (running-state window —
+    the batch twin of the stateful streaming profile, streaming/stateful.py)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("running_value"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+register(
+    "window_running_sum",
+    q_window_running_sum,
+    """
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+               AS running_value,
+           COUNT(*) OVER w AS running_n
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
