@@ -34,43 +34,70 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType()),
         T.StructField("total_value", T.DoubleType()),
         T.StructField("last_seen_epoch_us", T.LongType()),
+        T.StructField("evicted", T.BooleanType()),
     ]
 )
 
 
-def _update_user_profile(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
-    state.update((n, round(total, 2), last_us))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [round(total, 2)],
-            "last_seen_epoch_us": [last_us],
-        }
-    )
+def _make_update_fn(timeout_ms: int | None):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        def row(n, total, last_us, evicted):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "last_seen_epoch_us": [last_us],
+                    "evicted": [evicted],
+                }
+            )
+
+        if timeout_ms is not None and state.hasTimedOut:
+            # idle key: emit the tombstone row and release the state —
+            # this is what bounds state-store size to *active* keys
+            n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+            state.remove()
+            yield row(n, total, last_us, True)
+            return
+
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+        state.update((n, round(total, 2), last_us))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield row(n, total, last_us, False)
+
+    return update
 
 
-def user_profile_stream(events: DataFrame) -> DataFrame:
+def user_profile_stream(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     """Per-user running profile over a streaming events DataFrame.
 
     Emits the updated profile row for every user touched by each
     micro-batch (update semantics, like the reference's sync_status row
-    rewrite per run)."""
+    rewrite per run). With `timeout_ms`, keys idle longer than that emit a
+    final `evicted=true` row and their state is removed — the eviction
+    policy that keeps per-key state bounded to active keys at scale.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_profile,
+        _make_update_fn(timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -205,3 +205,44 @@ def test_foreachbatch_windowed_merge_materialized_view(
     batch_truth = windows.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
     cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
     assert _rows_set(spark.read.parquet(target), cols) == _rows_set(batch_truth, cols)
+
+
+def test_stateful_timeout_evicts_idle_keys(spark, tmp_path):
+    """ProcessingTimeTimeout: a key absent from later micro-batches times
+    out, emits its final evicted=true row, and its state is removed."""
+    import time
+
+    src = tmp_path / "src_timeout"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(name, rows):
+        spark.createDataFrame(
+            rows, structured.EVENTS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # user 1 appears only in batch 1; user 2 in both
+    mk("b1", [(0, t0, 1, "click", 1.0, None), (1, t0, 2, "click", 1.0, None)])
+    time.sleep(1.2)
+    mk("b2", [(2, t0 + dt.timedelta(minutes=1), 2, "click", 1.0, None)])
+    time.sleep(1.2)
+    mk("b3", [(3, t0 + dt.timedelta(minutes=2), 2, "click", 1.0, None)])
+
+    stream = structured.read_event_stream(
+        spark, str(src) + "/b*", watermark=None, max_files_per_trigger=1
+    )
+    profiles = stateful.user_profile_stream(stream, timeout_ms=1)
+    out = structured.run_available_now(
+        profiles, str(tmp_path / "ckpt_to"), output_mode="update",
+        query_name="timeout_profiles",
+    )
+    rows = out.collect()
+    evicted_u1 = [r for r in rows if r["user_id"] == 1 and r["evicted"]]
+    assert len(evicted_u1) == 1
+    assert evicted_u1[0]["n_events"] == 1  # final totals preserved on eviction
+    # the active user kept accumulating, never evicted mid-stream
+    u2 = max(
+        (r for r in rows if r["user_id"] == 2 and not r["evicted"]),
+        key=lambda r: r["n_events"],
+    )
+    assert u2["n_events"] == 3
