@@ -257,3 +257,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_simhash", q_dedup_simhash, None)
+
+
+def q_dedup_near_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup: minhash pairs → connected components → keep one
+    representative per duplicate cluster (rows-only: minhash has no SQL
+    twin; component/count invariants are pytest-verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return D.dedup_by_clusters(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+register("dedup_near_end_to_end", q_dedup_near_end_to_end, None)

@@ -157,3 +157,39 @@ def test_persisted_ivf_index_matches_inline(spark, tmp_path):
         for r in S.ivf_ann_topk(qs, emb, k=5, nlist=8, nprobe=4).collect()
     }
     assert persisted == inline
+
+
+def test_duplicate_clusters_components(spark):
+    """Chains, cliques and singletons resolve to min-id components."""
+    from f1_data_pipeline_spark.operators import dedup as D
+
+    # components: {1,2,3,4} (chain), {10,11} (pair); 99 appears in no pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in D.duplicate_clusters(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_by_clusters_end_to_end(spark):
+    """Detector pairs → clusters → one representative kept per cluster."""
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.operators import dedup as D
+    from f1_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    kept = D.dedup_by_clusters(docs, pairs, "doc_id")
+    n_docs, n_kept = docs.count(), kept.count()
+    clusters = D.duplicate_clusters(pairs)
+    n_losers = clusters.filter(F.col("id") != F.col("cluster_id")).count()
+    assert n_kept == n_docs - n_losers
+    # every cluster still has exactly its representative present
+    reps = {r["cluster_id"] for r in clusters.collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert reps <= kept_ids
