@@ -258,3 +258,18 @@ register(
     )
     """,
 )
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (KLL/GK-style) — the 100 TB form of
+    `percentiles`: bounded state per group instead of a full sort. Sketch
+    internals differ across engines → rows-only check; the exact twin
+    carries the SQL oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+    )
+
+
+register("approx_percentiles", q_approx_percentiles, None)
