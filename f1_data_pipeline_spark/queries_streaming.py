@@ -273,3 +273,31 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("approx_percentiles", q_approx_percentiles, None)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval join: every click within 10 minutes before each
+    purchase, per user (time-bucketed equi-join — see streaming/windows.py
+    range_join for why the naive range predicate is a nested loop)."""
+    events = load_table(spark, sf_dir, "events")
+    probes = events.filter(F.col("event_type") == "purchase")
+    quotes = events.filter(F.col("event_type") == "click")
+    return W.range_join(probes, quotes, "10 minutes")
+
+
+register(
+    "range_join",
+    q_range_join,
+    """
+    SELECT p.event_id AS probe_id,
+           p.user_id,
+           p.ts AS probe_ts,
+           c.event_id AS quote_id,
+           c.ts AS quote_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL '10 minutes'
+    """,
+)

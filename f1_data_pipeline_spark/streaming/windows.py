@@ -193,3 +193,62 @@ def windowed_approx_distinct(
         )
         .select(*_window_cols(F.col("window")), "approx_users")
     )
+
+
+def range_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    max_lag: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    probe_id: str = "event_id",
+    quote_id: str = "event_id",
+) -> DataFrame:
+    """All quote rows within (probe.ts − max_lag, probe.ts] per key — the
+    bounded-interval sibling of `as_of_join` (every match, not just the
+    latest).
+
+    A naive `a.ts BETWEEN b.ts - lag AND b.ts` predicate gives Catalyst no
+    equi-key and degenerates to a nested-loop join. Bucketing both sides
+    into `max_lag`-sized time buckets restores an equi-join: a probe can
+    only match quotes in its own or the previous bucket, so each probe
+    explodes to 2 bucket keys, the join runs as a hash join on
+    (key, bucket), and the exact range predicate filters after. Join
+    traffic is O(rows × 2) instead of O(pairs).
+    """
+    lag_expr = F.expr(f"INTERVAL {max_lag}")
+    # interval length in seconds = (epoch 0 + interval) as double
+    lag_sec = (F.lit(0).cast("timestamp") + lag_expr).cast("double")
+
+    def bucket(c: str) -> Column:
+        return F.floor(F.col(c).cast("double") / lag_sec)
+
+    q = quotes.select(
+        F.col(key_col).alias("k"),
+        F.col(quote_id).alias("quote_id"),
+        F.col(ts_col).alias("quote_ts"),
+        bucket(ts_col).alias("bkt"),
+    )
+    p = probes.select(
+        F.col(key_col).alias("k"),
+        F.col(probe_id).alias("probe_id"),
+        F.col(ts_col).alias("probe_ts"),
+        F.explode(
+            F.array(bucket(ts_col), bucket(ts_col) - 1)
+        ).alias("bkt"),
+    )
+    return (
+        p.join(q, ["k", "bkt"])
+        .filter(
+            (F.col("quote_ts") <= F.col("probe_ts"))
+            & (F.col("quote_ts") > F.col("probe_ts") - lag_expr)
+        )
+        .select(
+            "probe_id",
+            F.col("k").alias(key_col),
+            "probe_ts",
+            "quote_id",
+            "quote_ts",
+        )
+        .dropDuplicates(["probe_id", "quote_id"])
+    )

@@ -92,3 +92,13 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # and the scan reads only the one matching directory
     n_parts = q.rdd.getNumPartitions()
     assert q.count() > 0
+
+
+def test_range_join_is_hash_join(spark, sf_dir):
+    """The time-bucketed range join must plan as a hash/merge equi-join —
+    the naive range predicate would be a nested loop over all pairs."""
+    js = audit.join_strategies(QUERIES["range_join"](spark, sf_dir))
+    assert js["broadcast_nested_loop"] == 0 and js["cartesian"] == 0
+    assert (
+        js["broadcast_hash"] + js["sort_merge"] + js["shuffled_hash"] >= 1
+    )
