@@ -271,3 +271,88 @@ def q_dedup_near_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("dedup_near_end_to_end", q_dedup_near_end_to_end, None)
+
+
+# --- repetition / quality signals (Gopher-style filters, token-level) ---------
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition statistics used as LLM training-data
+    filters: duplicate-token fraction, most-common-token dominance, mean
+    word length. Token-level (this corpus is single-line); one explode +
+    two aggregates — shuffle keyed on (doc, token) then doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rows = docs.select(
+        "doc_id", F.explode(X.tokens("text")).alias("tok")
+    )
+    per_tok = tok_rows.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return per_tok.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.round(1 - F.count("*") / n.cast("double"), 4).alias("dup_token_frac"),
+        F.round(F.max("c") / n.cast("double"), 4).alias("top_token_frac"),
+        F.round(
+            F.sum(F.length("tok") * F.col("c")) / n.cast("double"), 4
+        ).alias("mean_word_len"),
+    )
+
+
+register(
+    "repetition_signals",
+    q_repetition_signals,
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS distinct_tokens,
+           ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_token_frac,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_token_frac,
+           ROUND(SUM(len(tok) * c) / CAST(SUM(c) AS DOUBLE), 4) AS mean_word_len
+    FROM cnt GROUP BY doc_id
+    """,
+)
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop decision from the signal set — the actual
+    filtering step of a training-data pipeline (thresholds are the
+    standard shape: repetition caps + length band)."""
+    sig = q_repetition_signals(spark, sf_dir)
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("dup_token_frac") <= 0.9)
+        & (F.col("top_token_frac") <= 0.3)
+        & (F.col("mean_word_len").between(2.0, 12.0))
+    )
+    return sig.select("doc_id", keep.alias("keep"))
+
+
+register(
+    "quality_filter",
+    q_quality_filter,
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), sig AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_token_frac,
+               ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_token_frac,
+               ROUND(SUM(len(tok) * c) / CAST(SUM(c) AS DOUBLE), 4) AS mean_word_len
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (n_tokens >= 20 AND dup_token_frac <= 0.9
+            AND top_token_frac <= 0.3
+            AND mean_word_len BETWEEN 2.0 AND 12.0) AS keep
+    FROM sig
+    """,
+)
