@@ -77,7 +77,11 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # a query with armed processing-time timeouts keeps scheduling
+        # batches to fire them and never self-terminates under
+        # availableNow — the input is long since drained, stop it
+        q.stop()
     spark = stream_df.sparkSession
     return spark.table(query_name)
 

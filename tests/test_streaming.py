@@ -234,7 +234,7 @@ def test_stateful_timeout_evicts_idle_keys(spark, tmp_path):
     profiles = stateful.user_profile_stream(stream, timeout_ms=1)
     out = structured.run_available_now(
         profiles, str(tmp_path / "ckpt_to"), output_mode="update",
-        query_name="timeout_profiles",
+        query_name="timeout_profiles", timeout_sec=20,
     )
     rows = out.collect()
     evicted_u1 = [r for r in rows if r["user_id"] == 1 and r["evicted"]]
