@@ -541,3 +541,31 @@ register(
     WHERE c_mktsegment = 'BUILDING'
     """,
 )
+
+
+# --- C-family completeness: left-semi join ------------------------------------
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one urgent order — left_semi keeps the
+    probe row once regardless of match count (the EXISTS shape; the
+    mirror of the anti-join the reference uses for dedup)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(urgent, "c_custkey", "left_semi")
+
+
+register(
+    "join_semi",
+    q_join_semi,
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)

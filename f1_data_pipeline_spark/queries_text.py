@@ -356,3 +356,39 @@ register(
     FROM sig
     """,
 )
+
+
+# --- text normalization (cleaning step before dedup/tokenization) -------------
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form: lowercase, strip the punctuation set, collapse
+    whitespace runs — the normalization that feeds exact dedup so that
+    case/punct variants hash identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    stripped = F.lower("text")
+    for ch in [".", ",", "!", "?", ";", ":"]:
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    norm = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm.cast("binary")).alias("norm_fp"),
+    )
+
+
+register(
+    "text_normalize",
+    q_text_normalize,
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                   lower(text), '.',''), ',',''), '!',''), '?',''), ';',''), ':',''),
+               '\\s+', ' ', 'g')) AS norm_text,
+           md5(trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                   lower(text), '.',''), ',',''), '!',''), '?',''), ';',''), ':',''),
+               '\\s+', ' ', 'g'))) AS norm_fp
+    FROM documents
+    """,
+)
