@@ -301,3 +301,73 @@ register(
      AND c.ts > p.ts - INTERVAL '10 minutes'
     """,
 )
+
+
+def q_rolling_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour per-user totals at every event (RANGE frame over
+    event time — the time-series sibling of the row-based running sum;
+    state is bounded by the interval, not history)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_n"),
+    )
+
+
+register(
+    "rolling_1h_sum",
+    q_rolling_1h_sum,
+    """
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+               AS rolling_1h_value,
+           COUNT(*) OVER w AS rolling_1h_n
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+
+
+def q_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (day, event_type): every grouping-set combination in one pass
+    (rollup's superset — per-type totals across days included)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (
+        ev.cube("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select("day", "event_type", "n_events", "total_value")
+    )
+
+
+register(
+    "cube_daily",
+    q_cube_daily,
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (day, event_type)
+    """,
+)
