@@ -289,3 +289,124 @@ def read_endpoints(spark: SparkSession, urls: Sequence[str], **options) -> DataF
     for k, v in options.items():
         reader = reader.option(k, str(v))
     return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# qualifying + sprint payloads (loaders/__init__.py:212-247, 310-340)
+# ---------------------------------------------------------------------------
+
+def _race_table_schema(results_field: str, result_struct: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "MRData",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "RaceTable",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "Races",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("season", T.StringType()),
+                                                    T.StructField("round", T.StringType()),
+                                                    T.StructField(
+                                                        results_field,
+                                                        T.ArrayType(result_struct),
+                                                    ),
+                                                ]
+                                            )
+                                        ),
+                                    )
+                                ]
+                            ),
+                        )
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+_QUAL_RESULT = T.StructType(
+    [
+        T.StructField("position", T.StringType()),
+        T.StructField("Driver", T.StructType([T.StructField("driverId", T.StringType())])),
+        T.StructField("Constructor", T.StructType([T.StructField("constructorId", T.StringType())])),
+        T.StructField("Q1", T.StringType()),
+        T.StructField("Q2", T.StringType()),
+        T.StructField("Q3", T.StringType()),
+    ]
+)
+
+QUALIFYING_PAYLOAD_SCHEMA = _race_table_schema("QualifyingResults", _QUAL_RESULT)
+
+_SPRINT_RESULT = T.StructType(
+    [
+        T.StructField("position", T.StringType()),
+        T.StructField("positionText", T.StringType()),
+        T.StructField("points", T.StringType()),
+        T.StructField("grid", T.StringType()),
+        T.StructField("laps", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("Driver", T.StructType([T.StructField("driverId", T.StringType())])),
+        T.StructField("Constructor", T.StructType([T.StructField("constructorId", T.StringType())])),
+        T.StructField("Time", T.StructType([T.StructField("millis", T.StringType())])),
+    ]
+)
+
+SPRINT_PAYLOAD_SCHEMA = _race_table_schema("SprintResults", _SPRINT_RESULT)
+
+
+def _explode_races(parsed: DataFrame, results_field: str) -> DataFrame:
+    races = parsed.select(
+        F.explode_outer("doc.MRData.RaceTable.Races").alias("race")
+    ).filter(F.col("race").isNotNull())
+    return races.select(
+        F.col("race.season").cast("int").alias("season_year"),
+        F.col("race.round").cast("int").alias("round_number"),
+        F.explode_outer(f"race.{results_field}").alias("res"),
+    ).filter(F.col("res").isNotNull())
+
+
+def flatten_qualifying_results(parsed: DataFrame) -> DataFrame:
+    """QualifyingResults[] → typed rows with Q1/Q2/Q3 raw strings AND
+    parsed milliseconds (loaders/__init__.py:212-247): null session times
+    (driver eliminated earlier) stay null through the laptime parse."""
+    results = _explode_races(parsed, "QualifyingResults")
+    out = results.select(
+        "season_year",
+        "round_number",
+        F.col("res.Driver.driverId").alias("driver_reference"),
+        F.col("res.Constructor.constructorId").alias("team_reference"),
+        F.col("res.position").cast("int").alias("position"),
+        F.col("res.Q1").alias("q1_time"),
+        F.col("res.Q2").alias("q2_time"),
+        F.col("res.Q3").alias("q3_time"),
+    )
+    for q in ("q1", "q2", "q3"):
+        out = out.withColumn(
+            f"{q}_time_milliseconds", laptime_to_ms(F.col(f"{q}_time"))
+        )
+    return out
+
+
+def flatten_sprint_results(parsed: DataFrame) -> DataFrame:
+    """SprintResults[] → typed rows (loaders/__init__.py:310-340)."""
+    results = _explode_races(parsed, "SprintResults")
+    return results.select(
+        "season_year",
+        "round_number",
+        F.col("res.Driver.driverId").alias("driver_reference"),
+        F.col("res.Constructor.constructorId").alias("team_reference"),
+        F.col("res.position").cast("int").alias("position"),
+        F.col("res.positionText").alias("position_text"),
+        F.col("res.points").cast("decimal(5,2)").alias("points"),
+        F.col("res.grid").cast("int").alias("grid_position"),
+        F.col("res.laps").cast("int").alias("laps_completed"),
+        F.col("res.status").alias("status"),
+        F.col("res.Time.millis").cast("long").alias("sprint_time_milliseconds"),
+    )

@@ -200,3 +200,91 @@ def test_zip_multiple_parts_union(spark, tmp_path, f1_zip):
         spark, [f1_zip, str(zp2)], str(tmp_path / "work2")
     )
     assert tables["season"].count() == 3
+
+
+# --- qualifying + sprint payload flattening ---------------------------------------
+
+QUAL_DOC = {
+    "MRData": {
+        "RaceTable": {
+            "Races": [
+                {
+                    "season": "2024",
+                    "round": "3",
+                    "QualifyingResults": [
+                        {
+                            "position": "1",
+                            "Driver": {"driverId": "max_verstappen"},
+                            "Constructor": {"constructorId": "red_bull"},
+                            "Q1": "1:30.123",
+                            "Q2": "1:29.500",
+                            "Q3": "1:28.997",
+                        },
+                        {
+                            # knocked out in Q1 → Q2/Q3 null through the parse
+                            "position": "18",
+                            "Driver": {"driverId": "slowpoke"},
+                            "Constructor": {"constructorId": "backmarker"},
+                            "Q1": "1:35.002",
+                            "Q2": None,
+                            "Q3": None,
+                        },
+                    ],
+                }
+            ]
+        }
+    }
+}
+
+SPRINT_DOC = {
+    "MRData": {
+        "RaceTable": {
+            "Races": [
+                {
+                    "season": "2024",
+                    "round": "3",
+                    "SprintResults": [
+                        {
+                            "position": "1",
+                            "positionText": "1",
+                            "points": "8",
+                            "grid": "1",
+                            "laps": "19",
+                            "status": "Finished",
+                            "Driver": {"driverId": "max_verstappen"},
+                            "Constructor": {"constructorId": "red_bull"},
+                            "Time": {"millis": "1620000"},
+                        }
+                    ],
+                }
+            ]
+        }
+    }
+}
+
+
+def test_flatten_qualifying_q_times(spark):
+    parsed = json_api.payloads_to_df(
+        spark, [QUAL_DOC], json_api.QUALIFYING_PAYLOAD_SCHEMA
+    )
+    rows = {
+        r["driver_reference"]: r
+        for r in json_api.flatten_qualifying_results(parsed).collect()
+    }
+    v = rows["max_verstappen"]
+    assert v["q3_time_milliseconds"] == 88997
+    assert v["q1_time"] == "1:30.123" and v["q1_time_milliseconds"] == 90123
+    s = rows["slowpoke"]
+    assert s["q2_time"] is None and s["q2_time_milliseconds"] is None
+    assert s["q1_time_milliseconds"] == 95002
+
+
+def test_flatten_sprint(spark):
+    parsed = json_api.payloads_to_df(
+        spark, [SPRINT_DOC], json_api.SPRINT_PAYLOAD_SCHEMA
+    )
+    rows = json_api.flatten_sprint_results(parsed).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sprint_time_milliseconds"] == 1620000
+    assert float(r["points"]) == 8.0 and r["laps_completed"] == 19
