@@ -410,3 +410,96 @@ def flatten_sprint_results(parsed: DataFrame) -> DataFrame:
         F.col("res.status").alias("status"),
         F.col("res.Time.millis").cast("long").alias("sprint_time_milliseconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# championship standings payloads (loaders/__init__.py:488-528, 570-609)
+# ---------------------------------------------------------------------------
+
+def _standings_schema(list_field: str, entity_struct: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "MRData",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "StandingsTable",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "StandingsLists",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("season", T.StringType()),
+                                                    T.StructField("round", T.StringType()),
+                                                    T.StructField(
+                                                        list_field,
+                                                        T.ArrayType(entity_struct),
+                                                    ),
+                                                ]
+                                            )
+                                        ),
+                                    )
+                                ]
+                            ),
+                        )
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+_DRIVER_STANDING = T.StructType(
+    [
+        T.StructField("position", T.StringType()),
+        T.StructField("points", T.StringType()),
+        T.StructField("wins", T.StringType()),
+        T.StructField("Driver", T.StructType([T.StructField("driverId", T.StringType())])),
+    ]
+)
+
+_TEAM_STANDING = T.StructType(
+    [
+        T.StructField("position", T.StringType()),
+        T.StructField("points", T.StringType()),
+        T.StructField("wins", T.StringType()),
+        T.StructField("Constructor", T.StructType([T.StructField("constructorId", T.StringType())])),
+    ]
+)
+
+DRIVER_STANDINGS_PAYLOAD_SCHEMA = _standings_schema("DriverStandings", _DRIVER_STANDING)
+TEAM_STANDINGS_PAYLOAD_SCHEMA = _standings_schema("ConstructorStandings", _TEAM_STANDING)
+
+
+def _flatten_standings(parsed: DataFrame, list_field: str, ref_expr: str, ref_alias: str) -> DataFrame:
+    """StandingsLists[] → rows. NB the reference indexes StandingsLists[0]
+    BEFORE its emptiness check (loaders/__init__.py:490 — IndexError on
+    empty, SURVEY §7.6); explode_outer + null filters short-circuit
+    properly instead."""
+    lists = parsed.select(
+        F.explode_outer("doc.MRData.StandingsTable.StandingsLists").alias("sl")
+    ).filter(F.col("sl").isNotNull())
+    rows = lists.select(
+        F.col("sl.season").cast("int").alias("season_year"),
+        F.col("sl.round").cast("int").alias("round_number"),
+        F.explode_outer(f"sl.{list_field}").alias("st"),
+    ).filter(F.col("st").isNotNull())
+    return rows.select(
+        "season_year",
+        "round_number",
+        F.col(ref_expr).alias(ref_alias),
+        F.col("st.position").cast("int").alias("position"),
+        F.col("st.points").cast("double").alias("points"),
+        F.col("st.wins").cast("int").alias("win_count"),
+    )
+
+
+def flatten_driver_standings(parsed: DataFrame) -> DataFrame:
+    return _flatten_standings(parsed, "DriverStandings", "st.Driver.driverId", "driver_reference")
+
+
+def flatten_team_standings(parsed: DataFrame) -> DataFrame:
+    return _flatten_standings(parsed, "ConstructorStandings", "st.Constructor.constructorId", "team_reference")

@@ -288,3 +288,37 @@ def test_flatten_sprint(spark):
     r = rows[0]
     assert r["sprint_time_milliseconds"] == 1620000
     assert float(r["points"]) == 8.0 and r["laps_completed"] == 19
+
+
+def test_flatten_driver_standings_and_empty_shortcircuit(spark):
+    doc = {
+        "MRData": {
+            "StandingsTable": {
+                "StandingsLists": [
+                    {
+                        "season": "2024",
+                        "round": "3",
+                        "DriverStandings": [
+                            {"position": "1", "points": "51", "wins": "2",
+                             "Driver": {"driverId": "max_verstappen"}},
+                            {"position": "2", "points": "45", "wins": "1",
+                             "Driver": {"driverId": "norris"}},
+                        ],
+                    }
+                ]
+            }
+        }
+    }
+    parsed = json_api.payloads_to_df(
+        spark, [doc], json_api.DRIVER_STANDINGS_PAYLOAD_SCHEMA
+    )
+    rows = {r["driver_reference"]: r for r in json_api.flatten_driver_standings(parsed).collect()}
+    assert rows["max_verstappen"]["points"] == 51.0
+    assert rows["max_verstappen"]["win_count"] == 2
+
+    # empty StandingsLists: the reference IndexErrors here (§7.6); we yield 0 rows
+    empty = {"MRData": {"StandingsTable": {"StandingsLists": []}}}
+    parsed = json_api.payloads_to_df(
+        spark, [empty], json_api.DRIVER_STANDINGS_PAYLOAD_SCHEMA
+    )
+    assert json_api.flatten_driver_standings(parsed).count() == 0
