@@ -237,3 +237,38 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction — append sinks (A6) and foreachBatch streams create
+# one file batch per write; at 100 TB the resulting file-count explosion
+# dominates scan planning time and NameNode/listing pressure
+# ---------------------------------------------------------------------------
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] | None = None,
+) -> dict:
+    """Rewrite a parquet table into ≈target-sized files (atomic swap).
+
+    File count = ceil(current bytes / target); coalesce when shrinking
+    (no shuffle — narrow dependency), repartition only if the table has
+    too few files to split. Returns {files_before, files_after, bytes}.
+    """
+    import glob as _glob
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    out = df.coalesce(n_target) if n_target <= len(files) else df.repartition(n_target)
+    write_atomic(out, path, partition_by)
+    after = len(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    return {"files_before": len(files), "files_after": after, "bytes": total}

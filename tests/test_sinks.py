@@ -124,3 +124,26 @@ def test_write_atomic_replaces_not_merges(spark, wh):
     sinks.write_atomic(spark.createDataFrame([Row(id=1)]), path)
     sinks.write_atomic(spark.createDataFrame([Row(id=2)]), path)
     assert _read(spark, path) == {(2,)}
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many tiny append files collapse to the target count; contents
+    unchanged (order-insensitive)."""
+    from f1_data_pipeline_spark.operators.sinks import compact
+
+    path = str(tmp_path / "appendy")
+    # simulate 12 micro-batch appends → ≥12 files
+    for i in range(12):
+        spark.range(i * 100, (i + 1) * 100).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/**/*.parquet", recursive=True))
+    assert before >= 12
+
+    pre = {r["id"] for r in spark.read.parquet(path).collect()}
+    stats = compact(spark, path)  # tiny table → 1 target file
+    post = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert post == pre
+    assert stats["files_after"] < before and stats["files_after"] <= 2
