@@ -272,3 +272,81 @@ def compact(
         _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
     return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+# ---------------------------------------------------------------------------
+# versioned snapshots — write_atomic keeps only the current state; these
+# give the Delta-style properties a warehouse needs on plain parquet:
+# snapshot isolation via an atomically-swapped pointer, time travel,
+# rollback, and retention vacuum
+# ---------------------------------------------------------------------------
+
+_VERSIONS_DIR = "_versions"
+_LATEST_FILE = "_LATEST"
+
+
+def _version_path(path: str, v: int) -> str:
+    return os.path.join(path, _VERSIONS_DIR, f"v{v:08d}")
+
+
+def latest_version(path: str) -> int | None:
+    ptr = os.path.join(path, _LATEST_FILE)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def write_versioned(
+    df: DataFrame, path: str, partition_by: Sequence[str] | None = None
+) -> int:
+    """Write a new immutable snapshot version and atomically advance the
+    pointer. Readers resolving the pointer before the swap keep reading
+    the old snapshot (snapshot isolation); nothing is deleted here."""
+    v = (latest_version(path) or 0) + 1
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(_version_path(path, v))
+    tmp = os.path.join(path, f".{_LATEST_FILE}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, _LATEST_FILE))  # atomic pointer swap
+    return v
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest snapshot, or any retained historical `version`."""
+    v = version if version is not None else latest_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no versions at {path}")
+    return spark.read.parquet(_version_path(path, v))
+
+
+def rollback(path: str, version: int) -> None:
+    """Point the table back at an earlier snapshot (pure pointer move —
+    the bad version stays on disk for forensics until vacuumed)."""
+    if not os.path.isdir(_version_path(path, version)):
+        raise FileNotFoundError(f"version {version} not retained at {path}")
+    tmp = os.path.join(path, f".{_LATEST_FILE}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(path, _LATEST_FILE))
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Drop snapshots older than the newest `keep_last`, never the one the
+    pointer targets. Returns removed version numbers."""
+    base = os.path.join(path, _VERSIONS_DIR)
+    if not os.path.isdir(base):
+        return []
+    versions = sorted(int(d[1:]) for d in os.listdir(base) if d.startswith("v"))
+    current = latest_version(path)
+    removable = [
+        v for v in versions[:-keep_last] if keep_last and v != current
+    ] if keep_last else []
+    for v in removable:
+        shutil.rmtree(_version_path(path, v), ignore_errors=True)
+    return removable

@@ -147,3 +147,23 @@ def test_compact_small_files(spark, tmp_path):
     post = {r["id"] for r in spark.read.parquet(path).collect()}
     assert post == pre
     assert stats["files_after"] < before and stats["files_after"] <= 2
+
+
+def test_versioned_snapshots_time_travel_rollback_vacuum(spark, tmp_path):
+    from f1_data_pipeline_spark.operators import sinks as S
+
+    path = str(tmp_path / "versioned")
+    v1 = S.write_versioned(spark.range(0, 10), path)
+    v2 = S.write_versioned(spark.range(0, 20), path)
+    v3 = S.write_versioned(spark.range(0, 5), path)
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    assert S.read_versioned(spark, path).count() == 5          # latest
+    assert S.read_versioned(spark, path, version=2).count() == 20  # time travel
+
+    S.rollback(path, 2)
+    assert S.read_versioned(spark, path).count() == 20
+
+    removed = S.vacuum(path, keep_last=2)
+    assert removed == [1]
+    assert S.read_versioned(spark, path).count() == 20  # pointer target survives
