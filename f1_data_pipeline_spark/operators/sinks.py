@@ -350,3 +350,45 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     for v in removable:
         shutil.rmtree(_version_path(path, v), ignore_errors=True)
     return removable
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+) -> int:
+    """MERGE that rewrites ONLY the partitions the update batch touches.
+
+    The plain `merge_upsert` reads and rewrites the whole table — at
+    100 TB with a daily increment touching one date partition, that is
+    ~everything rewritten for ~nothing changed. Here: collect the update
+    batch's distinct partition values (small — one driver-side list),
+    read just those partitions (partition pruning), merge, and write back
+    with dynamic partition overwrite so untouched partition directories
+    are never rewritten. Rewrite amplification drops from O(table) to
+    O(touched partitions).
+
+    Requires `partition_col` ∈ update columns and the target laid out
+    `partitionBy(partition_col)`.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return 0
+    if not _table_exists(path):
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return updates.count()
+
+    existing_touched = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(parts)
+    )
+    merged = merge_upsert_frames(existing_touched, updates, keys)
+    n = updates.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n

@@ -167,3 +167,42 @@ def test_versioned_snapshots_time_travel_rollback_vacuum(spark, tmp_path):
     removed = S.vacuum(path, keep_last=2)
     assert removed == [1]
     assert S.read_versioned(spark, path).count() == 20  # pointer target survives
+
+
+def test_partition_scoped_merge_rewrites_only_touched(spark, tmp_path):
+    """MERGE on one day's batch must not rewrite other days' files."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.operators import sinks as S
+
+    path = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}", float(i)) for i in range(30)],
+        "id long, day string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+    untouched_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(path + "/day=2024-01-02/*.parquet")
+        + glob.glob(path + "/day=2024-01-03/*.parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [(0, "2024-01-01", 100.0), (999, "2024-01-01", 9.5)],
+        "id long, day string, v double",
+    )
+    S.merge_upsert_partitioned(spark, updates, path, keys=["id"], partition_col="day")
+
+    after = spark.read.parquet(path)
+    assert after.count() == 31  # one insert
+    assert after.filter(F.col("id") == 0).collect()[0]["v"] == 100.0  # update won
+    # other partitions' files: identical paths and mtimes — never rewritten
+    now_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(path + "/day=2024-01-02/*.parquet")
+        + glob.glob(path + "/day=2024-01-03/*.parquet")
+    }
+    assert now_files == untouched_files
