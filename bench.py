@@ -43,8 +43,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    from f1_data_pipeline_spark import queries_relational
     from f1_data_pipeline_spark.queries import QUERIES
     from f1_data_pipeline_spark.session import get_spark
+
+    # Three headline keys were consolidated out of the registry in round 2
+    # (dedup_first → dedup_first_top1, join_fk_lookup → filter_fk_resolved,
+    # agg_running_total → window_running_sum); bench keeps the original
+    # standalone forms so per-query timings stay comparable across rounds.
+    calls = dict(QUERIES)
+    calls["dedup_first"] = queries_relational.q_dedup_first
+    calls["join_fk_lookup"] = queries_relational.q_join_fk_lookup
+    calls["agg_running_total"] = queries_relational.q_agg_running_total
 
     spark = get_spark("bench")
     # warm the JVM, codegen, and parquet footer/metadata caches outside the
@@ -55,13 +65,12 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "nation", "events"):
         load_table(spark, sf_dir, t).count()
 
-    names = [n for n in HEADLINE if n in QUERIES]
-    # also bench any extension keys flagged as headline by their module
+    names = [n for n in HEADLINE if n in calls]
     timings: dict[str, float] = {}
     total = 0.0
     def run(name: str) -> None:
         # force full execution of every output row/column
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        calls[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     for name in names:
         run(name)  # untimed warmup iteration: codegen compile + broadcast build

@@ -40,9 +40,49 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("multimodal_features", q_multimodal_features, None)
 
 
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side metadata validation + resize planning over the deterministic
+    asset table (operators/multimodal.py:synthesize_assets is pure arithmetic
+    in the asset id, so DuckDB generate_series reproduces it exactly —
+    oracle-checkable even with codecs stubbed). Audio rows carry NULL
+    geometry, so needs_resize is NULL for them (three-valued logic on both
+    engines)."""
+    assets = M.synthesize_assets(spark, n=96)
+    planned = M.resize_plan(assets, width=64, height=48)
+    return planned.select(
+        "asset_id",
+        "media_type",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.format").alias("format"),
+        "needs_resize",
+    )
+
+
+register(
+    "multimodal_metadata",
+    q_multimodal_metadata,
+    """
+    SELECT i AS asset_id,
+           ['image','audio','video'][i % 3 + 1] AS media_type,
+           CASE WHEN i % 3 <> 1 THEN CAST(64 + i AS INT) END AS width,
+           CASE WHEN i % 3 <> 1 THEN CAST(48 + i AS INT) END AS height,
+           CASE WHEN i % 3 <> 0 THEN CAST(16000 AS INT) END AS sample_rate,
+           CASE WHEN i % 3 <> 0 THEN CAST(1000 * (i + 1) AS BIGINT) END AS duration_ms,
+           ['png','wav','mp4'][i % 3 + 1] AS format,
+           CASE WHEN i % 3 <> 1 THEN (64 + i <> 64) OR (48 + i <> 48) END AS needs_resize
+    FROM generate_series(0, 95) t(i)
+    """,
+)
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata-driven frame sampling over the deterministic fake asset
-    table: video rows explode to one row per sampled frame timestamp."""
+    """Metadata-driven frame sampling: video rows explode to one row per
+    sampled frame timestamp (JVM-side sequence + explode; the per-frame
+    decode is the stubbed part). Durations are id-derived arithmetic, so the
+    explode fan-out is oracle-checkable via DuckDB generate_series."""
     assets = M.synthesize_assets(spark, n=96)
     frames = M.frame_sample_plan(assets, every_ms=1000)
     return frames.groupBy("asset_id").agg(
@@ -51,4 +91,19 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("multimodal_frame_sample", q_multimodal_frame_sample, None)
+register(
+    "multimodal_frame_sample",
+    q_multimodal_frame_sample,
+    """
+    WITH assets AS (
+        SELECT i AS asset_id, 1000 * (i + 1) AS duration_ms
+        FROM generate_series(0, 95) t(i) WHERE i % 3 = 2
+    ), frames AS (
+        SELECT asset_id, unnest(generate_series(0, duration_ms, 1000)) AS frame_ts_ms
+        FROM assets
+    )
+    SELECT asset_id, COUNT(*) AS n_frames,
+           CAST(MAX(frame_ts_ms) AS BIGINT) AS last_frame_ts_ms
+    FROM frames GROUP BY asset_id
+    """,
+)

@@ -15,33 +15,46 @@ from f1_data_pipeline_spark.queries import register
 from f1_data_pipeline_spark.sources import load_table
 
 
-# --- G1 extract year ---------------------------------------------------------
+# --- G1+G5 order scalars: year extraction + null-on-malformed int parse --------
 
-def q_fn_extract_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_fn_order_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # year() (G1) plus safe_int (G5): priority "3-MEDIUM" → leading digit
+    # parses; a corrupted variant must null out instead of raising
+    # (reference base_loader.py:224-229).
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.year("o_orderdate").alias("order_year"))
-        .agg(F.count("*").alias("n_orders"))
+    raw = F.when(
+        F.col("o_orderstatus") == "P", F.lit("corrupt")
+    ).otherwise(F.substring("o_orderpriority", 1, 1))
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        raw.alias("raw_priority"),
+        S.safe_int(raw).alias("priority_num"),
     )
 
 
 register(
-    "fn_extract_year",
-    q_fn_extract_year,
+    "fn_order_scalars",
+    q_fn_order_scalars,
     """
-    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY 1
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CASE WHEN o_orderstatus = 'P' THEN 'corrupt'
+                ELSE substr(o_orderpriority, 1, 1) END AS raw_priority,
+           TRY_CAST(CASE WHEN o_orderstatus = 'P' THEN 'corrupt'
+                         ELSE substr(o_orderpriority, 1, 1) END AS INT) AS priority_num
+    FROM orders
     """,
 )
 
 
-# --- G4 laptime parse ----------------------------------------------------------
-# Build "M:SS.mmm" from integers; rows with l_returnflag='R' get a malformed
-# string that must parse to NULL (reference nulls on ValueError,
-# base_loader.py:220-222).
+# --- G4+G7+G8+G9+G10 lineitem scalars (one per-row composite) -------------------
+# laptime parse: build "M:SS.mmm" from integers; rows with l_returnflag='R'
+# get a malformed string that must parse to NULL (reference nulls on
+# ValueError, base_loader.py:220-222). Plus smallint clip, str→bool, and the
+# float/date safe casts (loaders/__init__.py:134-141) over the same rows.
 
-def q_fn_laptime_to_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_fn_lineitem_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     lap = F.when(
         F.col("l_returnflag") == "R", F.lit("not:a:time")
@@ -54,98 +67,8 @@ def q_fn_laptime_to_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("l_partkey") % 1000).cast("string"), 3, "0"),
         )
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        lap.alias("lap_time"),
-        S.laptime_to_ms(lap).alias("lap_ms"),
-    )
-
-
-register(
-    "fn_laptime_to_ms",
-    q_fn_laptime_to_ms,
-    """
-    WITH t AS (
-        SELECT l_orderkey, l_linenumber,
-               CASE WHEN l_returnflag = 'R' THEN 'not:a:time'
-                    ELSE CAST(l_linenumber % 10 AS VARCHAR) || ':' ||
-                         LPAD(CAST(l_orderkey % 60 AS VARCHAR), 2, '0') || '.' ||
-                         LPAD(CAST(l_partkey % 1000 AS VARCHAR), 3, '0')
-               END AS lap_time
-        FROM lineitem
-    )
-    SELECT l_orderkey, l_linenumber, lap_time,
-           CASE WHEN regexp_matches(lap_time, '^\\d+:\\d{1,2}(\\.\\d{1,3})?$')
-                THEN TRY_CAST(string_split(lap_time, ':')[1] AS BIGINT) * 60000
-                     + TRY_CAST(string_split(string_split(lap_time, ':')[2], '.')[1] AS BIGINT) * 1000
-                     + COALESCE(TRY_CAST(rpad(string_split(string_split(lap_time, ':')[2], '.')[2], 3, '0') AS BIGINT), 0)
-           END AS lap_ms
-    FROM t
-    """,
-)
-
-
-# --- G5 safe int ------------------------------------------------------------------
-
-def q_fn_safe_int(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # priority "3-MEDIUM" → leading digit parses; a corrupted variant must
-    # null out instead of raising (reference base_loader.py:224-229).
-    o = load_table(spark, sf_dir, "orders")
-    raw = F.when(
-        F.col("o_orderstatus") == "P", F.lit("corrupt")
-    ).otherwise(F.substring("o_orderpriority", 1, 1))
-    return o.select(
-        "o_orderkey",
-        raw.alias("raw_priority"),
-        S.safe_int(raw).alias("priority_num"),
-    )
-
-
-register(
-    "fn_safe_int",
-    q_fn_safe_int,
-    """
-    SELECT o_orderkey,
-           CASE WHEN o_orderstatus = 'P' THEN 'corrupt'
-                ELSE substr(o_orderpriority, 1, 1) END AS raw_priority,
-           TRY_CAST(CASE WHEN o_orderstatus = 'P' THEN 'corrupt'
-                         ELSE substr(o_orderpriority, 1, 1) END AS INT) AS priority_num
-    FROM orders
-    """,
-)
-
-
-# --- G7 int fill0 + smallint clip ---------------------------------------------------
-
-def q_fn_to_int_fill0_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
     signed = (F.col("l_partkey") % 100000) - 50000
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        signed.cast("int").alias("signed_val"),
-        S.to_smallint_clip(signed).cast("int").alias("clipped_val"),
-    )
-
-
-register(
-    "fn_to_int_fill0_clip",
-    q_fn_to_int_fill0_clip,
-    """
-    SELECT l_orderkey, l_linenumber,
-           CAST(l_partkey % 100000 - 50000 AS INT) AS signed_val,
-           CAST(GREATEST(-32768, LEAST(32767, l_partkey % 100000 - 50000)) AS INT) AS clipped_val
-    FROM lineitem
-    """,
-)
-
-
-# --- G9 str → bool -------------------------------------------------------------------
-
-def q_fn_str_to_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    raw = (
+    raw_flag = (
         F.when(F.col("l_returnflag") == "A", F.lit("TRUE"))
         .when(F.col("l_returnflag") == "N", F.lit("f"))
         .otherwise(F.lit("maybe"))
@@ -153,26 +76,51 @@ def q_fn_str_to_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        raw.alias("raw_flag"),
-        S.str_to_bool(raw).alias("bool_flag"),
+        lap.alias("lap_time"),
+        S.laptime_to_ms(lap).alias("lap_ms"),
+        signed.cast("int").alias("signed_val"),
+        S.to_smallint_clip(signed).cast("int").alias("clipped_val"),
+        raw_flag.alias("raw_flag"),
+        S.str_to_bool(raw_flag).alias("bool_flag"),
+        S.to_float(F.col("l_tax").cast("string")).alias("tax_f"),
+        S.to_float("l_returnflag").alias("junk_f"),
+        S.to_date_safe(F.col("l_shipdate").cast("string")).alias("ship_d"),
+        S.to_date_safe("l_returnflag").alias("junk_d"),
     )
 
 
 register(
-    "fn_str_to_bool",
-    q_fn_str_to_bool,
+    "fn_lineitem_scalars",
+    q_fn_lineitem_scalars,
     """
     WITH t AS (
-        SELECT l_orderkey, l_linenumber,
+        SELECT l_orderkey, l_linenumber, l_partkey, l_tax, l_shipdate, l_returnflag,
+               CASE WHEN l_returnflag = 'R' THEN 'not:a:time'
+                    ELSE CAST(l_linenumber % 10 AS VARCHAR) || ':' ||
+                         LPAD(CAST(l_orderkey % 60 AS VARCHAR), 2, '0') || '.' ||
+                         LPAD(CAST(l_partkey % 1000 AS VARCHAR), 3, '0')
+               END AS lap_time,
                CASE l_returnflag WHEN 'A' THEN 'TRUE'
                                  WHEN 'N' THEN 'f'
                                  ELSE 'maybe' END AS raw_flag
         FROM lineitem
     )
-    SELECT l_orderkey, l_linenumber, raw_flag,
+    SELECT l_orderkey, l_linenumber, lap_time,
+           CASE WHEN regexp_matches(lap_time, '^\\d+:\\d{1,2}(\\.\\d{1,3})?$')
+                THEN TRY_CAST(string_split(lap_time, ':')[1] AS BIGINT) * 60000
+                     + TRY_CAST(string_split(string_split(lap_time, ':')[2], '.')[1] AS BIGINT) * 1000
+                     + COALESCE(TRY_CAST(rpad(string_split(string_split(lap_time, ':')[2], '.')[2], 3, '0') AS BIGINT), 0)
+           END AS lap_ms,
+           CAST(l_partkey % 100000 - 50000 AS INT) AS signed_val,
+           CAST(GREATEST(-32768, LEAST(32767, l_partkey % 100000 - 50000)) AS INT) AS clipped_val,
+           raw_flag,
            CASE WHEN lower(raw_flag) IN ('true','t') THEN TRUE
                 WHEN lower(raw_flag) IN ('false','f') THEN FALSE
-           END AS bool_flag
+           END AS bool_flag,
+           TRY_CAST(CAST(l_tax AS VARCHAR) AS DOUBLE) AS tax_f,
+           TRY_CAST(l_returnflag AS DOUBLE) AS junk_f,
+           TRY_CAST(CAST(l_shipdate AS VARCHAR) AS DATE) AS ship_d,
+           TRY_CAST(l_returnflag AS DATE) AS junk_d
     FROM t
     """,
 )
@@ -255,40 +203,4 @@ register(
 )
 
 
-# --- G8/G10 — float and date safe casts (sanitizer members) ------------------------
-
-def q_fn_to_float_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String→double and string→date coercion with null-on-malformed, the
-    remaining sanitizer members (loaders/__init__.py:134-141)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_tax", "l_shipdate", "l_returnflag"
-    )
-    raw = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_tax").cast("string").alias("tax_str"),
-        F.col("l_shipdate").cast("string").alias("date_str"),
-        F.col("l_returnflag").alias("junk"),  # never numeric/date → null
-    )
-    return raw.select(
-        "l_orderkey",
-        "l_linenumber",
-        S.to_float("tax_str").alias("tax_f"),
-        S.to_float("junk").alias("junk_f"),
-        S.to_date_safe("date_str").alias("ship_d"),
-        S.to_date_safe("junk").alias("junk_d"),
-    )
-
-
-register(
-    "fn_to_float_to_date",
-    q_fn_to_float_to_date,
-    """
-    SELECT l_orderkey, l_linenumber,
-           TRY_CAST(CAST(l_tax AS VARCHAR) AS DOUBLE) AS tax_f,
-           TRY_CAST(l_returnflag AS DOUBLE) AS junk_f,
-           TRY_CAST(CAST(l_shipdate AS VARCHAR) AS DATE) AS ship_d,
-           TRY_CAST(l_returnflag AS DATE) AS junk_d
-    FROM lineitem
-    """,
-)
+# --- G8/G10 float and date safe casts: inside `fn_lineitem_scalars` above ----------

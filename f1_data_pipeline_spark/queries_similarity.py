@@ -77,9 +77,6 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(queries, emb, k=5, n_planes=4, n_tables=16)
 
 
-register("ann_lsh_topk", q_ann_lsh_topk, None)
-
-
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
@@ -89,4 +86,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(queries, emb, k=5, nlist=8, nprobe=4)
 
 
-register("ann_ivf_topk", q_ann_ivf_topk, None)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN variants, method-tagged, in one rows-only registry slot
+    (approximate results have no SQL twin; recall floors are pytest-pinned
+    in tests/test_dedup_similarity.py)."""
+    lsh = q_ann_lsh_topk(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
+    return lsh.unionByName(ivf)
+
+
+register("ann_topk", q_ann_topk, None)

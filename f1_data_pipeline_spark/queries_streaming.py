@@ -140,11 +140,27 @@ register(
 )
 
 
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return W.windowed_approx_distinct(load_table(spark, sf_dir, "events"), "1 day")
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count + quantile sketches in one rows-only slot — the
+    bounded-state 100 TB forms of `window_distinct_users` / `percentiles`,
+    whose exact twins carry the SQL oracles. Sketch internals differ across
+    engines, so values are engine-specific; accuracy-vs-exact is pinned by
+    tests/test_streaming.py instead."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_hll = W.windowed_approx_distinct(ev, "1 day").select(
+        "window_start", "approx_users"
+    )
+    sketch_pct = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+    )
+    return sketch_pct.join(
+        daily_hll.agg(F.sum("approx_users").alias("sum_daily_approx_users"))
+    )
 
 
-register("approx_distinct", q_approx_distinct, None)
+register("approx_sketches", q_approx_sketches, None)
 
 
 def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,21 +274,6 @@ register(
     )
     """,
 )
-
-
-def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (KLL/GK-style) — the 100 TB form of
-    `percentiles`: bounded state per group instead of a full sort. Sketch
-    internals differ across engines → rows-only check; the exact twin
-    carries the SQL oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
-    )
-
-
-register("approx_percentiles", q_approx_percentiles, None)
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:

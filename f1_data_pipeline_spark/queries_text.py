@@ -50,36 +50,13 @@ register(
 )
 
 
-# --- token counting (whitespace + BPE-ish word/punct regex) ----------------------
+# --- token counting + quality scoring (one per-doc composite) --------------------
 
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # BPE-ish proxy: word-character runs count as tokens, as do punctuation
     # marks — regexp_count with an identical pattern on both engines.
     bpe = F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
-    return docs.select(
-        "doc_id",
-        X.token_count("text").cast("long").alias("ws_tokens"),
-        bpe.cast("long").alias("bpe_tokens"),
-    )
-
-
-register(
-    "token_count",
-    q_token_count,
-    """
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
-    FROM documents
-    """,
-)
-
-
-# --- quality scoring --------------------------------------------------------------
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     n_chars = F.length("text")
     n_tokens = X.token_count("text")
     punct = X.punct_count("text")
@@ -93,8 +70,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        n_tokens.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
         n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
         punct.cast("long").alias("n_punct"),
         stop_hits.cast("long").alias("stopword_hits"),
         score.alias("quality_score"),
@@ -116,33 +94,36 @@ def _occ_sql(w: str) -> str:
 
 
 register(
-    "quality_score",
-    q_quality_score,
+    "text_quality",
+    q_text_quality,
     f"""
     WITH t AS (
         SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
                CAST(len(text) AS BIGINT) AS n_chars,
-               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
                CAST(len(text) - len({_PUNCT_STRIP_SQL}) AS BIGINT) AS n_punct,
                {" + ".join(_occ_sql(w) for w in X.LANG_MARKERS["en"])} AS stopword_hits
         FROM documents
     )
-    SELECT doc_id, n_chars, n_tokens, n_punct, stopword_hits,
-           ROUND(CAST(stopword_hits AS DOUBLE) / (n_tokens + 1)
+    SELECT doc_id, ws_tokens, bpe_tokens, n_chars, n_punct, stopword_hits,
+           ROUND(CAST(stopword_hits AS DOUBLE) / (ws_tokens + 1)
                  - CAST(n_punct AS DOUBLE) / (n_chars + 1), 4) AS quality_score
     FROM t
     """,
 )
 
 
-# --- language-ID heuristic ---------------------------------------------------------
+# --- language-ID heuristic + document fingerprinting (one per-doc composite) -------
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lang_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         "lang",
         X.lang_id("text").alias("predicted_lang"),
+        X.fingerprint("text").alias("fp_md5"),
+        F.substring(X.fingerprint("text"), 1, 8).alias("fp_bucket"),
     )
 
 
@@ -151,11 +132,11 @@ def _lang_score_sql(lang: str) -> str:
 
 
 register(
-    "lang_id",
-    q_lang_id,
+    "lang_fingerprint",
+    q_lang_fingerprint,
     f"""
     WITH s AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, text,
                {_lang_score_sql("en")} AS s_en,
                {_lang_score_sql("de")} AS s_de,
                {_lang_score_sql("es")} AS s_es,
@@ -167,29 +148,10 @@ register(
                 WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
                 WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
                 WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
-                ELSE 'fr' END AS predicted_lang
+                ELSE 'fr' END AS predicted_lang,
+           md5(text) AS fp_md5,
+           substr(md5(text), 1, 8) AS fp_bucket
     FROM s
-    """,
-)
-
-
-# --- document fingerprinting --------------------------------------------------------
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.fingerprint("text").alias("fp_md5"),
-        F.substring(X.fingerprint("text"), 1, 8).alias("fp_bucket"),
-    )
-
-
-register(
-    "doc_fingerprint",
-    q_doc_fingerprint,
-    """
-    SELECT doc_id, md5(text) AS fp_md5, substr(md5(text), 1, 8) AS fp_bucket
-    FROM documents
     """,
 )
 
@@ -273,20 +235,22 @@ def q_dedup_near_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("dedup_near_end_to_end", q_dedup_near_end_to_end, None)
 
 
-# --- repetition / quality signals (Gopher-style filters, token-level) ---------
+# --- repetition signals + keep/drop decision (Gopher-style filters) ------------
 
-def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition statistics used as LLM training-data
-    filters: duplicate-token fraction, most-common-token dominance, mean
-    word length. Token-level (this corpus is single-line); one explode +
-    two aggregates — shuffle keyed on (doc, token) then doc."""
+    filters — duplicate-token fraction, most-common-token dominance, mean
+    word length — plus the composite keep/drop decision built from them
+    (thresholds are the standard shape: repetition caps + length band).
+    Token-level (this corpus is single-line); one explode + two
+    aggregates — shuffle keyed on (doc, token) then doc."""
     docs = load_table(spark, sf_dir, "documents")
     tok_rows = docs.select(
         "doc_id", F.explode(X.tokens("text")).alias("tok")
     )
     per_tok = tok_rows.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     n = F.sum("c")
-    return per_tok.groupBy("doc_id").agg(
+    sig = per_tok.groupBy("doc_id").agg(
         n.cast("long").alias("n_tokens"),
         F.count("*").alias("distinct_tokens"),
         F.round(1 - F.count("*") / n.cast("double"), 4).alias("dup_token_frac"),
@@ -295,46 +259,18 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("tok") * F.col("c")) / n.cast("double"), 4
         ).alias("mean_word_len"),
     )
-
-
-register(
-    "repetition_signals",
-    q_repetition_signals,
-    """
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-        FROM documents
-    ), cnt AS (
-        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
-    )
-    SELECT doc_id,
-           CAST(SUM(c) AS BIGINT) AS n_tokens,
-           COUNT(*) AS distinct_tokens,
-           ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_token_frac,
-           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_token_frac,
-           ROUND(SUM(len(tok) * c) / CAST(SUM(c) AS DOUBLE), 4) AS mean_word_len
-    FROM cnt GROUP BY doc_id
-    """,
-)
-
-
-def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite keep/drop decision from the signal set — the actual
-    filtering step of a training-data pipeline (thresholds are the
-    standard shape: repetition caps + length band)."""
-    sig = q_repetition_signals(spark, sf_dir)
     keep = (
         (F.col("n_tokens") >= 20)
         & (F.col("dup_token_frac") <= 0.9)
         & (F.col("top_token_frac") <= 0.3)
         & (F.col("mean_word_len").between(2.0, 12.0))
     )
-    return sig.select("doc_id", keep.alias("keep"))
+    return sig.withColumn("keep", keep)
 
 
 register(
-    "quality_filter",
-    q_quality_filter,
+    "repetition_quality",
+    q_repetition_quality,
     """
     WITH tok AS (
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
@@ -344,12 +280,14 @@ register(
     ), sig AS (
         SELECT doc_id,
                CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS distinct_tokens,
                ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_token_frac,
                ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_token_frac,
                ROUND(SUM(len(tok) * c) / CAST(SUM(c) AS DOUBLE), 4) AS mean_word_len
         FROM cnt GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT doc_id, n_tokens, distinct_tokens, dup_token_frac, top_token_frac,
+           mean_word_len,
            (n_tokens >= 20 AND dup_token_frac <= 0.9
             AND top_token_frac <= 0.3
             AND mean_word_len BETWEEN 2.0 AND 12.0) AS keep

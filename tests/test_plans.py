@@ -32,7 +32,10 @@ def test_flagship_join_strategies(spark, sf_dir):
 
 
 def test_fk_lookup_broadcasts(spark, sf_dir):
-    js = audit.join_strategies(QUERIES["join_fk_lookup"](spark, sf_dir))
+    # standalone C2 form (registry slot is the filter_fk_resolved composite)
+    from f1_data_pipeline_spark.queries_relational import q_join_fk_lookup
+
+    js = audit.join_strategies(q_join_fk_lookup(spark, sf_dir))
     assert js["broadcast_hash"] >= 1
     assert js["cartesian"] == 0
 
