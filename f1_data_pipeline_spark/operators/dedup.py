@@ -339,6 +339,9 @@ def token_jaccard_pairs(
 # X4-adjacent — embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+EMBEDDING_PAIRS_UNBLOCKED_MAX = 100_000
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -349,8 +352,20 @@ def embedding_cosine_pairs(
     """Pairs (id_a < id_b) with cosine ≥ threshold.
 
     With `block_col` the join is blocked (cluster/label/LSH bucket) so the
-    quadratic stays within blocks; without it this is the small-N exact path.
+    quadratic stays within blocks. Without one, the all-pairs crossJoin is
+    gated behind a corpus-size guard (≤ EMBEDDING_PAIRS_UNBLOCKED_MAX rows):
+    above it the quadratic path is certainly a mistake — raise and point at
+    LSH bucketing (similarity.lsh_ann_topk buckets) or a cluster/label
+    column rather than silently planning an N² join.
     """
+    if block_col is None:
+        n = df.count()
+        if n > EMBEDDING_PAIRS_UNBLOCKED_MAX:
+            raise ValueError(
+                f"unblocked embedding_cosine_pairs over {n} rows would "
+                f"crossJoin N² pairs (limit {EMBEDDING_PAIRS_UNBLOCKED_MAX}); "
+                "pass block_col (label/cluster/LSH bucket) for a blocked join"
+            )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),

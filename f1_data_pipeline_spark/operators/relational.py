@@ -92,7 +92,10 @@ def top1_by(df: DataFrame, order_by: Sequence[Column]) -> DataFrame:
 
 
 def merge_upsert_frames(
-    existing: DataFrame, updates: DataFrame, keys: Sequence[str]
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    updates_order: Sequence[Column] | None = None,
 ) -> DataFrame:
     """C4/A7 — MERGE semantics on DataFrames: full-outer join on the key,
     update columns prefer the new side (`coalesce(new, old)`).
@@ -101,8 +104,23 @@ def merge_upsert_frames(
     (loaders/__init__.py:254-272 and 4 siblings). The physical write path
     (atomic overwrite) lives in operators/sinks.py; this is the pure
     dataflow, usable in both batch and foreachBatch.
+
+    MERGE admits at most one update row per key: duplicates would fan out
+    through the full-outer join and land as duplicate key rows (a
+    foreachBatch micro-batch can legitimately carry several updates for one
+    key). The reference applies them sequentially, last wins; the set-based
+    equivalent keeps one row per key by a declared order — pass
+    `updates_order` (e.g. a batch-sequence column, descending) to control
+    which. The default orders by every non-key column descending-nulls-last:
+    arbitrary but deterministic, so the merge stays idempotent.
     """
     keys = list(keys)
+    order = (
+        list(updates_order)
+        if updates_order is not None
+        else [F.desc_nulls_last(c) for c in updates.columns if c not in keys]
+    )
+    updates = dedup_first(updates, keys, order) if order else updates.dropDuplicates(keys)
     value_cols = [c for c in existing.columns if c not in keys]
     update_cols = set(updates.columns)
     # Rename the update side up front: keeps the join self-join-safe even when

@@ -71,6 +71,54 @@ def write_atomic(df: DataFrame, path: str, partition_by: Sequence[str] | None = 
         shutil.rmtree(backup, ignore_errors=True)
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink every data file under src into dst, preserving relative
+    layout (metadata-only: no bytes copied; falls back to copy across
+    filesystems)."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out_dir = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out_dir, exist_ok=True)
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # markers/CRCs regenerate; only data files matter
+            s, d = os.path.join(root, f), os.path.join(out_dir, f)
+            try:
+                os.link(s, d)
+            except OSError:  # pragma: no cover — cross-device fallback
+                shutil.copy2(s, d)
+
+
+def append_atomic(df: DataFrame, path: str) -> None:
+    """Append df's rows to the table at `path` with the same all-or-nothing
+    visibility as `write_atomic`: new files are staged in a side directory,
+    a successor table directory is assembled from hardlinks to the current
+    files plus the staged ones (metadata-only, no data rewritten), and the
+    directory is swapped in with one rename. A crash at any point leaves
+    either the old table or the fully-appended one — never a partial batch
+    (a plain `mode("append")` exposes partially-committed task files to
+    directory-listing readers if the job dies mid-commit)."""
+    stage = f"{path}.__append__{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(stage)
+    try:
+        if not _table_exists(path):
+            os.rename(stage, path)
+            return
+        nxt = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+        _link_tree(path, nxt)
+        batch_id = uuid.uuid4().hex[:8]
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(stage, f), os.path.join(nxt, f"app-{batch_id}-{f}"))
+        open(os.path.join(nxt, "_SUCCESS"), "w").close()
+        backup = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+        os.rename(nxt, path)
+        shutil.rmtree(backup, ignore_errors=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # A6 — insert-ignore (ON CONFLICT DO NOTHING)
 # ---------------------------------------------------------------------------
@@ -85,9 +133,11 @@ def insert_ignore(
     """Append rows whose keys don't exist yet; duplicate keys within the
     batch keep the first row by `order_by` (loaders/__init__.py:70-101).
 
-    Returns the number of rows actually appended. New rows land via append
-    (no rewrite of existing data) — conflict detection is a left-anti join
-    that AQE broadcasts when the key side is small.
+    Returns the number of rows actually appended. New rows land via
+    `append_atomic` (hardlink-assembled successor directory + rename — no
+    existing data rewritten, and readers never observe a partial batch) —
+    conflict detection is a left-anti join that AQE broadcasts when the key
+    side is small.
     """
     existing = read_table(spark, path, new_rows.schema)
     batch = new_rows
@@ -103,10 +153,7 @@ def insert_ignore(
     to_insert = anti_join_existing(batch, existing, keys).persist()
     n = to_insert.count()
     if n:
-        if _table_exists(path):
-            to_insert.write.mode("append").parquet(path)
-        else:
-            write_atomic(to_insert, path)
+        append_atomic(to_insert, path)
     to_insert.unpersist()
     return n
 
@@ -114,6 +161,16 @@ def insert_ignore(
 # ---------------------------------------------------------------------------
 # A7 — merge-upsert (ON CONFLICT DO UPDATE)
 # ---------------------------------------------------------------------------
+
+def _align_schema(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """Cast/reorder the existing table to the update batch's schema. Parquet
+    partition-column type inference can drift a column's read-back type
+    (e.g. a string `day` written as partition dirs reads back as DATE);
+    merging unaligned frames would silently change the table's schema."""
+    return existing.select(
+        [F.col(f.name).cast(f.dataType).alias(f.name) for f in updates.schema.fields]
+    )
+
 
 def merge_upsert(
     spark: SparkSession,
@@ -127,7 +184,7 @@ def merge_upsert(
     Update rows win per-column; unmatched update rows insert; untouched rows
     are preserved. Deterministic and idempotent (H7). Returns update count.
     """
-    existing = read_table(spark, path, updates.schema)
+    existing = _align_schema(read_table(spark, path, updates.schema), updates)
     merged = merge_upsert_frames(existing, updates, keys)
     n = updates.count()
     write_atomic(merged, path, partition_by)
@@ -245,6 +302,25 @@ def write_bucketed(
 # dominates scan planning time and NameNode/listing pressure
 # ---------------------------------------------------------------------------
 
+def _detect_partition_cols(path: str) -> list[str]:
+    """Infer a hive-style `name=value` directory layout's partition columns
+    by walking the first directory chain under `path`."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            e
+            for e in sorted(os.listdir(cur))
+            if "=" in e
+            and not e.startswith(("_", "."))
+            and os.path.isdir(os.path.join(cur, e))
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -255,7 +331,12 @@ def compact(
 
     File count = ceil(current bytes / target); coalesce when shrinking
     (no shuffle — narrow dependency), repartition only if the table has
-    too few files to split. Returns {files_before, files_after, bytes}.
+    too few files to split. A partitionBy-laid-out table is detected from
+    its `name=value` directories and its layout preserved even when
+    `partition_by` is not passed (a flat rewrite would keep the data but
+    destroy the directory scheme — and with it partition pruning and the
+    partition-scoped MERGE path). Returns {files_before, files_after,
+    bytes, partition_by}.
     """
     import glob as _glob
 
@@ -265,13 +346,26 @@ def compact(
     ]
     total = sum(os.path.getsize(f) for f in files)
     n_target = max(1, -(-total // target_file_bytes))  # ceil
+    detected = _detect_partition_cols(path)
+    if partition_by is None and detected:
+        partition_by = detected
+    elif partition_by is not None and detected and list(partition_by) != detected:
+        raise ValueError(
+            f"table at {path} is laid out by {detected} but compact was "
+            f"asked to partition by {list(partition_by)}"
+        )
     df = spark.read.parquet(path)
     out = df.coalesce(n_target) if n_target <= len(files) else df.repartition(n_target)
     write_atomic(out, path, partition_by)
     after = len(
         _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
-    return {"files_before": len(files), "files_after": after, "bytes": total}
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bytes": total,
+        "partition_by": list(partition_by) if partition_by else None,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -358,6 +452,7 @@ def merge_upsert_partitioned(
     path: str,
     keys: Sequence[str],
     partition_col: str,
+    check_moved_keys: bool = True,
 ) -> int:
     """MERGE that rewrites ONLY the partitions the update batch touches.
 
@@ -365,30 +460,94 @@ def merge_upsert_partitioned(
     100 TB with a daily increment touching one date partition, that is
     ~everything rewritten for ~nothing changed. Here: collect the update
     batch's distinct partition values (small — one driver-side list),
-    read just those partitions (partition pruning), merge, and write back
-    with dynamic partition overwrite so untouched partition directories
-    are never rewritten. Rewrite amplification drops from O(table) to
-    O(touched partitions).
+    read just those partitions (partition pruning), merge, and swap in the
+    rewritten partition directories one atomic rename each, so untouched
+    partition directories are never rewritten. Rewrite amplification drops
+    from O(table) to O(touched partitions).
 
     Requires `partition_col` ∈ update columns and the target laid out
-    `partitionBy(partition_col)`.
+    `partitionBy(partition_col)`. Correctness preconditions, enforced here:
+
+    - NULL partition values can't be merged partition-scoped (a NULL never
+      equals the pruning predicate, so existing __HIVE_DEFAULT_PARTITION__
+      rows would be dropped from the merge input and then overwritten) —
+      such batches fall back to the full-table `merge_upsert`.
+    - `keys` must functionally determine `partition_col`: an update whose
+      key already lives under a DIFFERENT partition value would insert a
+      second row instead of updating. The batch itself is always validated
+      (cheap — batch-sized aggregate); `check_moved_keys=True` additionally
+      scans the untouched partitions' key columns (column-pruned, far
+      cheaper than the full rewrite this operator avoids) and raises if any
+      update key already exists elsewhere.
     """
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:
         return 0
+    if any(p is None for p in parts):
+        # NULL partition → partition-scoped pruning is unsound; full merge
+        # keeps MERGE semantics at full-rewrite cost.
+        return merge_upsert(spark, updates, path, keys, partition_by=[partition_col])
+    dup_keyed = (
+        updates.groupBy(*keys)
+        .agg(F.countDistinct(partition_col).alias("__np"))
+        .filter(F.col("__np") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup_keyed:
+        raise ValueError(
+            f"update batch maps one {keys} key to multiple {partition_col} "
+            "values — keys must functionally determine the partition column "
+            "for partition-scoped MERGE"
+        )
     if not _table_exists(path):
-        updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        write_atomic(updates, path, partition_by=[partition_col])
         return updates.count()
 
-    existing_touched = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(parts)
+    if check_moved_keys:
+        elsewhere = (
+            spark.read.parquet(path)
+            .filter(~F.col(partition_col).isin(parts))
+            .select(*keys)
+            .join(updates.select(*keys).distinct(), list(keys), "left_semi")
+            .limit(1)
+            .count()
+        )
+        if elsewhere:
+            raise ValueError(
+                f"update keys already exist under other {partition_col} "
+                "partitions — a partition-scoped MERGE would duplicate them; "
+                "use the full merge_upsert (or fix the partition assignment)"
+            )
+
+    existing_touched = _align_schema(
+        spark.read.parquet(path).filter(F.col(partition_col).isin(parts)), updates
     )
     merged = merge_upsert_frames(existing_touched, updates, keys)
     n = updates.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # Stage the merged partitions in a temp table, then swap each touched
+    # partition directory with one rename (old dir backed up → new dir in).
+    # A crash leaves every partition wholly old or wholly new — the same
+    # guarantee write_atomic gives whole tables, scoped per partition
+    # (dynamic partition overwrite would rewrite the directory in place).
+    stage = f"{path}.__merge__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
     try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        for entry in os.listdir(stage):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            src = os.path.join(stage, entry)
+            dst = os.path.join(path, entry)
+            backup = None
+            if os.path.exists(dst):
+                # park the old dir OUTSIDE the table root: a `name=value.x`
+                # sibling inside it would list as a bogus partition value
+                backup = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+                os.rename(dst, backup)
+            os.rename(src, dst)
+            if backup:
+                shutil.rmtree(backup, ignore_errors=True)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(stage, ignore_errors=True)
     return n

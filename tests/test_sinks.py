@@ -206,3 +206,171 @@ def test_partition_scoped_merge_rewrites_only_touched(spark, tmp_path):
         + glob.glob(path + "/day=2024-01-03/*.parquet")
     }
     assert now_files == untouched_files
+
+
+def test_merge_upsert_frames_dedups_update_batch(spark):
+    """Two update rows sharing a key must collapse to ONE merged row (a
+    foreachBatch micro-batch can carry several updates per key); default
+    order is deterministic, explicit updates_order controls the winner."""
+    from f1_data_pipeline_spark.operators.relational import merge_upsert_frames
+
+    existing = spark.createDataFrame([Row(id=1, v="old", seq=0)])
+    updates = spark.createDataFrame(
+        [Row(id=1, v="a", seq=1), Row(id=1, v="z", seq=2), Row(id=2, v="new", seq=1)]
+    )
+    merged = {tuple(r) for r in merge_upsert_frames(existing, updates, ["id"]).collect()}
+    # one row per key; default canonical order (non-key cols desc) → v="z"
+    assert merged == {(1, "z", 2), (2, "new", 1)}
+
+    by_seq = merge_upsert_frames(
+        existing, updates, ["id"], updates_order=[F.desc("seq")]
+    )
+    assert {tuple(r) for r in by_seq.collect()} == {(1, "z", 2), (2, "new", 1)}
+    # and "first by seq asc" picks the earliest update instead
+    by_seq_asc = merge_upsert_frames(
+        existing, updates, ["id"], updates_order=[F.asc("seq")]
+    )
+    assert {tuple(r) for r in by_seq_asc.collect()} == {(1, "a", 1), (2, "new", 1)}
+
+
+def test_partitioned_merge_null_partition_falls_back(spark, tmp_path):
+    """NULL partition values can't be partition-pruned (isin never matches
+    NULL) — the batch must fall back to a full merge, losing no rows."""
+    from f1_data_pipeline_spark.operators import sinks as S
+
+    path = str(tmp_path / "facts_null")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, None, 2.0), (3, None, 3.0)],
+        "id long, day string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, None, 20.0), (4, "2024-01-01", 4.0)], "id long, day string, v double"
+    )
+    S.merge_upsert_partitioned(spark, updates, path, keys=["id"], partition_col="day")
+
+    # cast day back to string: parquet partition-type inference reads the
+    # directory values as DATE regardless of what was written
+    rows = {
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(path)
+        .withColumn("day", F.col("day").cast("string"))
+        .collect()
+    }
+    assert rows == {
+        (1, "2024-01-01", 1.0),
+        (2, None, 20.0),      # NULL-partition row updated, not lost
+        (3, None, 3.0),       # untouched NULL-partition row preserved
+        (4, "2024-01-01", 4.0),
+    }
+
+
+def test_partitioned_merge_rejects_moved_key(spark, tmp_path):
+    """An update whose key already lives under a DIFFERENT partition would
+    insert a duplicate row — partition-scoped MERGE must refuse."""
+    from f1_data_pipeline_spark.operators import sinks as S
+
+    path = str(tmp_path / "facts_moved")
+    spark.createDataFrame(
+        [(1, "2024-01-01", 1.0)], "id long, day string, v double"
+    ).write.mode("overwrite").partitionBy("day").parquet(path)
+
+    moved = spark.createDataFrame(
+        [(1, "2024-01-02", 9.0)], "id long, day string, v double"
+    )
+    with pytest.raises(ValueError, match="other day partitions"):
+        S.merge_upsert_partitioned(spark, moved, path, keys=["id"], partition_col="day")
+
+
+def test_partitioned_merge_rejects_key_spanning_partitions(spark, tmp_path):
+    from f1_data_pipeline_spark.operators import sinks as S
+
+    path = str(tmp_path / "facts_span")
+    spark.createDataFrame(
+        [(9, "2024-01-01", 0.0)], "id long, day string, v double"
+    ).write.mode("overwrite").partitionBy("day").parquet(path)
+    bad = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (1, "2024-01-02", 2.0)],
+        "id long, day string, v double",
+    )
+    with pytest.raises(ValueError, match="functionally determine"):
+        S.merge_upsert_partitioned(spark, bad, path, keys=["id"], partition_col="day")
+
+
+def test_append_atomic_crash_never_exposes_partial_state(spark, wh, monkeypatch):
+    """A crash while assembling the successor directory must leave the table
+    exactly as it was — readers never see a partial append."""
+    path = f"{wh}/t"
+    sinks.write_atomic(spark.createDataFrame([Row(id=1, v="a")]), path)
+    before = _read(spark, path)
+
+    def boom(src, dst):
+        raise RuntimeError("simulated crash mid-assembly")
+
+    monkeypatch.setattr(sinks, "_link_tree", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sinks.append_atomic(spark.createDataFrame([Row(id=2, v="b")]), path)
+
+    assert _read(spark, path) == before
+    import glob
+
+    # no stray staged files inside the table directory
+    assert not glob.glob(f"{path}/app-*"), glob.glob(f"{path}/*")
+
+
+def test_append_atomic_appends(spark, wh):
+    path = f"{wh}/t"
+    sinks.write_atomic(spark.createDataFrame([Row(id=1, v="a")]), path)
+    sinks.append_atomic(spark.createDataFrame([Row(id=2, v="b")]), path)
+    assert _read(spark, path) == {(1, "a"), (2, "b")}
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """compact() without partition_by on a partitionBy-laid-out table must
+    keep the directory scheme (flattening would break pruning and the
+    partition-scoped MERGE path), and refuse a mismatched partition_by."""
+    import glob
+    import os
+
+    from f1_data_pipeline_spark.operators.sinks import compact
+
+    path = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 2}", float(i)) for i in range(20)],
+        "id long, day string, v double",
+    )
+    for i in range(3):  # several appends → small files in each partition
+        df.write.mode("append" if i else "overwrite").partitionBy("day").parquet(path)
+
+    pre = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    stats = compact(spark, path)  # no partition_by passed — must autodetect
+    assert stats["partition_by"] == ["day"]
+    post = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert post == pre
+    days = {os.path.basename(d) for d in glob.glob(path + "/day=*")}
+    assert days == {"day=2024-01-01", "day=2024-01-02"}
+
+    with pytest.raises(ValueError, match="laid out by"):
+        compact(spark, path, partition_by=["other"])
+
+
+def test_embedding_cosine_unblocked_guard(spark):
+    """The quadratic crossJoin path must be unreachable above the size cap."""
+    from f1_data_pipeline_spark.operators import dedup as D
+
+    df = spark.range(5).select(
+        F.col("id"), F.array(F.lit(1.0), F.lit(0.0)).alias("vec")
+    )
+    # small N without block_col: allowed
+    assert D.embedding_cosine_pairs(df, "id", "vec", threshold=0.99).count() >= 0
+    # above the cap: refuse
+    import f1_data_pipeline_spark.operators.dedup as dd
+
+    old = dd.EMBEDDING_PAIRS_UNBLOCKED_MAX
+    try:
+        dd.EMBEDDING_PAIRS_UNBLOCKED_MAX = 3
+        with pytest.raises(ValueError, match="crossJoin"):
+            D.embedding_cosine_pairs(df, "id", "vec")
+    finally:
+        dd.EMBEDDING_PAIRS_UNBLOCKED_MAX = old
