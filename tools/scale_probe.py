@@ -1,0 +1,91 @@
+"""Scale-linearity probe for the MinHash LSH banded join.
+
+The 100 TB claim for `minhash_lsh_pairs` rests on candidate volume staying
+~linear in corpus size (same-bucket docs only, never all pairs). No sf>0.1
+testdata exists in this environment, so this probe replicates the sf0.1
+documents table in memory N× (doc ids offset per replica, texts perturbed
+with a replica tag so replicas aren't trivial exact dupes of each other)
+and measures candidate-pair counts and wall time at 1x/4x/16x.
+
+A quadratic regression would show candidates growing ~N²; linear behavior
+shows ~N growth (each replica's near-dup structure is internal to the
+replica, plus cross-replica collisions from shared band buckets).
+
+Usage: python tools/scale_probe.py [sf_dir] [factors...]
+Prints one JSON line per factor. Results recorded in SCALE_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+
+    from f1_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from f1_data_pipeline_spark.session import get_spark
+    from f1_data_pipeline_spark.sources import load_table
+
+    spark = get_spark("scale_probe")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_n = docs.count()  # also warms the scan
+
+    for factor in factors:
+        for mode in ("clique", "disjoint"):
+            if factor == 1:
+                scaled = docs
+            else:
+                replicas = []
+                for i in range(factor):
+                    if mode == "clique":
+                        # replicas stay near-dups of each other (one tag
+                        # token): TRUE pair count grows ~f²/2 per original
+                        # doc — observed candidates should track it, not
+                        # corpus², and time should stay ~linear
+                        text = F.concat(F.col("text"), F.lit(f" replica{i}tag"))
+                    else:
+                        # per-replica token suffix makes every shingle
+                        # replica-local: constant dup density — candidates
+                        # per doc should stay ~flat as the corpus grows
+                        text = F.regexp_replace(
+                            "text", r"(\S+)", r"$1" + f"r{i}"
+                        )
+                    replicas.append(
+                        docs.select(
+                            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                            text.alias("text"),
+                        )
+                    )
+                scaled = replicas[0]
+                for r in replicas[1:]:
+                    scaled = scaled.unionAll(r)
+            t0 = time.time()
+            pairs = minhash_lsh_pairs(scaled, "doc_id", "text", threshold=0.5)
+            n_pairs = pairs.count()
+            dt = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "mode": mode,
+                        "factor": factor,
+                        "docs": base_n * factor,
+                        "pairs": n_pairs,
+                        "pairs_per_doc": round(n_pairs / (base_n * factor), 4),
+                        "sec": round(dt, 2),
+                    }
+                )
+            )
+            if factor == 1:
+                break  # modes identical at 1x
+
+
+if __name__ == "__main__":
+    main()
