@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "topk_similarity",
+    "topk_similarity_arrow",
     # streaming-analog windows
     "stream_tumbling_window",
     "stream_session_window",
@@ -55,6 +56,17 @@ def main() -> None:
     calls["dedup_first"] = queries_relational.q_dedup_first
     calls["join_fk_lookup"] = queries_relational.q_join_fk_lookup
     calls["agg_running_total"] = queries_relational.q_agg_running_total
+
+    def _topk_arrow(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from f1_data_pipeline_spark.operators.similarity import brute_force_topk_arrow
+        from f1_data_pipeline_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return brute_force_topk_arrow(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+    calls["topk_similarity_arrow"] = _topk_arrow
 
     spark = get_spark("bench")
     # warm the JVM, codegen, and parquet footer/metadata caches outside the

@@ -62,6 +62,75 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow-batched numpy GEMM kernel.
+
+    Same contract and results as `brute_force_topk`, different physical
+    plan: the (small) query matrix is row-normalized on the driver and
+    broadcast; each corpus partition streams through `mapInPandas`, where
+    one `C_norm @ Q_norm.T` matrix multiply scores the whole Arrow batch
+    against every query at once (BLAS, cache-blocked — versus one codegen'd
+    scalar expression per row-pair in the SQL form). Each batch emits only
+    its per-query top candidates (with a one-rounding-quantum safety
+    margin, so the final rounded-sim/id tie-break can't lose a winner);
+    the global exact top-k reduces the small candidate union JVM-side.
+
+    Scale shape: corpus scanned once, never shuffled; Python↔JVM traffic is
+    one Arrow batch in, ≤ |queries|·(k+ties) rows out per batch.
+    """
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    def score(batches):
+        ids_q, Qn_ = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_c = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            C = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn_.T  # (batch, queries)
+            take = min(k + 1, S.shape[0])  # +1: self-match may occupy a slot
+            # per-query candidate cut, widened by the 1e-4 rounding quantum
+            kth = np.partition(S, S.shape[0] - take, axis=0)[S.shape[0] - take, :]
+            rows_c, rows_q = np.nonzero(S >= kth - 1e-4)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[rows_q],
+                    "neighbor_id": ids_c[rows_c],
+                    "cos_sim_raw": S[rows_c, rows_q],
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).mapInPandas(score, "query_id long, neighbor_id long, cos_sim_raw double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round("cos_sim_raw", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH ANN (random hyperplanes, deterministic)
 # ---------------------------------------------------------------------------

@@ -193,3 +193,20 @@ def test_dedup_by_clusters_end_to_end(spark):
     reps = {r["cluster_id"] for r in clusters.collect()}
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert reps <= kept_ids
+
+
+def test_arrow_kernel_matches_sql_brute_force(spark, sf_dir):
+    """The Arrow GEMM kernel is a physical-plan alternative, not a new
+    operator: results must be row-identical to the SQL-expression brute
+    force (same rounding, same tie-break) on the real embeddings table."""
+    from f1_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 20")
+    cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    sql_rows = {tuple(r) for r in S.brute_force_topk(queries, emb, k=5).select(cols).collect()}
+    arrow_rows = {
+        tuple(r)
+        for r in S.brute_force_topk_arrow(queries, emb, k=5).select(cols).collect()
+    }
+    assert arrow_rows == sql_rows
