@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -252,3 +254,64 @@ def range_join(
         )
         .dropDuplicates(["probe_id", "quote_id"])
     )
+
+
+def stream_stream_interval_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    max_lag: str = "10 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    probe_id: str = "event_id",
+    quote_id: str = "event_id",
+) -> DataFrame:
+    """Streaming-native form of `range_join`: a genuine stream-stream inner
+    join with an equi-key plus an event-time interval condition.
+
+    Structured Streaming requires watermarks on BOTH inputs (callers attach
+    them — read_event_stream does) and a time-range join condition; the
+    engine derives the state-retention horizon from them, so each side
+    buffers only `watermark + max_lag` of history per key instead of the
+    whole stream. Batch frames run through the identical plan (Spark
+    compiles the same condition as a regular join), which is what the
+    batch-parity test pins.
+
+    Same output contract as `range_join`: every quote in
+    (probe.ts − max_lag, probe.ts] per key.
+    """
+    q = quotes.select(
+        F.col(key_col).alias("k"),
+        F.col(quote_id).alias("quote_id"),
+        F.col(ts_col).alias("quote_ts"),
+    )
+    p = probes.select(
+        F.col(key_col).alias("user_id"),
+        F.col(probe_id).alias("probe_id"),
+        F.col(ts_col).alias("probe_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("k"))
+        & (F.col("quote_ts") <= F.col("probe_ts"))
+        & (F.col("quote_ts") > F.col("probe_ts") - F.expr(f"INTERVAL {max_lag}"))
+    )
+    return p.join(q, cond, "inner").select(
+        "probe_id", "user_id", "probe_ts", "quote_id", "quote_ts"
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup (X2's streaming form): keep the first arrival
+    per key across micro-batches.
+
+    `dropDuplicatesWithinWatermark` bounds the dedup state to the watermark
+    horizon — the 100 TB-stream answer, since plain `dropDuplicates` on a
+    stream keeps every key ever seen in the state store forever. Requires a
+    watermark on the input (read_event_stream attaches one).
+    """
+    if within_watermark:
+        return events.dropDuplicatesWithinWatermark(list(keys))
+    return events.dropDuplicates(list(keys))

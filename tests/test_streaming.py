@@ -246,3 +246,56 @@ def test_stateful_timeout_evicts_idle_keys(spark, tmp_path):
         key=lambda r: r["n_events"],
     )
     assert u2["n_events"] == 3
+
+
+def test_stream_stream_interval_join_parity(spark, sf_dir, events_stream_dir, tmp_path):
+    """True stream-stream join (watermarks on both sides, event-time
+    interval condition) must equal the batch range_join on the same data."""
+    ev = load_table(spark, sf_dir, "events")
+    batch_truth = windows.range_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        "10 minutes",
+    )
+    s_probes = structured.read_event_stream(
+        spark, events_stream_dir, watermark="2 days"
+    ).filter(F.col("event_type") == "purchase")
+    s_quotes = structured.read_event_stream(
+        spark, events_stream_dir, watermark="2 days"
+    ).filter(F.col("event_type") == "click")
+    joined = windows.stream_stream_interval_join(s_probes, s_quotes, "10 minutes")
+    out = structured.run_available_now(
+        joined, str(tmp_path / "ckpt_ssj"), output_mode="append", query_name="ssj"
+    )
+    cols = ["probe_id", "user_id", "probe_ts", "quote_id", "quote_ts"]
+    assert _rows_set(out, cols) == _rows_set(batch_truth, cols)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key re-arriving in a later
+    micro-batch inside the watermark horizon is dropped; state stays
+    bounded to the horizon (the streaming form of exact dedup)."""
+    src = tmp_path / "src_dedup"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(name, rows):
+        spark.createDataFrame(
+            rows, structured.EVENTS_STREAM_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    mk("b1", [(1, t0, 10, "click", 1.0, None), (2, t0, 11, "click", 1.0, None)])
+    mk("b2", [(1, t0 + dt.timedelta(minutes=1), 10, "click", 99.0, None),  # dup id
+              (3, t0 + dt.timedelta(minutes=2), 12, "click", 1.0, None)])
+
+    stream = structured.read_event_stream(
+        spark, str(src) + "/b*", watermark="1 day", max_files_per_trigger=1
+    )
+    out = structured.run_available_now(
+        windows.stream_dedup(stream, ["event_id"]),
+        str(tmp_path / "ckpt_dedup"),
+        output_mode="append",
+        query_name="dedup_stream",
+    )
+    rows = out.collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]  # dup dropped
