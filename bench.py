@@ -56,6 +56,7 @@ def main() -> None:
     calls["dedup_first"] = queries_relational.q_dedup_first
     calls["join_fk_lookup"] = queries_relational.q_join_fk_lookup
     calls["agg_running_total"] = queries_relational.q_agg_running_total
+    calls["join_anti_existing"] = queries_relational.q_join_anti_existing
 
     def _topk_arrow(spark, sf_dir):
         import pyspark.sql.functions as F

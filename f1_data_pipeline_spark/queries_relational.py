@@ -47,6 +47,8 @@ register(
 def q_join_anti_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "existing" = customers already loaded with negative balances; keep only
     # orders from other customers (reference: loaders/__init__.py:70-74).
+    # Standalone form for bench/plan-audit; the registry entry is the
+    # join_semi_anti composite below.
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     existing = (
         load_table(spark, sf_dir, "customer")
@@ -56,14 +58,47 @@ def q_join_anti_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.anti_join_existing(orders, existing, ["o_custkey"])
 
 
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both existence-join shapes as one tagged union: `anti` — NOT EXISTS
+    (orders from customers without negative balances, the reference's dedup
+    gate, loaders/__init__.py:70-74); `semi` — EXISTS (customers with at
+    least one urgent order). Each arm stays a broadcast-able semi/anti hash
+    join; the union is append-only, no extra shuffle."""
+    anti = q_join_anti_existing(spark, sf_dir).select(
+        F.lit("anti").alias("which"),
+        F.col("o_orderkey").alias("row_key"),
+        F.col("o_custkey").cast("string").alias("row_info"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    semi = cust.join(urgent, "c_custkey", "left_semi").select(
+        F.lit("semi").alias("which"),
+        F.col("c_custkey").alias("row_key"),
+        F.col("c_name").alias("row_info"),
+    )
+    return anti.unionAll(semi)
+
+
 register(
-    "join_anti_existing",
-    q_join_anti_existing,
+    "join_semi_anti",
+    q_join_semi_anti,
     """
-    SELECT o_orderkey, o_custkey FROM orders o
+    SELECT 'anti' AS which, o_orderkey AS row_key,
+           CAST(o_custkey AS VARCHAR) AS row_info
+    FROM orders o
     WHERE NOT EXISTS (
         SELECT 1 FROM customer c
         WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey
+    )
+    UNION ALL
+    SELECT 'semi', c_custkey, c_name FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
     )
     """,
 )
@@ -120,15 +155,16 @@ register(
 )
 
 
-# --- B5+B6 date predicates (year-equality and late-data buffer) ---------------
+# --- B5+B6+B7 filter predicates (dates + session type) ------------------------
 
-def q_filter_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One oracle row covering both date-filter shapes, as a tagged union:
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One oracle row covering three filter shapes, as a tagged union:
     # `year_eq` — lineitems shipped in 1997 (year-extraction predicate);
     # `date_buffer` — orders at least 7 days older than a fixed cutoff (the
     # reference uses CURRENT_DATE, metadata.py:260-268; pinned here so the
-    # check is reproducible on any day). Both filters reach the parquet scan
-    # as pushed predicates before the union.
+    # check is reproducible on any day); `session_type` — click events (the
+    # reference's session-type gate, loaders/__init__.py:118). All three
+    # filters reach their parquet scans as pushed predicates before the union.
     li = load_table(spark, sf_dir, "lineitem")
     year_eq = (
         li.filter(F.year("l_shipdate") == 1997)
@@ -137,6 +173,7 @@ def q_filter_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("row_key"),
             F.col("l_linenumber").cast("long").alias("row_sub"),
             F.col("l_shipdate").alias("row_date"),
+            F.lit(None).cast("double").alias("row_val"),
         )
     )
     o = load_table(spark, sf_dir, "orders")
@@ -148,40 +185,38 @@ def q_filter_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("row_key"),
             F.lit(0).cast("long").alias("row_sub"),
             F.col("o_orderdate").alias("row_date"),
+            F.lit(None).cast("double").alias("row_val"),
         )
     )
-    return year_eq.unionAll(buffered)
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit("session_type").alias("which"),
+        F.col("event_id").alias("row_key"),
+        F.col("user_id").cast("long").alias("row_sub"),
+        F.lit(None).cast("timestamp").alias("row_date"),
+        F.col("value").alias("row_val"),
+    )
+    return year_eq.unionAll(buffered).unionAll(clicks)
 
 
 register(
-    "filter_dates",
-    q_filter_dates,
+    "filter_predicates",
+    q_filter_predicates,
     """
     SELECT 'year_eq' AS which, l_orderkey AS row_key,
-           CAST(l_linenumber AS BIGINT) AS row_sub, l_shipdate AS row_date
+           CAST(l_linenumber AS BIGINT) AS row_sub, l_shipdate AS row_date,
+           CAST(NULL AS DOUBLE) AS row_val
     FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
     UNION ALL
-    SELECT 'date_buffer', o_orderkey, 0, o_orderdate
+    SELECT 'date_buffer', o_orderkey, 0, o_orderdate, CAST(NULL AS DOUBLE)
     FROM orders
     WHERE o_orderdate <= DATE '2000-01-01' - INTERVAL 7 DAY
       AND o_orderdate IS NOT NULL
+    UNION ALL
+    SELECT 'session_type', event_id, CAST(user_id AS BIGINT),
+           CAST(NULL AS TIMESTAMP), value
+    FROM events WHERE event_type = 'click'
     """,
-)
-
-
-# --- B7 filter_session_type ----------------------------------------------------
-
-def q_filter_session_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "value"
-    )
-
-
-register(
-    "filter_session_type",
-    q_filter_session_type,
-    "SELECT event_id, user_id, value FROM events WHERE event_type = 'click'",
 )
 
 
@@ -506,29 +541,3 @@ register(
 )
 
 
-# --- C-family completeness: left-semi join ------------------------------------
-
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers having at least one urgent order — left_semi keeps the
-    probe row once regardless of match count (the EXISTS shape; the
-    mirror of the anti-join the reference uses for dedup)."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    urgent = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").alias("c_custkey"))
-    )
-    return cust.join(urgent, "c_custkey", "left_semi")
-
-
-register(
-    "join_semi",
-    q_join_semi,
-    """
-    SELECT c_custkey, c_name FROM customer
-    WHERE EXISTS (
-        SELECT 1 FROM orders
-        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
-    )
-    """,
-)

@@ -206,40 +206,60 @@ register(
 )
 
 
+def _daily_agg(ev: DataFrame, mode: str) -> DataFrame:
+    grouped = ev.rollup("day", "event_type") if mode == "rollup" else ev.cube(
+        "day", "event_type"
+    )
+    return grouped.agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        F.lit(mode).alias("mode"), "day", "event_type", "n_events", "total_value"
+    )
+
+
 def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP (day, event_type): per-type, per-day, and grand totals in one
-    pass — free in Spark/DuckDB, absent from the reference (SURVEY §2.D)."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.to_date("ts")
-    )
-    return (
-        ev.rollup("day", "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total_value"),
-        )
-        .select("day", "event_type", "n_events", "total_value")
-    )
+    """ROLLUP (day, event_type) alone — benched/tested standalone; the
+    registry entry is the grouping_analytics composite below."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return _daily_agg(ev, "rollup").drop("mode")
+
+
+def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE (day, event_type) as one tagged union: per-type,
+    per-day, grand totals (rollup) plus the cross combinations (cube) in a
+    single oracle-checked result — grouping-set analytics absent from the
+    reference (SURVEY §2.D)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return _daily_agg(ev, "rollup").unionAll(_daily_agg(ev, "cube"))
 
 
 register(
-    "rollup_daily",
-    q_rollup_daily,
+    "grouping_analytics",
+    q_grouping_analytics,
     """
-    SELECT CAST(ts AS DATE) AS day, event_type,
+    SELECT 'rollup' AS mode, CAST(ts AS DATE) AS day, event_type,
            COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY ROLLUP (day, event_type)
+    UNION ALL
+    SELECT 'cube', CAST(ts AS DATE) AS day, event_type,
+           COUNT(*),
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+    FROM events
+    GROUP BY CUBE (day, event_type)
     """,
 )
 
 
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative per-user value over event time (running-state window —
-    the batch twin of the stateful streaming profile, streaming/stateful.py)."""
+    the batch twin of the stateful streaming profile, streaming/stateful.py).
+    Standalone form for bench/verify; the registry entry is the window_sums
+    composite below."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -259,18 +279,56 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (row-frame, unbounded) and rolling-1h (range-frame, bounded)
+    per-user sums in ONE projection: both windows partition by user_id, so
+    Spark reuses a single hash exchange and just re-sorts per frame spec —
+    two window families for one shuffle."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_1h = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(dec).over(w_run), 2).cast("double").alias("running_value"),
+        F.count("*").over(w_run).alias("running_n"),
+        F.round(F.sum(dec).over(w_1h), 2).cast("double").alias("rolling_1h_value"),
+        F.count("*").over(w_1h).alias("rolling_1h_n"),
+    )
+
+
 register(
-    "window_running_sum",
-    q_window_running_sum,
+    "window_sums",
+    q_window_sums,
     """
     SELECT event_id, user_id, ts,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w_run, 2) AS DOUBLE)
                AS running_value,
-           COUNT(*) OVER w AS running_n
+           COUNT(*) OVER w_run AS running_n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w_1h, 2) AS DOUBLE)
+               AS rolling_1h_value,
+           COUNT(*) OVER w_1h AS rolling_1h_n
     FROM events
-    WINDOW w AS (
+    WINDOW w_run AS (
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ),
+    w_1h AS (
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
     )
     """,
 )
@@ -304,71 +362,3 @@ register(
 )
 
 
-def q_rolling_1h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 1-hour per-user totals at every event (RANGE frame over
-    event time — the time-series sibling of the row-based running sum;
-    state is bounded by the interval, not history)."""
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).over(w), 2)
-        .cast("double")
-        .alias("rolling_1h_value"),
-        F.count("*").over(w).alias("rolling_1h_n"),
-    )
-
-
-register(
-    "rolling_1h_sum",
-    q_rolling_1h_sum,
-    """
-    SELECT event_id, user_id, ts,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)
-               AS rolling_1h_value,
-           COUNT(*) OVER w AS rolling_1h_n
-    FROM events
-    WINDOW w AS (
-        PARTITION BY user_id
-        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-    )
-    """,
-)
-
-
-def q_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE (day, event_type): every grouping-set combination in one pass
-    (rollup's superset — per-type totals across days included)."""
-    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    return (
-        ev.cube("day", "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias("total_value"),
-        )
-        .select("day", "event_type", "n_events", "total_value")
-    )
-
-
-register(
-    "cube_daily",
-    q_cube_daily,
-    """
-    SELECT CAST(ts AS DATE) AS day, event_type,
-           COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY CUBE (day, event_type)
-    """,
-)
