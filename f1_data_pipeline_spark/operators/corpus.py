@@ -1,0 +1,187 @@
+"""Corpus-preparation operators for large-scale training-data pipelines.
+
+Beyond-reference suite (the reference pipeline has no sampling, scrubbing,
+decontamination, or packing story — see SURVEY.md §2.L): four operator
+families, all pure built-in expressions (JVM-side, no Python UDFs), each
+registered with a DuckDB oracle twin in queries_corpus.py.
+
+- train/test split: deterministic md5-bucket assignment. md5 of the id is
+  identical hex in every engine, so the split is reproducible anywhere with
+  no RNG/seed drift, stable under repartitioning and re-runs, and
+  stratifiable post-hoc (group the assignment by any column). At 100 TB this
+  is a narrow projection + two scalar expressions — no shuffle at all.
+- PII redaction: regexp scrubbing with per-class match counts. Patterns are
+  kept in the Java/RE2-common dialect so the same regex runs on any engine.
+  One pass over the text column, no shuffle.
+- contamination check: token n-gram overlap between a small eval/benchmark
+  set and the training corpus (the decontamination step every LLM data
+  pipeline needs). The eval n-gram set is distinct'd and BROADCAST; the
+  corpus side is one explode + broadcast-hash join + per-doc aggregation —
+  a single corpus pass whose only shuffle is the final per-doc groupBy,
+  which AQE partial-aggregates map-side. Never an all-pairs join.
+- sequence packing: contiguous greedy packing of tokenized docs into
+  fixed-token-budget packs, per shard. The shard (id hash) is the parallel
+  unit: each pack id depends only on rows within its shard, so results are
+  reproducible under any executor count, and the per-shard window sort is
+  the only shuffle. Pack utilization falls out of the same aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from f1_data_pipeline_spark.functions.text import token_count, tokens
+
+# --- deterministic train/test split -------------------------------------------
+
+
+def split_bucket(id_col: Column | str, n_buckets: int = 256) -> Column:
+    """Deterministic bucket 0..n_buckets-1 from the md5 of the id.
+
+    Uses the first two hex chars (256 buckets max) so the same expression —
+    ('0x' || substr(md5(id),1,2))::int — is computable in any SQL engine.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hex2 = F.substring(F.md5(c.cast("string")), 1, 2)
+    return F.pmod(F.conv(hex2, 16, 10).cast("int"), F.lit(n_buckets))
+
+
+def train_test_split(
+    df: DataFrame, id_col: str = "doc_id", train_buckets: int = 230
+) -> DataFrame:
+    """Assign each row to 'train'/'test' by md5 bucket (230/256 ≈ 90%).
+
+    Adds `bucket` (0..255) and `split` columns; no shuffle, no RNG.
+    """
+    b = split_bucket(id_col)
+    return df.withColumn("bucket", b).withColumn(
+        "split", F.when(b < train_buckets, F.lit("train")).otherwise(F.lit("test"))
+    )
+
+
+# --- PII redaction --------------------------------------------------------------
+
+# Java-regex / RE2 common dialect: no backrefs, no lookaround, \d and
+# character classes only — portable to DuckDB (add the 'g' flag there).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails/phones from `text_col` into `redacted`, with per-class
+    match counts (`n_emails`, `n_phones`). Single projection, no shuffle."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "redacted": F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+            "n_emails": F.regexp_count(t, F.lit(EMAIL_RE)),
+            "n_phones": F.regexp_count(t, F.lit(PHONE_RE)),
+        }
+    )
+
+
+# --- eval-set contamination check ----------------------------------------------
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (id, ngram) rows via posexplode + window leads — NOT the
+    array-HOF word_shingles: the HOF evaluates interpreted (outside codegen)
+    and Catalyst's project collapsing re-inlines it into every consumer
+    (measured 167 s vs ~5 s at sf0.1 for the contamination query). Same
+    pattern as minhash_lsh_pairs (operators/dedup.py:103-119)."""
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w_doc) for j in range(1, n)]
+    return (
+        tok_rows.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("ngram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "ngram")
+        .distinct()
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_score: float = 0.2,
+) -> DataFrame:
+    """Per-corpus-doc n-gram overlap with the eval set's n-gram pool.
+
+    Returns (doc_id, n_grams, n_matched, score, contaminated) for every
+    corpus doc sharing ≥1 token n-gram with any eval doc. The eval pool is
+    distinct'd then BROADCAST (benchmarks are small by construction); the
+    corpus side streams through codegen'd shingling, and everything after
+    the distinct is keyed by doc id — per-doc gram counts and match counts
+    partial-aggregate map-side, and their join is a small agg⋈agg. Never an
+    all-pairs document join.
+    """
+    eval_grams = _shingle_rows(eval_df, id_col, text_col, n).select("ngram").distinct()
+    grams = _shingle_rows(corpus, id_col, text_col, n)
+    n_grams = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    n_matched = (
+        grams.join(F.broadcast(eval_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    score = F.round(F.col("n_matched").cast("double") / F.col("n_grams"), 4)
+    return n_matched.join(n_grams, id_col).select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        score.alias("score"),
+        (score >= min_score).alias("contaminated"),
+    )
+
+
+# --- sequence packing -----------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Contiguous greedy packing: within each shard (id mod n_shards), docs
+    in id order fill packs of `max_tokens`; a doc opens a new pack when the
+    running total before it crosses the budget. Returns pack-level rows
+    (shard, pack_id, n_docs, pack_tokens, first_doc, last_doc, utilization).
+
+    Deterministic under any partitioning: pack ids depend only on the
+    (shard, id-order, token-count) sequence. max_tokens is kept a power of
+    two so utilization = pack_tokens / max_tokens is an exact binary ratio
+    on every engine.
+    """
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard")
+    docs = df.select(shard, F.col(id_col), token_count(text_col).alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    packed = docs.withColumn(
+        "pack_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(max_tokens))).cast("long"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+        F.round(F.sum("n_tokens") / F.lit(float(max_tokens)), 4).alias("utilization"),
+    )

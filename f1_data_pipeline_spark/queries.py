@@ -48,6 +48,7 @@ def _load_all() -> None:
     from f1_data_pipeline_spark import queries_quality  # noqa: F401
     from f1_data_pipeline_spark import queries_scalars  # noqa: F401
     from f1_data_pipeline_spark import queries_text  # noqa: F401
+    from f1_data_pipeline_spark import queries_corpus  # noqa: F401
     from f1_data_pipeline_spark import queries_similarity  # noqa: F401
     from f1_data_pipeline_spark import queries_streaming  # noqa: F401
     from f1_data_pipeline_spark import queries_multimodal  # noqa: F401

@@ -1,0 +1,192 @@
+"""Registry entries for corpus-preparation operators (operators/corpus.py):
+deterministic train/test split, PII redaction, eval-set contamination, and
+sequence packing — the beyond-reference training-data pipeline suite.
+
+Oracle-parity notes: md5 hex is identical across engines (split buckets);
+regex patterns stay in the Java/RE2-common dialect (DuckDB needs the 'g'
+flag on regexp_replace — Spark replaces all matches by default); n-gram
+sets are list-comprehension + list_distinct in DuckDB vs word_shingles
+(sequence/transform/slice + array_distinct) in Spark — same distinct-set
+semantics, verified down to short-doc (< n tokens → empty) behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import corpus as C
+from f1_data_pipeline_spark.queries import register
+from f1_data_pipeline_spark.sources import load_table
+
+
+# --- deterministic train/test split --------------------------------------------
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level split assignment over documents: md5-bucket 230/256 ≈ 90%
+    train. The full assignment is the oracle-checked output, so determinism
+    is verified row-by-row, not just in aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.train_test_split(docs, "doc_id").select(
+        "doc_id", "lang", "bucket", "split"
+    )
+
+
+register(
+    "train_test_split",
+    q_train_test_split,
+    """
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                AS INT) AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                     < 230
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+
+
+# --- PII redaction --------------------------------------------------------------
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII is first INJECTED (synthetic docs carry none), then
+    scrubbed: docs with doc_id%3==0 gain an id-derived email, %5==0 a phone
+    number. The redacted text and both match counts are oracle-checked, so
+    the scrub is verified on text that genuinely contains PII."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit("contact user"), d.cast("string"), F.lit("@example.com ")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("call 555-867-5309 ")).otherwise(F.lit("")),
+            F.col("text"),
+        ),
+    )
+    out = C.pii_redact(injected, "text")
+    return out.select(
+        "doc_id",
+        "redacted",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+    )
+
+
+register(
+    "pii_redaction",
+    q_pii_redaction,
+    r"""
+    WITH inj AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com '
+                    ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN 'call 555-867-5309 ' ELSE '' END
+               || text AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones
+    FROM inj
+    """,
+)
+
+
+# --- eval-set contamination -----------------------------------------------------
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: 5-gram overlap between the pretend benchmark slice
+    (doc_id % 97 == 0) and the rest of the corpus. Eval n-gram pool is
+    broadcast; corpus read once."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train_df = docs.filter(F.col("doc_id") % 97 != 0)
+    out = C.contamination(train_df, eval_df, "doc_id", "text", n=5, min_score=0.2)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_matched",
+        "score",
+        "contaminated",
+    )
+
+
+register(
+    "contamination_check",
+    q_contamination_check,
+    r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+4], ' ')
+                              FOR i IN range(1, len(toks) - 3)]) AS gs
+        FROM tok
+    ),
+    eg AS (
+        SELECT DISTINCT unnest(gs) AS ngram FROM grams WHERE doc_id % 97 = 0
+    ),
+    cg AS (
+        SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS ngram
+        FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT cg.doc_id, cg.n_grams, COUNT(*) AS n_matched,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / cg.n_grams, 4) AS score,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / cg.n_grams, 4) >= 0.2 AS contaminated
+    FROM cg JOIN eg USING (ngram)
+    GROUP BY cg.doc_id, cg.n_grams
+    """,
+)
+
+
+# --- sequence packing -----------------------------------------------------------
+
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-level output of contiguous greedy packing (2048-token packs,
+    8 shards): pack sizes, doc ranges, utilization."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, "doc_id", "text", max_tokens=2048, n_shards=8)
+
+
+register(
+    "token_packing",
+    q_token_packing,
+    r"""
+    WITH d AS (
+        SELECT doc_id % 8 AS shard, doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM d
+    )
+    SELECT shard,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 2048.0, 4) AS utilization
+    FROM c
+    GROUP BY shard, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT)
+    """,
+)

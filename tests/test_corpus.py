@@ -1,0 +1,122 @@
+"""Corpus-preparation operators: deterministic split, PII redaction,
+contamination, sequence packing (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from f1_data_pipeline_spark.operators import corpus as C
+
+
+# --- train/test split ----------------------------------------------------------
+
+
+def test_split_deterministic_and_partitioning_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = C.train_test_split(df, "doc_id").select("doc_id", "split")
+    b = C.train_test_split(df.repartition(13), "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_split_fraction_near_nominal(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = C.train_test_split(df, "doc_id")
+    frac = out.filter(F.col("split") == "train").count() / 2000
+    # nominal 230/256 = 0.898; md5 buckets are uniform so ±3% at n=2000
+    assert 0.86 < frac < 0.93
+    buckets = out.agg(F.min("bucket"), F.max("bucket")).first()
+    assert buckets[0] >= 0 and buckets[1] <= 255
+
+
+# --- PII redaction -------------------------------------------------------------
+
+
+def test_pii_redact_counts_and_text(spark):
+    rows = [
+        (1, "reach me at alice.smith+spam@mail.example.org today"),
+        (2, "call 415-555-0199 or 650-555-0100 now"),
+        (3, "bob@corp.io and 212-555-0177 both here"),
+        (4, "no pii in this one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in C.pii_redact(df, "text").collect()}
+    assert out[1]["redacted"] == "reach me at <EMAIL> today"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 0)
+    assert out[2]["redacted"] == "call <PHONE> or <PHONE> now"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 2)
+    assert out[3]["redacted"] == "<EMAIL> and <PHONE> both here"
+    assert out[4]["redacted"] == "no pii in this one"
+    assert (out[4]["n_emails"], out[4]["n_phones"]) == (0, 0)
+
+
+# --- contamination -------------------------------------------------------------
+
+
+def test_contamination_flags_copied_eval_text(spark):
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    corpus_rows = [
+        # doc 10 embeds the benchmark verbatim → every benchmark 5-gram hits
+        (10, "prefix words " + bench + " suffix words"),
+        # doc 11 shares no 5-gram with the benchmark
+        (11, "completely unrelated text about spark partitions and shuffles ok"),
+        # doc 12 shares exactly one 5-gram window
+        (12, "xx the quick brown fox jumps yy zz ww vv uu"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    eval_df = spark.createDataFrame([(99, bench)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in C.contamination(corpus, eval_df, n=5, min_score=0.2).collect()
+    }
+    assert 11 not in out  # no shared gram → no row
+    assert out[10]["n_matched"] == 6 and out[10]["contaminated"]
+    assert out[12]["n_matched"] == 1
+    assert out[12]["n_grams"] == 7  # 11 tokens → 7 five-gram windows
+    assert out[12]["score"] == pytest.approx(1 / 7, abs=1e-4)
+
+
+def test_contamination_no_false_positives_on_disjoint_sets(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame([(0, "one two three four five six")], ["doc_id", "text"])
+    assert C.contamination(corpus, eval_df, n=5).count() == 0
+
+
+# --- sequence packing ----------------------------------------------------------
+
+
+def test_pack_sequences_exact_layout(spark):
+    # one shard (n_shards=1), budget 10 tokens: docs of 4/4/4 tokens →
+    # cum-before = 0,4,8 → packs 0,0,0; fourth doc (cum-before 12) → pack 1
+    rows = [(i, "t t t t") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = C.pack_sequences(df, max_tokens=10, n_shards=1).orderBy("pack_id").collect()
+    assert [(r["pack_id"], r["n_docs"], r["pack_tokens"]) for r in out] == [
+        (0, 3, 12),
+        (1, 1, 4),
+    ]
+    assert out[0]["first_doc"] == 0 and out[0]["last_doc"] == 2
+
+
+def test_pack_sequences_conserves_tokens_and_bounds_packs(spark, sf_dir):
+    from f1_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = C.pack_sequences(docs, max_tokens=2048, n_shards=8)
+    total_packed = packed.agg(F.sum("pack_tokens")).first()[0]
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    assert total_packed == total_tokens
+    # every pack except possibly each shard's last is filled past the budget's
+    # start (a new pack only opens when the previous crossed max_tokens)
+    per_shard_max = {
+        r["shard"]: r["mx"]
+        for r in packed.groupBy("shard").agg(F.max("pack_id").alias("mx")).collect()
+    }
+    for r in packed.collect():
+        if r["pack_id"] < per_shard_max[r["shard"]]:
+            assert r["pack_tokens"] >= 2048 - 200  # docs are ≤ ~200 tokens
