@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_minhash",
     "topk_similarity",
     "topk_similarity_arrow",
+    "contamination_check",
+    "token_packing",
     # streaming-analog windows
     "stream_tumbling_window",
     "stream_session_window",

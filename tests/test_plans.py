@@ -106,3 +106,27 @@ def test_range_join_is_hash_join(spark, sf_dir):
     assert (
         js["broadcast_hash"] + js["sort_merge"] + js["shuffled_hash"] >= 1
     )
+
+
+def test_contamination_broadcasts_eval_pool(spark, sf_dir):
+    """Eval n-gram pool must broadcast — a shuffled join of corpus grams
+    against the pool would shuffle the whole exploded corpus at scale."""
+    js = audit.join_strategies(QUERIES["contamination_check"](spark, sf_dir))
+    assert js["broadcast_hash"] >= 1
+    assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
+
+
+def test_train_test_split_no_shuffle(spark, sf_dir):
+    """Split assignment is a pure projection: zero exchanges, zero joins."""
+    js = audit.join_strategies(QUERIES["train_test_split"](spark, sf_dir))
+    assert js["exchanges"] == 0
+    plan = audit.executed_plan(QUERIES["train_test_split"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_token_packing_single_exchange_per_window(spark, sf_dir):
+    """Packing shuffles once by shard for the window; the groupBy reuses
+    the shard partitioning (partial agg) — no cartesian anywhere."""
+    js = audit.join_strategies(QUERIES["token_packing"](spark, sf_dir))
+    assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
+    assert js["exchanges"] <= 3  # window shard exchange + agg (+ AQE wrapper)
