@@ -23,24 +23,38 @@ from f1_data_pipeline_spark.sources import load_table
 # --- deterministic train/test split --------------------------------------------
 
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level split assignment over documents: md5-bucket 230/256 ≈ 90%
-    train. The full assignment is the oracle-checked output, so determinism
-    is verified row-by-row, not just in aggregate."""
+    """Split assignment over documents, two tagged arms: `doc` — row-level
+    md5-bucket 230/256 ≈ 90% train; `group` — the same assignment keyed on
+    `source` instead, so every doc from one source lands in one split (the
+    leakage-preventing group split: near-duplicate docs cluster within a
+    source and must not straddle train/test). Full assignments are the
+    oracle-checked output, so determinism is verified row-by-row."""
     docs = load_table(spark, sf_dir, "documents")
-    return C.train_test_split(docs, "doc_id").select(
-        "doc_id", "lang", "bucket", "split"
+    by_doc = C.train_test_split(docs, "doc_id").select(
+        F.lit("doc").alias("grain"), "doc_id", "lang", "bucket", "split"
     )
+    by_source = C.train_test_split(docs.withColumnRenamed("source", "grp"), "grp")
+    by_source = by_source.select(
+        F.lit("group").alias("grain"), "doc_id", "lang", "bucket", "split"
+    )
+    return by_doc.unionAll(by_source)
 
 
 register(
     "train_test_split",
     q_train_test_split,
     """
-    SELECT doc_id, lang,
+    SELECT 'doc' AS grain, doc_id, lang,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
                 AS INT) AS bucket,
            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
                      < 230
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    UNION ALL
+    SELECT 'group', doc_id, lang,
+           CAST(('0x' || substr(md5(source), 1, 2))::BIGINT AS INT) AS bucket,
+           CASE WHEN ('0x' || substr(md5(source), 1, 2))::BIGINT < 230
                 THEN 'train' ELSE 'test' END AS split
     FROM documents
     """,

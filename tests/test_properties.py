@@ -87,3 +87,72 @@ def test_laptime_malformed_null(spark, bad):
         laptime_to_ms("t").alias("ms")
     ).collect()[0]
     assert row["ms"] is None
+
+
+# --- corpus ops: contamination exactness, packing conservation ------------------
+
+def brute_force_contamination(corpus, eval_docs, n, min_score):
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    pool = set()
+    for _, t in eval_docs:
+        pool |= grams(t)
+    out = {}
+    for i, t in corpus:
+        g = grams(t)
+        m = len(g & pool)
+        if m:
+            score = round(m / len(g), 4)
+            out[i] = (len(g), m, score, score >= min_score)
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpora(), n=st.sampled_from([2, 3]))
+def test_contamination_matches_brute_force(spark, docs, n):
+    from f1_data_pipeline_spark.operators import corpus as C
+
+    eval_docs, corpus_docs = docs[:1], docs[1:]
+    df_c = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    df_e = spark.createDataFrame(eval_docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_matched"], r["score"], r["contaminated"])
+        for r in C.contamination(df_c, df_e, n=n, min_score=0.5).collect()
+    }
+    assert got == brute_force_contamination(corpus_docs, eval_docs, n, 0.5)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    max_tokens=st.sampled_from([16, 32]),
+)
+def test_packing_conserves_and_orders(spark, counts, max_tokens):
+    """Every token lands in exactly one pack; pack ids are dense from 0 in
+    doc order; a pack closes only once the budget is crossed."""
+    from f1_data_pipeline_spark.operators import corpus as C
+
+    rows = [(i, " ".join(["t"] * c)) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = C.pack_sequences(df, max_tokens=max_tokens, n_shards=1).collect()
+    assert sum(r["pack_tokens"] for r in out) == sum(counts)
+    # replay the greedy rule in python
+    expected = {}
+    cum = 0
+    for i, c in enumerate(counts):
+        pack = (cum) // max_tokens
+        expected.setdefault(pack, 0)
+        expected[pack] += c
+        cum += c
+    got = {r["pack_id"]: r["pack_tokens"] for r in out}
+    assert got == expected
