@@ -61,6 +61,36 @@ def train_test_split(
     )
 
 
+# --- quality signals ------------------------------------------------------------
+
+
+def quality_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition/quality statistics + composite keep flag
+    (the standard LLM-data filter shape: repetition caps + length band).
+    One explode + two aggregates — shuffles keyed on (doc, token) then doc.
+    Shared by the `repetition_quality` registry query and the curation plan
+    (plans/curation.py)."""
+    tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    per_tok = tok_rows.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    sig = per_tok.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").alias("distinct_tokens"),
+        F.round(1 - F.count("*") / n.cast("double"), 4).alias("dup_token_frac"),
+        F.round(F.max("c") / n.cast("double"), 4).alias("top_token_frac"),
+        F.round(
+            F.sum(F.length("tok") * F.col("c")) / n.cast("double"), 4
+        ).alias("mean_word_len"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("dup_token_frac") <= 0.9)
+        & (F.col("top_token_frac") <= 0.3)
+        & (F.col("mean_word_len").between(2.0, 12.0))
+    )
+    return sig.withColumn("keep", keep)
+
+
 # --- PII redaction --------------------------------------------------------------
 
 # Java-regex / RE2 common dialect: no backrefs, no lookaround, \d and

@@ -1,0 +1,102 @@
+"""End-to-end corpus curation: the training-data pipeline the individual
+operators exist for, composed as one plan.
+
+    raw documents
+      → quality filter       (repetition caps + length band, corpus.quality_signals)
+      → exact dedup          (md5 content hash, dedup.exact_dedup)
+      → near dedup           (minhash LSH pairs → connected components →
+                              one representative per cluster, dedup.*)
+      → PII scrub            (corpus.pii_redact)
+      → train/test split     (deterministic md5 buckets, corpus.train_test_split)
+      → sequence packing     (per-shard greedy fill, corpus.pack_sequences)
+      → out_dir/corpus       parquet partitioned by split
+        out_dir/packs        pack manifest parquet (split, shard, pack_id, ...)
+
+Scale posture: every stage is one of the already-audited operator plans
+(no new join shapes); the curated frame is persisted once before the two
+writes + stats so the quality/dedup work isn't recomputed per output. At
+warehouse scale the same plan runs with out_dir on object storage; the
+stats dict is a handful of driver-side scalars, never data.
+
+The reference has no curation analog (it is an ETL pipeline into a star
+schema); this plan is the beyond-reference LLM-data suite composed
+end-to-end, mirroring its orchestrator idea (main.py:286-342 runs loaders
+in dependency order) at the corpus level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import corpus as C
+from f1_data_pipeline_spark.operators import dedup as D
+from f1_data_pipeline_spark.sources import load_table
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    minhash_threshold: float = 0.7,
+    train_buckets: int = 230,
+    max_tokens: int = 2048,
+    n_shards: int = 8,
+) -> dict[str, int]:
+    """Run the full curation flow over `{sf_dir}/documents.parquet`; write
+    the curated corpus and pack manifest under `out_dir`; return stage
+    counts (monotonicity of which is pinned by tests/test_curation.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    keep_ids = C.quality_signals(docs, "doc_id", "text").filter("keep").select("doc_id")
+    quality = docs.join(keep_ids, "doc_id", "left_semi")
+
+    exact = D.exact_dedup(quality, "text", "doc_id")
+    pairs = D.minhash_lsh_pairs(exact, "doc_id", "text", threshold=minhash_threshold)
+    near = D.dedup_by_clusters(exact, pairs, "doc_id")
+
+    scrubbed = C.pii_redact(near, "text").select(
+        "doc_id",
+        F.col("redacted").alias("text"),
+        "lang",
+        "source",
+        (F.col("n_emails") + F.col("n_phones")).alias("n_pii"),
+    )
+    curated = C.train_test_split(scrubbed, "doc_id", train_buckets).persist()
+
+    curated.write.mode("overwrite").partitionBy("split").parquet(f"{out_dir}/corpus")
+    packs = (
+        C.pack_sequences(
+            curated.filter(F.col("split") == s),
+            max_tokens=max_tokens,
+            n_shards=n_shards,
+        ).withColumn("split", F.lit(s))
+        for s in ("train", "test")
+    )
+    manifest = next(packs)
+    for p in packs:
+        manifest = manifest.unionByName(p)
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/packs")
+
+    stats = {
+        "n_input": n_input,
+        "n_quality": quality.count(),
+        "n_exact": exact.count(),
+        "n_curated": curated.count(),
+        "n_train": curated.filter(F.col("split") == "train").count(),
+        "n_test": curated.filter(F.col("split") == "test").count(),
+        "n_pii_hits": curated.agg(F.sum("n_pii")).first()[0] or 0,
+        "n_packs": spark.read.parquet(f"{out_dir}/packs").count(),
+    }
+    curated.unpersist()
+    return stats
+
+
+def read_curated(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(corpus, pack manifest) back from a curate() output directory."""
+    return (
+        spark.read.parquet(f"{out_dir}/corpus"),
+        spark.read.parquet(f"{out_dir}/packs"),
+    )

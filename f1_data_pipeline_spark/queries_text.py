@@ -244,28 +244,10 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (thresholds are the standard shape: repetition caps + length band).
     Token-level (this corpus is single-line); one explode + two
     aggregates — shuffle keyed on (doc, token) then doc."""
+    from f1_data_pipeline_spark.operators.corpus import quality_signals
+
     docs = load_table(spark, sf_dir, "documents")
-    tok_rows = docs.select(
-        "doc_id", F.explode(X.tokens("text")).alias("tok")
-    )
-    per_tok = tok_rows.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    n = F.sum("c")
-    sig = per_tok.groupBy("doc_id").agg(
-        n.cast("long").alias("n_tokens"),
-        F.count("*").alias("distinct_tokens"),
-        F.round(1 - F.count("*") / n.cast("double"), 4).alias("dup_token_frac"),
-        F.round(F.max("c") / n.cast("double"), 4).alias("top_token_frac"),
-        F.round(
-            F.sum(F.length("tok") * F.col("c")) / n.cast("double"), 4
-        ).alias("mean_word_len"),
-    )
-    keep = (
-        (F.col("n_tokens") >= 20)
-        & (F.col("dup_token_frac") <= 0.9)
-        & (F.col("top_token_frac") <= 0.3)
-        & (F.col("mean_word_len").between(2.0, 12.0))
-    )
-    return sig.withColumn("keep", keep)
+    return quality_signals(docs, "doc_id", "text")
 
 
 register(
