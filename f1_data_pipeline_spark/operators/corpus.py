@@ -176,6 +176,30 @@ def contamination(
     )
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_score: float = 0.2,
+) -> DataFrame:
+    """`corpus` with contamination columns attached for EVERY row (score 0 /
+    contaminated false when no n-gram matches) — the keep-all variant used
+    when contamination is a flag on the curated output rather than a
+    report."""
+    scores = contamination(corpus, eval_df, id_col, text_col, n, min_score)
+    return (
+        corpus.join(
+            scores.select(id_col, "score", "contaminated"), id_col, "left"
+        )
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
+        .withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+    )
+
+
 # --- sequence packing -----------------------------------------------------------
 
 
