@@ -11,8 +11,14 @@ A quadratic regression would show candidates growing ~N²; linear behavior
 shows ~N growth (each replica's near-dup structure is internal to the
 replica, plus cross-replica collisions from shared band buckets).
 
-Usage: python tools/scale_probe.py [sf_dir] [factors...]
+Usage: python tools/scale_probe.py [op] [sf_dir] [factors...]
+  op: minhash (default) | contamination
 Prints one JSON line per factor. Results recorded in SCALE_NOTES.md.
+
+The contamination probe keeps the eval pool FIXED (the base corpus's
+doc_id%97 slice) while the corpus replicates — the realistic shape: the
+benchmark doesn't grow with the crawl. Linear behavior = wall time ~corpus
+size with flat match counts in disjoint mode.
 """
 
 from __future__ import annotations
@@ -27,9 +33,14 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    op = "minhash"
+    if args and args[0] in ("minhash", "contamination"):
+        op = args.pop(0)
+    sf_dir = args.pop(0) if args else "/root/testdata/sf0.1"
+    factors = [int(a) for a in args] or [1, 4, 16]
 
+    from f1_data_pipeline_spark.operators.corpus import contamination
     from f1_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
     from f1_data_pipeline_spark.session import get_spark
     from f1_data_pipeline_spark.sources import load_table
@@ -68,17 +79,24 @@ def main() -> None:
                 for r in replicas[1:]:
                     scaled = scaled.unionAll(r)
             t0 = time.time()
-            pairs = minhash_lsh_pairs(scaled, "doc_id", "text", threshold=0.5)
-            n_pairs = pairs.count()
+            if op == "minhash":
+                out = minhash_lsh_pairs(scaled, "doc_id", "text", threshold=0.5)
+            else:
+                # fixed eval pool from the BASE corpus; the crawl grows,
+                # the benchmark doesn't
+                eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+                out = contamination(scaled, eval_df, "doc_id", "text", n=5)
+            n_pairs = out.count()
             dt = time.time() - t0
             print(
                 json.dumps(
                     {
+                        "op": op,
                         "mode": mode,
                         "factor": factor,
                         "docs": base_n * factor,
-                        "pairs": n_pairs,
-                        "pairs_per_doc": round(n_pairs / (base_n * factor), 4),
+                        "rows": n_pairs,
+                        "rows_per_doc": round(n_pairs / (base_n * factor), 4),
                         "sec": round(dt, 2),
                     }
                 )
