@@ -104,7 +104,22 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--warehouse", default="./warehouse")
     ap.add_argument("--source-zip")
     ap.add_argument("--payload-json", help="JSON payload file for fact loads")
+    ap.add_argument(
+        "--curate",
+        metavar="SF_DIR",
+        help="run the corpus-curation plan over SF_DIR/documents.parquet "
+        "(beyond-reference LLM-data suite; plans/curation.py)",
+    )
+    ap.add_argument("--out", help="output directory for --curate")
     args = ap.parse_args(argv)
+    if args.curate:
+        if not args.out:
+            ap.error("--curate requires --out")
+        from f1_data_pipeline_spark.plans.curation import curate
+
+        stats = curate(get_spark("curation-cli"), args.curate, args.out)
+        print(json.dumps(stats))
+        return 0
     if not args.mode and not args.table:
         ap.error("one of --mode / --table is required")
 

@@ -62,3 +62,18 @@ def test_cli_missing_source_fails_cleanly(artifacts, capsys):
     rc = main(["--mode", "pre_season", "--warehouse", artifacts["wh"]])
     assert rc == 5  # every dim failed, exit code = failed-table count
     assert "--source-zip required" in capsys.readouterr().out
+
+
+def test_cli_curate(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "curated")
+    rc = main(["--curate", sf_dir, "--out", out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_curated"] > 0
+    assert spark.read.parquet(out + "/corpus").count() == stats["n_curated"]
+
+
+def test_cli_curate_requires_out(capsys):
+    with pytest.raises(SystemExit):
+        main(["--curate", "/tmp/x"])
+    assert "--curate requires --out" in capsys.readouterr().err
