@@ -39,6 +39,9 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_session_window",
     "as_of_join",
+    # round-2 additions
+    "tfidf_top_terms",
+    "profile_events",
 ]
 
 
@@ -54,11 +57,16 @@ def main() -> None:
     # (dedup_first → dedup_first_top1, join_fk_lookup → filter_fk_resolved,
     # agg_running_total → window_running_sum); bench keeps the original
     # standalone forms so per-query timings stay comparable across rounds.
+    from f1_data_pipeline_spark import queries_streaming
+
     calls = dict(QUERIES)
     calls["dedup_first"] = queries_relational.q_dedup_first
     calls["join_fk_lookup"] = queries_relational.q_join_fk_lookup
     calls["agg_running_total"] = queries_relational.q_agg_running_total
     calls["join_anti_existing"] = queries_relational.q_join_anti_existing
+    # round-2 registry folds: bench keeps the standalone forms so the
+    # per-query series stays comparable across rounds
+    calls["stream_tumbling_window"] = queries_streaming.q_tumbling
 
     def _topk_arrow(spark, sf_dir):
         import pyspark.sql.functions as F

@@ -61,6 +61,34 @@ def train_test_split(
     )
 
 
+# --- deterministic stratified sampling ------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    rates: dict[str, int] | None = None,
+    default_buckets: int = 8,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row when its salted md5
+    bucket (0..255) falls under the stratum's bucket allowance — e.g.
+    {'en': 128} keeps exactly the 50% of English docs whose hash lands in
+    buckets 0..127. The standard corpus-mix move (downsample over-represented
+    languages/sources, keep low-resource strata whole) with zero RNG: the
+    sample is reproducible on any engine, stable under repartitioning, and a
+    row's membership never changes as the corpus grows. The hash is salted
+    ('sample:' prefix) so sample membership is independent of the
+    train/test split bucket above. No shuffle — one projection + filter.
+    """
+    rates = rates or {}
+    b = split_bucket(F.concat(F.lit("sample:"), F.col(id_col).cast("string")))
+    allow = F.lit(default_buckets)
+    for stratum, n in rates.items():
+        allow = F.when(F.col(strata_col) == stratum, F.lit(n)).otherwise(allow)
+    return df.withColumn("bucket", b).filter(F.col("bucket") < allow)
+
+
 # --- quality signals ------------------------------------------------------------
 
 
@@ -196,6 +224,61 @@ def contamination_flags(
         .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
         .withColumn(
             "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+    )
+
+
+# --- corpus-level term statistics (TF-IDF) --------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k most characteristic terms per document by TF-IDF.
+
+    idf is the BM25-style odds ratio (N - df + 0.5)/(df + 0.5) rather than
+    its logarithm: every arithmetic op is then IEEE-exact (+,-,*,/ are
+    bit-specified; ln is a libm call that may differ by 1 ulp across
+    engines), so scores — and therefore the top-k ranking — are
+    bit-identical on any engine with no float-tolerance escape hatch.
+
+    Plan shape: explode → (doc, term) partial-aggregated counts; term-level
+    document frequency is a second aggregate on the SAME (term-keyed)
+    exchange; N is a 1-row broadcast. The only per-doc shuffle is the final
+    top-k window, keyed on doc id. No driver-side scalars, no UDFs.
+    At 100 TB the (term) aggregate is the skew point (stopwords) — the
+    downstream join is term-keyed and AQE splits oversized partitions; a
+    stopword allowlist filter before the join is the standard mitigation.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("doc_len"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = doc_len.agg(F.count("*").cast("long").alias("n_docs"))
+    d = F.col("tf").cast("double") / F.col("doc_len").cast("double")
+    i = (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5)) / (
+        F.col("df_t").cast("double") + F.lit(0.5)
+    )
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", d * i)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df_t",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rank",
         )
     )
 

@@ -1,0 +1,103 @@
+"""Table profiling — the data-quality QA pass a pipeline runs before and
+after every load (null rates, cardinalities, value distributions).
+
+Beyond-reference suite (the reference validates FK integrity and quarantines
+bad rows but has no profiling surface; SURVEY.md §2.I). Output is a long
+(col_name, stat, value) frame so one schema covers any table: numeric-only
+values, no engine-specific string formatting of min/max (double→string
+rendering differs across engines and would break oracle hashing).
+
+Plan shape: ONE aggregation pass computes every per-column stat (Spark
+expands multi-COUNT(DISTINCT) into a single exchange), then a codegen'd
+unpivot (stack); the histogram is a second single-pass aggregate on fixed
+literal bucket bounds, so the whole profile is two scans, zero joins, and
+partial-aggregates map-side. At 100 TB swap the exact COUNT(DISTINCT) for
+approx_count_distinct — noted inline — and the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_long(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Per-column stats as (col_name, stat, value): n_rows (once, under
+    col_name='*'), and n_nulls / null_frac / n_distinct per column.
+
+    `approx_distinct=True` is the 100 TB path: HLL sketches instead of the
+    exact distinct expand (one less shuffle amplification; ±2% error).
+    """
+    cols = columns or df.columns
+    distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx_distinct
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls_{c}"),
+            distinct(c).alias(f"__dist_{c}"),
+        ]
+    row = df.agg(*aggs)
+    # unpivot via stack: 1 + 3*len(cols) (col_name, stat, value) triples
+    parts = ["'*'", "'n_rows'", "CAST(__n_rows AS DOUBLE)"]
+    for c in cols:
+        parts += [
+            f"'{c}'", "'n_nulls'", f"CAST(__nulls_{c} AS DOUBLE)",
+            f"'{c}'", "'null_frac'",
+            f"ROUND(CAST(__nulls_{c} AS DOUBLE) / __n_rows, 6)",
+            f"'{c}'", "'n_distinct'", f"CAST(__dist_{c} AS DOUBLE)",
+        ]
+    n = 1 + 3 * len(cols)
+    return row.selectExpr(
+        f"stack({n}, {', '.join(parts)}) AS (col_name, stat, value)"
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bucket_width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column as (col_name, stat, value):
+    bucket i covers [i*width, (i+1)*width), underflow clamps to bucket 0,
+    overflow to bucket n_buckets; NULLs are excluded (they're counted by
+    profile_long). Bucket ids are zero-padded so the stat key sorts
+    naturally. Bounds are literals — the histogram needs no pre-pass over
+    the data, so it stays a single partial-aggregated scan at any scale."""
+    b = F.least(
+        F.greatest(F.floor(F.col(col) / F.lit(bucket_width)).cast("int"), F.lit(0)),
+        F.lit(n_buckets),
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.lit(col).alias("col_name"),
+            F.concat(F.lit("hist_"), F.lpad(F.col("__b").cast("string"), 2, "0")).alias(
+                "stat"
+            ),
+            F.col("__n").cast("double").alias("value"),
+        )
+    )
+
+
+def profile_with_histogram(
+    df: DataFrame,
+    hist_col: str,
+    bucket_width: float,
+    n_buckets: int,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """profile_long + histogram in one frame (same long schema)."""
+    return profile_long(df, columns).unionAll(
+        histogram(df, hist_col, bucket_width, n_buckets)
+    )

@@ -61,6 +61,82 @@ register(
 )
 
 
+# --- deterministic stratified sampling ------------------------------------------
+
+_SAMPLE_RATES = {"en": 128, "de": 256, "es": 64, "fr": 26, "zh": 13}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix resampling: per-language bucket allowances out of 256
+    (en 50%, de 100%, es 25%, fr ~10%, zh ~5%) via salted md5 — the
+    deterministic downsample/upsample step of corpus curation. Full sampled
+    rows are the oracle output, so membership is verified row-by-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.stratified_sample(docs, "lang", "doc_id", _SAMPLE_RATES)
+    return out.select("doc_id", "lang", "source", "bucket")
+
+
+register(
+    "stratified_sample",
+    q_stratified_sample,
+    """
+    WITH b AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                                    1, 2))::BIGINT AS INT) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, source, bucket FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 256
+                             WHEN 'es' THEN 64 WHEN 'fr' THEN 26
+                             WHEN 'zh' THEN 13 ELSE 8 END
+    """,
+)
+
+
+# --- corpus-level term statistics (TF-IDF) --------------------------------------
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by TF-IDF with BM25-style rational
+    idf (bit-identical across engines — see operators/corpus.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+register(
+    "tfidf_top_terms",
+    q_tfidf_top_terms,
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1
+    ), nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+               (CAST(tf.tf AS DOUBLE) / CAST(dl.doc_len AS DOUBLE))
+               * ((CAST(nd.n_docs AS DOUBLE) - CAST(dfreq.df_t AS DOUBLE) + 0.5)
+                  / (CAST(dfreq.df_t AS DOUBLE) + 0.5)) AS tfidf
+        FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df_t, ROUND(tfidf, 6) AS tfidf, "rank"
+    FROM (
+        SELECT doc_id, term, tf, df_t, tfidf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS INT) AS "rank"
+        FROM scored
+    ) WHERE "rank" <= 5
+    """,
+)
+
+
 # --- PII redaction --------------------------------------------------------------
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

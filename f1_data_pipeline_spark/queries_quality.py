@@ -55,6 +55,49 @@ register(
 )
 
 
+# --- table profiling (pre/post-load QA pass) ------------------------------------
+
+_EV_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full profile of `events` — per-column null counts/fractions and exact
+    cardinalities plus a fixed-width histogram of `value` (width 2.0,
+    overflow bucket 10) — in one long (col_name, stat, value) frame
+    (operators/profile.py). Numeric-only values keep the oracle hash free of
+    engine-specific string formatting."""
+    from f1_data_pipeline_spark.operators.profile import profile_with_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_with_histogram(ev, "value", 2.0, 10, columns=_EV_COLS)
+
+
+def _profile_sql() -> str:
+    parts = [
+        "SELECT '*' AS col_name, 'n_rows' AS stat,"
+        " CAST(COUNT(*) AS DOUBLE) AS value FROM events"
+    ]
+    for c in _EV_COLS:
+        parts += [
+            f"SELECT '{c}', 'n_nulls', CAST(COUNT(*) - COUNT({c}) AS DOUBLE)"
+            " FROM events",
+            f"SELECT '{c}', 'null_frac', ROUND(CAST(COUNT(*) - COUNT({c})"
+            " AS DOUBLE) / COUNT(*), 6) FROM events",
+            f"SELECT '{c}', 'n_distinct', CAST(COUNT(DISTINCT {c}) AS DOUBLE)"
+            " FROM events",
+        ]
+    parts.append(
+        "SELECT 'value', 'hist_' || lpad(CAST(b AS VARCHAR), 2, '0'),"
+        " CAST(COUNT(*) AS DOUBLE) FROM ("
+        "SELECT LEAST(GREATEST(CAST(FLOOR(value / 2.0) AS INT), 0), 10) AS b"
+        " FROM events WHERE value IS NOT NULL) GROUP BY 1, 2"
+    )
+    return "\nUNION ALL\n".join(parts)
+
+
+register("profile_events", q_profile_events, _profile_sql())
+
+
 # --- A8/§7.5 surrogate key allocation -------------------------------------------
 
 def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:

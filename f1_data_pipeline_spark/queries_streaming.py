@@ -23,21 +23,9 @@ _VALUE_AGG_SQL = "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)"
 
 
 def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone tumbling form — benched/tested standalone; the registry
+    entry is the stream_fixed_windows composite below."""
     return W.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
-
-
-register(
-    "stream_tumbling_window",
-    q_tumbling,
-    f"""
-    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
-           event_type,
-           COUNT(*) AS n_events,
-           {_VALUE_AGG_SQL} AS total_value
-    FROM events GROUP BY 1, 2, 3
-    """,
-)
 
 
 def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,23 +34,44 @@ def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "stream_sliding_window",
-    q_sliding,
-    f"""
-    WITH offs AS (SELECT unnest([0, 30]) AS off_min),
-    w AS (
-        SELECT time_bucket(INTERVAL '30 minutes', e.ts) - to_minutes(o.off_min)
-                   AS window_start,
-               e.event_type, e.value
-        FROM events e CROSS JOIN offs o
+def q_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h) + sliding (1h/30min) windowed aggregates as one tagged
+    union — both fixed-window families (streaming/windows.py) in a single
+    oracle-checked result. Schemas align exactly (window bounds, event_type,
+    count, decimal-summed value)."""
+    tag = lambda df, m: df.select(  # noqa: E731
+        F.lit(m).alias("mode"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        "total_value",
     )
-    SELECT window_start,
-           window_start + INTERVAL '1 hour' AS window_end,
+    return tag(q_tumbling(spark, sf_dir), "tumbling").unionAll(
+        tag(q_sliding(spark, sf_dir), "sliding")
+    )
+
+
+register(
+    "stream_fixed_windows",
+    q_fixed_windows,
+    f"""
+    SELECT 'tumbling' AS mode,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type,
            COUNT(*) AS n_events,
            {_VALUE_AGG_SQL} AS total_value
-    FROM w GROUP BY 1, 2, 3
+    FROM events GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'sliding', window_start, window_start + INTERVAL '1 hour',
+           event_type, COUNT(*), {_VALUE_AGG_SQL}
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', e.ts) - to_minutes(o.off_min)
+                   AS window_start,
+               e.event_type, e.value
+        FROM events e CROSS JOIN (SELECT unnest([0, 30]) AS off_min) o
+    ) w GROUP BY 2, 4
     """,
 )
 
@@ -125,19 +134,9 @@ register(
 
 
 def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone windowed form; the registry entry is the distinct_users
+    composite below."""
     return W.windowed_distinct_users(load_table(spark, sf_dir, "events"), "1 day")
-
-
-register(
-    "window_distinct_users",
-    q_window_distinct,
-    """
-    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
-           time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
-           COUNT(DISTINCT user_id) AS distinct_users
-    FROM events GROUP BY 1, 2
-    """,
-)
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,19 +164,44 @@ register("approx_sketches", q_approx_sketches, None)
 
 def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe exact distinct users per event type (operators/skew.py):
-    two-phase salted aggregation, oracle-identical to COUNT(DISTINCT)."""
+    two-phase salted aggregation, oracle-identical to COUNT(DISTINCT).
+    Standalone form; the registry entry is the distinct_users composite."""
     from f1_data_pipeline_spark.operators.skew import salted_two_phase_agg
 
     ev = load_table(spark, sf_dir, "events")
     return salted_two_phase_agg(ev, ["event_type"], "user_id", salt_n=8)
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both exact-distinct operator families in one tagged union: per-day
+    windowed COUNT(DISTINCT) (streaming/windows.py) and the skew-safe salted
+    two-phase distinct per event type (operators/skew.py). Keys are cast to
+    one string column so the arms align; each arm still runs its real
+    operator unchanged."""
+    windowed = q_window_distinct(spark, sf_dir).select(
+        F.lit("window_1d").alias("arm"),
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("key"),
+        F.col("distinct_users").cast("long").alias("distinct_users"),
+    )
+    salted = q_salted_distinct(spark, sf_dir).select(
+        F.lit("salted_type").alias("arm"),
+        F.col("event_type").alias("key"),
+        F.col("distinct_user_id").cast("long").alias("distinct_users"),
+    )
+    return windowed.unionAll(salted)
+
+
 register(
-    "salted_distinct",
-    q_salted_distinct,
+    "distinct_users",
+    q_distinct_users,
     """
-    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_user_id
-    FROM events GROUP BY event_type
+    SELECT 'window_1d' AS arm,
+           strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS key,
+           COUNT(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT 'salted_type', event_type, COUNT(DISTINCT user_id)
+    FROM events GROUP BY 1, 2
     """,
 )
 

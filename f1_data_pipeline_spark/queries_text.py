@@ -52,7 +52,9 @@ register(
 
 # --- token counting + quality scoring (one per-doc composite) --------------------
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-level quality signals (tokenization/punct/stopword density).
+    Standalone form; the registry entry is the text_quality composite."""
     docs = load_table(spark, sf_dir, "documents")
     # BPE-ish proxy: word-character runs count as tokens, as do punctuation
     # marks — regexp_count with an identical pattern on both engines.
@@ -93,6 +95,29 @@ def _occ_sql(w: str) -> str:
     return _OCC.format(w=w, n=len(f" {w} "))
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite per-doc quality row: surface signals (q_text_surface) joined
+    with token-level repetition signals + keep/drop decision
+    (operators/corpus.py quality_signals) — the full Gopher-style filter
+    input in one oracle-checked frame. Both sides key on doc_id, so the join
+    is a co-partitioned equi-join; docs with zero tokens keep their surface
+    row (left join) with repetition columns NULL on both engines."""
+    from f1_data_pipeline_spark.operators.corpus import quality_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    surface = q_text_surface(spark, sf_dir)
+    rep = quality_signals(docs, "doc_id", "text").select(
+        "doc_id",
+        F.col("n_tokens").alias("rep_n_tokens"),
+        "distinct_tokens",
+        "dup_token_frac",
+        "top_token_frac",
+        "mean_word_len",
+        "keep",
+    )
+    return surface.join(rep, "doc_id", "left")
+
+
 register(
     "text_quality",
     q_text_quality,
@@ -105,11 +130,31 @@ register(
                CAST(len(text) - len({_PUNCT_STRIP_SQL}) AS BIGINT) AS n_punct,
                {" + ".join(_occ_sql(w) for w in X.LANG_MARKERS["en"])} AS stopword_hits
         FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), sig AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS rep_n_tokens,
+               COUNT(*) AS distinct_tokens,
+               ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_token_frac,
+               ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_token_frac,
+               ROUND(SUM(len(tok) * c) / CAST(SUM(c) AS DOUBLE), 4) AS mean_word_len
+        FROM cnt GROUP BY doc_id
     )
-    SELECT doc_id, ws_tokens, bpe_tokens, n_chars, n_punct, stopword_hits,
-           ROUND(CAST(stopword_hits AS DOUBLE) / (ws_tokens + 1)
-                 - CAST(n_punct AS DOUBLE) / (n_chars + 1), 4) AS quality_score
-    FROM t
+    SELECT t.doc_id, t.ws_tokens, t.bpe_tokens, t.n_chars, t.n_punct,
+           t.stopword_hits,
+           ROUND(CAST(t.stopword_hits AS DOUBLE) / (t.ws_tokens + 1)
+                 - CAST(t.n_punct AS DOUBLE) / (t.n_chars + 1), 4) AS quality_score,
+           sig.rep_n_tokens, sig.distinct_tokens, sig.dup_token_frac,
+           sig.top_token_frac, sig.mean_word_len,
+           (sig.rep_n_tokens >= 20 AND sig.dup_token_frac <= 0.9
+            AND sig.top_token_frac <= 0.3
+            AND sig.mean_word_len BETWEEN 2.0 AND 12.0) AS keep
+    FROM t LEFT JOIN sig ON t.doc_id = sig.doc_id
     """,
 )
 
@@ -243,39 +288,12 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     word length — plus the composite keep/drop decision built from them
     (thresholds are the standard shape: repetition caps + length band).
     Token-level (this corpus is single-line); one explode + two
-    aggregates — shuffle keyed on (doc, token) then doc."""
+    aggregates — shuffle keyed on (doc, token) then doc. Standalone form;
+    the registry entry is the text_quality composite above."""
     from f1_data_pipeline_spark.operators.corpus import quality_signals
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_signals(docs, "doc_id", "text")
-
-
-register(
-    "repetition_quality",
-    q_repetition_quality,
-    """
-    WITH tok AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-        FROM documents
-    ), cnt AS (
-        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
-    ), sig AS (
-        SELECT doc_id,
-               CAST(SUM(c) AS BIGINT) AS n_tokens,
-               COUNT(*) AS distinct_tokens,
-               ROUND(1 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_token_frac,
-               ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_token_frac,
-               ROUND(SUM(len(tok) * c) / CAST(SUM(c) AS DOUBLE), 4) AS mean_word_len
-        FROM cnt GROUP BY doc_id
-    )
-    SELECT doc_id, n_tokens, distinct_tokens, dup_token_frac, top_token_frac,
-           mean_word_len,
-           (n_tokens >= 20 AND dup_token_frac <= 0.9
-            AND top_token_frac <= 0.3
-            AND mean_word_len BETWEEN 2.0 AND 12.0) AS keep
-    FROM sig
-    """,
-)
 
 
 # --- text normalization (cleaning step before dedup/tokenization) -------------

@@ -120,3 +120,83 @@ def test_pack_sequences_conserves_tokens_and_bounds_packs(spark, sf_dir):
     for r in packed.collect():
         if r["pack_id"] < per_shard_max[r["shard"]]:
             assert r["pack_tokens"] >= 2048 - 200  # docs are ≤ ~200 tokens
+
+
+# --- stratified sampling --------------------------------------------------------
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = C.stratified_sample(df, "lang", "doc_id", {"en": 128, "zh": 256})
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["zh"] == 2000  # 256/256 keeps every row
+    assert 0.44 < by_lang["en"] / 2000 < 0.56  # nominal 50%, md5-uniform
+    # deterministic and partitioning-invariant membership
+    again = C.stratified_sample(
+        df.repartition(7), "lang", "doc_id", {"en": 128, "zh": 256}
+    )
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    assert again.select("doc_id").exceptAll(out.select("doc_id")).count() == 0
+
+
+def test_stratified_sample_membership_stable_under_corpus_growth(spark):
+    """A doc's sample membership depends only on its own id — growing the
+    corpus must not flip existing rows (the property RNG sampling lacks)."""
+    small = spark.createDataFrame([(i, "en") for i in range(500)], ["doc_id", "lang"])
+    big = spark.createDataFrame([(i, "en") for i in range(5000)], ["doc_id", "lang"])
+    kept_small = {
+        r["doc_id"]
+        for r in C.stratified_sample(small, "lang", "doc_id", {"en": 64}).collect()
+    }
+    kept_big = {
+        r["doc_id"]
+        for r in C.stratified_sample(big, "lang", "doc_id", {"en": 64}).collect()
+    }
+    assert kept_small == {d for d in kept_big if d < 500}
+
+
+def test_stratified_sample_independent_of_split_bucket(spark):
+    """The sample hash is salted: membership must not equal the train/test
+    bucket (an unsalted hash would make 'sample 50%' ≡ 'train half')."""
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", F.lit("en")
+    )
+    sample = C.stratified_sample(df, "lang", "doc_id", {"en": 128})
+    split = C.train_test_split(df, "doc_id")
+    joined = sample.join(split.select("doc_id", "split"), "doc_id")
+    n_train = joined.filter(F.col("split") == "train").count()
+    # if buckets were shared, the 50% sample would be ~100% train-bucket rows
+    # (128 < 230); salted, it tracks the 90/10 split mix instead
+    assert n_train / sample.count() < 0.95
+
+
+# --- TF-IDF top terms -----------------------------------------------------------
+
+
+def test_tfidf_ranks_characteristic_terms_first(spark):
+    rows = [
+        (0, "common common common unique_zero"),
+        (1, "common common unique_one unique_one"),
+        (2, "common unique_two"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = C.tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'common' appears in all 3 docs → lowest idf; each doc's unique term wins
+    assert top == {0: "unique_zero", 1: "unique_one", 2: "unique_two"}
+
+
+def test_tfidf_plan_no_cartesian_and_k_bound(spark, sf_dir):
+    from f1_data_pipeline_spark.plans import audit
+    from f1_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = C.tfidf_top_terms(docs, k=5)
+    js = audit.join_strategies(out)
+    assert js["cartesian"] == 0  # the N-docs scalar joins as a 1-row broadcast
+    per_doc = out.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert per_doc <= 5

@@ -48,7 +48,9 @@ def test_anti_join_not_cartesian(spark, sf_dir):
 
 def test_window_aggs_single_shuffle(spark, sf_dir):
     """Tumbling agg: one shuffle (partial→final agg), no join machinery."""
-    js = audit.join_strategies(QUERIES["stream_tumbling_window"](spark, sf_dir))
+    from f1_data_pipeline_spark.queries_streaming import q_tumbling
+
+    js = audit.join_strategies(q_tumbling(spark, sf_dir))
     assert js["exchanges"] <= 2  # agg exchange (+ AQE reader wrapper)
     assert js["cartesian"] == 0
 
