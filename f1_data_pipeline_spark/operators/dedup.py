@@ -465,3 +465,81 @@ def dedup_by_clusters(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# exact substring duplicate spans (suffix-array-style, n-gram formulation)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans: maximal token ranges of each doc
+    whose every n-gram also appears in ≥ `min_docs-1` OTHER documents — the
+    distributed formulation of suffix-array substring dedup (find repeated
+    byte/token runs across the corpus, then cut them): any cross-doc
+    repeated run of length ≥ n is covered exactly by its member n-grams, so
+    flagging duplicated n-grams and merging overlapping/adjacent hits
+    recovers the maximal duplicated ranges without any suffix sorting.
+
+    Returns (id, span_start, span_end, span_tokens, n_dup_grams): token
+    positions are 0-based inclusive; overlapping or touching gram hits
+    (gap ≤ n) merge into one span.
+
+    Plan shape (all linear, never all-pairs): positional grams stream
+    through the codegen'd posexplode+lead pattern (the minhash/
+    contamination shingler); the gram→doc-frequency aggregate shuffles on
+    the md5 gram hash (uniform); flagged positions re-join gram-keyed
+    (AQE splits boilerplate-gram skew); interval merging is one per-doc
+    window (gaps-and-islands) keyed on the id. At 100 TB the gram aggregate
+    is the big shuffle — it partial-aggregates map-side and its key space
+    is bounded by total corpus tokens, the same scaling as the minhash
+    shingle pass.
+    """
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w_doc) for j in range(1, n)]
+    grams = (
+        tok_rows.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.concat_ws(" ", *parts)).alias("gh"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    flagged = grams.join(dup_grams, "gh").select(id_col, "pos")
+    w_m = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w_m)
+    island = F.sum(
+        F.when(gap.isNull() | (gap > n), 1).otherwise(0)
+    ).over(w_m.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        flagged.withColumn("__island", island)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_grams",
+        )
+    )

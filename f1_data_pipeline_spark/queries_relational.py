@@ -63,7 +63,8 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders from customers without negative balances, the reference's dedup
     gate, loaders/__init__.py:70-74); `semi` — EXISTS (customers with at
     least one urgent order). Each arm stays a broadcast-able semi/anti hash
-    join; the union is append-only, no extra shuffle."""
+    join; the union is append-only, no extra shuffle. Standalone form; the
+    registry entry is the membership_ops composite below."""
     anti = q_join_anti_existing(spark, sf_dir).select(
         F.lit("anti").alias("which"),
         F.col("o_orderkey").alias("row_key"),
@@ -83,9 +84,40 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti.unionAll(semi)
 
 
+def q_membership_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four membership shapes in one tagged union: the semi/anti
+    existence joins (q_join_semi_anti) plus the set operators — `union`
+    (DISTINCT union of two customer slices) and `except` (EXCEPT ALL of
+    customer vs supplier nations). Set arms carry NULL row_info; every arm
+    remains its genuine operator (hash semi/anti join, distinct union,
+    exceptAll) with no extra shuffle from the union wrapper."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    union_part = (
+        a.union(b)
+        .distinct()
+        .select(
+            F.lit("union").alias("which"),
+            F.col("c_custkey").alias("row_key"),
+            F.lit(None).cast("string").alias("row_info"),
+        )
+    )
+    cn = c.select(F.col("c_nationkey").alias("nationkey"))
+    sn = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    except_part = cn.exceptAll(sn).select(
+        F.lit("except").alias("which"),
+        F.col("nationkey").cast("long").alias("row_key"),
+        F.lit(None).cast("string").alias("row_info"),
+    )
+    return q_join_semi_anti(spark, sf_dir).unionAll(union_part).unionAll(except_part)
+
+
 register(
-    "join_semi_anti",
-    q_join_semi_anti,
+    "membership_ops",
+    q_membership_ops,
     """
     SELECT 'anti' AS which, o_orderkey AS row_key,
            CAST(o_custkey AS VARCHAR) AS row_info
@@ -99,6 +131,18 @@ register(
     WHERE EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT 'union', key, NULL FROM (
+        SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT 'except', CAST(nationkey AS BIGINT), NULL FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
     )
     """,
 )
@@ -365,42 +409,7 @@ def q_agg_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F set operations (UNION DISTINCT + EXCEPT ALL, one tagged result) ---------------
 
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    union_part = (
-        a.union(b)
-        .distinct()
-        .select(F.lit("union").alias("op"), F.col("c_custkey").alias("key"))
-    )
-    cn = c.select(F.col("c_nationkey").alias("nationkey"))
-    sn = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    except_part = cn.exceptAll(sn).select(
-        F.lit("except").alias("op"), F.col("nationkey").cast("long").alias("key")
-    )
-    return union_part.unionAll(except_part)
-
-
-register(
-    "set_ops",
-    q_set_ops,
-    """
-    SELECT 'union' AS op, key FROM (
-        SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
-        UNION
-        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
-    )
-    UNION ALL
-    SELECT 'except', CAST(nationkey AS BIGINT) FROM (
-        SELECT c_nationkey AS nationkey FROM customer
-        EXCEPT ALL
-        SELECT s_nationkey AS nationkey FROM supplier
-    )
-    """,
-)
+# set ops (union/except) are the 'union'/'except' arms of membership_ops above
 
 
 # --- headline analytics (bench queries; TPC-H-flavored over available columns) -------

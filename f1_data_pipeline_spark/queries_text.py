@@ -248,6 +248,62 @@ register(
 )
 
 
+# --- exact substring duplicate spans (suffix-array-style dedup) ----------------------
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated token ranges (15-gram formulation of
+    substring dedup — operators/dedup.py duplicate_spans): the spans an
+    exact-substring deduper would cut. Full span list is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.duplicate_spans(docs, "doc_id", "text", n=15, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+    )
+
+
+register(
+    "duplicate_spans",
+    q_duplicate_spans,
+    r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), pos AS (
+        SELECT doc_id,
+               unnest([{'p': i, 'g': md5(array_to_string(toks[i+1:i+15], ' '))}
+                       FOR i IN range(0, greatest(len(toks) - 14, 0))]) AS pg
+        FROM tok
+    ), grams AS (
+        SELECT doc_id, pg.p AS pos, pg.g AS gh FROM pos
+    ), dup AS (
+        SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flagged AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
+    ), isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > 15 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM flagged
+        )
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 14 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 14 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+           COUNT(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+
+
 # --- X3 MinHash LSH + SimHash (no SQL twin → rows-only) ------------------------------
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -210,3 +210,50 @@ def test_arrow_kernel_matches_sql_brute_force(spark, sf_dir):
         for r in S.brute_force_topk_arrow(queries, emb, k=5).select(cols).collect()
     }
     assert arrow_rows == sql_rows
+
+
+# --- exact substring duplicate spans --------------------------------------------
+
+
+def test_duplicate_spans_finds_shared_run_and_merges(spark):
+    """Two docs share one 6-token run inside otherwise-unique text: with
+    n=4 the run is covered by three overlapping gram hits that must merge
+    into ONE span per doc, exactly covering the shared tokens."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"u0a u0b u0c {shared} u0d u0e"),
+        (1, f"v0a {shared} v0b v0c v0d v0e"),
+        (2, "w0a w0b w0c w0d w0e w0f w0g w0h w0i"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from f1_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicate_spans(df, n=4).collect()
+    }
+    # doc 0: shared run at positions 3..8; doc 1: positions 1..6; doc 2: none
+    assert out == {0: (3, 8, 3), 1: (1, 6, 3)}
+
+
+def test_duplicate_spans_ignores_intra_doc_repeats(spark):
+    """A run repeated only WITHIN one doc is not a cross-doc duplicate
+    (min_docs=2 counts distinct documents, not occurrences)."""
+    rep = "r1 r2 r3 r4"
+    df = spark.createDataFrame(
+        [(0, f"{rep} x1 x2 {rep}"), (1, "y1 y2 y3 y4 y5 y6 y7 y8")],
+        ["doc_id", "text"],
+    )
+    from f1_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    assert duplicate_spans(df, n=4).count() == 0
+
+
+def test_duplicate_spans_plan_no_cartesian(spark, sf_dir):
+    from f1_data_pipeline_spark.operators.dedup import duplicate_spans
+    from f1_data_pipeline_spark.plans import audit
+    from f1_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    js = audit.join_strategies(duplicate_spans(docs, n=15))
+    assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0

@@ -42,7 +42,7 @@ def test_fk_lookup_broadcasts(spark, sf_dir):
 
 def test_anti_join_not_cartesian(spark, sf_dir):
     # tagged composite carries both the anti and semi existence joins
-    js = audit.join_strategies(QUERIES["join_semi_anti"](spark, sf_dir))
+    js = audit.join_strategies(QUERIES["membership_ops"](spark, sf_dir))
     assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
 
 
