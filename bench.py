@@ -42,6 +42,7 @@ HEADLINE = [
     # round-2 additions
     "tfidf_top_terms",
     "profile_events",
+    "duplicate_spans",
 ]
 
 

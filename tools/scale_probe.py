@@ -12,7 +12,7 @@ shows ~N growth (each replica's near-dup structure is internal to the
 replica, plus cross-replica collisions from shared band buckets).
 
 Usage: python tools/scale_probe.py [op] [sf_dir] [factors...]
-  op: minhash (default) | contamination
+  op: minhash (default) | contamination | spans
 Prints one JSON line per factor. Results recorded in SCALE_NOTES.md.
 
 The contamination probe keeps the eval pool FIXED (the base corpus's
@@ -35,13 +35,16 @@ from pyspark.sql import functions as F  # noqa: E402
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "contamination"):
+    if args and args[0] in ("minhash", "contamination", "spans"):
         op = args.pop(0)
     sf_dir = args.pop(0) if args else "/root/testdata/sf0.1"
     factors = [int(a) for a in args] or [1, 4, 16]
 
     from f1_data_pipeline_spark.operators.corpus import contamination
-    from f1_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from f1_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+        minhash_lsh_pairs,
+    )
     from f1_data_pipeline_spark.session import get_spark
     from f1_data_pipeline_spark.sources import load_table
 
@@ -81,6 +84,12 @@ def main() -> None:
             t0 = time.time()
             if op == "minhash":
                 out = minhash_lsh_pairs(scaled, "doc_id", "text", threshold=0.5)
+            elif op == "spans":
+                # disjoint: no cross-replica grams → span rows ~factor×base
+                # (each replica keeps only the base corpus's internal spans);
+                # clique: every doc's full text duplicates across replicas →
+                # ~one whole-doc span per doc. Both: rows/doc flat, time ~N.
+                out = duplicate_spans(scaled, "doc_id", "text", n=15)
             else:
                 # fixed eval pool from the BASE corpus; the crawl grows,
                 # the benchmark doesn't
