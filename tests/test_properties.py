@@ -156,3 +156,93 @@ def test_packing_conserves_and_orders(spark, counts, max_tokens):
         cum += c
     got = {r["pack_id"]: r["pack_tokens"] for r in out}
     assert got == expected
+
+
+# --- duplicate_spans exactness --------------------------------------------------
+
+
+def brute_force_spans(docs, n, min_docs=2):
+    """Reference implementation: per-position n-grams, cross-doc duplicated
+    grams, merge hits with gap <= n into (start, end) spans."""
+    grams = {}  # gram -> set(doc)
+    pos_grams = {}  # doc -> [(pos, gram)]
+    for i, t in docs:
+        toks = t.split()
+        pg = [(p, tuple(toks[p : p + n])) for p in range(len(toks) - n + 1)]
+        pos_grams[i] = pg
+        for _, g in pg:
+            grams.setdefault(g, set()).add(i)
+    dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    out = set()
+    for i, pg in pos_grams.items():
+        hits = sorted(p for p, g in pg if g in dup)
+        while hits:
+            start = prev = hits.pop(0)
+            count = 1
+            while hits and hits[0] - prev <= n:
+                prev = hits.pop(0)
+                count += 1
+            out.add((i, start, prev + n - 1, count))
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpora(), n=st.sampled_from([2, 3, 4]))
+def test_duplicate_spans_matches_brute_force(spark, docs, n):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in dedup.duplicate_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == brute_force_spans(docs, n)
+
+
+# --- tfidf exactness ------------------------------------------------------------
+
+
+def brute_force_tfidf_topk(docs, k):
+    from collections import Counter
+
+    tfs = {i: Counter(t.split()) for i, t in docs}
+    tfs = {i: c for i, c in tfs.items() if c}
+    n_docs = len(tfs)
+    dfreq = Counter()
+    for c in tfs.values():
+        for term in c:
+            dfreq[term] += 1
+    out = set()
+    for i, c in tfs.items():
+        doc_len = sum(c.values())
+        scored = sorted(
+            (
+                (
+                    -(tf / doc_len) * ((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)),
+                    t,
+                )
+                for t, tf in c.items()
+            ),
+        )
+        for rank, (neg, t) in enumerate(scored[:k], start=1):
+            out.add((i, t, rank, round(-neg, 6)))
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpora(), k=st.sampled_from([1, 3]))
+def test_tfidf_topk_matches_brute_force(spark, docs, k):
+    from f1_data_pipeline_spark.operators.corpus import tfidf_top_terms
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["term"], r["rank"], r["tfidf"])
+        for r in tfidf_top_terms(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == brute_force_tfidf_topk(docs, k)
