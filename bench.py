@@ -68,6 +68,9 @@ def main() -> None:
     # round-2 registry folds: bench keeps the standalone forms so the
     # per-query series stays comparable across rounds
     calls["stream_tumbling_window"] = queries_streaming.q_tumbling
+    from f1_data_pipeline_spark import queries_text
+
+    calls["dedup_minhash"] = queries_text.q_dedup_minhash
 
     def _topk_arrow(spark, sf_dir):
         import pyspark.sql.functions as F

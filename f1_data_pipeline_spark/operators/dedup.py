@@ -543,3 +543,53 @@ def duplicate_spans(
             "n_dup_grams",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with a seeded KMeans coarse quantizer, compare pairs only WITHIN each
+    cluster, and keep one representative per near-duplicate component.
+
+    Returns the deduplicated rows of `df` (duplicates dropped, min-id
+    representative kept). The cluster blocking is the approximation that
+    makes embedding dedup tractable: the quadratic stays inside cells
+    (N²/k per cell for balanced clusters), and cross-cluster near-dups are
+    deliberately sacrificed — the paper's finding is that semantic dups
+    overwhelmingly co-cluster. Same KMeans machinery as the IVF index
+    (operators/similarity.py); deterministic under the fixed seed.
+
+    Plan shape: one KMeans fit (sampled aggregate iterations), one
+    cell-blocked self-join (shuffle keyed on cell id; AQE splits oversized
+    cells), then min-label propagation over the pair graph
+    (duplicate_clusters) and an anti-join to drop non-representatives.
+    Never an unblocked N² join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    km = KMeans(
+        k=n_clusters, seed=seed, maxIter=10, featuresCol="__features"
+    ).fit(ml.select("__features"))
+    assigned = km.transform(ml).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("__cell")
+    )
+    pairs = embedding_cosine_pairs(
+        assigned, id_col, vec_col, threshold=threshold, block_col="__cell"
+    )
+    return dedup_by_clusters(df, pairs, id_col)

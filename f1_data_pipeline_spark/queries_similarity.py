@@ -96,3 +96,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("ann_topk", q_ann_topk, None)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: seeded-KMeans cells, 0.35-cosine
+    within-cell pairs, one representative kept per component (rows-only:
+    the KMeans quantizer has no SQL twin; semantics are pytest-pinned in
+    test_dedup_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = D.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_clusters=8
+    )
+    return out.select("vec_id", "label")
+
+
+register("semantic_dedup", q_semantic_dedup, None)

@@ -307,11 +307,10 @@ register(
 # --- X3 MinHash LSH + SimHash (no SQL twin → rows-only) ------------------------------
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone minhash form (benched standalone); the registry entry is
+    the dedup_near_pairs composite below."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
-
-
-register("dedup_minhash", q_dedup_minhash, None)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,7 +318,27 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(docs, "doc_id", "text", max_hamming=10)
 
 
-register("dedup_simhash", q_dedup_simhash, None)
+def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both seeded-hash near-dup pair detectors, method-tagged, in one
+    rows-only slot (xxhash64 signatures have no SQL twin; banding/pigeonhole
+    exactness is pytest- and hypothesis-pinned). `score` is est_jaccard for
+    the minhash arm, hamming distance for the simhash arm."""
+    mh = q_dedup_minhash(spark, sf_dir).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("est_jaccard").cast("double").alias("score"),
+    )
+    sh = q_dedup_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionAll(sh)
+
+
+register("dedup_near_pairs", q_dedup_near_pairs, None)
 
 
 def q_dedup_near_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:

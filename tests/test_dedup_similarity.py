@@ -257,3 +257,60 @@ def test_duplicate_spans_plan_no_cartesian(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     js = audit.join_strategies(duplicate_spans(docs, n=15))
     assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
+
+
+# --- SemDeDup (embedding-space dedup) -------------------------------------------
+
+
+def test_semantic_dedup_drops_near_identical_keeps_distinct(spark):
+    """Three tight groups of near-identical vectors + isolated singletons:
+    each group collapses to its min-id representative, singletons survive."""
+    import math
+    import random
+
+    from f1_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(7)
+
+    def unit(seed_vec):
+        n = math.sqrt(sum(x * x for x in seed_vec))
+        return [x / n for x in seed_vec]
+
+    rows = []
+    vid = 0
+    groups = []
+    for g in range(3):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        members = []
+        for _ in range(4):  # near-identical copies (tiny jitter)
+            v = unit([x + rng.gauss(0, 0.001) for x in base])
+            rows.append((vid, v))
+            members.append(vid)
+            vid += 1
+        groups.append(members)
+    singles = []
+    for _ in range(6):
+        rows.append((vid, unit([rng.gauss(0, 1) for _ in range(16)])))
+        singles.append(vid)
+        vid += 1
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.999, n_clusters=4
+        ).collect()
+    }
+    for members in groups:
+        assert kept & set(members) == {min(members)}
+    assert set(singles) <= kept
+
+
+def test_semantic_dedup_deterministic(spark, sf_dir):
+    from f1_data_pipeline_spark.operators.dedup import semantic_dedup
+    from f1_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {r["vec_id"] for r in semantic_dedup(emb, threshold=0.35).collect()}
+    b = {r["vec_id"] for r in semantic_dedup(emb, threshold=0.35).collect()}
+    assert a == b and len(a) > 0

@@ -71,7 +71,9 @@ def test_pricing_summary_pushdown(spark, sf_dir):
 def test_dedup_minhash_no_cartesian(spark, sf_dir):
     """MinHash LSH candidate generation must join on band buckets, never
     compare all pairs."""
-    js = audit.join_strategies(QUERIES["dedup_minhash"](spark, sf_dir))
+    from f1_data_pipeline_spark.queries_text import q_dedup_minhash
+
+    js = audit.join_strategies(q_dedup_minhash(spark, sf_dir))
     assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
 
 
