@@ -569,11 +569,15 @@ def semantic_dedup(
     overwhelmingly co-cluster. Same KMeans machinery as the IVF index
     (operators/similarity.py); deterministic under the fixed seed.
 
-    Plan shape: one KMeans fit (sampled aggregate iterations), one
-    cell-blocked self-join (shuffle keyed on cell id; AQE splits oversized
-    cells), then min-label propagation over the pair graph
-    (duplicate_clusters) and an anti-join to drop non-representatives.
-    Never an unblocked N² join.
+    Plan shape: one KMeans fit, one cell-blocked self-join (shuffle keyed
+    on cell id; AQE splits oversized cells), then min-label propagation
+    over the pair graph (duplicate_clusters) and an anti-join to drop
+    non-representatives. Never an unblocked N² join. At 100 TB, fit the
+    quantizer on a deterministic sample (`df.sample(fraction, seed)` or an
+    md5-bucket slice) instead of the full corpus — the fit is maxIter
+    corpus scans, while transform/assign stays one — and raise n_clusters
+    so cells stay broadcast-sized; the paper uses ~100k clusters at
+    LAION scale.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

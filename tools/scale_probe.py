@@ -12,7 +12,7 @@ shows ~N growth (each replica's near-dup structure is internal to the
 replica, plus cross-replica collisions from shared band buckets).
 
 Usage: python tools/scale_probe.py [op] [sf_dir] [factors...]
-  op: minhash (default) | contamination | spans
+  op: minhash (default) | contamination | spans | tfidf
 Prints one JSON line per factor. Results recorded in SCALE_NOTES.md.
 
 The contamination probe keeps the eval pool FIXED (the base corpus's
@@ -35,12 +35,15 @@ from pyspark.sql import functions as F  # noqa: E402
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "contamination", "spans"):
+    if args and args[0] in ("minhash", "contamination", "spans", "tfidf"):
         op = args.pop(0)
     sf_dir = args.pop(0) if args else "/root/testdata/sf0.1"
     factors = [int(a) for a in args] or [1, 4, 16]
 
-    from f1_data_pipeline_spark.operators.corpus import contamination
+    from f1_data_pipeline_spark.operators.corpus import (
+        contamination,
+        tfidf_top_terms,
+    )
     from f1_data_pipeline_spark.operators.dedup import (
         duplicate_spans,
         minhash_lsh_pairs,
@@ -84,6 +87,12 @@ def main() -> None:
             t0 = time.time()
             if op == "minhash":
                 out = minhash_lsh_pairs(scaled, "doc_id", "text", threshold=0.5)
+            elif op == "tfidf":
+                # disjoint: vocabulary grows ~factor×, doc frequencies stay
+                # flat → term-aggregate key space scales with the corpus;
+                # clique: vocabulary fixed, every df grows ~factor× → the
+                # worst-case hot-term skew. rows = docs×k in both; time ~N.
+                out = tfidf_top_terms(scaled, "doc_id", "text", k=5)
             elif op == "spans":
                 # disjoint: no cross-replica grams → span rows ~factor×base
                 # (each replica keeps only the base corpus's internal spans);
