@@ -181,21 +181,31 @@ def contamination(
     Returns (doc_id, n_grams, n_matched, score, contaminated) for every
     corpus doc sharing ≥1 token n-gram with any eval doc. The eval pool is
     distinct'd then BROADCAST (benchmarks are small by construction); the
-    corpus side streams through codegen'd shingling, and everything after
-    the distinct is keyed by doc id — per-doc gram counts and match counts
-    partial-aggregate map-side, and their join is a small agg⋈agg. Never an
-    all-pairs document join.
+    corpus grams take ONE pass after shingling: a broadcast left join tags
+    each gram with an eval-pool marker, and a single per-doc aggregate
+    counts grams and matched grams together — gram count and match count
+    share one shuffle (keyed by doc id, partial-aggregated map-side)
+    instead of two aggregates joined afterward. Never an all-pairs
+    document join.
     """
-    eval_grams = _shingle_rows(eval_df, id_col, text_col, n).select("ngram").distinct()
+    eval_grams = (
+        _shingle_rows(eval_df, id_col, text_col, n)
+        .select("ngram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     grams = _shingle_rows(corpus, id_col, text_col, n)
-    n_grams = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    n_matched = (
-        grams.join(F.broadcast(eval_grams), "ngram")
+    counts = (
+        grams.join(F.broadcast(eval_grams), "ngram", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_matched"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__hit").alias("n_matched"),
+        )
+        .filter(F.col("n_matched") >= 1)
     )
     score = F.round(F.col("n_matched").cast("double") / F.col("n_grams"), 4)
-    return n_matched.join(n_grams, id_col).select(
+    return counts.select(
         id_col,
         "n_grams",
         "n_matched",
