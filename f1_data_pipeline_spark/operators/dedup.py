@@ -597,3 +597,63 @@ def semantic_dedup(
         assigned, id_col, vec_col, threshold=threshold, block_col="__cell"
     )
     return dedup_by_clusters(df, pairs, id_col)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cut the cross-doc duplicated ranges out of every document — the
+    apply step of substring dedup (train on unique text, keep the unique
+    remainder of partially-duplicated docs rather than dropping them).
+
+    Returns one row per input doc: (id, clean_text, kept_tokens,
+    removed_tokens). Tokens covered by any duplicate_spans range are
+    dropped; the remainder re-joins in position order (sort_array over
+    (pos, tok) structs — collect_list alone is not order-stable under
+    shuffle). Docs with no duplicated span pass through unchanged; fully
+    duplicated docs come back with empty text, which a downstream quality
+    filter then drops.
+
+    Plan shape: duplicate_spans' linear plan, plus one id-keyed anti join
+    (equi on id, range residual on pos — spans per doc are few, so the
+    residual scan per key is short) and one per-doc aggregate.
+    """
+    spans = duplicate_spans(df, id_col, text_col, n, min_docs)
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    uncovered = tok.alias("t").join(
+        spans.alias("s"),
+        (F.col(f"t.{id_col}") == F.col(f"s.{id_col}"))
+        & (F.col("t.pos") >= F.col("s.span_start"))
+        & (F.col("t.pos") <= F.col("s.span_end")),
+        "left_anti",
+    )
+    clean = uncovered.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+    )
+    total = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("__total")
+    )
+    return (
+        total.join(clean, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+            (F.col("__total") - F.coalesce(F.col("kept_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+    )

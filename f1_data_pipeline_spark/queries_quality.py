@@ -33,10 +33,7 @@ def q_quarantine_bad_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "quarantine_bad_rows",
-    q_quarantine_bad_rows,
-    """
+_QUARANTINE_SQL = """
     WITH tagged AS (
         SELECT event_id, event_type, value,
                array_to_string(list_filter([
@@ -51,8 +48,7 @@ register(
     )
     SELECT event_id, event_type, value, violations
     FROM tagged WHERE violations <> ''
-    """,
-)
+"""
 
 
 # --- table profiling (pre/post-load QA pass) ------------------------------------
@@ -144,17 +140,45 @@ def q_fk_integrity_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sinks.fk_violations(fact, "o_custkey", dim, "c_custkey")
 
 
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both data-quality violation reports in one tagged union: the
+    quarantine rejects over events (I1 rule engine — null/enum/range, named
+    violations) and the FK integrity scan over orders (C5). Arms align on
+    (arm, row_key, detail, metric): quarantine carries the violation list
+    and the offending value; FK carries the dangling key."""
+    quarantine = q_quarantine_bad_rows(spark, sf_dir).select(
+        F.lit("quarantine").alias("arm"),
+        F.col("event_id").alias("row_key"),
+        F.concat_ws("|", F.coalesce("event_type", F.lit("")), "violations").alias(
+            "detail"
+        ),
+        F.col("value").alias("metric"),
+    )
+    fk = q_fk_integrity_violations(spark, sf_dir).select(
+        F.lit("fk").alias("arm"),
+        F.col("o_orderkey").alias("row_key"),
+        F.lit("dangling:o_custkey").alias("detail"),
+        F.col("o_custkey").cast("double").alias("metric"),
+    )
+    return quarantine.unionAll(fk)
+
+
 register(
-    "fk_integrity_violations",
-    q_fk_integrity_violations,
-    """
-    WITH fact AS (
+    "dq_violations",
+    q_dq_violations,
+    f"""
+    SELECT 'quarantine' AS arm, event_id AS row_key,
+           COALESCE(event_type, '') || '|' || violations AS detail,
+           value AS metric
+    FROM ({_QUARANTINE_SQL})
+    UNION ALL
+    SELECT 'fk', o_orderkey, 'dangling:o_custkey', CAST(o_custkey AS DOUBLE)
+    FROM (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 100 = 0 THEN o_custkey + 1000000
                     ELSE o_custkey END AS o_custkey
         FROM orders
-    )
-    SELECT o_orderkey, o_custkey FROM fact f
+    ) f
     WHERE o_custkey IS NOT NULL
       AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = f.o_custkey)
     """,

@@ -304,6 +304,74 @@ register(
 )
 
 
+def q_dedup_clip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply step of substring dedup: duplicated 15-gram ranges are cut out
+    of every doc (operators/dedup.py remove_duplicate_spans); one row per
+    doc with the clipped text and kept/removed token counts — all
+    oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(docs, "doc_id", "text", n=15, min_docs=2)
+
+
+register(
+    "dedup_clip_spans",
+    q_dedup_clip_spans,
+    r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), pos AS (
+        SELECT doc_id,
+               unnest([{'p': i, 'g': md5(array_to_string(toks[i+1:i+15], ' '))}
+                       FOR i IN range(0, greatest(len(toks) - 14, 0))]) AS pg
+        FROM tok
+    ), grams AS (
+        SELECT doc_id, pg.p AS pos, pg.g AS gh FROM pos
+    ), dup AS (
+        SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flagged AS (
+        SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
+    ), isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL OR pos - prev > 15 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM flagged
+        )
+    ), spans AS (
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 14 AS span_end
+        FROM isl GROUP BY doc_id, island
+    ), tp AS (
+        SELECT doc_id, pt.p AS pos, pt.t AS tok FROM (
+            SELECT doc_id,
+                   unnest([{'p': i, 't': toks[i+1]} FOR i IN range(0, len(toks))]) AS pt
+            FROM tok
+        )
+    ), clean AS (
+        SELECT t.doc_id,
+               string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+               COUNT(*) AS kept_tokens
+        FROM tp t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = t.doc_id
+              AND t.pos BETWEEN s.span_start AND s.span_end
+        )
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.clean_text, '') AS clean_text,
+           CAST(COALESCE(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(string_split_regex(trim(d.text), '\s+'))
+                - COALESCE(c.kept_tokens, 0) AS BIGINT) AS removed_tokens
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    """,
+)
+
+
 # --- X3 MinHash LSH + SimHash (no SQL twin → rows-only) ------------------------------
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -314,3 +314,35 @@ def test_semantic_dedup_deterministic(spark, sf_dir):
     a = {r["vec_id"] for r in semantic_dedup(emb, threshold=0.35).collect()}
     b = {r["vec_id"] for r in semantic_dedup(emb, threshold=0.35).collect()}
     assert a == b and len(a) > 0
+
+
+def test_remove_duplicate_spans_clips_only_shared_run(spark):
+    """The clip step cuts exactly the shared tokens and preserves the rest
+    in order; untouched docs pass through with zero removed."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"u0a u0b u0c {shared} u0d u0e"),
+        (1, f"v0a {shared} v0b v0c v0d v0e"),
+        (2, "w0a w0b w0c w0d w0e w0f w0g w0h w0i"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from f1_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=4).collect()}
+    assert out[0]["clean_text"] == "u0a u0b u0c u0d u0e"
+    assert out[0]["kept_tokens"] == 5 and out[0]["removed_tokens"] == 6
+    assert out[1]["clean_text"] == "v0a v0b v0c v0d v0e"
+    assert out[2]["removed_tokens"] == 0
+    assert out[2]["clean_text"] == rows[2][1]
+
+
+def test_remove_duplicate_spans_fully_duplicated_doc_empties(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f")], ["doc_id", "text"]
+    )
+    from f1_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=3).collect()}
+    for i in (0, 1):
+        assert out[i]["clean_text"] == "" and out[i]["kept_tokens"] == 0
+        assert out[i]["removed_tokens"] == 6
