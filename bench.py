@@ -56,8 +56,8 @@ def main() -> None:
 
     # Three headline keys were consolidated out of the registry in round 2
     # (dedup_first → dedup_first_top1, join_fk_lookup → filter_fk_resolved,
-    # agg_running_total → window_running_sum); bench keeps the original
-    # standalone forms so per-query timings stay comparable across rounds.
+    # agg_running_total → the window_sums composite); bench keeps the
+    # original standalone forms so per-query timings stay comparable.
     from f1_data_pipeline_spark import queries_streaming
 
     calls = dict(QUERIES)

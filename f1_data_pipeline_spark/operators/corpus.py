@@ -32,7 +32,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from f1_data_pipeline_spark.functions.text import token_count, tokens
+from f1_data_pipeline_spark.functions.text import (
+    positional_ngrams,
+    token_count,
+    tokens,
+)
 
 # --- deterministic train/test split -------------------------------------------
 
@@ -146,26 +150,10 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct (id, ngram) rows via posexplode + window leads — NOT the
-    array-HOF word_shingles: the HOF evaluates interpreted (outside codegen)
-    and Catalyst's project collapsing re-inlines it into every consumer
-    (measured 167 s vs ~5 s at sf0.1 for the contamination query). Same
-    pattern as minhash_lsh_pairs (operators/dedup.py:103-119)."""
-    tok_rows = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    w_doc = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w_doc) for j in range(1, n)]
-    return (
-        tok_rows.select(
-            F.col(id_col),
-            F.concat_ws(" ", *parts).alias("ngram"),
-            parts[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .select(id_col, "ngram")
-        .distinct()
-    )
+    """Distinct (id, ngram) rows via the shared codegen'd shingler
+    (functions/text.py positional_ngrams — see there for why not the
+    array-HOF word_shingles form)."""
+    return positional_ngrams(df, id_col, text_col, n).select(id_col, "ngram").distinct()
 
 
 def contamination(

@@ -22,7 +22,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from f1_data_pipeline_spark.functions.text import fingerprint, tokens, word_shingles
+from f1_data_pipeline_spark.functions.text import (
+    fingerprint,
+    positional_ngrams,
+    tokens,
+    word_shingles,
+)
 from f1_data_pipeline_spark.functions.vectors import cosine
 
 # ---------------------------------------------------------------------------
@@ -100,23 +105,15 @@ def minhash_lsh_pairs(
     ~20× slower than this aggregate form at sf0.01.
     """
     rows_per_band = num_hashes // bands
-    # Shingles via posexplode + window leads, NOT the array-HOF
-    # word_shingles: the HOF (sequence+transform+slice+concat) evaluates
-    # interpreted and dominated runtime (~4.6s of a 5.4s sf0.1 run).
+    # Shared codegen'd shingler (functions/text.py positional_ngrams; the
+    # array-HOF form dominated runtime — ~4.6s of a 5.4s sf0.1 run).
     # Duplicate shingles need no dedup — MIN is idempotent over multisets.
-    tok_rows = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(text_col)).alias("pos", "tok"),
-    )
-    w_doc = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [
-        F.lead("tok", j).over(w_doc) for j in range(1, shingle_size)
-    ]
-    shingled = (
-        tok_rows.select("id", F.concat_ws(" ", *parts).alias("s"), parts[-1].alias("last"))
-        .filter(F.col("last").isNotNull())
-        .select("id", F.xxhash64("s").alias("h"))
-    )
+    shingled = positional_ngrams(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        "id",
+        text_col,
+        shingle_size,
+    ).select("id", F.xxhash64("ngram").alias("h"))
 
     # 64 hash-family members: xxhash64 re-seeded by index over the one base
     # hash. All 64 mins compute in a single codegen'd aggregate pass.
@@ -359,12 +356,15 @@ def embedding_cosine_pairs(
     column rather than silently planning an N² join.
     """
     if block_col is None:
-        n = df.count()
-        if n > EMBEDDING_PAIRS_UNBLOCKED_MAX:
+        # bounded probe — a plain count() would materialize the whole
+        # upstream plan just to check the threshold
+        over = df.limit(EMBEDDING_PAIRS_UNBLOCKED_MAX + 1).count()
+        if over > EMBEDDING_PAIRS_UNBLOCKED_MAX:
             raise ValueError(
-                f"unblocked embedding_cosine_pairs over {n} rows would "
-                f"crossJoin N² pairs (limit {EMBEDDING_PAIRS_UNBLOCKED_MAX}); "
-                "pass block_col (label/cluster/LSH bucket) for a blocked join"
+                f"unblocked embedding_cosine_pairs over >"
+                f"{EMBEDDING_PAIRS_UNBLOCKED_MAX} rows would crossJoin N² "
+                "pairs; pass block_col (label/cluster/LSH bucket) for a "
+                "blocked join"
             )
     base = df.select(
         F.col(id_col).alias("id"),
@@ -500,20 +500,8 @@ def duplicate_spans(
     is bounded by total corpus tokens, the same scaling as the minhash
     shingle pass.
     """
-    tok_rows = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    w_doc = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w_doc) for j in range(1, n)]
-    grams = (
-        tok_rows.select(
-            F.col(id_col),
-            F.col("pos"),
-            F.md5(F.concat_ws(" ", *parts)).alias("gh"),
-            parts[-1].alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
+    grams = positional_ngrams(df, id_col, text_col, n).select(
+        id_col, "pos", F.md5("ngram").alias("gh")
     )
     dup_grams = (
         grams.groupBy("gh")

@@ -76,15 +76,18 @@ def histogram(
         F.greatest(F.floor(F.col(col) / F.lit(bucket_width)).cast("int"), F.lit(0)),
         F.lit(n_buckets),
     )
+    # pad width must cover the largest bucket id — Spark's lpad TRUNCATES
+    # longer strings, which would collide bucket 100 with bucket 10
+    pad = max(2, len(str(n_buckets)))
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(b.alias("__b"))
         .agg(F.count(F.lit(1)).alias("__n"))
         .select(
             F.lit(col).alias("col_name"),
-            F.concat(F.lit("hist_"), F.lpad(F.col("__b").cast("string"), 2, "0")).alias(
-                "stat"
-            ),
+            F.concat(
+                F.lit("hist_"), F.lpad(F.col("__b").cast("string"), pad, "0")
+            ).alias("stat"),
             F.col("__n").cast("double").alias("value"),
         )
     )

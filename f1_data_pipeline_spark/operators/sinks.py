@@ -186,7 +186,9 @@ def merge_upsert(
     """
     existing = _align_schema(read_table(spark, path, updates.schema), updates)
     merged = merge_upsert_frames(existing, updates, keys)
-    n = updates.count()
+    # applied-row count = distinct update keys (merge_upsert_frames collapses
+    # duplicate-keyed update rows — updates.count() would over-report)
+    n = updates.select(*keys).distinct().count()
     write_atomic(merged, path, partition_by)
     return n
 

@@ -51,9 +51,12 @@ def curate(
     n_input = docs.count()
 
     keep_ids = C.quality_signals(docs, "doc_id", "text").filter("keep").select("doc_id")
-    quality = docs.join(keep_ids, "doc_id", "left_semi")
+    # persist the intermediate stages: the stats block counts them, and an
+    # unpersisted `quality` would re-run the quality aggregation (explode +
+    # two shuffles) once per downstream count — 3× on a large corpus
+    quality = docs.join(keep_ids, "doc_id", "left_semi").persist()
 
-    exact = D.exact_dedup(quality, "text", "doc_id")
+    exact = D.exact_dedup(quality, "text", "doc_id").persist()
     pairs = D.minhash_lsh_pairs(exact, "doc_id", "text", threshold=minhash_threshold)
     near = D.dedup_by_clusters(exact, pairs, "doc_id")
 
@@ -91,6 +94,8 @@ def curate(
         "n_packs": spark.read.parquet(f"{out_dir}/packs").count(),
     }
     curated.unpersist()
+    exact.unpersist()
+    quality.unpersist()
     return stats
 
 
