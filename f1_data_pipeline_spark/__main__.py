@@ -110,7 +110,14 @@ def main(argv: list[str] | None = None) -> int:
         help="run the corpus-curation plan over SF_DIR/documents.parquet "
         "(beyond-reference LLM-data suite; plans/curation.py)",
     )
-    ap.add_argument("--out", help="output directory for --curate")
+    ap.add_argument("--out", help="output directory for --curate / --profile")
+    ap.add_argument(
+        "--profile",
+        metavar="PARQUET_PATH",
+        help="profile a parquet table (null/cardinality stats per column, "
+        "long format; operators/profile.py); writes the report to --out "
+        "when given, always prints it as one JSON object",
+    )
     args = ap.parse_args(argv)
     if args.curate:
         if not args.out:
@@ -119,6 +126,22 @@ def main(argv: list[str] | None = None) -> int:
 
         stats = curate(get_spark("curation-cli"), args.curate, args.out)
         print(json.dumps(stats))
+        return 0
+    if args.profile:
+        from f1_data_pipeline_spark.operators.profile import profile_long
+
+        spark = get_spark("profile-cli")
+        report = profile_long(spark.read.parquet(args.profile))
+        if args.out:
+            report.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    f"{r['col_name']}.{r['stat']}": r["value"]
+                    for r in report.collect()
+                }
+            )
+        )
         return 0
     if not args.mode and not args.table:
         ap.error("one of --mode / --table is required")

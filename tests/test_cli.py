@@ -77,3 +77,15 @@ def test_cli_curate_requires_out(capsys):
     with pytest.raises(SystemExit):
         main(["--curate", "/tmp/x"])
     assert "--curate requires --out" in capsys.readouterr().err
+
+
+def test_cli_profile(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "profile")
+    rc = main(["--profile", f"{sf_dir}/orders.parquet", "--out", out])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert report["*.n_rows"] == n_orders
+    assert report["o_orderkey.n_distinct"] == n_orders
+    assert report["o_orderkey.null_frac"] == 0.0
+    assert spark.read.parquet(out).count() == len(report)
