@@ -351,6 +351,8 @@ def q_agg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     # D1 (filtered MAX) and D2 (the sequence-reset COALESCE(MAX(id), 0) over
     # an empty relation, loaders/__init__.py:105) as two 1-row aggregates
     # joined into one oracle row — a crossJoin of singletons, not a shuffle.
+    # Standalone form; the registry carries these through fn_order_scalars
+    # (queries_scalars.py), which broadcasts this row onto every output row.
     o = load_table(spark, sf_dir, "orders")
     max_price = (
         o.filter(F.year("o_orderdate") == 1997)
@@ -360,18 +362,6 @@ def q_agg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("o_orderkey"), F.lit(0).cast("long")).alias("next_id_base")
     )
     return max_price.crossJoin(next_id)
-
-
-register(
-    "agg_extrema",
-    q_agg_extrema,
-    """
-    SELECT (SELECT MAX(o_totalprice) FROM orders
-            WHERE EXTRACT(YEAR FROM o_orderdate) = 1997) AS max_totalprice,
-           (SELECT CAST(COALESCE(MAX(o_orderkey), 0) AS BIGINT)
-            FROM orders WHERE o_totalprice < 0) AS next_id_base
-    """,
-)
 
 
 # --- D3 counts: covered by pricing_summary's per-group count_order (and

@@ -20,7 +20,12 @@ from f1_data_pipeline_spark.sources import load_table
 def q_fn_order_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # year() (G1) plus safe_int (G5): priority "3-MEDIUM" → leading digit
     # parses; a corrupted variant must null out instead of raising
-    # (reference base_loader.py:224-229).
+    # (reference base_loader.py:224-229). The D1/D2 extrema row
+    # (q_agg_extrema, queries_relational.py) broadcasts onto every output
+    # row — 1-row crossJoin, no shuffle — so both aggregate values stay
+    # hash-verified without their own registry slot.
+    from f1_data_pipeline_spark.queries_relational import q_agg_extrema
+
     o = load_table(spark, sf_dir, "orders")
     raw = F.when(
         F.col("o_orderstatus") == "P", F.lit("corrupt")
@@ -30,7 +35,7 @@ def q_fn_order_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("order_year"),
         raw.alias("raw_priority"),
         S.safe_int(raw).alias("priority_num"),
-    )
+    ).crossJoin(F.broadcast(q_agg_extrema(spark, sf_dir)))
 
 
 register(
@@ -42,7 +47,11 @@ register(
            CASE WHEN o_orderstatus = 'P' THEN 'corrupt'
                 ELSE substr(o_orderpriority, 1, 1) END AS raw_priority,
            TRY_CAST(CASE WHEN o_orderstatus = 'P' THEN 'corrupt'
-                         ELSE substr(o_orderpriority, 1, 1) END AS INT) AS priority_num
+                         ELSE substr(o_orderpriority, 1, 1) END AS INT) AS priority_num,
+           (SELECT MAX(o_totalprice) FROM orders
+            WHERE EXTRACT(YEAR FROM o_orderdate) = 1997) AS max_totalprice,
+           (SELECT CAST(COALESCE(MAX(o_orderkey), 0) AS BIGINT)
+            FROM orders WHERE o_totalprice < 0) AS next_id_base
     FROM orders
     """,
 )

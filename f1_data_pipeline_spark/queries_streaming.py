@@ -279,6 +279,57 @@ register(
 )
 
 
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() — the wide-matrix reshape (one row per day, one
+    column pair per event type). Pivot values are passed EXPLICITLY: without
+    them Spark runs an extra distinct-collect job over the whole fact to
+    discover the columns, a scan you never want at 100 TB. Counts coalesce
+    to 0 for absent (day, type) combos (DuckDB's FILTER'd COUNT is 0 there);
+    decimal-accumulated sums stay NULL on both engines. NULL event_type rows
+    fall outside every listed pivot value on both sides."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    wide = ev.groupBy("day").pivot("event_type", _PIVOT_TYPES).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("value"),
+    )
+    return wide.select(
+        "day",
+        *[
+            c
+            for t in _PIVOT_TYPES
+            for c in (
+                F.coalesce(F.col(f"{t}_n"), F.lit(0).cast("long")).alias(f"{t}_n"),
+                F.col(f"{t}_value"),
+            )
+        ],
+    )
+
+
+def _pivot_sql() -> str:
+    cols = []
+    for t in _PIVOT_TYPES:
+        cols.append(
+            f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}_n"
+        )
+        cols.append(
+            f"CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2)))"
+            f" FILTER (WHERE event_type = '{t}'), 2) AS DOUBLE) AS {t}_value"
+        )
+    return (
+        "SELECT CAST(ts AS DATE) AS day,\n       "
+        + ",\n       ".join(cols)
+        + "\nFROM events GROUP BY 1"
+    )
+
+
+register("pivot_daily_types", q_pivot_daily_types, _pivot_sql())
+
+
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative per-user value over event time (running-state window —
     the batch twin of the stateful streaming profile, streaming/stateful.py).

@@ -134,3 +134,12 @@ def test_token_packing_single_exchange_per_window(spark, sf_dir):
     js = audit.join_strategies(QUERIES["token_packing"](spark, sf_dir))
     assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
     assert js["exchanges"] <= 3  # window shard exchange + agg (+ AQE wrapper)
+
+
+def test_pivot_single_aggregate_no_joins(spark, sf_dir):
+    """Explicit pivot values: one grouped aggregate, no join machinery and
+    no second scan to discover the pivot columns."""
+    js = audit.join_strategies(QUERIES["pivot_daily_types"](spark, sf_dir))
+    assert js["cartesian"] == 0 and js["broadcast_nested_loop"] == 0
+    plan = audit.executed_plan(QUERIES["pivot_daily_types"](spark, sf_dir))
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
