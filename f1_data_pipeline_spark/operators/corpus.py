@@ -93,6 +93,32 @@ def stratified_sample(
     return df.withColumn("bucket", b).filter(F.col("bucket") < allow)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most `k` rows per group — the
+    domain-cap rule of corpus curation (no single source may dominate the
+    mix). Rows are ranked by a salted md5 of their id, so the kept subset
+    is (a) unbiased w.r.t. id assignment order, (b) reproducible on any
+    engine, and (c) monotone under corpus growth within a group only up to
+    the cap — unlike rate sampling, a group at its cap swaps members as
+    better-hashed rows arrive, which is exactly the semantics of a cap.
+
+    Adds `rn` (1..k hash rank within the group). One window shuffle keyed
+    on the group; at 100 TB a pathological mega-group serializes its own
+    sort, so pre-prune with a hash threshold (keep rows whose bucket <
+    ~2k/|group| estimate) before ranking when group skew is extreme.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 # --- quality signals ------------------------------------------------------------
 
 

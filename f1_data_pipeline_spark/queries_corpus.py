@@ -67,13 +67,29 @@ _SAMPLE_RATES = {"en": 128, "de": 256, "es": 64, "fr": 26, "zh": 13}
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-mix resampling: per-language bucket allowances out of 256
-    (en 50%, de 100%, es 25%, fr ~10%, zh ~5%) via salted md5 — the
-    deterministic downsample/upsample step of corpus curation. Full sampled
-    rows are the oracle output, so membership is verified row-by-row."""
+    """Both deterministic corpus-mix samplers in one tagged composite:
+    `rate` — per-language bucket allowances out of 256 (en 50%, de 100%,
+    es 25%, fr ~10%, zh ~5%) via salted md5; `cap` — at most 25 docs per
+    source (the domain-cap rule), hash-ranked. `pick` is the md5 bucket for
+    the rate arm and the within-group hash rank for the cap arm. Full
+    sampled rows are the oracle output, so membership is verified
+    row-by-row on both arms."""
     docs = load_table(spark, sf_dir, "documents")
-    out = C.stratified_sample(docs, "lang", "doc_id", _SAMPLE_RATES)
-    return out.select("doc_id", "lang", "source", "bucket")
+    rate = C.stratified_sample(docs, "lang", "doc_id", _SAMPLE_RATES).select(
+        F.lit("rate").alias("arm"),
+        "doc_id",
+        "lang",
+        "source",
+        F.col("bucket").cast("long").alias("pick"),
+    )
+    cap = C.cap_per_group(docs, "source", "doc_id", k=25).select(
+        F.lit("cap").alias("arm"),
+        "doc_id",
+        "lang",
+        "source",
+        F.col("rn").cast("long").alias("pick"),
+    )
+    return rate.unionAll(cap)
 
 
 register(
@@ -86,10 +102,20 @@ register(
                                     1, 2))::BIGINT AS INT) AS bucket
         FROM documents
     )
-    SELECT doc_id, lang, source, bucket FROM b
+    SELECT 'rate' AS arm, doc_id, lang, source, CAST(bucket AS BIGINT) AS pick
+    FROM b
     WHERE bucket < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 256
                              WHEN 'es' THEN 64 WHEN 'fr' THEN 26
                              WHEN 'zh' THEN 13 ELSE 8 END
+    UNION ALL
+    SELECT 'cap', doc_id, lang, source, CAST(rn AS BIGINT) FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 25
     """,
 )
 

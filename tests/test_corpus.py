@@ -200,3 +200,29 @@ def test_tfidf_plan_no_cartesian_and_k_bound(spark, sf_dir):
     assert js["cartesian"] == 0  # the N-docs scalar joins as a 1-row broadcast
     per_doc = out.groupBy("doc_id").count().agg(F.max("count")).first()[0]
     assert per_doc <= 5
+
+
+def test_cap_per_group_caps_and_is_deterministic(spark):
+    rows = [(i, "big" if i < 900 else f"s{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = C.cap_per_group(df, "source", "doc_id", k=50)
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["big"] == 50  # dominant source capped
+    for s, n in by_src.items():
+        if s != "big":
+            assert n <= 50  # small sources keep everything they have
+    again = C.cap_per_group(df.repartition(9), "source", "doc_id", k=50)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_cap_per_group_unbiased_by_id_order(spark):
+    """Hash-ranked, not id-ranked: the kept set must not be the first k ids
+    (an id-ordered cap would bias toward whatever arrived first)."""
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(200)], ["doc_id", "source"]
+    )
+    kept = {r["doc_id"] for r in C.cap_per_group(df, "source", "doc_id", k=20).collect()}
+    assert kept != set(range(20))
