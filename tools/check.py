@@ -67,9 +67,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -114,7 +116,7 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} checked queries OK")
+    print(f"\n{checked - len(failures)}/{checked} checked queries OK")
     return 1 if failures else 0
 
 
