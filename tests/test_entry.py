@@ -25,3 +25,19 @@ def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     for k in entrymod.oracle_sql():
         assert k in qs
+
+
+def test_registry_order_keeps_oracle_entries_inside_verified_window():
+    """The driver verifies exactly the first 50 queries() entries in
+    insertion order. Every oracle-backed key must register before every
+    rows-only key, and the registry must hold exactly 50 entries — a
+    reorder here silently drops queries out of the correctness gate
+    (round-1 verdict's headline finding)."""
+    qs = list(entrymod.queries())
+    oracle = set(entrymod.oracle_sql())
+    assert len(qs) == 50
+    first_oracle_block = qs[: len(oracle)]
+    assert set(first_oracle_block) == oracle, (
+        "rows-only entries interleaved into the oracle-verified window"
+    )
+    assert all(k not in oracle for k in qs[len(oracle):])
