@@ -260,6 +260,8 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    min_df: int = 1,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Top-k most characteristic terms per document by TF-IDF.
 
@@ -273,15 +275,37 @@ def tfidf_top_terms(
     document frequency is a second aggregate on the SAME (term-keyed)
     exchange; N is a 1-row broadcast. The only per-doc shuffle is the final
     top-k window, keyed on doc id. No driver-side scalars, no UDFs.
-    At 100 TB the (term) aggregate is the skew point (stopwords) — the
-    downstream join is term-keyed and AQE splits oversized partitions; a
-    stopword allowlist filter before the join is the standard mitigation.
+
+    Scale mitigation (the df-band pre-filter): `min_df` drops the hapax /
+    rare-term tail and `max_df_ratio` drops the stopword head from the
+    document-frequency side BEFORE the tf⋈dfreq join. Vocabulary at crawl
+    scale is dominated by the df=1 tail (typos, ids, boilerplate hashes) —
+    min_df=2 cuts the join build side and the term-keyed shuffle state by
+    the tail's share without touching doc_len normalization (doc_len is
+    aggregated from the unfiltered tf, so surviving terms score
+    identically). The ceiling kills hot stopword keys (df ≈ N ⇒ idf ≈ 0 —
+    never top-k material for any doc with ≥ k mid-band terms). Measured:
+    see SCALE_NOTES "tfidf_top_terms scale probe" — the 16× vocab-growth
+    superlinearity collapses under min_df=2.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     doc_len = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("doc_len"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
     n_docs = doc_len.agg(F.count("*").cast("long").alias("n_docs"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df_t") >= F.lit(min_df))
+    if max_df_ratio is not None:
+        # n_docs rides in as a 1-row broadcast, so the ceiling needs no
+        # driver-side collect and composes into the same stage
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(n_docs.withColumnRenamed("n_docs", "_nd")))
+            .filter(
+                F.col("df_t").cast("double")
+                <= F.lit(float(max_df_ratio)) * F.col("_nd").cast("double")
+            )
+            .drop("_nd")
+        )
     d = F.col("tf").cast("double") / F.col("doc_len").cast("double")
     i = (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5)) / (
         F.col("df_t").cast("double") + F.lit(0.5)

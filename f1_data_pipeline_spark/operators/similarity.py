@@ -345,9 +345,13 @@ def ivf_search(
             F.transform(F.slice(F.array_sort(cell_dists), 1, nprobe), lambda s: s["cell"])
         ),
     )
-    probed = sorted(
-        {r["cell"] for r in q_cells.select("cell").distinct().collect()}
-    )
+    # One collect does double duty: the (query, cell) assignment is tiny by
+    # contract (queries broadcast below), so materialize it once on the
+    # driver, derive the partition filter from it, and rebuild the broadcast
+    # side as a local frame — the assignment expression runs exactly once.
+    q_rows = q_cells.collect()
+    probed = sorted({r["cell"] for r in q_rows})
+    q_cells = spark.createDataFrame(q_rows, q_cells.schema)
     cells = spark.read.parquet(f"{index_path}/cells").filter(
         F.col("cell").isin(probed)  # partition pruning on the index layout
     )

@@ -481,6 +481,13 @@ def merge_upsert_partitioned(
       scans the untouched partitions' key columns (column-pruned, far
       cheaper than the full rewrite this operator avoids) and raises if any
       update key already exists elsewhere.
+
+    COMMIT CONTRACT — LOCAL FILESYSTEM ONLY: the per-partition swap relies
+    on atomic directory rename, which object stores (S3/GCS) do not have —
+    a "rename" there is copy+delete per object and a crash mid-swap leaves
+    a torn partition. On object-store targets use `merge_upsert_manifest`,
+    which commits by atomically replacing a single manifest object (PUT is
+    atomic per object) and never renames data files.
     """
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:

@@ -83,14 +83,21 @@ def curate(
         manifest = manifest.unionByName(p)
     manifest.write.mode("overwrite").parquet(f"{out_dir}/packs")
 
+    # one job over the persisted frame covers total / per-split / pii counts
+    per_split = {
+        r["split"]: (r["cnt"], r["pii"] or 0)
+        for r in curated.groupBy("split")
+        .agg(F.count("*").alias("cnt"), F.sum("n_pii").alias("pii"))
+        .collect()
+    }
     stats = {
         "n_input": n_input,
         "n_quality": quality.count(),
         "n_exact": exact.count(),
-        "n_curated": curated.count(),
-        "n_train": curated.filter(F.col("split") == "train").count(),
-        "n_test": curated.filter(F.col("split") == "test").count(),
-        "n_pii_hits": curated.agg(F.sum("n_pii")).first()[0] or 0,
+        "n_curated": sum(c for c, _ in per_split.values()),
+        "n_train": per_split.get("train", (0, 0))[0],
+        "n_test": per_split.get("test", (0, 0))[0],
+        "n_pii_hits": sum(p for _, p in per_split.values()),
         "n_packs": spark.read.parquet(f"{out_dir}/packs").count(),
     }
     curated.unpersist()

@@ -17,14 +17,21 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from f1_data_pipeline_spark.schemas import TESTDATA_TABLES
 
-# Parquet INT64 TIMESTAMP(NANOS) columns per table. Spark (through 4.x) has
-# no nanosecond timestamp type and refuses these columns unless
+# Timestamp columns whose on-disk parquet encoding has varied across
+# testdata generations: INT64 TIMESTAMP(NANOS) (rounds 1-2) or
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 3+). Spark (through 4.x)
+# has no nanosecond timestamp type and refuses NANOS columns unless
 # spark.sql.legacy.parquet.nanosAsLong=true, which surfaces them as epoch-ns
-# longs. We convert ns → µs with integer division (floor), which matches how
+# longs; we then convert ns → µs with integer division (floor), matching how
 # DuckDB's reader coerces the same column — required for oracle parity.
+# MICROS/NTZ data needs no conversion, only a wall-clock-preserving cast to
+# the engine's TimestampType so the post-load logical schema is stable
+# across encodings. load_table dispatches on the SURFACED type, so either
+# encoding (or a plain session without the nanos conf) works.
 NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
 }
@@ -43,9 +50,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
     for c in nano_cols:
-        # Integer division keeps full precision (ns values exceed 2^53, so a
-        # double-division would corrupt low bits); floor matches DuckDB.
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.LongType):
+            # nanos surfaced as epoch-ns longs: integer division keeps full
+            # precision (ns values exceed 2^53, so a double-division would
+            # corrupt low bits); floor matches DuckDB.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # µs/NTZ encoding: the cast reinterprets the wall clock in the
+            # session zone and collect() renders it back in the same zone,
+            # so values match DuckDB's naive read under any timezone.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

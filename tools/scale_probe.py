@@ -11,8 +11,17 @@ A quadratic regression would show candidates growing ~N²; linear behavior
 shows ~N growth (each replica's near-dup structure is internal to the
 replica, plus cross-replica collisions from shared band buckets).
 
-Usage: python tools/scale_probe.py [op] [sf_dir] [factors...]
-  op: minhash (default) | contamination | spans | tfidf
+Usage: python tools/scale_probe.py [op] [sf_dir] [factors...] [mode=...]
+  op: minhash (default) | contamination | spans | tfidf | tfidf_mindf
+  mode=clique | disjoint | tail (default: clique,disjoint)
+
+The `tail` mode appends 8 per-doc unique tokens to every replica doc: the
+synthetic corpus has a 31-term vocabulary with df >= 25 everywhere, so the
+plain disjoint mode cannot model crawl-scale vocabulary growth (real crawls
+are Zipfian — the df=1 tail of typos/ids/hashes dominates the vocabulary).
+Under `tail`, vocab grows ~8 terms/doc with the corpus; `tfidf_mindf`
+(min_df=2) drops that tail from the df side before the tf⋈dfreq join —
+the measured difference is the value of the df-band pre-filter.
 Prints one JSON line per factor. Results recorded in SCALE_NOTES.md.
 
 The contamination probe keeps the eval pool FIXED (the base corpus's
@@ -35,8 +44,13 @@ from pyspark.sql import functions as F  # noqa: E402
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "contamination", "spans", "tfidf"):
+    if args and args[0] in ("minhash", "contamination", "spans", "tfidf", "tfidf_mindf"):
         op = args.pop(0)
+    modes = ("clique", "disjoint")
+    for a in list(args):
+        if a.startswith("mode="):
+            modes = tuple(a.split("=", 1)[1].split(","))
+            args.remove(a)
     sf_dir = args.pop(0) if args else "/root/testdata/sf0.1"
     factors = [int(a) for a in args] or [1, 4, 16]
 
@@ -55,14 +69,32 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base_n = docs.count()  # also warms the scan
 
+    def with_tail(frame, width=8):
+        # 8 per-doc unique tokens: a genuine hapax tail whose vocabulary
+        # grows linearly with the corpus (the Zipfian-tail shape real
+        # crawls have and the 31-term synthetic corpus lacks)
+        uniq = [
+            F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit(f"x{j}"))
+            for j in range(width)
+        ]
+        return frame.select(
+            "doc_id", F.concat_ws(" ", F.col("text"), *uniq).alias("text")
+        )
+
     for factor in factors:
-        for mode in ("clique", "disjoint"):
+        for mode in modes:
             if factor == 1:
-                scaled = docs
+                scaled = with_tail(docs) if mode == "tail" else docs
             else:
                 replicas = []
                 for i in range(factor):
-                    if mode == "clique":
+                    if mode == "tail":
+                        # disjoint-style suffix so replicas stay
+                        # independent; hapax tail appended after union
+                        text = F.regexp_replace(
+                            "text", r"(\S+)", r"$1" + f"r{i}"
+                        )
+                    elif mode == "clique":
                         # replicas stay near-dups of each other (one tag
                         # token): TRUE pair count grows ~f²/2 per original
                         # doc — observed candidates should track it, not
@@ -84,6 +116,10 @@ def main() -> None:
                 scaled = replicas[0]
                 for r in replicas[1:]:
                     scaled = scaled.unionAll(r)
+                if mode == "tail":
+                    # doc_id is replica-offset, so the tail is unique
+                    # corpus-wide: vocab grows ~8×docs with the corpus
+                    scaled = with_tail(scaled)
             t0 = time.time()
             if op == "minhash":
                 out = minhash_lsh_pairs(scaled, "doc_id", "text", threshold=0.5)
@@ -93,6 +129,10 @@ def main() -> None:
                 # clique: vocabulary fixed, every df grows ~factor× → the
                 # worst-case hot-term skew. rows = docs×k in both; time ~N.
                 out = tfidf_top_terms(scaled, "doc_id", "text", k=5)
+            elif op == "tfidf_mindf":
+                # the df-band pre-filter arm: min_df=2 drops the hapax
+                # tail from the df side before the tf⋈dfreq join
+                out = tfidf_top_terms(scaled, "doc_id", "text", k=5, min_df=2)
             elif op == "spans":
                 # disjoint: no cross-replica grams → span rows ~factor×base
                 # (each replica keeps only the base corpus's internal spans);
