@@ -19,8 +19,10 @@ the same dataflow drops into Delta/Iceberg `MERGE INTO` unchanged.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import urllib.parse
 import uuid
 from collections.abc import Sequence
 
@@ -560,3 +562,224 @@ def merge_upsert_partitioned(
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return n
+
+
+# ---------------------------------------------------------------------------
+# manifest-committed tables — the object-store-safe MERGE path.
+#
+# `merge_upsert_partitioned` commits by renaming partition directories, which
+# is atomic on POSIX but copy+delete (torn on crash) on S3/GCS. Manifest
+# tables use the Iceberg/Delta commit model instead, reduced to its minimum:
+#
+#   <path>/_MANIFEST                      one small JSON object = table state
+#   <path>/data/<part>/<snap>/*.parquet   immutable prefixes, never renamed
+#
+# A MERGE writes the touched partitions' merged data to FRESH prefixes (data
+# files land at their final names — no post-write rename anywhere), then
+# commits by atomically replacing the single manifest object (`os.replace`
+# locally; an object PUT — atomic per object on S3/GCS — in production). A
+# crash at ANY earlier point leaves only unreferenced garbage prefixes that
+# `vacuum_manifest` reclaims; readers resolving the manifest see wholly-old
+# or wholly-new state, never a torn partition.
+#
+# The partition column is kept as a REGULAR data column (parquet RLE makes
+# the duplication ~free) and its per-partition value recorded in the
+# manifest: readers do ONE multi-path parquet scan over the referenced
+# prefixes — no per-prefix union plan — and partition pruning happens at the
+# manifest level (`partition_values=`), before Spark ever lists a file,
+# exactly how table formats prune from metadata at 100 TB.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_FILE = "_MANIFEST"
+
+
+def _enc_part(v) -> str:
+    """Stable string encoding of a partition value for manifest keys and
+    prefix names (None → 'null'; everything else str())."""
+    return "null" if v is None else str(v)
+
+
+def read_manifest(path: str) -> dict | None:
+    mf = os.path.join(path, _MANIFEST_FILE)
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(path: str, manifest: dict) -> None:
+    """THE commit point: replace the single manifest object atomically.
+    Locally `os.replace`; on an object store this is one PUT (atomic per
+    object). Everything before this call is invisible to readers."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{_MANIFEST_FILE}.tmp{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _MANIFEST_FILE))
+
+
+def read_manifest_table(
+    spark: SparkSession,
+    path: str,
+    partition_values: Sequence | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read a manifest-committed table: resolve `_MANIFEST`, prune prefixes
+    by `partition_values` (manifest-level pruning — unreferenced and
+    filtered-out prefixes are never even listed), one multi-path scan."""
+    m = read_manifest(path)
+    if m is None:
+        if schema is None:
+            raise FileNotFoundError(f"no manifest at {path}")
+        return spark.createDataFrame([], schema)
+    entries = m["partitions"]
+    if partition_values is not None:
+        want = {_enc_part(v) for v in partition_values}
+        entries = {k: e for k, e in entries.items() if k in want}
+    prefixes = [os.path.join(path, e["prefix"]) for e in entries.values()]
+    if not prefixes:
+        return spark.createDataFrame(
+            [], schema if schema is not None else T.StructType()
+        )
+    return spark.read.parquet(*prefixes)
+
+
+def merge_upsert_manifest(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+    check_moved_keys: bool = True,
+) -> int:
+    """Partition-scoped MERGE with an object-store-safe commit.
+
+    Same semantics and preconditions as `merge_upsert_partitioned` (update
+    rows win, unmatched insert, untouched partitions untouched; `keys` must
+    functionally determine `partition_col`) — but commit is one atomic
+    manifest replace instead of N directory renames, so a crash anywhere
+    mid-write leaves readers on the old snapshot with zero torn state.
+    NULL partition values need no fallback here: pruning is manifest-key
+    selection, not a Hive `isin` predicate, so NULL is just another entry.
+
+    Writes one job per TOUCHED partition (the batch's distinct partition
+    values — by design a handful for an incremental load; the merged frame
+    is persisted so each job is a filter over cached rows, not a recompute).
+    Old prefixes stay on disk for snapshot-isolated in-flight readers until
+    `vacuum_manifest` reclaims them.
+
+    Reference parity: same ON CONFLICT DO UPDATE contract as the reference's
+    loaders (loaders/__init__.py:253-273), with the all-or-nothing guarantee
+    (loaders/__init__.py:108-113) carried by the manifest flip.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return 0
+    dup_keyed = (
+        updates.groupBy(*keys)
+        .agg(F.countDistinct(partition_col).alias("__np"))
+        .filter(F.col("__np") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup_keyed:
+        raise ValueError(
+            f"update batch maps one {keys} key to multiple {partition_col} "
+            "values — keys must functionally determine the partition column "
+            "for partition-scoped MERGE"
+        )
+
+    manifest = read_manifest(path) or {
+        "version": 0,
+        "partition_col": partition_col,
+        "partitions": {},
+    }
+    if manifest["partition_col"] != partition_col:
+        raise ValueError(
+            f"table at {path} is manifest-partitioned by "
+            f"{manifest['partition_col']!r}, not {partition_col!r}"
+        )
+    touched = {_enc_part(p): p for p in parts}
+    untouched_keys = [k for k in manifest["partitions"] if k not in touched]
+
+    if check_moved_keys and untouched_keys:
+        # scan ONLY the untouched prefixes (manifest-level pruning), key
+        # columns only — far cheaper than the rewrite this operator avoids
+        untouched_prefixes = [
+            os.path.join(path, manifest["partitions"][k]["prefix"])
+            for k in untouched_keys
+        ]
+        elsewhere = (
+            spark.read.parquet(*untouched_prefixes)
+            .select(*keys)
+            .join(updates.select(*keys).distinct(), list(keys), "left_semi")
+            .limit(1)
+            .count()
+        )
+        if elsewhere:
+            raise ValueError(
+                f"update keys already exist under other {partition_col} "
+                "partitions — a partition-scoped MERGE would duplicate them"
+            )
+
+    existing_touched = _align_schema(
+        read_manifest_table(
+            spark, path, partition_values=parts, schema=updates.schema
+        ),
+        updates,
+    )
+    merged = merge_upsert_frames(existing_touched, updates, keys).persist()
+    try:
+        n = updates.count()
+        snap = uuid.uuid4().hex[:12]
+        new_entries: dict[str, dict] = {}
+        for enc, val in touched.items():
+            # final location, written once, never renamed — on an object
+            # store these PUTs are invisible until the manifest references
+            # the prefix
+            prefix = os.path.join(
+                "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
+            )
+            part_df = merged.filter(
+                F.col(partition_col).isNull()
+                if val is None
+                else F.col(partition_col) == F.lit(val)
+            )
+            part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
+            new_entries[enc] = {"prefix": prefix, "value": enc}
+        manifest = {
+            "version": manifest["version"] + 1,
+            "partition_col": partition_col,
+            "partitions": {**manifest["partitions"], **new_entries},
+        }
+        _commit_manifest(path, manifest)  # ← the one and only commit action
+    finally:
+        merged.unpersist()
+    return n
+
+
+def vacuum_manifest(path: str) -> list[str]:
+    """Reclaim data prefixes the current manifest no longer references —
+    superseded snapshots and garbage from writers that crashed before their
+    manifest flip. Safe to run any time; never touches referenced prefixes.
+    Returns the removed prefix paths (relative to `path`)."""
+    m = read_manifest(path)
+    if m is None:
+        return []
+    live = {os.path.normpath(e["prefix"]) for e in m["partitions"].values()}
+    removed: list[str] = []
+    data_root = os.path.join(path, "data")
+    if not os.path.isdir(data_root):
+        return []
+    for part_dir in sorted(os.listdir(data_root)):
+        pd = os.path.join(data_root, part_dir)
+        if not os.path.isdir(pd):
+            continue
+        for snap_dir in sorted(os.listdir(pd)):
+            rel = os.path.normpath(os.path.join("data", part_dir, snap_dir))
+            if rel not in live:
+                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+                removed.append(rel)
+        if not os.listdir(pd):
+            os.rmdir(pd)
+    return removed

@@ -355,6 +355,195 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
         compact(spark, path, partition_by=["other"])
 
 
+def _read_manifest_rows(spark, path):
+    return {
+        (r["id"], str(r["day"]) if r["day"] is not None else None, r["v"])
+        for r in sinks.read_manifest_table(spark, path).collect()
+    }
+
+
+def test_manifest_merge_parity_with_full_merge(spark, tmp_path):
+    """Same MERGE sequence through merge_upsert and merge_upsert_manifest
+    must converge to identical row sets (the reader-parity contract)."""
+    plain = str(tmp_path / "plain")
+    man = str(tmp_path / "man")
+    batches = [
+        [(i, f"2024-01-0{1 + i % 3}", float(i)) for i in range(30)],
+        [(0, "2024-01-01", 100.0), (999, "2024-01-01", 9.5)],
+        [(5, "2024-01-03", -1.0), (1000, "2024-01-04", 4.0)],  # new partition
+    ]
+    for b in batches:
+        df = spark.createDataFrame(b, "id long, day string, v double")
+        sinks.merge_upsert(spark, df, plain, ["id"], partition_by=["day"])
+        sinks.merge_upsert_manifest(spark, df, man, ["id"], partition_col="day")
+    plain_rows = {
+        (r["id"], str(r["day"]), r["v"])
+        for r in spark.read.parquet(plain).collect()
+    }
+    assert _read_manifest_rows(spark, man) == plain_rows
+
+
+def test_manifest_merge_crash_between_partition_writes_no_torn_state(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the writer after SOME partition prefixes are written but before
+    the manifest flip: readers must still see exactly the old snapshot —
+    the torn-partition hazard that rename-based commit has on object
+    stores. Vacuum then reclaims the orphaned prefixes."""
+    path = str(tmp_path / "man")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}", float(i)) for i in range(30)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, base, path, ["id"], partition_col="day")
+    before = _read_manifest_rows(spark, path)
+    v_before = sinks.read_manifest(path)["version"]
+
+    # crash mid-commit: let partition data writes proceed, die at the flip
+    def boom(p, m):
+        raise RuntimeError("simulated crash before manifest flip")
+
+    monkeypatch.setattr(sinks, "_commit_manifest", boom)
+    updates = spark.createDataFrame(
+        [(0, "2024-01-01", 111.0), (1, "2024-01-02", 222.0)],
+        "id long, day string, v double",
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sinks.merge_upsert_manifest(spark, updates, path, ["id"], partition_col="day")
+
+    assert _read_manifest_rows(spark, path) == before  # old snapshot intact
+    assert sinks.read_manifest(path)["version"] == v_before
+    monkeypatch.undo()
+
+    # orphaned (never-referenced) prefixes exist and are reclaimable
+    removed = sinks.vacuum_manifest(path)
+    assert removed, "crash left garbage prefixes that vacuum should find"
+    assert _read_manifest_rows(spark, path) == before  # vacuum never breaks readers
+
+    # and the retried merge commits cleanly
+    sinks.merge_upsert_manifest(spark, updates, path, ["id"], partition_col="day")
+    after = _read_manifest_rows(spark, path)
+    assert (0, "2024-01-01", 111.0) in after and (1, "2024-01-02", 222.0) in after
+
+
+def test_manifest_merge_untouched_prefixes_never_rewritten(spark, tmp_path):
+    import glob
+    import os
+
+    path = str(tmp_path / "man")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}", float(i)) for i in range(30)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, base, path, ["id"], partition_col="day")
+    m = sinks.read_manifest(path)
+    untouched = {
+        f: os.path.getmtime(f)
+        for day in ("2024-01-02", "2024-01-03")
+        for f in glob.glob(
+            os.path.join(path, m["partitions"][day]["prefix"], "*.parquet")
+        )
+    }
+    assert untouched
+
+    updates = spark.createDataFrame(
+        [(0, "2024-01-01", 100.0)], "id long, day string, v double"
+    )
+    sinks.merge_upsert_manifest(spark, updates, path, ["id"], partition_col="day")
+    m2 = sinks.read_manifest(path)
+    # untouched partitions: same prefix pointers, same files, same mtimes
+    for day in ("2024-01-02", "2024-01-03"):
+        assert m2["partitions"][day] == m["partitions"][day]
+    now = {
+        f: os.path.getmtime(f)
+        for day in ("2024-01-02", "2024-01-03")
+        for f in glob.glob(
+            os.path.join(path, m2["partitions"][day]["prefix"], "*.parquet")
+        )
+    }
+    assert now == untouched
+    # touched partition advanced to a fresh prefix
+    assert m2["partitions"]["2024-01-01"] != m["partitions"]["2024-01-01"]
+    assert m2["version"] == m["version"] + 1
+
+
+def test_manifest_merge_null_partition_no_fallback(spark, tmp_path):
+    """NULL partition values are first-class manifest entries — no
+    full-table fallback needed (unlike the Hive-layout path)."""
+    path = str(tmp_path / "man_null")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0), (2, None, 2.0), (3, None, 3.0)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, base, path, ["id"], partition_col="day")
+    updates = spark.createDataFrame(
+        [(2, None, 20.0), (4, "2024-01-01", 4.0)], "id long, day string, v double"
+    )
+    sinks.merge_upsert_manifest(spark, updates, path, ["id"], partition_col="day")
+    assert _read_manifest_rows(spark, path) == {
+        (1, "2024-01-01", 1.0),
+        (2, None, 20.0),
+        (3, None, 3.0),
+        (4, "2024-01-01", 4.0),
+    }
+    assert "null" in sinks.read_manifest(path)["partitions"]
+
+
+def test_manifest_merge_rejects_moved_and_spanning_keys(spark, tmp_path):
+    path = str(tmp_path / "man_moved")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "2024-01-01", 1.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    moved = spark.createDataFrame(
+        [(1, "2024-01-02", 9.0)], "id long, day string, v double"
+    )
+    with pytest.raises(ValueError, match="other day partitions"):
+        sinks.merge_upsert_manifest(spark, moved, path, ["id"], partition_col="day")
+    spanning = spark.createDataFrame(
+        [(7, "2024-01-01", 1.0), (7, "2024-01-02", 2.0)],
+        "id long, day string, v double",
+    )
+    with pytest.raises(ValueError, match="functionally determine"):
+        sinks.merge_upsert_manifest(spark, spanning, path, ["id"], partition_col="day")
+
+
+def test_manifest_vacuum_reclaims_superseded_snapshots(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "man_vac")
+    for v in (1.0, 2.0, 3.0):  # three merges → two superseded snapshots
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame([(1, "d1", v)], "id long, day string, v double"),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+    removed = sinks.vacuum_manifest(path)
+    assert len(removed) == 2
+    assert _read_manifest_rows(spark, path) == {(1, "d1", 3.0)}
+    live_prefix = sinks.read_manifest(path)["partitions"]["d1"]["prefix"]
+    assert os.path.isdir(os.path.join(path, live_prefix))
+
+
+def test_manifest_read_prunes_by_partition_value(spark, tmp_path):
+    path = str(tmp_path / "man_prune")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(9)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, base, path, ["id"], partition_col="day")
+    only_d1 = sinks.read_manifest_table(spark, path, partition_values=["d1"])
+    assert {r["day"] for r in only_d1.collect()} == {"d1"}
+    # plan never lists the other prefixes — the scan's paths are pruned
+    scan_files = only_d1.inputFiles()
+    assert scan_files and all("/data/d1/" in f for f in scan_files)
+
+
 def test_embedding_cosine_unblocked_guard(spark):
     """The quadratic crossJoin path must be unreachable above the size cap."""
     from f1_data_pipeline_spark.operators import dedup as D
