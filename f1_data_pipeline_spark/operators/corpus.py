@@ -287,6 +287,14 @@ def tfidf_top_terms(
     never top-k material for any doc with ≥ k mid-band terms). Measured:
     see SCALE_NOTES "tfidf_top_terms scale probe" — the 16× vocab-growth
     superlinearity collapses under min_df=2.
+
+    Edge of a non-trivial band: a document EVERY one of whose terms falls
+    outside [min_df, max_df_ratio·N] disappears from the output entirely
+    (the tf⋈dfreq join is inner), rather than appearing with < k terms —
+    at crawl scale that's e.g. a doc of pure unique line-noise under
+    min_df=2, which is usually the right outcome for a "characteristic
+    terms" feed. Callers that must keep a row per input doc should
+    left-join the result back to the doc ids.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))

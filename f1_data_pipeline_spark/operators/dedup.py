@@ -80,30 +80,17 @@ def minhash_signature(
     return F.when(F.size(sh) > 0, sig)
 
 
-def minhash_lsh_pairs(
+def _minhash_banded(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_size: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate candidate pairs (id_a < id_b) with estimated Jaccard.
-
-    shingle rows → one base xxhash64 per shingle → 64 seeded-hash `min`
-    aggregates (whole-stage-codegen'd hash aggregate, one shuffle on doc
-    id) → `bands` band-hashes → explode → self-join on (band, hash) →
-    distinct pairs → estimate = fraction of agreeing minhashes. The join
-    key cardinality is O(docs × bands), and only same-bucket docs ever
-    meet — the all-pairs quadratic never materializes.
-
-    Deliberately row-based, not array-HOF-based: computing the signature
-    as 64 `array_min(transform(...))` higher-order calls evaluates
-    interpreted (outside codegen), and Catalyst's project collapsing
-    re-inlines the whole signature expression into every band — measured
-    ~20× slower than this aggregate form at sf0.01.
-    """
+    num_hashes: int,
+    bands: int,
+    shingle_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared banding pipeline: returns (sig, banded) where sig has one row
+    per doc with columns m0..m{num_hashes-1} and banded has one row per
+    (doc, band) carrying only (id, band, band_hash)."""
     rows_per_band = num_hashes // bands
     # Shared codegen'd shingler (functions/text.py positional_ngrams; the
     # array-HOF form dominated runtime — ~4.6s of a 5.4s sf0.1 run).
@@ -137,6 +124,90 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    return sig, banded
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """One-row bucket-population summary of the LSH banded join's key space
+    — the capacity-planning/probe companion to `minhash_lsh_pairs`
+    (max/p99/p50 bucket size, bucket count, candidate-pair volume implied
+    by the current bucketing). A max_bucket far above p99 is the
+    boilerplate-skew signature that `max_bucket_size` caps."""
+    _, banded = _minhash_banded(
+        df, id_col, text_col, num_hashes, bands, shingle_size
+    )
+    sizes = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99_bucket"),
+        F.expr("percentile_approx(n, 0.5)").alias("p50_bucket"),
+        F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("candidate_pairs"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) with estimated Jaccard.
+
+    shingle rows → one base xxhash64 per shingle → 64 seeded-hash `min`
+    aggregates (whole-stage-codegen'd hash aggregate, one shuffle on doc
+    id) → `bands` band-hashes → explode → self-join on (band, hash) →
+    distinct pairs → estimate = fraction of agreeing minhashes. The join
+    key cardinality is O(docs × bands), and only same-bucket docs ever
+    meet — the all-pairs quadratic never materializes.
+
+    `max_bucket_size` is the hot-bucket guard for boilerplate-heavy
+    corpora: headers/footers/license blocks shared by a large doc
+    fraction make some (band, band_hash) buckets O(corpus)-sized, and a
+    B-doc bucket emits B² candidate pairs — the one way this plan goes
+    quadratic. Buckets over the cap are DROPPED whole: a bucket hit by
+    thousands of documents is a boilerplate band with no discriminative
+    signal, while genuinely near-duplicate pairs (J ≥ threshold) agree on
+    most minhashes and meet again in their body-content bands, so
+    above-threshold output is unchanged in practice (measured in
+    tools/scale_probe.py mode=boilerplate; recall property tested in
+    tests/test_dedup_similarity.py). Mechanics: bucket sizes come from a
+    map-side-combined aggregate (a hot key never funnels raw rows to one
+    reducer), and the hot-bucket set — tiny by construction — comes back
+    as a broadcast anti-join, so the banded rows are never re-shuffled.
+    Run exact dedup first (curation order, plans/curation.py): a cluster
+    of byte-identical docs would otherwise legitimately exceed any cap.
+    Default None keeps exact candidate parity for oracle queries.
+
+    Deliberately row-based, not array-HOF-based: computing the signature
+    as 64 `array_min(transform(...))` higher-order calls evaluates
+    interpreted (outside codegen), and Catalyst's project collapsing
+    re-inlines the whole signature expression into every band — measured
+    ~20× slower than this aggregate form at sf0.01.
+    """
+    sig, banded = _minhash_banded(
+        df, id_col, text_col, num_hashes, bands, shingle_size
+    )
+
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        hot = sizes.filter(F.col("__bn") > max_bucket_size).select(
+            "band", "band_hash"
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
 
     cand = (
         banded.select(F.col("id").alias("id_a"), "band", "band_hash")

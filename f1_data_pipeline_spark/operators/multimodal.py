@@ -2,11 +2,18 @@
 with typed metadata (training-data pipeline suite).
 
 The Spark-side mechanics here are real and tested — schemas, Arrow-batched
-`mapInPandas` UDF signatures, partition sizing guidance — while the actual
-codec work is STUBBED: this container ships no image/audio libraries, so
-`decode` raises NotImplementedError unless a decoder import succeeds, and
-the test path uses `deterministic_fake_features` (clearly marked) to
-exercise the full pipeline shape end-to-end.
+`mapInPandas` UDF signatures, partition sizing guidance. Codec status:
+
+- AUDIO IS REAL: `decode_wav` parses RIFF/WAVE PCM with the stdlib `wave`
+  module (no wheels needed), `synthesize_wav` produces genuine WAV bytes,
+  and `audio_features` computes actual windowed RMS + zero-crossing-rate
+  features — `extract_features(fake=False)` runs this non-fake path end to
+  end over Arrow batches (tests/test_multimodal.py).
+- image/video decode remains STUBBED: this container ships no image/video
+  libraries, so `decode` raises NotImplementedError for those types unless
+  a decoder import succeeds, and their pipelines use
+  `deterministic_fake_features` (clearly marked) to exercise the full
+  shape.
 
 Scale notes: binary payloads dominate row size, so
 - keep media in its own column family / file group (parquet already splits
@@ -80,12 +87,13 @@ def _try_decoder(media_type: str):
 
 
 def decode(media: bytes, media_type: str):
-    """STUB — real codec decode is not available in this environment.
-
-    The contract: returns a decoded object (PIL image / waveform ndarray /
-    frame list). With no decoder installed it raises, and pipelines must use
-    the deterministic fake-feature path instead.
-    """
+    """Decode a media payload. AUDIO is real (stdlib `wave` parser, returns
+    (sample_rate, float32 waveform)); image/video decode is STUBBED — no
+    such libraries in this environment — and raises unless a decoder import
+    succeeds. Pipelines for the stubbed types use the deterministic
+    fake-feature path instead."""
+    if media_type == "audio":
+        return decode_wav(media)
     dec = _try_decoder(media_type)
     if dec is None:
         raise NotImplementedError(
@@ -93,6 +101,102 @@ def decode(media: bytes, media_type: str):
             "use extract_features(..., fake=True) for the tested stub path"
         )
     return dec.open(media)  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# real audio codec arm — stdlib-only WAV (RIFF/WAVE PCM16)
+# ---------------------------------------------------------------------------
+
+def synthesize_wav(
+    freq_hz: float = 440.0,
+    duration_ms: int = 250,
+    sample_rate: int = 16000,
+    amplitude: float = 0.5,
+) -> bytes:
+    """Real RIFF/WAVE bytes: mono PCM16 sine tone (deterministic)."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    n = int(sample_rate * duration_ms / 1000)
+    t = np.arange(n, dtype=np.float64)
+    samples = (
+        (amplitude * 32767.0 * np.sin(2.0 * math.pi * freq_hz * t / sample_rate))
+        .astype("<i2")
+        .tobytes()
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, "object"]:
+    """REAL decode: parse RIFF/WAVE PCM16 bytes with the stdlib `wave`
+    module → (sample_rate, float32 waveform in [-1, 1], channels mixed
+    down). Raises wave.Error on malformed bytes — quarantine upstream."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw != 2:
+        raise ValueError(f"only PCM16 WAV supported, got sample width {sw}")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return sr, x
+
+
+def audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL feature extraction over real bytes: decode the WAV, split the
+    waveform into dim/2 equal windows, per-window RMS energy + per-window
+    zero-crossing rate, L2-normalized — an honest (if simple) DSP feature
+    vector, not a hash of the payload."""
+    import numpy as np
+
+    _sr, x = decode_wav(payload)
+    half = dim // 2
+    if x.size == 0:
+        return [0.0] * dim
+    win = -(-x.size // half)  # ceil
+    xp = np.pad(x, (0, win * half - x.size))
+    seg = xp.reshape(half, win)
+    rms = np.sqrt((seg.astype(np.float64) ** 2).mean(axis=1))
+    zcr = np.abs(np.diff(np.signbit(seg), axis=1)).sum(axis=1) / win
+    feats = np.concatenate([rms, zcr])
+    nrm = float(np.linalg.norm(feats)) or 1.0
+    return [float(v) for v in (feats / nrm).astype(np.float32)]
+
+
+def synthesize_audio_assets(spark: SparkSession, n: int = 32) -> DataFrame:
+    """Asset table whose audio payloads are REAL WAV bytes (tone frequency
+    seeded by asset id; short durations — this is the non-fake codec-path
+    fixture, distinct from `synthesize_assets` whose id-arithmetic metadata
+    the multimodal oracles reproduce in SQL)."""
+    rows = []
+    for i in range(n):
+        dur = 80 + 10 * (i % 8)
+        payload = synthesize_wav(freq_hz=220.0 * (1 + i % 8), duration_ms=dur)
+        meta = {
+            "width": None,
+            "height": None,
+            "sample_rate": 16000,
+            "duration_ms": dur,
+            "format": "wav",
+        }
+        rows.append((i, payload, "audio", meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def deterministic_fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -111,11 +215,15 @@ def extract_features(
     id_col: str = "asset_id",
     fake: bool = True,
     dim: int = FEATURE_DIM,
+    media_type_col: str = "media_type",
 ) -> DataFrame:
     """asset_id → feature vector via Arrow-batched mapInPandas.
 
-    `fake=False` would call the real decoder per batch (NotImplementedError
-    here). Output schema: (asset_id long, features array<float>).
+    `fake=False` runs the REAL codec per batch: audio rows go through
+    `decode_wav` + `audio_features` (stdlib WAV parse + windowed RMS/ZCR
+    over the actual waveform); image/video rows raise NotImplementedError
+    (those decoders aren't in this environment) — filter to audio or use
+    the fake path for them. Output: (asset_id long, features array<float>).
     """
     out_schema = T.StructType(
         [
@@ -123,16 +231,22 @@ def extract_features(
             T.StructField("features", T.ArrayType(T.FloatType())),
         ]
     )
+    in_cols = [id_col, media_col] if fake else [id_col, media_col, media_type_col]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if fake:
                 feats = [deterministic_fake_features(b, dim) for b in pdf[media_col]]
-            else:  # pragma: no cover — no decoder in this environment
-                feats = [decode(b, "image") for b in pdf[media_col]]
+            else:
+                feats = [
+                    audio_features(b, dim)
+                    if mt == "audio"
+                    else decode(b, mt)  # raises: image/video decode stubbed
+                    for b, mt in zip(pdf[media_col], pdf[media_type_col])
+                ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
-    return df.select(id_col, media_col).mapInPandas(batches, out_schema)
+    return df.select(*in_cols).mapInPandas(batches, out_schema)
 
 
 def resize_plan(df: DataFrame, width: int, height: int) -> DataFrame:

@@ -61,6 +61,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # session zone and collect() renders it back in the same zone,
             # so values match DuckDB's naive read under any timezone.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+        else:
+            # any other surfaced type (e.g. plain TimestampType when NTZ
+            # inference is off, or a UTC-adjusted MICROS file) would pass
+            # through silently timezone-shifted vs DuckDB's naive read —
+            # fail loudly so a new testdata encoding gets an explicit
+            # normalization branch instead of wrong values.
+            raise TypeError(
+                f"{name}.{c}: unexpected surfaced type {dt.simpleString()}; "
+                "load_table normalizes LongType (legacy nanos) and "
+                "TimestampNTZType (µs) — add a branch for this encoding"
+            )
     return df
 
 

@@ -38,6 +38,44 @@ def test_minhash_exact_dup_estimates_one(spark):
     assert est[(1, 4)] == 1.0
 
 
+def test_minhash_bucket_cap_drops_boilerplate_keeps_true_pairs(spark):
+    """Hot-bucket cap (max_bucket_size): an identical boilerplate prefix
+    shared by a third of the corpus must not cost any above-threshold pair
+    — true near-dups also collide in body-content bands — while the
+    pre-cap bucket population shows the skew the cap removes."""
+    import random
+
+    rng = random.Random(7)
+    boiler = " ".join(f"licensetok{j}" for j in range(40))
+    rows = []
+    for i in range(90):
+        body = " ".join(f"w{rng.randrange(10_000)}u{i}k{j}" for j in range(40))
+        text = f"{boiler} {body}" if i % 3 == 0 else body
+        rows.append((i, text))
+    # one true near-dup pair, both boilerplated: bodies differ by one token
+    base_body = " ".join(f"dup{j}" for j in range(60))
+    rows.append((1000, f"{boiler} {base_body}"))
+    rows.append((1001, f"{boiler} {base_body} extra"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_bucket_size=8
+        ).collect()
+    }
+    assert (1000, 1001) in uncapped
+    assert capped == uncapped  # no above-threshold pair lost to the cap
+
+    stats = D.minhash_bucket_stats(docs, "doc_id", "text").collect()[0]
+    # the boilerplate cohort (~32 docs) really does create over-cap buckets
+    assert stats["max_bucket"] > 8
+
+
 def test_simhash_identical_distance_zero(spark):
     pairs = D.simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=16)
     ham = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
@@ -346,3 +384,76 @@ def test_remove_duplicate_spans_fully_duplicated_doc_empties(spark):
     for i in (0, 1):
         assert out[i]["clean_text"] == "" and out[i]["kept_tokens"] == 0
         assert out[i]["removed_tokens"] == 6
+
+
+def test_ann_recall_floors_adversarial(spark):
+    """Recall floors on an ADVERSARIAL embedding distribution, not just the
+    benign uniform testdata: tight clusters (mass concentrated in narrow
+    cones — hyperplanes rarely separate, cells collapse), far outliers
+    (their true neighbors spread across many cells/buckets), and
+    near-duplicate queries (perturbed corpus points — the dedup workload
+    where a miss means a duplicate survives). Deterministic via seeded
+    numpy; floors at the same 0.8 as the benign test, and the near-dup
+    self-recovery floor is stricter."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators import similarity as S
+
+    rng = np.random.RandomState(1234)
+    dim, n_clusters, per_cluster, n_outliers = 64, 8, 50, 40
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):  # tight clusters: sigma 0.05 around center
+        pts = centers[ci] + 0.05 * rng.standard_normal((per_cluster, dim))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    for _ in range(n_outliers):  # isotropic far outliers
+        p = 5.0 * rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in p]))
+        vid += 1
+    corpus_rows = rows[:]
+
+    # queries: 10 near-duplicates of corpus points (tiny perturbation),
+    # 5 cluster-center queries, 5 outlier-region queries
+    queries = []
+    qid = 10_000
+    dup_sources = {}
+    for i in range(10):
+        src_id, src_vec = rows[i * 37 % len(rows)]
+        q = np.array(src_vec) + 0.01 * rng.standard_normal(dim)
+        queries.append((qid, [float(x) for x in q]))
+        dup_sources[qid] = src_id
+        qid += 1
+    for ci in range(5):
+        queries.append((qid, [float(x) for x in centers[ci]]))
+        qid += 1
+    for _ in range(5):
+        queries.append((qid, [float(x) for x in 5.0 * rng.standard_normal(dim)]))
+        qid += 1
+
+    schema = "vec_id: long, embedding: array<float>"
+    corpus = spark.createDataFrame(corpus_rows + queries, schema)  # self-searchable
+    qs = spark.createDataFrame(queries, schema)
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(qs, corpus, k=5).collect()
+    }
+    lsh_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_ann_topk(qs, corpus, k=5, n_planes=4, n_tables=16).collect()
+    }
+    ivf = S.ivf_ann_topk(qs, corpus, k=5, nlist=8, nprobe=4).collect()
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+
+    assert len(lsh_pairs & truth) / len(truth) >= 0.8
+    assert len(ivf_pairs & truth) / len(truth) >= 0.8
+
+    # near-duplicate queries MUST recover their source at rank 1 — the
+    # dedup-critical property, stricter than aggregate recall
+    ivf_rank1 = {r["query_id"]: r["neighbor_id"] for r in ivf if r["rank"] == 1}
+    hits = sum(1 for q, src in dup_sources.items() if ivf_rank1.get(q) == src)
+    assert hits >= 9  # ≥90% of near-dup queries

@@ -56,3 +56,66 @@ def test_frame_sample_plan_explodes_video(spark):
     counts = out.groupBy("asset_id").count().collect()
     got = {r.asset_id: r["count"] for r in counts}
     assert got == {2: 4, 5: 7}
+
+
+def test_wav_roundtrip_real_codec(spark):
+    """synthesize_wav → decode_wav is a REAL RIFF/WAVE roundtrip: stdlib
+    parse recovers the sample rate and the synthesized tone's samples."""
+    import math
+
+    import numpy as np
+
+    payload = M.synthesize_wav(freq_hz=440.0, duration_ms=100, sample_rate=16000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    sr, x = M.decode_wav(payload)
+    assert sr == 16000
+    assert x.size == 1600  # 100 ms at 16 kHz
+    # recovered waveform really is a 440 Hz tone: compare against the
+    # analytic signal (PCM16 quantization only)
+    t = np.arange(x.size)
+    expected = 0.5 * np.sin(2.0 * math.pi * 440.0 * t / 16000)
+    assert float(np.abs(x - expected.astype(np.float32)).max()) < 1e-3
+
+
+def test_audio_features_reflect_signal_not_bytes(spark):
+    """The non-fake features are genuine DSP over the decoded waveform:
+    silence → zero RMS everywhere; higher-frequency tone → higher
+    zero-crossing rate; deterministic across calls."""
+    tone_lo = M.synthesize_wav(freq_hz=220.0, duration_ms=100)
+    tone_hi = M.synthesize_wav(freq_hz=3520.0, duration_ms=100)
+    silence = M.synthesize_wav(freq_hz=220.0, duration_ms=100, amplitude=0.0)
+
+    f_lo = M.audio_features(tone_lo)
+    f_hi = M.audio_features(tone_hi)
+    f_sil = M.audio_features(silence)
+    half = M.FEATURE_DIM // 2
+    assert all(v == 0.0 for v in f_sil[:half])  # no energy in silence
+    # ZCR features (second half) rank by frequency
+    assert sum(f_hi[half:]) > sum(f_lo[half:])
+    assert f_lo == M.audio_features(tone_lo)  # deterministic
+
+
+def test_extract_features_real_path_end_to_end(spark):
+    """fake=False drives the REAL codec through Arrow-batched mapInPandas:
+    real WAV bytes in a binary column → stdlib decode → DSP features, and
+    the distributed result matches the driver-side computation exactly."""
+    assets = M.synthesize_audio_assets(spark, n=12)
+    out = M.extract_features(assets, fake=False).collect()
+    assert len(out) == 12
+    local = {
+        r["asset_id"]: M.audio_features(r["media"])
+        for r in assets.select("asset_id", "media").collect()
+    }
+    for row in out:
+        assert len(row["features"]) == M.FEATURE_DIM
+        assert row["features"] == local[row["asset_id"]]
+
+
+def test_extract_features_real_path_rejects_stubbed_types(spark):
+    """image/video decode is still stubbed — the real path must say so
+    loudly, not silently fake it."""
+    import pytest
+
+    assets = M.synthesize_assets(spark, 6)  # mixed media types, fake payloads
+    with pytest.raises(Exception, match="(?i)decoder|notimplemented"):
+        M.extract_features(assets, fake=False).collect()

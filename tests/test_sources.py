@@ -322,3 +322,25 @@ def test_flatten_driver_standings_and_empty_shortcircuit(spark):
         spark, [empty], json_api.DRIVER_STANDINGS_PAYLOAD_SCHEMA
     )
     assert json_api.flatten_driver_standings(parsed).count() == 0
+
+
+def test_load_table_raises_on_unexpected_ts_encoding(spark, tmp_path):
+    """A NANO_TS_COLUMNS column surfacing as anything but LongType (legacy
+    nanos) or TimestampNTZType must fail loudly — a plain TimestampType
+    (UTC-adjusted MICROS) passed through silently would read
+    timezone-shifted vs DuckDB's naive read."""
+    import datetime
+
+    import pytest
+
+    from f1_data_pipeline_spark.sources.tables import load_table
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 12, 0), 7, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(sf / "events.parquet"))
+    with pytest.raises(TypeError, match="unexpected surfaced type"):
+        load_table(spark, str(sf), "events")

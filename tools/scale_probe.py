@@ -11,9 +11,20 @@ A quadratic regression would show candidates growing ~N²; linear behavior
 shows ~N growth (each replica's near-dup structure is internal to the
 replica, plus cross-replica collisions from shared band buckets).
 
-Usage: python tools/scale_probe.py [op] [sf_dir] [factors...] [mode=...]
+Usage: python tools/scale_probe.py [op] [sf_dir] [factors...] [mode=...] [cap=N]
   op: minhash (default) | contamination | spans | tfidf | tfidf_mindf
-  mode=clique | disjoint | tail (default: clique,disjoint)
+  mode=clique | disjoint | tail | boilerplate (default: clique,disjoint)
+  cap=N → minhash_lsh_pairs(max_bucket_size=N) (minhash op only)
+
+The `boilerplate` mode prepends an IDENTICAL 40-token prefix to ~30% of
+docs across ALL replicas — the crawl pathology (shared headers/footers/
+license blocks) that makes some (band, band_hash) buckets O(corpus)-sized
+and candidate pairs quadratic. The minhash JSON lines include bucket-size
+stats (max/p99) so the cap's effect is directly visible: uncapped,
+max_bucket ~0.3×corpus and pairs/doc grows with the corpus; with cap=N,
+max surviving bucket ≤ N and pairs/doc stays flat, while above-threshold
+output is unchanged (boilerplate-only overlap sits far below J=0.5; true
+near-dups also collide in body-content bands).
 
 The `tail` mode appends 8 per-doc unique tokens to every replica doc: the
 synthetic corpus has a 31-term vocabulary with df >= 25 everywhere, so the
@@ -47,9 +58,13 @@ def main() -> None:
     if args and args[0] in ("minhash", "contamination", "spans", "tfidf", "tfidf_mindf"):
         op = args.pop(0)
     modes = ("clique", "disjoint")
+    cap = None
     for a in list(args):
         if a.startswith("mode="):
             modes = tuple(a.split("=", 1)[1].split(","))
+            args.remove(a)
+        elif a.startswith("cap="):
+            cap = int(a.split("=", 1)[1])
             args.remove(a)
     sf_dir = args.pop(0) if args else "/root/testdata/sf0.1"
     factors = [int(a) for a in args] or [1, 4, 16]
@@ -60,6 +75,7 @@ def main() -> None:
     )
     from f1_data_pipeline_spark.operators.dedup import (
         duplicate_spans,
+        minhash_bucket_stats,
         minhash_lsh_pairs,
     )
     from f1_data_pipeline_spark.session import get_spark
@@ -81,32 +97,64 @@ def main() -> None:
             "doc_id", F.concat_ws(" ", F.col("text"), *uniq).alias("text")
         )
 
+    # an identical 40-token prefix on ~30% of docs, SAME across replicas
+    # (replica offsets are multiples of 10M ≡ 0 mod 10, so doc_id % 10
+    # keeps the same 30% slice in every replica) — the shared-header
+    # pathology that makes LSH buckets O(corpus)-sized. Applied only to
+    # docs with ≥ 300 chars of body (~55+ shingles): that pins every
+    # boilerplate-only pair's true Jaccard ≤ 38/(38+2·55) ≈ 0.26, >4σ of
+    # 64-hash estimator noise below the 0.5 threshold, so the cap's
+    # unchanged-output property is measurable. On shorter docs an
+    # identical 40-token header makes the pair GENUINELY near-duplicate
+    # (J > 0.5 template pages) — a corpus like that needs boilerplate
+    # stripping upstream, not LSH tuning.
+    boiler_prefix = " ".join(f"boilertok{j}" for j in range(40))
+
+    def with_boiler(frame):
+        return frame.select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 < 3) & (F.length("text") >= 300),
+                F.concat(F.lit(boiler_prefix + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+
+    seen_1x: set[str] = set()
     for factor in factors:
         for mode in modes:
             if factor == 1:
-                scaled = with_tail(docs) if mode == "tail" else docs
+                # clique/disjoint are identical at 1× (no replication), but
+                # tail/boilerplate change the 1× frame itself — dedupe 1×
+                # runs per distinct scaled-frame shape, don't break early
+                shape = mode if mode in ("tail", "boilerplate") else "plain"
+                if shape in seen_1x:
+                    continue
+                seen_1x.add(shape)
+                scaled = docs
+                if mode == "tail":
+                    scaled = with_tail(docs)
+                elif mode == "boilerplate":
+                    scaled = with_boiler(docs)
             else:
                 replicas = []
                 for i in range(factor):
-                    if mode == "tail":
-                        # disjoint-style suffix so replicas stay
-                        # independent; hapax tail appended after union
-                        text = F.regexp_replace(
-                            "text", r"(\S+)", r"$1" + f"r{i}"
-                        )
-                    elif mode == "clique":
-                        # replicas stay near-dups of each other (one tag
-                        # token): TRUE pair count grows ~f²/2 per original
-                        # doc — observed candidates should track it, not
-                        # corpus², and time should stay ~linear
-                        text = F.concat(F.col("text"), F.lit(f" replica{i}tag"))
-                    else:
-                        # per-replica token suffix makes every shingle
+                    if mode in ("tail", "disjoint", "boilerplate"):
+                        # per-replica token suffix makes every body shingle
                         # replica-local: constant dup density — candidates
                         # per doc should stay ~flat as the corpus grows
+                        # (tail: hapax tail appended after union;
+                        # boilerplate: shared prefix applied after union)
                         text = F.regexp_replace(
                             "text", r"(\S+)", r"$1" + f"r{i}"
                         )
+                    else:
+                        # clique: replicas stay near-dups of each other
+                        # (one tag token): TRUE pair count grows ~f²/2 per
+                        # original doc — observed candidates should track
+                        # it, not corpus², and time should stay ~linear
+                        text = F.concat(F.col("text"), F.lit(f" replica{i}tag"))
                     replicas.append(
                         docs.select(
                             (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
@@ -120,9 +168,13 @@ def main() -> None:
                     # doc_id is replica-offset, so the tail is unique
                     # corpus-wide: vocab grows ~8×docs with the corpus
                     scaled = with_tail(scaled)
+                elif mode == "boilerplate":
+                    scaled = with_boiler(scaled)
             t0 = time.time()
             if op == "minhash":
-                out = minhash_lsh_pairs(scaled, "doc_id", "text", threshold=0.5)
+                out = minhash_lsh_pairs(
+                    scaled, "doc_id", "text", threshold=0.5, max_bucket_size=cap
+                )
             elif op == "tfidf":
                 # disjoint: vocabulary grows ~factor×, doc frequencies stay
                 # flat → term-aggregate key space scales with the corpus;
@@ -146,21 +198,26 @@ def main() -> None:
                 out = contamination(scaled, eval_df, "doc_id", "text", n=5)
             n_pairs = out.count()
             dt = time.time() - t0
-            print(
-                json.dumps(
-                    {
-                        "op": op,
-                        "mode": mode,
-                        "factor": factor,
-                        "docs": base_n * factor,
-                        "rows": n_pairs,
-                        "rows_per_doc": round(n_pairs / (base_n * factor), 4),
-                        "sec": round(dt, 2),
-                    }
+            rec = {
+                "op": op,
+                "mode": mode,
+                "factor": factor,
+                "docs": base_n * factor,
+                "rows": n_pairs,
+                "rows_per_doc": round(n_pairs / (base_n * factor), 4),
+                "sec": round(dt, 2),
+            }
+            if op == "minhash":
+                # pre-cap bucket population (untimed): the skew the cap
+                # bounds, visible next to the capped/uncapped pair counts
+                stats = minhash_bucket_stats(scaled, "doc_id", "text").collect()[0]
+                rec.update(
+                    cap=cap,
+                    max_bucket=stats["max_bucket"],
+                    p99_bucket=stats["p99_bucket"],
+                    candidate_pairs=stats["candidate_pairs"],
                 )
-            )
-            if factor == 1:
-                break  # modes identical at 1x
+            print(json.dumps(rec))
 
 
 if __name__ == "__main__":
