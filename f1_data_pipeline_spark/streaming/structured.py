@@ -92,14 +92,44 @@ def start_merge_sink(
     keys: list[str],
     checkpoint_dir: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    partition_col: str | None = None,
+    commit: str = "rename",
 ) -> StreamingQuery:
     """Exactly-once-effect sink: per micro-batch, MERGE the batch into the
     target Parquet table keyed on `keys` (reference upsert semantics A7;
-    idempotent under micro-batch replay because MERGE is)."""
+    idempotent under micro-batch replay because MERGE is).
+
+    Rewrite amplification is the scale hazard of a streaming MERGE into
+    plain parquet: the default full-table `merge_upsert` rewrites
+    O(table) per micro-batch, so an N-batch run costs N table rewrites
+    (measured ~N× the one-batch plan, SCALE_NOTES "Streaming vs batch").
+    Pass `partition_col` (e.g. the event date every batch naturally
+    clusters on) to bound each micro-batch to its touched partitions:
+
+    - commit="rename" → `merge_upsert_partitioned` (atomic directory
+      renames; local/HDFS filesystems);
+    - commit="manifest" → `merge_upsert_manifest` (immutable prefixes +
+      one atomic manifest-object flip; the object-store-safe choice —
+      read the target back with `read_manifest_table`, not a plain
+      parquet read).
+    """
+    if commit not in ("rename", "manifest"):
+        raise ValueError(f"unknown commit mode {commit!r}")
+    if commit == "manifest" and partition_col is None:
+        raise ValueError("commit='manifest' requires partition_col")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
-        sinks.merge_upsert(out.sparkSession, out, target_path, list(keys))
+        if partition_col is None:
+            sinks.merge_upsert(out.sparkSession, out, target_path, list(keys))
+        elif commit == "manifest":
+            sinks.merge_upsert_manifest(
+                out.sparkSession, out, target_path, list(keys), partition_col
+            )
+        else:
+            sinks.merge_upsert_partitioned(
+                out.sparkSession, out, target_path, list(keys), partition_col
+            )
 
     return (
         stream_df.writeStream.foreachBatch(handle)

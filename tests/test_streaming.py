@@ -299,3 +299,70 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     )
     rows = out.collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]  # dup dropped
+
+
+def test_merge_sink_partition_scoped_and_manifest_commits(spark, tmp_path):
+    """Bounded-rewrite streaming MERGE: one micro-batch per day-file, each
+    committed partition-scoped (rename mode) or via one manifest flip per
+    batch (manifest mode) — both converge to the same rows as a full
+    batch MERGE, and the manifest version count proves per-batch commits."""
+    import datetime as dt
+
+    from f1_data_pipeline_spark.operators import sinks
+
+    src = str(tmp_path / "bydays")
+    days = ["2024-03-01", "2024-03-02", "2024-03-03"]
+    all_rows = []
+    for di, day in enumerate(days):
+        rows = [
+            (
+                di * 1000 + i,
+                dt.datetime.fromisoformat(f"{day}T0{i}:00:00"),
+                i % 7,
+                "click",
+                float(i),
+                "{}",
+                day,
+            )
+            for i in range(6)
+        ]
+        all_rows += rows
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string, day string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    expected = {(r[0], r[6], r[4]) for r in all_rows}
+
+    def run(target, ckpt, **sink_kwargs):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = structured.start_merge_sink(
+            stream, target, keys=["event_id"],
+            checkpoint_dir=str(tmp_path / ckpt), **sink_kwargs,
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    t_rename = str(tmp_path / "t_rename")
+    run(t_rename, "ck_rename", partition_col="day")
+    got = {
+        (r["event_id"], str(r["day"]), r["value"])
+        for r in spark.read.parquet(t_rename).collect()
+    }
+    assert got == expected
+
+    t_man = str(tmp_path / "t_manifest")
+    run(t_man, "ck_manifest", partition_col="day", commit="manifest")
+    got_m = {
+        (r["event_id"], r["day"], r["value"])
+        for r in sinks.read_manifest_table(spark, t_man).collect()
+    }
+    assert got_m == expected
+    # one atomic manifest commit per micro-batch (3 day-files → 3 versions)
+    assert sinks.read_manifest(t_man)["version"] == 3
