@@ -310,6 +310,52 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_index_add(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: assign new vectors to their nearest
+    EXISTING centroid (same JVM-side distance expression the search uses —
+    no KMeans retrain, no shuffle of the existing index) and append them
+    under the matching cell partitions. Search results for the added
+    vectors are exact within the probed cells immediately.
+
+    At scale this is the freshness path between periodic rebuilds: adds
+    are cheap (one pass over the new batch), the cost is gradual cell
+    imbalance as the data distribution drifts from the trained quantizer —
+    rebuild with `build_ivf_index` when imbalance degrades probe pruning
+    (cells no longer bound candidate volume). Returns rows added.
+    """
+    spark = new_vectors.sparkSession
+    centroids = [
+        (r["cell"], r["centroid"])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    ]
+    cell_dists = F.array(
+        *[
+            F.struct(
+                (
+                    -2 * dot(F.col("c_vec"), F.array(*[F.lit(float(x)) for x in cent]))
+                    + F.lit(float(sum(x * x for x in cent)))
+                ).alias("d"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, cent in centroids
+        ]
+    )
+    assigned = (
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("cell", F.array_min(cell_dists)["cell"])
+    )
+    n = new_vectors.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{index_path}/cells")
+    return n
+
+
 def ivf_search(
     queries: DataFrame,
     index_path: str,

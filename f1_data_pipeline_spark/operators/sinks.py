@@ -758,6 +758,68 @@ def merge_upsert_manifest(
     return n
 
 
+def compact_manifest(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_values: Sequence | None = None,
+) -> dict:
+    """Small-file compaction for manifest-committed tables.
+
+    Each MERGE writes a partition's fresh prefix with the writing job's
+    parallelism, so a partition fed by many small batches accumulates many
+    small files; at scale, file count dominates scan planning and listing
+    pressure. Rewrite each selected partition's data into ≈target-sized
+    files under a NEW snapshot prefix and commit every rewritten pointer
+    with ONE manifest flip — same crash contract as the MERGE (a crash
+    before the flip leaves only vacuumable garbage; readers never see a
+    half-compacted table). Returns {partitions, files_before, files_after}.
+    """
+    import glob as _glob
+
+    m = read_manifest(path)
+    if m is None:
+        return {"partitions": 0, "files_before": 0, "files_after": 0}
+    want = (
+        None if partition_values is None else {_enc_part(v) for v in partition_values}
+    )
+    snap = uuid.uuid4().hex[:12]
+    new_entries: dict[str, dict] = {}
+    before = after = 0
+    for enc, entry in m["partitions"].items():
+        if want is not None and enc not in want:
+            continue
+        old_dir = os.path.join(path, entry["prefix"])
+        files = _glob.glob(os.path.join(old_dir, "*.parquet"))
+        total = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, -(-total // target_file_bytes))  # ceil
+        if len(files) <= n_target:
+            continue  # already compact
+        before += len(files)
+        prefix = os.path.join(
+            "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
+        )
+        spark.read.parquet(old_dir).coalesce(n_target).write.mode(
+            "errorifexists"
+        ).parquet(os.path.join(path, prefix))
+        after += len(_glob.glob(os.path.join(path, prefix, "*.parquet")))
+        new_entries[enc] = {"prefix": prefix, "value": enc}
+    if new_entries:
+        _commit_manifest(
+            path,
+            {
+                "version": m["version"] + 1,
+                "partition_col": m["partition_col"],
+                "partitions": {**m["partitions"], **new_entries},
+            },
+        )
+    return {
+        "partitions": len(new_entries),
+        "files_before": before,
+        "files_after": after,
+    }
+
+
 def vacuum_manifest(path: str) -> list[str]:
     """Reclaim data prefixes the current manifest no longer references —
     superseded snapshots and garbage from writers that crashed before their

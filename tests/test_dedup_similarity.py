@@ -457,3 +457,40 @@ def test_ann_recall_floors_adversarial(spark):
     ivf_rank1 = {r["query_id"]: r["neighbor_id"] for r in ivf if r["rank"] == 1}
     hits = sum(1 for q, src in dup_sources.items() if ivf_rank1.get(q) == src)
     assert hits >= 9  # ≥90% of near-dup queries
+
+
+def test_ivf_index_add_incremental(spark, tmp_path):
+    """ivf_index_add: new vectors join their nearest existing cell (no
+    retrain — centroids byte-identical), land under the cell partition
+    layout, and are immediately findable; existing results unchanged."""
+    from f1_data_pipeline_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    first, rest = emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(first, idx, nlist=4)
+    cents_before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/centroids").collect())
+    )
+    qs = emb.filter(F.col("vec_id") < 4)
+    before = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_search(qs, idx, k=3, nprobe=4).collect()
+    }
+
+    n = S.ivf_index_add(rest, idx)
+    assert n == rest.count()
+    assert (
+        sorted(map(tuple, spark.read.parquet(f"{idx}/centroids").collect()))
+        == cents_before
+    )
+    # nprobe = all cells → exact over the unioned corpus: every added id
+    # must now be reachable and results must match brute force
+    after = S.ivf_search(qs, idx, k=3, nprobe=4)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(qs, emb, k=3).collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"]) for r in after.collect()} == truth
+    assert before != truth  # the add genuinely changed reachability

@@ -563,3 +563,38 @@ def test_embedding_cosine_unblocked_guard(spark):
             D.embedding_cosine_pairs(df, "id", "vec")
     finally:
         dd.EMBEDDING_PAIRS_UNBLOCKED_MAX = old
+
+
+def test_manifest_compaction_collapses_small_files(spark, tmp_path):
+    """Many small-batch merges leave many files in a partition's prefix;
+    compact_manifest rewrites it to target-sized files behind one manifest
+    flip, contents unchanged, untouched partitions untouched."""
+    import glob
+    import os
+
+    path = str(tmp_path / "man_compact")
+    # one merge with a deliberately fragmented write (many input partitions)
+    base = spark.createDataFrame(
+        [(i, "d1" if i < 400 else "d2", float(i)) for i in range(500)],
+        "id long, day string, v double",
+    ).repartition(16)
+    sinks.merge_upsert_manifest(spark, base, path, ["id"], partition_col="day")
+    m = sinks.read_manifest(path)
+    d1_files = glob.glob(os.path.join(path, m["partitions"]["d1"]["prefix"], "*.parquet"))
+    assert len(d1_files) > 1
+    d2_entry = m["partitions"]["d2"]
+    pre = _read_manifest_rows(spark, path)
+
+    stats = sinks.compact_manifest(spark, path)
+    assert stats["partitions"] >= 1 and stats["files_after"] < stats["files_before"]
+    m2 = sinks.read_manifest(path)
+    new_d1 = glob.glob(os.path.join(path, m2["partitions"]["d1"]["prefix"], "*.parquet"))
+    assert len(new_d1) == 1  # tiny table → one file
+    assert _read_manifest_rows(spark, path) == pre
+    assert m2["version"] == m["version"] + 1
+    # superseded prefixes reclaimed only by vacuum, readers unaffected
+    removed = sinks.vacuum_manifest(path)
+    assert removed and _read_manifest_rows(spark, path) == pre
+    # d2 untouched if it was already compact
+    if d2_entry == m2["partitions"]["d2"]:
+        assert os.path.isdir(os.path.join(path, d2_entry["prefix"]))
