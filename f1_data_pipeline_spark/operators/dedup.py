@@ -186,6 +186,9 @@ def minhash_lsh_pairs(
     map-side-combined aggregate (a hot key never funnels raw rows to one
     reducer), and the hot-bucket set — tiny by construction — comes back
     as a broadcast anti-join, so the banded rows are never re-shuffled.
+    Measured cost of the sizes pass: ~5% on top of the uncapped run at
+    sf0.1 (9.25 → 9.72 s, tools/scale_probe.py) — and under actual skew
+    the cap is a large net win (SCALE_NOTES round-4 table).
     Run exact dedup first (curation order, plans/curation.py): a cluster
     of byte-identical docs would otherwise legitimately exceed any cap.
     Default None keeps exact candidate parity for oracle queries.

@@ -246,3 +246,36 @@ def test_tfidf_topk_matches_brute_force(spark, docs, k):
         for r in tfidf_top_terms(df, "doc_id", "text", k=k).collect()
     }
     assert got == brute_force_tfidf_topk(docs, k)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    freq=st.floats(min_value=20.0, max_value=7000.0),
+    duration_ms=st.integers(min_value=1, max_value=500),
+    sample_rate=st.sampled_from([8000, 16000, 44100]),
+    amplitude=st.floats(min_value=0.0, max_value=0.99),
+)
+def test_wav_synth_decode_roundtrip_invariants(freq, duration_ms, sample_rate, amplitude):
+    """Property: the stdlib WAV codec roundtrip preserves sample rate,
+    frame count, and peak amplitude (to PCM16 quantization) for ANY tone
+    parameters — no Spark needed, pure codec contract."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators import multimodal as M
+
+    payload = M.synthesize_wav(
+        freq_hz=freq,
+        duration_ms=duration_ms,
+        sample_rate=sample_rate,
+        amplitude=amplitude,
+    )
+    sr, x = M.decode_wav(payload)
+    assert sr == sample_rate
+    assert x.size == int(sample_rate * duration_ms / 1000)
+    if x.size:
+        # peak can't exceed the requested amplitude (+1 LSB of PCM16)
+        assert float(np.abs(x).max()) <= amplitude + 1.0 / 32768.0
+    # features are well-formed for any payload the synth can produce
+    feats = M.audio_features(payload)
+    assert len(feats) == M.FEATURE_DIM
+    assert all(np.isfinite(feats))
