@@ -571,13 +571,12 @@ def merge_upsert_partitioned(
 # is atomic on POSIX but copy+delete (torn on crash) on S3/GCS. Manifest
 # tables use the Iceberg/Delta commit model instead, reduced to its minimum:
 #
-#   <path>/_MANIFEST                      one small JSON object = table state
+#   <path>/_commits/vNNNNNNNN.json        numbered manifests = table state
 #   <path>/data/<part>/<snap>/*.parquet   immutable prefixes, never renamed
 #
 # A MERGE writes the touched partitions' merged data to FRESH prefixes (data
 # files land at their final names — no post-write rename anywhere), then
-# commits by atomically replacing the single manifest object (`os.replace`
-# locally; an object PUT — atomic per object on S3/GCS — in production). A
+# commits by atomically creating the next numbered manifest object. A
 # crash at ANY earlier point leaves only unreferenced garbage prefixes that
 # `vacuum_manifest` reclaims; readers resolving the manifest see wholly-old
 # or wholly-new state, never a torn partition.
@@ -588,9 +587,23 @@ def merge_upsert_partitioned(
 # prefixes — no per-prefix union plan — and partition pruning happens at the
 # manifest level (`partition_values=`), before Spark ever lists a file,
 # exactly how table formats prune from metadata at 100 TB.
+#
+# Commit protocol (the Delta-log shape, reduced to its minimum): table
+# state is a sequence of numbered manifest objects `_commits/vNNNNNNNN.json`
+# and THE commit is an atomic create-if-absent of the NEXT number —
+# `os.link` locally, a conditional PUT (If-None-Match: *) on S3/GCS. Two
+# writers racing to the same version: exactly one wins, the other gets
+# ConcurrentWriteError and must re-read + retry its merge — no lost
+# updates, ever. Readers resolve the highest committed version (or any
+# retained older one: free time travel).
 # ---------------------------------------------------------------------------
 
-_MANIFEST_FILE = "_MANIFEST"
+_COMMITS_DIR = "_commits"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this manifest version first — re-read the
+    table state and retry the merge (its input is still intact)."""
 
 
 def _enc_part(v) -> str:
@@ -599,23 +612,54 @@ def _enc_part(v) -> str:
     return "null" if v is None else str(v)
 
 
-def read_manifest(path: str) -> dict | None:
-    mf = os.path.join(path, _MANIFEST_FILE)
-    if not os.path.exists(mf):
+def _commit_path(path: str, version: int) -> str:
+    return os.path.join(path, _COMMITS_DIR, f"v{version:08d}.json")
+
+
+def manifest_versions(path: str) -> list[int]:
+    d = os.path.join(path, _COMMITS_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:9])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def read_manifest(path: str, version: int | None = None) -> dict | None:
+    """Resolve the committed manifest (highest version, or a retained
+    historical `version` — time travel)."""
+    versions = manifest_versions(path)
+    if not versions:
         return None
-    with open(mf) as fh:
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(f"manifest version {v} not retained at {path}")
+    with open(_commit_path(path, v)) as fh:
         return json.load(fh)
 
 
 def _commit_manifest(path: str, manifest: dict) -> None:
-    """THE commit point: replace the single manifest object atomically.
-    Locally `os.replace`; on an object store this is one PUT (atomic per
-    object). Everything before this call is invisible to readers."""
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, f".{_MANIFEST_FILE}.tmp{uuid.uuid4().hex[:8]}")
+    """THE commit point: atomically create the next numbered manifest
+    object, failing if it already exists (`os.link` is atomic
+    create-if-absent on POSIX; on an object store this is one conditional
+    PUT). Everything before this call is invisible to readers; losing the
+    race raises ConcurrentWriteError with all data garbage-collectable."""
+    d = os.path.join(path, _COMMITS_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, _MANIFEST_FILE))
+    try:
+        os.link(tmp, _commit_path(path, manifest["version"]))
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"manifest version {manifest['version']} at {path} was committed "
+            "by another writer — re-read the manifest and retry the merge"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def read_manifest_table(
@@ -623,11 +667,13 @@ def read_manifest_table(
     path: str,
     partition_values: Sequence | None = None,
     schema: T.StructType | None = None,
+    version: int | None = None,
 ) -> DataFrame:
-    """Read a manifest-committed table: resolve `_MANIFEST`, prune prefixes
-    by `partition_values` (manifest-level pruning — unreferenced and
-    filtered-out prefixes are never even listed), one multi-path scan."""
-    m = read_manifest(path)
+    """Read a manifest-committed table: resolve the committed manifest
+    (latest, or a retained historical `version` — time travel), prune
+    prefixes by `partition_values` (manifest-level pruning — unreferenced
+    and filtered-out prefixes are never even listed), one multi-path scan."""
+    m = read_manifest(path, version)
     if m is None:
         if schema is None:
             raise FileNotFoundError(f"no manifest at {path}")
@@ -657,8 +703,11 @@ def merge_upsert_manifest(
     Same semantics and preconditions as `merge_upsert_partitioned` (update
     rows win, unmatched insert, untouched partitions untouched; `keys` must
     functionally determine `partition_col`) — but commit is one atomic
-    manifest replace instead of N directory renames, so a crash anywhere
-    mid-write leaves readers on the old snapshot with zero torn state.
+    manifest-object creation instead of N directory renames, so a crash
+    anywhere mid-write leaves readers on the old snapshot with zero torn
+    state, and a concurrent writer racing to the same version loses with
+    `ConcurrentWriteError` (re-read and retry) instead of silently
+    clobbering the other writer's commit.
     NULL partition values need no fallback here: pruning is manifest-key
     selection, not a Hive `isin` predicate, so NULL is just another entry.
 
@@ -752,7 +801,9 @@ def merge_upsert_manifest(
             "partition_col": partition_col,
             "partitions": {**manifest["partitions"], **new_entries},
         }
-        _commit_manifest(path, manifest)  # ← the one and only commit action
+        # ← the one and only commit action (atomic create-if-absent of the
+        #   next version; raises ConcurrentWriteError on a lost race)
+        _commit_manifest(path, manifest)
     finally:
         merged.unpersist()
     return n
@@ -820,15 +871,24 @@ def compact_manifest(
     }
 
 
-def vacuum_manifest(path: str) -> list[str]:
-    """Reclaim data prefixes the current manifest no longer references —
-    superseded snapshots and garbage from writers that crashed before their
-    manifest flip. Safe to run any time; never touches referenced prefixes.
-    Returns the removed prefix paths (relative to `path`)."""
-    m = read_manifest(path)
-    if m is None:
+def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
+    """Reclaim data prefixes not referenced by the newest `keep_last`
+    committed manifests — superseded snapshots and garbage from writers
+    that crashed before their commit — and drop the commit entries older
+    than those (ending their time-travel window, the VACUUM trade-off).
+    Safe to run any time; never touches a referenced prefix. Returns the
+    removed prefix paths (relative to `path`)."""
+    versions = manifest_versions(path)
+    if not versions:
         return []
-    live = {os.path.normpath(e["prefix"]) for e in m["partitions"].values()}
+    keep = versions[-max(1, keep_last):]
+    live: set[str] = set()
+    for v in keep:
+        m = read_manifest(path, v)
+        live |= {os.path.normpath(e["prefix"]) for e in m["partitions"].values()}
+    for v in versions:
+        if v not in keep:
+            os.unlink(_commit_path(path, v))
     removed: list[str] = []
     data_root = os.path.join(path, "data")
     if not os.path.isdir(data_root):

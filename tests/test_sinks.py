@@ -598,3 +598,69 @@ def test_manifest_compaction_collapses_small_files(spark, tmp_path):
     # d2 untouched if it was already compact
     if d2_entry == m2["partitions"]["d2"]:
         assert os.path.isdir(os.path.join(path, d2_entry["prefix"]))
+
+
+def test_manifest_concurrent_writer_loses_race_cleanly(spark, tmp_path):
+    """Two writers racing to the same manifest version: exactly one wins
+    the atomic create-if-absent; the loser gets ConcurrentWriteError (no
+    silent lost update) and succeeds after re-reading."""
+    import json
+    import os
+
+    path = str(tmp_path / "man_race")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "d1", 1.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    # both writers read v1; writer A commits v2 first...
+    stale = sinks.read_manifest(path)
+    winner = {**stale, "version": 2}
+    with open(os.path.join(path, "_commits", "v00000002.json"), "w") as fh:
+        json.dump(winner, fh)
+    # ...then writer B (which also read v1) tries to commit ITS v2: the
+    # atomic create-if-absent must refuse — this is the lost-update window
+    with pytest.raises(sinks.ConcurrentWriteError, match="another writer"):
+        sinks._commit_manifest(path, {**stale, "version": 2})
+
+    # B's retry re-reads (now at v2) and the merge commits v3 — the
+    # standard optimistic-concurrency loop
+    updates = spark.createDataFrame([(1, "d1", 9.0)], "id long, day string, v double")
+    sinks.merge_upsert_manifest(spark, updates, path, ["id"], partition_col="day")
+    assert sinks.read_manifest(path)["version"] == 3
+    assert _read_manifest_rows(spark, path) == {(1, "d1", 9.0)}
+    sinks.vacuum_manifest(path)
+    assert _read_manifest_rows(spark, path) == {(1, "d1", 9.0)}
+
+
+def test_manifest_time_travel_and_vacuum_window(spark, tmp_path):
+    """Every commit is a retained snapshot until vacuumed: historical
+    versions read back exactly; vacuum(keep_last) ends the older
+    versions' time-travel window but never the kept ones."""
+    path = str(tmp_path / "man_tt")
+    for v in (1.0, 2.0, 3.0):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame([(1, "d1", v)], "id long, day string, v double"),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+    assert sinks.manifest_versions(path) == [1, 2, 3]
+    v1 = {
+        (r["id"], r["v"])
+        for r in sinks.read_manifest_table(spark, path, version=1).collect()
+    }
+    assert v1 == {(1, 1.0)}
+
+    removed = sinks.vacuum_manifest(path, keep_last=2)
+    assert len(removed) == 1  # only v1's prefix reclaimed
+    assert sinks.manifest_versions(path) == [2, 3]
+    assert {
+        (r["id"], r["v"])
+        for r in sinks.read_manifest_table(spark, path, version=2).collect()
+    } == {(1, 2.0)}
+    with pytest.raises(FileNotFoundError):
+        sinks.read_manifest(path, version=1)
