@@ -664,3 +664,41 @@ def test_manifest_time_travel_and_vacuum_window(spark, tmp_path):
     } == {(1, 2.0)}
     with pytest.raises(FileNotFoundError):
         sinks.read_manifest(path, version=1)
+
+
+def test_manifest_change_feed(spark, tmp_path):
+    """CDC over manifest versions: changed-partition discovery is
+    metadata-only, and the row feed tags insert/update/delete computed
+    only over the partitions the manifests say changed."""
+    path = str(tmp_path / "man_cdc")
+    v1 = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0), (4, "d3", 4.0)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, v1, path, ["id"], partition_col="day")
+    # v2: update one d1 row, insert into d1, add partition d4; d2/d3 untouched
+    v2 = spark.createDataFrame(
+        [(1, "d1", 100.0), (5, "d1", 5.0), (9, "d4", 9.0)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, v2, path, ["id"], partition_col="day")
+
+    changed = sinks.manifest_changed_partitions(path, from_version=1)
+    assert changed == {"d1": "rewritten", "d4": "added"}  # d2/d3 absent
+
+    feed = {
+        (r["id"], r["_change"], r["v"])
+        for r in sinks.manifest_row_changes(
+            spark, path, keys=["id"], from_version=1
+        ).collect()
+    }
+    assert feed == {
+        (1, "update_postimage", 100.0),
+        (5, "insert", 5.0),
+        (9, "insert", 9.0),
+    }
+    # identical versions → empty feed with the _change column present
+    empty = sinks.manifest_row_changes(
+        spark, path, keys=["id"], from_version=2, to_version=2
+    )
+    assert empty.count() == 0 and "_change" in empty.columns
