@@ -164,14 +164,40 @@ def insert_ignore(
 # A7 — merge-upsert (ON CONFLICT DO UPDATE)
 # ---------------------------------------------------------------------------
 
-def _align_schema(existing: DataFrame, updates: DataFrame) -> DataFrame:
-    """Cast/reorder the existing table to the update batch's schema. Parquet
-    partition-column type inference can drift a column's read-back type
-    (e.g. a string `day` written as partition dirs reads back as DATE);
-    merging unaligned frames would silently change the table's schema."""
-    return existing.select(
-        [F.col(f.name).cast(f.dataType).alias(f.name) for f in updates.schema.fields]
-    )
+def _align_schema(
+    existing: DataFrame, updates: DataFrame, schema_evolution: bool = False
+) -> DataFrame:
+    """Align the existing table to the update batch for the merge.
+
+    Shared columns cast to the batch's types (parquet partition-column
+    inference can drift a read-back type — e.g. a string `day` written as
+    partition dirs reads back as DATE; merging unaligned frames would
+    silently change the table's schema). Table columns the batch OMITS are
+    kept — `merge_upsert_frames` passes them through untouched, so a
+    partial-column batch never nulls a column out. Columns the batch adds
+    require `schema_evolution=True` (the Delta `mergeSchema` analog):
+    existing rows backfill NULL; without the flag they raise."""
+    new_cols = [c for c in updates.columns if c not in existing.columns]
+    if new_cols and not schema_evolution:
+        raise ValueError(
+            f"update batch has columns the table lacks: {new_cols} — pass "
+            "schema_evolution=True to evolve the table schema"
+        )
+    # stable table-schema order: existing columns keep their positions
+    # (cast to the batch's types where shared), new columns append
+    upd_types = {f.name: f.dataType for f in updates.schema.fields}
+    cols = [
+        F.col(f.name).cast(upd_types[f.name]).alias(f.name)
+        if f.name in upd_types
+        else F.col(f.name)
+        for f in existing.schema.fields
+    ]
+    cols += [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in updates.schema.fields
+        if f.name not in existing.columns
+    ]
+    return existing.select(cols)
 
 
 def merge_upsert(
@@ -180,13 +206,22 @@ def merge_upsert(
     path: str,
     keys: Sequence[str],
     partition_by: Sequence[str] | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE `updates` into the table at `path` keyed on `keys`.
 
     Update rows win per-column; unmatched update rows insert; untouched rows
     are preserved. Deterministic and idempotent (H7). Returns update count.
+
+    `schema_evolution=True` admits update batches with NEW columns: the
+    table's schema widens, existing rows backfill NULL (the full-rewrite
+    path makes this safe for plain parquet — every file gets the new
+    schema in one atomic swap). Batches that OMIT existing columns leave
+    them untouched in either mode.
     """
-    existing = _align_schema(read_table(spark, path, updates.schema), updates)
+    existing = _align_schema(
+        read_table(spark, path, updates.schema), updates, schema_evolution
+    )
     merged = merge_upsert_frames(existing, updates, keys)
     # applied-row count = distinct update keys (merge_upsert_frames collapses
     # duplicate-keyed update rows — updates.count() would over-report)
@@ -683,11 +718,17 @@ def read_manifest_table(
         want = {_enc_part(v) for v in partition_values}
         entries = {k: e for k, e in entries.items() if k in want}
     prefixes = [os.path.join(path, e["prefix"]) for e in entries.values()]
+    # the manifest's stored schema is authoritative (schema evolution:
+    # prefixes written before a column existed read it back as NULL)
+    stored = (
+        T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
+    )
     if not prefixes:
         return spark.createDataFrame(
-            [], schema if schema is not None else T.StructType()
+            [], stored or (schema if schema is not None else T.StructType())
         )
-    return spark.read.parquet(*prefixes)
+    reader = spark.read.schema(stored) if stored is not None else spark.read
+    return reader.parquet(*prefixes)
 
 
 def merge_upsert_manifest(
@@ -697,6 +738,7 @@ def merge_upsert_manifest(
     keys: Sequence[str],
     partition_col: str,
     check_moved_keys: bool = True,
+    schema_evolution: bool = False,
 ) -> int:
     """Partition-scoped MERGE with an object-store-safe commit.
 
@@ -776,6 +818,7 @@ def merge_upsert_manifest(
             spark, path, partition_values=parts, schema=updates.schema
         ),
         updates,
+        schema_evolution,
     )
     merged = merge_upsert_frames(existing_touched, updates, keys).persist()
     try:
@@ -797,9 +840,13 @@ def merge_upsert_manifest(
             part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
             new_entries[enc] = {"prefix": prefix, "value": enc}
         manifest = {
+            **manifest,
             "version": manifest["version"] + 1,
             "partition_col": partition_col,
             "partitions": {**manifest["partitions"], **new_entries},
+            # authoritative table schema: lets prefixes written before a
+            # column existed read it back as NULL (schema evolution)
+            "schema": merged.schema.jsonValue(),
         }
         # ← the one and only commit action (atomic create-if-absent of the
         #   next version; raises ConcurrentWriteError on a lost race)
@@ -859,8 +906,8 @@ def compact_manifest(
         _commit_manifest(
             path,
             {
+                **m,  # preserves the stored schema and any future metadata
                 "version": m["version"] + 1,
-                "partition_col": m["partition_col"],
                 "partitions": {**m["partitions"], **new_entries},
             },
         )

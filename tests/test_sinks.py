@@ -702,3 +702,75 @@ def test_manifest_change_feed(spark, tmp_path):
         spark, path, keys=["id"], from_version=2, to_version=2
     )
     assert empty.count() == 0 and "_change" in empty.columns
+
+
+def test_merge_schema_evolution_full_table(spark, wh):
+    """schema_evolution=True widens the table: existing rows backfill NULL
+    for the new column; without the flag a new column raises; a batch
+    OMITTING a column leaves it untouched (never nulled)."""
+    path = f"{wh}/t"
+    sinks.merge_upsert(
+        spark,
+        spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]),
+        path,
+        ["id"],
+    )
+    wider = spark.createDataFrame([(2, "b2", 7.5), (3, "c", 9.0)],
+                                  "id long, v string, score double")
+    with pytest.raises(ValueError, match="schema_evolution"):
+        sinks.merge_upsert(spark, wider, path, ["id"])
+    sinks.merge_upsert(spark, wider, path, ["id"], schema_evolution=True)
+    assert _read(spark, path) == {
+        (1, "a", None),      # backfilled
+        (2, "b2", 7.5),
+        (3, "c", 9.0),
+    }
+    # partial-column batch: v untouched for the matched row
+    partial = spark.createDataFrame([(1, 1.5)], "id long, score double")
+    sinks.merge_upsert(spark, partial, path, ["id"])
+    assert _read(spark, path) == {
+        (1, "a", 1.5),       # score updated, v preserved
+        (2, "b2", 7.5),
+        (3, "c", 9.0),
+    }
+
+
+def test_manifest_schema_evolution_without_rewriting_old_prefixes(spark, tmp_path):
+    """Manifest tables evolve via metadata: the widened schema lives in the
+    manifest, so prefixes written BEFORE the column existed are never
+    rewritten and read the new column back as NULL."""
+    import glob
+    import os
+
+    path = str(tmp_path / "man_evo")
+    base = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d2", 2.0)], "id long, day string, v double"
+    )
+    sinks.merge_upsert_manifest(spark, base, path, ["id"], partition_col="day")
+    m1 = sinks.read_manifest(path)
+    d2_files = sorted(
+        glob.glob(os.path.join(path, m1["partitions"]["d2"]["prefix"], "*.parquet"))
+    )
+
+    wider = spark.createDataFrame(
+        [(1, "d1", 10.0, "en")], "id long, day string, v double, lang string"
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        sinks.merge_upsert_manifest(spark, wider, path, ["id"], partition_col="day")
+    sinks.merge_upsert_manifest(
+        spark, wider, path, ["id"], partition_col="day", schema_evolution=True
+    )
+    rows = {
+        (r["id"], r["day"], r["v"], r["lang"])
+        for r in sinks.read_manifest_table(spark, path).collect()
+    }
+    assert rows == {(1, "d1", 10.0, "en"), (2, "d2", 2.0, None)}
+    # d2's prefix: same pointer, same files — never rewritten for the evolution
+    m2 = sinks.read_manifest(path)
+    assert m2["partitions"]["d2"] == m1["partitions"]["d2"]
+    assert sorted(
+        glob.glob(os.path.join(path, m2["partitions"]["d2"]["prefix"], "*.parquet"))
+    ) == d2_files
+    # compaction preserves the evolved schema metadata
+    sinks.compact_manifest(spark, path)
+    assert sinks.read_manifest(path).get("schema") == m2["schema"]
