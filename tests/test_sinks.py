@@ -774,3 +774,25 @@ def test_manifest_schema_evolution_without_rewriting_old_prefixes(spark, tmp_pat
     # compaction preserves the evolved schema metadata
     sinks.compact_manifest(spark, path)
     assert sinks.read_manifest(path).get("schema") == m2["schema"]
+
+
+def test_manifest_read_pushes_filters_through_stored_schema(spark, tmp_path):
+    """The stored-schema read must not cost Catalyst anything: value
+    filters still push to the parquet scan of the manifest prefixes."""
+    from f1_data_pipeline_spark.plans.audit import pushed_filters
+
+    path = str(tmp_path / "man_push")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(i, f"d{i % 2}", float(i)) for i in range(20)],
+            "id long, day string, v double",
+        ),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    df = sinks.read_manifest_table(spark, path).filter(F.col("v") > 5.0)
+    pushed = " ".join(pushed_filters(df))
+    assert "v" in pushed, pushed
+    assert df.count() == 14
