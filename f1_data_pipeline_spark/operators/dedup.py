@@ -18,6 +18,8 @@ bit ops) — no Python UDFs anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -239,6 +241,136 @@ def minhash_lsh_pairs(
         cand.withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# persisted minhash index — incremental near-dup dedup (build once, query
+# every new batch: the crawl-ingest workflow. Recomputing the corpus's
+# signatures per arriving batch is O(corpus) work per batch; the index
+# makes it O(batch) + one scan of band-matched index rows)
+# ---------------------------------------------------------------------------
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> None:
+    """Persist the LSH state for a corpus: `{path}/bands` (one row per
+    (id, band, band_hash), partitioned by band) and `{path}/sigs` (one
+    signature array per doc). Parameters are stored alongside so queries
+    can't silently mix hash families."""
+    import json as _json
+
+    sig, banded = _minhash_banded(df, id_col, text_col, num_hashes, bands, shingle_size)
+    banded.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    ).write.mode("overwrite").parquet(f"{path}/sigs")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "params.json"), "w") as fh:
+        _json.dump(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_size": shingle_size,
+            },
+            fh,
+        )
+
+
+def _minhash_index_params(path: str) -> dict:
+    import json as _json
+
+    with open(os.path.join(path, "params.json")) as fh:
+        return _json.load(fh)
+
+
+def minhash_index_add(df: DataFrame, path: str, id_col: str, text_col: str) -> None:
+    """Append a new batch's LSH state to the index (same hash family by
+    construction — parameters come from the index). Run AFTER
+    `query_minhash_index` has flagged the batch's near-dups, so the index
+    grows with the accepted corpus."""
+    p = _minhash_index_params(path)
+    sig, banded = _minhash_banded(
+        df, id_col, text_col, p["num_hashes"], p["bands"], p["shingle_size"]
+    )
+    banded.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+    sig.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(p["num_hashes"])]).alias("sig")
+    ).write.mode("append").parquet(f"{path}/sigs")
+
+
+def query_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (new_id, index_id, est_jaccard) of a NEW batch
+    against the indexed corpus — the incremental form of
+    `minhash_lsh_pairs`. The batch side (small by construction: one
+    ingest batch) is BROADCAST against the band-partitioned index, so the
+    corpus-sized side is scanned once and never shuffled; its signatures
+    join only for the matched candidates. `max_bucket_size` caps hot
+    index buckets exactly like the batch operator (sizes from the index
+    side only — the boilerplate hazard lives in the corpus)."""
+    spark = new_docs.sparkSession
+    p = _minhash_index_params(path)
+    new_sig, new_banded = _minhash_banded(
+        new_docs, id_col, text_col, p["num_hashes"], p["bands"], p["shingle_size"]
+    )
+    idx_banded = spark.read.parquet(f"{path}/bands")
+    if max_bucket_size is not None:
+        sizes = idx_banded.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        hot = sizes.filter(F.col("__bn") > max_bucket_size).select(
+            "band", "band_hash"
+        )
+        idx_banded = idx_banded.join(
+            F.broadcast(hot), ["band", "band_hash"], "left_anti"
+        )
+
+    cand = (
+        idx_banded.withColumnRenamed("id", "index_id")
+        .join(
+            F.broadcast(
+                new_banded.withColumnRenamed("id", "new_id")
+            ),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    new_sigs = new_sig.select(
+        F.col("id").alias("new_id"),
+        F.array(*[F.col(f"m{i}") for i in range(p["num_hashes"])]).alias("sig_new"),
+    )
+    idx_sigs = spark.read.parquet(f"{path}/sigs").select(
+        F.col("id").alias("index_id"), F.col("sig").alias("sig_idx")
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_new", "sig_idx", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(p["num_hashes"])
+    )
+    return (
+        cand.join(F.broadcast(new_sigs), "new_id")
+        .join(idx_sigs, "index_id")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "index_id", "est_jaccard")
     )
 
 

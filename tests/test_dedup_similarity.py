@@ -494,3 +494,43 @@ def test_ivf_index_add_incremental(spark, tmp_path):
     }
     assert {(r["query_id"], r["neighbor_id"]) for r in after.collect()} == truth
     assert before != truth  # the add genuinely changed reachability
+
+
+def test_minhash_index_incremental_matches_batch(spark, tmp_path, sf_dir):
+    """Persisted minhash index: querying a NEW batch against the indexed
+    corpus finds exactly the cross (new, corpus) pairs the batch operator
+    finds on the union — without recomputing corpus signatures — and
+    index_add makes later batches see earlier ones."""
+    from f1_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 3 != 0")
+    batch = docs.filter("doc_id % 3 = 0")
+
+    idx = str(tmp_path / "mh_idx")
+    D.build_minhash_index(corpus, idx, "doc_id", "text")
+    got = {
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in D.query_minhash_index(batch, idx, "doc_id", "text", 0.5).collect()
+    }
+
+    union_pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    expected = set()
+    for r in union_pairs.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a in batch_ids and b in corpus_ids:
+            expected.add((a, b, r["est_jaccard"]))
+        elif b in batch_ids and a in corpus_ids:
+            expected.add((b, a, r["est_jaccard"]))
+    assert got == expected and expected  # non-trivial on this corpus
+
+    # add the batch; a doc duplicated from it must now be caught
+    D.minhash_index_add(batch, idx, "doc_id", "text")
+    one = batch.limit(1).collect()[0]
+    probe = spark.createDataFrame(
+        [(999_999, one["text"])], "doc_id long, text string"
+    )
+    hits = D.query_minhash_index(probe, idx, "doc_id", "text", 0.9).collect()
+    assert any(r["index_id"] == one["doc_id"] and r["est_jaccard"] == 1.0 for r in hits)
