@@ -90,3 +90,67 @@ def start_curation_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_neardup_sink(
+    doc_stream: DataFrame,
+    index_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> StreamingQuery:
+    """Incremental NEAR-dup curation: per micro-batch, exact-dedup, drop
+    intra-batch near-dups (keep lowest doc_id), query the persisted
+    minhash index for near-dups of anything already accepted (corpus
+    signatures never recomputed — operators/dedup.py index), then add the
+    survivors to the index and MERGE them into the target.
+
+    Replay-idempotent end to end: a doc never matches itself in the index
+    (id equality is excluded), surviving batch-mates are below threshold
+    by construction, and the index add anti-joins already-indexed ids —
+    so re-running a micro-batch after any crash point converges to the
+    same target AND the same index.
+    """
+    import os
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        keep = D.exact_dedup(batch, "text", "doc_id")
+        intra = D.minhash_lsh_pairs(
+            keep, "doc_id", "text", threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        )
+        drop = intra.select(
+            F.greatest("id_a", "id_b").alias("doc_id")
+        ).distinct()
+        keep = keep.join(drop, "doc_id", "left_anti")
+        if os.path.exists(os.path.join(index_path, "params.json")):
+            flagged = (
+                D.query_minhash_index(
+                    keep, index_path, "doc_id", "text", threshold,
+                    max_bucket_size=max_bucket_size,
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            keep = keep.join(flagged, "doc_id", "left_anti").persist()
+            indexed = spark.read.parquet(f"{index_path}/sigs").select(
+                F.col("id").alias("doc_id")
+            )
+            to_add = keep.join(indexed, "doc_id", "left_anti")
+            if to_add.limit(1).count():
+                D.minhash_index_add(to_add, index_path, "doc_id", "text")
+        else:
+            keep = keep.persist()
+            D.build_minhash_index(keep, index_path, "doc_id", "text")
+        sinks.merge_upsert(spark, keep, target_path, ["doc_id"])
+        keep.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -87,3 +87,54 @@ def test_streaming_curation(spark, tmp_path):
         (r["fp"], r["text"]) for r in spark.read.parquet(target).collect()
     }
     assert before == after
+
+
+def test_neardup_sink_incremental_and_replay_idempotent(spark, tmp_path):
+    """Near-dup streaming curation: batch 2's near-duplicate of an
+    accepted batch-1 doc is dropped via the persisted index (no corpus
+    recompute); full replay with a fresh checkpoint changes neither the
+    target nor the index."""
+    from f1_data_pipeline_spark.streaming.corpus_stream import start_neardup_sink
+
+    stream_dir = str(tmp_path / "in")
+    base = _good_text("story", 30)
+    b1 = [
+        _doc(1, base),
+        _doc(2, _good_text("other", 30)),
+        _doc(3, base + " extraword"),     # intra-batch near-dup of 1 → dropped
+    ]
+    b2 = [
+        _doc(7, base + " tailbit"),       # near-dup of accepted doc 1 → dropped
+        _doc(8, _good_text("fresh", 30)),
+    ]
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rows, DOCUMENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stream_dir}/{name}")
+
+    idx = str(tmp_path / "idx")
+    target = str(tmp_path / "target")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/*")
+        )
+        q = start_neardup_sink(
+            stream, idx, target, str(tmp_path / ckpt), threshold=0.5
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    run("ck1")
+    kept = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert kept == {1, 2, 8}
+    indexed = {r["id"] for r in spark.read.parquet(f"{idx}/sigs").collect()}
+    assert indexed == {1, 2, 8}
+
+    run("ck2")  # full replay, fresh checkpoint
+    assert {r["doc_id"] for r in spark.read.parquet(target).collect()} == {1, 2, 8}
+    # index unchanged too — no duplicate signature rows
+    sig_rows = spark.read.parquet(f"{idx}/sigs").groupBy("id").count().collect()
+    assert {r["id"]: r["count"] for r in sig_rows} == {1: 1, 2: 1, 8: 1}
