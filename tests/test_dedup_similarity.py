@@ -534,3 +534,21 @@ def test_minhash_index_incremental_matches_batch(spark, tmp_path, sf_dir):
     )
     hits = D.query_minhash_index(probe, idx, "doc_id", "text", 0.9).collect()
     assert any(r["index_id"] == one["doc_id"] and r["est_jaccard"] == 1.0 for r in hits)
+
+
+def test_minhash_index_query_broadcasts_batch_side(spark, tmp_path, sf_dir):
+    """Plan pin: the incremental query must broadcast the (small) new
+    batch against the index scan — a sort-merge join would shuffle the
+    corpus-sized band index per ingest batch."""
+    from f1_data_pipeline_spark.plans.audit import join_strategies
+    from f1_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "mh_idx_plan")
+    D.build_minhash_index(docs.filter("doc_id % 2 = 0"), idx, "doc_id", "text")
+    q = D.query_minhash_index(
+        docs.filter("doc_id % 2 = 1").limit(50), idx, "doc_id", "text", 0.5
+    )
+    strat = join_strategies(q)
+    assert strat.get("sort_merge", 0) == 0, strat
+    assert strat["broadcast_hash"] >= 1, strat
