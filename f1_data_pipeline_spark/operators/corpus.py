@@ -339,6 +339,53 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing_k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's OWN
+    add-k-smoothed unigram LM — the scalable stand-in for LM-perplexity
+    quality filters (CCNet-style): documents far below the corpus mode
+    are line noise, wrong-language, or boilerplate soup; rank/threshold
+    on `mean_logprob` to drop them.
+
+    Plan shape (same audited skeleton as tfidf_top_terms): explode →
+    term-keyed count aggregate; corpus totals ride in as a 1-row
+    broadcast; per-doc score is one term-keyed join + one doc-keyed
+    aggregate. No driver-side state, no UDFs. Unseen-term mass exists by
+    construction (the LM is trained on the scored corpus itself); to
+    score NEW batches against a reference corpus, train on the reference
+    and join the new batch's tokens the same way.
+
+    Output: (id, n_tokens, mean_logprob) — natural log; higher is more
+    typical of the corpus.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("_total"),
+        F.count(F.lit(1)).cast("double").alias("_vocab"),
+    )
+    k = float(smoothing_k)
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log(
+            (F.col("c").cast("double") + F.lit(k))
+            / (F.col("_total") + F.lit(k) * F.col("_vocab"))
+        ).alias("logp"),
+    )
+    return (
+        tok.join(scored, "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
 # --- sequence packing -----------------------------------------------------------
 
 

@@ -226,3 +226,29 @@ def test_cap_per_group_unbiased_by_id_order(spark):
     )
     kept = {r["doc_id"] for r in C.cap_per_group(df, "source", "doc_id", k=20).collect()}
     assert kept != set(range(20))
+
+
+def test_unigram_logprob_golden_and_ranks_outliers(spark):
+    """Exact hand-computed golden for the add-k unigram LM, and the
+    quality-filter property: a line-noise doc scores far below docs made
+    of corpus-typical tokens."""
+    import math
+
+    from f1_data_pipeline_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb"),
+            (2, "aa bb"),
+            (3, "zz"),  # singleton token → corpus outlier
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs, smoothing_k=0.5).collect()}
+    # corpus: aa=3, bb=2, zz=1, total=6, vocab=3 → denom = 6 + 0.5*3 = 7.5
+    lp = {t: math.log((c + 0.5) / 7.5) for t, c in (("aa", 3), ("bb", 2), ("zz", 1))}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_logprob"] == round((2 * lp["aa"] + lp["bb"]) / 3, 6)
+    assert out[2]["mean_logprob"] == round((lp["aa"] + lp["bb"]) / 2, 6)
+    assert out[3]["mean_logprob"] == round(lp["zz"], 6)
+    assert out[3]["mean_logprob"] < out[1]["mean_logprob"]  # outlier ranks lowest
