@@ -550,6 +550,20 @@ def merge_upsert_partitioned(
         write_atomic(updates, path, partition_by=[partition_col])
         return updates.count()
 
+    table_cols = spark.read.parquet(path).columns
+    new_cols = [c for c in updates.columns if c not in table_cols]
+    if new_cols:
+        raise ValueError(
+            f"update batch adds columns {new_cols}, but a Hive-layout "
+            "partition-scoped MERGE cannot evolve schema (touched "
+            "partitions would get new-schema files while untouched ones "
+            "keep the old — plain parquet readers see whichever footer "
+            "they sample first). Use merge_upsert(schema_evolution=True) "
+            "(full rewrite) or a manifest table "
+            "(merge_upsert_manifest(schema_evolution=True), which stores "
+            "the schema as metadata)."
+        )
+
     if check_moved_keys:
         elsewhere = (
             spark.read.parquet(path)

@@ -796,3 +796,18 @@ def test_manifest_read_pushes_filters_through_stored_schema(spark, tmp_path):
     pushed = " ".join(pushed_filters(df))
     assert "v" in pushed, pushed
     assert df.count() == 14
+
+
+def test_partitioned_merge_refuses_schema_evolution(spark, tmp_path):
+    """Hive-layout partition-scoped MERGE must refuse new columns with an
+    actionable error (mixed-schema partition files break plain readers) —
+    not suggest a parameter it doesn't have."""
+    path = str(tmp_path / "facts_evo")
+    spark.createDataFrame(
+        [(1, "d1", 1.0)], "id long, day string, v double"
+    ).write.mode("overwrite").partitionBy("day").parquet(path)
+    wider = spark.createDataFrame(
+        [(1, "d1", 2.0, "en")], "id long, day string, v double, lang string"
+    )
+    with pytest.raises(ValueError, match="manifest table"):
+        sinks.merge_upsert_partitioned(spark, wider, path, ["id"], partition_col="day")
