@@ -294,15 +294,31 @@ def minhash_index_add(df: DataFrame, path: str, id_col: str, text_col: str) -> N
     """Append a new batch's LSH state to the index (same hash family by
     construction — parameters come from the index). Run AFTER
     `query_minhash_index` has flagged the batch's near-dups, so the index
-    grows with the accepted corpus."""
+    grows with the accepted corpus.
+
+    Crash contract (single writer — the streaming sink's checkpoint
+    serializes batches): signatures append FIRST, bands LAST, so bands
+    are the commit signal. A crash between the two leaves sig rows whose
+    docs are simply not yet discoverable (no band rows → never a
+    candidate → no wrong results), and a replay re-adds both — the
+    resulting duplicate sig rows are harmless because the query
+    deduplicates pairs after scoring. Idempotency checks must therefore
+    key on BANDS ids (`minhash_index_ids`), not sigs."""
     p = _minhash_index_params(path)
     sig, banded = _minhash_banded(
         df, id_col, text_col, p["num_hashes"], p["bands"], p["shingle_size"]
     )
-    banded.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
     sig.select(
         "id", F.array(*[F.col(f"m{i}") for i in range(p["num_hashes"])]).alias("sig")
     ).write.mode("append").parquet(f"{path}/sigs")
+    banded.write.mode("append").partitionBy("band").parquet(f"{path}/bands")
+
+
+def minhash_index_ids(spark, path: str) -> DataFrame:
+    """Distinct doc ids COMMITTED to the index (present in bands — the
+    last-written, authoritative side; see minhash_index_add's crash
+    contract). One column `id`."""
+    return spark.read.parquet(f"{path}/bands").select("id").distinct()
 
 
 def query_minhash_index(
@@ -371,6 +387,9 @@ def query_minhash_index(
         .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "index_id", "est_jaccard")
+        # a replayed index add can leave duplicate sig rows (crash
+        # contract in minhash_index_add) — identical scores, dedup here
+        .dropDuplicates(["new_id", "index_id"])
     )
 
 

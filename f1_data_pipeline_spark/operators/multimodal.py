@@ -174,7 +174,11 @@ def audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     seg = xp.reshape(half, win)
     rms = np.sqrt((seg.astype(np.float64) ** 2).mean(axis=1))
     zcr = np.abs(np.diff(np.signbit(seg), axis=1)).sum(axis=1) / win
-    feats = np.concatenate([rms, zcr])
+    parts = [rms, zcr]
+    if dim % 2:  # odd dim: global RMS fills the last slot so the output
+        parts.append(np.sqrt((x.astype(np.float64) ** 2).mean())[None])
+        # length always equals the declared dim (parity with the fake path)
+    feats = np.concatenate(parts)
     nrm = float(np.linalg.norm(feats)) or 1.0
     return [float(v) for v in (feats / nrm).astype(np.float32)]
 

@@ -333,6 +333,11 @@ def ivf_index_add(
         (r["cell"], r["centroid"])
         for r in spark.read.parquet(f"{index_path}/centroids").collect()
     ]
+    if not centroids:
+        # an empty centroid list would make array_min return NULL and
+        # strand every vector under cell=__HIVE_DEFAULT_PARTITION__,
+        # unreachable by ivf_search's probe filter — fail instead
+        raise ValueError(f"no centroids at {index_path} — build the index first")
     cell_dists = F.array(
         *[
             F.struct(
@@ -350,9 +355,17 @@ def ivf_index_add(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         )
         .withColumn("cell", F.array_min(cell_dists)["cell"])
+        .persist()  # one evaluation feeds both the count and the write —
+        # the upstream (often embedding extraction) is expensive and may
+        # be nondeterministic
     )
-    n = new_vectors.count()
-    assigned.write.mode("append").partitionBy("cell").parquet(f"{index_path}/cells")
+    try:
+        n = assigned.count()
+        assigned.write.mode("append").partitionBy("cell").parquet(
+            f"{index_path}/cells"
+        )
+    finally:
+        assigned.unpersist()
     return n
 
 

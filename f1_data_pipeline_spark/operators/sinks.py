@@ -657,8 +657,14 @@ class ConcurrentWriteError(RuntimeError):
 
 def _enc_part(v) -> str:
     """Stable string encoding of a partition value for manifest keys and
-    prefix names (None → 'null'; everything else str())."""
-    return "null" if v is None else str(v)
+    prefix names. None → 'null'; a non-NULL value whose str() would
+    collide with the NULL sentinel (the literal string 'null', a common
+    upstream sentinel) — or with the escape itself — gets an '=' prefix,
+    so two distinct partitions can never share a manifest key."""
+    if v is None:
+        return "null"
+    s = str(v)
+    return "=" + s if s == "null" or s.startswith("=") else s
 
 
 def _commit_path(path: str, version: int) -> str:
@@ -780,9 +786,12 @@ def merge_upsert_manifest(
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:
         return 0
+    # countDistinct over a STRUCT so NULL counts as a partition value —
+    # a key spanning the NULL partition and a real one must be rejected
+    # like any other spanning key (NULL partitions are first-class here)
     dup_keyed = (
         updates.groupBy(*keys)
-        .agg(F.countDistinct(partition_col).alias("__np"))
+        .agg(F.countDistinct(F.struct(partition_col)).alias("__np"))
         .filter(F.col("__np") > 1)
         .limit(1)
         .count()
@@ -836,7 +845,9 @@ def merge_upsert_manifest(
     )
     merged = merge_upsert_frames(existing_touched, updates, keys).persist()
     try:
-        n = updates.count()
+        # applied-row count = distinct update keys (duplicate-keyed rows
+        # collapse in the merge — updates.count() would over-report)
+        n = updates.select(*keys).distinct().count()
         snap = uuid.uuid4().hex[:12]
         new_entries: dict[str, dict] = {}
         for enc, val in touched.items():
@@ -988,6 +999,17 @@ def manifest_row_changes(
         version=from_version,
         schema=new.schema,  # all-"added" window → no old prefixes to scan
     )
+    # schema evolution across the window: conform the old side to the new
+    # schema (columns that didn't exist yet read as NULL) so the diff
+    # predicate and the unions resolve
+    old = old.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in old.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in new.schema.fields
+        ]
+    )
     k = list(keys)
     inserts = new.join(old.select(*k), k, "left_anti").withColumn(
         "_change", F.lit("insert")
@@ -1008,13 +1030,25 @@ def manifest_row_changes(
     return inserts.unionByName(updates).unionByName(deletes)
 
 
-def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
+def vacuum_manifest(
+    path: str, keep_last: int = 1, min_age_sec: float = 6 * 3600
+) -> list[str]:
     """Reclaim data prefixes not referenced by the newest `keep_last`
     committed manifests — superseded snapshots and garbage from writers
     that crashed before their commit — and drop the commit entries older
     than those (ending their time-travel window, the VACUUM trade-off).
-    Safe to run any time; never touches a referenced prefix. Returns the
-    removed prefix paths (relative to `path`)."""
+
+    `min_age_sec` is the retention threshold that makes this safe to run
+    concurrently with writers (the Delta VACUUM contract): an in-flight
+    merge has written its fresh prefixes but not yet committed the
+    manifest that references them — without the age floor those prefixes
+    look like garbage and their deletion would tear the writer's
+    subsequent commit. Keep it comfortably above the longest possible
+    write; lower it (tests use 0) only when no writer can be in flight.
+    Never touches a referenced prefix. Returns removed prefix paths
+    (relative to `path`)."""
+    import time as _time
+
     versions = manifest_versions(path)
     if not versions:
         return []
@@ -1030,14 +1064,16 @@ def vacuum_manifest(path: str, keep_last: int = 1) -> list[str]:
     data_root = os.path.join(path, "data")
     if not os.path.isdir(data_root):
         return []
+    cutoff = _time.time() - min_age_sec
     for part_dir in sorted(os.listdir(data_root)):
         pd = os.path.join(data_root, part_dir)
         if not os.path.isdir(pd):
             continue
         for snap_dir in sorted(os.listdir(pd)):
             rel = os.path.normpath(os.path.join("data", part_dir, snap_dir))
-            if rel not in live:
-                shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+            full = os.path.join(path, rel)
+            if rel not in live and os.path.getmtime(full) <= cutoff:
+                shutil.rmtree(full, ignore_errors=True)
                 removed.append(rel)
         if not os.listdir(pd):
             os.rmdir(pd)

@@ -136,8 +136,10 @@ def start_neardup_sink(
                 .distinct()
             )
             keep = keep.join(flagged, "doc_id", "left_anti").persist()
-            indexed = spark.read.parquet(f"{index_path}/sigs").select(
-                F.col("id").alias("doc_id")
+            # idempotency keys on BANDS ids — the index add's commit
+            # signal (sigs append first and may survive a crashed add)
+            indexed = D.minhash_index_ids(spark, index_path).withColumnRenamed(
+                "id", "doc_id"
             )
             to_add = keep.join(indexed, "doc_id", "left_anti")
             if to_add.limit(1).count():

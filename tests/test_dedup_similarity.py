@@ -552,3 +552,16 @@ def test_minhash_index_query_broadcasts_batch_side(spark, tmp_path, sf_dir):
     strat = join_strategies(q)
     assert strat.get("sort_merge", 0) == 0, strat
     assert strat["broadcast_hash"] >= 1, strat
+
+
+def test_ivf_index_add_requires_centroids(spark, tmp_path):
+    """Adding to a nonexistent/empty index must fail loudly — NULL cell
+    assignment would strand vectors unreachable by any probe."""
+    import pytest
+
+    idx = str(tmp_path / "no_idx")
+    spark.createDataFrame(
+        [(0, [0.0, 1.0])], "cell int, centroid array<double>"
+    ).limit(0).write.parquet(f"{idx}/centroids")
+    with pytest.raises(ValueError, match="centroids"):
+        S.ivf_index_add(_vecs(spark), idx, "vec_id", "embedding")

@@ -121,3 +121,11 @@ def test_extract_features_real_path_rejects_stubbed_types(spark):
     assets = M.synthesize_assets(spark, 6).filter("media_type = 'image'")
     with pytest.raises(Exception, match="(?i)decoder|notimplemented"):
         M.extract_features(assets, fake=False).collect()
+
+
+def test_audio_features_odd_dim_exact_length(spark):
+    """Odd dim must still produce exactly dim features (global RMS fills
+    the last slot) — parity with the fake path's length contract."""
+    payload = M.synthesize_wav(freq_hz=440.0, duration_ms=50)
+    assert len(M.audio_features(payload, dim=7)) == 7
+    assert len(M.audio_features(payload, dim=16)) == 16

@@ -416,7 +416,7 @@ def test_manifest_merge_crash_between_partition_writes_no_torn_state(
     monkeypatch.undo()
 
     # orphaned (never-referenced) prefixes exist and are reclaimable
-    removed = sinks.vacuum_manifest(path)
+    removed = sinks.vacuum_manifest(path, min_age_sec=0)
     assert removed, "crash left garbage prefixes that vacuum should find"
     assert _read_manifest_rows(spark, path) == before  # vacuum never breaks readers
 
@@ -523,7 +523,7 @@ def test_manifest_vacuum_reclaims_superseded_snapshots(spark, tmp_path):
             ["id"],
             partition_col="day",
         )
-    removed = sinks.vacuum_manifest(path)
+    removed = sinks.vacuum_manifest(path, min_age_sec=0)
     assert len(removed) == 2
     assert _read_manifest_rows(spark, path) == {(1, "d1", 3.0)}
     live_prefix = sinks.read_manifest(path)["partitions"]["d1"]["prefix"]
@@ -593,7 +593,7 @@ def test_manifest_compaction_collapses_small_files(spark, tmp_path):
     assert _read_manifest_rows(spark, path) == pre
     assert m2["version"] == m["version"] + 1
     # superseded prefixes reclaimed only by vacuum, readers unaffected
-    removed = sinks.vacuum_manifest(path)
+    removed = sinks.vacuum_manifest(path, min_age_sec=0)
     assert removed and _read_manifest_rows(spark, path) == pre
     # d2 untouched if it was already compact
     if d2_entry == m2["partitions"]["d2"]:
@@ -631,7 +631,7 @@ def test_manifest_concurrent_writer_loses_race_cleanly(spark, tmp_path):
     sinks.merge_upsert_manifest(spark, updates, path, ["id"], partition_col="day")
     assert sinks.read_manifest(path)["version"] == 3
     assert _read_manifest_rows(spark, path) == {(1, "d1", 9.0)}
-    sinks.vacuum_manifest(path)
+    sinks.vacuum_manifest(path, min_age_sec=0)
     assert _read_manifest_rows(spark, path) == {(1, "d1", 9.0)}
 
 
@@ -655,7 +655,7 @@ def test_manifest_time_travel_and_vacuum_window(spark, tmp_path):
     }
     assert v1 == {(1, 1.0)}
 
-    removed = sinks.vacuum_manifest(path, keep_last=2)
+    removed = sinks.vacuum_manifest(path, keep_last=2, min_age_sec=0)
     assert len(removed) == 1  # only v1's prefix reclaimed
     assert sinks.manifest_versions(path) == [2, 3]
     assert {
@@ -811,3 +811,93 @@ def test_partitioned_merge_refuses_schema_evolution(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="manifest table"):
         sinks.merge_upsert_partitioned(spark, wider, path, ["id"], partition_col="day")
+
+
+def test_manifest_vacuum_retention_protects_inflight_writes(spark, tmp_path):
+    """The retention floor: an unreferenced-but-fresh prefix (an in-flight
+    writer's not-yet-committed data) survives a default-threshold vacuum;
+    only min_age_sec=0 reclaims it."""
+    import os
+
+    path = str(tmp_path / "man_ret")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "d1", 1.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    # simulate an in-flight writer's fresh uncommitted prefix
+    orphan = os.path.join(path, "data", "d9", "snap-inflight00")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-0.parquet"), "w").close()
+
+    assert sinks.vacuum_manifest(path) == []  # default floor: untouched
+    assert os.path.isdir(orphan)
+    removed = sinks.vacuum_manifest(path, min_age_sec=0)
+    assert removed == [os.path.join("data", "d9", "snap-inflight00")]
+
+
+def test_manifest_null_and_null_string_partitions_distinct(spark, tmp_path):
+    """NULL and the literal string 'null' are DIFFERENT partitions — the
+    encoding must never collide them (one would clobber the other)."""
+    path = str(tmp_path / "man_nullstr")
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, "null", 2.0)], "id long, day string, v double"
+    )
+    sinks.merge_upsert_manifest(spark, base, path, ["id"], partition_col="day")
+    m = sinks.read_manifest(path)
+    assert set(m["partitions"]) == {"null", "=null"}
+    assert _read_manifest_rows(spark, path) == {(1, None, 1.0), (2, "null", 2.0)}
+    # updating one must not disturb the other
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(2, "null", 20.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    assert _read_manifest_rows(spark, path) == {(1, None, 1.0), (2, "null", 20.0)}
+
+
+def test_manifest_rejects_key_spanning_null_partition(spark, tmp_path):
+    """A key split across the NULL partition and a real one must be
+    rejected (countDistinct over a struct counts NULL as a value)."""
+    path = str(tmp_path / "man_nullspan")
+    bad = spark.createDataFrame(
+        [(1, None, 1.0), (1, "d1", 2.0)], "id long, day string, v double"
+    )
+    with pytest.raises(ValueError, match="functionally determine"):
+        sinks.merge_upsert_manifest(spark, bad, path, ["id"], partition_col="day")
+
+
+def test_manifest_cdc_across_schema_evolution(spark, tmp_path):
+    """The change feed must work across an evolved window: the old side
+    conforms to the new schema (pre-evolution columns read as NULL)."""
+    path = str(tmp_path / "man_cdc_evo")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "d1", 1.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(1, "d1", 1.0, "en"), (2, "d1", 2.0, "fr")],
+            "id long, day string, v double, lang string",
+        ),
+        path,
+        ["id"],
+        partition_col="day",
+        schema_evolution=True,
+    )
+    feed = {
+        (r["id"], r["_change"], r["lang"])
+        for r in sinks.manifest_row_changes(
+            spark, path, keys=["id"], from_version=1
+        ).collect()
+    }
+    # row 1: v unchanged but lang went NULL→'en' = update; row 2: insert
+    assert feed == {(1, "update_postimage", "en"), (2, "insert", "fr")}

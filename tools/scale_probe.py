@@ -55,7 +55,9 @@ from pyspark.sql import functions as F  # noqa: E402
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "contamination", "spans", "tfidf", "tfidf_mindf"):
+    if args and args[0] in (
+        "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram"
+    ):
         op = args.pop(0)
     modes = ("clique", "disjoint")
     cap = None
@@ -72,6 +74,7 @@ def main() -> None:
     from f1_data_pipeline_spark.operators.corpus import (
         contamination,
         tfidf_top_terms,
+        unigram_logprob,
     )
     from f1_data_pipeline_spark.operators.dedup import (
         duplicate_spans,
@@ -185,6 +188,12 @@ def main() -> None:
                 # the df-band pre-filter arm: min_df=2 drops the hapax
                 # tail from the df side before the tf⋈dfreq join
                 out = tfidf_top_terms(scaled, "doc_id", "text", k=5, min_df=2)
+            elif op == "unigram":
+                # same skeleton as tfidf (term agg + broadcast totals +
+                # term join): under `tail` the vocabulary grows ~8
+                # terms/doc — rows stay docs×1, time should stay ~N
+                # (term-keyed state grows with vocab, not with pairs)
+                out = unigram_logprob(scaled, "doc_id", "text")
             elif op == "spans":
                 # disjoint: no cross-replica grams → span rows ~factor×base
                 # (each replica keeps only the base corpus's internal spans);
