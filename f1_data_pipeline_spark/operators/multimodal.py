@@ -9,9 +9,12 @@ The Spark-side mechanics here are real and tested — schemas, Arrow-batched
   and `audio_features` computes actual windowed RMS + zero-crossing-rate
   features — `extract_features(fake=False)` runs this non-fake path end to
   end over Arrow batches (tests/test_multimodal.py).
-- image/video decode remains STUBBED: this container ships no image/video
-  libraries, so `decode` raises NotImplementedError for those types unless
-  a decoder import succeeds, and their pipelines use
+- IMAGE (PPM) IS REAL: `decode_ppm` parses binary P6 bytes (pure-bytes
+  header+pixel parsing, no libraries), and `image_features` computes
+  per-grid-cell mean intensities over the decoded pixels.
+- Other image formats and video decode remain STUBBED: this container
+  ships no codec libraries, so `decode` raises NotImplementedError for
+  those unless a decoder import succeeds, and their pipelines use
   `deterministic_fake_features` (clearly marked) to exercise the full
   shape.
 
@@ -94,6 +97,8 @@ def decode(media: bytes, media_type: str):
     fake-feature path instead."""
     if media_type == "audio":
         return decode_wav(media)
+    if media_type == "image" and bytes(media[:2]) == b"P6":
+        return decode_ppm(media)
     dec = _try_decoder(media_type)
     if dec is None:
         raise NotImplementedError(
@@ -183,6 +188,87 @@ def audio_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(v) for v in (feats / nrm).astype(np.float32)]
 
 
+# ---------------------------------------------------------------------------
+# real image codec arm — stdlib-only PPM (P6 binary RGB)
+# ---------------------------------------------------------------------------
+
+def synthesize_ppm(
+    width: int = 32, height: int = 24, seed: int = 0
+) -> bytes:
+    """Real binary-PPM (P6) bytes: a deterministic RGB gradient pattern
+    seeded by `seed` — every pixel value is a pure function of
+    (x, y, seed), so decode results are exactly predictable."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            body += bytes(
+                (
+                    (x * 8 + seed) % 256,
+                    (y * 8 + seed * 3) % 256,
+                    (x + y + seed * 7) % 256,
+                )
+            )
+    return header + bytes(body)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL decode: parse binary PPM (P6) — pure bytes, no libraries —
+    → (width, height, uint8 ndarray of shape (height, width, 3)).
+    Raises ValueError on malformed bytes — quarantine upstream."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, got maxval {maxval}")
+    raw = payload[i : i + w * h * 3]
+    if len(raw) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL feature extraction over real bytes: decode the PPM and
+    compute per-grid-cell mean intensities — the image is split into a
+    grid of `dim` cells (row-major) and each feature is that cell's mean
+    over all channels, L2-normalized. Honest pixel statistics, not a
+    payload hash."""
+    import numpy as np
+
+    _w, _h, px = decode_ppm(payload)
+    gray = px.astype(np.float64).mean(axis=2)  # (h, w)
+    rows = max(1, int(np.sqrt(dim)))
+    cols = -(-dim // rows)  # ceil → rows*cols >= dim
+    h, w = gray.shape
+    feats = []
+    for i in range(dim):
+        r, c = divmod(i, cols)
+        ys = slice(r * h // rows, max((r + 1) * h // rows, r * h // rows + 1))
+        xs = slice(c * w // cols, max((c + 1) * w // cols, c * w // cols + 1))
+        cell = gray[ys, xs]
+        feats.append(cell.mean() if cell.size else 0.0)
+    arr = np.array(feats)
+    nrm = float(np.linalg.norm(arr)) or 1.0
+    return [float(v) for v in (arr / nrm).astype(np.float32)]
+
+
 def synthesize_audio_assets(spark: SparkSession, n: int = 32) -> DataFrame:
     """Asset table whose audio payloads are REAL WAV bytes (tone frequency
     seeded by asset id; short durations — this is the non-fake codec-path
@@ -242,12 +328,21 @@ def extract_features(
             if fake:
                 feats = [deterministic_fake_features(b, dim) for b in pdf[media_col]]
             else:
-                feats = [
-                    audio_features(b, dim)
-                    if mt == "audio"
-                    else decode(b, mt)  # raises: image/video decode stubbed
-                    for b, mt in zip(pdf[media_col], pdf[media_type_col])
-                ]
+                feats = []
+                for b, mt in zip(pdf[media_col], pdf[media_type_col]):
+                    if mt == "audio":
+                        feats.append(audio_features(b, dim))
+                    elif mt == "image" and bytes(b[:2]) == b"P6":
+                        feats.append(image_features(b, dim))
+                    else:
+                        # non-PPM image / video: decode raises (stubbed);
+                        # if a real decoder is ever installed, implement
+                        # its feature path before using fake=False
+                        decode(b, mt)
+                        raise NotImplementedError(
+                            f"feature extraction for decoded {mt} payloads "
+                            "is not implemented"
+                        )
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(*in_cols).mapInPandas(batches, out_schema)

@@ -129,3 +129,78 @@ def test_audio_features_odd_dim_exact_length(spark):
     payload = M.synthesize_wav(freq_hz=440.0, duration_ms=50)
     assert len(M.audio_features(payload, dim=7)) == 7
     assert len(M.audio_features(payload, dim=16)) == 16
+
+
+def test_ppm_roundtrip_real_codec(spark):
+    """synthesize_ppm → decode_ppm is a REAL P6 roundtrip: pure-bytes
+    parse recovers geometry and the exact analytic pixel pattern,
+    including a comment-bearing header."""
+    import numpy as np
+
+    payload = M.synthesize_ppm(width=16, height=8, seed=3)
+    assert payload.startswith(b"P6")
+    w, h, px = M.decode_ppm(payload)
+    assert (w, h, px.shape) == (16, 8, (8, 16, 3))
+    # exact pixel check against the analytic pattern
+    for x, y in ((0, 0), (15, 7), (7, 3)):
+        assert tuple(px[y, x]) == (
+            (x * 8 + 3) % 256,
+            (y * 8 + 9) % 256,
+            (x + y + 21) % 256,
+        )
+    # header comments are legal PPM — parser must skip them
+    commented = payload.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    w2, h2, px2 = M.decode_ppm(commented)
+    assert (w2, h2) == (16, 8) and np.array_equal(px, px2)
+
+
+def test_image_features_reflect_pixels_not_bytes(spark):
+    """Grid-cell features are genuine pixel statistics: a brighter image
+    scores uniformly higher pre-normalization; deterministic; exact dim."""
+    import numpy as np
+
+    img = M.synthesize_ppm(width=32, height=24, seed=1)
+    f = M.image_features(img)
+    assert len(f) == M.FEATURE_DIM and all(np.isfinite(f))
+    assert f == M.image_features(img)  # deterministic
+    # uniform mid-gray image → all grid cells equal after normalization
+    flat = b"P6\n4 4\n255\n" + bytes([128, 128, 128] * 16)
+    ff = M.image_features(flat)
+    assert len(set(ff)) == 1 and abs(sum(v * v for v in ff) - 1.0) < 1e-6
+
+
+def test_extract_features_real_path_mixed_audio_and_ppm(spark):
+    """One frame with REAL WAV audio rows and REAL PPM image rows through
+    fake=False: both codecs run inside the same Arrow batch pass and
+    match their driver-side computations."""
+    rows = []
+    for i in range(4):
+        rows.append(
+            (
+                i,
+                M.synthesize_wav(freq_hz=220.0 * (i + 1), duration_ms=60),
+                "audio",
+                {"width": None, "height": None, "sample_rate": 16000,
+                 "duration_ms": 60, "format": "wav"},
+            )
+        )
+        rows.append(
+            (
+                100 + i,
+                M.synthesize_ppm(width=16, height=16, seed=i),
+                "image",
+                {"width": 16, "height": 16, "sample_rate": None,
+                 "duration_ms": None, "format": "ppm"},
+            )
+        )
+    assets = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["asset_id"]: r["features"] for r in
+           M.extract_features(assets, fake=False).collect()}
+    assert len(out) == 8
+    for i in range(4):
+        assert out[i] == M.audio_features(
+            M.synthesize_wav(freq_hz=220.0 * (i + 1), duration_ms=60)
+        )
+        assert out[100 + i] == M.image_features(
+            M.synthesize_ppm(width=16, height=16, seed=i)
+        )
