@@ -279,3 +279,30 @@ def test_wav_synth_decode_roundtrip_invariants(freq, duration_ms, sample_rate, a
     feats = M.audio_features(payload)
     assert len(feats) == M.FEATURE_DIM
     assert all(np.isfinite(feats))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=64),
+    height=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_ppm_synth_decode_roundtrip_invariants(width, height, seed):
+    """Property: the pure-bytes PPM codec roundtrip preserves geometry and
+    every pixel of the analytic pattern for ANY dimensions/seed, and
+    features are well-formed."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators import multimodal as M
+
+    payload = M.synthesize_ppm(width=width, height=height, seed=seed)
+    w, h, px = M.decode_ppm(payload)
+    assert (w, h) == (width, height) and px.shape == (height, width, 3)
+    ys, xs = np.mgrid[0:height, 0:width]
+    expected = np.stack(
+        [(xs * 8 + seed) % 256, (ys * 8 + seed * 3) % 256, (xs + ys + seed * 7) % 256],
+        axis=2,
+    ).astype(np.uint8)
+    assert np.array_equal(px, expected)
+    feats = M.image_features(payload)
+    assert len(feats) == M.FEATURE_DIM and all(np.isfinite(feats))
