@@ -361,6 +361,14 @@ def unigram_logprob(
 
     Output: (id, n_tokens, mean_logprob) — natural log; higher is more
     typical of the corpus.
+
+    DROPPED-ROW EDGE (same as tfidf_top_terms): documents whose text
+    tokenizes to ZERO tokens produce no output row at all — the inner join
+    on exploded tokens has nothing to carry. A quality filter thresholding
+    on mean_logprob must route empty docs explicitly (they are usually
+    exactly the junk such a filter wants to drop): left-join this result
+    back to the corpus ids and treat NULL mean_logprob as its own class —
+    the `text_quality` registry composite does precisely that.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))

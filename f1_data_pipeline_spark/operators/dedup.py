@@ -321,6 +321,65 @@ def minhash_index_ids(spark, path: str) -> DataFrame:
     return spark.read.parquet(f"{path}/bands").select("id").distinct()
 
 
+def compact_minhash_index(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Rewrite the persisted index into few files, preserving the band
+    partitioning `query_minhash_index` scans by.
+
+    `minhash_index_add` appends one parquet write per ingest batch to
+    `bands/` and `sigs/`, so a long-running crawl accumulates small files
+    without bound — and the per-batch index scan the incremental design
+    depends on degrades with file count, not data size. Compaction:
+
+    - `sigs/`: dedup (replayed adds leave identical duplicate rows — the
+      documented crash contract) and coalesce to ≈target-sized files;
+    - `bands/`: dedup and repartition BY BAND, so each `band=` directory
+      collapses to ~one file and stays the partition-pruned layout the
+      query's broadcast join scans.
+
+    Both sides swap in atomically (staged write + directory rename — the
+    same `write_atomic` idiom as every table sink), sigs first and bands
+    last to mirror the add contract, so a concurrent `query_minhash_index`
+    reader resolves either the old or the new directory, never a partial
+    rewrite, and a crash between the two swaps leaves a fully consistent
+    index (new sigs cover every id the old bands reference). Query results
+    are identical pre/post (parity-tested). Returns file counts.
+
+    Cadence: run out-of-band every N ingest batches or on a size trigger —
+    `start_neardup_sink`'s docstring wires this into the streaming loop.
+    """
+    import glob as _glob
+
+    from f1_data_pipeline_spark.operators.sinks import write_atomic
+
+    def _count(sub: str) -> int:
+        return len(
+            _glob.glob(os.path.join(path, sub, "**", "*.parquet"), recursive=True)
+        )
+
+    def _bytes(sub: str) -> int:
+        return sum(
+            os.path.getsize(f)
+            for f in _glob.glob(
+                os.path.join(path, sub, "**", "*.parquet"), recursive=True
+            )
+        )
+
+    before = {"sigs": _count("sigs"), "bands": _count("bands")}
+    n_sig_files = max(1, -(-_bytes("sigs") // target_file_bytes))  # ceil
+    sigs = spark.read.parquet(f"{path}/sigs").dropDuplicates().coalesce(n_sig_files)
+    write_atomic(sigs, f"{path}/sigs")
+    bands = spark.read.parquet(f"{path}/bands").dropDuplicates().repartition("band")
+    write_atomic(bands, f"{path}/bands", partition_by=["band"])
+    return {
+        "sigs_files_before": before["sigs"],
+        "sigs_files_after": _count("sigs"),
+        "bands_files_before": before["bands"],
+        "bands_files_after": _count("bands"),
+    }
+
+
 def query_minhash_index(
     new_docs: DataFrame,
     path: str,

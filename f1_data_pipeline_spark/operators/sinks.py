@@ -525,6 +525,20 @@ def merge_upsert_partitioned(
     a torn partition. On object-store targets use `merge_upsert_manifest`,
     which commits by atomically replacing a single manifest object (PUT is
     atomic per object) and never renames data files.
+
+    CROSS-PARTITION ATOMICITY: atomicity here is PER PARTITION, not per
+    batch. The swap loop below renames one touched partition directory at a
+    time, so a crash mid-loop leaves already-swapped partitions on the new
+    state and the rest on the old — every partition individually consistent
+    (wholly old or wholly new, never torn), but the batch as a whole
+    half-applied until the merge is re-run (it is idempotent). Within ONE
+    partition's swap there is additionally a narrow two-rename window (old
+    dir parked, new dir not yet renamed in) where a crash leaves that
+    partition absent until the parked `.__old__` directory is restored by
+    hand. A multi-partition batch that needs all-or-nothing visibility
+    ACROSS its partitions must go through `merge_upsert_manifest`, whose
+    single manifest flip commits every touched partition at once and has
+    neither window.
     """
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:
@@ -637,6 +651,21 @@ def merge_upsert_partitioned(
 # manifest level (`partition_values=`), before Spark ever lists a file,
 # exactly how table formats prune from metadata at 100 TB.
 #
+# DATA SKIPPING (the Iceberg manifest-stats half of the format): every
+# commit also records, per data file, the parquet footer's row count and
+# per-column min/max/null-count (read driver-side from the footers of the
+# files THIS commit wrote — metadata-only, cost ∝ files written, the same
+# write-side work Iceberg does to build its manifests). Readers passing
+# `predicates=` prune at TWO metadata levels before any file is listed or
+# opened: partitions whose key is excluded, then files whose recorded
+# bounds exclude the predicate. Clustered layouts (compact_manifest
+# cluster_by= / z-order, operators/layout.py) make those bounds tight, so
+# point/range predicates on NON-partition columns skip most files — see
+# tests/test_sinks.py::test_manifest_file_stats_pruning for the measured
+# skip. Stats live in the manifest JSON; at 100 TB-scale file counts a
+# production format shards them into manifest-list files — the protocol
+# here is the same, reduced to one object.
+#
 # Commit protocol (the Delta-log shape, reduced to its minimum): table
 # state is a sequence of numbered manifest objects `_commits/vNNNNNNNN.json`
 # and THE commit is an atomic create-if-absent of the NEXT number —
@@ -717,38 +746,309 @@ def _commit_manifest(path: str, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+def _stat_norm(v):
+    """Normalize a stats bound / predicate value into the JSON-safe,
+    order-preserving space the manifest stores: numbers stay numbers,
+    strings stay strings, date/datetime → naive ISO-8601 text (lexicographic
+    order == chronological order for a fixed type; tz info is stripped, so
+    timestamp pruning assumes one consistent zone — Spark's default
+    UTC-normalized parquet timestamps qualify). Unsupported types → None
+    (never pruned on)."""
+    import datetime as _dt
+    import decimal as _dec
+    import math as _math
+
+    if isinstance(v, bool) or isinstance(v, int) or isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return None if _math.isnan(v) else v
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
+def _collect_file_stats(full_dir: str) -> list[dict]:
+    """Per-file footer stats for every parquet data file under `full_dir`:
+    [{"name", "rows", "stats": {col: {"min", "max", "nulls"}}}].
+
+    Driver-side, metadata-only (pyarrow footer reads — no data pages
+    touched); called once per freshly-written prefix at commit time, so the
+    cost is ∝ files written by THIS commit, never table size. Bounds whose
+    type doesn't normalize (binary, nested) or that any row group omits are
+    recorded as null = "not prunable on" (readers keep the file)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for f in sorted(_glob.glob(os.path.join(full_dir, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        acc: dict[str, dict] = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested leaf — not a top-level column
+                    continue
+                cur = acc.setdefault(
+                    name,
+                    {"min": None, "max": None, "nulls": 0,
+                     "bounds_ok": True, "nulls_ok": True},
+                )
+                st = col.statistics
+                if st is None:
+                    cur["bounds_ok"] = cur["nulls_ok"] = False
+                    continue
+                if st.has_null_count:
+                    cur["nulls"] += st.null_count
+                    nonnull = col.num_values - st.null_count
+                else:
+                    cur["nulls_ok"] = False
+                    nonnull = None
+                if st.has_min_max:
+                    mn, mx = _stat_norm(st.min), _stat_norm(st.max)
+                    if mn is None or mx is None:
+                        cur["bounds_ok"] = False
+                    else:
+                        cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+                        cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+                elif nonnull != 0:
+                    # stats absent but the group has (or may have) non-null
+                    # values → file bounds unknowable; all-null groups
+                    # legitimately carry no min/max and constrain nothing
+                    cur["bounds_ok"] = False
+        stats = {
+            name: {
+                "min": c["min"] if c["bounds_ok"] else None,
+                "max": c["max"] if c["bounds_ok"] else None,
+                "nulls": c["nulls"] if c["nulls_ok"] else None,
+            }
+            for name, c in acc.items()
+        }
+        out.append({"name": os.path.basename(f), "rows": md.num_rows, "stats": stats})
+    return out
+
+
+def _pred_ops():
+    import operator as _op
+
+    return {"=": _op.eq, "==": _op.eq, "<": _op.lt, "<=": _op.le,
+            ">": _op.gt, ">=": _op.ge}
+
+
+def _predicates_column(predicates: Sequence[tuple]) -> Column:
+    """Conjunction of simple (col, op, value) predicates as a Spark Column —
+    the residual filter that makes pruning semantically invisible."""
+    ops = _pred_ops()
+    out = F.lit(True)
+    for col, op, v in predicates:
+        if op not in ops:
+            raise ValueError(f"unsupported predicate op {op!r} on {col!r} "
+                             f"(supported: {sorted(ops)})")
+        out = out & ops[op](F.col(col), F.lit(v))
+    return out
+
+
+def _file_maybe_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
+    """Can any row of this file satisfy the conjunction? Conservative:
+    prunes ONLY when recorded bounds prove emptiness; missing / type-
+    mismatched stats keep the file. NULL rows never satisfy a comparison,
+    so an all-null column proves emptiness for any predicate on it."""
+    stats = fmeta.get("stats") or {}
+    rows = fmeta.get("rows")
+    for col, op, raw in predicates:
+        st = stats.get(col)
+        if not st:
+            continue
+        if st.get("nulls") is not None and rows and st["nulls"] >= rows:
+            return False
+        v = _stat_norm(raw)
+        mn, mx = st.get("min"), st.get("max")
+        if v is None or mn is None or mx is None:
+            continue
+
+        def _comparable(a, b):
+            if isinstance(a, bool) != isinstance(b, bool):
+                return False
+            if isinstance(a, bool):
+                return True
+            if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+                return True
+            return isinstance(a, str) and isinstance(b, str)
+
+        if not (_comparable(mn, v) and _comparable(mx, v)):
+            continue
+        if op in ("=", "=="):
+            if v < mn or v > mx:
+                return False
+        elif op == "<":
+            if mn >= v:
+                return False
+        elif op == "<=":
+            if mn > v:
+                return False
+        elif op == ">":
+            if mx <= v:
+                return False
+        elif op == ">=":
+            if mx < v:
+                return False
+    return True
+
+
+def _select_scan_paths(
+    m: dict,
+    path: str,
+    partition_values: Sequence | None,
+    predicates: Sequence[tuple] | None,
+    partition_values_encoded: bool = False,
+) -> list[str]:
+    """Metadata-level scan planning: manifest-key partition pruning, then
+    per-file stats pruning. Returns exact file paths where the manifest
+    recorded them (no directory listing at all — the manifest IS the
+    listing), prefix directories for pre-stats entries."""
+    entries = m["partitions"]
+    if partition_values is not None:
+        want = (set(partition_values) if partition_values_encoded
+                else {_enc_part(v) for v in partition_values})
+        entries = {k: e for k, e in entries.items() if k in want}
+    paths: list[str] = []
+    for e in entries.values():
+        files = e.get("files")
+        if files is None:
+            paths.append(os.path.join(path, e["prefix"]))
+            continue
+        for fm in files:
+            if predicates is None or _file_maybe_matches(fm, predicates):
+                paths.append(os.path.join(path, e["prefix"], fm["name"]))
+    return paths
+
+
+def manifest_scan_files(
+    path: str,
+    partition_values: Sequence | None = None,
+    predicates: Sequence[tuple] | None = None,
+    version: int | None = None,
+) -> list[str]:
+    """The scan plan `read_manifest_table` would execute: every file/prefix
+    path that survives manifest-level partition pruning and file-level
+    stats pruning. Exposed for tests and ops introspection ("how much does
+    this predicate skip?")."""
+    m = read_manifest(path, version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    return _select_scan_paths(m, path, partition_values, predicates)
+
+
 def read_manifest_table(
     spark: SparkSession,
     path: str,
     partition_values: Sequence | None = None,
     schema: T.StructType | None = None,
     version: int | None = None,
+    predicates: Sequence[tuple] | None = None,
+    partition_values_encoded: bool = False,
 ) -> DataFrame:
     """Read a manifest-committed table: resolve the committed manifest
     (latest, or a retained historical `version` — time travel), prune
     prefixes by `partition_values` (manifest-level pruning — unreferenced
-    and filtered-out prefixes are never even listed), one multi-path scan."""
+    and filtered-out prefixes are never even listed), prune FILES by
+    `predicates` against the per-file column bounds recorded at commit
+    time (data skipping — files whose bounds exclude the predicate are
+    never opened), one multi-path scan.
+
+    `predicates` is a conjunction of (column, op, value) with op ∈
+    {=, ==, <, <=, >, >=}; it is ALSO applied as a real filter on the
+    result, so pruning is purely an I/O optimization — results are
+    identical with or without recorded stats. `partition_values_encoded`
+    marks `partition_values` as already-encoded manifest keys (the
+    `manifest_changed_partitions` vocabulary) rather than raw values —
+    internal CDC plumbing; raw values are the public surface."""
     m = read_manifest(path, version)
     if m is None:
         if schema is None:
             raise FileNotFoundError(f"no manifest at {path}")
         return spark.createDataFrame([], schema)
-    entries = m["partitions"]
-    if partition_values is not None:
-        want = {_enc_part(v) for v in partition_values}
-        entries = {k: e for k, e in entries.items() if k in want}
-    prefixes = [os.path.join(path, e["prefix"]) for e in entries.values()]
+    paths = _select_scan_paths(
+        m, path, partition_values, predicates, partition_values_encoded
+    )
     # the manifest's stored schema is authoritative (schema evolution:
     # prefixes written before a column existed read it back as NULL)
     stored = (
         T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
     )
-    if not prefixes:
-        return spark.createDataFrame(
+    if not paths:
+        df = spark.createDataFrame(
             [], stored or (schema if schema is not None else T.StructType())
         )
-    reader = spark.read.schema(stored) if stored is not None else spark.read
-    return reader.parquet(*prefixes)
+    else:
+        reader = spark.read.schema(stored) if stored is not None else spark.read
+        df = reader.parquet(*paths)
+    return df.filter(_predicates_column(predicates)) if predicates else df
+
+
+# Shared-column type changes a manifest commit may accept with
+# schema_evolution=True: exactly the parquet physical→logical widenings the
+# Spark 4 vectorized reader performs when the stored (authoritative) schema
+# is wider than an old prefix's physical type — pinned by
+# tests/test_sinks.py::test_manifest_schema_widening_old_prefixes_still_read.
+# Anything outside this set (narrowing, string↔number, nested changes)
+# would leave untouched prefixes UNREADABLE under the stored schema
+# ("Parquet column cannot be converted"), so it is rejected outright.
+_SAFE_WIDENINGS: set[tuple[str, str]] = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+    ("float", "double"),
+}
+
+
+def _check_type_evolution(
+    stored: T.StructType, updates: T.StructType, schema_evolution: bool
+) -> None:
+    """Guard shared-column TYPE changes against the stored manifest schema.
+
+    A merge only rewrites touched partitions, but the schema it commits
+    governs every prefix — so a batch that drifts a shared column's type
+    re-types files it never rewrote. Widenings in `_SAFE_WIDENINGS` are
+    readable in place (reader-verified) and allowed under
+    schema_evolution=True, same flag as new columns; any other change
+    raises: evolving it safely requires a FULL rewrite (merge_upsert with
+    the new schema into a fresh table), not a partition-scoped merge."""
+    stored_t = {f.name: f.dataType for f in stored.fields}
+    upd_t = {f.name: f.dataType for f in updates.fields}
+    changed = {
+        c: (stored_t[c], upd_t[c])
+        for c in upd_t
+        if c in stored_t and stored_t[c] != upd_t[c]
+    }
+    if not changed:
+        return
+    pretty = {c: f"{a.simpleString()} -> {b.simpleString()}" for c, (a, b) in changed.items()}
+    unsafe = {
+        c for c, (a, b) in changed.items()
+        if (a.simpleString(), b.simpleString()) not in _SAFE_WIDENINGS
+    }
+    if unsafe:
+        raise ValueError(
+            f"update batch changes column types {pretty} but "
+            f"{sorted(unsafe)} are not in-place-readable widenings — "
+            "untouched prefixes would become unreadable under the new "
+            "stored schema. Rewrite the table through the full-table "
+            "merge_upsert path with the new schema instead."
+        )
+    if not schema_evolution:
+        raise ValueError(
+            f"update batch widens column types {pretty} — pass "
+            "schema_evolution=True to evolve the stored schema (old "
+            "prefixes stay readable: the reader widens them on scan)"
+        )
 
 
 def merge_upsert_manifest(
@@ -813,6 +1113,11 @@ def merge_upsert_manifest(
             f"table at {path} is manifest-partitioned by "
             f"{manifest['partition_col']!r}, not {partition_col!r}"
         )
+    if manifest.get("schema") is not None:
+        _check_type_evolution(
+            T.StructType.fromJson(manifest["schema"]), updates.schema,
+            schema_evolution,
+        )
     touched = {_enc_part(p): p for p in parts}
     untouched_keys = [k for k in manifest["partitions"] if k not in touched]
 
@@ -863,7 +1168,14 @@ def merge_upsert_manifest(
                 else F.col(partition_col) == F.lit(val)
             )
             part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
-            new_entries[enc] = {"prefix": prefix, "value": enc}
+            new_entries[enc] = {
+                "prefix": prefix,
+                "value": enc,
+                # footer stats for the files just written → data skipping
+                # at read time (cost ∝ this commit's files, driver-side
+                # metadata reads only)
+                "files": _collect_file_stats(os.path.join(path, prefix)),
+            }
         manifest = {
             **manifest,
             "version": manifest["version"] + 1,
@@ -886,8 +1198,11 @@ def compact_manifest(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     partition_values: Sequence | None = None,
+    cluster_by: Sequence[str] | None = None,
+    zorder_bits: int = 16,
 ) -> dict:
-    """Small-file compaction for manifest-committed tables.
+    """Small-file compaction (and optional re-clustering) for
+    manifest-committed tables.
 
     Each MERGE writes a partition's fresh prefix with the writing job's
     parallelism, so a partition fed by many small batches accumulates many
@@ -897,6 +1212,15 @@ def compact_manifest(
     with ONE manifest flip — same crash contract as the MERGE (a crash
     before the flip leaves only vacuumable garbage; readers never see a
     half-compacted table). Returns {partitions, files_before, files_after}.
+
+    `cluster_by` additionally range-clusters each rewritten partition on
+    the given column(s) — one column sorts directly, several interleave via
+    z-order (operators/layout.py) — so every output file covers a tight
+    range and the per-file min/max recorded in the manifest prune hard for
+    predicates on those columns (the Delta OPTIMIZE ZORDER shape: merges
+    keep commits cheap, compaction restores layout quality). With
+    `cluster_by` set, partitions are rewritten even when already at target
+    file count, since the POINT is relayout.
     """
     import glob as _glob
 
@@ -916,17 +1240,34 @@ def compact_manifest(
         files = _glob.glob(os.path.join(old_dir, "*.parquet"))
         total = sum(os.path.getsize(f) for f in files)
         n_target = max(1, -(-total // target_file_bytes))  # ceil
-        if len(files) <= n_target:
+        if cluster_by is None and len(files) <= n_target:
             continue  # already compact
         before += len(files)
         prefix = os.path.join(
             "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
         )
-        spark.read.parquet(old_dir).coalesce(n_target).write.mode(
-            "errorifexists"
-        ).parquet(os.path.join(path, prefix))
+        df = spark.read.parquet(old_dir)
+        if cluster_by is None:
+            out = df.coalesce(n_target)
+        elif len(cluster_by) == 1:
+            c = cluster_by[0]
+            out = df.repartitionByRange(n_target, c).sortWithinPartitions(c)
+        else:
+            from f1_data_pipeline_spark.operators.layout import zorder_value
+
+            out = (
+                df.withColumn("__z", zorder_value(df, list(cluster_by), zorder_bits))
+                .repartitionByRange(n_target, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        out.write.mode("errorifexists").parquet(os.path.join(path, prefix))
         after += len(_glob.glob(os.path.join(path, prefix, "*.parquet")))
-        new_entries[enc] = {"prefix": prefix, "value": enc}
+        new_entries[enc] = {
+            "prefix": prefix,
+            "value": enc,
+            "files": _collect_file_stats(os.path.join(path, prefix)),
+        }
     if new_entries:
         _commit_manifest(
             path,
@@ -981,16 +1322,25 @@ def manifest_row_changes(
     ONLY over the partitions the manifests say changed — untouched
     partitions are never scanned. Requires both versions retained
     (vacuum keep_last must cover the window)."""
+    if to_version is None:
+        versions = manifest_versions(path)
+        if not versions:
+            raise FileNotFoundError(f"no manifest at {path}")
+        # pin "latest" ONCE so the changed-partition set and both reads see
+        # the same version even if a commit lands mid-call
+        to_version = versions[-1]
     changed = manifest_changed_partitions(path, from_version, to_version)
     if not changed:
         schema = read_manifest_table(spark, path, version=to_version).schema
         return spark.createDataFrame(
             [], T.StructType(list(schema) + [T.StructField("_change", T.StringType())])
         )
-    # the partition_values filter compares encoded keys, which is exactly
-    # what manifest_changed_partitions returns
+    # manifest_changed_partitions speaks ENCODED manifest keys ('null' for
+    # the NULL partition, '=null' for the literal string) — pass them as
+    # such, or re-encoding would silently drop those partitions' changes
     new = read_manifest_table(
-        spark, path, partition_values=list(changed), version=to_version
+        spark, path, partition_values=list(changed), version=to_version,
+        partition_values_encoded=True,
     )
     old = read_manifest_table(
         spark,
@@ -998,6 +1348,7 @@ def manifest_row_changes(
         partition_values=list(changed),
         version=from_version,
         schema=new.schema,  # all-"added" window → no old prefixes to scan
+        partition_values_encoded=True,
     )
     # schema evolution across the window: conform the old side to the new
     # schema (columns that didn't exist yet read as NULL) so the diff

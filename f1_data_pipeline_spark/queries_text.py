@@ -98,11 +98,18 @@ def _occ_sql(w: str) -> str:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite per-doc quality row: surface signals (q_text_surface) joined
     with token-level repetition signals + keep/drop decision
-    (operators/corpus.py quality_signals) — the full Gopher-style filter
-    input in one oracle-checked frame. Both sides key on doc_id, so the join
-    is a co-partitioned equi-join; docs with zero tokens keep their surface
-    row (left join) with repetition columns NULL on both engines."""
-    from f1_data_pipeline_spark.operators.corpus import quality_signals
+    (operators/corpus.py quality_signals) and the add-k unigram-LM score
+    (operators/corpus.py unigram_logprob — LN((c+k)/(total+k·vocab)),
+    rounded to 6 decimals on both engines, which tames libm drift) — the
+    full Gopher/CCNet-style filter input in one oracle-checked frame. All
+    sides key on doc_id, so the joins are co-partitioned equi-joins; docs
+    with zero tokens keep their surface row (left joins) with repetition
+    and LM columns NULL on both engines (unigram_logprob's documented
+    dropped-row edge, routed explicitly here)."""
+    from f1_data_pipeline_spark.operators.corpus import (
+        quality_signals,
+        unigram_logprob,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     surface = q_text_surface(spark, sf_dir)
@@ -115,7 +122,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_word_len",
         "keep",
     )
-    return surface.join(rep, "doc_id", "left")
+    lm = unigram_logprob(docs, "doc_id", "text", smoothing_k=0.5).select(
+        "doc_id",
+        F.col("n_tokens").alias("lm_n_tokens"),
+        "mean_logprob",
+    )
+    return surface.join(rep, "doc_id", "left").join(lm, "doc_id", "left")
 
 
 register(
@@ -144,6 +156,23 @@ register(
                ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_token_frac,
                ROUND(SUM(len(tok) * c) / CAST(SUM(c) AS DOUBLE), 4) AS mean_word_len
         FROM cnt GROUP BY doc_id
+    ),
+    term AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS tc FROM cnt GROUP BY tok
+    ),
+    lmtot AS (
+        SELECT CAST(SUM(tc) AS DOUBLE) AS total,
+               CAST(COUNT(*) AS DOUBLE) AS vocab
+        FROM term
+    ),
+    lp AS (
+        SELECT tok, LN((CAST(tc AS DOUBLE) + 0.5) / (total + 0.5 * vocab)) AS logp
+        FROM term CROSS JOIN lmtot
+    ),
+    lm AS (
+        SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS lm_n_tokens,
+               ROUND(AVG(lp.logp), 6) AS mean_logprob
+        FROM tok JOIN lp USING (tok) GROUP BY tok.doc_id
     )
     SELECT t.doc_id, t.ws_tokens, t.bpe_tokens, t.n_chars, t.n_punct,
            t.stopword_hits,
@@ -153,8 +182,10 @@ register(
            sig.top_token_frac, sig.mean_word_len,
            (sig.rep_n_tokens >= 20 AND sig.dup_token_frac <= 0.9
             AND sig.top_token_frac <= 0.3
-            AND sig.mean_word_len BETWEEN 2.0 AND 12.0) AS keep
+            AND sig.mean_word_len BETWEEN 2.0 AND 12.0) AS keep,
+           lm.lm_n_tokens, lm.mean_logprob
     FROM t LEFT JOIN sig ON t.doc_id = sig.doc_id
+         LEFT JOIN lm ON t.doc_id = lm.doc_id
     """,
 )
 

@@ -112,6 +112,15 @@ def start_neardup_sink(
     by construction, and the index add anti-joins already-indexed ids —
     so re-running a micro-batch after any crash point converges to the
     same target AND the same index.
+
+    MAINTENANCE: every micro-batch appends one file batch to the index's
+    `bands/` and `sigs/`, so a long-running crawl degrades its own
+    per-batch index scan by file count alone. Schedule
+    `operators/dedup.py:compact_minhash_index` out-of-band — every ~100
+    ingest batches, or when `bands/` file count exceeds a few × the band
+    count — it swaps atomically (readers see old or new, never partial),
+    preserves the band partitioning, and is parity-tested against live
+    queries, so it can run while this sink is between batches.
     """
     import os
 

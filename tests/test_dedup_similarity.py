@@ -536,6 +536,59 @@ def test_minhash_index_incremental_matches_batch(spark, tmp_path, sf_dir):
     assert any(r["index_id"] == one["doc_id"] and r["est_jaccard"] == 1.0 for r in hits)
 
 
+def test_minhash_index_compaction_parity_and_file_counts(spark, tmp_path, sf_dir):
+    """Compaction contract: after many small index adds, compact_minhash_index
+    collapses bands/ to ~one file per band partition and sigs/ to few files,
+    PRESERVES the band=-partitioned layout, and query results are identical
+    pre/post (including duplicate sig rows from a replayed add, which
+    compaction also collapses)."""
+    import glob
+    import os
+
+    from f1_data_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "mh_idx_compact")
+    D.build_minhash_index(docs.filter("doc_id % 7 = 0"), idx, "doc_id", "text")
+    for m in range(1, 6):  # five small adds -> five appended file batches
+        D.minhash_index_add(
+            docs.filter(f"doc_id % 7 = {m}"), idx, "doc_id", "text"
+        )
+    # simulate a crash-replayed add: duplicate rows for one slice
+    D.minhash_index_add(docs.filter("doc_id % 7 = 1"), idx, "doc_id", "text")
+
+    probe = docs.filter("doc_id % 7 = 6")
+    before = {
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in D.query_minhash_index(probe, idx, "doc_id", "text", 0.5).collect()
+    }
+    ids_before = {r["id"] for r in D.minhash_index_ids(spark, idx).collect()}
+
+    res = D.compact_minhash_index(spark, idx)
+    assert res["bands_files_after"] < res["bands_files_before"]
+    assert res["sigs_files_after"] < res["sigs_files_before"]
+    # band partitioning preserved: hive dirs present, ~one file per band
+    band_dirs = glob.glob(os.path.join(idx, "bands", "band=*"))
+    assert len(band_dirs) == 16  # default band count
+    assert all(
+        len(glob.glob(os.path.join(d, "*.parquet"))) == 1 for d in band_dirs
+    )
+
+    after = {
+        (r["new_id"], r["index_id"], r["est_jaccard"])
+        for r in D.query_minhash_index(probe, idx, "doc_id", "text", 0.5).collect()
+    }
+    assert after == before and before  # parity, non-trivial
+    assert {r["id"] for r in D.minhash_index_ids(spark, idx).collect()} == ids_before
+
+    # compaction composes with further incremental adds
+    D.minhash_index_add(probe, idx, "doc_id", "text")
+    one = probe.limit(1).collect()[0]
+    dup = spark.createDataFrame([(888_888, one["text"])], "doc_id long, text string")
+    hits = D.query_minhash_index(dup, idx, "doc_id", "text", 0.9).collect()
+    assert any(r["index_id"] == one["doc_id"] for r in hits)
+
+
 def test_minhash_index_query_broadcasts_batch_side(spark, tmp_path, sf_dir):
     """Plan pin: the incremental query must broadcast the (small) new
     batch against the index scan — a sort-merge join would shuffle the

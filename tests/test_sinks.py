@@ -901,3 +901,254 @@ def test_manifest_cdc_across_schema_evolution(spark, tmp_path):
     }
     # row 1: v unchanged but lang went NULL→'en' = update; row 2: insert
     assert feed == {(1, "update_postimage", "en"), (2, "insert", "fr")}
+
+
+# ---------------------------------------------------------------------------
+# round 5: file-level stats / data skipping, NULL-partition CDC, type
+# widening, partitioned-merge crash contract
+# ---------------------------------------------------------------------------
+
+def test_manifest_file_stats_pruning(spark, tmp_path):
+    """Data skipping end-to-end: commits record per-file footer min/max in
+    the manifest; a clustered layout (compact_manifest cluster_by=) makes
+    the bounds tight; a point/range predicate then LISTS strictly fewer
+    files than the naive scan — with results identical to the unpruned
+    read (the parity contract that makes pruning purely I/O)."""
+    import glob
+    import os
+
+    path = str(tmp_path / "man_skip")
+    df = spark.createDataFrame(
+        [(i, "d1", float(i % 97)) for i in range(2000)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(
+        spark, df.repartition(8), path, ["id"], partition_col="day"
+    )
+    # cluster on id into ~8 tight-range files
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                           recursive=True)
+    )
+    res = sinks.compact_manifest(
+        spark, path, target_file_bytes=total // 8 + 1, cluster_by=["id"]
+    )
+    assert res["partitions"] == 1
+
+    all_files = sinks.manifest_scan_files(path)
+    assert len(all_files) >= 4, all_files
+    point = [("id", "=", 1234)]
+    sel = sinks.manifest_scan_files(path, predicates=point)
+    assert 1 <= len(sel) < len(all_files), (len(sel), len(all_files))
+    assert [r["id"] for r in
+            sinks.read_manifest_table(spark, path, predicates=point).collect()
+            ] == [1234]
+
+    rng = [("id", ">=", 100), ("id", "<", 300)]
+    assert len(sinks.manifest_scan_files(path, predicates=rng)) < len(all_files)
+    pruned = {
+        (r["id"], r["v"])
+        for r in sinks.read_manifest_table(spark, path, predicates=rng).collect()
+    }
+    naive = {
+        (r["id"], r["v"])
+        for r in sinks.read_manifest_table(spark, path)
+        .filter("id >= 100 and id < 300").collect()
+    }
+    assert pruned == naive and len(pruned) == 200
+
+    # predicate outside the domain: zero files opened, empty typed result
+    assert sinks.manifest_scan_files(path, predicates=[("id", "<", 0)]) == []
+    none = sinks.read_manifest_table(spark, path, predicates=[("id", "<", 0)])
+    assert none.count() == 0 and "id" in none.columns
+
+    # string bounds prune too (day is constant 'd1' in every file)
+    assert sinks.manifest_scan_files(path, predicates=[("day", "=", "zzz")]) == []
+    assert len(sinks.manifest_scan_files(path, predicates=[("day", "=", "d1")])) \
+        == len(all_files)
+
+    # multi-column z-order relayout keeps single-column pruning effective
+    sinks.compact_manifest(
+        spark, path, target_file_bytes=total // 8 + 1, cluster_by=["id", "v"]
+    )
+    z_all = sinks.manifest_scan_files(path)
+    z_sel = sinks.manifest_scan_files(path, predicates=[("id", "=", 1234)])
+    assert len(z_sel) < len(z_all)
+    assert [r["id"] for r in
+            sinks.read_manifest_table(spark, path, predicates=point).collect()
+            ] == [1234]
+
+
+def test_manifest_stats_null_and_unknown_columns_conservative(spark, tmp_path):
+    """Pruning must stay conservative: predicates on columns with NULLs
+    keep files that might match, an all-NULL column proves emptiness, and
+    a predicate on a column with no recorded stats never prunes."""
+    path = str(tmp_path / "man_nulls")
+    df = spark.createDataFrame(
+        [(i, "d1", None if i < 50 else float(i)) for i in range(100)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    # v has NULLs but also values 50..99: a v-predicate inside the range keeps files
+    got = {
+        r["id"]
+        for r in sinks.read_manifest_table(
+            spark, path, predicates=[("v", ">=", 98.0)]
+        ).collect()
+    }
+    assert got == {98, 99}
+    # all-NULL column: no comparison can match → every file pruned
+    all_null = spark.createDataFrame(
+        [(1000 + i, "d2", None) for i in range(10)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, all_null, path, ["id"], partition_col="day")
+    sel = sinks.manifest_scan_files(
+        path, partition_values=["d2"], predicates=[("v", "=", 1.0)]
+    )
+    assert sel == []
+    # unknown op raises loudly rather than mis-pruning
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        sinks.read_manifest_table(spark, path, predicates=[("v", "!=", 1.0)]).count()
+
+
+def test_manifest_cdc_null_partition(spark, tmp_path):
+    """CDC must cover the NULL partition and the literal-'null' string
+    partition: manifest_changed_partitions speaks encoded keys, and
+    manifest_row_changes must not re-encode them (doing so silently
+    dropped these partitions from the feed)."""
+    path = str(tmp_path / "man_cdc_null")
+    v1 = spark.createDataFrame(
+        [(1, None, 1.0), (2, "d1", 2.0), (3, "null", 3.0)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, v1, path, ["id"], partition_col="day")
+    v2 = spark.createDataFrame(
+        [(1, None, 100.0), (3, "null", 300.0), (4, None, 4.0)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, v2, path, ["id"], partition_col="day")
+
+    changed = sinks.manifest_changed_partitions(path, from_version=1)
+    assert set(changed) == {"null", "=null"}  # encoded keys, d1 untouched
+
+    feed = {
+        (r["id"], r["_change"], r["day"], r["v"])
+        for r in sinks.manifest_row_changes(
+            spark, path, keys=["id"], from_version=1
+        ).collect()
+    }
+    assert feed == {
+        (1, "update_postimage", None, 100.0),
+        (3, "update_postimage", "null", 300.0),
+        (4, "insert", None, 4.0),
+    }
+
+
+def test_manifest_schema_widening_old_prefixes_still_read(spark, tmp_path):
+    """Shared-column type WIDENING (int->bigint, float->double,
+    tinyint->int) commits under schema_evolution=True without rewriting
+    untouched prefixes — the Spark 4 vectorized reader widens the old
+    physical types on scan (this test pins the _SAFE_WIDENINGS contract).
+    Non-widening changes must be rejected outright."""
+    path = str(tmp_path / "man_widen")
+    base = spark.createDataFrame(
+        [(1, "d1", 10, 1.5, 3), (2, "d2", 20, 2.5, 4)],
+        "id long, day string, n int, x float, b tinyint",
+    )
+    sinks.merge_upsert_manifest(spark, base, path, ["id"], partition_col="day")
+
+    wider = spark.createDataFrame(
+        [(1, "d1", 2**40, 9.25, 1000)],
+        "id long, day string, n bigint, x double, b int",
+    )
+    with pytest.raises(ValueError, match="widens column types"):
+        sinks.merge_upsert_manifest(spark, wider, path, ["id"], partition_col="day")
+    sinks.merge_upsert_manifest(
+        spark, wider, path, ["id"], partition_col="day", schema_evolution=True
+    )
+    rows = {
+        (r["id"], r["day"], r["n"], r["x"], r["b"])
+        for r in sinks.read_manifest_table(spark, path).collect()
+    }
+    # d2's prefix still holds int32/float32/int8 physically — must read
+    # back correct values under the widened stored schema
+    assert rows == {(1, "d1", 2**40, 9.25, 1000), (2, "d2", 20, 2.5, 4)}
+    stored = sinks.read_manifest(path)["schema"]
+    by_name = {f["name"]: f["type"] for f in stored["fields"]}
+    assert by_name["n"] == "long" and by_name["x"] == "double"
+
+    # narrowing (bigint -> int) is NOT in-place readable: reject even with
+    # the flag, pointing at the full-rewrite path
+    narrower = spark.createDataFrame(
+        [(2, "d2", 5, 1.0, 1)], "id long, day string, n int, x double, b int"
+    )
+    with pytest.raises(ValueError, match="not in-place-readable"):
+        sinks.merge_upsert_manifest(
+            spark, narrower, path, ["id"], partition_col="day",
+            schema_evolution=True,
+        )
+    # incompatible (number -> string) likewise
+    stringy = spark.createDataFrame(
+        [(2, "d2", "five", 1.0, 1)],
+        "id long, day string, n string, x double, b int",
+    )
+    with pytest.raises(ValueError, match="not in-place-readable"):
+        sinks.merge_upsert_manifest(
+            spark, stringy, path, ["id"], partition_col="day",
+            schema_evolution=True,
+        )
+
+
+def test_partitioned_merge_crash_mid_swap_per_partition_consistent(
+    spark, tmp_path, monkeypatch
+):
+    """Pin the documented cross-partition contract of the Hive-layout
+    merge: a crash mid-swap-loop leaves each partition wholly old or
+    wholly new (mixed ACROSS partitions, torn in none), and re-running
+    the idempotent merge converges to the fully-new state."""
+    import os as _os
+
+    path = str(tmp_path / "facts_crash")
+    base = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0), (4, "d2", 4.0)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_partitioned(spark, base, path, ["id"], partition_col="day")
+    updates = spark.createDataFrame(
+        [(1, "d1", 100.0), (3, "d2", 300.0)], "id long, day string, v double"
+    )
+
+    real_rename = _os.rename
+    swap_renames = {"n": 0}
+
+    def crashing_rename(src, dst):
+        if ".__merge__" in str(src) or ".__old__" in str(dst):
+            swap_renames["n"] += 1
+            if swap_renames["n"] >= 3:  # first partition fully swapped (2
+                raise OSError("simulated crash mid swap loop")  # renames)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sinks.os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        sinks.merge_upsert_partitioned(
+            spark, updates, path, ["id"], partition_col="day"
+        )
+    monkeypatch.undo()
+
+    rows = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # exactly ONE of the two touched partitions carries the update; the
+    # other is wholly old — never a torn or half-written partition
+    d1_new = (1, "d1", 100.0) in rows
+    d2_new = (3, "d2", 300.0) in rows
+    assert d1_new != d2_new, rows
+    assert (2, "d1", 2.0) in rows and (4, "d2", 4.0) in rows
+    assert len(rows) == 4
+
+    # idempotent re-run converges
+    sinks.merge_upsert_partitioned(spark, updates, path, ["id"], partition_col="day")
+    rows2 = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert rows2 == {
+        (1, "d1", 100.0), (2, "d1", 2.0), (3, "d2", 300.0), (4, "d2", 4.0)
+    }
