@@ -324,9 +324,18 @@ def ivf_index_add(
 
     At scale this is the freshness path between periodic rebuilds: adds
     are cheap (one pass over the new batch), the cost is gradual cell
-    imbalance as the data distribution drifts from the trained quantizer —
-    rebuild with `build_ivf_index` when imbalance degrades probe pruning
-    (cells no longer bound candidate volume). Returns rows added.
+    imbalance as the data distribution drifts from the trained quantizer.
+
+    REBUILD THRESHOLD (measured, tools/scale_probe.py ivf_drift +
+    SCALE_NOTES): rebuild with `build_ivf_index` when max/median cell
+    size exceeds ~2.5, or on adding ~50% of the indexed volume, whichever
+    comes first. Under emerging-topic drift (added batches drawn from
+    clusters the quantizer never saw — the crawl-realistic drift; small
+    mean shifts are near-orthogonal in high dimension and degrade
+    nothing), imbalance grew 1.05 → 3.35 at 100% adds, per-query scanned
+    fraction rose ~23%, and recall@5 lost ~0.02 (nprobe=2); an in-place
+    rebuild recovered recall to 1.0 and reset imbalance to ~1.5. Returns
+    rows added.
     """
     spark = new_vectors.sparkSession
     centroids = [

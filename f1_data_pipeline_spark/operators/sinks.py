@@ -1059,6 +1059,7 @@ def merge_upsert_manifest(
     partition_col: str,
     check_moved_keys: bool = True,
     schema_evolution: bool = False,
+    count_rows: bool = True,
 ) -> int:
     """Partition-scoped MERGE with an object-store-safe commit.
 
@@ -1151,11 +1152,19 @@ def merge_upsert_manifest(
     merged = merge_upsert_frames(existing_touched, updates, keys).persist()
     try:
         # applied-row count = distinct update keys (duplicate-keyed rows
-        # collapse in the merge — updates.count() would over-report)
-        n = updates.select(*keys).distinct().count()
+        # collapse in the merge — updates.count() would over-report).
+        # `count_rows=False` skips this job and returns -1: callers that
+        # discard the count (per-micro-batch streaming sinks) shouldn't
+        # pay a batch scan per commit for it.
+        n = updates.select(*keys).distinct().count() if count_rows else -1
+        # materialize the cache with ONE job before fanning out, so the
+        # concurrent per-partition writes below all read cached rows
+        # instead of racing to recompute the merge
+        merged.count()
         snap = uuid.uuid4().hex[:12]
-        new_entries: dict[str, dict] = {}
-        for enc, val in touched.items():
+
+        def _write_partition(item) -> tuple[str, dict]:
+            enc, val = item
             # final location, written once, never renamed — on an object
             # store these PUTs are invisible until the manifest references
             # the prefix
@@ -1168,7 +1177,7 @@ def merge_upsert_manifest(
                 else F.col(partition_col) == F.lit(val)
             )
             part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
-            new_entries[enc] = {
+            return enc, {
                 "prefix": prefix,
                 "value": enc,
                 # footer stats for the files just written → data skipping
@@ -1176,6 +1185,18 @@ def merge_upsert_manifest(
                 # metadata reads only)
                 "files": _collect_file_stats(os.path.join(path, prefix)),
             }
+
+        # one write job per touched partition, submitted CONCURRENTLY
+        # (in-application job-level scheduling): a daily increment touching
+        # k partitions pays ~max(partition write) wall-clock, not the sum
+        # of k sequential job round-trips — the fixed per-job latency is
+        # what dominates small incremental batches
+        import concurrent.futures as _futures
+
+        with _futures.ThreadPoolExecutor(
+            max_workers=min(8, len(touched))
+        ) as pool:
+            new_entries = dict(pool.map(_write_partition, touched.items()))
         manifest = {
             **manifest,
             "version": manifest["version"] + 1,

@@ -94,6 +94,7 @@ def start_merge_sink(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     partition_col: str | None = None,
     commit: str = "rename",
+    check_moved_keys: bool = True,
 ) -> StreamingQuery:
     """Exactly-once-effect sink: per micro-batch, MERGE the batch into the
     target Parquet table keyed on `keys` (reference upsert semantics A7;
@@ -112,6 +113,13 @@ def start_merge_sink(
       one atomic manifest-object flip; the object-store-safe choice —
       read the target back with `read_manifest_table`, not a plain
       parquet read).
+
+    `check_moved_keys=False` skips the guard scan of UNTOUCHED partitions'
+    key columns (the one per-batch cost that grows with table size, not
+    batch size). Safe exactly when the source guarantees a key's partition
+    value never changes — e.g. an event stream where the partition column
+    is derived from the keyed row itself (day = to_date(ts) for a unique
+    event_id); leave it on for feeds that may re-assign keys.
     """
     if commit not in ("rename", "manifest"):
         raise ValueError(f"unknown commit mode {commit!r}")
@@ -124,11 +132,14 @@ def start_merge_sink(
             sinks.merge_upsert(out.sparkSession, out, target_path, list(keys))
         elif commit == "manifest":
             sinks.merge_upsert_manifest(
-                out.sparkSession, out, target_path, list(keys), partition_col
+                out.sparkSession, out, target_path, list(keys), partition_col,
+                check_moved_keys=check_moved_keys,
+                count_rows=False,  # foreachBatch discards the return value
             )
         else:
             sinks.merge_upsert_partitioned(
-                out.sparkSession, out, target_path, list(keys), partition_col
+                out.sparkSession, out, target_path, list(keys), partition_col,
+                check_moved_keys=check_moved_keys,
             )
 
     return (

@@ -52,13 +52,145 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def probe_ivf_drift() -> None:
+    """Measure how incremental `ivf_index_add` degrades under distribution
+    drift, and where a rebuild pays.
+
+    Shape: build the index on G=8 gaussian clusters (4000 × 32d, seeded),
+    then add drift batches whose cluster means are SHIFTED by 2σ along a
+    fixed random direction, at 25% / 50% / 100% of the base size. After
+    each step, report recall@5 of ivf_search(nprobe=2) vs brute-force
+    ground truth (50 held-out queries: half base-distribution, half
+    drifted — the realistic mixed workload) and the cell-size max/median
+    ratio (probe-pruning quality: candidates scanned ∝ probed cell
+    sizes). A final `build_ivf_index` rebuild at 100% shows the
+    recoverable gap. One JSON line per step → SCALE_NOTES.
+    """
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_add,
+        ivf_search,
+    )
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    rng = np.random.default_rng(7)
+    G, d, n_base, k, nprobe = 8, 32, 4000, 5, 2
+    means = rng.normal(0, 1.5, (G, d))  # inter-centroid distance ~12σ
+    # drift = EMERGING TOPICS: the drifted batches draw from G_new cluster
+    # means the quantizer never saw (same prior). In high dimension a
+    # small shift of existing means is near-orthogonal to every
+    # inter-centroid axis and degrades nothing (measured: recall and
+    # scanned-fraction flat at 6σ shifts); what actually hurts a stale
+    # quantizer is new content piling into whichever old cells happen to
+    # be nearest — hot cells, worse probe pruning, boundary splits.
+    new_means = rng.normal(0, 1.5, (4, d))
+
+    def make(n, offset, drifted):
+        if drifted:
+            g = rng.integers(0, len(new_means), n)
+            base = new_means[g]
+        else:
+            g = rng.integers(0, G, n)
+            base = means[g]
+        vecs = base + rng.normal(0, 1.0, (n, d))
+        return [(int(offset + i), [float(x) for x in vecs[i]]) for i in range(n)]
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    base_rows = make(n_base, 0, False)
+    q_rows = make(25, 90_000_000, False) + make(25, 91_000_000, True)
+    queries = df_of(q_rows)
+
+    idx = "/tmp/ivf_drift_probe_idx"
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(df_of(base_rows), idx, nlist=G)
+    corpus_rows = list(base_rows)
+    added = 0
+
+    def step(tag):
+        corpus = df_of(corpus_rows)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(queries, corpus, k=k).collect()
+        }
+
+        def recall(np_):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_search(queries, idx, k=k, nprobe=np_).collect()
+            }
+            return round(len(got & truth) / len(truth), 3)
+
+        cell_n = {
+            r["cell"]: r["n"]
+            for r in spark.read.parquet(f"{idx}/cells")
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        sizes = sorted(cell_n.values())
+        med = sizes[len(sizes) // 2]
+        # probe-pruning quality: fraction of the corpus a query actually
+        # scans = sum of its probed cells' sizes / corpus (same centroid
+        # assignment ivf_search uses, replicated here in numpy)
+        cents = {
+            r["cell"]: np.array(r["centroid"])
+            for r in spark.read.parquet(f"{idx}/centroids").collect()
+        }
+        cell_ids = sorted(cents)
+        cmat = np.stack([cents[c] for c in cell_ids])
+
+        def scanned_frac(np_):
+            total = 0
+            for _qid, vec in q_rows:
+                d2 = ((cmat - np.array(vec)) ** 2).sum(axis=1)
+                probed = [cell_ids[i] for i in np.argsort(d2)[:np_]]
+                total += sum(cell_n.get(c, 0) for c in probed)
+            return round(total / (len(q_rows) * len(corpus_rows)), 3)
+
+        print(json.dumps({
+            "op": "ivf_drift",
+            "step": tag,
+            "corpus": len(corpus_rows),
+            "added_frac": round(added / n_base, 2),
+            "recall_at_5_nprobe2": recall(2),
+            "recall_at_5_nprobe1": recall(1),
+            "scanned_frac_nprobe2": scanned_frac(2),
+            "scanned_frac_nprobe1": scanned_frac(1),
+            "max_cell": sizes[-1],
+            "median_cell": med,
+            "imbalance": round(sizes[-1] / med, 2),
+        }))
+
+    step("base")
+    for frac in (0.25, 0.25, 0.5):  # cumulative 25% / 50% / 100%
+        n = int(n_base * frac)
+        batch = make(n, 10_000_000 + added, True)
+        ivf_index_add(df_of(batch), idx)
+        corpus_rows += batch
+        added += n
+        step(f"add_{int(100 * added / n_base)}pct")
+    build_ivf_index(df_of(corpus_rows), idx, nlist=G)
+    step("rebuilt_at_100pct")
+    shutil.rmtree(idx, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
     if args and args[0] in (
-        "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram"
+        "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram",
+        "ivf_drift",
     ):
         op = args.pop(0)
+    if op == "ivf_drift":
+        probe_ivf_drift()
+        return
     modes = ("clique", "disjoint")
     cap = None
     for a in list(args):
