@@ -1,10 +1,12 @@
 """Registry entries for multimodal column plumbing (training-data suite).
 
-The codec step is stubbed (no image/audio libs in this container —
-operators/multimodal.py), so these are rows-only checks: they exercise the
+Compressed-format codecs are stubbed (no media libs in this container),
+but WAV audio, PPM images, and PPMV video decode REAL bytes
+(operators/multimodal.py). These are rows-only checks: they exercise the
 real Spark plumbing — binary columns, Arrow-batched mapInPandas feature
-extraction, metadata-driven frame explosion — with deterministic fake
-payloads derived from the `documents` table so results are stable.
+extraction, metadata-driven frame explosion — with deterministic payloads
+(fake-feature arm over `documents`-derived bytes, real-codec arm over
+synthesized WAV/PPMV assets) so results are stable.
 """
 
 from __future__ import annotations
@@ -18,23 +20,35 @@ from f1_data_pipeline_spark.sources import load_table
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text → opaque binary payload → Arrow-batched feature
-    extraction (the stub embedding), then a JVM-side norm check — the full
-    media-pipeline shape minus the codec."""
+    """Two tagged arms of the Arrow-batched feature pipeline: `stub` —
+    documents.text → opaque binary payload → fake-embedding extraction
+    (the full media-pipeline shape for formats whose codec is stubbed);
+    `codec` — REAL WAV and PPMV payloads through `fake=False`, i.e. actual
+    stdlib decode + signal/pixel/temporal features over Arrow batches.
+    Both end in a JVM-side norm check."""
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "UTF-8").alias("media"),
     )
     feats = M.extract_features(media, media_col="media", id_col="asset_id")
-    return feats.select(
-        "asset_id",
-        F.size("features").alias("dim"),
-        F.expr(
-            "round(aggregate(features, cast(0.0 as double),"
-            " (acc, x) -> acc + cast(x as double) * cast(x as double)), 4)"
-        ).alias("sq_norm"),
+
+    def norms(f: DataFrame, arm: str) -> DataFrame:
+        return f.select(
+            F.lit(arm).alias("arm"),
+            "asset_id",
+            F.size("features").alias("dim"),
+            F.expr(
+                "round(aggregate(features, cast(0.0 as double),"
+                " (acc, x) -> acc + cast(x as double) * cast(x as double)), 4)"
+            ).alias("sq_norm"),
+        )
+
+    real_assets = M.synthesize_audio_assets(spark, n=32).unionByName(
+        M.synthesize_video_assets(spark, n=16)
     )
+    real_feats = M.extract_features(real_assets, fake=False)
+    return norms(feats, "stub").unionByName(norms(real_feats, "codec"))
 
 
 register("multimodal_features", q_multimodal_features, None)

@@ -204,3 +204,89 @@ def test_extract_features_real_path_mixed_audio_and_ppm(spark):
         assert out[100 + i] == M.image_features(
             M.synthesize_ppm(width=16, height=16, seed=i)
         )
+
+
+def test_ppmv_roundtrip_real_codec(spark):
+    """PPMV container roundtrip: frame count, interval, geometry, and every
+    pixel of every frame recovered exactly (frame f = PPM pattern seed+f)."""
+    import numpy as np
+
+    payload = M.synthesize_ppmv(width=10, height=6, n_frames=4, interval_ms=250, seed=3)
+    interval, w, h, fx = M.decode_ppmv(payload)
+    assert (interval, w, h) == (250, 10, 6)
+    assert fx.shape == (4, 6, 10, 3)
+    for f in range(4):
+        _w, _h, expected = M.decode_ppm(M.synthesize_ppm(10, 6, seed=3 + f))
+        assert np.array_equal(fx[f], expected)
+    # routed through the generic decode() by container magic
+    assert M.decode(payload, "video")[0] == 250
+
+
+def test_ppmv_rejects_malformed(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="not a PPMV"):
+        M.decode_ppmv(b"nope")
+    ok = M.synthesize_ppmv(8, 8, 2, 100, seed=0)
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_ppmv(ok[:-5])
+    # mixed geometry: splice a second frame with different dimensions
+    mixed = b"PPMV\n2 100\n" + M.synthesize_ppm(8, 8, 0) + M.synthesize_ppm(4, 4, 0)
+    with pytest.raises(ValueError, match="mixed frame geometry"):
+        M.decode_ppmv(mixed)
+
+
+def test_video_features_reflect_motion_not_bytes(spark):
+    """Features must respond to the decoded SIGNAL: a static video (same
+    frame repeated) has ~zero motion energy in the motion half; a changing
+    video does not — regardless of byte-level differences."""
+    import numpy as np
+
+    static = b"PPMV\n4 100\n" + M.synthesize_ppm(16, 12, seed=5) * 4
+    moving = M.synthesize_ppmv(16, 12, n_frames=4, interval_ms=100, seed=5)
+    f_static = np.array(M.video_features(static))
+    f_moving = np.array(M.video_features(moving))
+    half = M.FEATURE_DIM // 2
+    assert np.allclose(f_static[half:], 0.0)       # no inter-frame change
+    assert float(np.abs(f_moving[half:]).sum()) > 0  # real motion energy
+    assert len(f_static) == len(f_moving) == M.FEATURE_DIM
+
+
+def test_extract_features_real_path_video_end_to_end(spark):
+    """fake=False over REAL PPMV bytes through Arrow batches: distributed
+    results equal driver-side video_features exactly."""
+    assets = M.synthesize_video_assets(spark, n=6)
+    got = {
+        r["asset_id"]: list(r["features"])
+        for r in M.extract_features(assets, fake=False).collect()
+    }
+    import numpy as np
+
+    for row in assets.collect():
+        expect = M.video_features(bytes(row["media"]))
+        assert np.allclose(got[row["asset_id"]], expect, atol=1e-6)
+
+
+def test_sample_frame_features_real_decoded_frames(spark):
+    """Frame sampling decodes each payload once and emits per-sampled-frame
+    rows whose mean intensity matches a driver-side decode of that frame."""
+    import numpy as np
+
+    assets = M.synthesize_video_assets(spark, n=4)
+    rows = M.sample_frame_features(assets, every_ms=200).collect()
+    assert rows
+    by_asset = {}
+    for r in assets.collect():
+        interval, w, h, fx = M.decode_ppmv(bytes(r["media"]))
+        by_asset[r["asset_id"]] = (interval, w, h, fx)
+    for r in rows:
+        interval, w, h, fx = by_asset[r["asset_id"]]
+        assert (r["width"], r["height"]) == (w, h)
+        idx = min(r["frame_ts_ms"] // interval, len(fx) - 1)
+        assert r["frame_idx"] == idx
+        expect = float(fx[idx].astype(np.float64).mean(axis=2).mean())
+        assert abs(r["mean_intensity"] - round(expect, 4)) < 1e-9
+    # sampled timestamps cover [0, duration) at the requested cadence
+    a0 = [r for r in rows if r["asset_id"] == 0]
+    interval, _w, _h, fx = by_asset[0]
+    assert {r["frame_ts_ms"] for r in a0} == set(range(0, interval * len(fx), 200))

@@ -306,3 +306,37 @@ def test_ppm_synth_decode_roundtrip_invariants(width, height, seed):
     assert np.array_equal(px, expected)
     feats = M.image_features(payload)
     assert len(feats) == M.FEATURE_DIM and all(np.isfinite(feats))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=32),
+    height=st.integers(min_value=1, max_value=32),
+    n_frames=st.integers(min_value=1, max_value=10),
+    interval=st.integers(min_value=1, max_value=1000),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_ppmv_synth_decode_roundtrip_invariants(
+    width, height, n_frames, interval, seed
+):
+    """Property: the PPMV container roundtrip preserves frame count,
+    interval, geometry, and every pixel of every frame for ANY
+    geometry/length/seed, and video features are well-formed."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators import multimodal as M
+
+    payload = M.synthesize_ppmv(width, height, n_frames, interval, seed)
+    got_interval, w, h, fx = M.decode_ppmv(payload)
+    assert (got_interval, w, h) == (interval, width, height)
+    assert fx.shape == (n_frames, height, width, 3)
+    ys, xs = np.mgrid[0:height, 0:width]
+    for f in range(n_frames):
+        s = seed + f
+        expected = np.stack(
+            [(xs * 8 + s) % 256, (ys * 8 + s * 3) % 256, (xs + ys + s * 7) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        assert np.array_equal(fx[f], expected)
+    feats = M.video_features(payload)
+    assert len(feats) == M.FEATURE_DIM and all(np.isfinite(feats))
