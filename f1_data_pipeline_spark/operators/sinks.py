@@ -670,10 +670,13 @@ def merge_upsert_partitioned(
 # state is a sequence of numbered manifest objects `_commits/vNNNNNNNN.json`
 # and THE commit is an atomic create-if-absent of the NEXT number —
 # `os.link` locally, a conditional PUT (If-None-Match: *) on S3/GCS. Two
-# writers racing to the same version: exactly one wins, the other gets
-# ConcurrentWriteError and must re-read + retry its merge — no lost
-# updates, ever. Readers resolve the highest committed version (or any
-# retained older one: free time travel).
+# writers racing to the same version: exactly one wins; the loser REBASES
+# (Iceberg-style optimistic concurrency, `_commit_with_rebase`) when the
+# winner's commit touched disjoint partitions — its data files are already
+# final, so the retry is metadata-only — and surfaces ConcurrentWriteError
+# only when the same partition was changed under it (the merge must then
+# re-read + re-run). No lost updates, ever. Readers resolve the highest
+# committed version (or any retained older one: free time travel).
 # ---------------------------------------------------------------------------
 
 _COMMITS_DIR = "_commits"
@@ -854,6 +857,19 @@ def _predicates_column(predicates: Sequence[tuple]) -> Column:
     return out
 
 
+def _stats_comparable(a, b) -> bool:
+    """Are two normalized stats values mutually ordered in the same type
+    family (bool / numeric / string)? Cross-family comparisons are never
+    pruned or decided on."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, bool):
+        return True
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
 def _file_maybe_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
     """Can any row of this file satisfy the conjunction? Conservative:
     prunes ONLY when recorded bounds prove emptiness; missing / type-
@@ -871,17 +887,7 @@ def _file_maybe_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
         mn, mx = st.get("min"), st.get("max")
         if v is None or mn is None or mx is None:
             continue
-
-        def _comparable(a, b):
-            if isinstance(a, bool) != isinstance(b, bool):
-                return False
-            if isinstance(a, bool):
-                return True
-            if isinstance(a, (int, float)) and isinstance(b, (int, float)):
-                return True
-            return isinstance(a, str) and isinstance(b, str)
-
-        if not (_comparable(mn, v) and _comparable(mx, v)):
+        if not (_stats_comparable(mn, v) and _stats_comparable(mx, v)):
             continue
         if op in ("=", "=="):
             if v < mn or v > mx:
@@ -943,6 +949,159 @@ def manifest_scan_files(
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
     return _select_scan_paths(m, path, partition_values, predicates)
+
+
+def _file_always_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
+    """Do the recorded bounds prove EVERY row of this file satisfies the
+    conjunction? Requires a recorded zero null-count on each predicate
+    column (NULL rows satisfy no comparison) and bounds that sit entirely
+    inside the predicate's accepted range. Conservative: anything
+    unknowable answers False (the file gets scanned, never miscounted)."""
+    stats = fmeta.get("stats") or {}
+    for col, op, raw in predicates:
+        st = stats.get(col)
+        if not st or st.get("nulls") != 0:
+            return False
+        v = _stat_norm(raw)
+        mn, mx = st.get("min"), st.get("max")
+        if v is None or mn is None or mx is None:
+            return False
+        if not (_stats_comparable(mn, v) and _stats_comparable(mx, v)):
+            return False
+        if op in ("=", "=="):
+            ok = mn == v == mx
+        elif op == "<":
+            ok = mx < v
+        elif op == "<=":
+            ok = mx <= v
+        elif op == ">":
+            ok = mn > v
+        else:  # ">="
+            ok = mn >= v
+        if not ok:
+            return False
+    return True
+
+
+def manifest_count(
+    spark: SparkSession,
+    path: str,
+    partition_values: Sequence | None = None,
+    predicates: Sequence[tuple] | None = None,
+    version: int | None = None,
+) -> dict:
+    """Exact COUNT(*) answered from manifest metadata wherever possible.
+
+    Three-way file triage against the recorded per-file stats: files whose
+    bounds prove EVERY row matches contribute their recorded row count
+    (zero I/O), files whose bounds prove NO row matches contribute zero
+    (zero I/O), and only the undecided remainder — typically the boundary
+    files of a clustered layout — is scanned with the residual predicate.
+    With no predicate the count is pure metadata (the Iceberg
+    `SELECT COUNT(*)` fast path): at 100 TB that is the difference between
+    a metadata read and a full-table scan.
+
+    Returns {"count", "files_metadata", "files_scanned", "prefixes_scanned"}
+    — the provenance split is the observability hook ("how much did the
+    layout let metadata answer?"). Always exact; stats quality only moves
+    work between the metadata and scan buckets."""
+    m = read_manifest(path, version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    entries = m["partitions"]
+    if partition_values is not None:
+        want = {_enc_part(v) for v in partition_values}
+        entries = {k: e for k, e in entries.items() if k in want}
+    preds = list(predicates) if predicates else []
+    count = 0
+    n_meta = 0
+    scan_paths: list[str] = []
+    n_prefix = 0
+    for e in entries.values():
+        files = e.get("files")
+        if files is None:
+            # pre-stats entry: no per-file metadata — scan the prefix
+            scan_paths.append(os.path.join(path, e["prefix"]))
+            n_prefix += 1
+            continue
+        for fm in files:
+            if preds and not _file_maybe_matches(fm, preds):
+                continue  # proven empty — contributes 0
+            if not preds or _file_always_matches(fm, preds):
+                count += fm["rows"]
+                n_meta += 1
+            else:
+                scan_paths.append(os.path.join(path, e["prefix"], fm["name"]))
+    if scan_paths:
+        stored = (
+            T.StructType.fromJson(m["schema"])
+            if m.get("schema") is not None
+            else None
+        )
+        reader = spark.read.schema(stored) if stored is not None else spark.read
+        df = reader.parquet(*scan_paths)
+        if preds:
+            df = df.filter(_predicates_column(preds))
+        count += df.count()
+    return {
+        "count": count,
+        "files_metadata": n_meta,
+        "files_scanned": len(scan_paths) - n_prefix,
+        "prefixes_scanned": n_prefix,
+    }
+
+
+def manifest_column_bounds(
+    path: str,
+    column: str,
+    partition_values: Sequence | None = None,
+    version: int | None = None,
+) -> dict:
+    """MIN/MAX/null-count for one column from manifest metadata alone —
+    zero data I/O, never an approximation: components that any selected
+    file failed to record come back None ("not answerable from metadata",
+    fall back to a scan) rather than a wrong bound. The MIN(ts)-style
+    watermark probe a 100 TB incremental scheduler runs every cycle."""
+    m = read_manifest(path, version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    entries = m["partitions"]
+    if partition_values is not None:
+        want = {_enc_part(v) for v in partition_values}
+        entries = {k: e for k, e in entries.items() if k in want}
+    mn = mx = None
+    nulls: int | None = 0
+    rows = 0
+    bounds_ok = True
+    for e in entries.values():
+        files = e.get("files")
+        if files is None:
+            return {"min": None, "max": None, "nulls": None, "rows": None}
+        for fm in files:
+            rows += fm["rows"]
+            st = (fm.get("stats") or {}).get(column)
+            if st is None:
+                bounds_ok = False
+                nulls = None
+                continue
+            if nulls is not None:
+                nulls = None if st.get("nulls") is None else nulls + st["nulls"]
+            f_mn, f_mx = st.get("min"), st.get("max")
+            all_null = st.get("nulls") is not None and st["nulls"] >= fm["rows"]
+            if f_mn is None or f_mx is None:
+                if not all_null:
+                    bounds_ok = False  # unknowable, not merely empty
+                continue
+            if mn is not None and not _stats_comparable(f_mn, mn):
+                bounds_ok = False  # mixed type families across files
+                continue
+            if mn is None or f_mn < mn:
+                mn = f_mn
+            if mx is None or f_mx > mx:
+                mx = f_mx
+    if not bounds_ok:
+        mn = mx = None
+    return {"min": mn, "max": mx, "nulls": nulls, "rows": rows}
 
 
 def read_manifest_table(
@@ -1051,6 +1210,142 @@ def _check_type_evolution(
         )
 
 
+def _union_evolved_schema(latest_json: dict | None, ours_json: dict) -> dict:
+    """Merge two independently-evolved manifest schemas after a commit race.
+
+    Both sides started from the same base; each may have APPENDED columns
+    and/or safely WIDENED shared ones (all a partition-scoped merge can
+    do, per `_check_type_evolution`). The union keeps the latest side's
+    field order, takes the wider type where the two disagree within
+    `_SAFE_WIDENINGS`, appends our-side-only columns, and refuses anything
+    else — an incompatible pair means one side's files would be unreadable
+    under the merged schema, which no rebase can fix."""
+    if latest_json is None:
+        return ours_json
+    latest = T.StructType.fromJson(latest_json)
+    ours = T.StructType.fromJson(ours_json)
+    remaining = {f.name: f for f in ours.fields}
+    fields: list[T.StructField] = []
+    for f in latest.fields:
+        o = remaining.pop(f.name, None)
+        if o is None or o.dataType == f.dataType:
+            fields.append(f)
+            continue
+        a, b = f.dataType.simpleString(), o.dataType.simpleString()
+        if (a, b) in _SAFE_WIDENINGS:
+            fields.append(o)  # our side widened — theirs reads widened
+        elif (b, a) in _SAFE_WIDENINGS:
+            fields.append(f)  # their side widened — ours reads widened
+        else:
+            raise ConcurrentWriteError(
+                f"commit race evolved column {f.name!r} incompatibly "
+                f"({a} by the competing writer vs {b} by this one) — "
+                "schemas cannot be rebased; re-run the merge"
+            )
+    fields.extend(f for f in ours.fields if f.name in remaining)
+    return T.StructType(fields).jsonValue()
+
+
+def _commit_with_rebase(
+    spark: SparkSession,
+    path: str,
+    base_manifest: dict,
+    new_entries: dict[str, dict],
+    schema_json: dict | None = None,
+    update_keys_df: DataFrame | None = None,
+    keys: Sequence[str] | None = None,
+    check_moved_keys: bool = False,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Optimistic-concurrency commit with Iceberg-style rebase-and-retry.
+
+    Attempt the atomic manifest commit; on a lost race, decide whether the
+    competing commit(s) CONFLICT with ours — they rewrote/added/removed a
+    partition we also rewrote — or are DISJOINT. Disjoint racers both
+    succeed: our data files are already in their final prefixes and none of
+    them depended on the partitions the competitor changed, so we rebuild
+    the candidate manifest on the new latest (their entries + ours, schemas
+    unioned via `_union_evolved_schema`) and retry, up to
+    `max_commit_retries` rebases. Overlap raises `ConcurrentWriteError`:
+    our merge read stale rows for a partition the competitor has since
+    replaced, and only re-running the merge can repair that.
+
+    When `check_moved_keys` (merge semantics), each rebase also re-checks
+    that the competitor didn't introduce any of OUR update keys into the
+    partitions it changed — the same no-key-spans-partitions invariant the
+    merge checked against its base snapshot, extended to the rebased one;
+    only the competitor-changed partitions are scanned, keys columns only.
+
+    Returns the committed manifest."""
+    base = base_manifest
+    versions = set(manifest_versions(path))
+
+    def _candidate(on: dict) -> dict:
+        cand = {
+            **on,
+            "version": on["version"] + 1,
+            "partitions": {**on["partitions"], **new_entries},
+        }
+        if schema_json is not None:
+            cand["schema"] = schema_json
+        return cand
+
+    candidate = _candidate(base)
+    for attempt in range(max_commit_retries + 1):
+        try:
+            _commit_manifest(path, candidate)
+            return candidate
+        except ConcurrentWriteError:
+            if attempt == max_commit_retries:
+                raise
+            latest = read_manifest(path)
+            if base["version"] in versions:
+                changed = manifest_changed_partitions(
+                    path, base["version"], latest["version"]
+                )
+            else:
+                # base was the synthetic empty state (first commit to this
+                # table lost its race): everything now present is new
+                changed = dict.fromkeys(latest["partitions"], "added")
+            overlap = sorted(set(changed) & set(new_entries))
+            if overlap:
+                raise ConcurrentWriteError(
+                    f"commit race on {path}: a competing commit changed "
+                    f"partitions {overlap} that this write also rewrote — "
+                    "re-read the table and re-run the merge"
+                ) from None
+            if schema_json is not None:
+                schema_json = _union_evolved_schema(
+                    latest.get("schema"), schema_json
+                )
+            if check_moved_keys and update_keys_df is not None:
+                present = [k for k, st in changed.items() if st != "removed"]
+                if present:
+                    moved = (
+                        read_manifest_table(
+                            spark,
+                            path,
+                            partition_values=present,
+                            version=latest["version"],
+                            partition_values_encoded=True,
+                        )
+                        .select(*keys)
+                        .join(update_keys_df, list(keys), "left_semi")
+                        .limit(1)
+                        .count()
+                    )
+                    if moved:
+                        raise ValueError(
+                            "a competing commit introduced this batch's "
+                            "update keys under other partitions — a "
+                            "partition-scoped MERGE would duplicate them; "
+                            "re-run the merge against the current table"
+                        )
+            versions.add(latest["version"])
+            base = latest
+            candidate = _candidate(base)
+
+
 def merge_upsert_manifest(
     spark: SparkSession,
     updates: DataFrame,
@@ -1060,6 +1355,7 @@ def merge_upsert_manifest(
     check_moved_keys: bool = True,
     schema_evolution: bool = False,
     count_rows: bool = True,
+    max_commit_retries: int = 3,
 ) -> int:
     """Partition-scoped MERGE with an object-store-safe commit.
 
@@ -1068,9 +1364,16 @@ def merge_upsert_manifest(
     functionally determine `partition_col`) — but commit is one atomic
     manifest-object creation instead of N directory renames, so a crash
     anywhere mid-write leaves readers on the old snapshot with zero torn
-    state, and a concurrent writer racing to the same version loses with
-    `ConcurrentWriteError` (re-read and retry) instead of silently
-    clobbering the other writer's commit.
+    state. Concurrent writers get optimistic concurrency at partition
+    granularity: a lost commit race against writers that touched DISJOINT
+    partitions rebases automatically (their entries + ours, schemas
+    unioned, key-spanning re-checked — up to `max_commit_retries` times,
+    no data rewritten); only a race on the SAME partition raises
+    `ConcurrentWriteError` (re-read and re-run the merge), because our
+    merged rows were computed from that partition's now-stale snapshot.
+    Many independent ingest jobs can therefore commit to one table
+    concurrently as long as they own different partition slices — the
+    normal 100 TB multi-writer layout.
     NULL partition values need no fallback here: pruning is manifest-key
     selection, not a Hive `isin` predicate, so NULL is just another entry.
 
@@ -1197,18 +1500,21 @@ def merge_upsert_manifest(
             max_workers=min(8, len(touched))
         ) as pool:
             new_entries = dict(pool.map(_write_partition, touched.items()))
-        manifest = {
-            **manifest,
-            "version": manifest["version"] + 1,
-            "partition_col": partition_col,
-            "partitions": {**manifest["partitions"], **new_entries},
-            # authoritative table schema: lets prefixes written before a
-            # column existed read it back as NULL (schema evolution)
-            "schema": merged.schema.jsonValue(),
-        }
-        # ← the one and only commit action (atomic create-if-absent of the
-        #   next version; raises ConcurrentWriteError on a lost race)
-        _commit_manifest(path, manifest)
+        # ← the commit (atomic create-if-absent of the next version), with
+        #   automatic rebase over disjoint-partition racers; the stored
+        #   schema is authoritative — prefixes written before a column
+        #   existed read it back as NULL (schema evolution)
+        _commit_with_rebase(
+            spark,
+            path,
+            manifest,
+            new_entries,
+            schema_json=merged.schema.jsonValue(),
+            update_keys_df=updates.select(*keys).distinct(),
+            keys=list(keys),
+            check_moved_keys=check_moved_keys,
+            max_commit_retries=max_commit_retries,
+        )
     finally:
         merged.unpersist()
     return n
@@ -1290,14 +1596,12 @@ def compact_manifest(
             "files": _collect_file_stats(os.path.join(path, prefix)),
         }
     if new_entries:
-        _commit_manifest(
-            path,
-            {
-                **m,  # preserves the stored schema and any future metadata
-                "version": m["version"] + 1,
-                "partitions": {**m["partitions"], **new_entries},
-            },
-        )
+        # schema_json=None → the rebase carries the LATEST committed schema
+        # through unchanged (a racing merge may have evolved it; compaction
+        # only relocates bytes and must not roll that back). Races on the
+        # same partition (e.g. a merge rewrote a prefix we just compacted
+        # from) conflict and raise — re-run the compaction.
+        _commit_with_rebase(spark, path, m, new_entries)
     return {
         "partitions": len(new_entries),
         "files_before": before,

@@ -1152,3 +1152,364 @@ def test_partitioned_merge_crash_mid_swap_per_partition_consistent(
     assert rows2 == {
         (1, "d1", 100.0), (2, "d1", 2.0), (3, "d2", 300.0), (4, "d2", 4.0)
     }
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency: rebase-and-retry over disjoint-partition racers
+# (_commit_with_rebase). The race is injected deterministically: the first
+# _commit_manifest attempt of the OUTER merge triggers a competing commit
+# first, so the outer writer always loses version N and must rebase.
+# ---------------------------------------------------------------------------
+
+
+def _inject_race(monkeypatch, fire):
+    """Patch sinks._commit_manifest so the first call runs `fire()` (a
+    competing committer that itself uses the real commit path) before
+    attempting the real commit — guaranteeing the patched caller loses."""
+    real = sinks._commit_manifest
+    state = {"armed": True}
+
+    def racing(path, manifest):
+        if state["armed"]:
+            state["armed"] = False
+            fire()
+        return real(path, manifest)
+
+    monkeypatch.setattr(sinks, "_commit_manifest", racing)
+
+
+def test_manifest_rebase_disjoint_writers_both_succeed(
+    spark, tmp_path, monkeypatch
+):
+    """Two merges racing on DISJOINT partitions: the loser rebases onto the
+    winner's manifest (metadata-only — its data files are already final)
+    and commits the next version; both writers' rows land, versions are
+    sequential, and the change feed sees both commits."""
+    path = str(tmp_path / "race_disjoint")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "a", 1.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+
+    def competitor():
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(3, "c", 3.0)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+
+    _inject_race(monkeypatch, competitor)
+    n = sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(2, "b", 2.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    assert n == 1
+    assert sinks.manifest_versions(path) == [1, 2, 3]
+    assert _read_manifest_rows(spark, path) == {
+        (1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)
+    }
+    # the rebased commit (v3) records exactly the loser's partition as
+    # changed — the winner's entry carried through untouched
+    assert set(sinks.manifest_changed_partitions(path, 2, 3)) == {"b"}
+    assert set(sinks.manifest_changed_partitions(path, 1, 2)) == {"c"}
+
+
+def test_manifest_rebase_same_partition_conflicts(spark, tmp_path, monkeypatch):
+    """A race on the SAME partition cannot be rebased — the loser's merged
+    rows were computed from a now-replaced snapshot of that partition — and
+    must surface ConcurrentWriteError; re-running the merge then converges
+    with update-wins semantics."""
+    path = str(tmp_path / "race_overlap")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "a", 1.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+
+    def competitor():
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(2, "a", 20.0)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+
+    _inject_race(monkeypatch, competitor)
+    ours = spark.createDataFrame([(1, "a", 9.0)], "id long, day string, v double")
+    with pytest.raises(sinks.ConcurrentWriteError, match="also rewrote"):
+        sinks.merge_upsert_manifest(spark, ours, path, ["id"], partition_col="day")
+    # the documented recovery: re-read + re-run (race is gone now)
+    sinks.merge_upsert_manifest(spark, ours, path, ["id"], partition_col="day")
+    assert _read_manifest_rows(spark, path) == {(1, "a", 9.0), (2, "a", 20.0)}
+
+
+def test_manifest_rebase_rechecks_moved_keys(spark, tmp_path, monkeypatch):
+    """The no-key-spans-partitions invariant is re-checked against the
+    partitions the WINNER changed: if the competing commit introduced one
+    of our update keys under another partition, rebasing would duplicate
+    the key — the loser must fail, not commit."""
+    path = str(tmp_path / "race_moved")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "a", 1.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+
+    def competitor():
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(5, "c", 5.0)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+
+    _inject_race(monkeypatch, competitor)
+    with pytest.raises(ValueError, match="competing commit introduced"):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(5, "b", 50.0)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+
+
+def test_manifest_rebase_unions_schema_evolution(spark, tmp_path, monkeypatch):
+    """Racers that evolved the schema independently rebase to the UNION:
+    the winner's appended column survives the loser's commit (which never
+    saw it), and prefixes that lack it read NULL under the authoritative
+    stored schema."""
+    path = str(tmp_path / "race_schema")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "a", 1.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+
+    def competitor():
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(3, "c", 3.0, "X")], "id long, day string, v double, x string"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+            schema_evolution=True,
+        )
+
+    _inject_race(monkeypatch, competitor)
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(2, "b", 2.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    got = {
+        (r["id"], r["day"], r["v"], r["x"])
+        for r in sinks.read_manifest_table(spark, path).collect()
+    }
+    assert got == {(1, "a", 1.0, None), (2, "b", 2.0, None), (3, "c", 3.0, "X")}
+
+
+def test_manifest_rebase_takes_wider_type(spark, tmp_path, monkeypatch):
+    """A widening race (winner widened a shared column, loser did not)
+    rebases to the wider type; the loser's just-written narrow files read
+    widened — same reader contract as single-writer widening."""
+    path = str(tmp_path / "race_widen")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "a", 10)], "id long, day string, n int"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+
+    def competitor():
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(3, "c", 2**40)], "id long, day string, n bigint"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+            schema_evolution=True,
+        )
+
+    _inject_race(monkeypatch, competitor)
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(2, "b", 20)], "id long, day string, n int"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    df = sinks.read_manifest_table(spark, path)
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert {(r["id"], r["n"]) for r in df.collect()} == {
+        (1, 10), (2, 20), (3, 2**40)
+    }
+
+
+def test_manifest_compaction_rebases_over_disjoint_merge(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction racing a merge on a DIFFERENT partition rebases cleanly:
+    the merge's new rows survive, the compacted partition's pointer flips,
+    nothing is lost."""
+    path = str(tmp_path / "race_compact")
+    for v in (1.0, 2.0):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(int(v), "a", v)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+
+    def competitor():
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(9, "z", 9.0)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+
+    _inject_race(monkeypatch, competitor)
+    # cluster_by forces the rewrite even if partition "a" is already at
+    # target file count — the point here is the commit race, not the size
+    out = sinks.compact_manifest(
+        spark, path, partition_values=["a"], cluster_by=["id"]
+    )
+    assert out["partitions"] == 1
+    assert _read_manifest_rows(spark, path) == {
+        (1, "a", 1.0), (2, "a", 2.0), (9, "z", 9.0)
+    }
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregates: manifest_count / manifest_column_bounds
+# ---------------------------------------------------------------------------
+
+
+def _build_stats_table(spark, path):
+    """Two day-partitions, id-clustered into several files per partition so
+    per-file id bounds are tight and mostly decidable."""
+    df = spark.range(0, 10000).select(
+        F.col("id"),
+        F.when(F.col("id") < 6000, "a").otherwise("b").alias("day"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    sinks.compact_manifest(
+        spark, path, target_file_bytes=8192, cluster_by=["id"]
+    )
+    return df
+
+
+def test_manifest_count_no_predicate_is_pure_metadata(spark, tmp_path):
+    path = str(tmp_path / "cnt")
+    _build_stats_table(spark, path)
+    out = sinks.manifest_count(spark, path)
+    assert out["count"] == 10000
+    assert out["files_scanned"] == 0 and out["prefixes_scanned"] == 0
+    assert out["files_metadata"] > 0
+    # partition-pruned metadata count
+    out_a = sinks.manifest_count(spark, path, partition_values=["a"])
+    assert out_a["count"] == 6000 and out_a["files_scanned"] == 0
+
+
+def test_manifest_count_predicate_scans_only_boundary_files(spark, tmp_path):
+    """id-clustered layout: a range predicate is DECIDED by bounds for all
+    but the boundary file(s) — exact count, minimal scan."""
+    path = str(tmp_path / "cnt_pred")
+    _build_stats_table(spark, path)
+    out = sinks.manifest_count(spark, path, predicates=[("id", "<", 2500)])
+    assert out["count"] == 2500
+    assert out["files_scanned"] <= 2  # the straddling file(s) only
+    assert out["files_metadata"] >= 1  # interior files decided by bounds
+    # and a conjunction mixing decided + residual predicates stays exact
+    out2 = sinks.manifest_count(
+        spark, path, predicates=[("id", ">=", 1000), ("v", "=", 0.0)]
+    )
+    brute = (
+        sinks.read_manifest_table(spark, path)
+        .filter((F.col("id") >= 1000) & (F.col("v") == 0.0))
+        .count()
+    )
+    assert out2["count"] == brute
+
+
+def test_manifest_count_nulls_never_miscounted(spark, tmp_path):
+    """Files containing NULLs in a predicate column are never counted from
+    metadata (NULL satisfies no comparison) — parity with a real scan."""
+    path = str(tmp_path / "cnt_null")
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.lit("a").alias("day"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("n"),
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    out = sinks.manifest_count(spark, path, predicates=[("n", ">=", 0)])
+    assert out["count"] == 90
+    # with nulls present, the n-predicate can't be metadata-decided
+    assert out["files_metadata"] == 0 and out["files_scanned"] >= 1
+
+
+def test_manifest_column_bounds_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "bounds")
+    _build_stats_table(spark, path)
+    b = sinks.manifest_column_bounds(path, "id")
+    assert (b["min"], b["max"], b["nulls"], b["rows"]) == (0, 9999, 0, 10000)
+    b_a = sinks.manifest_column_bounds(path, "id", partition_values=["b"])
+    assert (b_a["min"], b_a["max"]) == (6000, 9999)
+
+
+def test_manifest_column_bounds_null_columns_honest(spark, tmp_path):
+    """A column with NULLs reports the true null count; an all-NULL file
+    constrains nothing; a column with unrecordable bounds answers None,
+    never a wrong bound."""
+    path = str(tmp_path / "bounds_null")
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        F.lit("a").alias("day"),
+        F.when(F.col("id") < 10, None).otherwise(F.col("id")).alias("n"),
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    b = sinks.manifest_column_bounds(path, "n")
+    assert b["nulls"] == 10 and b["rows"] == 50
+    assert b["min"] == 10 and b["max"] == 49
+    # column absent from stats (e.g. never recorded) → None components
+    missing = sinks.manifest_column_bounds(path, "nope")
+    assert missing["min"] is None and missing["max"] is None
