@@ -433,3 +433,293 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN memory tier. IVF bounds how many
+# vectors a probe SCANS; PQ bounds how many BYTES each scanned vector
+# costs — m sub-codes of log2(ksub) bits replace d floats (64-dim float64
+# = 512 B → 8 B at m=8, a 64× compression), so a 100 TB embedding corpus's
+# candidate lists fit in executor memory instead of thrashing the scan.
+# Search is ADC (asymmetric distance computation): the query stays
+# full-precision, one m×ksub lookup table of subspace inner products is
+# built per query, and a coded vector scores as m table lookups — no
+# decode, no per-pair float math. An optional exact re-rank over the top
+# refine·k ADC candidates restores near-exact recall at a bounded extra
+# cost (the FAISS IVFPQ + refine shape).
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 100_000,
+    iters: int = 20,
+    seed: int = 42,
+) -> list:
+    """Train PQ codebooks: split the (L2-normalized) vector into `m`
+    contiguous subspaces and run seeded Lloyd's k-means with `ksub`
+    centroids in each.
+
+    Training is DRIVER-SIDE numpy over a bounded sample (`sample_size`
+    rows via limit — the standard PQ practice: FAISS trains on ~100k
+    vectors regardless of corpus size, because codebook quality saturates
+    long before that). The returned codebooks are a plain nested list,
+    JSON/parquet-serializable: shape (m, ksub, dim/m).
+
+    Vectors are normalized before training/encoding so ADC inner products
+    approximate cosine directly."""
+    rows = corpus.select(F.col(vec_col).cast("array<double>")).limit(
+        sample_size
+    ).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] < ksub:
+        raise ValueError(
+            f"PQ training needs ≥ksub={ksub} sample vectors, got {X.shape}"
+        )
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for i in range(m):
+        S = X[:, i * dsub : (i + 1) * dsub]
+        # k-means++ style seeding would add little on subspace slices;
+        # seeded random distinct rows + enough Lloyd's iterations is the
+        # deterministic, reproducible choice
+        cb = S[rng.choice(S.shape[0], ksub, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(ksub):
+                mask = assign == j
+                if mask.any():
+                    cb[j] = S[mask].mean(axis=0)
+                else:  # empty cell: re-seed on the farthest point
+                    cb[j] = S[d2.min(axis=1).argmax()]
+        books.append(cb.round(9).tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every corpus vector to its `m` nearest-subcentroid codes:
+    (id, codes array<int>). Arrow-batched numpy kernel — per batch, one
+    (batch × ksub) distance GEMM per subspace; corpus scanned once, never
+    shuffled, output is m small ints per vector."""
+    import pandas as pd
+
+    cb = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+    bcast = corpus.sparkSession.sparkContext.broadcast(cb)
+
+    def encode(batches):
+        cb_ = bcast.value
+        cb_sq = (cb_**2).sum(axis=2)  # (m, ksub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.empty((X.shape[0], cb_.shape[0]), dtype=np.int32)
+            for i in range(cb_.shape[0]):
+                S = X[:, i * dsub : (i + 1) * dsub]
+                # argmin over ‖s−c‖² = ‖c‖² − 2 s·c (+‖s‖², constant per row)
+                codes[:, i] = (cb_sq[i][None, :] - 2.0 * S @ cb_[i].T).argmin(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {"pq_id": pdf["pq_id"], "codes": list(codes)}
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("pq_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).mapInPandas(encode, "pq_id long, codes array<int>").select(
+        F.col("pq_id").alias(id_col), "codes"
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via ADC, with optional exact
+    re-rank.
+
+    Per query (queries are broadcast-sized by contract, same as every
+    top-k entry point here): an m×ksub inner-product lookup table against
+    the codebooks, built driver-side. Each codes partition streams through
+    an Arrow kernel where a coded vector scores as m table gathers —
+    `refine·k` candidates per query survive per batch. When `corpus` is
+    given, the global ADC top `refine·k` joins back to the full-precision
+    vectors for an EXACT cosine re-rank (broadcast semi-join on candidate
+    ids — candidate volume is queries·refine·k, never corpus-sized);
+    otherwise ADC scores rank directly (cos_sim = the ADC estimate)."""
+    import pandas as pd
+
+    cb = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = cb.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # LUT[q, i, j] = q_sub_i · cb[i, j]  → ADC(q, x) = Σ_i LUT[q, i, code_i]
+    lut = np.stack(
+        [Qn[:, i * dsub : (i + 1) * dsub] @ cb[i].T for i in range(m)], axis=1
+    )
+    bq = codes.sparkSession.sparkContext.broadcast((q_ids, lut))
+    n_keep = refine * k + 1  # +1: self-match may occupy a slot
+
+    def adc(batches):
+        ids_q, lut_ = bq.value
+        nq = lut_.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_c = pdf["pq_id"].to_numpy(dtype=np.int64)
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            S = np.zeros((C.shape[0], nq), dtype=np.float64)
+            for i in range(lut_.shape[1]):
+                S += lut_[:, i, C[:, i]].T  # gather: (n, nq)
+            take = min(n_keep, S.shape[0])
+            kth = np.partition(S, S.shape[0] - take, axis=0)[S.shape[0] - take, :]
+            rows_c, rows_q = np.nonzero(S >= kth[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[rows_q],
+                    "neighbor_id": ids_c[rows_c],
+                    "adc_sim": S[rows_c, rows_q],
+                }
+            )
+
+    cand = codes.select(
+        F.col(id_col).alias("pq_id"), "codes"
+    ).mapInPandas(adc, "query_id long, neighbor_id long, adc_sim double").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    shortlist = cand.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= refine * k
+    )
+    if corpus is None:
+        return (
+            shortlist.withColumn("cos_sim", F.round("adc_sim", 4))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("cos_sim"), F.asc("neighbor_id")
+                    )
+                ),
+            )
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+    # exact re-rank: candidates are queries·refine·k rows — broadcast them
+    # against the corpus scan, never the reverse
+    qv = queries.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, Qn)],
+        f"query_id long, q_vec array<double>",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    rejoined = c.join(
+        F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id"
+    ).join(F.broadcast(qv), "query_id")
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rejoined.withColumn("cos_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_size: int = 100_000,
+    seed: int = 42,
+) -> None:
+    """Persist a PQ index: `{path}/codes` (id, m small codes — the only
+    corpus-sized artifact, ~m bytes/vector) and `{path}/codebooks`
+    (m·ksub subcentroids, broadcast-sized). Same build-once/search-many
+    shape as the IVF index; at 100 TB the codes table is what a search
+    fleet keeps hot while the raw vectors stay cold until re-rank."""
+    books = pq_train(
+        corpus, vec_col=vec_col, m=m, ksub=ksub,
+        sample_size=sample_size, seed=seed,
+    )
+    spark = corpus.sparkSession
+    dsub = len(books[0][0])
+    spark.createDataFrame(
+        [
+            (i, j, books[i][j])
+            for i in range(len(books))
+            for j in range(len(books[i]))
+        ],
+        "sub int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    pq_encode(corpus, books, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def load_pq_codebooks(spark, path: str) -> list:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["sub"], {})[r["code"]] = list(r["centroid"])
+    return [
+        [by[i][j] for j in sorted(by[i])] for i in sorted(by)
+    ]
+
+
+def pq_search(
+    queries: DataFrame,
+    index_path: str,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Search a persisted PQ index (ADC over `{path}/codes`; exact re-rank
+    against `corpus` when provided)."""
+    spark = queries.sparkSession
+    books = load_pq_codebooks(spark, index_path)
+    codes = spark.read.parquet(f"{index_path}/codes")
+    return pq_topk(
+        queries, codes, books, corpus=corpus,
+        id_col=id_col, vec_col=vec_col, k=k, refine=refine,
+    )

@@ -86,13 +86,28 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(queries, emb, k=5, nlist=8, nprobe=4)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    # 64-bit codes + refine=8 for the uniform-random worst case (measured
+    # 0.92 recall@5 in tests; clustered real embeddings need less of both).
+    # The exact re-rank makes returned cos_sim values true cosines, but
+    # WHICH pairs surface still depends on the ADC shortlist → rows-only.
+    books = S.pq_train(emb, m=16, ksub=16, seed=42)
+    codes = S.pq_encode(emb, books)
+    return S.pq_topk(queries, codes, books, corpus=emb, k=5, refine=8)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN variants, method-tagged, in one rows-only registry slot
+    """All three ANN tiers, method-tagged, in one rows-only registry slot
     (approximate results have no SQL twin; recall floors are pytest-pinned
-    in tests/test_dedup_similarity.py)."""
+    in tests/test_dedup_similarity.py): LSH (bucketed candidates), IVF
+    (cell-pruned scan), PQ (compressed-domain ADC + exact re-rank — the
+    memory tier for 100 TB corpora)."""
     lsh = q_ann_lsh_topk(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
     ivf = q_ann_ivf_topk(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
-    return lsh.unionByName(ivf)
+    pq = q_ann_pq_topk(spark, sf_dir).select(F.lit("pq").alias("method"), "*")
+    return lsh.unionByName(ivf).unionByName(pq)
 
 
 register("ann_topk", q_ann_topk, None)

@@ -3,6 +3,7 @@ oracle, so these pytest checks are their correctness gate)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from f1_data_pipeline_spark.operators import dedup as D
@@ -618,3 +619,108 @@ def test_ivf_index_add_requires_centroids(spark, tmp_path):
     ).limit(0).write.parquet(f"{idx}/centroids")
     with pytest.raises(ValueError, match="centroids"):
         S.ivf_index_add(_vecs(spark), idx, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity.pq_*)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_recall_floor_and_rerank_exactness(spark):
+    """PQ+ADC with exact re-rank: recall@5 ≥ 0.8 vs brute force on the
+    sf0.001 embeddings, and every returned cos_sim is the EXACT rounded
+    cosine (re-rank scores with full-precision vectors, so any pair the
+    shortlist shares with the truth set carries an identical score)."""
+    from f1_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.brute_force_topk(qs, emb, k=5).collect()
+    }
+    # uniform-random 64-dim vectors are PQ's worst case (no cluster
+    # structure for the codebooks to exploit; all cosines ≈ 0.3): 64-bit
+    # codes (m=16·4 bits... ksub=16) + refine=8 measured 0.92 recall@5,
+    # vs 0.54 for the 32-bit m=8 default — real clustered embeddings
+    # reach the floor at smaller codes/shortlists
+    books = S.pq_train(emb, m=16, ksub=16, seed=42)
+    codes = S.pq_encode(emb, books)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in S.pq_topk(qs, codes, books, corpus=emb, k=5, refine=8).collect()
+    }
+    hit = set(got) & set(truth)
+    assert len(hit) / len(truth) >= 0.8
+    for pair in hit:
+        assert got[pair] == truth[pair]  # exact re-rank, not the ADC estimate
+
+
+def test_pq_train_deterministic_and_shapes(spark):
+    from f1_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b1 = S.pq_train(emb, m=16, ksub=16, seed=7)
+    b2 = S.pq_train(emb, m=16, ksub=16, seed=7)
+    assert b1 == b2
+    assert len(b1) == 16 and len(b1[0]) == 16 and len(b1[0][0]) == 4
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_train(emb, m=7)
+
+
+def test_pq_index_persist_roundtrip_and_compression(spark, tmp_path):
+    """Persisted PQ index: codebooks round-trip exactly, search through the
+    index matches the in-memory path, and the codes artifact is
+    materially smaller than the raw vectors (the point of PQ)."""
+    import os
+
+    from f1_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "pq")
+    S.build_pq_index(emb, idx, m=8, ksub=16, seed=42)
+    books = S.load_pq_codebooks(spark, idx)
+    assert books == S.pq_train(emb, m=8, ksub=16, seed=42)
+
+    qs = emb.filter(F.col("vec_id") < 10)
+    via_index = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in S.pq_search(qs, idx, corpus=emb, k=5).collect()
+    }
+    codes = S.pq_encode(emb, books)
+    in_mem = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in S.pq_topk(qs, codes, books, corpus=emb, k=5).collect()
+    }
+    assert via_index == in_mem
+
+    def _tree_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    raw = str(tmp_path / "raw")
+    emb.select("vec_id", "embedding").write.parquet(raw)
+    assert _tree_bytes(f"{idx}/codes") * 4 < _tree_bytes(raw)
+
+
+def test_pq_adc_only_mode_ranks_without_corpus(spark):
+    """Without a corpus to re-rank against, ADC scores rank directly —
+    self-recovery still works: a query that IS a corpus vector finds
+    itself... excluded, so its nearest true neighbor surfaces; and the
+    output schema matches the other top-k entry points."""
+    from f1_data_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    books = S.pq_train(emb, m=8, ksub=16)
+    codes = S.pq_encode(emb, books)
+    out = S.pq_topk(qs, codes, books, corpus=None, k=3)
+    rows = out.collect()
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
