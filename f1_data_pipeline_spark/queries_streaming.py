@@ -172,23 +172,48 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_two_phase_agg(ev, ["event_type"], "user_id", salt_n=8)
 
 
+def q_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone heavy-hitter form (operators/frequency.py): exact
+    frequent tokens over the documents corpus via bounded-memory
+    Misra-Gries discovery + candidate-only verify. The registry entry is
+    the distinct_users composite below (round-5 fold, 50-cap discipline:
+    same tagged (arm, key, n) shape)."""
+    from f1_data_pipeline_spark.functions.text import tokens
+    from f1_data_pipeline_spark.operators.frequency import frequent_items
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    return frequent_items(toks, "tok", min_share=0.005)
+
+
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both exact-distinct operator families in one tagged union: per-day
-    windowed COUNT(DISTINCT) (streaming/windows.py) and the skew-safe salted
-    two-phase distinct per event type (operators/skew.py). Keys are cast to
-    one string column so the arms align; each arm still runs its real
+    """Three exact cardinality/frequency operator families in one tagged
+    union: per-day windowed COUNT(DISTINCT) (streaming/windows.py), the
+    skew-safe salted two-phase distinct per event type (operators/skew.py),
+    and Misra-Gries-discovered exact heavy-hitter tokens
+    (operators/frequency.py — deterministic because phase 2 verifies
+    candidates with exact counts, so the SQL twin is plain
+    GROUP BY/HAVING). Keys are cast to one string column so the arms
+    align; `n` carries each arm's count; each arm still runs its real
     operator unchanged."""
     windowed = q_window_distinct(spark, sf_dir).select(
         F.lit("window_1d").alias("arm"),
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("key"),
-        F.col("distinct_users").cast("long").alias("distinct_users"),
+        F.col("distinct_users").cast("long").alias("n"),
     )
     salted = q_salted_distinct(spark, sf_dir).select(
         F.lit("salted_type").alias("arm"),
         F.col("event_type").alias("key"),
-        F.col("distinct_user_id").cast("long").alias("distinct_users"),
+        F.col("distinct_user_id").cast("long").alias("n"),
     )
-    return windowed.unionAll(salted)
+    heavy = q_heavy_tokens(spark, sf_dir).select(
+        F.lit("heavy_token").alias("arm"),
+        F.col("item").alias("key"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return windowed.unionAll(salted).unionAll(heavy)
 
 
 register(
@@ -197,11 +222,25 @@ register(
     """
     SELECT 'window_1d' AS arm,
            strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS key,
-           COUNT(DISTINCT user_id) AS distinct_users
+           COUNT(DISTINCT user_id) AS n
     FROM events GROUP BY 1, 2
     UNION ALL
     SELECT 'salted_type', event_type, COUNT(DISTINCT user_id)
     FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT 'heavy_token', tok, COUNT(*)
+    FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    )
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= CEIL(0.005 * (
+        SELECT COUNT(*)
+        FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t2
+            FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        )
+    ))
     """,
 )
 
