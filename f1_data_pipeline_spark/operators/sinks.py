@@ -26,6 +26,8 @@ import urllib.parse
 import uuid
 from collections.abc import Sequence
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1104,6 +1106,168 @@ def manifest_column_bounds(
     return {"min": mn, "max": mx, "nulls": nulls, "rows": rows}
 
 
+# ---------------------------------------------------------------------------
+# Partition-level bloom filters (the Delta bloom-index shape): min/max
+# stats prune RANGE predicates on clustered columns, but a POINT lookup on
+# a high-cardinality unclustered key (doc_id, event_id, url-hash) is
+# undecidable from bounds — every partition's range covers it. A per-
+# partition bloom over the key column answers "which partitions can
+# possibly hold key X" from a few KB of sidecar bytes per partition.
+#
+# Layout: a raw-bitmap file `_bloom_<col>` INSIDE the partition's snap
+# prefix — the leading underscore makes it invisible to Spark's parquet
+# listing, the missing .parquet suffix keeps it out of the footer-stats
+# glob, and living inside the prefix means vacuum/rewrite lifecycle is
+# inherited for free. The manifest entry records only {col: {m, k}}.
+#
+# Bits are set DISTRIBUTED (Spark's bitmap_bucket_number /
+# bitmap_bit_position / bitmap_construct_agg — JVM-side, one aggregation
+# of the already-cached merge frame per commit); the driver only ORs the
+# ≤ m/8 bytes of bucket bitmaps together. Probe positions are computed by
+# the SAME Spark xxhash64 expressions over a literal frame, so driver and
+# executor hashing can never drift. Sizing: ~10 bits/key (k=7 → ~1% false
+# positives), clamped to [2^13, 2^23] bits (1 KB–1 MB per partition per
+# column); beyond ~840k keys/partition the cap degrades the fp rate
+# gracefully — the filter stays CORRECT (never prunes a present key),
+# it just prunes less.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BUCKET_BITS = 32768  # Spark's bitmap bucket size (4 KB per bucket)
+
+
+def _bloom_size(n_rows: int) -> tuple[int, int]:
+    m = 1 << max(13, min(23, (10 * max(n_rows, 1) - 1).bit_length()))
+    return m, 7
+
+
+def _bloom_name(col: str) -> str:
+    return "_bloom_" + urllib.parse.quote(col, safe="")
+
+
+def _bloom_position_array(col: str, m: int, k: int) -> Column:
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m))
+            for i in range(k)
+        ]
+    )
+
+
+def _build_partition_bloom(df: DataFrame, col: str, m: int, k: int) -> bytes:
+    """Distributed bloom build: k xxhash64 positions per non-NULL key →
+    Spark bitmap aggregation per 32768-bit bucket → driver ORs the bucket
+    chunks into one m-bit bitmap. Bit layout (verified against
+    bitmap_construct_agg): position p lives at byte p//8, bit p%8 of
+    bucket p//32768."""
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(_bloom_position_array(col, m, k)).alias("p"))
+        .select((F.col("p") + 1).alias("v"))
+        .groupBy(F.bitmap_bucket_number("v").alias("b"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("v")).alias("bits"))
+        .collect()
+    )
+    bmp = np.zeros(m // 8, dtype=np.uint8)
+    bucket_bytes = _BLOOM_BUCKET_BITS // 8
+    for r in rows:
+        off = (r["b"] - 1) * bucket_bytes
+        chunk = np.frombuffer(r["bits"], dtype=np.uint8)
+        # buckets are fixed 4 KB; a bloom smaller than one bucket only
+        # occupies the chunk's head (positions < m ⇒ the tail is zeros)
+        take = min(len(chunk), len(bmp) - off)
+        np.bitwise_or(bmp[off : off + take], chunk[:take],
+                      out=bmp[off : off + take])
+    return bmp.tobytes()
+
+
+def _probe_positions(
+    spark: SparkSession, field: T.StructField, values: Sequence, m: int, k: int
+) -> list[list[int]]:
+    """Per probe value, its k bit positions — computed with the exact
+    Spark expressions the build used, over a literal one-column frame of
+    the column's STORED type (so int vs string vs date hashing always
+    matches the executor side)."""
+    df = spark.createDataFrame(
+        [(v,) for v in values], T.StructType([field])
+    )
+    return [
+        list(r[0])
+        for r in df.select(_bloom_position_array(field.name, m, k)).collect()
+    ]
+
+
+def manifest_bloom_lookup(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: Sequence,
+    version: int | None = None,
+) -> dict:
+    """Which partitions can possibly contain any of `values` in `col`?
+
+    Reads only manifest metadata + the few-KB bloom sidecars — no data
+    files. Returns {"maybe": [...], "no_bloom": [...], "pruned": [...]}
+    of ENCODED partition keys; partitions committed without a bloom for
+    this column land in no_bloom (must be read — the filter only ever
+    prunes with proof). NULL probe values are rejected: blooms index
+    non-NULL keys (IS NULL routes through stats null counts)."""
+    if any(v is None for v in values):
+        raise ValueError("bloom lookup values must be non-NULL")
+    m_obj = read_manifest(path, version)
+    if m_obj is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    if m_obj.get("schema") is None:
+        raise ValueError(f"manifest at {path} has no stored schema")
+    schema = T.StructType.fromJson(m_obj["schema"])
+    if col not in schema.names:
+        raise ValueError(f"column {col!r} not in table schema {schema.names}")
+    field = schema[col]
+    pos_cache: dict[tuple[int, int], list[list[int]]] = {}
+    maybe: list[str] = []
+    no_bloom: list[str] = []
+    pruned: list[str] = []
+    for key, e in m_obj["partitions"].items():
+        bl = (e.get("blooms") or {}).get(col)
+        bloom_path = os.path.join(path, e["prefix"], _bloom_name(col))
+        if not bl or not os.path.exists(bloom_path):
+            no_bloom.append(key)
+            continue
+        mk = (bl["m"], bl["k"])
+        if mk not in pos_cache:
+            pos_cache[mk] = _probe_positions(spark, field, values, *mk)
+        with open(bloom_path, "rb") as fh:
+            bmp = fh.read()
+        hit = any(
+            all(bmp[p // 8] >> (p % 8) & 1 for p in pos_row)
+            for pos_row in pos_cache[mk]
+        )
+        (maybe if hit else pruned).append(key)
+    return {"maybe": maybe, "no_bloom": no_bloom, "pruned": pruned}
+
+
+def read_manifest_point_lookup(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: Sequence,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup through the bloom index: prune partitions whose bloom
+    excludes every probe value, scan the rest, apply the exact IN filter.
+    Results are identical to an unpruned scan+filter (the bloom is pure
+    I/O avoidance); partitions without a bloom are always scanned."""
+    r = manifest_bloom_lookup(spark, path, col, values, version)
+    parts = r["maybe"] + r["no_bloom"]
+    df = read_manifest_table(
+        spark,
+        path,
+        partition_values=parts,
+        partition_values_encoded=True,
+        version=version,
+    )
+    return df.filter(F.col(col).isin([v for v in values]))
+
+
 def read_manifest_table(
     spark: SparkSession,
     path: str,
@@ -1356,8 +1520,17 @@ def merge_upsert_manifest(
     schema_evolution: bool = False,
     count_rows: bool = True,
     max_commit_retries: int = 3,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Partition-scoped MERGE with an object-store-safe commit.
+
+    `bloom_cols` names high-cardinality columns to index with a
+    per-partition bloom sidecar at commit time (one extra aggregation of
+    the already-cached merge frame per touched partition) — point lookups
+    then prune partitions via `manifest_bloom_lookup` /
+    `read_manifest_point_lookup` without touching data. Use for the keys
+    a consumer probes by equality (doc ids, event ids); range predicates
+    belong to the min/max stats + clustering instead.
 
     Same semantics and preconditions as `merge_upsert_partitioned` (update
     rows win, unmatched insert, untouched partitions untouched; `keys` must
@@ -1390,6 +1563,12 @@ def merge_upsert_manifest(
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not parts:
         return 0
+    if bloom_cols:
+        missing = [c for c in bloom_cols if c not in updates.columns]
+        if missing:
+            raise ValueError(
+                f"bloom_cols {missing} not in the update batch's columns"
+            )
     # countDistinct over a STRUCT so NULL counts as a partition value —
     # a key spanning the NULL partition and a real one must be rejected
     # like any other spanning key (NULL partitions are first-class here)
@@ -1480,7 +1659,7 @@ def merge_upsert_manifest(
                 else F.col(partition_col) == F.lit(val)
             )
             part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
-            return enc, {
+            entry = {
                 "prefix": prefix,
                 "value": enc,
                 # footer stats for the files just written → data skipping
@@ -1488,6 +1667,19 @@ def merge_upsert_manifest(
                 # metadata reads only)
                 "files": _collect_file_stats(os.path.join(path, prefix)),
             }
+            if bloom_cols:
+                n_part = sum(f["rows"] for f in entry["files"])
+                blooms: dict[str, dict] = {}
+                for bc in bloom_cols:
+                    mb, kb = _bloom_size(n_part)
+                    bmp = _build_partition_bloom(part_df, bc, mb, kb)
+                    with open(
+                        os.path.join(path, prefix, _bloom_name(bc)), "wb"
+                    ) as fh:
+                        fh.write(bmp)
+                    blooms[bc] = {"m": mb, "k": kb}
+                entry["blooms"] = blooms
+            return enc, entry
 
         # one write job per touched partition, submitted CONCURRENTLY
         # (in-application job-level scheduling): a daily increment touching
@@ -1590,11 +1782,27 @@ def compact_manifest(
             )
         out.write.mode("errorifexists").parquet(os.path.join(path, prefix))
         after += len(_glob.glob(os.path.join(path, prefix, "*.parquet")))
-        new_entries[enc] = {
+        new_entry = {
             "prefix": prefix,
             "value": enc,
             "files": _collect_file_stats(os.path.join(path, prefix)),
         }
+        if entry.get("blooms"):
+            # same rows, new prefix: rebuild the bloom sidecars so the
+            # index survives compaction (content-identical bits — the
+            # bloom depends only on key values, not layout)
+            n_part = sum(f["rows"] for f in new_entry["files"])
+            blooms: dict[str, dict] = {}
+            for bc in entry["blooms"]:
+                mb, kb = _bloom_size(n_part)
+                bmp = _build_partition_bloom(df, bc, mb, kb)
+                with open(
+                    os.path.join(path, prefix, _bloom_name(bc)), "wb"
+                ) as fh:
+                    fh.write(bmp)
+                blooms[bc] = {"m": mb, "k": kb}
+            new_entry["blooms"] = blooms
+        new_entries[enc] = new_entry
     if new_entries:
         # schema_json=None → the rebase carries the LATEST committed schema
         # through unchanged (a racing merge may have evolved it; compaction

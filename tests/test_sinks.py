@@ -1513,3 +1513,118 @@ def test_manifest_column_bounds_null_columns_honest(spark, tmp_path):
     # column absent from stats (e.g. never recorded) → None components
     missing = sinks.manifest_column_bounds(path, "nope")
     assert missing["min"] is None and missing["max"] is None
+
+
+# ---------------------------------------------------------------------------
+# Partition-level bloom index: point-lookup pruning on unclustered keys
+# ---------------------------------------------------------------------------
+
+
+def _bloom_table(spark, path, n_parts=4, rows_per_part=500):
+    """ids are globally unique and striped so every partition's id RANGE
+    overlaps every other's — min/max stats can never prune a point lookup,
+    which is exactly the bloom's job."""
+    df = spark.range(0, n_parts * rows_per_part).select(
+        F.col("id"),
+        F.concat(F.lit("p"), (F.col("id") % n_parts).cast("string")).alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, df, path, ["id"], partition_col="day", bloom_cols=["id"]
+    )
+    return df
+
+
+def test_bloom_lookup_prunes_other_partitions(spark, tmp_path):
+    path = str(tmp_path / "bloom")
+    _bloom_table(spark, path)
+    # id=8 lives in partition p0 (8 % 4 == 0)
+    r = sinks.manifest_bloom_lookup(spark, path, "id", [8])
+    assert "p0" in r["maybe"]
+    assert r["no_bloom"] == []
+    # deterministic hashing: at ~1% fp rate over 3 other partitions the
+    # expected outcome is full pruning; assert at least substantial pruning
+    # so a single deterministic collision can't flake the test
+    assert len(r["pruned"]) >= 2
+    # multi-value probe: partitions for any of the values stay
+    r2 = sinks.manifest_bloom_lookup(spark, path, "id", [8, 9])
+    assert {"p0", "p1"} <= set(r2["maybe"])
+
+
+def test_bloom_point_lookup_parity_with_full_scan(spark, tmp_path):
+    path = str(tmp_path / "bloom_par")
+    _bloom_table(spark, path)
+    want = [8, 13, 1999]
+    got = {
+        tuple(r)
+        for r in sinks.read_manifest_point_lookup(spark, path, "id", want).collect()
+    }
+    full = {
+        tuple(r)
+        for r in sinks.read_manifest_table(spark, path)
+        .filter(F.col("id").isin(want))
+        .collect()
+    }
+    assert got == full and len(got) == 3
+    # absent key: exact result is empty regardless of bloom false positives
+    assert (
+        sinks.read_manifest_point_lookup(spark, path, "id", [10**12]).count() == 0
+    )
+
+
+def test_bloom_survives_compaction_and_vacuum(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "bloom_compact")
+    _bloom_table(spark, path)
+    sinks.compact_manifest(spark, path, cluster_by=["v"])
+    m = sinks.read_manifest(path)
+    for e in m["partitions"].values():
+        assert e["blooms"]["id"]["k"] == 7
+        assert os.path.exists(
+            os.path.join(path, e["prefix"], sinks._bloom_name("id"))
+        )
+    sinks.vacuum_manifest(path, min_age_sec=0)
+    r = sinks.manifest_bloom_lookup(spark, path, "id", [8])
+    assert "p0" in r["maybe"] and r["no_bloom"] == []
+    got = sinks.read_manifest_point_lookup(spark, path, "id", [8]).collect()
+    assert len(got) == 1 and got[0]["id"] == 8
+
+
+def test_bloom_mixed_commits_and_guards(spark, tmp_path):
+    """Partitions committed WITHOUT a bloom are always scanned (no_bloom);
+    NULL probes and unknown columns are rejected; a bloom column missing
+    from the batch raises before any write."""
+    path = str(tmp_path / "bloom_mixed")
+    a = spark.createDataFrame([(1, "a", 1.0)], "id long, day string, v double")
+    sinks.merge_upsert_manifest(spark, a, path, ["id"], partition_col="day")
+    b = spark.createDataFrame([(2, "b", 2.0)], "id long, day string, v double")
+    sinks.merge_upsert_manifest(
+        spark, b, path, ["id"], partition_col="day", bloom_cols=["id"]
+    )
+    r = sinks.manifest_bloom_lookup(spark, path, "id", [1])
+    assert r["no_bloom"] == ["a"]  # pre-bloom partition must be scanned
+    assert sinks.read_manifest_point_lookup(spark, path, "id", [1]).count() == 1
+    with pytest.raises(ValueError, match="non-NULL"):
+        sinks.manifest_bloom_lookup(spark, path, "id", [None])
+    with pytest.raises(ValueError, match="not in table schema"):
+        sinks.manifest_bloom_lookup(spark, path, "nope", [1])
+    with pytest.raises(ValueError, match="bloom_cols"):
+        sinks.merge_upsert_manifest(
+            spark, b, path, ["id"], partition_col="day", bloom_cols=["ghost"]
+        )
+
+
+def test_bloom_string_keys_type_faithful(spark, tmp_path):
+    """String keys hash through the same typed Spark expressions on build
+    and probe — lookup of a string key finds its partition."""
+    path = str(tmp_path / "bloom_str")
+    rows = [(f"doc_{i}", f"p{i % 3}", float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc string, day string, v double")
+    sinks.merge_upsert_manifest(
+        spark, df, path, ["doc"], partition_col="day", bloom_cols=["doc"]
+    )
+    r = sinks.manifest_bloom_lookup(spark, path, "doc", ["doc_7"])
+    assert "p1" in r["maybe"]  # 7 % 3 == 1
+    out = sinks.read_manifest_point_lookup(spark, path, "doc", ["doc_7"]).collect()
+    assert len(out) == 1 and out[0]["doc"] == "doc_7"
