@@ -41,8 +41,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_ALLOWED_PREFIXES = ("string", "varchar", "char", "tinyint", "smallint",
-                     "int", "bigint", "long", "boolean", "date")
+# exact Spark dtype strings (df.dtypes normalizes varchar→string etc.);
+# an exact-match set, NOT prefixes — "interval ..." must not slip in via
+# a startswith("int") check
+_ALLOWED_ITEM_TYPES = {"string", "tinyint", "smallint", "int", "bigint",
+                       "boolean", "date"}
 
 
 def _mg_merge(counter: dict, items, counts, k: int) -> None:
@@ -73,7 +76,7 @@ def mg_candidates(df: DataFrame, col: str, min_share: float) -> DataFrame:
     if not (0 < min_share < 1):
         raise ValueError(f"min_share must be in (0,1), got {min_share}")
     dt = dict(df.dtypes)[col]
-    if not dt.startswith(_ALLOWED_PREFIXES):
+    if dt not in _ALLOWED_ITEM_TYPES:
         raise ValueError(
             f"frequent_items over {col!r} of type {dt}: item columns must "
             "be string/integral (fractional text forms are not portable)"

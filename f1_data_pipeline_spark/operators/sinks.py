@@ -1180,6 +1180,21 @@ def _build_partition_bloom(df: DataFrame, col: str, m: int, k: int) -> bytes:
     return bmp.tobytes()
 
 
+def _write_bloom_sidecars(
+    df: DataFrame, path: str, prefix: str, cols: Sequence[str], n_rows: int
+) -> dict[str, dict]:
+    """Build and write one bloom sidecar per column for a freshly-written
+    partition prefix; returns the manifest `blooms` entry."""
+    blooms: dict[str, dict] = {}
+    for bc in cols:
+        mb, kb = _bloom_size(n_rows)
+        bmp = _build_partition_bloom(df, bc, mb, kb)
+        with open(os.path.join(path, prefix, _bloom_name(bc)), "wb") as fh:
+            fh.write(bmp)
+        blooms[bc] = {"m": mb, "k": kb}
+    return blooms
+
+
 def _probe_positions(
     spark: SparkSession, field: T.StructField, values: Sequence, m: int, k: int
 ) -> list[list[int]]:
@@ -1420,6 +1435,7 @@ def _commit_with_rebase(
     keys: Sequence[str] | None = None,
     check_moved_keys: bool = False,
     max_commit_retries: int = 3,
+    drop_keys: Sequence[str] = (),
 ) -> dict:
     """Optimistic-concurrency commit with Iceberg-style rebase-and-retry.
 
@@ -1440,15 +1456,23 @@ def _commit_with_rebase(
     merge checked against its base snapshot, extended to the rebased one;
     only the competitor-changed partitions are scanned, keys columns only.
 
+    `drop_keys` are partition keys this commit REMOVES (a delete that
+    emptied them); they count as "ours" for conflict detection exactly
+    like rewritten entries.
+
     Returns the committed manifest."""
     base = base_manifest
     versions = set(manifest_versions(path))
+    ours = set(new_entries) | set(drop_keys)
 
     def _candidate(on: dict) -> dict:
+        parts = {
+            k: e for k, e in on["partitions"].items() if k not in set(drop_keys)
+        }
         cand = {
             **on,
             "version": on["version"] + 1,
-            "partitions": {**on["partitions"], **new_entries},
+            "partitions": {**parts, **new_entries},
         }
         if schema_json is not None:
             cand["schema"] = schema_json
@@ -1471,7 +1495,7 @@ def _commit_with_rebase(
                 # base was the synthetic empty state (first commit to this
                 # table lost its race): everything now present is new
                 changed = dict.fromkeys(latest["partitions"], "added")
-            overlap = sorted(set(changed) & set(new_entries))
+            overlap = sorted(set(changed) & ours)
             if overlap:
                 raise ConcurrentWriteError(
                     f"commit race on {path}: a competing commit changed "
@@ -1668,17 +1692,10 @@ def merge_upsert_manifest(
                 "files": _collect_file_stats(os.path.join(path, prefix)),
             }
             if bloom_cols:
-                n_part = sum(f["rows"] for f in entry["files"])
-                blooms: dict[str, dict] = {}
-                for bc in bloom_cols:
-                    mb, kb = _bloom_size(n_part)
-                    bmp = _build_partition_bloom(part_df, bc, mb, kb)
-                    with open(
-                        os.path.join(path, prefix, _bloom_name(bc)), "wb"
-                    ) as fh:
-                        fh.write(bmp)
-                    blooms[bc] = {"m": mb, "k": kb}
-                entry["blooms"] = blooms
+                entry["blooms"] = _write_bloom_sidecars(
+                    part_df, path, prefix, bloom_cols,
+                    sum(f["rows"] for f in entry["files"]),
+                )
             return enc, entry
 
         # one write job per touched partition, submitted CONCURRENTLY
@@ -1791,17 +1808,10 @@ def compact_manifest(
             # same rows, new prefix: rebuild the bloom sidecars so the
             # index survives compaction (content-identical bits — the
             # bloom depends only on key values, not layout)
-            n_part = sum(f["rows"] for f in new_entry["files"])
-            blooms: dict[str, dict] = {}
-            for bc in entry["blooms"]:
-                mb, kb = _bloom_size(n_part)
-                bmp = _build_partition_bloom(df, bc, mb, kb)
-                with open(
-                    os.path.join(path, prefix, _bloom_name(bc)), "wb"
-                ) as fh:
-                    fh.write(bmp)
-                blooms[bc] = {"m": mb, "k": kb}
-            new_entry["blooms"] = blooms
+            new_entry["blooms"] = _write_bloom_sidecars(
+                df, path, prefix, list(entry["blooms"]),
+                sum(f["rows"] for f in new_entry["files"]),
+            )
         new_entries[enc] = new_entry
     if new_entries:
         # schema_json=None → the rebase carries the LATEST committed schema
@@ -1814,6 +1824,106 @@ def compact_manifest(
         "partitions": len(new_entries),
         "files_before": before,
         "files_after": after,
+    }
+
+
+def delete_manifest_rows(
+    spark: SparkSession,
+    path: str,
+    predicates: Sequence[tuple],
+    partition_values: Sequence | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Row-level DELETE on a manifest-committed table — the missing verb
+    next to MERGE: `DELETE WHERE <conjunction of (col, op, value)>`
+    (retention purges, GDPR erasure, bad-batch rollback).
+
+    Deletes every row where the conjunction is TRUE (NULL-predicate rows
+    are KEPT, standard SQL DELETE semantics). Three-level narrowing before
+    any rewrite: optional `partition_values` pruning, then the recorded
+    per-file bounds drop partitions where no file can match (zero I/O —
+    the same `_file_maybe_matches` the readers use), then a key-columns
+    count confirms actual matches so false-positive partitions are never
+    rewritten. Matching partitions are rewritten without the matching rows
+    to fresh prefixes (stats + bloom sidecars rebuilt); partitions left
+    EMPTY are dropped from the manifest. One atomic commit flips all of
+    it — readers see the table before or after the whole delete, never
+    mid-way — with the same disjoint-partition rebase as the MERGE, and
+    old snapshots keep the deleted rows until vacuum (time travel = free
+    undelete window; `manifest_row_changes` reports the rows as deletes).
+
+    Returns {"deleted", "partitions_rewritten", "partitions_dropped",
+    "partitions_skipped_stats", "partitions_skipped_scan"}."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    preds = list(predicates)
+    if not preds:
+        raise ValueError(
+            "refusing DELETE with no predicate — drop the table instead"
+        )
+    cond = _predicates_column(preds)
+    delete_cond = F.coalesce(cond, F.lit(False))
+    entries = m["partitions"]
+    if partition_values is not None:
+        want = {_enc_part(v) for v in partition_values}
+        entries = {k: e for k, e in entries.items() if k in want}
+    snap = uuid.uuid4().hex[:12]
+    stored = (
+        T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
+    )
+    new_entries: dict[str, dict] = {}
+    drop_keys: list[str] = []
+    deleted = 0
+    skipped_stats = skipped_scan = 0
+    for enc, entry in entries.items():
+        files = entry.get("files")
+        if files is not None and not any(
+            _file_maybe_matches(fm, preds) for fm in files
+        ):
+            skipped_stats += 1  # bounds prove nothing to delete here
+            continue
+        old_dir = os.path.join(path, entry["prefix"])
+        reader = spark.read.schema(stored) if stored is not None else spark.read
+        df = reader.parquet(old_dir).persist()
+        try:
+            n_match = df.filter(delete_cond).count()
+            if n_match == 0:
+                skipped_scan += 1  # stats couldn't prove it, the scan did
+                continue
+            deleted += n_match
+            keep = df.filter(~delete_cond)
+            if not keep.limit(1).count():
+                drop_keys.append(enc)  # partition emptied — entry removed
+                continue
+            prefix = os.path.join(
+                "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
+            )
+            keep.write.mode("errorifexists").parquet(os.path.join(path, prefix))
+            new_entry = {
+                "prefix": prefix,
+                "value": enc,
+                "files": _collect_file_stats(os.path.join(path, prefix)),
+            }
+            if entry.get("blooms"):
+                new_entry["blooms"] = _write_bloom_sidecars(
+                    keep, path, prefix, list(entry["blooms"]),
+                    sum(f["rows"] for f in new_entry["files"]),
+                )
+            new_entries[enc] = new_entry
+        finally:
+            df.unpersist()
+    if new_entries or drop_keys:
+        _commit_with_rebase(
+            spark, path, m, new_entries,
+            max_commit_retries=max_commit_retries, drop_keys=drop_keys,
+        )
+    return {
+        "deleted": deleted,
+        "partitions_rewritten": len(new_entries),
+        "partitions_dropped": len(drop_keys),
+        "partitions_skipped_stats": skipped_stats,
+        "partitions_skipped_scan": skipped_scan,
     }
 
 

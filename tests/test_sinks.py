@@ -1628,3 +1628,124 @@ def test_bloom_string_keys_type_faithful(spark, tmp_path):
     assert "p1" in r["maybe"]  # 7 % 3 == 1
     out = sinks.read_manifest_point_lookup(spark, path, "doc", ["doc_7"]).collect()
     assert len(out) == 1 and out[0]["doc"] == "doc_7"
+
+
+# ---------------------------------------------------------------------------
+# Row-level DELETE on manifest tables
+# ---------------------------------------------------------------------------
+
+
+def _delete_table(spark, path):
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(30)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    return df
+
+
+def test_delete_rows_predicate_and_null_semantics(spark, tmp_path):
+    """DELETE WHERE v >= 20 removes exactly those rows; rows where the
+    predicate is NULL are KEPT (SQL DELETE semantics)."""
+    path = str(tmp_path / "del")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 25.0), (3, "a", None), (4, "b", 30.0)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    out = sinks.delete_manifest_rows(spark, path, [("v", ">=", 20.0)])
+    assert out["deleted"] == 2
+    got = {(r["id"], r["v"]) for r in sinks.read_manifest_table(spark, path).collect()}
+    assert got == {(1, 1.0), (3, None)}
+    # partition b was fully emptied → entry dropped
+    assert out["partitions_dropped"] == 1
+    assert "b" not in sinks.read_manifest(path)["partitions"]
+    with pytest.raises(ValueError, match="no predicate"):
+        sinks.delete_manifest_rows(spark, path, [])
+
+
+def test_delete_skips_partitions_via_stats_and_scan(spark, tmp_path):
+    """Partitions whose recorded bounds exclude the predicate are never
+    opened; maybe-partitions with no actual match are scanned but not
+    rewritten (prefixes byte-identical)."""
+    import os
+
+    path = str(tmp_path / "del_stats")
+    _delete_table(spark, path)  # ids 0..29 across d0/d1/d2 (id % 3)
+    m0 = sinks.read_manifest(path)
+    before = {
+        k: (e["prefix"],
+            sorted(os.listdir(os.path.join(path, e["prefix"]))))
+        for k, e in m0["partitions"].items()
+    }
+    # v == 27.0 exists only in d0 (27 % 3 == 0); bounds on v are per-file
+    out = sinks.delete_manifest_rows(spark, path, [("v", "=", 27.0)])
+    assert out["deleted"] == 1 and out["partitions_rewritten"] == 1
+    assert out["partitions_skipped_stats"] + out["partitions_skipped_scan"] == 2
+    m1 = sinks.read_manifest(path)
+    for k in ("d1", "d2"):  # untouched partitions: same prefix, same files
+        assert m1["partitions"][k]["prefix"] == before[k][0]
+        assert (
+            sorted(os.listdir(os.path.join(path, m1["partitions"][k]["prefix"])))
+            == before[k][1]
+        )
+    got = {r["id"] for r in sinks.read_manifest_table(spark, path).collect()}
+    assert got == set(range(30)) - {27}
+
+
+def test_delete_time_travel_and_cdc(spark, tmp_path):
+    """Old snapshots keep deleted rows (undelete window); the change feed
+    reports the deleted rows as deletes — including a dropped partition."""
+    path = str(tmp_path / "del_cdc")
+    _delete_table(spark, path)
+    v1 = sinks.read_manifest(path)["version"]
+    sinks.delete_manifest_rows(spark, path, [("day", "=", "d1")])
+    v2 = sinks.read_manifest(path)["version"]
+    # time travel: v1 still has everything
+    assert sinks.read_manifest_table(spark, path, version=v1).count() == 30
+    assert sinks.read_manifest_table(spark, path).count() == 20
+    feed = sinks.manifest_row_changes(spark, path, ["id"], v1, v2)
+    rows = feed.collect()
+    assert {r["_change"] for r in rows} == {"delete"}
+    assert {r["id"] for r in rows} == {i for i in range(30) if i % 3 == 1}
+
+
+def test_delete_rebuilds_bloom_and_preserves_lookup(spark, tmp_path):
+    path = str(tmp_path / "del_bloom")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", float(i)) for i in range(400)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(
+        spark, df, path, ["id"], partition_col="day", bloom_cols=["id"]
+    )
+    sinks.delete_manifest_rows(spark, path, [("id", "=", 8)])
+    m = sinks.read_manifest(path)
+    assert m["partitions"]["p0"].get("blooms", {}).get("id")
+    # deleted key: exact lookup finds nothing; surviving key still found
+    assert sinks.read_manifest_point_lookup(spark, path, "id", [8]).count() == 0
+    got = sinks.read_manifest_point_lookup(spark, path, "id", [9]).collect()
+    assert len(got) == 1 and got[0]["id"] == 9
+
+
+def test_delete_rebase_over_disjoint_merge(spark, tmp_path, monkeypatch):
+    """A delete racing a merge on another partition rebases — both land."""
+    path = str(tmp_path / "del_race")
+    _delete_table(spark, path)
+
+    def competitor():
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(100, "zz", 100.0)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+
+    _inject_race(monkeypatch, competitor)
+    out = sinks.delete_manifest_rows(spark, path, [("day", "=", "d2")])
+    assert out["partitions_dropped"] == 1
+    got = {r["id"] for r in sinks.read_manifest_table(spark, path).collect()}
+    assert got == {i for i in range(30) if i % 3 != 2} | {100}
