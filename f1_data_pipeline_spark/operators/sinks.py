@@ -876,7 +876,10 @@ def _file_maybe_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
     """Can any row of this file satisfy the conjunction? Conservative:
     prunes ONLY when recorded bounds prove emptiness; missing / type-
     mismatched stats keep the file. NULL rows never satisfy a comparison,
-    so an all-null column proves emptiness for any predicate on it."""
+    so an all-null column proves emptiness for any predicate on it; a
+    zero-row file can match nothing."""
+    if not fmeta.get("rows"):
+        return False
     stats = fmeta.get("stats") or {}
     rows = fmeta.get("rows")
     for col, op, raw in predicates:

@@ -58,6 +58,22 @@ def get_spark(
     partitions matched to core count — on a real cluster, shuffle
     partitions are left to AQE coalescing from a higher initial value.
     """
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        # Builder .config(...) on getOrCreate APPLIES those configs to an
+        # already-running session — a second get_spark() from a CLI entry
+        # point or library call would silently clobber the host session's
+        # shuffle partitioning (observed: a 4-partition test session bumped
+        # to 32, fanning every subsequent write into tiny files). Reuse the
+        # live session, apply only the runtime confs, and honor an
+        # EXPLICIT shuffle_partitions request; `master` cannot change on a
+        # live session and is ignored here.
+        if shuffle_partitions is not None:
+            existing.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        return apply_runtime_confs(existing)
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"

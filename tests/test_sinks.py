@@ -1483,8 +1483,10 @@ def test_manifest_count_nulls_never_miscounted(spark, tmp_path):
     sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
     out = sinks.manifest_count(spark, path, predicates=[("n", ">=", 0)])
     assert out["count"] == 90
-    # with nulls present, the n-predicate can't be metadata-decided
-    assert out["files_metadata"] == 0 and out["files_scanned"] >= 1
+    # at least one file contains NULLs, and such a file can never be
+    # metadata-decided for an n-predicate — it must be scanned (null-free
+    # files MAY decide from metadata, depending on write layout)
+    assert out["files_scanned"] >= 1
 
 
 def test_manifest_column_bounds_metadata_only(spark, tmp_path):
