@@ -729,6 +729,53 @@ def read_manifest(path: str, version: int | None = None) -> dict | None:
         return json.load(fh)
 
 
+def manifest_history(path: str) -> list[dict]:
+    """The table's commit log, oldest first (DESCRIBE HISTORY): one row per
+    retained version with its commit time (from the immutable commit
+    object's mtime — set once at the atomic create, never rewritten),
+    partition count, file count, row count (None when any entry predates
+    file stats), and the partitions changed vs the previous retained
+    version. Metadata-only."""
+    out: list[dict] = []
+    prev: dict | None = None
+    for v in manifest_versions(path):
+        m = read_manifest(path, v)
+        entries = m["partitions"]
+        n_files = rows = 0
+        rows_known = True
+        for e in entries.values():
+            files = e.get("files")
+            if files is None:
+                rows_known = False
+                continue
+            n_files += len(files)
+            rows += sum(f["rows"] for f in files)
+        if prev is None:
+            changed = sorted(entries)
+        else:
+            p_prev = prev["partitions"]
+            changed = sorted(
+                {
+                    k
+                    for k, e in entries.items()
+                    if k not in p_prev or e["prefix"] != p_prev[k]["prefix"]
+                }
+                | (set(p_prev) - set(entries))
+            )
+        out.append(
+            {
+                "version": v,
+                "committed_at": os.path.getmtime(_commit_path(path, v)),
+                "partitions": len(entries),
+                "files": n_files,
+                "rows": rows if rows_known else None,
+                "changed_partitions": changed,
+            }
+        )
+        prev = m
+    return out
+
+
 def _commit_manifest(path: str, manifest: dict) -> None:
     """THE commit point: atomically create the next numbered manifest
     object, failing if it already exists (`os.link` is atomic

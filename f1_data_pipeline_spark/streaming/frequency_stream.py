@@ -23,6 +23,12 @@ What the summary can and cannot promise (stated, not fudged):
   corpus (e.g. the curated target table the stream also feeds) and it
   runs the same candidate-only verify as the batch operator.
 
+Single-writer state: one streaming query owns a summary path (the
+Structured Streaming norm — one checkpoint, one sink). Two sinks feeding
+one path would interleave batch ids; the atomic numbered commits prevent
+silent corruption (a version collision raises), but the merged counts
+would be the union of both streams — point two streams at two paths.
+
 Replay contract: foreachBatch may re-deliver a batch after a crash;
 merging the same batch twice would double-count it. The summary is
 therefore a sequence of numbered JSON states committed with the same

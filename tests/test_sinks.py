@@ -1751,3 +1751,32 @@ def test_delete_rebase_over_disjoint_merge(spark, tmp_path, monkeypatch):
     assert out["partitions_dropped"] == 1
     got = {r["id"] for r in sinks.read_manifest_table(spark, path).collect()}
     assert got == {i for i in range(30) if i % 3 != 2} | {100}
+
+
+def test_manifest_history(spark, tmp_path):
+    """DESCRIBE HISTORY: one row per retained version, monotone commit
+    times, correct changed-partition attribution including a delete-drop;
+    vacuum truncates the log to the kept window."""
+    path = str(tmp_path / "hist")
+    for i, day in enumerate(["a", "b"]):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(i, day, float(i))], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+    sinks.delete_manifest_rows(spark, path, [("day", "=", "a")])
+    h = sinks.manifest_history(path)
+    assert [r["version"] for r in h] == [1, 2, 3]
+    assert h[0]["changed_partitions"] == ["a"]
+    assert h[1]["changed_partitions"] == ["b"]
+    assert h[2]["changed_partitions"] == ["a"]  # dropped counts as changed
+    assert h[2]["partitions"] == 1 and h[2]["rows"] == 1
+    assert all(r["rows"] is not None and r["files"] >= 1 for r in h)
+    ts = [r["committed_at"] for r in h]
+    assert ts == sorted(ts)
+    sinks.vacuum_manifest(path, keep_last=1, min_age_sec=0)
+    assert [r["version"] for r in sinks.manifest_history(path)] == [3]
