@@ -1977,6 +1977,128 @@ def delete_manifest_rows(
     }
 
 
+def update_manifest_rows(
+    spark: SparkSession,
+    path: str,
+    assignments: dict,
+    predicates: Sequence[tuple],
+    partition_values: Sequence | None = None,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Row-level UPDATE — the third DML verb: `UPDATE SET col = expr WHERE
+    <conjunction>` (backfills, corrections, re-scoring).
+
+    `assignments` maps column name → new value: a Spark Column expression
+    (may reference the row's own columns, e.g. `F.col("v") * 2`) or a
+    literal. Assigned columns must already exist and keep their type
+    (schema changes belong to the merge path); the partition column cannot
+    be assigned — moving rows between partitions is a delete+merge, and
+    silently accepting it here would corrupt the partition layout.
+
+    Narrowing, commit, and concurrency semantics are exactly
+    `delete_manifest_rows`'s: partitions whose recorded file bounds
+    exclude the predicate are untouched with zero I/O, scanned partitions
+    with no matches keep their prefixes byte-identical, matching
+    partitions are rewritten (stats + bloom sidecars rebuilt) and flipped
+    in ONE atomic commit with disjoint-partition rebase; NULL-predicate
+    rows are not updated (SQL semantics); old snapshots retain pre-update
+    rows (time travel), and the change feed reports update_postimage rows.
+
+    Returns {"updated", "partitions_rewritten", "partitions_skipped_stats",
+    "partitions_skipped_scan"}."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    preds = list(predicates)
+    if not preds:
+        raise ValueError(
+            "refusing UPDATE with no predicate — use the merge path for "
+            "full-table rewrites"
+        )
+    if not assignments:
+        raise ValueError("UPDATE needs at least one assignment")
+    part_col = m.get("partition_col")
+    if part_col in assignments:
+        raise ValueError(
+            f"cannot assign partition column {part_col!r} — moving rows "
+            "between partitions is a delete + merge, not an in-place update"
+        )
+    stored = (
+        T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
+    )
+    if stored is not None:
+        missing = [c for c in assignments if c not in stored.names]
+        if missing:
+            raise ValueError(
+                f"UPDATE assigns unknown columns {missing} — schema changes "
+                "go through the merge path with schema_evolution=True"
+            )
+    cond = F.coalesce(_predicates_column(preds), F.lit(False))
+    entries = m["partitions"]
+    if partition_values is not None:
+        want = {_enc_part(v) for v in partition_values}
+        entries = {k: e for k, e in entries.items() if k in want}
+    snap = uuid.uuid4().hex[:12]
+    new_entries: dict[str, dict] = {}
+    updated = 0
+    skipped_stats = skipped_scan = 0
+    for enc, entry in entries.items():
+        files = entry.get("files")
+        if files is not None and not any(
+            _file_maybe_matches(fm, preds) for fm in files
+        ):
+            skipped_stats += 1
+            continue
+        old_dir = os.path.join(path, entry["prefix"])
+        reader = spark.read.schema(stored) if stored is not None else spark.read
+        df = reader.parquet(old_dir).persist()
+        try:
+            n_match = df.filter(cond).count()
+            if n_match == 0:
+                skipped_scan += 1
+                continue
+            updated += n_match
+            out = df
+            for c, v in assignments.items():
+                expr = v if isinstance(v, Column) else F.lit(v)
+                # assignment applies only where the predicate holds; the
+                # cast pins the declared type so an expression can't
+                # silently re-type the column for the whole table
+                new_t = (
+                    stored[c].dataType if stored is not None else df.schema[c].dataType
+                )
+                out = out.withColumn(
+                    c, F.when(cond, expr.cast(new_t)).otherwise(F.col(c))
+                )
+            prefix = os.path.join(
+                "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
+            )
+            out.write.mode("errorifexists").parquet(os.path.join(path, prefix))
+            new_entry = {
+                "prefix": prefix,
+                "value": enc,
+                "files": _collect_file_stats(os.path.join(path, prefix)),
+            }
+            if entry.get("blooms"):
+                new_entry["blooms"] = _write_bloom_sidecars(
+                    out, path, prefix, list(entry["blooms"]),
+                    sum(f["rows"] for f in new_entry["files"]),
+                )
+            new_entries[enc] = new_entry
+        finally:
+            df.unpersist()
+    if new_entries:
+        _commit_with_rebase(
+            spark, path, m, new_entries, max_commit_retries=max_commit_retries
+        )
+    return {
+        "updated": updated,
+        "partitions_rewritten": len(new_entries),
+        "partitions_skipped_stats": skipped_stats,
+        "partitions_skipped_scan": skipped_scan,
+    }
+
+
 def manifest_changed_partitions(
     path: str, from_version: int, to_version: int | None = None
 ) -> dict[str, str]:

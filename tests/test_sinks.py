@@ -1780,3 +1780,107 @@ def test_manifest_history(spark, tmp_path):
     assert ts == sorted(ts)
     sinks.vacuum_manifest(path, keep_last=1, min_age_sec=0)
     assert [r["version"] for r in sinks.manifest_history(path)] == [3]
+
+
+# ---------------------------------------------------------------------------
+# Row-level UPDATE on manifest tables
+# ---------------------------------------------------------------------------
+
+
+def test_update_rows_expressions_and_null_semantics(spark, tmp_path):
+    """SET v = v*2, tag = 'hot' WHERE v >= 20: expressions see the row's
+    own columns; NULL-predicate rows are untouched; non-matching rows in
+    rewritten partitions are byte-equal in value."""
+    path = str(tmp_path / "upd")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, "cold"), (2, "a", 25.0, "cold"),
+         (3, "a", None, "cold"), (4, "b", 30.0, "cold")],
+        "id long, day string, v double, tag string",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    out = sinks.update_manifest_rows(
+        spark, path,
+        {"v": F.col("v") * 2, "tag": "hot"},
+        [("v", ">=", 20.0)],
+    )
+    assert out["updated"] == 2 and out["partitions_rewritten"] == 2
+    got = {
+        (r["id"], r["v"], r["tag"])
+        for r in sinks.read_manifest_table(spark, path).collect()
+    }
+    assert got == {
+        (1, 1.0, "cold"), (2, 50.0, "hot"), (3, None, "cold"), (4, 60.0, "hot")
+    }
+
+
+def test_update_narrowing_time_travel_cdc_and_guards(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "upd_nar")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(30)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    v1 = sinks.read_manifest(path)["version"]
+    before = {
+        k: e["prefix"] for k, e in sinks.read_manifest(path)["partitions"].items()
+    }
+    # v = 27.0 lives only in d0
+    out = sinks.update_manifest_rows(
+        spark, path, {"v": 999.0}, [("v", "=", 27.0)]
+    )
+    assert out["updated"] == 1 and out["partitions_rewritten"] == 1
+    assert out["partitions_skipped_stats"] + out["partitions_skipped_scan"] == 2
+    m1 = sinks.read_manifest(path)
+    for k in ("d1", "d2"):
+        assert m1["partitions"][k]["prefix"] == before[k]
+    # time travel keeps the pre-update value; CDC reports the postimage
+    old = sinks.read_manifest_table(spark, path, version=v1)
+    assert old.filter(F.col("id") == 27).collect()[0]["v"] == 27.0
+    feed = sinks.manifest_row_changes(spark, path, ["id"], v1)
+    rows = feed.collect()
+    assert [(r["id"], r["v"], r["_change"]) for r in rows] == [
+        (27, 999.0, "update_postimage")
+    ]
+    # guards
+    with pytest.raises(ValueError, match="partition column"):
+        sinks.update_manifest_rows(spark, path, {"day": "x"}, [("id", "=", 1)])
+    with pytest.raises(ValueError, match="unknown columns"):
+        sinks.update_manifest_rows(spark, path, {"ghost": 1}, [("id", "=", 1)])
+    with pytest.raises(ValueError, match="no predicate"):
+        sinks.update_manifest_rows(spark, path, {"v": 0.0}, [])
+    with pytest.raises(ValueError, match="at least one assignment"):
+        sinks.update_manifest_rows(spark, path, {}, [("id", "=", 1)])
+
+
+def test_update_rebuilds_bloom_and_pins_type(spark, tmp_path):
+    """Bloom sidecars survive the rewrite; the assignment is pinned to the
+    column's declared type, so an expression whose result can't fit FAILS
+    LOUDLY (ANSI cast overflow) instead of silently re-typing the column
+    or wrapping the value."""
+    path = str(tmp_path / "upd_bloom")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i) for i in range(400)],
+        "id long, day string, n int",
+    )
+    sinks.merge_upsert_manifest(
+        spark, df, path, ["id"], partition_col="day", bloom_cols=["id"]
+    )
+    sinks.update_manifest_rows(
+        spark, path, {"n": F.col("n") + 1}, [("id", "=", 8)]
+    )
+    t = sinks.read_manifest_table(spark, path)
+    assert dict(t.dtypes)["n"] == "int"  # declared type pinned
+    got = sinks.read_manifest_point_lookup(spark, path, "id", [8]).collect()
+    assert len(got) == 1 and got[0]["n"] == 9  # bloom survived the rewrite
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        sinks.update_manifest_rows(
+            spark, path, {"n": F.col("n") + F.lit(2**40)}, [("id", "=", 8)]
+        )
+    # the failed update never committed: table unchanged
+    assert sinks.read_manifest_point_lookup(spark, path, "id", [8]).collect()[
+        0
+    ]["n"] == 9
