@@ -284,6 +284,102 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_metadata(spark, sf_dir: str) -> dict:
+    """Metadata-vs-scan block (not part of the headline total): build a
+    year-partitioned, orderkey-bloomed manifest table from `orders` once,
+    then measure the three metadata fast paths against their scan
+    equivalents — COUNT(*) from the manifest vs a real count job, a
+    clustered range-predicate count (bounds decide interior files) vs a
+    filtered scan, and a bloom point lookup vs scan+filter. Parity is
+    asserted, so the numbers can't drift from correctness."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.sources import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_meta_")
+    try:
+        path = os.path.join(work, "orders_m")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice",
+            F.year("o_orderdate").cast("string").alias("year"),
+        )
+        sinks.merge_upsert_manifest(
+            spark, orders, path, ["o_orderkey"], partition_col="year",
+            bloom_cols=["o_orderkey"],
+        )
+        # small target → several id-clustered files per partition, so the
+        # range predicate has interior files its bounds fully decide
+        sinks.compact_manifest(
+            spark, path, target_file_bytes=256 * 1024,
+            cluster_by=["o_orderkey"],
+        )
+        probe_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+
+        t0 = time.time()
+        meta_cnt = sinks.manifest_count(spark, path)
+        t_meta_count = time.time() - t0
+        t0 = time.time()
+        scan_cnt = sinks.read_manifest_table(spark, path).count()
+        t_scan_count = time.time() - t0
+        assert meta_cnt["count"] == scan_cnt, (meta_cnt, scan_cnt)
+
+        pred = [("o_orderkey", "<", int(probe_key) // 2)]
+        t0 = time.time()
+        meta_rng = sinks.manifest_count(spark, path, predicates=pred)
+        t_meta_range = time.time() - t0
+        t0 = time.time()
+        scan_rng = (
+            sinks.read_manifest_table(spark, path)
+            .filter(F.col("o_orderkey") < int(probe_key) // 2)
+            .count()
+        )
+        t_scan_range = time.time() - t0
+        assert meta_rng["count"] == scan_rng
+
+        t0 = time.time()
+        bloom = sinks.manifest_bloom_lookup(
+            spark, path, "o_orderkey", [int(probe_key)]
+        )
+        point = sinks.read_manifest_point_lookup(
+            spark, path, "o_orderkey", [int(probe_key)]
+        ).count()
+        t_point = time.time() - t0
+        t0 = time.time()
+        full = (
+            sinks.read_manifest_table(spark, path)
+            .filter(F.col("o_orderkey") == int(probe_key))
+            .count()
+        )
+        t_full_point = time.time() - t0
+        assert point == full == 1
+        n_parts = len(sinks.read_manifest(path)["partitions"])
+
+        return {
+            "rows": scan_cnt,
+            "partitions": n_parts,
+            "count_meta_sec": round(t_meta_count, 3),
+            "count_scan_sec": round(t_scan_count, 3),
+            "count_meta_files_scanned": meta_cnt["files_scanned"],
+            "range_meta_sec": round(t_meta_range, 3),
+            "range_scan_sec": round(t_scan_range, 3),
+            "range_meta_files": {
+                "metadata": meta_rng["files_metadata"],
+                "pruned": meta_rng["files_pruned"],
+                "scanned": meta_rng["files_scanned"],
+            },
+            "point_bloom_sec": round(t_point, 3),
+            "point_scan_sec": round(t_full_point, 3),
+            "point_partitions_scanned": len(bloom["maybe"])
+            + len(bloom["no_bloom"]),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -353,6 +449,7 @@ def main() -> None:
         total += med
 
     streaming = bench_streaming(spark, sf_dir)
+    metadata = bench_metadata(spark, sf_dir)
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     print(
@@ -368,6 +465,7 @@ def main() -> None:
                 "spread": spread,
                 "host": host,
                 "streaming": streaming,
+                "metadata": metadata,
             }
         )
     )

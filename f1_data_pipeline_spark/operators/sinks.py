@@ -1067,6 +1067,7 @@ def manifest_count(
     preds = list(predicates) if predicates else []
     count = 0
     n_meta = 0
+    n_pruned = 0
     scan_paths: list[str] = []
     n_prefix = 0
     for e in entries.values():
@@ -1078,6 +1079,7 @@ def manifest_count(
             continue
         for fm in files:
             if preds and not _file_maybe_matches(fm, preds):
+                n_pruned += 1
                 continue  # proven empty — contributes 0
             if not preds or _file_always_matches(fm, preds):
                 count += fm["rows"]
@@ -1098,6 +1100,7 @@ def manifest_count(
     return {
         "count": count,
         "files_metadata": n_meta,
+        "files_pruned": n_pruned,
         "files_scanned": len(scan_paths) - n_prefix,
         "prefixes_scanned": n_prefix,
     }

@@ -13,6 +13,7 @@ replica, plus cross-replica collisions from shared band buckets).
 
 Usage: python tools/scale_probe.py [op] [sf_dir] [factors...] [mode=...] [cap=N]
   op: minhash (default) | contamination | spans | tfidf | tfidf_mindf
+      | unigram | ivf_drift | heavy_hitters | bloom_delete
   mode=clique | disjoint | tail | boilerplate (default: clique,disjoint)
   cap=N → minhash_lsh_pairs(max_bucket_size=N) (minhash op only)
 
@@ -180,16 +181,132 @@ def probe_ivf_drift() -> None:
     shutil.rmtree(idx, ignore_errors=True)
 
 
+def probe_heavy_hitters() -> None:
+    """frequent_items' shuffle bound as the vocabulary grows 16× under a
+    fixed heavy head (s=0.01): report distinct items (= naive GROUP BY
+    shuffle keys), MG candidate count (= the two-phase bound), heavy
+    hitters found, and wall time. One JSON line per multiplier →
+    SCALE_NOTES "Heavy hitters" table."""
+    import random
+
+    from f1_data_pipeline_spark.operators import frequency as FQ
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    for mult in (1, 4, 16):
+        vocab = 50_000 * mult
+        rng = random.Random(7)
+        rows = [(f"t_{rng.randrange(vocab)}",) for _ in range(vocab)]
+        head = [(f"HEAD_{r}",) for r in range(10) for _ in range(vocab // 50)]
+        df = (
+            spark.createDataFrame(rows + head, "item string")
+            .repartition(8)
+            .cache()
+        )
+        n = df.count()
+        t0 = time.time()
+        n_hh = FQ.frequent_items(df, "item", min_share=0.01).count()
+        dt = time.time() - t0
+        n_cand = (
+            FQ.mg_candidates(df, "item", 0.01).select("item").distinct().count()
+        )
+        n_distinct = df.distinct().count()
+        print(json.dumps({
+            "mult": mult, "rows": n, "distinct_items": n_distinct,
+            "mg_candidates": n_cand, "heavy_found": n_hh,
+            "sec": round(dt, 2),
+        }))
+        df.unpersist()
+
+
+def probe_bloom_delete() -> None:
+    """Bloom point-lookup pruning and DELETE narrowing as partition count
+    grows: striped ids defeat min/max for the lookup (bloom's job);
+    contiguous ids per partition let bounds skip the DELETE. One JSON
+    line per table size → SCALE_NOTES "Bloom point-lookup and DELETE"
+    tables."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    for n_parts, rows_per in ((16, 20_000), (64, 20_000)):
+        work = tempfile.mkdtemp()
+        try:
+            n = n_parts * rows_per
+            # striped ids: every partition's id range covers every probe
+            path = os.path.join(work, "striped")
+            df = spark.range(0, n).select(
+                F.col("id"),
+                (F.col("id") % n_parts).cast("string").alias("day"),
+                F.col("id").cast("double").alias("v"),
+            )
+            sinks.merge_upsert_manifest(
+                spark, df, path, ["id"], partition_col="day",
+                bloom_cols=["id"],
+            )
+            t0 = time.time()
+            r = sinks.manifest_bloom_lookup(spark, path, "id", [7, 12345])
+            t_meta = time.time() - t0
+            t0 = time.time()
+            hits = sinks.read_manifest_point_lookup(
+                spark, path, "id", [7, 12345]
+            ).count()
+            t_point = time.time() - t0
+            t0 = time.time()
+            full = (
+                sinks.read_manifest_table(spark, path)
+                .filter(F.col("id").isin([7, 12345]))
+                .count()
+            )
+            t_full = time.time() - t0
+            # contiguous ids: bounds can prove partitions untouched
+            path2 = os.path.join(work, "contig")
+            df2 = spark.range(0, n).select(
+                F.col("id"),
+                (F.col("id") / rows_per).cast("int").cast("string").alias("day"),
+                F.col("id").cast("double").alias("v"),
+            )
+            sinks.merge_upsert_manifest(
+                spark, df2, path2, ["id"], partition_col="day"
+            )
+            t0 = time.time()
+            out = sinks.delete_manifest_rows(
+                spark, path2, [("id", ">=", 100), ("id", "<", 200)]
+            )
+            t_del = time.time() - t0
+            print(json.dumps({
+                "parts": n_parts, "rows": n,
+                "bloom_scanned": len(r["maybe"]) + len(r["no_bloom"]),
+                "lookup_meta_sec": round(t_meta, 2),
+                "point_sec": round(t_point, 2),
+                "fullscan_sec": round(t_full, 2),
+                "hits_parity": hits == full,
+                "delete": out, "delete_sec": round(t_del, 2),
+            }))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
     if args and args[0] in (
         "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram",
-        "ivf_drift",
+        "ivf_drift", "heavy_hitters", "bloom_delete",
     ):
         op = args.pop(0)
     if op == "ivf_drift":
         probe_ivf_drift()
+        return
+    if op == "heavy_hitters":
+        probe_heavy_hitters()
+        return
+    if op == "bloom_delete":
+        probe_bloom_delete()
         return
     modes = ("clique", "disjoint")
     cap = None
