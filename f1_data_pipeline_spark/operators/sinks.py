@@ -2199,6 +2199,64 @@ def manifest_row_changes(
     return inserts.unionByName(updates).unionByName(deletes)
 
 
+def read_manifest_increment(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    state_path: str,
+) -> tuple[DataFrame, "Callable[[], None]"]:
+    """Incremental CDC consumption — the downstream-job half of the change
+    feed: "give me every row change since I last ran, and let me mark it
+    processed only after MY write commits."
+
+    Reads the consumer's last-processed version from `state_path` (a tiny
+    JSON file; absent = never ran → the full current table surfaces as
+    inserts), pins the current latest version ONCE, and returns
+    `(changes, commit)`: `changes` is the `manifest_row_changes` feed over
+    exactly that window (empty-with-schema when nothing new), and
+    `commit()` atomically advances the state file to the pinned version.
+    The consumer transforms/writes `changes` FIRST and calls `commit()`
+    last — a crash before commit() replays the same window next run, so
+    any idempotent sink (the MERGE family here) gets exactly-once effect;
+    nothing is marked consumed by the act of reading. At 100 TB this is
+    the scheduler loop: each cycle costs two manifest JSONs plus scans of
+    only the partitions that actually changed.
+
+    Retention contract: the state version must stay retained —
+    `vacuum_manifest(keep_last=...)` must cover the longest consumer lag,
+    or the next increment raises FileNotFoundError (loud, not silent
+    data loss)."""
+    versions = manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no manifest at {path}")
+    latest = versions[-1]
+    last = None
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            last = json.load(fh)["version"]
+    if last is None:
+        # first run: everything is an insert — synthesize the feed shape
+        # from the full table at the pinned version
+        base = read_manifest_table(spark, path, version=latest)
+        changes = base.withColumn("_change", F.lit("insert"))
+    elif last == latest:
+        schema = read_manifest_table(spark, path, version=latest).schema
+        changes = spark.createDataFrame(
+            [], T.StructType(list(schema) + [T.StructField("_change", T.StringType())])
+        )
+    else:
+        changes = manifest_row_changes(spark, path, keys, last, latest)
+
+    def commit() -> None:
+        tmp = f"{state_path}.tmp{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump({"version": latest, "table": path}, fh)
+        os.replace(tmp, state_path)
+
+    return changes, commit
+
+
 def vacuum_manifest(
     path: str, keep_last: int = 1, min_age_sec: float = 6 * 3600
 ) -> list[str]:

@@ -1884,3 +1884,63 @@ def test_update_rebuilds_bloom_and_pins_type(spark, tmp_path):
     assert sinks.read_manifest_point_lookup(spark, path, "id", [8]).collect()[
         0
     ]["n"] == 9
+
+
+def test_read_manifest_increment_consumer_loop(spark, tmp_path):
+    """The CDC consumer loop: first run surfaces the table as inserts;
+    commit() advances only when called (crash-replay = same window);
+    subsequent increments carry exactly the merge/delete changes; a
+    consumer lagging past vacuum retention fails loudly."""
+    path = str(tmp_path / "inc_src")
+    state = str(tmp_path / "consumer.json")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, day string, v double"
+        ),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    # first run: everything is an insert
+    changes, commit = sinks.read_manifest_increment(spark, path, ["id"], state)
+    assert {(r["id"], r["_change"]) for r in changes.collect()} == {
+        (1, "insert"), (2, "insert")
+    }
+    # crash before commit: the SAME window replays
+    changes2, commit2 = sinks.read_manifest_increment(spark, path, ["id"], state)
+    assert changes2.count() == 2
+    commit2()
+    # nothing new → empty with the feed schema
+    changes3, commit3 = sinks.read_manifest_increment(spark, path, ["id"], state)
+    assert changes3.count() == 0 and "_change" in changes3.columns
+    commit3()
+    # a merge + a delete later...
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(3, "c", 3.0)], "id long, day string, v double"),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    sinks.delete_manifest_rows(spark, path, [("day", "=", "a")])
+    changes4, commit4 = sinks.read_manifest_increment(spark, path, ["id"], state)
+    assert {(r["id"], r["_change"]) for r in changes4.collect()} == {
+        (3, "insert"), (1, "delete")
+    }
+    commit4()
+    # consumer lags beyond retention → loud, not silent
+    for i in range(3):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(10 + i, "z", 0.0)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+    sinks.vacuum_manifest(path, keep_last=1, min_age_sec=0)
+    with pytest.raises(FileNotFoundError):
+        df, _ = sinks.read_manifest_increment(spark, path, ["id"], state)
+        df.collect()
