@@ -716,12 +716,14 @@ def manifest_versions(path: str) -> list[int]:
     )
 
 
-def read_manifest(path: str, version: int | None = None) -> dict | None:
-    """Resolve the committed manifest (highest version, or a retained
-    historical `version` — time travel)."""
+def read_manifest(path: str, version: int | str | None = None) -> dict | None:
+    """Resolve the committed manifest (highest version, a retained
+    historical `version` — time travel — or a TAG NAME pinned with
+    `manifest_tag`: every reader that takes `version=` accepts a tag)."""
     versions = manifest_versions(path)
     if not versions:
         return None
+    version = resolve_manifest_ref(path, version)
     v = version if version is not None else versions[-1]
     if v not in versions:
         raise FileNotFoundError(f"manifest version {v} not retained at {path}")
@@ -2199,6 +2201,75 @@ def manifest_row_changes(
     return inserts.unionByName(updates).unionByName(deletes)
 
 
+_REFS_DIR = "_refs"
+
+
+def manifest_tag(path: str, name: str, version: int | None = None) -> int:
+    """Pin a named, IMMUTABLE tag to a committed version (latest by
+    default) — dataset versioning for reproducible consumers: a training
+    run reads `tag="corpus-v1"` forever and gets byte-identical data,
+    while the table keeps moving and vacuum reclaims everything the tag
+    doesn't protect. Tag creation is the same atomic create-if-absent as
+    commits (no racing writer can redefine a name); re-tagging an
+    existing name raises — delete it first if you truly mean to move it.
+    Returns the pinned version."""
+    versions = manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no manifest at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not retained at {path}")
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name {name!r}")
+    d = os.path.join(path, _REFS_DIR)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": v}, fh)
+    try:
+        os.link(tmp, os.path.join(d, f"{name}.json"))
+    except FileExistsError:
+        raise ValueError(
+            f"tag {name!r} already exists at {path} — tags are immutable; "
+            "manifest_delete_tag it first if it must move"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def manifest_tags(path: str) -> dict[str, int]:
+    """{tag name: pinned version} for every tag on the table."""
+    d = os.path.join(path, _REFS_DIR)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[str, int] = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json") and not f.startswith("."):
+            with open(os.path.join(d, f)) as fh:
+                r = json.load(fh)
+            out[r["name"]] = r["version"]
+    return out
+
+
+def manifest_delete_tag(path: str, name: str) -> None:
+    p = os.path.join(path, _REFS_DIR, f"{name}.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no tag {name!r} at {path}")
+    os.unlink(p)
+
+
+def resolve_manifest_ref(path: str, ref: int | str | None) -> int | None:
+    """Resolve a version number or tag name to a version number (None
+    passes through = latest)."""
+    if ref is None or isinstance(ref, int):
+        return ref
+    tags = manifest_tags(path)
+    if ref not in tags:
+        raise FileNotFoundError(f"no tag {ref!r} at {path} (tags: {sorted(tags)})")
+    return tags[ref]
+
+
 def read_manifest_increment(
     spark: SparkSession,
     path: str,
@@ -2279,7 +2350,10 @@ def vacuum_manifest(
     versions = manifest_versions(path)
     if not versions:
         return []
-    keep = versions[-max(1, keep_last):]
+    # tagged versions are pinned datasets — their commit entries and data
+    # prefixes survive any keep_last window until the tag is deleted
+    tagged = {v for v in manifest_tags(path).values() if v in versions}
+    keep = sorted(set(versions[-max(1, keep_last):]) | tagged)
     live: set[str] = set()
     for v in keep:
         m = read_manifest(path, v)

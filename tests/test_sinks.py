@@ -1944,3 +1944,66 @@ def test_read_manifest_increment_consumer_loop(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         df, _ = sinks.read_manifest_increment(spark, path, ["id"], state)
         df.collect()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot tags: pinned, vacuum-protected dataset versions
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_tags_pin_reproducible_datasets(spark, tmp_path):
+    """Tag a corpus version, keep mutating the table: the tag reads
+    byte-identically forever, survives vacuum while untagged history is
+    reclaimed, and is immutable until explicitly deleted."""
+    path = str(tmp_path / "tags")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, day string, v double"
+        ),
+        path,
+        ["id"],
+        partition_col="day",
+    )
+    v = sinks.manifest_tag(path, "corpus-v1")
+    assert sinks.manifest_tags(path) == {"corpus-v1": v}
+    # table keeps moving: update, delete, more merges
+    sinks.update_manifest_rows(spark, path, {"v": 10.0}, [("id", "=", 1)])
+    sinks.delete_manifest_rows(spark, path, [("day", "=", "b")])
+    for i in range(3, 6):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(i, "c", float(i))], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+    pinned = {
+        (r["id"], r["v"])
+        for r in sinks.read_manifest_table(spark, path, version="corpus-v1").collect()
+    }
+    assert pinned == {(1, 1.0), (2, 2.0)}
+    # vacuum reclaims everything the tag doesn't protect — the tag still reads
+    sinks.vacuum_manifest(path, keep_last=1, min_age_sec=0)
+    assert sinks.manifest_versions(path) == sorted({v, max(sinks.manifest_versions(path))})
+    still = {
+        (r["id"], r["v"])
+        for r in sinks.read_manifest_table(spark, path, version="corpus-v1").collect()
+    }
+    assert still == pinned
+    # metadata readers accept the tag too
+    assert sinks.manifest_count(spark, path, version="corpus-v1")["count"] == 2
+    # immutability + lifecycle
+    with pytest.raises(ValueError, match="immutable"):
+        sinks.manifest_tag(path, "corpus-v1")
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        sinks.read_manifest_table(spark, path, version="corpus-v2").count()
+    with pytest.raises(ValueError, match="invalid tag name"):
+        sinks.manifest_tag(path, "../evil")
+    sinks.manifest_delete_tag(path, "corpus-v1")
+    sinks.vacuum_manifest(path, keep_last=1, min_age_sec=0)
+    assert len(sinks.manifest_versions(path)) == 1  # pinned snapshot reclaimed
+    with pytest.raises(FileNotFoundError):
+        sinks.manifest_delete_tag(path, "corpus-v1")
