@@ -2219,7 +2219,9 @@ def manifest_tag(path: str, name: str, version: int | None = None) -> int:
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not retained at {path}")
-    if "/" in name or name.startswith("."):
+    # empty → the file would be ".json", hidden from manifest_tags: an
+    # unreachable tag. Path separators / dot-prefixes are escape hazards.
+    if not name or "/" in name or name.startswith("."):
         raise ValueError(f"invalid tag name {name!r}")
     d = os.path.join(path, _REFS_DIR)
     os.makedirs(d, exist_ok=True)

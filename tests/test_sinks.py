@@ -2002,6 +2002,8 @@ def test_manifest_tags_pin_reproducible_datasets(spark, tmp_path):
         sinks.read_manifest_table(spark, path, version="corpus-v2").count()
     with pytest.raises(ValueError, match="invalid tag name"):
         sinks.manifest_tag(path, "../evil")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        sinks.manifest_tag(path, "")
     sinks.manifest_delete_tag(path, "corpus-v1")
     sinks.vacuum_manifest(path, keep_last=1, min_age_sec=0)
     assert len(sinks.manifest_versions(path)) == 1  # pinned snapshot reclaimed
