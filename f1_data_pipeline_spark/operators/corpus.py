@@ -119,6 +119,86 @@ def cap_per_group(
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    mass_col: Column | None = None,
+    scale: float = 1.0,
+    max_epochs: int = 100,
+) -> DataFrame:
+    """Rebalance a corpus to a target domain MIXTURE — the data-mixing
+    stage of LLM training-set assembly ("40% web, 30% code, 30% books",
+    with scarce domains seen for multiple epochs and abundant ones
+    downsampled).
+
+    `weights` are relative target shares of total mass per domain (any
+    positive numbers — normalized internally); `mass_col` is each row's
+    mass (pass a token count for token-weighted mixing; default 1 = doc
+    mixing) and MUST be integral so per-domain totals sum exactly (no
+    float-summation order sensitivity); `scale` sizes the output pool
+    relative to the weighted input mass. Per domain d:
+    rate_d = share_d · pool_mass · scale / mass_d. Whole epochs replicate
+    every row with `epoch` = 0..⌊rate⌋−1 (training pipelines keep the
+    epoch id so shuffling can differ per pass); the fractional remainder
+    keeps the salted-md5-bucketed subset of rows at the final epoch —
+    fully deterministic, reproducible on any engine, stable under
+    repartitioning (same contract as `stratified_sample`, and SQL-twin
+    exact because the rate arithmetic is a fixed op sequence over exact
+    integer totals). Domains without a weight are DROPPED (target share
+    zero). Raises when any rate exceeds `max_epochs` — a weight that asks
+    hundreds of epochs of a tiny domain is a config bug, not a mix.
+
+    Plan: one integer aggregate over domains, a broadcast rates join, an
+    epoch explode, a hash filter — no corpus-sized shuffle."""
+    if not weights:
+        raise ValueError("mixture_sample needs at least one domain weight")
+    if any(v <= 0 for v in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    wsum = float(sum(weights.values()))
+    wn = {k: float(v) / wsum for k, v in weights.items()}
+    mass = (mass_col if mass_col is not None else F.lit(1)).cast("long")
+    d = df.withColumn("__mass", F.coalesce(mass, F.lit(0)))
+    wmap = F.create_map(
+        *[x for k, v in wn.items() for x in (F.lit(k), F.lit(v))]
+    )
+    totals = (
+        d.groupBy(domain_col)
+        .agg(F.sum("__mass").alias("__dmass"))
+        .withColumn("__w", wmap[F.col(domain_col)])
+        .filter(F.col("__w").isNotNull() & (F.col("__dmass") > 0))
+    )
+    # pool/rate over the (≤ |weights|-row) totals frame — bounded window
+    rates = totals.withColumn(
+        "__pool", F.sum("__dmass").over(Window.partitionBy())
+    ).withColumn(
+        "__rate",
+        F.col("__w") * F.col("__pool").cast("double") * F.lit(float(scale))
+        / F.col("__dmass").cast("double"),
+    ).select(domain_col, "__rate")
+    overshoot = rates.filter(F.col("__rate") > max_epochs).limit(1).collect()
+    if overshoot:
+        r = overshoot[0]
+        raise ValueError(
+            f"mixture weight for {r[domain_col]!r} implies rate "
+            f"{r['__rate']:.1f} > max_epochs={max_epochs} — the domain is "
+            "too small for its target share"
+        )
+    b = split_bucket(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+    return (
+        d.join(F.broadcast(rates), domain_col)
+        .withColumn("__nrep", F.floor("__rate").cast("int"))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__nrep"))))
+        .withColumn("__b", b)
+        .filter(
+            (F.col("epoch") < F.col("__nrep"))
+            | (F.col("__b") < (F.col("__rate") - F.floor("__rate")) * 256.0)
+        )
+        .drop("__mass", "__rate", "__nrep", "__b")
+    )
+
+
 # --- quality signals ------------------------------------------------------------
 
 

@@ -67,13 +67,17 @@ _SAMPLE_RATES = {"en": 128, "de": 256, "es": 64, "fr": 26, "zh": 13}
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both deterministic corpus-mix samplers in one tagged composite:
+    """The three deterministic corpus-mix samplers in one tagged composite:
     `rate` — per-language bucket allowances out of 256 (en 50%, de 100%,
     es 25%, fr ~10%, zh ~5%) via salted md5; `cap` — at most 25 docs per
-    source (the domain-cap rule), hash-ranked. `pick` is the md5 bucket for
-    the rate arm and the within-group hash rank for the cap arm. Full
-    sampled rows are the oracle output, so membership is verified
-    row-by-row on both arms."""
+    source (the domain-cap rule), hash-ranked; `mix` (round 5) — token-
+    weighted mixture rebalancing to target shares en 50% / de 25% / fr 25%
+    (es/zh unweighted → dropped): abundant en downsamples (rate ≈ 0.8),
+    scarce de/fr run a full epoch plus a fractional one (rate ≈ 1.3), so
+    the arm exercises replication AND fractional hash selection. `pick` is
+    the md5 bucket (rate), the within-group hash rank (cap), or the epoch
+    id (mix). Full sampled rows are the oracle output, so membership —
+    including per-epoch replicas — is verified row-by-row on all arms."""
     docs = load_table(spark, sf_dir, "documents")
     rate = C.stratified_sample(docs, "lang", "doc_id", _SAMPLE_RATES).select(
         F.lit("rate").alias("arm"),
@@ -89,7 +93,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("rn").cast("long").alias("pick"),
     )
-    return rate.unionAll(cap)
+    from f1_data_pipeline_spark.functions.text import token_count
+
+    mix = C.mixture_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.25},  # binary-exact shares
+        "doc_id",
+        mass_col=token_count("text"),
+        scale=1.0,
+    ).select(
+        F.lit("mix").alias("arm"),
+        "doc_id",
+        "lang",
+        "source",
+        F.col("epoch").cast("long").alias("pick"),
+    )
+    return rate.unionAll(cap).unionAll(mix)
 
 
 register(
@@ -116,6 +136,35 @@ register(
                ) AS rn
         FROM documents
     ) WHERE rn <= 25
+    UNION ALL
+    SELECT 'mix', doc_id, lang, source, CAST(epoch AS BIGINT) FROM (
+        SELECT j.doc_id, j.lang, j.source, j.rate, j.nrep, j.b,
+               unnest(generate_series(0, j.nrep)) AS epoch
+        FROM (
+            SELECT t.doc_id, t.lang, t.source, r.rate,
+                   CAST(FLOOR(r.rate) AS INT) AS nrep,
+                   CAST(('0x' || substr(md5('mix:' || CAST(t.doc_id AS VARCHAR)),
+                                        1, 2))::BIGINT AS INT) AS b
+            FROM (
+                SELECT doc_id, lang, source FROM documents
+            ) t JOIN (
+                SELECT lang,
+                       w * CAST(SUM(dmass) OVER () AS DOUBLE)
+                         * CAST(1.0 AS DOUBLE)
+                         / CAST(dmass AS DOUBLE) AS rate
+                FROM (
+                    SELECT lang,
+                           SUM(CAST(len(string_split_regex(trim(text), '\\s+'))
+                                    AS BIGINT)) AS dmass,
+                           CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                                     WHEN 'de' THEN CAST(0.25 AS DOUBLE)
+                                     WHEN 'fr' THEN CAST(0.25 AS DOUBLE)
+                           END AS w
+                    FROM documents GROUP BY lang
+                ) WHERE w IS NOT NULL AND dmass > 0
+            ) r USING (lang)
+        ) j
+    ) WHERE epoch < nrep OR b < (rate - FLOOR(rate)) * 256.0
     """,
 )
 

@@ -252,3 +252,100 @@ def test_unigram_logprob_golden_and_ranks_outliers(spark):
     assert out[2]["mean_logprob"] == round((lp["aa"] + lp["bb"]) / 2, 6)
     assert out[3]["mean_logprob"] == round(lp["zz"], 6)
     assert out[3]["mean_logprob"] < out[1]["mean_logprob"]  # outlier ranks lowest
+
+
+# --- mixture sampling -----------------------------------------------------------
+
+
+def _mix_manual(rows, weights, scale=1.0):
+    """Reference recomputation of mixture_sample membership in plain
+    python (same md5-bucket arithmetic)."""
+    import hashlib
+    import math
+
+    dmass = {}
+    for _id, dom, mass in rows:
+        dmass[dom] = dmass.get(dom, 0) + mass
+    wsum = sum(weights.values())
+    wn = {k: v / wsum for k, v in weights.items()}
+    pool = sum(m for d, m in dmass.items() if d in wn)
+    out = set()
+    for _id, dom, mass in rows:
+        if dom not in wn or dmass[dom] == 0:
+            continue
+        rate = wn[dom] * float(pool) * scale / float(dmass[dom])
+        nrep = math.floor(rate)
+        b = int(hashlib.md5(f"mix:{_id}".encode()).hexdigest()[:2], 16)
+        for epoch in range(nrep + 1):
+            if epoch < nrep or b < (rate - nrep) * 256.0:
+                out.add((_id, epoch))
+    return out
+
+
+def test_mixture_sample_exact_epochs_and_fractions(spark):
+    """Output == the hand-computed reference: scarce domains replicate
+    with epoch ids, abundant ones hash-downsample, unweighted ones drop."""
+    rows = (
+        [(i, "web", 10) for i in range(100)]        # 1000 mass
+        + [(100 + i, "code", 10) for i in range(20)]  # 200 mass
+        + [(200 + i, "junk", 10) for i in range(50)]  # unweighted
+    )
+    df = spark.createDataFrame(rows, "doc_id long, dom string, toks long").repartition(5)
+    weights = {"web": 0.5, "code": 0.5}
+    got = {
+        (r["doc_id"], r["epoch"])
+        for r in C.mixture_sample(
+            df, "dom", weights, "doc_id", mass_col=F.col("toks")
+        ).collect()
+    }
+    want = _mix_manual([(i, d, m) for i, d, m in rows], weights)
+    assert got == want
+    # code (200 mass, target 600) runs 3 full epochs; web downsamples
+    assert {e for i, e in got if i >= 100 and i < 200} == {0, 1, 2}
+    assert all(e == 0 for i, e in got if i < 100)
+    assert not any(i >= 200 for i, _ in got)  # junk dropped
+    # repartitioning never changes membership
+    got2 = {
+        (r["doc_id"], r["epoch"])
+        for r in C.mixture_sample(
+            df.repartition(13), "dom", weights, "doc_id", mass_col=F.col("toks")
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """Achieved token shares land within hash granularity of the target."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    i = 0
+    for dom, n in (("web", 3000), ("code", 600), ("books", 400)):
+        for _ in range(n):
+            rows.append((i, dom, rng.randint(5, 50)))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, dom string, toks long")
+    weights = {"web": 0.5, "code": 0.25, "books": 0.25}
+    out = C.mixture_sample(df, "dom", weights, "doc_id", mass_col=F.col("toks"))
+    shares = {
+        r["dom"]: r["m"]
+        for r in out.groupBy("dom").agg(F.sum("toks").alias("m")).collect()
+    }
+    total = sum(shares.values())
+    for dom, w in weights.items():
+        assert abs(shares[dom] / total - w) < 0.02, (dom, shares)
+
+
+def test_mixture_sample_guards(spark):
+    df = spark.createDataFrame([(1, "a", 1000), (2, "b", 1)], "doc_id long, dom string, toks long")
+    with pytest.raises(ValueError, match="at least one"):
+        C.mixture_sample(df, "dom", {}, "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        C.mixture_sample(df, "dom", {"a": -1.0}, "doc_id")
+    # b has 1/1001 of the mass but a 50% target → rate ~500 > max_epochs
+    with pytest.raises(ValueError, match="max_epochs"):
+        C.mixture_sample(
+            df, "dom", {"a": 0.5, "b": 0.5}, "doc_id",
+            mass_col=F.col("toks"), max_epochs=100,
+        )
