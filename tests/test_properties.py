@@ -340,3 +340,56 @@ def test_ppmv_synth_decode_roundtrip_invariants(
         assert np.array_equal(fx[f], expected)
     feats = M.video_features(payload)
     assert len(feats) == M.FEATURE_DIM and all(np.isfinite(feats))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries merge invariants (operators/frequency.py) — the guarantees
+# the two-phase heavy-hitter operator and the streaming summary rest on,
+# checked over arbitrary streams, batch splits, and counter budgets.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    splits=st.lists(st.integers(min_value=1, max_value=50), max_size=8),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=150, deadline=None)
+def test_mg_merge_bounds_and_superset_property(stream, splits, k):
+    """For ANY stream cut into ANY batch sequence merged through
+    `_mg_merge` with ANY k: (1) the summary never exceeds k counters;
+    (2) every stored count is a LOWER bound on the item's true count;
+    (3) the cumulative undercount of any item is ≤ removed_units/(k+1);
+    (4) every item with true count > N/(k+1) SURVIVES in the summary —
+    the superset guarantee phase 2 and the streaming ub/lb rest on."""
+    from f1_data_pipeline_spark.operators.frequency import _mg_merge
+
+    true: dict = {}
+    for v in stream:
+        true[v] = true.get(v, 0) + 1
+
+    counter: dict = {}
+    i = 0
+    pieces = []
+    for s in splits:
+        pieces.append(stream[i : i + s])
+        i += s
+    pieces.append(stream[i:])
+    for piece in pieces:
+        vc: dict = {}
+        for v in piece:
+            vc[v] = vc.get(v, 0) + 1
+        if vc:
+            _mg_merge(counter, list(vc.keys()), list(vc.values()), k)
+
+    n = len(stream)
+    removed = n - sum(counter.values())
+    assert len(counter) <= k
+    for it, lb in counter.items():
+        assert 1 <= lb <= true[it]
+    err = removed / (k + 1)
+    for it, c in true.items():
+        got = counter.get(it, 0)
+        assert c - got <= err + 1e-9  # per-item undercount bound
+        if c > n / (k + 1):
+            assert it in counter  # superset: heavy items always survive
