@@ -36,6 +36,7 @@ are no "item"; profile_long counts them).
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -64,6 +65,15 @@ def _mg_merge(counter: dict, items, counts, k: int) -> None:
                 del counter[it]
 
 
+def _check_item_type(df: DataFrame, col: str) -> None:
+    dt = dict(df.dtypes)[col]
+    if dt not in _ALLOWED_ITEM_TYPES:
+        raise ValueError(
+            f"frequent_items over {col!r} of type {dt}: item columns must "
+            "be string/integral (fractional text forms are not portable)"
+        )
+
+
 def mg_candidates(df: DataFrame, col: str, min_share: float) -> DataFrame:
     """Phase 1 alone: the per-partition Misra-Gries candidate union —
     (item string, lb bigint) where lb is the summary's residual count (a
@@ -75,12 +85,7 @@ def mg_candidates(df: DataFrame, col: str, min_share: float) -> DataFrame:
 
     if not (0 < min_share < 1):
         raise ValueError(f"min_share must be in (0,1), got {min_share}")
-    dt = dict(df.dtypes)[col]
-    if dt not in _ALLOWED_ITEM_TYPES:
-        raise ValueError(
-            f"frequent_items over {col!r} of type {dt}: item columns must "
-            "be string/integral (fractional text forms are not portable)"
-        )
+    _check_item_type(df, col)
     k = math.ceil(1.0 / min_share)
 
     def summaries(batches):
@@ -111,6 +116,31 @@ def frequent_items(
     not the item cardinality (module docstring has the two-phase
     argument). `share` is ROUND(n/N, 6)."""
     cand = mg_candidates(df, col, min_share).select("item").distinct()
+    return _verify_against(df, col, cand, min_share)
+
+
+def verify_candidates(
+    df: DataFrame, col: str, candidates: Sequence, min_share: float
+) -> DataFrame:
+    """Phase 2 alone: the exact candidate-only verify scan, with the
+    candidate set supplied by the caller instead of a discovery scan —
+    ONE pass over `df`. Output is exact and identical to
+    `frequent_items(df, col, min_share)` whenever `candidates` is a
+    superset of the true heavy hitters (e.g. a Misra-Gries summary of the
+    same data — the streaming sink's stored state); false candidates are
+    counted exactly and filtered, never reported."""
+    if not (0 < min_share < 1):
+        raise ValueError(f"min_share must be in (0,1), got {min_share}")
+    _check_item_type(df, col)
+    cand = df.sparkSession.createDataFrame(
+        [(str(c),) for c in candidates], "item string"
+    ).distinct()
+    return _verify_against(df, col, cand, min_share)
+
+
+def _verify_against(
+    df: DataFrame, col: str, cand: DataFrame, min_share: float
+) -> DataFrame:
     items = df.select(F.col(col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )

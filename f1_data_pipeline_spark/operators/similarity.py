@@ -681,7 +681,6 @@ def build_pq_index(
         sample_size=sample_size, seed=seed,
     )
     spark = corpus.sparkSession
-    dsub = len(books[0][0])
     spark.createDataFrame(
         [
             (i, j, books[i][j])

@@ -705,8 +705,10 @@ def _commit_path(path: str, version: int) -> str:
     return os.path.join(path, _COMMITS_DIR, f"v{version:08d}.json")
 
 
-def manifest_versions(path: str) -> list[int]:
-    d = os.path.join(path, _COMMITS_DIR)
+def numbered_json_versions(d: str) -> list[int]:
+    """Version numbers of the `vNNNNNNNN.json` objects in a directory —
+    the shared scan half of the numbered-commit primitive (manifest logs,
+    streaming summary states)."""
     if not os.path.isdir(d):
         return []
     return sorted(
@@ -714,6 +716,32 @@ def manifest_versions(path: str) -> list[int]:
         for f in os.listdir(d)
         if f.startswith("v") and f.endswith(".json")
     )
+
+
+def commit_numbered_json(d: str, version: int, obj: dict, what: str = "version") -> None:
+    """THE shared commit primitive: atomically create `vNNNNNNNN.json`,
+    failing if it already exists (`os.link` is atomic create-if-absent on
+    POSIX; on an object store this is one conditional PUT). Losing the
+    race raises ConcurrentWriteError — every numbered-JSON state in this
+    engine (manifest commit logs, streaming summary states) goes through
+    this one function so collision behavior cannot drift between them."""
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, os.path.join(d, f"v{version:08d}.json"))
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"{what} {version} at {d} was committed by another writer — "
+            "re-read the state and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def manifest_versions(path: str) -> list[int]:
+    return numbered_json_versions(os.path.join(path, _COMMITS_DIR))
 
 
 def read_manifest(path: str, version: int | str | None = None) -> dict | None:
@@ -779,25 +807,16 @@ def manifest_history(path: str) -> list[dict]:
 
 
 def _commit_manifest(path: str, manifest: dict) -> None:
-    """THE commit point: atomically create the next numbered manifest
-    object, failing if it already exists (`os.link` is atomic
-    create-if-absent on POSIX; on an object store this is one conditional
-    PUT). Everything before this call is invisible to readers; losing the
-    race raises ConcurrentWriteError with all data garbage-collectable."""
-    d = os.path.join(path, _COMMITS_DIR)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".tmp{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    try:
-        os.link(tmp, _commit_path(path, manifest["version"]))
-    except FileExistsError:
-        raise ConcurrentWriteError(
-            f"manifest version {manifest['version']} at {path} was committed "
-            "by another writer — re-read the manifest and retry the merge"
-        ) from None
-    finally:
-        os.unlink(tmp)
+    """The table commit point (see `commit_numbered_json` for the
+    primitive). Everything before this call is invisible to readers;
+    losing the race raises ConcurrentWriteError with all data
+    garbage-collectable."""
+    commit_numbered_json(
+        os.path.join(path, _COMMITS_DIR),
+        manifest["version"],
+        manifest,
+        what=f"manifest version (table {path})",
+    )
 
 
 def _stat_norm(v):
@@ -1320,20 +1339,31 @@ def read_manifest_point_lookup(
     path: str,
     col: str,
     values: Sequence,
-    version: int | None = None,
+    version: int | str | None = None,
 ) -> DataFrame:
     """Point lookup through the bloom index: prune partitions whose bloom
     excludes every probe value, scan the rest, apply the exact IN filter.
     Results are identical to an unpruned scan+filter (the bloom is pure
-    I/O avoidance); partitions without a bloom are always scanned."""
-    r = manifest_bloom_lookup(spark, path, col, values, version)
+    I/O avoidance); partitions without a bloom are always scanned.
+
+    The version is resolved ONCE and pinned for both the bloom lookup and
+    the table read — with `version=None`, resolving "latest" twice would
+    let a commit landing between the two reads silently drop rows (the
+    bloom-pruned partition set would be stale for the newer manifest)."""
+    pinned = resolve_manifest_ref(path, version)
+    if pinned is None:
+        vs = manifest_versions(path)
+        if not vs:
+            raise FileNotFoundError(f"no manifest at {path}")
+        pinned = vs[-1]
+    r = manifest_bloom_lookup(spark, path, col, values, pinned)
     parts = r["maybe"] + r["no_bloom"]
     df = read_manifest_table(
         spark,
         path,
         partition_values=parts,
         partition_values_encoded=True,
-        version=version,
+        version=pinned,
     )
     return df.filter(F.col(col).isin([v for v in values]))
 
@@ -1491,6 +1521,7 @@ def _commit_with_rebase(
     check_moved_keys: bool = False,
     max_commit_retries: int = 3,
     drop_keys: Sequence[str] = (),
+    check_predicates: Sequence[tuple] | None = None,
 ) -> dict:
     """Optimistic-concurrency commit with Iceberg-style rebase-and-retry.
 
@@ -1514,6 +1545,14 @@ def _commit_with_rebase(
     `drop_keys` are partition keys this commit REMOVES (a delete that
     emptied them); they count as "ours" for conflict detection exactly
     like rewritten entries.
+
+    `check_predicates` (DELETE/UPDATE semantics) re-checks, on each
+    rebase, that the competitor's added/rewritten partitions cannot
+    contain rows matching OUR predicate (recorded file bounds; entries
+    without stats are conservatively conflicting). Without it a
+    "successful" DELETE could commit AFTER a merge that re-introduced
+    matching rows into a partition the delete never looked at — the
+    final table would still hold rows the caller was told were deleted.
 
     Returns the committed manifest."""
     base = base_manifest
@@ -1561,6 +1600,24 @@ def _commit_with_rebase(
                 schema_json = _union_evolved_schema(
                     latest.get("schema"), schema_json
                 )
+            if check_predicates is not None:
+                dirty = []
+                for k, st in changed.items():
+                    if st == "removed":
+                        continue
+                    files = latest["partitions"][k].get("files")
+                    if files is None or any(
+                        _file_maybe_matches(fm, check_predicates)
+                        for fm in files
+                    ):
+                        dirty.append(k)
+                if dirty:
+                    raise ConcurrentWriteError(
+                        f"commit race on {path}: a competing commit "
+                        f"added/rewrote partitions {sorted(dirty)} whose "
+                        "rows may match this DELETE/UPDATE's predicate — "
+                        "re-run it against the current table"
+                    ) from None
             if check_moved_keys and update_keys_df is not None:
                 present = [k for k, st in changed.items() if st != "removed"]
                 if present:
@@ -1903,9 +1960,13 @@ def delete_manifest_rows(
     to fresh prefixes (stats + bloom sidecars rebuilt); partitions left
     EMPTY are dropped from the manifest. One atomic commit flips all of
     it — readers see the table before or after the whole delete, never
-    mid-way — with the same disjoint-partition rebase as the MERGE, and
-    old snapshots keep the deleted rows until vacuum (time travel = free
-    undelete window; `manifest_row_changes` reports the rows as deletes).
+    mid-way — with the same disjoint-partition rebase as the MERGE, plus
+    a predicate re-check: if the competing commit's partitions may hold
+    rows matching this predicate (by their recorded bounds), the rebase
+    refuses with ConcurrentWriteError rather than commit a "successful"
+    delete that leaves matching rows in the table. Old snapshots keep the
+    deleted rows until vacuum (time travel = free undelete window;
+    `manifest_row_changes` reports the rows as deletes).
 
     Returns {"deleted", "partitions_rewritten", "partitions_dropped",
     "partitions_skipped_stats", "partitions_skipped_scan"}."""
@@ -1972,6 +2033,7 @@ def delete_manifest_rows(
         _commit_with_rebase(
             spark, path, m, new_entries,
             max_commit_retries=max_commit_retries, drop_keys=drop_keys,
+            check_predicates=preds,
         )
     return {
         "deleted": deleted,
@@ -1995,7 +2057,10 @@ def update_manifest_rows(
 
     `assignments` maps column name → new value: a Spark Column expression
     (may reference the row's own columns, e.g. `F.col("v") * 2`) or a
-    literal. Assigned columns must already exist and keep their type
+    literal. All assignments and the predicate evaluate against the
+    PRE-update row (standard SQL UPDATE: `SET a = b, b = a` swaps), so
+    assignment order never matters. Assigned columns must already exist
+    and keep their type
     (schema changes belong to the merge path); the partition column cannot
     be assigned — moving rows between partitions is a delete+merge, and
     silently accepting it here would corrupt the partition layout.
@@ -2063,18 +2128,24 @@ def update_manifest_rows(
                 skipped_scan += 1
                 continue
             updated += n_match
-            out = df
-            for c, v in assignments.items():
+            # ONE projection: every assignment's predicate AND right-hand
+            # side evaluate against the PRE-update row (SQL UPDATE
+            # semantics — sequential withColumn would let a later
+            # assignment see an earlier one's result, silently updating
+            # the wrong subset when an assignment touches a predicate
+            # column). The cast pins the declared type so an expression
+            # can't silently re-type the column for the whole table.
+            def _assigned(c: str) -> Column:
+                v = assignments[c]
                 expr = v if isinstance(v, Column) else F.lit(v)
-                # assignment applies only where the predicate holds; the
-                # cast pins the declared type so an expression can't
-                # silently re-type the column for the whole table
                 new_t = (
                     stored[c].dataType if stored is not None else df.schema[c].dataType
                 )
-                out = out.withColumn(
-                    c, F.when(cond, expr.cast(new_t)).otherwise(F.col(c))
-                )
+                return F.when(cond, expr.cast(new_t)).otherwise(F.col(c)).alias(c)
+
+            out = df.select(
+                *[_assigned(c) if c in assignments else F.col(c) for c in df.columns]
+            )
             prefix = os.path.join(
                 "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
             )
@@ -2094,7 +2165,8 @@ def update_manifest_rows(
             df.unpersist()
     if new_entries:
         _commit_with_rebase(
-            spark, path, m, new_entries, max_commit_retries=max_commit_retries
+            spark, path, m, new_entries,
+            max_commit_retries=max_commit_retries, check_predicates=preds,
         )
     return {
         "updated": updated,

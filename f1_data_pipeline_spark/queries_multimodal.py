@@ -44,9 +44,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sq_norm"),
         )
 
-    real_assets = M.synthesize_audio_assets(spark, n=32).unionByName(
-        M.synthesize_video_assets(spark, n=16)
+    # video ids offset so (arm, asset_id) stays a key in the composite —
+    # audio ids are 0..31 and an overlapping video id would map one key to
+    # two rows of different modality
+    video = M.synthesize_video_assets(spark, n=16).withColumn(
+        "asset_id", (F.col("asset_id") + F.lit(1000)).cast("long")
     )
+    real_assets = M.synthesize_audio_assets(spark, n=32).unionByName(video)
     real_feats = M.extract_features(real_assets, fake=False)
     return norms(feats, "stub").unionByName(norms(real_feats, "codec"))
 

@@ -58,7 +58,18 @@ def get_spark(
     partitions matched to core count — on a real cluster, shuffle
     partitions are left to AQE coalescing from a higher initial value.
     """
+    # getActiveSession() is THREAD-LOCAL: a get_spark() call from a worker
+    # thread (foreachBatch handler, ThreadPoolExecutor task) sees None there
+    # even while a session is live, would fall into the builder path, and
+    # re-apply static configs to the shared session — the exact clobber this
+    # guard exists to prevent. SparkSession.active() falls back to the
+    # process-global default session, so consult both.
     existing = SparkSession.getActiveSession()
+    if existing is None:
+        try:
+            existing = SparkSession.active()
+        except Exception:
+            existing = None
     if existing is not None:
         # Builder .config(...) on getOrCreate APPLIES those configs to an
         # already-running session — a second get_spark() from a CLI entry

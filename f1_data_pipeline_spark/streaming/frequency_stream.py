@@ -43,28 +43,21 @@ from __future__ import annotations
 import json
 import math
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from f1_data_pipeline_spark.operators import frequency as FQ
-
-
-def _state_versions(path: str) -> list[int]:
-    if not os.path.isdir(path):
-        return []
-    return sorted(
-        int(f[1:9])
-        for f in os.listdir(path)
-        if f.startswith("v") and f.endswith(".json")
-    )
+from f1_data_pipeline_spark.operators.sinks import (
+    commit_numbered_json,
+    numbered_json_versions,
+)
 
 
 def read_summary_state(path: str) -> dict | None:
     """Latest committed summary state, or None before the first batch."""
-    versions = _state_versions(path)
+    versions = numbered_json_versions(path)
     if not versions:
         return None
     with open(os.path.join(path, f"v{versions[-1]:08d}.json")) as fh:
@@ -72,14 +65,11 @@ def read_summary_state(path: str) -> dict | None:
 
 
 def _commit_state(path: str, state: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, f".tmp{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(state, fh, sort_keys=True)
-    try:
-        os.link(tmp, os.path.join(path, f"v{state['version']:08d}.json"))
-    finally:
-        os.unlink(tmp)
+    # the manifest tables' atomic create-if-absent primitive; a version
+    # collision (two sinks on one path) raises ConcurrentWriteError
+    commit_numbered_json(
+        path, state["version"], state, what=f"summary state (at {path})"
+    )
 
 
 def apply_frequency_batch(
@@ -167,10 +157,12 @@ def streaming_frequent_items(
     Without `corpus`: (item, lb, ub, guaranteed, possible) where the true
     count is provably in [lb, ub]; `guaranteed` items meet the share
     threshold on lb alone, `possible` ones only on ub (a verify scan or
-    more stream may settle them). With `corpus` (+`col`): the batch
-    operator's exact candidate-only verify runs over it and the result is
-    exact (item, n, share) — identical to batch frequent_items when the
-    corpus is the full stream content."""
+    more stream may settle them). With `corpus` (+`col`): the exact
+    candidate-only verify runs over it SEEDED FROM THE STORED SUMMARY —
+    one corpus scan, no rediscovery (the summary's whole point is that
+    the candidate set is already known; its MG superset guarantee makes
+    the result exact and identical to batch frequent_items whenever the
+    corpus is the full stream content)."""
     state = read_summary_state(summary_path)
     if state is None:
         raise FileNotFoundError(f"no summary state at {summary_path}")
@@ -180,7 +172,9 @@ def streaming_frequent_items(
     if corpus is not None:
         if col is None:
             raise ValueError("pass col= with corpus for the exact verify")
-        return FQ.frequent_items(corpus, col, min_share=state["min_share"])
+        return FQ.verify_candidates(
+            corpus, col, list(state["items"]), state["min_share"]
+        )
     rows = [
         (it, int(lb), int(lb) + err, int(lb) >= thr, int(lb) + err >= thr)
         for it, lb in sorted(state["items"].items())

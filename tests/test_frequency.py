@@ -127,3 +127,35 @@ def test_frequent_items_property_random(spark):
             for r in FQ.frequent_items(df, "item", share).collect()
         }
         assert got == _brute(rows, share), (seed, share)
+
+
+def test_verify_candidates_exact_and_superset_contract(spark):
+    """Phase 2 with a caller-supplied candidate set: exact and identical
+    to frequent_items when candidates are a superset of the true heavy
+    hitters; false candidates are counted exactly and filtered; a missing
+    true heavy hitter is (by contract) simply absent — the exactness
+    guarantee is conditional on the superset."""
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(f"t{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    ref = {
+        (r["item"], r["n"], r["share"])
+        for r in FQ.frequent_items(df, "item", 0.2).collect()
+    }
+    # superset (true heavies + junk) → identical output
+    out = {
+        (r["item"], r["n"], r["share"])
+        for r in FQ.verify_candidates(
+            df, "item", ["a", "b", "t0", "nonexistent"], 0.2
+        ).collect()
+    }
+    assert out == ref and {i for i, _, _ in out} == {"a", "b"}
+    # missing heavy hitter → absent (no false output, no crash)
+    out2 = {
+        r["item"]
+        for r in FQ.verify_candidates(df, "item", ["b"], 0.2).collect()
+    }
+    assert out2 == {"b"}
+    # type guard applies here too
+    dfd = spark.createDataFrame([(1.5,)], "item double")
+    with pytest.raises(ValueError, match="fractional"):
+        FQ.verify_candidates(dfd, "item", ["1.5"], 0.2)

@@ -134,3 +134,17 @@ def test_frequency_sink_end_to_end(spark, tmp_path):
         ).collect()
     }
     assert exact == {("HEAVY", 300)}
+
+
+def test_state_commit_collision_raises_concurrent_write_error(spark, tmp_path):
+    """Two sinks pointed at one summary path: the numbered-commit
+    primitive (shared with the manifest tables) surfaces the collision as
+    ConcurrentWriteError, never silent corruption."""
+    from f1_data_pipeline_spark.operators.sinks import ConcurrentWriteError
+
+    path = str(tmp_path / "mg_collide")
+    df = spark.createDataFrame([("a",), ("b",)], ITEM_SCHEMA)
+    assert FS.apply_frequency_batch(path, df, 0, "item", 0.1) is True
+    st = FS.read_summary_state(path)
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        FS._commit_state(path, st)  # same version number again

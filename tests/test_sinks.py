@@ -2009,3 +2009,110 @@ def test_manifest_tags_pin_reproducible_datasets(spark, tmp_path):
     assert len(sinks.manifest_versions(path)) == 1  # pinned snapshot reclaimed
     with pytest.raises(FileNotFoundError):
         sinks.manifest_delete_tag(path, "corpus-v1")
+
+
+# ---------------------------------------------------------------------------
+# UPDATE pre-image semantics and DML rebase predicate re-check (round-5
+# self-review fixes)
+# ---------------------------------------------------------------------------
+
+
+def test_update_multi_assignment_sees_preimage(spark, tmp_path):
+    """Every assignment and the predicate evaluate against the PRE-update
+    row (SQL UPDATE). Regression: sequential withColumn let the second
+    assignment's when(v>=20) see the first assignment's v=0.0, so tag
+    stayed 'cold' — the updated subset depended on dict order."""
+    path = str(tmp_path / "upd_pre")
+    df = spark.createDataFrame(
+        [(1, "a", 25.0, "cold"), (2, "a", 5.0, "cold")],
+        "id long, day string, v double, tag string",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    out = sinks.update_manifest_rows(
+        spark, path,
+        {"v": 0.0, "tag": "hot"},       # v assigned BEFORE tag in dict order
+        [("v", ">=", 20.0)],            # ...and v is the predicate column
+    )
+    assert out["updated"] == 1
+    got = {
+        (r["id"], r["v"], r["tag"])
+        for r in sinks.read_manifest_table(spark, path).collect()
+    }
+    assert got == {(1, 0.0, "hot"), (2, 5.0, "cold")}
+
+
+def test_update_assignment_swap_uses_preimage(spark, tmp_path):
+    """SET a = b, b = a swaps (both RHS see the original row)."""
+    path = str(tmp_path / "upd_swap")
+    df = spark.createDataFrame(
+        [(1, "x", 10.0, 20.0)], "id long, day string, a double, b double"
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    sinks.update_manifest_rows(
+        spark, path,
+        {"a": F.col("b"), "b": F.col("a")},
+        [("id", "=", 1)],
+    )
+    [r] = sinks.read_manifest_table(spark, path).collect()
+    assert (r["a"], r["b"]) == (20.0, 10.0)
+
+
+def test_delete_rebase_conflicts_on_matching_competitor(
+    spark, tmp_path, monkeypatch
+):
+    """A delete racing a merge that re-introduces rows MATCHING the delete
+    predicate into an untouched partition must refuse to commit: silently
+    succeeding would leave user_id-42-style rows in the table strictly
+    after the delete's own commit (GDPR erasure hole). The competitor's
+    recorded file bounds prove the overlap metadata-only."""
+    path = str(tmp_path / "del_race_conflict")
+    _delete_table(spark, path)  # ids 0..29, v=id, over days d0/d1/d2
+
+    def competitor():
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(100, "zz", 99.0)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+
+    _inject_race(monkeypatch, competitor)
+    with pytest.raises(sinks.ConcurrentWriteError, match="predicate"):
+        sinks.delete_manifest_rows(spark, path, [("v", ">=", 20.0)])
+    # the delete did NOT commit: matching rows survive, including the
+    # competitor's v=99 row the delete never saw
+    got = {
+        r["id"]
+        for r in sinks.read_manifest_table(spark, path).collect()
+        if r["v"] >= 20.0
+    }
+    assert got == set(range(20, 30)) | {100}
+
+
+def test_update_rebase_conflicts_on_matching_competitor(
+    spark, tmp_path, monkeypatch
+):
+    """Same re-check on the UPDATE path: a competitor adding rows the
+    predicate matches forces a re-run instead of a silent partial update."""
+    path = str(tmp_path / "upd_race_conflict")
+    _delete_table(spark, path)
+
+    def competitor():
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(101, "zz", 77.0)], "id long, day string, v double"
+            ),
+            path,
+            ["id"],
+            partition_col="day",
+        )
+
+    _inject_race(monkeypatch, competitor)
+    with pytest.raises(sinks.ConcurrentWriteError, match="predicate"):
+        sinks.update_manifest_rows(
+            spark, path, {"v": -1.0}, [("v", ">=", 20.0)]
+        )
