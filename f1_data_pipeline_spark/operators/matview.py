@@ -1,0 +1,383 @@
+"""Incrementally-maintained materialized aggregates over manifest tables —
+the consumer that makes the table format's CDC/metadata machinery pay off.
+
+A 100 TB fact table is never re-aggregated wholesale on a cadence; the
+rollups that dashboards and training-mix monitors read are MAINTAINED:
+each refresh touches work proportional to what changed since the last
+refresh, not to the table. Two maintenance strategies, chosen by the
+aggregate's algebra:
+
+1. `refresh_rollup` — PARTITION-ALIGNED RECOMPUTE (the TimescaleDB
+   continuous-aggregate / Iceberg incremental-refresh shape). Requires
+   the source's partition column among the group columns; each refresh
+   asks the manifests "which partitions changed since the version I last
+   consumed" (two JSON reads, zero data), recomputes the aggregate over
+   ONLY those partitions, and replaces the matching target partitions in
+   one atomic commit (`replace_manifest_partitions`). Supports EVERY
+   aggregate (min/max/count-distinct included) because changed groups
+   are recomputed from source rows, never algebraically adjusted.
+
+2. `refresh_aggregate_deltas` — CDC DELTA-APPLICATION for ADDITIVE
+   aggregates (count/sum/avg) over ARBITRARY group columns, including
+   ones uncorrelated with the source's partitioning. The preimage-
+   extended change feed (`manifest_row_changes(include_preimage=True)`)
+   is algebraic: signing insert/update_postimage +1 and
+   delete/update_preimage −1 makes per-group maintenance one SUM over
+   the feed — an update that moves a row between groups debits the old
+   group and credits the new automatically. Work ∝ the change feed (the
+   changed source partitions), plus a merge into the rollup-sized
+   target. Min/max are rejected here: they are not subtractable (a
+   deleted max forces a rescan) — use `refresh_rollup`.
+
+Exactly-once without coordination: each refresh stamps the source
+version it consumed into the target manifest's `app` metadata IN THE
+SAME atomic commit as the data (`app_metadata=`). A crash before the
+flip leaves data AND watermark at the previous state — the rerun
+repeats a deterministic recompute of the same window; after the flip
+the watermark satisfies the next refresh's no-op check. Data and
+"how far have I consumed" can never diverge.
+
+Retention contract: the source's `vacuum_manifest(keep_last=...)` must
+retain the watermark version, or the next delta refresh raises
+FileNotFoundError (loud, never silently wrong); `refresh_rollup` only
+needs the two manifest JSONs, so it survives any retention that keeps
+the watermark's commit object.
+
+Numeric caveat: delta-mode sums/averages accumulate in double across
+refreshes, so float-typed measures can drift from a from-scratch
+recompute by FP summation order; integer-valued measures are exact.
+Partition-aligned recompute has no such drift (it IS a recompute).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from f1_data_pipeline_spark.operators.sinks import (
+    manifest_changed_partitions,
+    manifest_row_changes,
+    manifest_versions,
+    merge_upsert_manifest,
+    read_manifest,
+    read_manifest_table,
+    replace_manifest_partitions,
+    _commit_with_rebase,
+)
+
+_ROLLUP_OPS = {"count", "sum", "min", "max", "avg"}
+_DELTA_OPS = {"count", "sum", "avg"}
+WATERMARK_KEY = "mv_source_version"
+
+
+def _check_aggs(aggs: dict, allowed: set[str]) -> None:
+    if not aggs:
+        raise ValueError("at least one aggregate is required")
+    for out, (op, col) in aggs.items():
+        if op not in allowed:
+            raise ValueError(
+                f"aggregate {out!r}: op {op!r} not supported here "
+                f"(allowed: {sorted(allowed)}"
+                + (
+                    "; min/max need full-group recompute — use refresh_rollup)"
+                    if op in _ROLLUP_OPS
+                    else ")"
+                )
+            )
+        if col == "*" and op != "count":
+            raise ValueError(f"aggregate {out!r}: '*' is only valid for count")
+
+
+def _source_watermark(target_path: str) -> int | None:
+    m = read_manifest(target_path)
+    return None if m is None else m.get("app", {}).get(WATERMARK_KEY)
+
+
+def _latest_version(source_path: str) -> int:
+    versions = manifest_versions(source_path)
+    if not versions:
+        raise FileNotFoundError(f"no manifest at {source_path}")
+    return versions[-1]
+
+
+# ---------------------------------------------------------------------------
+# Strategy 1: partition-aligned incremental recompute
+# ---------------------------------------------------------------------------
+
+
+def _rollup_exprs(aggs: dict) -> list[Column]:
+    out = []
+    for name, (op, col) in aggs.items():
+        if op == "count":
+            e = F.count(F.lit(1)) if col == "*" else F.count(col)
+        else:
+            e = getattr(F, op)(col)
+        out.append(e.alias(name))
+    return out
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    group_cols: Sequence[str],
+    aggs: dict,
+) -> dict:
+    """Incremental refresh of `SELECT group_cols, aggs FROM source GROUP BY
+    group_cols` into the manifest table at `target_path`, recomputing ONLY
+    the source partitions that changed since the last refresh (module
+    docstring has the strategy and the exactly-once argument).
+
+    `aggs` maps output column → (op, source column) with op ∈
+    {count, sum, min, max, avg}; ('count', '*') counts rows. The source's
+    partition column must be among `group_cols` (each group then lives in
+    exactly one partition, so a changed partition's groups are exactly
+    the rows recomputed). The target is partitioned by the same column;
+    read it with a plain `read_manifest_table` — it stores the final
+    aggregate values.
+
+    Returns {"source_version", "partitions_refreshed",
+    "partitions_dropped", "noop"}."""
+    _check_aggs(aggs, _ROLLUP_OPS)
+    sm = read_manifest(source_path)
+    if sm is None:
+        raise FileNotFoundError(f"no manifest at {source_path}")
+    pcol = sm.get("partition_col")
+    if pcol is None or pcol not in list(group_cols):
+        raise ValueError(
+            f"refresh_rollup needs the source partition column ({pcol!r}) "
+            f"among group_cols {list(group_cols)} — for arbitrary groups "
+            "use refresh_aggregate_deltas (additive aggs only)"
+        )
+    s_latest = _latest_version(source_path)
+    wm = _source_watermark(target_path)
+    if wm == s_latest:
+        return {
+            "source_version": s_latest,
+            "partitions_refreshed": 0,
+            "partitions_dropped": 0,
+            "noop": True,
+        }
+    if wm is None:
+        changed = dict.fromkeys(
+            read_manifest(source_path, s_latest)["partitions"], "added"
+        )
+    else:
+        changed = manifest_changed_partitions(source_path, wm, s_latest)
+    present = [k for k, st in changed.items() if st != "removed"]
+    removed = [k for k, st in changed.items() if st == "removed"]
+    stamp = {WATERMARK_KEY: s_latest, "mv_source": source_path}
+    if not changed:
+        # versions moved without partition changes (retention churn):
+        # advance the watermark alone so future refreshes no-op cheaply
+        tm = read_manifest(target_path) or {
+            "version": 0, "partition_col": pcol, "partitions": {},
+        }
+        _commit_with_rebase(spark, target_path, tm, {}, app_metadata=stamp)
+        return {
+            "source_version": s_latest,
+            "partitions_refreshed": 0,
+            "partitions_dropped": 0,
+            "noop": False,
+        }
+    slice_df = (
+        read_manifest_table(
+            spark,
+            source_path,
+            partition_values=present,
+            partition_values_encoded=True,
+            version=s_latest,
+        )
+        .groupBy(*group_cols)
+        .agg(*_rollup_exprs(aggs))
+    )
+    out = replace_manifest_partitions(
+        spark,
+        slice_df,
+        target_path,
+        pcol,
+        drop_partitions_encoded=removed,
+        app_metadata=stamp,
+    )
+    return {
+        "source_version": s_latest,
+        "partitions_refreshed": out["partitions_replaced"],
+        "partitions_dropped": out["partitions_dropped"],
+        "noop": False,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Strategy 2: CDC delta-application (additive aggregates, arbitrary groups)
+# ---------------------------------------------------------------------------
+
+
+def _storage_cols(aggs: dict) -> list[tuple[str, str]]:
+    """The internal storage columns for delta mode beyond group cols and
+    `_n`: [(name, spark type)]."""
+    cols: list[tuple[str, str]] = []
+    for out, (op, col) in aggs.items():
+        if op == "count" and col == "*":
+            continue  # served by _n
+        if op == "count":
+            cols.append((out, "long"))
+        elif op == "sum":
+            cols.append((out, "double"))
+            cols.append((f"_nn_{out}", "long"))
+        elif op == "avg":
+            cols.append((f"_sum_{out}", "double"))
+            cols.append((f"_nn_{out}", "long"))
+    return cols
+
+
+def refresh_aggregate_deltas(
+    spark: SparkSession,
+    source_path: str,
+    source_keys: Sequence[str],
+    target_path: str,
+    group_cols: Sequence[str],
+    aggs: dict,
+    partition_col: str | None = None,
+) -> dict:
+    """Maintain `SELECT group_cols, aggs FROM source GROUP BY group_cols`
+    by APPLYING the preimage-extended change feed — no source rescan, for
+    group columns with no relation to the source's partitioning (module
+    docstring: the ±1-signed feed makes additive maintenance one SUM).
+
+    `aggs`: output column → (op, source column), op ∈ {count, sum, avg}.
+    The target stores internal running columns (`_n`, per-sum non-null
+    counts, per-avg sums) — read it with `read_aggregate`, which also
+    hides groups whose rows have all been deleted (`_n` = 0; the rows
+    stay until a `delete_manifest_rows(target, [('_n','=',0)])` sweep so
+    each refresh stays a single atomic commit). `partition_col` chooses
+    the target's partition column (default: the first group column; must
+    be a group column).
+
+    Returns {"source_version", "groups_touched", "noop"}."""
+    _check_aggs(aggs, _DELTA_OPS)
+    gcols = list(group_cols)
+    pcol = partition_col or gcols[0]
+    if pcol not in gcols:
+        raise ValueError(
+            f"partition_col {pcol!r} must be one of group_cols {gcols}"
+        )
+    reserved = {"_n"} | {n for n, _ in _storage_cols(aggs)}
+    clash = [c for c in gcols if c in reserved]
+    if clash:
+        raise ValueError(f"group_cols {clash} collide with storage columns")
+    s_latest = _latest_version(source_path)
+    wm = _source_watermark(target_path)
+    if wm == s_latest:
+        return {"source_version": s_latest, "groups_touched": 0, "noop": True}
+    if wm is None:
+        changes = read_manifest_table(
+            spark, source_path, version=s_latest
+        ).withColumn("_change", F.lit("insert"))
+    else:
+        changes = manifest_row_changes(
+            spark, source_path, list(source_keys), wm, s_latest,
+            include_preimage=True,
+        )
+    sign = (
+        F.when(F.col("_change").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("_change").isin("delete", "update_preimage"), F.lit(-1))
+        .cast("long")
+    )
+    delta_exprs: list[Column] = [F.sum(sign).alias("_n")]
+    for out, (op, col) in aggs.items():
+        if op == "count" and col == "*":
+            continue
+        nn = F.sum(
+            F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
+        ).cast("long")
+        sm = F.sum(
+            sign.cast("double") * F.coalesce(F.col(col).cast("double"), F.lit(0.0))
+        )
+        if op == "count":
+            delta_exprs.append(nn.alias(out))
+        elif op == "sum":
+            delta_exprs.append(sm.alias(out))
+            delta_exprs.append(nn.alias(f"_nn_{out}"))
+        elif op == "avg":
+            delta_exprs.append(sm.alias(f"_sum_{out}"))
+            delta_exprs.append(nn.alias(f"_nn_{out}"))
+    deltas = changes.groupBy(*gcols).agg(*delta_exprs)
+
+    storage = _storage_cols(aggs)
+    tm = read_manifest(target_path)
+    if tm is None:
+        fields = [deltas.schema[c] for c in gcols]
+        fields.append(T.StructField("_n", T.LongType()))
+        for name, tp in storage:
+            fields.append(
+                T.StructField(
+                    name, T.DoubleType() if tp == "double" else T.LongType()
+                )
+            )
+        current = spark.createDataFrame([], T.StructType(fields))
+    else:
+        current = read_manifest_table(spark, target_path)
+    # null-safe group join: NULL group values are real groups
+    from functools import reduce
+
+    d, t = deltas.alias("d"), current.alias("t")
+    on = reduce(
+        lambda a, b: a & b,
+        [F.col(f"d.{c}").eqNullSafe(F.col(f"t.{c}")) for c in gcols],
+    )
+    acc_cols = [("_n", "long")] + storage
+    merged = d.join(t, on, "left").select(
+        *[F.col(f"d.{c}").alias(c) for c in gcols],
+        *[
+            (
+                F.coalesce(F.col(f"t.{name}"), F.lit(0).cast(tp))
+                + F.coalesce(F.col(f"d.{name}"), F.lit(0).cast(tp))
+            ).cast(tp).alias(name)
+            for name, tp in acc_cols
+        ],
+    )
+    n = merge_upsert_manifest(
+        spark,
+        merged,
+        target_path,
+        keys=gcols,
+        partition_col=pcol,
+        # keys contain the partition column, so a key spanning partitions
+        # is impossible by construction — skip the untouched-prefix scan
+        check_moved_keys=False,
+        app_metadata={WATERMARK_KEY: s_latest, "mv_source": source_path},
+    )
+    return {"source_version": s_latest, "groups_touched": n, "noop": False}
+
+
+def read_aggregate(
+    spark: SparkSession, target_path: str, aggs: dict
+) -> DataFrame:
+    """The maintained aggregate in its final shape: group columns + one
+    column per `aggs` output, SQL semantics restored from the internal
+    running columns (SUM/AVG over zero non-NULL values read NULL; AVG =
+    sum/count of non-NULLs), groups with no live rows (`_n` = 0) hidden."""
+    df = read_manifest_table(spark, target_path)
+    internal = {"_n"} | {n for n, _ in _storage_cols(aggs)}
+    gcols = [c for c in df.columns if c not in internal]
+    outs: list[Column] = []
+    for out, (op, col) in aggs.items():
+        if op == "count" and col == "*":
+            outs.append(F.col("_n").alias(out))
+        elif op == "count":
+            outs.append(F.col(out).alias(out))
+        elif op == "sum":
+            outs.append(
+                F.when(F.col(f"_nn_{out}") > 0, F.col(out)).alias(out)
+            )
+        elif op == "avg":
+            outs.append(
+                F.when(
+                    F.col(f"_nn_{out}") > 0,
+                    F.col(f"_sum_{out}") / F.col(f"_nn_{out}"),
+                ).alias(out)
+            )
+    return df.filter(F.col("_n") > 0).select(*gcols, *outs)

@@ -1522,6 +1522,7 @@ def _commit_with_rebase(
     max_commit_retries: int = 3,
     drop_keys: Sequence[str] = (),
     check_predicates: Sequence[tuple] | None = None,
+    app_metadata: dict | None = None,
 ) -> dict:
     """Optimistic-concurrency commit with Iceberg-style rebase-and-retry.
 
@@ -1554,6 +1555,12 @@ def _commit_with_rebase(
     matching rows into a partition the delete never looked at — the
     final table would still hold rows the caller was told were deleted.
 
+    `app_metadata` merges application key/values into the manifest's
+    `app` object IN THE SAME atomic commit as the data — the watermark
+    slot that gives downstream maintainers (materialized views) exactly-
+    once semantics: data and "how far I've consumed" can never diverge.
+    Keys not overwritten carry forward across commits.
+
     Returns the committed manifest."""
     base = base_manifest
     versions = set(manifest_versions(path))
@@ -1570,6 +1577,8 @@ def _commit_with_rebase(
         }
         if schema_json is not None:
             cand["schema"] = schema_json
+        if app_metadata is not None:
+            cand["app"] = {**on.get("app", {}), **app_metadata}
         return cand
 
     candidate = _candidate(base)
@@ -1657,8 +1666,12 @@ def merge_upsert_manifest(
     count_rows: bool = True,
     max_commit_retries: int = 3,
     bloom_cols: Sequence[str] | None = None,
+    app_metadata: dict | None = None,
 ) -> int:
     """Partition-scoped MERGE with an object-store-safe commit.
+    `app_metadata` key/values land in the manifest's `app` object in the
+    SAME atomic commit as the data (see `_commit_with_rebase`) — read
+    back with `manifest_app_metadata`.
 
     `bloom_cols` names high-cardinality columns to index with a
     per-partition bloom sidecar at commit time (one extra aggregation of
@@ -1835,10 +1848,128 @@ def merge_upsert_manifest(
             keys=list(keys),
             check_moved_keys=check_moved_keys,
             max_commit_retries=max_commit_retries,
+            app_metadata=app_metadata,
         )
     finally:
         merged.unpersist()
     return n
+
+
+def manifest_app_metadata(path: str, version: int | str | None = None) -> dict:
+    """The application key/values committed alongside the data (the `app`
+    object — e.g. a materialized view's source-version watermark). Empty
+    dict when none were ever written."""
+    m = read_manifest(path, version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    return dict(m.get("app", {}))
+
+
+def replace_manifest_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    drop_partitions_encoded: Sequence[str] = (),
+    schema_evolution: bool = False,
+    max_commit_retries: int = 3,
+    app_metadata: dict | None = None,
+) -> dict:
+    """INSERT OVERWRITE by partition (Iceberg/Delta `replaceWhere`): each
+    partition value present in `df` is REPLACED wholesale with `df`'s rows
+    for it; `drop_partitions_encoded` names additional manifest keys to
+    REMOVE outright (a partition whose recomputed content is empty — the
+    caller knows, `df` by construction can't say); every other partition
+    is untouched. One atomic manifest flip with the same disjoint-
+    partition rebase as the MERGE, snapshot isolation, time travel, and
+    CDC visibility. This is the write shape for slice recomputation —
+    backfills, partition-aligned materialized-view refresh — where MERGE
+    semantics (update-or-insert, never remove) can't express "this
+    partition now contains exactly these rows".
+
+    `app_metadata` commits watermark key/values atomically with the data
+    (`manifest_app_metadata` reads them back) — a maintainer that records
+    "source version consumed" here gets exactly-once refresh for free: a
+    crash before the flip leaves both data and watermark at the previous
+    state, so the rerun repeats the same deterministic slice recompute.
+
+    Returns {"partitions_replaced", "partitions_dropped", "rows"}."""
+    manifest = read_manifest(path) or {
+        "version": 0,
+        "partition_col": partition_col,
+        "partitions": {},
+    }
+    if manifest["partition_col"] != partition_col:
+        raise ValueError(
+            f"table at {path} is manifest-partitioned by "
+            f"{manifest['partition_col']!r}, not {partition_col!r}"
+        )
+    if manifest.get("schema") is not None:
+        _check_type_evolution(
+            T.StructType.fromJson(manifest["schema"]), df.schema,
+            schema_evolution,
+        )
+    df = df.persist()
+    try:
+        parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+        touched = {_enc_part(p): p for p in parts}
+        overlap = set(touched) & set(drop_partitions_encoded)
+        if overlap:
+            raise ValueError(
+                f"partitions {sorted(overlap)} are both fed by df and "
+                "listed in drop_partitions_encoded — a partition is "
+                "replaced or dropped, never both"
+            )
+        drop_keys = [
+            k for k in drop_partitions_encoded if k in manifest["partitions"]
+        ]
+        if not touched and not drop_keys:
+            return {"partitions_replaced": 0, "partitions_dropped": 0, "rows": 0}
+        rows = df.count()  # also materializes the cache before the fan-out
+        snap = uuid.uuid4().hex[:12]
+
+        def _write_partition(item) -> tuple[str, dict]:
+            enc, val = item
+            prefix = os.path.join(
+                "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
+            )
+            part_df = df.filter(
+                F.col(partition_col).isNull()
+                if val is None
+                else F.col(partition_col) == F.lit(val)
+            )
+            part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
+            return enc, {
+                "prefix": prefix,
+                "value": enc,
+                "files": _collect_file_stats(os.path.join(path, prefix)),
+            }
+
+        import concurrent.futures as _futures
+
+        new_entries: dict[str, dict] = {}
+        if touched:
+            with _futures.ThreadPoolExecutor(
+                max_workers=min(8, len(touched))
+            ) as pool:
+                new_entries = dict(pool.map(_write_partition, touched.items()))
+        _commit_with_rebase(
+            spark,
+            path,
+            manifest,
+            new_entries,
+            schema_json=df.schema.jsonValue(),
+            max_commit_retries=max_commit_retries,
+            drop_keys=drop_keys,
+            app_metadata=app_metadata,
+        )
+    finally:
+        df.unpersist()
+    return {
+        "partitions_replaced": len(new_entries),
+        "partitions_dropped": len(drop_keys),
+        "rows": rows,
+    }
 
 
 def compact_manifest(
@@ -2208,12 +2339,20 @@ def manifest_row_changes(
     keys: Sequence[str],
     from_version: int,
     to_version: int | None = None,
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Row-level change feed between two versions (the CDC read):
     rows tagged `_change` ∈ {insert, update_postimage, delete}, computed
     ONLY over the partitions the manifests say changed — untouched
     partitions are never scanned. Requires both versions retained
-    (vacuum keep_last must cover the window)."""
+    (vacuum keep_last must cover the window).
+
+    `include_preimage=True` additionally emits an `update_preimage` row
+    (the OLD values) for every update — the Delta-CDF shape that makes
+    the feed ALGEBRAIC for downstream delta-application: signing
+    insert/update_postimage as +1 and delete/update_preimage as −1 turns
+    any additive aggregate's maintenance into one sum over the feed,
+    including updates that MOVE a row between groups."""
     if to_version is None:
         versions = manifest_versions(path)
         if not versions:
@@ -2270,7 +2409,15 @@ def manifest_row_changes(
         .select(*k, *[F.col(f"n.{c}").alias(c) for c in non_key])
         .withColumn("_change", F.lit("update_postimage"))
     )
-    return inserts.unionByName(updates).unionByName(deletes)
+    out = inserts.unionByName(updates).unionByName(deletes)
+    if include_preimage:
+        preimages = (
+            joined.filter(diff)
+            .select(*k, *[F.col(f"o.{c}").alias(c) for c in non_key])
+            .withColumn("_change", F.lit("update_preimage"))
+        )
+        out = out.unionByName(preimages)
+    return out
 
 
 _REFS_DIR = "_refs"

@@ -1,0 +1,313 @@
+"""Incrementally-maintained aggregates (operators/matview.py) and the
+replace-partitions write primitive: parity with from-scratch recompute
+after arbitrary DML on the source, incremental cost ∝ changed partitions,
+exactly-once watermarks (crash replay, repeated refresh no-ops)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import matview as MV
+from f1_data_pipeline_spark.operators import sinks
+
+
+def _mk_source(spark, path, n=60):
+    """Fact table: day-partitioned, (id) keyed, with a NULL-able measure
+    and a category uncorrelated with the partitioning."""
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                f"d{i % 4}",
+                ["red", "green", "blue"][i % 3],
+                None if i % 7 == 0 else float(i),
+            )
+            for i in range(n)
+        ],
+        "id long, day string, cat string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# replace_manifest_partitions (INSERT OVERWRITE by partition)
+# ---------------------------------------------------------------------------
+
+
+def test_replace_partitions_semantics(spark, tmp_path):
+    """Fed partitions replaced wholesale, listed-but-unfed partitions
+    dropped, everything else byte-untouched; one atomic version bump."""
+    path = str(tmp_path / "repl")
+    _mk_source(spark, path)
+    before = sinks.read_manifest(path)
+    repl = spark.createDataFrame(
+        [(1000, "d1", "red", 1.0)], "id long, day string, cat string, v double"
+    )
+    out = sinks.replace_manifest_partitions(
+        spark, repl, path, "day", drop_partitions_encoded=["d3"]
+    )
+    assert out == {"partitions_replaced": 1, "partitions_dropped": 1, "rows": 1}
+    after = sinks.read_manifest(path)
+    assert after["version"] == before["version"] + 1
+    # d1 replaced (one row), d3 gone, d0/d2 prefixes identical
+    rows = sinks.read_manifest_table(spark, path).collect()
+    assert {r["day"] for r in rows} == {"d0", "d1", "d2"}
+    assert [r["id"] for r in rows if r["day"] == "d1"] == [1000]
+    for k in ("d0", "d2"):
+        assert after["partitions"][k]["prefix"] == before["partitions"][k]["prefix"]
+    # a partition cannot be both fed and dropped
+    with pytest.raises(ValueError, match="replaced or dropped"):
+        sinks.replace_manifest_partitions(
+            spark, repl, path, "day", drop_partitions_encoded=["d1"]
+        )
+    # time travel still sees the pre-replace table
+    old = sinks.read_manifest_table(spark, path, version=before["version"])
+    assert old.filter(F.col("day") == "d3").count() > 0
+
+
+def test_app_metadata_commits_atomically_and_carries_forward(spark, tmp_path):
+    path = str(tmp_path / "appmeta")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, day string, v double")
+    sinks.merge_upsert_manifest(
+        spark, df, path, ["id"], partition_col="day",
+        app_metadata={"mv_source_version": 7, "owner": "mv"},
+    )
+    assert sinks.manifest_app_metadata(path) == {
+        "mv_source_version": 7, "owner": "mv",
+    }
+    # later commit overwrites named keys, carries the rest forward
+    sinks.merge_upsert_manifest(
+        spark, df, path, ["id"], partition_col="day",
+        app_metadata={"mv_source_version": 9},
+    )
+    assert sinks.manifest_app_metadata(path) == {
+        "mv_source_version": 9, "owner": "mv",
+    }
+    # a commit with no app_metadata leaves the stored object intact
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    assert sinks.manifest_app_metadata(path)["mv_source_version"] == 9
+
+
+def test_cdc_preimage_rows(spark, tmp_path):
+    path = str(tmp_path / "pre")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0)], "id long, day string, v double"
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(2, "a", 20.0)], "id long, day string, v double"),
+        path, ["id"], partition_col="day",
+    )
+    feed = sinks.manifest_row_changes(
+        spark, path, ["id"], 1, 2, include_preimage=True
+    ).collect()
+    got = {(r["_change"], r["id"], r["v"]) for r in feed}
+    assert got == {
+        ("update_postimage", 2, 20.0),
+        ("update_preimage", 2, 2.0),
+    }
+    # default shape unchanged (no preimage rows)
+    feed0 = sinks.manifest_row_changes(spark, path, ["id"], 1, 2).collect()
+    assert {r["_change"] for r in feed0} == {"update_postimage"}
+
+
+# ---------------------------------------------------------------------------
+# Strategy 1: partition-aligned rollup
+# ---------------------------------------------------------------------------
+
+AGGS_FULL = {
+    "n": ("count", "*"),
+    "n_v": ("count", "v"),
+    "sum_v": ("sum", "v"),
+    "min_v": ("min", "v"),
+    "max_v": ("max", "v"),
+    "avg_v": ("avg", "v"),
+}
+
+
+def _full_rollup(src_df):
+    return src_df.groupBy("day", "cat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("n_v"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.avg("v").alias("avg_v"),
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_rollup_initial_build_and_incremental_parity(spark, tmp_path):
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    _mk_source(spark, src)
+
+    out = MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    assert out["noop"] is False and out["partitions_refreshed"] == 4
+    assert _rows(sinks.read_manifest_table(spark, tgt)) == _rows(
+        _full_rollup(sinks.read_manifest_table(spark, src))
+    )
+    # second refresh: watermark satisfied, nothing recomputed
+    out2 = MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    assert out2["noop"] is True
+
+    # DML mix: new rows into d1, UPDATE in d2, DELETE emptying d3
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(1001, "d1", "red", 500.0), (1002, "d1", "gold", None)],
+            "id long, day string, cat string, v double",
+        ),
+        src, ["id"], partition_col="day",
+    )
+    sinks.update_manifest_rows(spark, src, {"v": 0.5}, [("day", "=", "d2")])
+    sinks.delete_manifest_rows(spark, src, [("day", "=", "d3")])
+
+    before_tgt = sinks.read_manifest(tgt)
+    out3 = MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    assert out3["noop"] is False
+    assert out3["partitions_refreshed"] == 2 and out3["partitions_dropped"] == 1
+    after_tgt = sinks.read_manifest(tgt)
+    # untouched target partition d0 kept its prefix — incremental, not full
+    assert (
+        after_tgt["partitions"]["d0"]["prefix"]
+        == before_tgt["partitions"]["d0"]["prefix"]
+    )
+    assert _rows(sinks.read_manifest_table(spark, tgt)) == _rows(
+        _full_rollup(sinks.read_manifest_table(spark, src))
+    )
+
+
+def test_rollup_crash_before_commit_replays_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """A refresh whose commit never lands leaves data AND watermark at the
+    previous state; the rerun converges to the same parity result."""
+    src = str(tmp_path / "src_crash")
+    tgt = str(tmp_path / "tgt_crash")
+    _mk_source(spark, src)
+    MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    sinks.delete_manifest_rows(spark, src, [("cat", "=", "red")])
+
+    real = sinks._commit_manifest
+
+    def boom(path, manifest):
+        raise RuntimeError("simulated crash before flip")
+
+    monkeypatch.setattr(sinks, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    monkeypatch.setattr(sinks, "_commit_manifest", real)
+    # watermark unchanged → rerun redoes the same window
+    out = MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    assert out["noop"] is False
+    assert _rows(sinks.read_manifest_table(spark, tgt)) == _rows(
+        _full_rollup(sinks.read_manifest_table(spark, src))
+    )
+    assert MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)[
+        "noop"
+    ] is True
+
+
+def test_rollup_requires_partition_aligned_groups(spark, tmp_path):
+    src = str(tmp_path / "src_guard")
+    _mk_source(spark, src)
+    with pytest.raises(ValueError, match="partition column"):
+        MV.refresh_rollup(
+            spark, src, str(tmp_path / "t"), ["cat"], {"n": ("count", "*")}
+        )
+
+
+# ---------------------------------------------------------------------------
+# Strategy 2: CDC delta-application
+# ---------------------------------------------------------------------------
+
+AGGS_DELTA = {
+    "n": ("count", "*"),
+    "n_v": ("count", "v"),
+    "sum_v": ("sum", "v"),
+    "avg_v": ("avg", "v"),
+}
+
+
+def _full_delta_ref(src_df):
+    return src_df.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("n_v"),
+        F.sum("v").alias("sum_v"),
+        F.avg("v").alias("avg_v"),
+    )
+
+
+def test_deltas_parity_through_dml_mix(spark, tmp_path):
+    """Groups (cat) cut ACROSS the source partitioning (day); parity with
+    full recompute after inserts, group-moving updates, and deletes —
+    including a group whose rows all vanish (hidden by read_aggregate)
+    and NULL-measure SQL semantics (SUM/AVG over all-NULL reads NULL)."""
+    src = str(tmp_path / "dsrc")
+    tgt = str(tmp_path / "dtgt")
+    _mk_source(spark, src)
+
+    out = MV.refresh_aggregate_deltas(
+        spark, src, ["id"], tgt, ["cat"], AGGS_DELTA
+    )
+    assert out["noop"] is False
+    assert _rows(MV.read_aggregate(spark, tgt, AGGS_DELTA)) == _rows(
+        _full_delta_ref(sinks.read_manifest_table(spark, src))
+    )
+    assert MV.refresh_aggregate_deltas(
+        spark, src, ["id"], tgt, ["cat"], AGGS_DELTA
+    )["noop"] is True
+
+    # inserts incl. a brand-new all-NULL-measure group; an update MOVING a
+    # row between groups; a delete
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(2001, "d0", "gold", None), (2002, "d1", "red", 7.0)],
+            "id long, day string, cat string, v double",
+        ),
+        src, ["id"], partition_col="day",
+    )
+    sinks.update_manifest_rows(
+        spark, src, {"cat": "blue"}, [("id", "=", 1)]  # red → blue move
+    )
+    sinks.delete_manifest_rows(spark, src, [("id", "<", 10)])
+
+    MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], AGGS_DELTA)
+    assert _rows(MV.read_aggregate(spark, tgt, AGGS_DELTA)) == _rows(
+        _full_delta_ref(sinks.read_manifest_table(spark, src))
+    )
+
+    # wipe one whole group → hidden from the read, row retained with _n=0
+    sinks.delete_manifest_rows(spark, src, [("cat", "=", "gold")])
+    MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], AGGS_DELTA)
+    view = MV.read_aggregate(spark, tgt, AGGS_DELTA)
+    assert "gold" not in {r["cat"] for r in view.collect()}
+    raw = sinks.read_manifest_table(spark, tgt)
+    [gold] = raw.filter(F.col("cat") == "gold").collect()
+    assert gold["_n"] == 0
+    assert _rows(view) == _rows(
+        _full_delta_ref(sinks.read_manifest_table(spark, src))
+    )
+    # ...and the zero row is sweepable with the ordinary DELETE verb
+    sinks.delete_manifest_rows(spark, tgt, [("_n", "=", 0)])
+    assert sinks.read_manifest_table(spark, tgt).filter(
+        F.col("cat") == "gold"
+    ).count() == 0
+
+
+def test_deltas_rejects_non_subtractable_ops(spark, tmp_path):
+    src = str(tmp_path / "dsrc2")
+    _mk_source(spark, src)
+    with pytest.raises(ValueError, match="refresh_rollup"):
+        MV.refresh_aggregate_deltas(
+            spark, src, ["id"], str(tmp_path / "t"), ["cat"],
+            {"m": ("min", "v")},
+        )

@@ -291,12 +291,87 @@ def probe_bloom_delete() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_matview() -> None:
+    """Materialized-view maintenance cost as the fact table grows: a fixed
+    daily increment (2 touched partitions) against tables of 16/64/256
+    partitions. Incremental refresh (rollup + CDC deltas) should stay
+    FLAT while full recompute grows with the table. One JSON line per
+    table size → SCALE_NOTES matview table."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import matview as MV
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    aggs = {"n": ("count", "*"), "sum_v": ("sum", "v"), "max_v": ("max", "v")}
+    daggs = {"n": ("count", "*"), "sum_v": ("sum", "v")}
+    for n_parts in (16, 64, 256):
+        rows_per = 5_000
+        work = tempfile.mkdtemp()
+        try:
+            src = os.path.join(work, "src")
+            n = n_parts * rows_per
+            df = spark.range(0, n).select(
+                F.col("id"),
+                (F.col("id") % n_parts).cast("string").alias("day"),
+                (F.col("id") % 97).cast("string").alias("cat"),
+                F.col("id").cast("double").alias("v"),
+            )
+            sinks.merge_upsert_manifest(
+                spark, df, src, ["id"], partition_col="day"
+            )
+            tgt_r = os.path.join(work, "tgt_rollup")
+            tgt_d = os.path.join(work, "tgt_delta")
+            MV.refresh_rollup(spark, src, tgt_r, ["day", "cat"], aggs)
+            MV.refresh_aggregate_deltas(
+                spark, src, ["id"], tgt_d, ["cat"], daggs
+            )
+            # the daily increment: new + updated rows in 2 partitions
+            inc = spark.range(n, n + 2_000).select(
+                F.col("id"),
+                (F.col("id") % 2).cast("string").alias("day"),
+                (F.col("id") % 97).cast("string").alias("cat"),
+                F.lit(1.0).alias("v"),
+            )
+            sinks.merge_upsert_manifest(
+                spark, inc, src, ["id"], partition_col="day"
+            )
+            t0 = time.time()
+            r = MV.refresh_rollup(spark, src, tgt_r, ["day", "cat"], aggs)
+            t_roll = time.time() - t0
+            t0 = time.time()
+            MV.refresh_aggregate_deltas(spark, src, ["id"], tgt_d, ["cat"], daggs)
+            t_delta = time.time() - t0
+            t0 = time.time()
+            full = (
+                sinks.read_manifest_table(spark, src)
+                .groupBy("day", "cat")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"),
+                     F.max("v").alias("max_v"))
+                .count()
+            )
+            t_full = time.time() - t0
+            print(json.dumps({
+                "parts": n_parts, "rows": n + 2_000,
+                "refreshed_parts": r["partitions_refreshed"],
+                "rollup_refresh_sec": round(t_roll, 2),
+                "delta_refresh_sec": round(t_delta, 2),
+                "full_recompute_sec": round(t_full, 2),
+                "full_groups": full,
+            }))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
     if args and args[0] in (
         "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram",
-        "ivf_drift", "heavy_hitters", "bloom_delete",
+        "ivf_drift", "heavy_hitters", "bloom_delete", "matview",
     ):
         op = args.pop(0)
     if op == "ivf_drift":
@@ -307,6 +382,9 @@ def main() -> None:
         return
     if op == "bloom_delete":
         probe_bloom_delete()
+        return
+    if op == "matview":
+        probe_matview()
         return
     modes = ("clique", "disjoint")
     cap = None
