@@ -349,3 +349,39 @@ def test_mixture_sample_guards(spark):
             df, "dom", {"a": 0.5, "b": 0.5}, "doc_id",
             mass_col=F.col("toks"), max_epochs=100,
         )
+
+
+def test_compression_signals_bands_and_edges(spark):
+    """The deflate heuristic separates the three regimes: repetitive
+    boilerplate compresses to a tiny fraction, natural-ish prose lands in
+    the keep band, incompressible noise approaches (or exceeds) 1.0.
+    NULL/empty text yields NULL ratio (routable, not silently kept),
+    and the computation matches a driver-side zlib reference exactly."""
+    import base64
+    import random
+    import zlib
+
+    from f1_data_pipeline_spark.operators.corpus import compression_signals
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    prose = " ".join(rng.choice(vocab) for _ in range(400))
+    boiler = "click here to subscribe " * 100
+    noise = base64.b64encode(rng.randbytes(3000)).decode()
+    rows = [(1, prose), (2, boiler), (3, noise), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_signals(df).collect()}
+
+    for i, t in rows:
+        if not t:
+            assert got[i]["zlib_ratio"] is None
+            assert got[i]["keep_compression"] is None
+        else:
+            raw = t.encode("utf-8", "ignore")
+            assert got[i]["zlib_ratio"] == round(
+                len(zlib.compress(raw, 6)) / len(raw), 4
+            )
+    assert got[2]["zlib_ratio"] < 0.1 and got[2]["keep_compression"] is False
+    assert got[3]["zlib_ratio"] > 0.7 and got[3]["keep_compression"] is False
+    assert 0.1 <= got[1]["zlib_ratio"] <= 0.7
+    assert got[1]["keep_compression"] is True
