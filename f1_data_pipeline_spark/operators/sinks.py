@@ -689,6 +689,11 @@ class ConcurrentWriteError(RuntimeError):
     table state and retry the merge (its input is still intact)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write would commit rows that violate a table CHECK constraint —
+    nothing was committed; fix the batch (or drop the constraint)."""
+
+
 def _enc_part(v) -> str:
     """Stable string encoding of a partition value for manifest keys and
     prefix names. None → 'null'; a non-NULL value whose str() would
@@ -1523,6 +1528,7 @@ def _commit_with_rebase(
     drop_keys: Sequence[str] = (),
     check_predicates: Sequence[tuple] | None = None,
     app_metadata: dict | None = None,
+    constraints_json: dict | None = None,
 ) -> dict:
     """Optimistic-concurrency commit with Iceberg-style rebase-and-retry.
 
@@ -1579,6 +1585,8 @@ def _commit_with_rebase(
             cand["schema"] = schema_json
         if app_metadata is not None:
             cand["app"] = {**on.get("app", {}), **app_metadata}
+        if constraints_json is not None:
+            cand["constraints"] = constraints_json
         return cand
 
     candidate = _candidate(base)
@@ -1609,6 +1617,18 @@ def _commit_with_rebase(
                 schema_json = _union_evolved_schema(
                     latest.get("schema"), schema_json
                 )
+            if latest.get("constraints", {}) != base_manifest.get(
+                "constraints", {}
+            ):
+                # a competing commit changed the table's CHECK constraints
+                # after this write validated against the old set — its rows
+                # were never checked against the new rules, so a silent
+                # rebase could commit violating data
+                raise ConcurrentWriteError(
+                    f"commit race on {path}: table constraints changed "
+                    "while this write was in flight — re-read the table "
+                    "and re-run the write under the current constraints"
+                ) from None
             if check_predicates is not None:
                 dirty = []
                 for k, st in changed.items():
@@ -1792,6 +1812,12 @@ def merge_upsert_manifest(
         # concurrent per-partition writes below all read cached rows
         # instead of racing to recompute the merge
         merged.count()
+        # table CHECK constraints validate the rows about to be written
+        # (the merged post-image) BEFORE any data lands — a violating
+        # batch leaves the table untouched
+        _enforce_constraints(
+            merged, manifest.get("constraints", {}), f"MERGE into {path}"
+        )
         snap = uuid.uuid4().hex[:12]
 
         def _write_partition(item) -> tuple[str, dict]:
@@ -1865,6 +1891,93 @@ def manifest_app_metadata(path: str, version: int | str | None = None) -> dict:
     return dict(m.get("app", {}))
 
 
+def manifest_constraints(path: str, version: int | str | None = None) -> dict:
+    """{constraint name: SQL CHECK expression} in force on the table."""
+    m = read_manifest(path, version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    return dict(m.get("constraints", {}))
+
+
+def _enforce_constraints(
+    df: DataFrame, constraints: dict, context: str
+) -> None:
+    """Raise ConstraintViolationError if any row of `df` fails a CHECK.
+
+    SQL three-valued semantics: a row violates only when the expression
+    is FALSE — NULL/UNKNOWN passes (`CHECK (v > 0)` admits NULL v; say
+    `v IS NOT NULL AND v > 0` to also reject NULLs). One filter + limit
+    job over the rows being written, short-circuiting at the first bad
+    row."""
+    for name, expr in constraints.items():
+        bad = df.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1).collect()
+        if bad:
+            raise ConstraintViolationError(
+                f"{context}: constraint {name!r} (CHECK {expr}) is violated "
+                f"by row {bad[0].asDict()} — nothing was committed"
+            )
+
+
+def manifest_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> None:
+    """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the CURRENT
+    table data first (a constraint that existing rows violate would make
+    the table unwritable), then commits the constraint into the manifest —
+    from then on EVERY writer's MERGE / replace-partitions / UPDATE
+    validates its written rows against it before committing, because the
+    constraint travels in the table metadata, not in writer code. The
+    expression is a Spark SQL boolean over the row's columns; SQL CHECK
+    semantics (NULL passes — see `_enforce_constraints`)."""
+    # validate-then-commit must not race a data write: a competitor's rows
+    # committed between our scan and our commit were never validated, so
+    # the commit is pinned to the scanned version (max_commit_retries=0)
+    # and any race re-reads AND re-validates before retrying
+    for attempt in range(4):
+        m = read_manifest(path)
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {path}")
+        existing = m.get("constraints", {})
+        if name in existing:
+            raise ValueError(
+                f"constraint {name!r} already exists at {path} "
+                f"(CHECK {existing[name]}) — drop it first to change it"
+            )
+        try:
+            current = read_manifest_table(spark, path, version=m["version"])
+            _enforce_constraints(
+                current, {name: expr}, f"add constraint on {path}"
+            )
+        except ConstraintViolationError:
+            raise
+        except Exception as exc:  # unparseable / wrong-column expression
+            raise ValueError(
+                f"constraint expression {expr!r} failed to evaluate against "
+                f"the table schema: {exc}"
+            ) from exc
+        try:
+            _commit_with_rebase(
+                spark, path, m, {},
+                constraints_json={**existing, name: expr},
+                max_commit_retries=0,
+            )
+            return
+        except ConcurrentWriteError:
+            if attempt == 3:
+                raise
+
+
+def manifest_drop_constraint(spark: SparkSession, path: str, name: str) -> None:
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    existing = m.get("constraints", {})
+    if name not in existing:
+        raise FileNotFoundError(f"no constraint {name!r} at {path}")
+    remaining = {k: v for k, v in existing.items() if k != name}
+    _commit_with_rebase(spark, path, m, {}, constraints_json=remaining)
+
+
 def replace_manifest_partitions(
     spark: SparkSession,
     df: DataFrame,
@@ -1926,6 +2039,10 @@ def replace_manifest_partitions(
         if not touched and not drop_keys:
             return {"partitions_replaced": 0, "partitions_dropped": 0, "rows": 0}
         rows = df.count()  # also materializes the cache before the fan-out
+        _enforce_constraints(
+            df, manifest.get("constraints", {}),
+            f"replace partitions of {path}",
+        )
         snap = uuid.uuid4().hex[:12]
 
         def _write_partition(item) -> tuple[str, dict]:
@@ -2276,6 +2393,10 @@ def update_manifest_rows(
 
             out = df.select(
                 *[_assigned(c) if c in assignments else F.col(c) for c in df.columns]
+            )
+            # assigned values must keep the table's CHECK constraints true
+            _enforce_constraints(
+                out, m.get("constraints", {}), f"UPDATE of {path}"
             )
             prefix = os.path.join(
                 "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"

@@ -2116,3 +2116,106 @@ def test_update_rebase_conflicts_on_matching_competitor(
         sinks.update_manifest_rows(
             spark, path, {"v": -1.0}, [("v", ">=", 20.0)]
         )
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints on manifest tables
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraints_enforced_across_dml(spark, tmp_path):
+    """ALTER TABLE ADD CONSTRAINT ... CHECK: validated against existing
+    data at add time, then enforced by every write verb BEFORE anything
+    commits; SQL three-valued semantics (NULL passes); droppable."""
+    path = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, day string, v double"
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+
+    # a constraint current data violates is refused and NOT added
+    with pytest.raises(sinks.ConstraintViolationError, match="nothing was committed"):
+        sinks.manifest_add_constraint(spark, path, "v_big", "v >= 100")
+    assert sinks.manifest_constraints(path) == {}
+    # an unparseable expression is a config error, not a violation
+    with pytest.raises(ValueError, match="failed to evaluate"):
+        sinks.manifest_add_constraint(spark, path, "bad", "no_such_col > 0")
+
+    sinks.manifest_add_constraint(spark, path, "v_nonneg", "v >= 0")
+    assert sinks.manifest_constraints(path) == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ValueError, match="already exists"):
+        sinks.manifest_add_constraint(spark, path, "v_nonneg", "v >= 1")
+
+    v_before = sinks.read_manifest(path)["version"]
+    # MERGE with a violating row: refused atomically
+    with pytest.raises(sinks.ConstraintViolationError, match="v_nonneg"):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(3, "a", -5.0)], "id long, day string, v double"
+            ),
+            path, ["id"], partition_col="day",
+        )
+    assert sinks.read_manifest(path)["version"] == v_before
+    assert sinks.read_manifest_table(spark, path).count() == 2
+    # NULL passes (SQL CHECK), valid rows commit
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(3, "a", None), (4, "b", 4.0)], "id long, day string, v double"
+        ),
+        path, ["id"], partition_col="day",
+    )
+    assert sinks.read_manifest_table(spark, path).count() == 4
+
+    # UPDATE assigning a violating value: refused, table unchanged
+    with pytest.raises(sinks.ConstraintViolationError, match="UPDATE"):
+        sinks.update_manifest_rows(
+            spark, path, {"v": -1.0}, [("id", "=", 4)]
+        )
+    assert {r["v"] for r in sinks.read_manifest_table(spark, path).collect()} == {
+        1.0, 2.0, None, 4.0
+    }
+    # replace-partitions with violating rows: refused
+    with pytest.raises(sinks.ConstraintViolationError, match="replace"):
+        sinks.replace_manifest_partitions(
+            spark,
+            spark.createDataFrame(
+                [(9, "a", -2.0)], "id long, day string, v double"
+            ),
+            path, "day",
+        )
+
+    # drop → previously-violating write is accepted
+    sinks.manifest_drop_constraint(spark, path, "v_nonneg")
+    with pytest.raises(FileNotFoundError, match="no constraint"):
+        sinks.manifest_drop_constraint(spark, path, "v_nonneg")
+    sinks.update_manifest_rows(spark, path, {"v": -1.0}, [("id", "=", 4)])
+    [r] = sinks.read_manifest_table(spark, path).filter("id = 4").collect()
+    assert r["v"] == -1.0
+
+
+def test_constraint_change_conflicts_with_inflight_write(
+    spark, tmp_path, monkeypatch
+):
+    """A constraint added while a data write is in flight must conflict:
+    the writer validated against the OLD constraint set, so a silent
+    rebase could commit rows the new rule forbids."""
+    path = str(tmp_path / "ck_race")
+    _delete_table(spark, path)
+
+    def competitor():
+        sinks.manifest_add_constraint(spark, path, "v_cap", "v < 1000")
+
+    _inject_race(monkeypatch, competitor)
+    with pytest.raises(sinks.ConcurrentWriteError, match="constraints changed"):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(500, "zz", 5000.0)], "id long, day string, v double"
+            ),
+            path, ["id"], partition_col="day",
+        )
+    # the constraint won; the violating batch never landed
+    assert sinks.manifest_constraints(path) == {"v_cap": "v < 1000"}
+    assert sinks.read_manifest_table(spark, path).filter("id = 500").count() == 0
