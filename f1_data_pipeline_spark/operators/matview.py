@@ -46,7 +46,13 @@ the watermark's commit object.
 Numeric caveat: delta-mode sums/averages accumulate in double across
 refreshes, so float-typed measures can drift from a from-scratch
 recompute by FP summation order; integer-valued measures are exact.
-Partition-aligned recompute has no such drift (it IS a recompute).
+Partition-aligned recompute recomputes true per-group sums, but double
+SUM is still ulp-sensitive to Spark's reduction order (measured ~1e-16
+relative vs a differently-planned full recompute — the same drift two
+full recomputes can show between themselves). Counts and distinct
+counts are exact everywhere. For bit-reproducible float sums, make the
+measure a decimal column — decimal accumulation is order-exact (the
+discipline this repo's DuckDB oracles already follow).
 """
 
 from __future__ import annotations
@@ -68,8 +74,13 @@ from f1_data_pipeline_spark.operators.sinks import (
     _commit_with_rebase,
 )
 
-_ROLLUP_OPS = {"count", "sum", "min", "max", "avg"}
-_DELTA_OPS = {"count", "sum", "avg"}
+_ROLLUP_OPS = {
+    "count", "sum", "min", "max", "avg", "count_distinct", "approx_distinct",
+}
+_DELTA_OPS = {"count", "sum", "avg", "min", "max", "approx_distinct"}
+# mergeable across insert-only windows, but not retractable — a window
+# with deletes/updates rejects these (refresh_rollup handles them)
+_MERGEABLE_ONLY = {"min", "max", "approx_distinct"}
 WATERMARK_KEY = "mv_source_version"
 
 
@@ -82,8 +93,9 @@ def _check_aggs(aggs: dict, allowed: set[str]) -> None:
                 f"aggregate {out!r}: op {op!r} not supported here "
                 f"(allowed: {sorted(allowed)}"
                 + (
-                    "; min/max need full-group recompute — use refresh_rollup)"
-                    if op in _ROLLUP_OPS
+                    "; non-recomputing strategies can't express it — "
+                    "use refresh_rollup)"
+                    if op in _ROLLUP_OPS | _DELTA_OPS
                     else ")"
                 )
             )
@@ -113,6 +125,10 @@ def _rollup_exprs(aggs: dict) -> list[Column]:
     for name, (op, col) in aggs.items():
         if op == "count":
             e = F.count(F.lit(1)) if col == "*" else F.count(col)
+        elif op == "count_distinct":
+            e = F.count_distinct(col).cast("long")
+        elif op == "approx_distinct":
+            e = F.approx_count_distinct(col)
         else:
             e = getattr(F, op)(col)
         out.append(e.alias(name))
@@ -131,13 +147,18 @@ def refresh_rollup(
     the source partitions that changed since the last refresh (module
     docstring has the strategy and the exactly-once argument).
 
-    `aggs` maps output column → (op, source column) with op ∈
-    {count, sum, min, max, avg}; ('count', '*') counts rows. The source's
+    `aggs` maps output column → (op, source column) with op ∈ {count,
+    sum, min, max, avg, count_distinct, approx_distinct}; ('count', '*')
+    counts rows. Exact count_distinct is a recompute-strategy exclusive —
+    it is not mergeable at all, but changed groups are recomputed from
+    rows here, so it is simply an expression. The source's
     partition column must be among `group_cols` (each group then lives in
     exactly one partition, so a changed partition's groups are exactly
     the rows recomputed). The target is partitioned by the same column;
     read it with a plain `read_manifest_table` — it stores the final
-    aggregate values.
+    aggregate values. The `group_cols`/`aggs` spec is part of the
+    target's identity: keep it fixed for the life of a target path
+    (changing it mid-life would mix schemas across partitions).
 
     Returns {"source_version", "partitions_refreshed",
     "partitions_dropped", "noop"}."""
@@ -162,6 +183,13 @@ def refresh_rollup(
             "noop": True,
         }
     if wm is None:
+        if read_manifest(target_path) is not None:
+            raise ValueError(
+                f"target {target_path} exists but carries no matview "
+                "watermark — it was not built by this refresher; stale "
+                "partitions it holds would silently survive an initial "
+                "build. Start from an empty target path."
+            )
         changed = dict.fromkeys(
             read_manifest(source_path, s_latest)["partitions"], "added"
         )
@@ -215,21 +243,27 @@ def refresh_rollup(
 # ---------------------------------------------------------------------------
 
 
-def _storage_cols(aggs: dict) -> list[tuple[str, str]]:
-    """The internal storage columns for delta mode beyond group cols and
-    `_n`: [(name, spark type)]."""
-    cols: list[tuple[str, str]] = []
+def _delta_plan(aggs: dict) -> list[tuple[str, str, str]]:
+    """Delta-mode storage plan beyond group cols and `_n`:
+    [(storage column, kind, source column)] with kind ∈ add_long /
+    add_double (signed running totals), min / max (merge by
+    least/greatest), hll (merge by sketch union)."""
+    cols: list[tuple[str, str, str]] = []
     for out, (op, col) in aggs.items():
         if op == "count" and col == "*":
             continue  # served by _n
         if op == "count":
-            cols.append((out, "long"))
+            cols.append((out, "add_long", col))
         elif op == "sum":
-            cols.append((out, "double"))
-            cols.append((f"_nn_{out}", "long"))
+            cols.append((out, "add_double", col))
+            cols.append((f"_nn_{out}", "add_long", col))
         elif op == "avg":
-            cols.append((f"_sum_{out}", "double"))
-            cols.append((f"_nn_{out}", "long"))
+            cols.append((f"_sum_{out}", "add_double", col))
+            cols.append((f"_nn_{out}", "add_long", col))
+        elif op in ("min", "max"):
+            cols.append((out, op, col))
+        elif op == "approx_distinct":
+            cols.append((f"_hll_{out}", "hll", col))
     return cols
 
 
@@ -247,14 +281,24 @@ def refresh_aggregate_deltas(
     group columns with no relation to the source's partitioning (module
     docstring: the ±1-signed feed makes additive maintenance one SUM).
 
-    `aggs`: output column → (op, source column), op ∈ {count, sum, avg}.
+    `aggs`: output column → (op, source column), op ∈ {count, sum, avg,
+    min, max, approx_distinct}. count/sum/avg are FULLY incremental
+    (signed deltas retract cleanly). min/max/approx_distinct are
+    MERGEABLE BUT NOT RETRACTABLE — they combine across insert-only
+    windows (least/greatest; HLL sketch union), so a refresh window
+    containing any delete or update raises and the table needs
+    `refresh_rollup` instead (a deleted max cannot be un-maxed without a
+    rescan). The `aggs` spec is part of the target's identity — keep it
+    fixed for the life of a target path.
+
     The target stores internal running columns (`_n`, per-sum non-null
-    counts, per-avg sums) — read it with `read_aggregate`, which also
-    hides groups whose rows have all been deleted (`_n` = 0; the rows
-    stay until a `delete_manifest_rows(target, [('_n','=',0)])` sweep so
-    each refresh stays a single atomic commit). `partition_col` chooses
-    the target's partition column (default: the first group column; must
-    be a group column).
+    counts, per-avg sums, per-distinct HLL sketches) — read it with
+    `read_aggregate`, which also hides groups whose rows have all been
+    deleted (`_n` = 0; the rows stay until a
+    `delete_manifest_rows(target, [('_n','=',0)])` sweep so each refresh
+    stays a single atomic commit). `partition_col` chooses the target's
+    partition column (default: the first group column; must be a group
+    column).
 
     Returns {"source_version", "groups_touched", "noop"}."""
     _check_aggs(aggs, _DELTA_OPS)
@@ -264,7 +308,8 @@ def refresh_aggregate_deltas(
         raise ValueError(
             f"partition_col {pcol!r} must be one of group_cols {gcols}"
         )
-    reserved = {"_n"} | {n for n, _ in _storage_cols(aggs)}
+    plan = _delta_plan(aggs)
+    reserved = {"_n"} | {n for n, _, _ in plan}
     clash = [c for c in gcols if c in reserved]
     if clash:
         raise ValueError(f"group_cols {clash} collide with storage columns")
@@ -273,6 +318,13 @@ def refresh_aggregate_deltas(
     if wm == s_latest:
         return {"source_version": s_latest, "groups_touched": 0, "noop": True}
     if wm is None:
+        if read_manifest(target_path) is not None:
+            raise ValueError(
+                f"target {target_path} exists but carries no matview "
+                "watermark — it was not built by this refresher; applying "
+                "the full source as inserts would double-count it. Start "
+                "from an empty target path."
+            )
         changes = read_manifest_table(
             spark, source_path, version=s_latest
         ).withColumn("_change", F.lit("insert"))
@@ -281,43 +333,57 @@ def refresh_aggregate_deltas(
             spark, source_path, list(source_keys), wm, s_latest,
             include_preimage=True,
         )
+    mergeable_only = [
+        out for out, (op, _) in aggs.items() if op in _MERGEABLE_ONLY
+    ]
+    if mergeable_only and wm is not None:
+        retract = (
+            changes.filter(F.col("_change") != "insert").limit(1).count()
+        )
+        if retract:
+            raise ValueError(
+                f"aggregates {mergeable_only} (min/max/approx_distinct) "
+                "merge across insert-only windows but cannot RETRACT, and "
+                "this refresh window contains deletes/updates — recompute "
+                "with refresh_rollup, or keep the source append-only"
+            )
     sign = (
         F.when(F.col("_change").isin("insert", "update_postimage"), F.lit(1))
         .when(F.col("_change").isin("delete", "update_preimage"), F.lit(-1))
         .cast("long")
     )
     delta_exprs: list[Column] = [F.sum(sign).alias("_n")]
-    for out, (op, col) in aggs.items():
-        if op == "count" and col == "*":
-            continue
-        nn = F.sum(
-            F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
-        ).cast("long")
-        sm = F.sum(
-            sign.cast("double") * F.coalesce(F.col(col).cast("double"), F.lit(0.0))
-        )
-        if op == "count":
-            delta_exprs.append(nn.alias(out))
-        elif op == "sum":
-            delta_exprs.append(sm.alias(out))
-            delta_exprs.append(nn.alias(f"_nn_{out}"))
-        elif op == "avg":
-            delta_exprs.append(sm.alias(f"_sum_{out}"))
-            delta_exprs.append(nn.alias(f"_nn_{out}"))
+    for name, kind, col in plan:
+        if kind == "add_long":
+            e = F.sum(
+                F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
+            ).cast("long")
+        elif kind == "add_double":
+            e = F.sum(
+                sign.cast("double")
+                * F.coalesce(F.col(col).cast("double"), F.lit(0.0))
+            )
+        elif kind == "min":
+            e = F.min(col)
+        elif kind == "max":
+            e = F.max(col)
+        else:  # hll
+            e = F.hll_sketch_agg(col)
+        delta_exprs.append(e.alias(name))
     deltas = changes.groupBy(*gcols).agg(*delta_exprs)
 
-    storage = _storage_cols(aggs)
     tm = read_manifest(target_path)
     if tm is None:
-        fields = [deltas.schema[c] for c in gcols]
-        fields.append(T.StructField("_n", T.LongType()))
-        for name, tp in storage:
-            fields.append(
-                T.StructField(
-                    name, T.DoubleType() if tp == "double" else T.LongType()
-                )
-            )
-        current = spark.createDataFrame([], T.StructType(fields))
+        # the deltas frame already has every storage column at its final
+        # type (signed totals, min/max at the source type, binary sketch)
+        current = spark.createDataFrame(
+            [],
+            T.StructType(
+                [deltas.schema[c] for c in gcols]
+                + [deltas.schema["_n"]]
+                + [deltas.schema[n] for n, _, _ in plan]
+            ),
+        )
     else:
         current = read_manifest_table(spark, target_path)
     # null-safe group join: NULL group values are real groups
@@ -328,16 +394,30 @@ def refresh_aggregate_deltas(
         lambda a, b: a & b,
         [F.col(f"d.{c}").eqNullSafe(F.col(f"t.{c}")) for c in gcols],
     )
-    acc_cols = [("_n", "long")] + storage
+
+    def _combine(name: str, kind: str) -> Column:
+        tc, dc = F.col(f"t.{name}"), F.col(f"d.{name}")
+        if kind in ("add_long", "add_double"):
+            tp = "long" if kind == "add_long" else "double"
+            return (
+                F.coalesce(tc, F.lit(0).cast(tp))
+                + F.coalesce(dc, F.lit(0).cast(tp))
+            ).cast(tp).alias(name)
+        if kind == "min":
+            return F.least(tc, dc).alias(name)  # least/greatest skip NULLs
+        if kind == "max":
+            return F.greatest(tc, dc).alias(name)
+        return (  # hll: union, either side absent → the other
+            F.when(tc.isNull(), dc)
+            .when(dc.isNull(), tc)
+            .otherwise(F.hll_union(tc, dc))
+            .alias(name)
+        )
+
     merged = d.join(t, on, "left").select(
         *[F.col(f"d.{c}").alias(c) for c in gcols],
-        *[
-            (
-                F.coalesce(F.col(f"t.{name}"), F.lit(0).cast(tp))
-                + F.coalesce(F.col(f"d.{name}"), F.lit(0).cast(tp))
-            ).cast(tp).alias(name)
-            for name, tp in acc_cols
-        ],
+        _combine("_n", "add_long"),
+        *[_combine(name, kind) for name, kind, _ in plan],
     )
     n = merge_upsert_manifest(
         spark,
@@ -361,7 +441,7 @@ def read_aggregate(
     running columns (SUM/AVG over zero non-NULL values read NULL; AVG =
     sum/count of non-NULLs), groups with no live rows (`_n` = 0) hidden."""
     df = read_manifest_table(spark, target_path)
-    internal = {"_n"} | {n for n, _ in _storage_cols(aggs)}
+    internal = {"_n"} | {n for n, _, _ in _delta_plan(aggs)}
     gcols = [c for c in df.columns if c not in internal]
     outs: list[Column] = []
     for out, (op, col) in aggs.items():
@@ -379,5 +459,15 @@ def read_aggregate(
                     F.col(f"_nn_{out}") > 0,
                     F.col(f"_sum_{out}") / F.col(f"_nn_{out}"),
                 ).alias(out)
+            )
+        elif op in ("min", "max"):
+            outs.append(F.col(out).alias(out))
+        elif op == "approx_distinct":
+            # SQL approx_count_distinct over zero non-NULL values is 0
+            outs.append(
+                F.when(F.col(f"_hll_{out}").isNull(), F.lit(0))
+                .otherwise(F.hll_sketch_estimate(F.col(f"_hll_{out}")))
+                .cast("long")
+                .alias(out)
             )
     return df.filter(F.col("_n") > 0).select(*gcols, *outs)

@@ -125,6 +125,7 @@ AGGS_FULL = {
     "min_v": ("min", "v"),
     "max_v": ("max", "v"),
     "avg_v": ("avg", "v"),
+    "nd_id": ("count_distinct", "id"),  # recompute-strategy exclusive
 }
 
 
@@ -136,6 +137,7 @@ def _full_rollup(src_df):
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
         F.avg("v").alias("avg_v"),
+        F.count_distinct("id").cast("long").alias("nd_id"),
     )
 
 
@@ -303,11 +305,141 @@ def test_deltas_parity_through_dml_mix(spark, tmp_path):
     ).count() == 0
 
 
-def test_deltas_rejects_non_subtractable_ops(spark, tmp_path):
+def test_deltas_rejects_unknown_ops(spark, tmp_path):
+    """min/max are ACCEPTED in delta mode (mergeable on insert-only
+    windows — test_deltas_mergeable_aggs_insert_only); a genuinely
+    inexpressible op is still refused with a pointer."""
     src = str(tmp_path / "dsrc2")
     _mk_source(spark, src)
-    with pytest.raises(ValueError, match="refresh_rollup"):
+    with pytest.raises(ValueError, match="not supported"):
         MV.refresh_aggregate_deltas(
             spark, src, ["id"], str(tmp_path / "t"), ["cat"],
-            {"m": ("min", "v")},
+            {"m": ("median", "v")},
         )
+    with pytest.raises(ValueError, match="not supported"):
+        MV.refresh_rollup(
+            spark, src, str(tmp_path / "t2"), ["day", "cat"],
+            {"m": ("median", "v")},
+        )
+
+
+def test_deltas_mergeable_aggs_insert_only(spark, tmp_path):
+    """min/max/approx_distinct maintain by MERGE (least/greatest, HLL
+    union) across insert-only windows; a window containing a retraction
+    refuses loudly instead of silently un-retractable state."""
+    src = str(tmp_path / "msrc")
+    tgt = str(tmp_path / "mtgt")
+    _mk_source(spark, src, n=40)
+    aggs = {
+        "n": ("count", "*"),
+        "min_v": ("min", "v"),
+        "max_v": ("max", "v"),
+        "nd_day": ("approx_distinct", "day"),
+    }
+
+    def ref():
+        return sinks.read_manifest_table(spark, src).groupBy("cat").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.count_distinct("day").cast("long").alias("nd_day"),
+        )
+
+    MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], aggs)
+    assert _rows(MV.read_aggregate(spark, tgt, aggs)) == _rows(ref())
+
+    # append-only increment: brand-new keys, incl. a new group and a new
+    # day value per group (the HLL unions must absorb them)
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(900, "d9", "red", -50.0), (901, "d9", "gold", 999.0)],
+            "id long, day string, cat string, v double",
+        ),
+        src, ["id"], partition_col="day",
+    )
+    MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], aggs)
+    assert _rows(MV.read_aggregate(spark, tgt, aggs)) == _rows(ref())
+
+    # a retraction in the window → loud refusal, nothing committed
+    sinks.delete_manifest_rows(spark, src, [("id", "=", 900)])
+    v_before = sinks.read_manifest(tgt)["version"]
+    with pytest.raises(ValueError, match="RETRACT"):
+        MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], aggs)
+    assert sinks.read_manifest(tgt)["version"] == v_before
+
+
+def test_refresh_guards_foreign_target(spark, tmp_path):
+    """A pre-existing table without a matview watermark is refused by both
+    strategies: an 'initial build' over it would double-count (deltas) or
+    strand stale partitions (rollup)."""
+    src = str(tmp_path / "gsrc")
+    _mk_source(spark, src)
+    foreign = str(tmp_path / "foreign")
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(1, "x", 1.0)], "cat string, day string, v double"),
+        foreign, ["cat"], partition_col="day",
+    )
+    with pytest.raises(ValueError, match="not built by this refresher"):
+        MV.refresh_aggregate_deltas(
+            spark, src, ["id"], foreign, ["cat"], AGGS_DELTA
+        )
+    with pytest.raises(ValueError, match="not built by this refresher"):
+        MV.refresh_rollup(spark, src, foreign, ["day", "cat"], AGGS_FULL)
+
+
+def test_matview_over_streaming_manifest_sink(spark, tmp_path):
+    """The full incremental pipeline: micro-batches → manifest-committed
+    streaming MERGE sink → CDC-driven rollup refresh. Each refresh
+    recomputes only the partitions the stream's commits touched; results
+    match a from-scratch aggregate of everything ingested."""
+    from f1_data_pipeline_spark.streaming.structured import start_merge_sink
+
+    src_files = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    tgt = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, day string, cat string, v double"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_files)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(src_files)
+        )
+        q = start_merge_sink(
+            stream, table, ["id"], ckpt,
+            partition_col="day", commit="manifest", check_moved_keys=False,
+        )
+        assert q.awaitTermination(120)
+
+    feed([(i, f"d{i % 3}", ["a", "b"][i % 2], float(i)) for i in range(30)])
+    drain()
+    aggs = {"n": ("count", "*"), "sum_v": ("sum", "v"), "max_v": ("max", "v")}
+    MV.refresh_rollup(spark, table, tgt, ["day", "cat"], aggs)
+
+    def ref():
+        return sinks.read_manifest_table(spark, table).groupBy(
+            "day", "cat"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    assert _rows(sinks.read_manifest_table(spark, tgt)) == _rows(ref())
+
+    # second wave touches ONLY d0 — the refresh must too
+    feed([(100 + i, "d0", "a", 1000.0 + i) for i in range(5)])
+    drain()
+    before = sinks.read_manifest(tgt)
+    out = MV.refresh_rollup(spark, table, tgt, ["day", "cat"], aggs)
+    assert out["partitions_refreshed"] == 1 and out["partitions_dropped"] == 0
+    after = sinks.read_manifest(tgt)
+    for k in ("d1", "d2"):
+        assert after["partitions"][k]["prefix"] == before["partitions"][k]["prefix"]
+    assert _rows(sinks.read_manifest_table(spark, tgt)) == _rows(ref())
