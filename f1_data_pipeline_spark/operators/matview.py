@@ -17,17 +17,20 @@ aggregate's algebra:
    aggregate (min/max/count-distinct included) because changed groups
    are recomputed from source rows, never algebraically adjusted.
 
-2. `refresh_aggregate_deltas` — CDC DELTA-APPLICATION for ADDITIVE
-   aggregates (count/sum/avg) over ARBITRARY group columns, including
-   ones uncorrelated with the source's partitioning. The preimage-
-   extended change feed (`manifest_row_changes(include_preimage=True)`)
-   is algebraic: signing insert/update_postimage +1 and
-   delete/update_preimage −1 makes per-group maintenance one SUM over
-   the feed — an update that moves a row between groups debits the old
-   group and credits the new automatically. Work ∝ the change feed (the
-   changed source partitions), plus a merge into the rollup-sized
-   target. Min/max are rejected here: they are not subtractable (a
-   deleted max forces a rescan) — use `refresh_rollup`.
+2. `refresh_aggregate_deltas` — CDC DELTA-APPLICATION over ARBITRARY
+   group columns, including ones uncorrelated with the source's
+   partitioning. The preimage-extended change feed
+   (`manifest_row_changes(include_preimage=True)`) is algebraic for
+   additive aggregates (count/sum/avg): signing insert/update_postimage
+   +1 and delete/update_preimage −1 makes per-group maintenance one SUM
+   over the feed — an update that moves a row between groups debits the
+   old group and credits the new automatically. min/max/approx_distinct
+   ride along as MERGEABLE-only aggregates (least/greatest; HLL sketch
+   union) valid across insert-only windows — a window containing any
+   retraction refuses loudly (a deleted max cannot be un-maxed without
+   a rescan; that's `refresh_rollup`'s job). Work ∝ the change feed
+   (the changed source partitions), plus a merge into the rollup-sized
+   target.
 
 Exactly-once without coordination: each refresh stamps the source
 version it consumed into the target manifest's `app` metadata IN THE
@@ -43,9 +46,10 @@ FileNotFoundError (loud, never silently wrong); `refresh_rollup` only
 needs the two manifest JSONs, so it survives any retention that keeps
 the watermark's commit object.
 
-Numeric caveat: delta-mode sums/averages accumulate in double across
-refreshes, so float-typed measures can drift from a from-scratch
-recompute by FP summation order; integer-valued measures are exact.
+Numeric caveat: delta-mode sums over INTEGER measures accumulate in
+long — exact at any magnitude (overflow semantics = SQL SUM(long)).
+Float measures and averages accumulate in double across refreshes, so
+they can drift from a from-scratch recompute by FP summation order.
 Partition-aligned recompute recomputes true per-group sums, but double
 SUM is still ulp-sensitive to Spark's reduction order (measured ~1e-16
 relative vs a differently-planned full recompute — the same drift two
@@ -103,9 +107,22 @@ def _check_aggs(aggs: dict, allowed: set[str]) -> None:
             raise ValueError(f"aggregate {out!r}: '*' is only valid for count")
 
 
-def _source_watermark(target_path: str) -> int | None:
+def _mv_state(target_path: str, source_path: str) -> int | None:
+    """The target's consumed-source-version watermark; validates that the
+    target was maintained FROM THIS SOURCE — version numbers from a
+    different table would silently apply a foreign delta window."""
     m = read_manifest(target_path)
-    return None if m is None else m.get("app", {}).get(WATERMARK_KEY)
+    if m is None:
+        return None
+    app = m.get("app", {})
+    stored_src = app.get("mv_source")
+    if app.get(WATERMARK_KEY) is not None and stored_src != source_path:
+        raise ValueError(
+            f"target {target_path} is maintained from {stored_src!r}, "
+            f"not {source_path!r} — refusing to apply a foreign source's "
+            "change window"
+        )
+    return app.get(WATERMARK_KEY)
 
 
 def _latest_version(source_path: str) -> int:
@@ -174,7 +191,7 @@ def refresh_rollup(
             "use refresh_aggregate_deltas (additive aggs only)"
         )
     s_latest = _latest_version(source_path)
-    wm = _source_watermark(target_path)
+    wm = _mv_state(target_path, source_path)
     if wm == s_latest:
         return {
             "source_version": s_latest,
@@ -243,23 +260,40 @@ def refresh_rollup(
 # ---------------------------------------------------------------------------
 
 
-def _delta_plan(aggs: dict) -> list[tuple[str, str, str]]:
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint", "boolean"}
+
+
+def _delta_plan(
+    aggs: dict, dtypes: dict | None = None
+) -> list[tuple[str, str, str]]:
     """Delta-mode storage plan beyond group cols and `_n`:
-    [(storage column, kind, source column)] with kind ∈ add_long /
-    add_double (signed running totals), min / max (merge by
-    least/greatest), hll (merge by sketch union)."""
+    [(storage column, kind, source column)] with kind ∈ cnt (signed
+    non-null count), sum_long / sum_double (signed running totals —
+    integer measures accumulate in LONG so they stay exact past 2^53
+    and read back as SQL SUM(long) would, long), min / max (merge by
+    least/greatest), hll (merge by sketch union). `dtypes` (from
+    df.dtypes) picks sum_long vs sum_double; without it (name-only
+    callers) sums default to sum_double — the NAMES are identical
+    either way."""
+    dtypes = dtypes or {}
+
+    def _sum_kind(col: str) -> str:
+        return (
+            "sum_long" if dtypes.get(col) in _INTEGRAL_TYPES else "sum_double"
+        )
+
     cols: list[tuple[str, str, str]] = []
     for out, (op, col) in aggs.items():
         if op == "count" and col == "*":
             continue  # served by _n
         if op == "count":
-            cols.append((out, "add_long", col))
+            cols.append((out, "cnt", col))
         elif op == "sum":
-            cols.append((out, "add_double", col))
-            cols.append((f"_nn_{out}", "add_long", col))
+            cols.append((out, _sum_kind(col), col))
+            cols.append((f"_nn_{out}", "cnt", col))
         elif op == "avg":
-            cols.append((f"_sum_{out}", "add_double", col))
-            cols.append((f"_nn_{out}", "add_long", col))
+            cols.append((f"_sum_{out}", "sum_double", col))
+            cols.append((f"_nn_{out}", "cnt", col))
         elif op in ("min", "max"):
             cols.append((out, op, col))
         elif op == "approx_distinct":
@@ -308,15 +342,23 @@ def refresh_aggregate_deltas(
         raise ValueError(
             f"partition_col {pcol!r} must be one of group_cols {gcols}"
         )
-    plan = _delta_plan(aggs)
-    reserved = {"_n"} | {n for n, _, _ in plan}
-    clash = [c for c in gcols if c in reserved]
-    if clash:
-        raise ValueError(f"group_cols {clash} collide with storage columns")
     s_latest = _latest_version(source_path)
-    wm = _source_watermark(target_path)
+    wm = _mv_state(target_path, source_path)
     if wm == s_latest:
         return {"source_version": s_latest, "groups_touched": 0, "noop": True}
+    stamp = {WATERMARK_KEY: s_latest, "mv_source": source_path}
+
+    def _stamp_only() -> dict:
+        # the source moved without row changes (constraint DDL, retention
+        # churn, a compaction rewriting identical rows): advance the
+        # watermark alone, or every future refresh re-walks this window
+        # for nothing and a vacuum past the stale watermark bricks it
+        tm = read_manifest(target_path) or {
+            "version": 0, "partition_col": pcol, "partitions": {},
+        }
+        _commit_with_rebase(spark, target_path, tm, {}, app_metadata=stamp)
+        return {"source_version": s_latest, "groups_touched": 0, "noop": False}
+
     if wm is None:
         if read_manifest(target_path) is not None:
             raise ValueError(
@@ -329,24 +371,21 @@ def refresh_aggregate_deltas(
             spark, source_path, version=s_latest
         ).withColumn("_change", F.lit("insert"))
     else:
+        # metadata-only short-circuit: no changed partitions → empty feed
+        if not manifest_changed_partitions(source_path, wm, s_latest):
+            return _stamp_only()
         changes = manifest_row_changes(
             spark, source_path, list(source_keys), wm, s_latest,
             include_preimage=True,
         )
+    plan = _delta_plan(aggs, dict(changes.dtypes))
+    reserved = {"_n"} | {n for n, _, _ in plan}
+    clash = [c for c in gcols if c in reserved]
+    if clash:
+        raise ValueError(f"group_cols {clash} collide with storage columns")
     mergeable_only = [
         out for out, (op, _) in aggs.items() if op in _MERGEABLE_ONLY
     ]
-    if mergeable_only and wm is not None:
-        retract = (
-            changes.filter(F.col("_change") != "insert").limit(1).count()
-        )
-        if retract:
-            raise ValueError(
-                f"aggregates {mergeable_only} (min/max/approx_distinct) "
-                "merge across insert-only windows but cannot RETRACT, and "
-                "this refresh window contains deletes/updates — recompute "
-                "with refresh_rollup, or keep the source append-only"
-            )
     sign = (
         F.when(F.col("_change").isin("insert", "update_postimage"), F.lit(1))
         .when(F.col("_change").isin("delete", "update_preimage"), F.lit(-1))
@@ -354,11 +393,15 @@ def refresh_aggregate_deltas(
     )
     delta_exprs: list[Column] = [F.sum(sign).alias("_n")]
     for name, kind, col in plan:
-        if kind == "add_long":
+        if kind == "cnt":
             e = F.sum(
                 F.when(F.col(col).isNotNull(), sign).otherwise(F.lit(0))
             ).cast("long")
-        elif kind == "add_double":
+        elif kind == "sum_long":
+            e = F.sum(
+                sign * F.coalesce(F.col(col).cast("long"), F.lit(0))
+            ).cast("long")
+        elif kind == "sum_double":
             e = F.sum(
                 sign.cast("double")
                 * F.coalesce(F.col(col).cast("double"), F.lit(0.0))
@@ -370,66 +413,95 @@ def refresh_aggregate_deltas(
         else:  # hll
             e = F.hll_sketch_agg(col)
         delta_exprs.append(e.alias(name))
-    deltas = changes.groupBy(*gcols).agg(*delta_exprs)
+    # the retraction flag rides the SAME aggregation — the change feed
+    # (the expensive joins) is computed once, cached, and reused by the
+    # guard, the merge, and the count
+    delta_exprs.append(
+        F.max(
+            F.when(F.col("_change") == "insert", F.lit(0)).otherwise(F.lit(1))
+        ).alias("_retract")
+    )
+    cached = changes.groupBy(*gcols).agg(*delta_exprs).persist()
+    try:
+        cached.count()  # materialize once; later jobs read the cache
+        if mergeable_only and wm is not None:
+            if cached.filter(F.col("_retract") == 1).limit(1).count():
+                raise ValueError(
+                    f"aggregates {mergeable_only} (min/max/approx_distinct) "
+                    "merge across insert-only windows but cannot RETRACT, "
+                    "and this refresh window contains deletes/updates — "
+                    "recompute with refresh_rollup, or keep the source "
+                    "append-only"
+                )
+        deltas = cached.drop("_retract")
 
-    tm = read_manifest(target_path)
-    if tm is None:
-        # the deltas frame already has every storage column at its final
-        # type (signed totals, min/max at the source type, binary sketch)
-        current = spark.createDataFrame(
-            [],
-            T.StructType(
-                [deltas.schema[c] for c in gcols]
-                + [deltas.schema["_n"]]
-                + [deltas.schema[n] for n, _, _ in plan]
-            ),
+        tm = read_manifest(target_path)
+        if tm is None:
+            # the deltas frame already has every storage column at its
+            # final type (signed totals at long/double per the measure's
+            # type, min/max at the source type, binary sketch)
+            current = spark.createDataFrame(
+                [],
+                T.StructType(
+                    [deltas.schema[c] for c in gcols]
+                    + [deltas.schema["_n"]]
+                    + [deltas.schema[n] for n, _, _ in plan]
+                ),
+            )
+        else:
+            current = read_manifest_table(spark, target_path)
+        # null-safe group join: NULL group values are real groups
+        from functools import reduce
+
+        d, t = deltas.alias("d"), current.alias("t")
+        on = reduce(
+            lambda a, b: a & b,
+            [F.col(f"d.{c}").eqNullSafe(F.col(f"t.{c}")) for c in gcols],
         )
-    else:
-        current = read_manifest_table(spark, target_path)
-    # null-safe group join: NULL group values are real groups
-    from functools import reduce
 
-    d, t = deltas.alias("d"), current.alias("t")
-    on = reduce(
-        lambda a, b: a & b,
-        [F.col(f"d.{c}").eqNullSafe(F.col(f"t.{c}")) for c in gcols],
-    )
+        def _combine(name: str, kind: str) -> Column:
+            tc, dc = F.col(f"t.{name}"), F.col(f"d.{name}")
+            if kind in ("cnt", "sum_long", "sum_double"):
+                tp = "double" if kind == "sum_double" else "long"
+                return (
+                    F.coalesce(tc, F.lit(0).cast(tp))
+                    + F.coalesce(dc, F.lit(0).cast(tp))
+                ).cast(tp).alias(name)
+            if kind == "min":
+                return F.least(tc, dc).alias(name)  # least/greatest skip NULLs
+            if kind == "max":
+                return F.greatest(tc, dc).alias(name)
+            return (  # hll: union, either side absent → the other
+                F.when(tc.isNull(), dc)
+                .when(dc.isNull(), tc)
+                .otherwise(F.hll_union(tc, dc))
+                .alias(name)
+            )
 
-    def _combine(name: str, kind: str) -> Column:
-        tc, dc = F.col(f"t.{name}"), F.col(f"d.{name}")
-        if kind in ("add_long", "add_double"):
-            tp = "long" if kind == "add_long" else "double"
-            return (
-                F.coalesce(tc, F.lit(0).cast(tp))
-                + F.coalesce(dc, F.lit(0).cast(tp))
-            ).cast(tp).alias(name)
-        if kind == "min":
-            return F.least(tc, dc).alias(name)  # least/greatest skip NULLs
-        if kind == "max":
-            return F.greatest(tc, dc).alias(name)
-        return (  # hll: union, either side absent → the other
-            F.when(tc.isNull(), dc)
-            .when(dc.isNull(), tc)
-            .otherwise(F.hll_union(tc, dc))
-            .alias(name)
+        merged = d.join(t, on, "left").select(
+            *[F.col(f"d.{c}").alias(c) for c in gcols],
+            _combine("_n", "cnt"),
+            *[_combine(name, kind) for name, kind, _ in plan],
         )
-
-    merged = d.join(t, on, "left").select(
-        *[F.col(f"d.{c}").alias(c) for c in gcols],
-        _combine("_n", "add_long"),
-        *[_combine(name, kind) for name, kind, _ in plan],
-    )
-    n = merge_upsert_manifest(
-        spark,
-        merged,
-        target_path,
-        keys=gcols,
-        partition_col=pcol,
-        # keys contain the partition column, so a key spanning partitions
-        # is impossible by construction — skip the untouched-prefix scan
-        check_moved_keys=False,
-        app_metadata={WATERMARK_KEY: s_latest, "mv_source": source_path},
-    )
+        n = merge_upsert_manifest(
+            spark,
+            merged,
+            target_path,
+            keys=gcols,
+            partition_col=pcol,
+            # keys contain the partition column, so a key spanning
+            # partitions is impossible by construction — skip the
+            # untouched-prefix scan
+            check_moved_keys=False,
+            app_metadata=stamp,
+        )
+    finally:
+        cached.unpersist()
+    if n == 0:
+        # changed partitions carried no row-level diffs (e.g. a compaction
+        # rewrote identical rows): the merge had nothing to commit, so the
+        # watermark must advance on its own
+        return _stamp_only()
     return {"source_version": s_latest, "groups_touched": n, "noop": False}
 
 

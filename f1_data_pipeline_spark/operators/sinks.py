@@ -1819,47 +1819,9 @@ def merge_upsert_manifest(
             merged, manifest.get("constraints", {}), f"MERGE into {path}"
         )
         snap = uuid.uuid4().hex[:12]
-
-        def _write_partition(item) -> tuple[str, dict]:
-            enc, val = item
-            # final location, written once, never renamed — on an object
-            # store these PUTs are invisible until the manifest references
-            # the prefix
-            prefix = os.path.join(
-                "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
-            )
-            part_df = merged.filter(
-                F.col(partition_col).isNull()
-                if val is None
-                else F.col(partition_col) == F.lit(val)
-            )
-            part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
-            entry = {
-                "prefix": prefix,
-                "value": enc,
-                # footer stats for the files just written → data skipping
-                # at read time (cost ∝ this commit's files, driver-side
-                # metadata reads only)
-                "files": _collect_file_stats(os.path.join(path, prefix)),
-            }
-            if bloom_cols:
-                entry["blooms"] = _write_bloom_sidecars(
-                    part_df, path, prefix, bloom_cols,
-                    sum(f["rows"] for f in entry["files"]),
-                )
-            return enc, entry
-
-        # one write job per touched partition, submitted CONCURRENTLY
-        # (in-application job-level scheduling): a daily increment touching
-        # k partitions pays ~max(partition write) wall-clock, not the sum
-        # of k sequential job round-trips — the fixed per-job latency is
-        # what dominates small incremental batches
-        import concurrent.futures as _futures
-
-        with _futures.ThreadPoolExecutor(
-            max_workers=min(8, len(touched))
-        ) as pool:
-            new_entries = dict(pool.map(_write_partition, touched.items()))
+        new_entries = _write_partition_prefixes(
+            merged, path, partition_col, touched, snap, bloom_cols=bloom_cols
+        )
         # ← the commit (atomic create-if-absent of the next version), with
         #   automatic rebase over disjoint-partition racers; the stored
         #   schema is authoritative — prefixes written before a column
@@ -1891,6 +1853,58 @@ def manifest_app_metadata(path: str, version: int | str | None = None) -> dict:
     return dict(m.get("app", {}))
 
 
+def _write_partition_prefixes(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    touched: dict,
+    snap: str,
+    bloom_cols: Sequence[str] | None = None,
+) -> dict[str, dict]:
+    """THE per-partition object-store write fan-out shared by the MERGE
+    and replace-partitions verbs: for each touched {encoded: raw value}
+    partition, write `df`'s rows for it to a fresh immutable
+    `data/<enc>/snap-<snap>` prefix (invisible until a manifest
+    references it), collect footer stats (+ optional bloom sidecars),
+    and return the manifest entries. One write job per partition,
+    submitted concurrently — an incremental batch touching k partitions
+    pays ~max(partition write) wall-clock, not k sequential round-trips.
+    `df` must be persisted and materialized by the caller so the
+    concurrent jobs read cached rows."""
+
+    def _write_partition(item) -> tuple[str, dict]:
+        enc, val = item
+        prefix = os.path.join(
+            "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
+        )
+        part_df = df.filter(
+            F.col(partition_col).isNull()
+            if val is None
+            else F.col(partition_col) == F.lit(val)
+        )
+        part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
+        entry = {
+            "prefix": prefix,
+            "value": enc,
+            "files": _collect_file_stats(os.path.join(path, prefix)),
+        }
+        if bloom_cols:
+            entry["blooms"] = _write_bloom_sidecars(
+                part_df, path, prefix, bloom_cols,
+                sum(f["rows"] for f in entry["files"]),
+            )
+        return enc, entry
+
+    if not touched:
+        return {}
+    import concurrent.futures as _futures
+
+    with _futures.ThreadPoolExecutor(
+        max_workers=min(8, len(touched))
+    ) as pool:
+        return dict(pool.map(_write_partition, touched.items()))
+
+
 def manifest_constraints(path: str, version: int | str | None = None) -> dict:
     """{constraint name: SQL CHECK expression} in force on the table."""
     m = read_manifest(path, version)
@@ -1906,16 +1920,39 @@ def _enforce_constraints(
 
     SQL three-valued semantics: a row violates only when the expression
     is FALSE — NULL/UNKNOWN passes (`CHECK (v > 0)` admits NULL v; say
-    `v IS NOT NULL AND v > 0` to also reject NULLs). One filter + limit
-    job over the rows being written, short-circuiting at the first bad
-    row."""
-    for name, expr in constraints.items():
-        bad = df.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1).collect()
-        if bad:
-            raise ConstraintViolationError(
-                f"{context}: constraint {name!r} (CHECK {expr}) is violated "
-                f"by row {bad[0].asDict()} — nothing was committed"
+    `v IS NOT NULL AND v > 0` to also reject NULLs). ONE filter + limit
+    job regardless of how many constraints the table carries (all
+    expressions evaluate in a single projection, OR-ed), short-
+    circuiting at the first bad row."""
+    if not constraints:
+        return
+    import functools
+    import operator
+
+    items = list(constraints.items())
+    flags = [
+        F.expr(expr).eqNullSafe(F.lit(False)).alias(f"__viol_{i}")
+        for i, (_, expr) in enumerate(items)
+    ]
+    bad = (
+        df.select(*df.columns, *flags)
+        .filter(
+            functools.reduce(
+                operator.or_, [F.col(f"__viol_{i}") for i in range(len(items))]
             )
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        row = bad[0].asDict()
+        i = next(i for i in range(len(items)) if row[f"__viol_{i}"])
+        name, expr = items[i]
+        values = {k: v for k, v in row.items() if not k.startswith("__viol_")}
+        raise ConstraintViolationError(
+            f"{context}: constraint {name!r} (CHECK {expr}) is violated "
+            f"by row {values} — nothing was committed"
+        )
 
 
 def manifest_add_constraint(
@@ -2006,6 +2043,12 @@ def replace_manifest_partitions(
     crash before the flip leaves both data and watermark at the previous
     state, so the rerun repeats the same deterministic slice recompute.
 
+    Schema: the batch must carry every stored column (replace cannot
+    backfill a column it doesn't have — a narrower schema would drop the
+    column from EVERY partition, untouched ones included); new columns
+    and reader-safe type widenings need `schema_evolution=True`, same as
+    the MERGE.
+
     Returns {"partitions_replaced", "partitions_dropped", "rows"}."""
     manifest = read_manifest(path) or {
         "version": 0,
@@ -2018,10 +2061,26 @@ def replace_manifest_partitions(
             f"{manifest['partition_col']!r}, not {partition_col!r}"
         )
     if manifest.get("schema") is not None:
-        _check_type_evolution(
-            T.StructType.fromJson(manifest["schema"]), df.schema,
-            schema_evolution,
-        )
+        stored_schema = T.StructType.fromJson(manifest["schema"])
+        # the committed schema is authoritative for EVERY prefix, so a
+        # batch missing a stored column would silently drop that column
+        # table-wide (untouched partitions included) — replace writes
+        # partitions wholesale and cannot backfill, so it must refuse
+        missing = [c for c in stored_schema.names if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"replace batch is missing table columns {missing} — "
+                "committing its schema would drop them from every "
+                "partition; provide the columns (NULL-filled if needed)"
+            )
+        added = [c for c in df.columns if c not in stored_schema.names]
+        if added and not schema_evolution:
+            raise ValueError(
+                f"replace batch adds new columns {added} — pass "
+                "schema_evolution=True to widen the table (old prefixes "
+                "read them as NULL)"
+            )
+        _check_type_evolution(stored_schema, df.schema, schema_evolution)
     df = df.persist()
     try:
         parts = [r[0] for r in df.select(partition_col).distinct().collect()]
@@ -2044,32 +2103,9 @@ def replace_manifest_partitions(
             f"replace partitions of {path}",
         )
         snap = uuid.uuid4().hex[:12]
-
-        def _write_partition(item) -> tuple[str, dict]:
-            enc, val = item
-            prefix = os.path.join(
-                "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
-            )
-            part_df = df.filter(
-                F.col(partition_col).isNull()
-                if val is None
-                else F.col(partition_col) == F.lit(val)
-            )
-            part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
-            return enc, {
-                "prefix": prefix,
-                "value": enc,
-                "files": _collect_file_stats(os.path.join(path, prefix)),
-            }
-
-        import concurrent.futures as _futures
-
-        new_entries: dict[str, dict] = {}
-        if touched:
-            with _futures.ThreadPoolExecutor(
-                max_workers=min(8, len(touched))
-            ) as pool:
-                new_entries = dict(pool.map(_write_partition, touched.items()))
+        new_entries = _write_partition_prefixes(
+            df, path, partition_col, touched, snap
+        )
         _commit_with_rebase(
             spark,
             path,

@@ -443,3 +443,100 @@ def test_matview_over_streaming_manifest_sink(spark, tmp_path):
     for k in ("d1", "d2"):
         assert after["partitions"][k]["prefix"] == before["partitions"][k]["prefix"]
     assert _rows(sinks.read_manifest_table(spark, tgt)) == _rows(ref())
+
+
+def test_deltas_integer_sums_exact_and_long_typed(spark, tmp_path):
+    """Integer measures accumulate in LONG: exact past 2^53 (doubles
+    would round), and read back with SQL SUM(long)'s type."""
+    src = str(tmp_path / "isrc")
+    tgt = str(tmp_path / "itgt")
+    big = 2 ** 53
+    df = spark.createDataFrame(
+        [(1, "a", "x", big + 1), (2, "a", "x", big + 3), (3, "b", "y", 5)],
+        "id long, day string, cat string, v long",
+    )
+    sinks.merge_upsert_manifest(spark, df, src, ["id"], partition_col="day")
+    aggs = {"n": ("count", "*"), "sum_v": ("sum", "v")}
+    MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], aggs)
+    view = MV.read_aggregate(spark, tgt, aggs)
+    assert dict(view.dtypes)["sum_v"] == "bigint"
+    got = {r["cat"]: r["sum_v"] for r in view.collect()}
+    assert got == {"x": 2 * big + 4, "y": 5}  # 2^53+1 + 2^53+3, bit-exact
+    # a delete retracts exactly
+    sinks.delete_manifest_rows(spark, src, [("id", "=", 1)])
+    MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], aggs)
+    got = {r["cat"]: r["sum_v"] for r in MV.read_aggregate(spark, tgt, aggs).collect()}
+    assert got == {"x": big + 3, "y": 5}
+
+
+def test_deltas_watermark_advances_on_empty_windows(spark, tmp_path):
+    """Source versions that carry no row changes (constraint DDL;
+    compaction rewriting identical rows) still advance the watermark —
+    otherwise every refresh re-walks the stale window and a vacuum past
+    it bricks the view."""
+    src = str(tmp_path / "esrc")
+    tgt = str(tmp_path / "etgt")
+    _mk_source(spark, src)
+    MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], AGGS_DELTA)
+
+    # metadata-only source commit: no partitions changed
+    sinks.manifest_add_constraint(spark, src, "id_ok", "id >= 0")
+    out = MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], AGGS_DELTA)
+    assert out["noop"] is False and out["groups_touched"] == 0
+    assert sinks.manifest_app_metadata(tgt)[MV.WATERMARK_KEY] == out["source_version"]
+    assert MV.refresh_aggregate_deltas(
+        spark, src, ["id"], tgt, ["cat"], AGGS_DELTA
+    )["noop"] is True
+
+    # compaction: partitions rewritten, zero row-level diffs
+    sinks.compact_manifest(spark, src)
+    out2 = MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], AGGS_DELTA)
+    assert out2["noop"] is False and out2["groups_touched"] == 0
+    assert sinks.manifest_app_metadata(tgt)[MV.WATERMARK_KEY] == out2["source_version"]
+    # and through it all the view stays correct
+    assert _rows(MV.read_aggregate(spark, tgt, AGGS_DELTA)) == _rows(
+        _full_delta_ref(sinks.read_manifest_table(spark, src))
+    )
+
+
+def test_refresh_rejects_foreign_source(spark, tmp_path):
+    """A target maintained from source A refuses a refresh pointed at
+    source B — version numbers are meaningless across tables."""
+    src_a = str(tmp_path / "srcA")
+    src_b = str(tmp_path / "srcB")
+    tgt = str(tmp_path / "ftgt")
+    _mk_source(spark, src_a)
+    _mk_source(spark, src_b)
+    MV.refresh_aggregate_deltas(spark, src_a, ["id"], tgt, ["cat"], AGGS_DELTA)
+    with pytest.raises(ValueError, match="foreign"):
+        MV.refresh_aggregate_deltas(spark, src_b, ["id"], tgt, ["cat"], AGGS_DELTA)
+    rtgt = str(tmp_path / "rtgt")
+    MV.refresh_rollup(spark, src_a, rtgt, ["day", "cat"], AGGS_FULL)
+    with pytest.raises(ValueError, match="foreign"):
+        MV.refresh_rollup(spark, src_b, rtgt, ["day", "cat"], AGGS_FULL)
+
+
+def test_replace_partitions_schema_guards(spark, tmp_path):
+    """A replace batch missing a stored column is refused (its schema
+    would drop the column from every partition); new columns need
+    schema_evolution=True."""
+    path = str(tmp_path / "repl_schema")
+    _mk_source(spark, path)
+    narrower = spark.createDataFrame(
+        [(1000, "d1", "red")], "id long, day string, cat string"
+    )
+    with pytest.raises(ValueError, match="missing table columns"):
+        sinks.replace_manifest_partitions(spark, narrower, path, "day")
+    wider = spark.createDataFrame(
+        [(1000, "d1", "red", 1.0, "extra")],
+        "id long, day string, cat string, v double, note string",
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        sinks.replace_manifest_partitions(spark, wider, path, "day")
+    sinks.replace_manifest_partitions(
+        spark, wider, path, "day", schema_evolution=True
+    )
+    rows = sinks.read_manifest_table(spark, path)
+    # old partitions read the new column as NULL; d1 carries it
+    assert rows.filter("day = 'd1'").collect()[0]["note"] == "extra"
+    assert rows.filter("day = 'd0'").collect()[0]["note"] is None
