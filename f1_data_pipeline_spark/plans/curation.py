@@ -2,7 +2,10 @@
 operators exist for, composed as one plan.
 
     raw documents
-      → quality filter       (repetition caps + length band, corpus.quality_signals)
+      → quality filter       (repetition caps + length band, corpus.quality_signals;
+                              + deflate compression band, corpus.compression_signals —
+                              catches long-range boilerplate and base64/binary junk
+                              the token statistics miss)
       → exact dedup          (md5 content hash, dedup.exact_dedup)
       → near dedup           (minhash LSH pairs → connected components →
                               one representative per cluster, dedup.*)
@@ -43,14 +46,27 @@ def curate(
     train_buckets: int = 230,
     max_tokens: int = 2048,
     n_shards: int = 8,
+    compression_band: bool = True,
 ) -> dict[str, int]:
     """Run the full curation flow over `{sf_dir}/documents.parquet`; write
     the curated corpus and pack manifest under `out_dir`; return stage
-    counts (monotonicity of which is pinned by tests/test_curation.py)."""
+    counts (monotonicity of which is pinned by tests/test_curation.py).
+
+    `compression_band=False` disables the deflate-ratio gate — relevant
+    for corpora of very short documents, whose per-document zlib header
+    overhead pushes ratios above the band's natural-prose ceiling."""
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
 
     keep_ids = C.quality_signals(docs, "doc_id", "text").filter("keep").select("doc_id")
+    if compression_band:
+        # intersect the two independent keep screens (both projections of
+        # docs — no new shuffle shapes beyond a broadcast-able semi-join)
+        keep_ids = keep_ids.join(
+            C.compression_signals(docs).filter("keep_compression").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     # persist the intermediate stages: the stats block counts them, and an
     # unpersisted `quality` would re-run the quality aggregation (explode +
     # two shuffles) once per downstream count — 3× on a large corpus
