@@ -309,6 +309,7 @@ def refresh_aggregate_deltas(
     group_cols: Sequence[str],
     aggs: dict,
     partition_col: str | None = None,
+    n_buckets: int = 64,
 ) -> dict:
     """Maintain `SELECT group_cols, aggs FROM source GROUP BY group_cols`
     by APPLYING the preimage-extended change feed — no source rescan, for
@@ -330,18 +331,28 @@ def refresh_aggregate_deltas(
     `read_aggregate`, which also hides groups whose rows have all been
     deleted (`_n` = 0; the rows stay until a
     `delete_manifest_rows(target, [('_n','=',0)])` sweep so each refresh
-    stays a single atomic commit). `partition_col` chooses the target's
-    partition column (default: the first group column; must be a group
-    column).
+    stays a single atomic commit).
+
+    Target layout: by default groups are spread across `n_buckets` hash
+    partitions of the group key (`_gbucket`) — partitioning by a group
+    column directly would mint ONE manifest partition per value, a
+    metadata blow-up for high-cardinality groups (domains, repos); a
+    bounded bucket count keeps the manifest small while a refresh still
+    touches only the buckets its changed groups hash into. Pass
+    `partition_col=<a group column>` instead when the leading group
+    column is low-cardinality and you want partition pruning on it.
 
     Returns {"source_version", "groups_touched", "noop"}."""
     _check_aggs(aggs, _DELTA_OPS)
     gcols = list(group_cols)
-    pcol = partition_col or gcols[0]
-    if pcol not in gcols:
-        raise ValueError(
-            f"partition_col {pcol!r} must be one of group_cols {gcols}"
-        )
+    if partition_col is None:
+        pcol = "_gbucket"  # hash(group key) % n_buckets, computed below
+    else:
+        pcol = partition_col
+        if pcol not in gcols:
+            raise ValueError(
+                f"partition_col {pcol!r} must be one of group_cols {gcols}"
+            )
     s_latest = _latest_version(source_path)
     wm = _mv_state(target_path, source_path)
     if wm == s_latest:
@@ -379,7 +390,7 @@ def refresh_aggregate_deltas(
             include_preimage=True,
         )
     plan = _delta_plan(aggs, dict(changes.dtypes))
-    reserved = {"_n"} | {n for n, _, _ in plan}
+    reserved = {"_n", "_gbucket"} | {n for n, _, _ in plan}
     clash = [c for c in gcols if c in reserved]
     if clash:
         raise ValueError(f"group_cols {clash} collide with storage columns")
@@ -483,15 +494,24 @@ def refresh_aggregate_deltas(
             _combine("_n", "cnt"),
             *[_combine(name, kind) for name, kind, _ in plan],
         )
+        if pcol == "_gbucket":
+            # deterministic function of the FULL group key (NULL-safe:
+            # F.hash hashes NULL to a fixed value), so keys trivially
+            # determine the partition and a refresh touches only the
+            # buckets its changed groups hash into
+            merged = merged.withColumn(
+                "_gbucket",
+                F.pmod(F.hash(*gcols), F.lit(n_buckets)).cast("int"),
+            )
         n = merge_upsert_manifest(
             spark,
             merged,
             target_path,
             keys=gcols,
             partition_col=pcol,
-            # keys contain the partition column, so a key spanning
-            # partitions is impossible by construction — skip the
-            # untouched-prefix scan
+            # the partition column is a (deterministic function of the)
+            # key, so a key spanning partitions is impossible by
+            # construction — skip the untouched-prefix scan
             check_moved_keys=False,
             app_metadata=stamp,
         )
@@ -513,7 +533,7 @@ def read_aggregate(
     running columns (SUM/AVG over zero non-NULL values read NULL; AVG =
     sum/count of non-NULLs), groups with no live rows (`_n` = 0) hidden."""
     df = read_manifest_table(spark, target_path)
-    internal = {"_n"} | {n for n, _, _ in _delta_plan(aggs)}
+    internal = {"_n", "_gbucket"} | {n for n, _, _ in _delta_plan(aggs)}
     gcols = [c for c in df.columns if c not in internal]
     outs: list[Column] = []
     for out, (op, col) in aggs.items():

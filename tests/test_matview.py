@@ -540,3 +540,56 @@ def test_replace_partitions_schema_guards(spark, tmp_path):
     # old partitions read the new column as NULL; d1 carries it
     assert rows.filter("day = 'd1'").collect()[0]["note"] == "extra"
     assert rows.filter("day = 'd0'").collect()[0]["note"] is None
+
+
+def test_deltas_bucketed_target_bounds_manifest(spark, tmp_path):
+    """Default delta layout hash-buckets groups: a high-cardinality group
+    column yields at most n_buckets manifest partitions (not one per
+    value), an incremental refresh touches only the buckets its changed
+    groups hash into, and parity holds. Explicit partition_col keeps the
+    one-partition-per-value layout."""
+    src = str(tmp_path / "bsrc")
+    tgt = str(tmp_path / "btgt")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", f"dom{i}.example", float(i)) for i in range(400)],
+        "id long, day string, cat string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, src, ["id"], partition_col="day")
+    aggs = {"n": ("count", "*"), "sum_v": ("sum", "v")}
+    MV.refresh_aggregate_deltas(
+        spark, src, ["id"], tgt, ["cat"], aggs, n_buckets=16
+    )
+    m = sinks.read_manifest(tgt)
+    assert m["partition_col"] == "_gbucket"
+    assert len(m["partitions"]) <= 16  # 400 groups, bounded manifest
+    assert MV.read_aggregate(spark, tgt, aggs).count() == 400
+
+    # touch ONE group → only its bucket's partition moves
+    v1 = m["version"]
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(9000, "d0", "dom7.example", 1.5)],
+            "id long, day string, cat string, v double",
+        ),
+        src, ["id"], partition_col="day",
+    )
+    MV.refresh_aggregate_deltas(
+        spark, src, ["id"], tgt, ["cat"], aggs, n_buckets=16
+    )
+    changed = sinks.manifest_changed_partitions(
+        tgt, v1, sinks.read_manifest(tgt)["version"]
+    )
+    assert len(changed) == 1
+    [r] = MV.read_aggregate(spark, tgt, aggs).filter(
+        "cat = 'dom7.example'"
+    ).collect()
+    assert (r["n"], r["sum_v"]) == (2, 8.5)
+
+    # explicit partition_col: one partition per leading group value
+    tgt2 = str(tmp_path / "btgt2")
+    MV.refresh_aggregate_deltas(
+        spark, src, ["id"], tgt2, ["day", "cat"], aggs, partition_col="day"
+    )
+    m2 = sinks.read_manifest(tgt2)
+    assert m2["partition_col"] == "day" and len(m2["partitions"]) == 3
