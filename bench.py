@@ -380,6 +380,88 @@ def bench_metadata(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_matview(spark, sf_dir: str) -> dict:
+    """Materialized-view block (not part of the headline total): build a
+    year-partitioned rollup of `orders` (count/sum/exact-distinct per
+    (year, priority)), merge a one-partition increment into the source,
+    and measure the incremental refresh against the full re-aggregation
+    it replaces. Parity is asserted on counts (double sums carry ~1e-16
+    plan-order ulp drift, so revenue is compared rounded). The
+    extrapolating number is partitions refreshed (constant in table
+    size) vs the recompute's full scan."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.operators import matview as MV
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.sources import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_mv_")
+    try:
+        src = os.path.join(work, "orders")
+        tgt = os.path.join(work, "rollup")
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "oyear", F.year("o_orderdate").cast("string")
+        )
+        sinks.merge_upsert_manifest(
+            spark, orders, src, ["o_orderkey"], partition_col="oyear"
+        )
+        aggs = {
+            "n": ("count", "*"),
+            "rev": ("sum", "o_totalprice"),
+            "custs": ("count_distinct", "o_custkey"),
+        }
+        t0 = time.time()
+        MV.refresh_rollup(spark, src, tgt, ["oyear", "o_orderpriority"], aggs)
+        t_build = time.time() - t0
+        # the daily increment: new keys landing in ONE source partition
+        inc = (
+            orders.filter(F.col("oyear") == "1995")
+            .limit(2000)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 900_000_000)
+        )
+        sinks.merge_upsert_manifest(
+            spark, inc, src, ["o_orderkey"], partition_col="oyear"
+        )
+        t0 = time.time()
+        out = MV.refresh_rollup(
+            spark, src, tgt, ["oyear", "o_orderpriority"], aggs
+        )
+        t_refresh = time.time() - t0
+        t0 = time.time()
+        full = (
+            sinks.read_manifest_table(spark, src)
+            .groupBy("oyear", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("o_totalprice").alias("rev"),
+                F.count_distinct("o_custkey").cast("long").alias("custs"),
+            )
+        )
+        full_rows = {
+            (r["oyear"], r["o_orderpriority"]): r for r in full.collect()
+        }
+        t_recompute = time.time() - t0
+        got = sinks.read_manifest_table(spark, tgt).collect()
+        assert len(got) == len(full_rows)
+        for r in got:
+            f = full_rows[(r["oyear"], r["o_orderpriority"])]
+            assert (r["n"], r["custs"]) == (f["n"], f["custs"])
+            assert round(r["rev"], 2) == round(f["rev"], 2)
+        return {
+            "initial_build_sec": round(t_build, 3),
+            "incremental_refresh_sec": round(t_refresh, 3),
+            "partitions_refreshed": out["partitions_refreshed"],
+            "full_recompute_sec": round(t_recompute, 3),
+            "groups": len(full_rows),
+            "parity": True,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -450,6 +532,7 @@ def main() -> None:
 
     streaming = bench_streaming(spark, sf_dir)
     metadata = bench_metadata(spark, sf_dir)
+    matview = bench_matview(spark, sf_dir)
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     print(
@@ -466,6 +549,7 @@ def main() -> None:
                 "host": host,
                 "streaming": streaming,
                 "metadata": metadata,
+                "matview": matview,
             }
         )
     )
