@@ -188,7 +188,8 @@ def refresh_rollup(
         raise ValueError(
             f"refresh_rollup needs the source partition column ({pcol!r}) "
             f"among group_cols {list(group_cols)} — for arbitrary groups "
-            "use refresh_aggregate_deltas (additive aggs only)"
+            "use refresh_aggregate_deltas (additive aggs; min/max/"
+            "approx_distinct on insert-only windows)"
         )
     s_latest = _latest_version(source_path)
     wm = _mv_state(target_path, source_path)

@@ -2648,6 +2648,58 @@ def resolve_manifest_ref(path: str, ref: int | str | None) -> int | None:
     return tags[ref]
 
 
+def restore_manifest(
+    spark: SparkSession, path: str, version: int | str
+) -> dict:
+    """RESTORE TABLE TO VERSION (or tag) — the write half of time travel:
+    commit a NEW version whose partition pointers are copies of the
+    restored snapshot's. Metadata-only (zero data rewritten — the
+    restored prefixes still exist on disk precisely because the snapshot
+    is retained; a vacuumed version raises FileNotFoundError before
+    anything commits). History is preserved: the bad versions stay
+    readable for forensics until vacuum, the restore is itself a commit
+    (undoable by another restore), the change feed reports the
+    restoration as ordinary row changes (so downstream matviews converge
+    on their next refresh), and concurrent writers race it through the
+    normal rebase — a competitor touching partitions the restore also
+    rewinds gets ConcurrentWriteError, not silent resurrection. The
+    CURRENT constraint set and app metadata carry forward (restore
+    rewinds DATA, not table policy); note the restored rows are NOT
+    re-validated against constraints added after the snapshot.
+
+    Returns {"restored_to", "new_version", "partitions_changed"}."""
+    target = read_manifest(path, version)
+    if target is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    latest = read_manifest(path)
+    if latest["version"] == target["version"]:
+        return {
+            "restored_to": target["version"],
+            "new_version": latest["version"],
+            "partitions_changed": 0,
+        }
+    drop = [k for k in latest["partitions"] if k not in target["partitions"]]
+    changed = [
+        k
+        for k, e in target["partitions"].items()
+        if k not in latest["partitions"]
+        or latest["partitions"][k]["prefix"] != e["prefix"]
+    ]
+    committed = _commit_with_rebase(
+        spark,
+        path,
+        latest,
+        dict(target["partitions"]),
+        schema_json=target.get("schema"),
+        drop_keys=drop,
+    )
+    return {
+        "restored_to": target["version"],
+        "new_version": committed["version"],
+        "partitions_changed": len(changed) + len(drop),
+    }
+
+
 def read_manifest_increment(
     spark: SparkSession,
     path: str,

@@ -150,6 +150,59 @@ def start_merge_sink(
     )
 
 
+def start_matview_sink(
+    stream_df: DataFrame,
+    source_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    partition_col: str,
+    rollup_target: str,
+    group_cols: list[str],
+    aggs: dict,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    check_moved_keys: bool = False,
+) -> StreamingQuery:
+    """Continuous aggregate: per micro-batch, MERGE the batch into the
+    manifest-committed source table, then incrementally refresh the
+    partition-aligned rollup (operators/matview.refresh_rollup) — the
+    streaming composition of the manifest sink and the CDC-driven
+    materialized view, as one sink.
+
+    Exactly-once end to end without coordination between the two steps:
+    the MERGE is idempotent under micro-batch replay, and the refresh is
+    watermark-driven (the consumed source version commits atomically
+    with the rollup data), so any crash/replay interleaving converges —
+    a replayed batch re-merges to the same table state and the refresh
+    either no-ops (already consumed) or recomputes exactly the touched
+    partitions. Per-batch cost ∝ the batch's partitions for the merge
+    plus the changed partitions for the refresh; neither grows with
+    table size (the bounded shape SCALE_NOTES measures).
+
+    `check_moved_keys=False` is the default here for the same reason as
+    `start_merge_sink`'s flag: event streams derive the partition from
+    the keyed row, so keys can't change partitions."""
+
+    from f1_data_pipeline_spark.operators import matview
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        sinks.merge_upsert_manifest(
+            out.sparkSession, out, source_path, list(keys), partition_col,
+            check_moved_keys=check_moved_keys, count_rows=False,
+        )
+        matview.refresh_rollup(
+            out.sparkSession, source_path, rollup_target,
+            list(group_cols), aggs,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_snapshot(
     spark: SparkSession,
     events_dir: str,

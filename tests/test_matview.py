@@ -593,3 +593,38 @@ def test_deltas_bucketed_target_bounds_manifest(spark, tmp_path):
     )
     m2 = sinks.read_manifest(tgt2)
     assert m2["partition_col"] == "day" and len(m2["partitions"]) == 3
+
+
+def test_start_matview_sink_continuous_aggregate(spark, tmp_path):
+    """The one-call streaming composition: micro-batches → manifest MERGE
+    → watermark-driven rollup refresh, converging to batch parity across
+    multiple drains."""
+    from f1_data_pipeline_spark.streaming.structured import start_matview_sink
+
+    src_files = str(tmp_path / "in")
+    table = str(tmp_path / "tbl")
+    tgt = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ck")
+    schema = "id long, day string, cat string, v double"
+    aggs = {"n": ("count", "*"), "sum_v": ("sum", "v")}
+
+    def feed_and_drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_files)
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(src_files)
+        )
+        q = start_matview_sink(
+            stream, table, ["id"], ckpt, "day", tgt, ["day", "cat"], aggs
+        )
+        assert q.awaitTermination(120)
+
+    feed_and_drain([(i, f"d{i % 3}", "a", float(i)) for i in range(20)])
+    feed_and_drain([(100 + i, "d0", "b", 1.0) for i in range(5)])
+
+    ref = sinks.read_manifest_table(spark, table).groupBy("day", "cat").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
+    )
+    assert _rows(sinks.read_manifest_table(spark, tgt)) == _rows(ref)
+    assert sinks.read_manifest_table(spark, table).count() == 25

@@ -2219,3 +2219,51 @@ def test_constraint_change_conflicts_with_inflight_write(
     # the constraint won; the violating batch never landed
     assert sinks.manifest_constraints(path) == {"v_cap": "v < 1000"}
     assert sinks.read_manifest_table(spark, path).filter("id = 500").count() == 0
+
+
+def test_restore_manifest_metadata_only_rollback(spark, tmp_path):
+    """RESTORE TO VERSION: pointer-copy commit, zero data rewritten, bad
+    versions stay readable, CDC reports the rewind as row changes, and a
+    second restore undoes the first. Vacuumed snapshots refuse."""
+    path = str(tmp_path / "restore")
+    _delete_table(spark, path)  # v1: ids 0..29
+    v1_rows = _read_manifest_rows(spark, path)
+    sinks.delete_manifest_rows(spark, path, [("id", "<", 10)])  # v2
+    sinks.merge_upsert_manifest(  # v3: bad batch to roll back
+        spark,
+        spark.createDataFrame([(99, "zz", -1.0)], "id long, day string, v double"),
+        path, ["id"], partition_col="day",
+    )
+    files_before = {
+        e["prefix"] for e in sinks.read_manifest(path, 1)["partitions"].values()
+    }
+    out = sinks.restore_manifest(spark, path, 1)
+    assert out["restored_to"] == 1 and out["new_version"] == 4
+    assert _read_manifest_rows(spark, path) == v1_rows
+    # metadata-only: v4 references v1's prefixes verbatim
+    files_after = {
+        e["prefix"] for e in sinks.read_manifest(path)["partitions"].values()
+    }
+    assert files_after == files_before
+    # forensics: the bad version is still readable until vacuum
+    assert sinks.read_manifest_table(spark, path, version=3).filter(
+        "id = 99"
+    ).count() == 1
+    # CDC across the restore: deleted rows come back as inserts, the bad
+    # row as a delete
+    feed = sinks.manifest_row_changes(spark, path, ["id"], 3, 4)
+    by_change = {}
+    for r in feed.collect():
+        by_change.setdefault(r["_change"], set()).add(r["id"])
+    assert {i for i in range(10)} <= by_change["insert"]
+    assert 99 in by_change["delete"]
+    # restore-of-restore returns to v3's state
+    sinks.restore_manifest(spark, path, 3)
+    assert sinks.read_manifest_table(spark, path).filter("id = 99").count() == 1
+    # a restore target that vacuum reclaimed refuses loudly
+    sinks.vacuum_manifest(path, keep_last=1, min_age_sec=0)
+    with pytest.raises(FileNotFoundError):
+        sinks.restore_manifest(spark, path, 1)
+    # vacuum after restore kept every prefix the live version references
+    # (v3's state: 30 − 10 deleted + the id=99 row)
+    assert sinks.read_manifest_table(spark, path).count() == 21
