@@ -222,7 +222,10 @@ def refresh_rollup(
         tm = read_manifest(target_path) or {
             "version": 0, "partition_col": pcol, "partitions": {},
         }
-        _commit_with_rebase(spark, target_path, tm, {}, app_metadata=stamp)
+        _commit_with_rebase(
+            spark, target_path, tm, {}, app_metadata=stamp,
+            op="matview_stamp",
+        )
         return {
             "source_version": s_latest,
             "partitions_refreshed": 0,
@@ -368,7 +371,10 @@ def refresh_aggregate_deltas(
         tm = read_manifest(target_path) or {
             "version": 0, "partition_col": pcol, "partitions": {},
         }
-        _commit_with_rebase(spark, target_path, tm, {}, app_metadata=stamp)
+        _commit_with_rebase(
+            spark, target_path, tm, {}, app_metadata=stamp,
+            op="matview_stamp",
+        )
         return {"source_version": s_latest, "groups_touched": 0, "noop": False}
 
     if wm is None:

@@ -801,6 +801,10 @@ def manifest_history(path: str) -> list[dict]:
             {
                 "version": v,
                 "committed_at": os.path.getmtime(_commit_path(path, v)),
+                # which verb wrote this version ("merge", "delete",
+                # "update", "replace", "compact", "restore:vN",
+                # "add_constraint", ... — None for pre-op-tag commits)
+                "op": m.get("op"),
                 "partitions": len(entries),
                 "files": n_files,
                 "rows": rows if rows_known else None,
@@ -1529,6 +1533,7 @@ def _commit_with_rebase(
     check_predicates: Sequence[tuple] | None = None,
     app_metadata: dict | None = None,
     constraints_json: dict | None = None,
+    op: str | None = None,
 ) -> dict:
     """Optimistic-concurrency commit with Iceberg-style rebase-and-retry.
 
@@ -1587,6 +1592,9 @@ def _commit_with_rebase(
             cand["app"] = {**on.get("app", {}), **app_metadata}
         if constraints_json is not None:
             cand["constraints"] = constraints_json
+        # per-commit operation tag (DESCRIBE HISTORY forensics) — set
+        # fresh each commit, deliberately NOT carried forward like `app`
+        cand["op"] = op
         return cand
 
     candidate = _candidate(base)
@@ -1837,6 +1845,7 @@ def merge_upsert_manifest(
             check_moved_keys=check_moved_keys,
             max_commit_retries=max_commit_retries,
             app_metadata=app_metadata,
+            op="merge",
         )
     finally:
         merged.unpersist()
@@ -1997,6 +2006,7 @@ def manifest_add_constraint(
                 spark, path, m, {},
                 constraints_json={**existing, name: expr},
                 max_commit_retries=0,
+                op="add_constraint",
             )
             return
         except ConcurrentWriteError:
@@ -2012,7 +2022,9 @@ def manifest_drop_constraint(spark: SparkSession, path: str, name: str) -> None:
     if name not in existing:
         raise FileNotFoundError(f"no constraint {name!r} at {path}")
     remaining = {k: v for k, v in existing.items() if k != name}
-    _commit_with_rebase(spark, path, m, {}, constraints_json=remaining)
+    _commit_with_rebase(
+        spark, path, m, {}, constraints_json=remaining, op="drop_constraint"
+    )
 
 
 def replace_manifest_partitions(
@@ -2115,6 +2127,7 @@ def replace_manifest_partitions(
             max_commit_retries=max_commit_retries,
             drop_keys=drop_keys,
             app_metadata=app_metadata,
+            op="replace",
         )
     finally:
         df.unpersist()
@@ -2215,7 +2228,7 @@ def compact_manifest(
         # only relocates bytes and must not roll that back). Races on the
         # same partition (e.g. a merge rewrote a prefix we just compacted
         # from) conflict and raise — re-run the compaction.
-        _commit_with_rebase(spark, path, m, new_entries)
+        _commit_with_rebase(spark, path, m, new_entries, op="compact")
     return {
         "partitions": len(new_entries),
         "files_before": before,
@@ -2317,7 +2330,7 @@ def delete_manifest_rows(
         _commit_with_rebase(
             spark, path, m, new_entries,
             max_commit_retries=max_commit_retries, drop_keys=drop_keys,
-            check_predicates=preds,
+            check_predicates=preds, op="delete",
         )
     return {
         "deleted": deleted,
@@ -2455,6 +2468,7 @@ def update_manifest_rows(
         _commit_with_rebase(
             spark, path, m, new_entries,
             max_commit_retries=max_commit_retries, check_predicates=preds,
+            op="update",
         )
     return {
         "updated": updated,
@@ -2692,6 +2706,7 @@ def restore_manifest(
         dict(target["partitions"]),
         schema_json=target.get("schema"),
         drop_keys=drop,
+        op=f"restore:v{target['version']}",
     )
     return {
         "restored_to": target["version"],

@@ -2267,3 +2267,17 @@ def test_restore_manifest_metadata_only_rollback(spark, tmp_path):
     # vacuum after restore kept every prefix the live version references
     # (v3's state: 30 − 10 deleted + the id=99 row)
     assert sinks.read_manifest_table(spark, path).count() == 21
+
+
+def test_manifest_history_operation_tags(spark, tmp_path):
+    """DESCRIBE HISTORY names the verb that wrote each version."""
+    path = str(tmp_path / "ops")
+    _delete_table(spark, path)                                   # v1 merge
+    sinks.manifest_add_constraint(spark, path, "v_ok", "v >= 0")  # v2
+    sinks.update_manifest_rows(spark, path, {"v": 0.0}, [("id", "=", 1)])  # v3
+    sinks.delete_manifest_rows(spark, path, [("id", "=", 2)])     # v4
+    sinks.compact_manifest(spark, path)                           # v5 (maybe)
+    sinks.restore_manifest(spark, path, 4)                        # restore
+    ops = [r["op"] for r in sinks.manifest_history(path)]
+    assert ops[:4] == ["merge", "add_constraint", "update", "delete"]
+    assert ops[-1] == "restore:v4"
