@@ -359,9 +359,28 @@ def refresh_aggregate_deltas(
             )
     s_latest = _latest_version(source_path)
     wm = _mv_state(target_path, source_path)
+    stamp = {WATERMARK_KEY: s_latest, "mv_source": source_path}
+    if pcol == "_gbucket":
+        # n_buckets is part of the target's identity: a different bucket
+        # count re-hashes every group to a different partition, and the
+        # merge (keys determine partition "by construction") would then
+        # duplicate groups across old and new buckets — pin it in the
+        # same app metadata that pins the source
+        if wm is not None:
+            stored_b = (
+                read_manifest(target_path).get("app", {}).get("mv_buckets")
+            )
+            if stored_b is not None and stored_b != n_buckets:
+                raise ValueError(
+                    f"target {target_path} was bucketed with "
+                    f"n_buckets={stored_b}; refreshing with {n_buckets} "
+                    "would re-hash groups into different partitions and "
+                    "double-count them — keep n_buckets fixed for the "
+                    "target's life"
+                )
+        stamp["mv_buckets"] = n_buckets
     if wm == s_latest:
         return {"source_version": s_latest, "groups_touched": 0, "noop": True}
-    stamp = {WATERMARK_KEY: s_latest, "mv_source": source_path}
 
     def _stamp_only() -> dict:
         # the source moved without row changes (constraint DDL, retention
@@ -466,8 +485,33 @@ def refresh_aggregate_deltas(
                     + [deltas.schema[n] for n, _, _ in plan]
                 ),
             )
+        elif pcol == "_gbucket":
+            # every existing row a delta group can combine with lives in
+            # the buckets those groups hash into — read ONLY them, so the
+            # combine join scans ∝ touched buckets, not rollup size
+            # (bounded collect: ≤ n_buckets values)
+            touched_buckets = [
+                r["b"]
+                for r in cached.select(
+                    F.pmod(F.hash(*gcols), F.lit(n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            current = read_manifest_table(
+                spark, target_path, partition_values=touched_buckets
+            )
         else:
-            current = read_manifest_table(spark, target_path)
+            # same pruning through the explicit partition column (a group
+            # column, low-cardinality by this mode's contract)
+            touched_parts = [
+                r[0] for r in cached.select(pcol).distinct().collect()
+            ]
+            current = read_manifest_table(
+                spark, target_path, partition_values=touched_parts
+            )
         # null-safe group join: NULL group values are real groups
         from functools import reduce
 

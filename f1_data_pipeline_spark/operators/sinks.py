@@ -2677,9 +2677,15 @@ def restore_manifest(
     on their next refresh), and concurrent writers race it through the
     normal rebase — a competitor touching partitions the restore also
     rewinds gets ConcurrentWriteError, not silent resurrection. The
-    CURRENT constraint set and app metadata carry forward (restore
-    rewinds DATA, not table policy); note the restored rows are NOT
-    re-validated against constraints added after the snapshot.
+    The CURRENT constraint set carries forward (restore rewinds data,
+    not table policy; note the restored rows are NOT re-validated
+    against constraints added after the snapshot). App metadata REWINDS
+    WITH THE DATA: consumer watermarks (a matview's consumed-source
+    version) describe the data they were committed with, so restoring a
+    maintained target also rewinds its watermark and the next refresh
+    reconverges instead of no-opping against stale aggregates forever.
+    App keys created after the snapshot survive (the rewind overwrites,
+    it cannot uninvent).
 
     Returns {"restored_to", "new_version", "partitions_changed"}."""
     target = read_manifest(path, version)
@@ -2706,6 +2712,7 @@ def restore_manifest(
         dict(target["partitions"]),
         schema_json=target.get("schema"),
         drop_keys=drop,
+        app_metadata=dict(target.get("app", {})),
         op=f"restore:v{target['version']}",
     )
     return {

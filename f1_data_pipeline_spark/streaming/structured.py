@@ -190,10 +190,14 @@ def start_matview_sink(
             out.sparkSession, out, source_path, list(keys), partition_col,
             check_moved_keys=check_moved_keys, count_rows=False,
         )
-        matview.refresh_rollup(
-            out.sparkSession, source_path, rollup_target,
-            list(group_cols), aggs,
-        )
+        # an all-filtered FIRST batch merges nothing and creates no source
+        # table — nothing to refresh yet (refresh_rollup would raise on
+        # the missing manifest and kill the query)
+        if sinks.read_manifest(source_path) is not None:
+            matview.refresh_rollup(
+                out.sparkSession, source_path, rollup_target,
+                list(group_cols), aggs,
+            )
 
     return (
         stream_df.writeStream.foreachBatch(handle)

@@ -628,3 +628,98 @@ def test_start_matview_sink_continuous_aggregate(spark, tmp_path):
     )
     assert _rows(sinks.read_manifest_table(spark, tgt)) == _rows(ref)
     assert sinks.read_manifest_table(spark, table).count() == 25
+
+
+def test_deltas_n_buckets_pinned(spark, tmp_path):
+    """Changing n_buckets re-hashes groups into different partitions and
+    would double-count — the stored bucket count refuses a mismatched
+    refresh (found in self-review: the merge's 'keys determine the
+    partition by construction' only holds for a FIXED hash)."""
+    src = str(tmp_path / "nbsrc")
+    tgt = str(tmp_path / "nbtgt")
+    _mk_source(spark, src)
+    MV.refresh_aggregate_deltas(
+        spark, src, ["id"], tgt, ["cat"], AGGS_DELTA, n_buckets=16
+    )
+    assert sinks.manifest_app_metadata(tgt)["mv_buckets"] == 16
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(777, "d0", "red", 7.0)], "id long, day string, cat string, v double"
+        ),
+        src, ["id"], partition_col="day",
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        MV.refresh_aggregate_deltas(
+            spark, src, ["id"], tgt, ["cat"], AGGS_DELTA, n_buckets=64
+        )
+    # the pinned count still works and stays correct
+    MV.refresh_aggregate_deltas(
+        spark, src, ["id"], tgt, ["cat"], AGGS_DELTA, n_buckets=16
+    )
+    assert _rows(MV.read_aggregate(spark, tgt, AGGS_DELTA)) == _rows(
+        _full_delta_ref(sinks.read_manifest_table(spark, src))
+    )
+
+
+def test_restore_of_matview_target_reconverges(spark, tmp_path):
+    """Restoring a maintained rollup rewinds its watermark WITH its data
+    (they were committed as an atomic pair), so the next refresh
+    recomputes forward instead of no-opping on stale aggregates."""
+    src = str(tmp_path / "rsrc")
+    tgt = str(tmp_path / "rtgt2")
+    _mk_source(spark, src, n=20)
+    MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    good_version = sinks.read_manifest(tgt)["version"]
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(500, "d1", "red", 9.0)], "id long, day string, cat string, v double"
+        ),
+        src, ["id"], partition_col="day",
+    )
+    MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    # roll the rollup back to before the second refresh
+    sinks.restore_manifest(spark, tgt, good_version)
+    out = MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    assert out["noop"] is False  # watermark rewound with the data
+    assert _rows(sinks.read_manifest_table(spark, tgt)) == _rows(
+        _full_rollup(sinks.read_manifest_table(spark, src))
+    )
+
+
+def test_start_matview_sink_all_filtered_first_batch(spark, tmp_path):
+    """A first micro-batch whose transform filters every row must not
+    crash the query on the missing source manifest; a later real batch
+    builds both tables."""
+    from f1_data_pipeline_spark.streaming.structured import start_matview_sink
+
+    src_files = str(tmp_path / "fin")
+    table = str(tmp_path / "ftbl")
+    tgt = str(tmp_path / "fagg")
+    ckpt = str(tmp_path / "fck")
+    schema = "id long, day string, cat string, v double"
+    aggs = {"n": ("count", "*")}
+
+    def drain(pred):
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(src_files)
+        )
+        q = start_matview_sink(
+            stream, table, ["id"], ckpt, "day", tgt, ["day", "cat"], aggs,
+            transform=lambda df: df.filter(pred),
+        )
+        assert q.awaitTermination(120)
+        assert q.exception() is None
+
+    spark.createDataFrame(
+        [(1, "a", "x", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src_files)
+    drain("id < 0")  # everything filtered — no source table yet
+    assert sinks.read_manifest(table) is None
+    spark.createDataFrame(
+        [(2, "a", "x", 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src_files)
+    drain("id > 0")
+    [r] = sinks.read_manifest_table(spark, tgt).collect()
+    assert (r["day"], r["cat"], r["n"]) == ("a", "x", 1)
