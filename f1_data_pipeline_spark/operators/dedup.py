@@ -929,3 +929,103 @@ def remove_duplicate_spans(
             .alias("removed_tokens"),
         )
     )
+
+
+def frequent_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frac: float = 0.01,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate LINES: normalized lines appearing in at least
+    `max(min_docs, ceil(min_doc_frac * n_docs))` DISTINCT documents —
+    nav menus, cookie banners, footers, license headers (the
+    CCNet/RefinedWeb line-dedup prefilter; per-document repetition is
+    `quality_signals`' job, so a line repeated inside ONE document does
+    not qualify). Returns (line, n_docs, doc_frac); `line` is trimmed,
+    lowercased, whitespace-collapsed — the match key `remove_frequent_lines`
+    uses. Empty lines never qualify.
+
+    Plan: explode to (doc, line), distinct, count by line — one shuffle
+    keyed on line content with map-side partials. The distinct-docs
+    grain bounds the exchange by unique (doc, line) pairs; the output is
+    boilerplate-sized, broadcastable downstream."""
+    import math
+
+    n_docs_total = df.select(id_col).distinct().count()
+    thr = max(int(min_docs), math.ceil(n_docs_total * min_doc_frac))
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select(
+        id_col,
+        F.regexp_replace(F.trim(F.lower(F.col("raw"))), r"\s+", " ").alias(
+            "line"
+        ),
+    ).filter(F.col("line") != "")
+    return (
+        lines.distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(thr))
+        .select(
+            "line",
+            "n_docs",
+            F.round(F.col("n_docs") / F.lit(float(n_docs_total)), 6).alias(
+                "doc_frac"
+            ),
+        )
+    )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    boilerplate: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strip every line whose normalized form is in `boilerplate` (the
+    `frequent_lines` output or any (line) frame), preserving the order
+    and original text of the lines that remain. Returns (id, clean_text,
+    kept_lines, removed_lines); documents reduced to nothing come back
+    with clean_text = '' rather than vanishing.
+
+    Plan: positional explode → broadcast anti-join against the
+    boilerplate set (output-bounded, never pairs-bounded) → per-document
+    reassembly via collect_list + array_sort (grouped by the id we just
+    exploded — one shuffle back to document grain)."""
+    pos_lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).withColumn(
+        "line",
+        F.regexp_replace(F.trim(F.lower(F.col("raw"))), r"\s+", " "),
+    )
+    kept = pos_lines.join(
+        F.broadcast(boilerplate.select("line").distinct()), "line", "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("raw")))
+                ),
+                lambda s: s["raw"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_lines"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("__total"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("kept_lines"), F.lit(0)).cast("long").alias("kept_lines"),
+        (F.col("__total") - F.coalesce(F.col("kept_lines"), F.lit(0)))
+        .cast("long")
+        .alias("removed_lines"),
+    )

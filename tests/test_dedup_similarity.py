@@ -724,3 +724,51 @@ def test_pq_adc_only_mode_ranks_without_corpus(spark):
     assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
     assert all(1 <= r["rank"] <= 3 for r in rows)
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_frequent_lines_and_removal(spark):
+    """Line-level boilerplate dedup (the CCNet/RefinedWeb prefilter):
+    lines shared across enough DISTINCT documents are detected under
+    whitespace/case normalization; removal strips them while preserving
+    the order and original text of the rest; a doc reduced to nothing
+    survives as an empty row; per-document repetition alone does NOT
+    qualify a line."""
+    from f1_data_pipeline_spark.operators.dedup import (
+        frequent_lines,
+        remove_frequent_lines,
+    )
+
+    banner = "Accept  Cookies"  # normalized: "accept cookies"
+    rows = [
+        (1, f"{banner}\nUnique thought one.\nFooter Inc."),
+        (2, f"accept cookies\nAnother unique idea.\nFooter  INC."),
+        (3, "accept COOKIES\nThird document body.\nfooter inc."),
+        (4, "only original content here\nrepeat me\nrepeat me\nrepeat me"),
+        (5, "ACCEPT COOKIES"),  # nothing but boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = frequent_lines(df, min_doc_frac=0.5, min_docs=3)
+    got = {r["line"]: r["n_docs"] for r in bp.collect()}
+    # 'repeat me' appears 3× in ONE doc — distinct-doc grain excludes it
+    assert got == {"accept cookies": 4, "footer inc.": 3}
+
+    out = {r["doc_id"]: r for r in remove_frequent_lines(df, bp).collect()}
+    assert out[1]["clean_text"] == "Unique thought one."
+    assert out[1]["kept_lines"] == 1 and out[1]["removed_lines"] == 2
+    assert out[2]["clean_text"] == "Another unique idea."
+    assert out[4]["clean_text"] == rows[3][1]  # untouched, order preserved
+    assert out[4]["removed_lines"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["kept_lines"] == 0
+
+
+def test_frequent_lines_thresholds(spark):
+    from f1_data_pipeline_spark.operators.dedup import frequent_lines
+
+    df = spark.createDataFrame(
+        [(i, "shared line\nbody %d" % i) for i in range(10)],
+        "doc_id long, text string",
+    )
+    # min_docs floor dominates a tiny fraction
+    assert frequent_lines(df, min_doc_frac=0.01, min_docs=2).count() == 1
+    # a fraction above the line's support excludes it
+    assert frequent_lines(df, min_doc_frac=1.1, min_docs=2).count() == 0
