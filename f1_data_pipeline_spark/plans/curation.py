@@ -2,6 +2,10 @@
 operators exist for, composed as one plan.
 
     raw documents
+      → line dedup           (opt-in: strip lines shared across many docs —
+                              nav/banners/footers, dedup.frequent_lines —
+                              BEFORE quality stats so boilerplate doesn't
+                              inflate repetition counts)
       → quality filter       (repetition caps + length band, corpus.quality_signals;
                               + deflate compression band, corpus.compression_signals —
                               catches long-range boilerplate and base64/binary junk
@@ -47,6 +51,7 @@ def curate(
     max_tokens: int = 2048,
     n_shards: int = 8,
     compression_band: bool = True,
+    line_dedup_frac: float | None = None,
 ) -> dict[str, int]:
     """Run the full curation flow over `{sf_dir}/documents.parquet`; write
     the curated corpus and pack manifest under `out_dir`; return stage
@@ -54,9 +59,22 @@ def curate(
 
     `compression_band=False` disables the deflate-ratio gate — relevant
     for corpora of very short documents, whose per-document zlib header
-    overhead pushes ratios above the band's natural-prose ceiling."""
+    overhead pushes ratios above the band's natural-prose ceiling.
+    `line_dedup_frac` (e.g. 0.01) enables cross-document boilerplate
+    line removal first: lines shared by at least that fraction of
+    documents are stripped before any per-document statistic sees them.
+    Off by default — it rewrites text, so enabling it is a corpus
+    decision, not a tuning knob."""
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
+
+    if line_dedup_frac is not None:
+        bp = D.frequent_lines(docs, min_doc_frac=line_dedup_frac)
+        cleaned = D.remove_frequent_lines(docs, bp)
+        docs = docs.drop("text").join(
+            cleaned.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
 
     keep_ids = C.quality_signals(docs, "doc_id", "text").filter("keep").select("doc_id")
     if compression_band:

@@ -54,3 +54,16 @@ def test_curate_idempotent_rerun(spark, sf_dir, tmp_path):
     assert s1 == s2
     corpus, _ = read_curated(spark, out)
     assert corpus.count() == s2["n_curated"]
+
+
+def test_curate_with_line_dedup(spark, tmp_path):
+    """Opt-in boilerplate line removal runs ahead of the quality stats and
+    preserves the pipeline's invariants (monotone counts, split-total
+    identity) on a corpus without shared lines (no-op here — semantics of
+    the operator itself are pinned in test_dedup_similarity)."""
+    out = str(tmp_path / "curated_ld")
+    stats = curate(
+        spark, "/root/testdata/sf0.001", out, line_dedup_frac=0.02
+    )
+    assert stats["n_input"] >= stats["n_quality"] >= stats["n_curated"] > 0
+    assert stats["n_train"] + stats["n_test"] == stats["n_curated"]
