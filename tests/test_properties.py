@@ -393,3 +393,73 @@ def test_mg_merge_bounds_and_superset_property(stream, splits, k):
         assert c - got <= err + 1e-9  # per-item undercount bound
         if c > n / (k + 1):
             assert it in counter  # superset: heavy items always survive
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal invariants
+# ---------------------------------------------------------------------------
+
+_line_texts = st.lists(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab XY.\t"), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ).map(lambda ls: "\n".join(ls)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_line_texts, frac=st.sampled_from([0.4, 0.7, 1.0]))
+def test_line_removal_invariants(spark, texts, frac):
+    """For arbitrary corpora: (1) removal against an EMPTY boilerplate set
+    reproduces every document byte-identically (posexplode→reassemble is
+    lossless); (2) against frequent_lines output, kept+removed == total
+    lines per doc, no kept line normalizes into the boilerplate set, and
+    a second application over the cleaned text removes nothing further
+    (idempotence)."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    empty_bp = spark.createDataFrame([], "line string")
+    out0 = {
+        r["doc_id"]: r
+        for r in dedup.remove_frequent_lines(df, empty_bp).collect()
+    }
+    for i, t in enumerate(texts):
+        assert out0[i]["clean_text"] == t, (i, t)
+        assert out0[i]["removed_lines"] == 0
+
+    bp = dedup.frequent_lines(df, min_doc_frac=frac, min_docs=2)
+    bp_set = {r["line"] for r in bp.collect()}
+    out = {r["doc_id"]: r for r in dedup.remove_frequent_lines(df, bp).collect()}
+    for i, t in enumerate(texts):
+        n_lines = len(t.split("\n"))
+        r = out[i]
+        assert r["kept_lines"] + r["removed_lines"] == n_lines
+        if r["kept_lines"]:
+            import re as _re
+            for raw in r["clean_text"].split("\n"):
+                norm = _re.sub(r"\s+", " ", raw.strip().lower())
+                assert norm not in bp_set or norm == ""
+    cleaned = spark.createDataFrame(
+        [(i, out[i]["clean_text"]) for i in range(len(texts))],
+        "doc_id long, text string",
+    )
+    again = {
+        r["doc_id"]: r
+        for r in dedup.remove_frequent_lines(cleaned, bp).collect()
+    }
+    for i in range(len(texts)):
+        # every surviving non-empty line already misses the set; only
+        # EMPTY lines (normalized '') may still collapse away
+        assert again[i]["clean_text"].replace("\n", "") == out[i][
+            "clean_text"
+        ].replace("\n", "") or again[i]["removed_lines"] == 0
