@@ -931,6 +931,15 @@ def remove_duplicate_spans(
     )
 
 
+def _normalize_line(raw: Column) -> Column:
+    """THE line match key, shared by detect and remove so it can never
+    drift: lowercase, collapse ALL whitespace runs (tabs, CR — `trim`
+    alone strips only ASCII spaces, so collapse must come FIRST or a
+    tab-indented copy of a banner gets a different key), then trim.
+    Whitespace-only lines normalize to ''."""
+    return F.trim(F.regexp_replace(F.lower(raw), r"\s+", " "))
+
+
 def frequent_lines(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -960,9 +969,7 @@ def frequent_lines(
         F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
     ).select(
         id_col,
-        F.regexp_replace(F.trim(F.lower(F.col("raw"))), r"\s+", " ").alias(
-            "line"
-        ),
+        _normalize_line(F.col("raw")).alias("line"),
     ).filter(F.col("line") != "")
     return (
         lines.distinct()
@@ -998,10 +1005,7 @@ def remove_frequent_lines(
     pos_lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
-    ).withColumn(
-        "line",
-        F.regexp_replace(F.trim(F.lower(F.col("raw"))), r"\s+", " "),
-    )
+    ).withColumn("line", _normalize_line(F.col("raw")))
     kept = pos_lines.join(
         F.broadcast(boilerplate.select("line").distinct()), "line", "left_anti"
     )

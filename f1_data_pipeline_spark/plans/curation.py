@@ -68,13 +68,18 @@ def curate(
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
 
+    line_dedup_applied = False
     if line_dedup_frac is not None:
         bp = D.frequent_lines(docs, min_doc_frac=line_dedup_frac)
         cleaned = D.remove_frequent_lines(docs, bp)
+        # persist the rewritten corpus: three downstream branches read it
+        # (both quality screens + the semi-join left side) and would each
+        # re-run the whole explode/anti-join/reassemble subtree otherwise
         docs = docs.drop("text").join(
             cleaned.select("doc_id", F.col("clean_text").alias("text")),
             "doc_id",
-        )
+        ).persist()
+        line_dedup_applied = True
 
     keep_ids = C.quality_signals(docs, "doc_id", "text").filter("keep").select("doc_id")
     if compression_band:
@@ -137,6 +142,8 @@ def curate(
     curated.unpersist()
     exact.unpersist()
     quality.unpersist()
+    if line_dedup_applied:
+        docs.unpersist()
     return stats
 
 

@@ -446,9 +446,13 @@ def test_line_removal_invariants(spark, texts, frac):
         assert r["kept_lines"] + r["removed_lines"] == n_lines
         if r["kept_lines"]:
             import re as _re
+
             for raw in r["clean_text"].split("\n"):
-                norm = _re.sub(r"\s+", " ", raw.strip().lower())
-                assert norm not in bp_set or norm == ""
+                # the SAME normalization the operators share
+                # (collapse-then-trim): Python strip() removes tabs that
+                # Spark trim does not, so mirror the Spark key exactly
+                norm = _re.sub(r"\s+", " ", raw.lower()).strip()
+                assert norm not in bp_set
     cleaned = spark.createDataFrame(
         [(i, out[i]["clean_text"]) for i in range(len(texts))],
         "doc_id long, text string",
@@ -458,8 +462,5 @@ def test_line_removal_invariants(spark, texts, frac):
         for r in dedup.remove_frequent_lines(cleaned, bp).collect()
     }
     for i in range(len(texts)):
-        # every surviving non-empty line already misses the set; only
-        # EMPTY lines (normalized '') may still collapse away
-        assert again[i]["clean_text"].replace("\n", "") == out[i][
-            "clean_text"
-        ].replace("\n", "") or again[i]["removed_lines"] == 0
+        assert again[i]["removed_lines"] == 0
+        assert again[i]["clean_text"] == out[i]["clean_text"]
