@@ -989,6 +989,38 @@ def _file_maybe_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
     return True
 
 
+def _select_entries(
+    m: dict,
+    partition_values: Sequence | None,
+    partition_values_encoded: bool = False,
+) -> dict[str, dict]:
+    """Manifest-key partition pruning: the entries surviving
+    `partition_values` (all of them when None)."""
+    entries = m["partitions"]
+    if partition_values is None:
+        return entries
+    want = (set(partition_values) if partition_values_encoded
+            else {_enc_part(v) for v in partition_values})
+    return {k: e for k, e in entries.items() if k in want}
+
+
+def _entry_scan_paths(
+    path: str, entry: dict, predicates: Sequence[tuple] | None
+) -> list[str]:
+    """One entry's scan list after per-file stats pruning: exact file
+    paths where the manifest recorded them (no directory listing at all —
+    the manifest IS the listing), the prefix directory for pre-stats
+    entries."""
+    files = entry.get("files")
+    if files is None:
+        return [os.path.join(path, entry["prefix"])]
+    return [
+        os.path.join(path, entry["prefix"], fm["name"])
+        for fm in files
+        if predicates is None or _file_maybe_matches(fm, predicates)
+    ]
+
+
 def _select_scan_paths(
     m: dict,
     path: str,
@@ -997,23 +1029,12 @@ def _select_scan_paths(
     partition_values_encoded: bool = False,
 ) -> list[str]:
     """Metadata-level scan planning: manifest-key partition pruning, then
-    per-file stats pruning. Returns exact file paths where the manifest
-    recorded them (no directory listing at all — the manifest IS the
-    listing), prefix directories for pre-stats entries."""
-    entries = m["partitions"]
-    if partition_values is not None:
-        want = (set(partition_values) if partition_values_encoded
-                else {_enc_part(v) for v in partition_values})
-        entries = {k: e for k, e in entries.items() if k in want}
+    per-file stats pruning. DATA files only — delete files (merge-on-read)
+    ride along in the entries and are applied by the reader."""
+    entries = _select_entries(m, partition_values, partition_values_encoded)
     paths: list[str] = []
     for e in entries.values():
-        files = e.get("files")
-        if files is None:
-            paths.append(os.path.join(path, e["prefix"]))
-            continue
-        for fm in files:
-            if predicates is None or _file_maybe_matches(fm, predicates):
-                paths.append(os.path.join(path, e["prefix"], fm["name"]))
+        paths.extend(_entry_scan_paths(path, e, predicates))
     return paths
 
 
@@ -1065,6 +1086,115 @@ def _file_always_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# Merge-on-read DELETE: position delete files (the Iceberg v2 / Delta
+# deletion-vector shape). A copy-on-write DELETE rewrites every matching
+# partition — correct, but at 100 TB erasing a handful of rows (GDPR
+# takedowns, bad-crawl retractions) from a multi-TB partition rewrites
+# terabytes to remove kilobytes. Merge-on-read instead WRITES what was
+# deleted: a tiny parquet file of (file identity, row position) pairs,
+# committed in the same atomic manifest flip. Data prefixes are untouched;
+# every reader applies the delete set as an anti-join on the hidden
+# _metadata (file_path, row_index) columns, so results are identical to
+# the rewrite. Deletes accumulate per partition until a rewrite of that
+# partition (MERGE / UPDATE / compact_manifest / CoW delete) folds them in
+# and clears the list — compaction is the explicit remedy for a partition
+# that has collected many delete files or a large deleted fraction.
+#
+# Manifest entry extension: optional "deletes": [{"prefix", "rows"}, ...]
+# — each a parquet prefix under deletes/<enc>/snap-<uuid>/ with columns
+# (_file string, _pos long). Delete files are scoped to the data prefix
+# they were computed against: any commit that rewrites the partition's
+# data prefix MUST fold + drop them (all writers here do), because
+# positions are meaningless against other files. Recorded delete rows are
+# unique live positions by construction (the writer anti-joins existing
+# deletes before emitting new ones), so live row count = recorded rows −
+# recorded deletes, exactly — metadata-only COUNT(*) survives MoR deletes.
+# Per-file min/max stats are NOT rewritten (the deleted row may have held
+# a bound), so bounds stay sound for pruning but stop being exact answers:
+# manifest_column_bounds refuses on delete-bearing partitions.
+# ---------------------------------------------------------------------------
+
+_DELETE_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("_file", T.StringType(), False),
+        T.StructField("_pos", T.LongType(), False),
+    ]
+)
+
+# broadcast the delete side of the MoR anti-join below this many recorded
+# delete rows; larger delete sets fall back to a shuffled anti-join (AQE)
+_MOR_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _file_id() -> Column:
+    """Stable identity of the scanned parquet file: '<snap dir>/<basename>'
+    from the hidden _metadata column. The snap directory name carries a
+    per-write uuid, so the two segments identify a data file GLOBALLY —
+    which is what lets one anti-join span many partitions (bare basenames
+    could collide across prefixes written by different jobs)."""
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+
+
+def _entry_delete_rows(entry: dict) -> int:
+    return sum(d["rows"] for d in entry.get("deletes") or ())
+
+
+def _read_deletes(
+    spark: SparkSession, path: str, entries: Sequence[dict]
+) -> DataFrame | None:
+    """Union of the delete files recorded by `entries` (None when none)."""
+    dirs = [
+        os.path.join(path, d["prefix"])
+        for e in entries
+        for d in e.get("deletes") or ()
+    ]
+    if not dirs:
+        return None
+    return spark.read.schema(_DELETE_FILE_SCHEMA).parquet(*dirs)
+
+
+def _tag_positions(df: DataFrame) -> DataFrame:
+    """Attach the (__f, __p) position-identity columns the MoR anti-join
+    keys on. Must be called directly on a parquet-scan frame (the hidden
+    _metadata column does not survive joins/projections)."""
+    return df.withColumn("__f", _file_id()).withColumn(
+        "__p", F.col("_metadata.row_index")
+    )
+
+
+def _apply_mor_deletes(
+    tagged: DataFrame, deletes: DataFrame, n_delete_rows: int
+) -> DataFrame:
+    """Anti-join a position-tagged data frame against a delete set. Keeps
+    the __f/__p tag columns — callers select them away when done."""
+    d = deletes.select(
+        F.col("_file").alias("__f"), F.col("_pos").alias("__p")
+    )
+    if n_delete_rows <= _MOR_BROADCAST_MAX_ROWS:
+        d = F.broadcast(d)
+    return tagged.join(d, ["__f", "__p"], "left_anti")
+
+
+def _live_partition_df(
+    spark: SparkSession,
+    path: str,
+    entry: dict,
+    stored: T.StructType | None = None,
+) -> DataFrame:
+    """One partition's LIVE rows (data prefix minus its recorded deletes),
+    position-tagged with __f/__p — the read every partition REWRITER must
+    start from, so a rewrite folds pending deletes instead of resurrecting
+    deleted rows. Output columns: data columns + __f + __p."""
+    reader = spark.read.schema(stored) if stored is not None else spark.read
+    tagged = _tag_positions(reader.parquet(os.path.join(path, entry["prefix"])))
+    dels = _read_deletes(spark, path, [entry])
+    if dels is None:
+        return tagged
+    return _apply_mor_deletes(tagged, dels, _entry_delete_rows(entry))
+
+
 def manifest_count(
     spark: SparkSession,
     path: str,
@@ -1086,22 +1216,46 @@ def manifest_count(
     Returns {"count", "files_metadata", "files_scanned", "prefixes_scanned"}
     — the provenance split is the observability hook ("how much did the
     layout let metadata answer?"). Always exact; stats quality only moves
-    work between the metadata and scan buckets."""
+    work between the metadata and scan buckets.
+
+    Merge-on-read deletes: with no predicate the count stays metadata-only
+    (recorded rows minus recorded delete rows — exact, because delete files
+    list unique live positions by construction). With a predicate, a
+    delete-bearing partition's per-file fast path is unusable (deletes are
+    not attributed per file), so its stats-surviving files are scanned with
+    the delete set applied — still file-pruned, never wrong."""
     m = read_manifest(path, version)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
-    entries = m["partitions"]
-    if partition_values is not None:
-        want = {_enc_part(v) for v in partition_values}
-        entries = {k: e for k, e in entries.items() if k in want}
+    entries = _select_entries(m, partition_values)
     preds = list(predicates) if predicates else []
     count = 0
     n_meta = 0
     n_pruned = 0
     scan_paths: list[str] = []
+    mor_paths: list[str] = []
+    mor_entries: list[dict] = []
     n_prefix = 0
     for e in entries.values():
         files = e.get("files")
+        dels = e.get("deletes")
+        if dels and not preds and files is not None:
+            # metadata-only live count: recorded rows − recorded deletes
+            count += sum(fm["rows"] for fm in files) - _entry_delete_rows(e)
+            n_meta += len(files)
+            continue
+        if dels:
+            # predicate (or pre-stats prefix) + deletes: scan the entry's
+            # stats-surviving files with its delete set applied
+            paths = _entry_scan_paths(path, e, preds or None)
+            if not paths:
+                n_pruned += len(files or ())
+                continue
+            mor_paths.extend(paths)
+            mor_entries.append(e)
+            if files is None:
+                n_prefix += 1
+            continue
         if files is None:
             # pre-stats entry: no per-file metadata — scan the prefix
             scan_paths.append(os.path.join(path, e["prefix"]))
@@ -1116,22 +1270,33 @@ def manifest_count(
                 n_meta += 1
             else:
                 scan_paths.append(os.path.join(path, e["prefix"], fm["name"]))
-    if scan_paths:
+    if scan_paths or mor_paths:
         stored = (
             T.StructType.fromJson(m["schema"])
             if m.get("schema") is not None
             else None
         )
         reader = spark.read.schema(stored) if stored is not None else spark.read
-        df = reader.parquet(*scan_paths)
-        if preds:
-            df = df.filter(_predicates_column(preds))
-        count += df.count()
+        cond = _predicates_column(preds) if preds else None
+        if scan_paths:
+            df = reader.parquet(*scan_paths)
+            if cond is not None:
+                df = df.filter(cond)
+            count += df.count()
+        if mor_paths:
+            live = _apply_mor_deletes(
+                _tag_positions(reader.parquet(*mor_paths)),
+                _read_deletes(spark, path, mor_entries),
+                sum(_entry_delete_rows(e) for e in mor_entries),
+            )
+            if cond is not None:
+                live = live.filter(cond)
+            count += live.count()
     return {
         "count": count,
         "files_metadata": n_meta,
         "files_pruned": n_pruned,
-        "files_scanned": len(scan_paths) - n_prefix,
+        "files_scanned": len(scan_paths) + len(mor_paths) - n_prefix,
         "prefixes_scanned": n_prefix,
     }
 
@@ -1146,14 +1311,16 @@ def manifest_column_bounds(
     zero data I/O, never an approximation: components that any selected
     file failed to record come back None ("not answerable from metadata",
     fall back to a scan) rather than a wrong bound. The MIN(ts)-style
-    watermark probe a 100 TB incremental scheduler runs every cycle."""
+    watermark probe a 100 TB incremental scheduler runs every cycle.
+
+    Partitions carrying merge-on-read deletes make min/max/nulls
+    unanswerable (a deleted row may have held the recorded bound — file
+    stats stay sound for PRUNING but stop being exact answers); `rows`
+    stays exact (recorded rows minus recorded deletes)."""
     m = read_manifest(path, version)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
-    entries = m["partitions"]
-    if partition_values is not None:
-        want = {_enc_part(v) for v in partition_values}
-        entries = {k: e for k, e in entries.items() if k in want}
+    entries = _select_entries(m, partition_values)
     mn = mx = None
     nulls: int | None = 0
     rows = 0
@@ -1162,6 +1329,10 @@ def manifest_column_bounds(
         files = e.get("files")
         if files is None:
             return {"min": None, "max": None, "nulls": None, "rows": None}
+        if e.get("deletes"):
+            bounds_ok = False
+            nulls = None
+            rows -= _entry_delete_rows(e)
         for fm in files:
             rows += fm["rows"]
             st = (fm.get("stats") or {}).get(column)
@@ -1400,27 +1571,51 @@ def read_manifest_table(
     identical with or without recorded stats. `partition_values_encoded`
     marks `partition_values` as already-encoded manifest keys (the
     `manifest_changed_partitions` vocabulary) rather than raw values —
-    internal CDC plumbing; raw values are the public surface."""
+    internal CDC plumbing; raw values are the public surface.
+
+    Partitions carrying merge-on-read delete files are read through a
+    position anti-join against their recorded delete sets (broadcast when
+    small), so MoR-deleted rows never surface; partitions without deletes
+    take the plain multi-path scan with zero overhead."""
     m = read_manifest(path, version)
     if m is None:
         if schema is None:
             raise FileNotFoundError(f"no manifest at {path}")
         return spark.createDataFrame([], schema)
-    paths = _select_scan_paths(
-        m, path, partition_values, predicates, partition_values_encoded
-    )
+    entries = _select_entries(m, partition_values, partition_values_encoded)
+    plain_paths: list[str] = []
+    mor_paths: list[str] = []
+    mor_entries: list[dict] = []
+    for e in entries.values():
+        if e.get("deletes"):
+            mor_paths.extend(_entry_scan_paths(path, e, predicates))
+            mor_entries.append(e)
+        else:
+            plain_paths.extend(_entry_scan_paths(path, e, predicates))
     # the manifest's stored schema is authoritative (schema evolution:
     # prefixes written before a column existed read it back as NULL)
     stored = (
         T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
     )
-    if not paths:
+    reader = spark.read.schema(stored) if stored is not None else spark.read
+    frames: list[DataFrame] = []
+    if plain_paths:
+        frames.append(reader.parquet(*plain_paths))
+    if mor_paths:
+        data = _tag_positions(reader.parquet(*mor_paths))
+        dels = _read_deletes(spark, path, mor_entries)
+        live = _apply_mor_deletes(
+            data, dels, sum(_entry_delete_rows(e) for e in mor_entries)
+        )
+        frames.append(live.drop("__f", "__p"))
+    if not frames:
         df = spark.createDataFrame(
             [], stored or (schema if schema is not None else T.StructType())
         )
     else:
-        reader = spark.read.schema(stored) if stored is not None else spark.read
-        df = reader.parquet(*paths)
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
     return df.filter(_predicates_column(predicates)) if predicates else df
 
 
@@ -1531,6 +1726,7 @@ def _commit_with_rebase(
     max_commit_retries: int = 3,
     drop_keys: Sequence[str] = (),
     check_predicates: Sequence[tuple] | None = None,
+    check_partition_scope: set[str] | None = None,
     app_metadata: dict | None = None,
     constraints_json: dict | None = None,
     op: str | None = None,
@@ -1565,6 +1761,10 @@ def _commit_with_rebase(
     "successful" DELETE could commit AFTER a merge that re-introduced
     matching rows into a partition the delete never looked at — the
     final table would still hold rows the caller was told were deleted.
+    `check_partition_scope` narrows that re-check to the partitions the
+    DML was explicitly scoped to (`partition_values=`): matching rows a
+    competitor writes OUTSIDE the declared scope were never promised
+    deleted/updated, so they must not fail the rebase.
 
     `app_metadata` merges application key/values into the manifest's
     `app` object IN THE SAME atomic commit as the data — the watermark
@@ -1641,6 +1841,11 @@ def _commit_with_rebase(
                 dirty = []
                 for k, st in changed.items():
                     if st == "removed":
+                        continue
+                    if (
+                        check_partition_scope is not None
+                        and k not in check_partition_scope
+                    ):
                         continue
                     files = latest["partitions"][k].get("files")
                     if files is None or any(
@@ -1782,14 +1987,19 @@ def merge_upsert_manifest(
     untouched_keys = [k for k in manifest["partitions"] if k not in touched]
 
     if check_moved_keys and untouched_keys:
-        # scan ONLY the untouched prefixes (manifest-level pruning), key
-        # columns only — far cheaper than the rewrite this operator avoids
-        untouched_prefixes = [
-            os.path.join(path, manifest["partitions"][k]["prefix"])
-            for k in untouched_keys
-        ]
+        # scan ONLY the untouched partitions (manifest-level pruning), key
+        # columns only — far cheaper than the rewrite this operator avoids.
+        # Through read_manifest_table so MoR-deleted keys don't count as
+        # "existing elsewhere" (re-inserting an erased key under a new
+        # partition is legitimate).
         elsewhere = (
-            spark.read.parquet(*untouched_prefixes)
+            read_manifest_table(
+                spark,
+                path,
+                partition_values=untouched_keys,
+                partition_values_encoded=True,
+                version=manifest["version"],
+            )
             .select(*keys)
             .join(updates.select(*keys).distinct(), list(keys), "left_semi")
             .limit(1)
@@ -2166,6 +2376,12 @@ def compact_manifest(
     keep commits cheap, compaction restores layout quality). With
     `cluster_by` set, partitions are rewritten even when already at target
     file count, since the POINT is relayout.
+
+    Partitions carrying merge-on-read delete files are ALWAYS rewritten:
+    compaction is the purge step that folds accumulated position deletes
+    back into clean data files (the rewritten entry drops its delete
+    list, per-file stats become exact again, and the old delete prefixes
+    age out via vacuum_manifest).
     """
     import glob as _glob
 
@@ -2174,6 +2390,9 @@ def compact_manifest(
         return {"partitions": 0, "files_before": 0, "files_after": 0}
     want = (
         None if partition_values is None else {_enc_part(v) for v in partition_values}
+    )
+    stored = (
+        T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
     )
     snap = uuid.uuid4().hex[:12]
     new_entries: dict[str, dict] = {}
@@ -2185,13 +2404,17 @@ def compact_manifest(
         files = _glob.glob(os.path.join(old_dir, "*.parquet"))
         total = sum(os.path.getsize(f) for f in files)
         n_target = max(1, -(-total // target_file_bytes))  # ceil
-        if cluster_by is None and len(files) <= n_target:
-            continue  # already compact
+        if (
+            cluster_by is None
+            and len(files) <= n_target
+            and not entry.get("deletes")
+        ):
+            continue  # already compact, nothing to fold
         before += len(files)
         prefix = os.path.join(
             "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
         )
-        df = spark.read.parquet(old_dir)
+        df = _live_partition_df(spark, path, entry, stored).drop("__f", "__p")
         if cluster_by is None:
             out = df.coalesce(n_target)
         elif len(cluster_by) == 1:
@@ -2242,6 +2465,8 @@ def delete_manifest_rows(
     predicates: Sequence[tuple],
     partition_values: Sequence | None = None,
     max_commit_retries: int = 3,
+    mode: str = "cow",
+    mor_threshold: float = 0.2,
 ) -> dict:
     """Row-level DELETE on a manifest-committed table — the missing verb
     next to MERGE: `DELETE WHERE <conjunction of (col, op, value)>`
@@ -2253,20 +2478,39 @@ def delete_manifest_rows(
     per-file bounds drop partitions where no file can match (zero I/O —
     the same `_file_maybe_matches` the readers use), then a key-columns
     count confirms actual matches so false-positive partitions are never
-    rewritten. Matching partitions are rewritten without the matching rows
-    to fresh prefixes (stats + bloom sidecars rebuilt); partitions left
-    EMPTY are dropped from the manifest. One atomic commit flips all of
-    it — readers see the table before or after the whole delete, never
-    mid-way — with the same disjoint-partition rebase as the MERGE, plus
-    a predicate re-check: if the competing commit's partitions may hold
-    rows matching this predicate (by their recorded bounds), the rebase
-    refuses with ConcurrentWriteError rather than commit a "successful"
-    delete that leaves matching rows in the table. Old snapshots keep the
-    deleted rows until vacuum (time travel = free undelete window;
-    `manifest_row_changes` reports the rows as deletes).
+    rewritten. One atomic commit flips everything — readers see the table
+    before or after the whole delete, never mid-way — with the same
+    disjoint-partition rebase as the MERGE, plus a predicate re-check: if
+    the competing commit's partitions may hold rows matching this
+    predicate (by their recorded bounds), the rebase refuses with
+    ConcurrentWriteError rather than commit a "successful" delete that
+    leaves matching rows in the table. Old snapshots keep the deleted rows
+    until vacuum (time travel = free undelete window;
+    `manifest_row_changes` reports the rows as deletes). Partitions left
+    EMPTY are dropped from the manifest in every mode.
+
+    `mode` picks HOW a matching partition sheds its rows:
+
+    - "cow" (copy-on-write, the default): rewrite the partition without
+      the matching rows to a fresh prefix (stats + bloom sidecars rebuilt,
+      pending merge-on-read deletes folded in). Scan cost afterwards is
+      pristine; write cost is the whole partition.
+    - "mor" (merge-on-read): write only a position delete file — (file
+      identity, row index) pairs of the matched LIVE rows — and extend the
+      entry's delete list. Data prefixes untouched: at 100 TB, erasing a
+      few thousand doc_ids costs kilobytes of writes instead of rewriting
+      terabytes. Readers anti-join the delete set (identical results);
+      `compact_manifest` folds accumulated deletes back into clean files.
+    - "auto": per partition, MoR when the matched fraction of live rows is
+      ≤ `mor_threshold`, CoW otherwise — the Delta deletion-vector policy:
+      small surgical deletes stay cheap, bulk deletes pay the rewrite once
+      instead of degrading every future scan.
 
     Returns {"deleted", "partitions_rewritten", "partitions_dropped",
-    "partitions_skipped_stats", "partitions_skipped_scan"}."""
+    "delete_files_written", "partitions_skipped_stats",
+    "partitions_skipped_scan"}."""
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(f"unknown delete mode {mode!r} (cow | mor | auto)")
     m = read_manifest(path)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
@@ -2277,10 +2521,7 @@ def delete_manifest_rows(
         )
     cond = _predicates_column(preds)
     delete_cond = F.coalesce(cond, F.lit(False))
-    entries = m["partitions"]
-    if partition_values is not None:
-        want = {_enc_part(v) for v in partition_values}
-        entries = {k: e for k, e in entries.items() if k in want}
+    entries = _select_entries(m, partition_values)
     snap = uuid.uuid4().hex[:12]
     stored = (
         T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
@@ -2288,6 +2529,7 @@ def delete_manifest_rows(
     new_entries: dict[str, dict] = {}
     drop_keys: list[str] = []
     deleted = 0
+    delete_files = 0
     skipped_stats = skipped_scan = 0
     for enc, entry in entries.items():
         files = entry.get("files")
@@ -2296,19 +2538,48 @@ def delete_manifest_rows(
         ):
             skipped_stats += 1  # bounds prove nothing to delete here
             continue
-        old_dir = os.path.join(path, entry["prefix"])
-        reader = spark.read.schema(stored) if stored is not None else spark.read
-        df = reader.parquet(old_dir).persist()
+        # LIVE rows only: pending MoR deletes applied, so already-deleted
+        # rows are neither re-deleted (exact counts) nor resurrected by a
+        # CoW rewrite; __f/__p position tags ride along for the MoR arm
+        live = _live_partition_df(spark, path, entry, stored).persist()
         try:
-            n_match = df.filter(delete_cond).count()
+            n_match = live.filter(delete_cond).count()
             if n_match == 0:
                 skipped_scan += 1  # stats couldn't prove it, the scan did
                 continue
             deleted += n_match
-            keep = df.filter(~delete_cond)
-            if not keep.limit(1).count():
+            if files is not None:
+                live_rows = (
+                    sum(fm["rows"] for fm in files) - _entry_delete_rows(entry)
+                )
+            else:
+                live_rows = live.count()
+            if live_rows == n_match:
                 drop_keys.append(enc)  # partition emptied — entry removed
                 continue
+            if mode == "mor" or (
+                mode == "auto" and n_match <= mor_threshold * live_rows
+            ):
+                dprefix = os.path.join(
+                    "deletes", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
+                )
+                (
+                    live.filter(delete_cond)
+                    .select(
+                        F.col("__f").alias("_file"), F.col("__p").alias("_pos")
+                    )
+                    .coalesce(1)  # delete sets are tiny — one file
+                    .write.mode("errorifexists")
+                    .parquet(os.path.join(path, dprefix))
+                )
+                delete_files += 1
+                new_entries[enc] = {
+                    **entry,
+                    "deletes": list(entry.get("deletes") or ())
+                    + [{"prefix": dprefix, "rows": n_match}],
+                }
+                continue
+            keep = live.filter(~delete_cond).drop("__f", "__p")
             prefix = os.path.join(
                 "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
             )
@@ -2325,17 +2596,23 @@ def delete_manifest_rows(
                 )
             new_entries[enc] = new_entry
         finally:
-            df.unpersist()
+            live.unpersist()
     if new_entries or drop_keys:
         _commit_with_rebase(
             spark, path, m, new_entries,
             max_commit_retries=max_commit_retries, drop_keys=drop_keys,
-            check_predicates=preds, op="delete",
+            check_predicates=preds,
+            check_partition_scope=(
+                None if partition_values is None
+                else {_enc_part(v) for v in partition_values}
+            ),
+            op="delete",
         )
     return {
         "deleted": deleted,
-        "partitions_rewritten": len(new_entries),
+        "partitions_rewritten": len(new_entries) - delete_files,
         "partitions_dropped": len(drop_keys),
+        "delete_files_written": delete_files,
         "partitions_skipped_stats": skipped_stats,
         "partitions_skipped_scan": skipped_scan,
     }
@@ -2401,10 +2678,7 @@ def update_manifest_rows(
                 "go through the merge path with schema_evolution=True"
             )
     cond = F.coalesce(_predicates_column(preds), F.lit(False))
-    entries = m["partitions"]
-    if partition_values is not None:
-        want = {_enc_part(v) for v in partition_values}
-        entries = {k: e for k, e in entries.items() if k in want}
+    entries = _select_entries(m, partition_values)
     snap = uuid.uuid4().hex[:12]
     new_entries: dict[str, dict] = {}
     updated = 0
@@ -2416,9 +2690,12 @@ def update_manifest_rows(
         ):
             skipped_stats += 1
             continue
-        old_dir = os.path.join(path, entry["prefix"])
-        reader = spark.read.schema(stored) if stored is not None else spark.read
-        df = reader.parquet(old_dir).persist()
+        # LIVE rows only: the rewrite folds any pending MoR deletes (the
+        # fresh prefix clears the entry's delete list) instead of
+        # resurrecting deleted rows
+        df = _live_partition_df(spark, path, entry, stored).drop(
+            "__f", "__p"
+        ).persist()
         try:
             n_match = df.filter(cond).count()
             if n_match == 0:
@@ -2468,6 +2745,10 @@ def update_manifest_rows(
         _commit_with_rebase(
             spark, path, m, new_entries,
             max_commit_retries=max_commit_retries, check_predicates=preds,
+            check_partition_scope=(
+                None if partition_values is None
+                else {_enc_part(v) for v in partition_values}
+            ),
             op="update",
         )
     return {
@@ -2496,7 +2777,13 @@ def manifest_changed_partitions(
     for k, e in p_to.items():
         if k not in p_from:
             out[k] = "added"
-        elif e["prefix"] != p_from[k]["prefix"]:
+        elif e["prefix"] != p_from[k]["prefix"] or list(
+            e.get("deletes") or ()
+        ) != list(p_from[k].get("deletes") or ()):
+            # a changed delete list IS a row-set change (merge-on-read
+            # DELETE touches no data prefix) — without this comparison a
+            # MoR delete would be invisible to CDC consumers AND to the
+            # commit rebase's conflict detection
             out[k] = "rewritten"
     for k in p_from:
         if k not in p_to:
@@ -2704,6 +2991,8 @@ def restore_manifest(
         for k, e in target["partitions"].items()
         if k not in latest["partitions"]
         or latest["partitions"][k]["prefix"] != e["prefix"]
+        or list(latest["partitions"][k].get("deletes") or ())
+        != list(e.get("deletes") or ())
     ]
     committed = _commit_with_rebase(
         spark,
@@ -2809,25 +3098,34 @@ def vacuum_manifest(
     live: set[str] = set()
     for v in keep:
         m = read_manifest(path, v)
-        live |= {os.path.normpath(e["prefix"]) for e in m["partitions"].values()}
+        for e in m["partitions"].values():
+            live.add(os.path.normpath(e["prefix"]))
+            # merge-on-read delete prefixes are part of the snapshot: a
+            # retained version's rows are only correct WITH its delete
+            # files applied, so they share the data prefixes' lifecycle
+            for d in e.get("deletes") or ():
+                live.add(os.path.normpath(d["prefix"]))
     for v in versions:
         if v not in keep:
             os.unlink(_commit_path(path, v))
     removed: list[str] = []
-    data_root = os.path.join(path, "data")
-    if not os.path.isdir(data_root):
-        return []
     cutoff = _time.time() - min_age_sec
-    for part_dir in sorted(os.listdir(data_root)):
-        pd = os.path.join(data_root, part_dir)
-        if not os.path.isdir(pd):
+    for root_name in ("data", "deletes"):
+        root = os.path.join(path, root_name)
+        if not os.path.isdir(root):
             continue
-        for snap_dir in sorted(os.listdir(pd)):
-            rel = os.path.normpath(os.path.join("data", part_dir, snap_dir))
-            full = os.path.join(path, rel)
-            if rel not in live and os.path.getmtime(full) <= cutoff:
-                shutil.rmtree(full, ignore_errors=True)
-                removed.append(rel)
-        if not os.listdir(pd):
-            os.rmdir(pd)
+        for part_dir in sorted(os.listdir(root)):
+            pd = os.path.join(root, part_dir)
+            if not os.path.isdir(pd):
+                continue
+            for snap_dir in sorted(os.listdir(pd)):
+                rel = os.path.normpath(
+                    os.path.join(root_name, part_dir, snap_dir)
+                )
+                full = os.path.join(path, rel)
+                if rel not in live and os.path.getmtime(full) <= cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(rel)
+            if not os.listdir(pd):
+                os.rmdir(pd)
     return removed

@@ -291,6 +291,104 @@ def probe_bloom_delete() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_mor_delete() -> None:
+    """Copy-on-write vs merge-on-read DELETE as the table grows: erase a
+    FIXED small key set (100 striped ids — every partition holds a few,
+    the GDPR-takedown shape) from tables of growing size. CoW rewrites
+    every touched partition, so its cost and bytes grow with the table;
+    MoR writes one tiny position-delete file per partition, so its cost
+    tracks the MATCH count and stays flat. Also measures what MoR costs
+    at read time (anti-join overhead on a full scan) and that compaction
+    restores the clean-scan price. One JSON line per table size →
+    SCALE_NOTES merge-on-read table."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    def _tree_bytes(root):
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    def _new_prefix_bytes(path, from_v, to_v):
+        before = sinks.read_manifest(path, from_v)["partitions"]
+        after = sinks.read_manifest(path, to_v)["partitions"]
+        old_prefixes = {e["prefix"] for e in before.values()}
+        old_deletes = {
+            d["prefix"] for e in before.values() for d in e.get("deletes") or ()
+        }
+        total = 0
+        for e in after.values():
+            if e["prefix"] not in old_prefixes:
+                total += _tree_bytes(os.path.join(path, e["prefix"]))
+            for d in e.get("deletes") or ():
+                if d["prefix"] not in old_deletes:
+                    total += _tree_bytes(os.path.join(path, d["prefix"]))
+        return total
+
+    spark = get_spark("scale_probe")
+    for n_parts, rows_per in ((16, 20_000), (64, 20_000), (64, 80_000)):
+        work = tempfile.mkdtemp()
+        try:
+            n = n_parts * rows_per
+            frames = {}
+            for name in ("cow", "mor"):
+                path = os.path.join(work, name)
+                df = spark.range(0, n).select(
+                    F.col("id"),
+                    (F.col("id") % n_parts).cast("string").alias("day"),
+                    F.col("id").cast("double").alias("v"),
+                )
+                sinks.merge_upsert_manifest(
+                    spark, df, path, ["id"], partition_col="day"
+                )
+                frames[name] = path
+            preds = [("id", "<", 100)]  # striped: hits every partition
+            t0 = time.time()
+            r_cow = sinks.delete_manifest_rows(
+                spark, frames["cow"], preds, mode="cow"
+            )
+            t_cow = time.time() - t0
+            t0 = time.time()
+            r_mor = sinks.delete_manifest_rows(
+                spark, frames["mor"], preds, mode="mor"
+            )
+            t_mor = time.time() - t0
+            cow_bytes = _new_prefix_bytes(frames["cow"], 1, 2)
+            mor_bytes = _new_prefix_bytes(frames["mor"], 1, 2)
+            t0 = time.time()
+            n_mor = sinks.read_manifest_table(spark, frames["mor"]).count()
+            t_read_mor = time.time() - t0
+            t0 = time.time()
+            n_cow = sinks.read_manifest_table(spark, frames["cow"]).count()
+            t_read_cow = time.time() - t0
+            t0 = time.time()
+            sinks.compact_manifest(spark, frames["mor"])
+            t_compact = time.time() - t0
+            t0 = time.time()
+            n_after = sinks.read_manifest_table(spark, frames["mor"]).count()
+            t_read_folded = time.time() - t0
+            print(json.dumps({
+                "parts": n_parts, "rows": n,
+                "deleted": r_mor["deleted"],
+                "cow_sec": round(t_cow, 2), "mor_sec": round(t_mor, 2),
+                "cow_mb_written": round(cow_bytes / 1e6, 2),
+                "mor_kb_written": round(mor_bytes / 1e3, 1),
+                "read_mor_sec": round(t_read_mor, 2),
+                "read_cow_sec": round(t_read_cow, 2),
+                "compact_sec": round(t_compact, 2),
+                "read_folded_sec": round(t_read_folded, 2),
+                "parity": n_mor == n_cow == n_after == n - r_cow["deleted"],
+            }))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def probe_matview() -> None:
     """Materialized-view maintenance cost as the fact table grows: a fixed
     daily increment (2 touched partitions) against tables of 16/64/256
@@ -371,7 +469,7 @@ def main() -> None:
     op = "minhash"
     if args and args[0] in (
         "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram",
-        "ivf_drift", "heavy_hitters", "bloom_delete", "matview",
+        "ivf_drift", "heavy_hitters", "bloom_delete", "matview", "mor_delete",
     ):
         op = args.pop(0)
     if op == "ivf_drift":
@@ -385,6 +483,9 @@ def main() -> None:
         return
     if op == "matview":
         probe_matview()
+        return
+    if op == "mor_delete":
+        probe_mor_delete()
         return
     modes = ("clique", "disjoint")
     cap = None
