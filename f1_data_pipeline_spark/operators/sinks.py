@@ -1582,6 +1582,25 @@ def read_manifest_table(
         if schema is None:
             raise FileNotFoundError(f"no manifest at {path}")
         return spark.createDataFrame([], schema)
+    return _read_from_manifest(
+        spark, path, m, partition_values, schema, predicates,
+        partition_values_encoded,
+    )
+
+
+def _read_from_manifest(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    partition_values: Sequence | None = None,
+    schema: T.StructType | None = None,
+    predicates: Sequence[tuple] | None = None,
+    partition_values_encoded: bool = False,
+) -> DataFrame:
+    """`read_manifest_table`'s scan planning + MoR-delete application over
+    an explicit manifest dict — shared with staged-commit overlay reads
+    (write-audit-publish), which audit a candidate manifest that is not in
+    the committed log yet."""
     entries = _select_entries(m, partition_values, partition_values_encoded)
     plain_paths: list[str] = []
     mor_paths: list[str] = []
@@ -1900,11 +1919,22 @@ def merge_upsert_manifest(
     max_commit_retries: int = 3,
     bloom_cols: Sequence[str] | None = None,
     app_metadata: dict | None = None,
+    stage: str | None = None,
 ) -> int:
     """Partition-scoped MERGE with an object-store-safe commit.
     `app_metadata` key/values land in the manifest's `app` object in the
     SAME atomic commit as the data (see `_commit_with_rebase`) — read
     back with `manifest_app_metadata`.
+
+    `stage` names a WRITE-AUDIT-PUBLISH staging slot instead of
+    committing: the data prefixes are written and validated exactly as a
+    commit would (spanning keys, moved keys, constraints, stats, blooms),
+    but the result lands as a staged candidate under `_staged/<name>` —
+    invisible to every reader — for `read_staged_table` audits, then
+    `publish_staged` (one atomic commit, with the same rebase as a direct
+    merge) or `abort_staged`. The ingest-pipeline quarantine gate at
+    100 TB: bad batches never become a committed version that needs
+    rolling back.
 
     `bloom_cols` names high-cardinality columns to index with a
     per-partition bloom sidecar at commit time (one extra aggregation of
@@ -2040,6 +2070,22 @@ def merge_upsert_manifest(
         new_entries = _write_partition_prefixes(
             merged, path, partition_col, touched, snap, bloom_cols=bloom_cols
         )
+        if stage is not None:
+            _write_staged(
+                path,
+                stage,
+                {
+                    "name": stage,
+                    "base_version": manifest["version"],
+                    "partition_col": partition_col,
+                    "keys": list(keys),
+                    "new_entries": new_entries,
+                    "schema": merged.schema.jsonValue(),
+                    "app_metadata": app_metadata,
+                    "check_moved_keys": check_moved_keys,
+                },
+            )
+            return n
         # ← the commit (atomic create-if-absent of the next version), with
         #   automatic rebase over disjoint-partition racers; the stored
         #   schema is authoritative — prefixes written before a column
@@ -2070,6 +2116,167 @@ def manifest_app_metadata(path: str, version: int | str | None = None) -> dict:
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
     return dict(m.get("app", {}))
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (the Iceberg WAP pattern): an ingest job stages its
+# merge instead of committing (`merge_upsert_manifest(..., stage=name)`),
+# an audit step queries the CANDIDATE table (`read_staged_table`) and runs
+# its data-quality checks against it, and only then does `publish_staged`
+# make it visible — ONE atomic commit with the same optimistic rebase a
+# direct merge gets, so audits of any length never block other writers.
+# A failed audit calls `abort_staged`; the staged prefixes were never
+# referenced by a committed manifest, so readers never saw a byte of the
+# bad batch and there is no version to roll back. Staged state is a single
+# JSON under _staged/<name> (create-if-absent — staging twice under one
+# name is a loud error); vacuum treats staged prefixes as live until the
+# stage is published or aborted.
+# ---------------------------------------------------------------------------
+
+_STAGED_DIR = "_staged"
+
+
+def _staged_path(path: str, name: str) -> str:
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"invalid stage name {name!r}")
+    return os.path.join(path, _STAGED_DIR, f"{name}.json")
+
+
+def _write_staged(path: str, name: str, obj: dict) -> None:
+    p = _staged_path(path, name)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = f"{p}.tmp{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    try:
+        os.link(tmp, p)  # create-if-absent: two stages can't share a name
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"stage {name!r} already exists at {path} — publish or abort "
+            "it first, or stage under a fresh name"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def staged_refs(path: str) -> list[str]:
+    """Names of pending (unpublished, unaborted) stages on the table."""
+    d = os.path.join(path, _STAGED_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        f[:-5] for f in os.listdir(d)
+        if f.endswith(".json") and ".tmp" not in f
+    )
+
+
+def read_staged(path: str, name: str) -> dict:
+    """The staged candidate's metadata ({base_version, new_entries, ...})."""
+    p = _staged_path(path, name)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no stage {name!r} at {path}")
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _staged_base(path: str, st: dict) -> dict:
+    base = read_manifest(path, st["base_version"]) if st["base_version"] else None
+    if base is None and st["base_version"]:
+        raise FileNotFoundError(
+            f"stage {st['name']!r} was built on version {st['base_version']}, "
+            "which has been vacuumed — the stage has expired; abort it and "
+            "re-stage against the current table"
+        )
+    return base or {
+        "version": 0,
+        "partition_col": st["partition_col"],
+        "partitions": {},
+    }
+
+
+def read_staged_table(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    partition_values: Sequence | None = None,
+    predicates: Sequence[tuple] | None = None,
+) -> DataFrame:
+    """The table AS IT WOULD BE after publishing the stage — base snapshot
+    with the staged entries overlaid — for audit queries (row counts,
+    constraint-style checks, DQ rules). Committed readers are unaffected;
+    this is the only read that sees staged data."""
+    st = read_staged(path, name)
+    base = _staged_base(path, st)
+    candidate = {
+        **base,
+        "partitions": {**base["partitions"], **st["new_entries"]},
+        "schema": st["schema"],
+    }
+    return _read_from_manifest(
+        spark, path, candidate, partition_values, None, predicates
+    )
+
+
+def publish_staged(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    max_commit_retries: int = 3,
+) -> dict:
+    """Make a staged merge visible: ONE atomic manifest commit with the
+    same disjoint-partition rebase as a direct merge — commits that landed
+    during the audit window are rebased over (their entries + the staged
+    ones), same-partition races raise ConcurrentWriteError (the staged
+    rows were merged against a now-stale snapshot: abort and re-stage).
+    The moved-keys invariant is re-checked against every partition that
+    changed since staging, using the staged partitions' own key sets.
+    Returns {"version", "partitions"}; the staged slot is removed after
+    the commit (a crash between commit and removal leaves a stale slot
+    whose re-publish fails on the name being gone — abort clears it)."""
+    st = read_staged(path, name)
+    base = _staged_base(path, st)
+    keys = st["keys"]
+    update_keys_df = None
+    if st.get("check_moved_keys"):
+        # the staged prefixes hold the MERGED partition rows — a superset
+        # of the batch's update keys. Using the superset only strengthens
+        # the re-check: any of these keys appearing under another
+        # partition is a genuine spanning violation.
+        prefixes = [
+            os.path.join(path, e["prefix"])
+            for e in st["new_entries"].values()
+        ]
+        update_keys_df = (
+            spark.read.parquet(*prefixes).select(*keys).distinct()
+        )
+    committed = _commit_with_rebase(
+        spark,
+        path,
+        base,
+        st["new_entries"],
+        schema_json=st["schema"],
+        update_keys_df=update_keys_df,
+        keys=keys,
+        check_moved_keys=bool(st.get("check_moved_keys")),
+        max_commit_retries=max_commit_retries,
+        app_metadata=st.get("app_metadata"),
+        op=f"publish:{name}",
+    )
+    os.unlink(_staged_path(path, name))
+    return {
+        "version": committed["version"],
+        "partitions": sorted(st["new_entries"]),
+    }
+
+
+def abort_staged(path: str, name: str) -> None:
+    """Drop a staged candidate. Its data prefixes were never referenced by
+    any committed manifest — readers never saw them — and they become
+    vacuumable garbage the moment the slot is removed."""
+    p = _staged_path(path, name)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no stage {name!r} at {path}")
+    os.unlink(p)
 
 
 def _write_partition_prefixes(
@@ -3105,6 +3312,12 @@ def vacuum_manifest(
             # files applied, so they share the data prefixes' lifecycle
             for d in e.get("deletes") or ():
                 live.add(os.path.normpath(d["prefix"]))
+    # staged (write-audit-publish) candidates reference prefixes no
+    # committed manifest knows about — they are live until published or
+    # aborted, however long the audit takes
+    for name in staged_refs(path):
+        for e in read_staged(path, name)["new_entries"].values():
+            live.add(os.path.normpath(e["prefix"]))
     for v in versions:
         if v not in keep:
             os.unlink(_commit_path(path, v))
