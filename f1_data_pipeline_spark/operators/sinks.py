@@ -2108,6 +2108,431 @@ def merge_upsert_manifest(
     return n
 
 
+# ---------------------------------------------------------------------------
+# conditional MERGE INTO: the full Delta/Iceberg MERGE clause surface over
+# manifest tables — WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE,
+# WHEN NOT MATCHED [AND cond] THEN INSERT, WHEN NOT MATCHED BY SOURCE
+# [AND cond] THEN DELETE | UPDATE. `merge_upsert_manifest` stays the fast
+# path for the plain upsert shape; this verb covers everything else.
+# ---------------------------------------------------------------------------
+
+
+def _norm_merge_clauses(spec, allowed: set, what: str) -> list[tuple]:
+    """Normalize a MERGE clause spec into [(verb, cond_sql|None, assign)].
+
+    Accepted shorthands: None/False → no clauses; a verb string
+    ("update" | "delete" | "insert") → one unconditional clause; a single
+    tuple → one clause; a sequence of tuples → ordered clauses (first
+    matching clause wins, Delta semantics). Tuples are (verb,), (verb,
+    cond), or (verb, cond, assignments); assignments default to "all"
+    for update/insert, None for delete."""
+    if spec in (None, False):
+        return []
+    if isinstance(spec, str):
+        spec = [(spec, None)]
+    elif isinstance(spec, tuple):
+        spec = [spec]
+    out = []
+    for cl in spec:
+        if isinstance(cl, str):
+            cl = (cl, None)
+        verb = cl[0]
+        cond = cl[1] if len(cl) > 1 else None
+        assign = cl[2] if len(cl) > 2 else ("all" if verb != "delete" else None)
+        if verb not in allowed:
+            raise ValueError(
+                f"{what} clause verb {verb!r} not in {sorted(allowed)}"
+            )
+        if verb == "delete" and assign is not None:
+            raise ValueError(f"{what} DELETE clause takes no assignments")
+        if verb != "delete" and not (
+            assign == "all" or isinstance(assign, dict)
+        ):
+            raise ValueError(
+                f"{what} {verb} assignments must be 'all' or a dict of "
+                "column -> SQL expression over t.<col>/s.<col>"
+            )
+        out.append((verb, cond, assign))
+    return out
+
+
+def merge_into_manifest(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str | None = None,
+    when_matched="update",
+    when_not_matched="insert",
+    when_not_matched_by_source=None,
+    by_source_scope: Sequence | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    max_commit_retries: int = 3,
+    app_metadata: dict | None = None,
+) -> dict:
+    """Conditional MERGE INTO for manifest tables — the full SQL MERGE
+    clause surface (Delta/Iceberg `MERGE INTO t USING s ON keys`):
+
+    - `when_matched`: ordered clauses applied to key-matched (target,
+      source) pairs — [("update", cond, assignments), ("delete", cond)].
+      First clause whose condition holds wins; pairs matching no clause
+      keep the target row unchanged. `assignments` is "all" (take every
+      source column — the upsert shape) or {col: SQL} where the SQL may
+      reference both rows as `t.<col>` / `s.<col>` (e.g.
+      `{"v": "t.v + s.v"}` for additive MERGE). Conditions are SQL over
+      the same two aliases (`"s.ts > t.ts"` — only-if-newer upserts).
+    - `when_not_matched`: insert clauses for source-only keys
+      ([("insert", cond)]); rows matching no clause are dropped.
+    - `when_not_matched_by_source`: delete/update clauses for target-only
+      keys (`[("delete", "t.expired")]` — sync-deletions shape;
+      conditions see `t.*` only). These clauses examine target rows
+      whose key the source DOESN'T carry, so their scan scope is the
+      whole table by default; `by_source_scope` narrows it to the given
+      partition values (strongly recommended at scale — e.g. "sync this
+      day's partition against today's feed"). Target rows outside the
+      scope are never examined, matched, or deleted.
+
+    Shorthands: `when_matched="update"` ≡ [("update", None, "all")],
+    `"delete"` ≡ [("delete", None)], `when_not_matched="insert"`;
+    None disables the clause family. The defaults make
+    `merge_into_manifest(spark, src, path, keys, pcol)` behave exactly
+    like `merge_upsert_manifest` (which remains the cheaper fast path:
+    it skips clause evaluation and the action accounting).
+
+    Invariants shared with the partition-scoped MERGE: `keys` must
+    functionally determine `partition_col` in the source; at most one
+    source row per key (ambiguous multi-matches raise, as in Delta);
+    UPDATE assignments may not change `partition_col` (rows never move
+    partitions — re-key via DELETE + INSERT instead); source keys must
+    not exist in partitions the merge doesn't examine. Only partitions
+    where at least one row actually changed are rewritten — a no-op
+    clause evaluation over N partitions rewrites none of them — and the
+    commit is the same single atomic manifest flip with
+    disjoint-partition rebase. With by-source clauses active, a rebase
+    over a competitor that changed partitions INSIDE the examined scope
+    conflicts conservatively (their new rows were never examined by our
+    clauses); without them, rebase behaves exactly like the MERGE.
+
+    Returns {"updated", "deleted", "inserted", "updated_by_source",
+    "deleted_by_source", "unchanged", "partitions_rewritten",
+    "partitions_dropped"}.
+
+    Reference parity: generalizes the ON CONFLICT DO UPDATE contract
+    (loaders/__init__.py:253-273) to the conditional forms the reference
+    hand-codes as Python if/continue row loops (e.g. skipping rows whose
+    FK didn't resolve, loaders/__init__.py:225-226) — here they are
+    declarative clauses over set-based dataflow."""
+    matched = _norm_merge_clauses(
+        when_matched, {"update", "delete"}, "when_matched"
+    )
+    not_matched = _norm_merge_clauses(
+        when_not_matched, {"insert"}, "when_not_matched"
+    )
+    by_source = _norm_merge_clauses(
+        when_not_matched_by_source, {"update", "delete"},
+        "when_not_matched_by_source",
+    )
+    if not (matched or not_matched or by_source):
+        raise ValueError("MERGE with no clauses would be a no-op")
+    keys = list(keys)
+
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(
+            f"no manifest at {path} — create the table with "
+            "merge_upsert_manifest first"
+        )
+    if partition_col is None:
+        partition_col = m["partition_col"]
+    elif m["partition_col"] != partition_col:
+        raise ValueError(
+            f"table at {path} is manifest-partitioned by "
+            f"{m['partition_col']!r}, not {partition_col!r}"
+        )
+    stored = T.StructType.fromJson(m["schema"])
+    t_cols = [f.name for f in stored.fields]
+    extra = [c for c in source.columns if c not in t_cols]
+    if extra:
+        raise ValueError(
+            f"source has columns the table lacks: {extra} — evolve the "
+            "schema through merge_upsert_manifest(schema_evolution=True) "
+            "first"
+        )
+    for verb, _, assign in matched + by_source:
+        if isinstance(assign, dict):
+            bad = [c for c in assign if c not in t_cols]
+            if bad:
+                raise ValueError(f"UPDATE SET on unknown columns {bad}")
+            if partition_col in assign:
+                raise ValueError(
+                    f"UPDATE may not assign the partition column "
+                    f"{partition_col!r} — rows never move partitions; "
+                    "DELETE + re-insert instead"
+                )
+
+    # at most one source row per key (Delta's ambiguous-merge error)
+    if source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
+        raise ValueError(
+            f"source has multiple rows per {keys} key — MERGE matches are "
+            "ambiguous; pre-aggregate the source to one row per key"
+        )
+    src_parts = (
+        [r[0] for r in source.select(partition_col).distinct().collect()]
+        if partition_col in source.columns
+        else []
+    )
+    if not_matched and partition_col not in source.columns:
+        raise ValueError(
+            f"source lacks the partition column {partition_col!r} — "
+            "INSERT clauses cannot place rows"
+        )
+    spanning = (
+        source.groupBy(*keys)
+        .agg(F.countDistinct(F.struct(partition_col)).alias("__np"))
+        .filter(F.col("__np") > 1)
+        .limit(1)
+        .count()
+        if partition_col in source.columns
+        else 0
+    )
+    if spanning:
+        raise ValueError(
+            f"source maps one {keys} key to multiple {partition_col} "
+            "values — keys must functionally determine the partition column"
+        )
+
+    # partitions this merge EXAMINES: the source's, plus the by-source
+    # scope (whole table when unscoped); a source WITHOUT the partition
+    # column can't localize its matches, so matched clauses then examine
+    # the whole table too
+    examined = {_enc_part(p): p for p in src_parts}
+    if by_source or (matched and partition_col not in source.columns):
+        if by_source and by_source_scope is not None:
+            scope_keys = {_enc_part(v): v for v in by_source_scope}
+        else:
+            scope_keys = dict(m["partitions"])  # values unused, keys select
+        examined.update(scope_keys)
+    examined = {k: v for k, v in examined.items() if k in m["partitions"]} | {
+        _enc_part(p): p for p in src_parts
+    }
+    unexamined = [k for k in m["partitions"] if k not in examined]
+    if unexamined and (not_matched or matched):
+        elsewhere = (
+            read_manifest_table(
+                spark, path, partition_values=unexamined,
+                partition_values_encoded=True, version=m["version"],
+            )
+            .select(*keys)
+            .join(source.select(*keys).distinct(), keys, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if elsewhere:
+            raise ValueError(
+                f"source keys already exist under {partition_col} "
+                "partitions this merge does not examine — matched rows "
+                "would be missed or duplicated; widen by_source_scope or "
+                "re-partition the source"
+            )
+
+    present = [k for k in examined if k in m["partitions"]]
+    target = read_manifest_table(
+        spark, path, partition_values=present,
+        partition_values_encoded=True, version=m["version"], schema=stored,
+    )
+    # two struct sides: every condition/assignment is SQL over t.* / s.*
+    t_side = target.select(F.struct(*t_cols).alias("t"))
+    s_cols = [
+        F.col(c).cast(f.dataType).alias(c)
+        if c in source.columns
+        else F.lit(None).cast(f.dataType).alias(c)
+        for f in stored.fields
+        for c in [f.name]
+    ]
+    s_side = source.select(F.struct(*s_cols).alias("s"))
+    on = None
+    for k in keys:
+        p = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        on = p if on is None else (on & p)
+    j = t_side.join(s_side, on, "full_outer")
+
+    is_m = F.col("t").isNotNull() & F.col("s").isNotNull()
+    s_only = F.col("t").isNull()
+    t_only = F.col("s").isNull()
+
+    def _chain(base, clauses, prefix, default):
+        act = None
+        for i, (verb, cond, _) in enumerate(clauses):
+            c = base & (F.expr(cond) if cond else F.lit(True))
+            tag = F.lit(f"{prefix}{i}:{verb}")
+            act = F.when(c, tag) if act is None else act.when(c, tag)
+        done = act.otherwise(F.lit(default)) if act is not None else F.lit(default)
+        return F.when(base, done)
+
+    action = (
+        _chain(is_m, matched, "m", "keep")
+        .otherwise(
+            _chain(s_only, not_matched, "i", "skip").otherwise(
+                _chain(t_only, by_source, "b", "keep").otherwise(F.lit("keep"))
+            )
+        )
+    )
+    j = j.withColumn("__act", action).persist()
+    try:
+        j.count()  # materialize once; everything below reads the cache
+        counts = {r["__act"]: r["n"] for r in
+                  j.groupBy("__act").agg(F.count("*").alias("n")).collect()}
+
+        def _n(pred) -> int:
+            return sum(v for k, v in counts.items() if pred(k))
+
+        stats = {
+            "updated": _n(lambda a: a.startswith("m") and a.endswith("update")),
+            "deleted": _n(lambda a: a.startswith("m") and a.endswith("delete")),
+            "inserted": _n(lambda a: a.startswith("i")),
+            "updated_by_source": _n(
+                lambda a: a.startswith("b") and a.endswith("update")),
+            "deleted_by_source": _n(
+                lambda a: a.startswith("b") and a.endswith("delete")),
+            "unchanged": counts.get("keep", 0) + counts.get("skip", 0),
+        }
+
+        # final value per column: clause assignments, first-match-wins by
+        # the precomputed action tag
+        def _assigned(c: str) -> Column:
+            out = F.when(
+                F.col("__act") == "keep", F.col(f"t.{c}")
+            )
+            for i, (verb, _, assign) in enumerate(matched):
+                tag = f"m{i}:{verb}"
+                if verb == "update":
+                    v = (
+                        F.col(f"s.{c}") if assign == "all"
+                        else F.expr(assign[c]) if c in assign
+                        else F.col(f"t.{c}")
+                    )
+                    out = out.when(F.col("__act") == tag, v)
+            for i, (verb, _, _a) in enumerate(not_matched):
+                out = out.when(F.col("__act") == f"i{i}:{verb}", F.col(f"s.{c}"))
+            for i, (verb, _, assign) in enumerate(by_source):
+                if verb == "update":
+                    v = (
+                        F.expr(assign[c]) if isinstance(assign, dict) and c in assign
+                        else F.col(f"t.{c}")
+                    )
+                    out = out.when(F.col("__act") == f"b{i}:{verb}", v)
+            return out.cast(stored[c].dataType).alias(c)
+
+        surviving = ~(
+            F.col("__act").rlike("^(m|b)[0-9]+:delete$")
+            | (F.col("__act") == "skip")
+        )
+        final = j.filter(surviving).select(
+            *[_assigned(f.name) for f in stored.fields]
+        )
+        # UPDATE must not have moved a row's partition (condition exprs
+        # can't — only dict assignments could, and those were rejected —
+        # but "all" assignments take s.<partition_col>, so verify)
+        moved = (
+            j.filter(is_m & F.col("__act").rlike("^m[0-9]+:update$"))
+            .filter(
+                ~F.col(f"t.{partition_col}").eqNullSafe(
+                    F.col(f"s.{partition_col}")
+                )
+            )
+            .limit(1)
+            .count()
+            if matched and partition_col in source.columns
+            else 0
+        )
+        if moved:
+            raise ValueError(
+                f"an UPDATE clause changed {partition_col!r} for a matched "
+                "key — rows never move partitions; DELETE + re-insert"
+            )
+
+        # rewrite ONLY partitions where something actually changed
+        changed_rows = j.filter(F.col("__act").rlike("^(m|i|b)[0-9]+:"))
+        changed_parts = [
+            r[0]
+            for r in changed_rows.select(
+                F.coalesce(
+                    F.col(f"t.{partition_col}"), F.col(f"s.{partition_col}")
+                ).alias("p")
+                if partition_col in source.columns
+                else F.col(f"t.{partition_col}").alias("p")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not changed_parts:
+            return {**stats, "partitions_rewritten": 0, "partitions_dropped": 0}
+        touched = {_enc_part(p): p for p in changed_parts}
+
+        nonnull_parts = [p for p in changed_parts if p is not None]
+        in_changed = (
+            F.col(partition_col).isin(nonnull_parts)
+            if nonnull_parts
+            else F.lit(False)
+        )
+        if any(p is None for p in changed_parts):
+            in_changed = in_changed | F.col(partition_col).isNull()
+        out_df = final.filter(in_changed).persist()
+        try:
+            out_df.count()
+            _enforce_constraints(
+                out_df, m.get("constraints", {}), f"MERGE INTO {path}"
+            )
+            # partitions whose every row was deleted drop from the manifest
+            present_out = {
+                _enc_part(r[0])
+                for r in out_df.select(partition_col).distinct().collect()
+            }
+            drop_keys = [
+                k for k in touched
+                if k not in present_out and k in m["partitions"]
+            ]
+            write_parts = {k: v for k, v in touched.items() if k in present_out}
+            # keep bloom coverage: rebuild the union of the caller's columns
+            # and whatever the rewritten entries already indexed
+            blooms = set(bloom_cols or ())
+            for k in write_parts:
+                e = m["partitions"].get(k)
+                if e and e.get("blooms"):
+                    blooms |= set(e["blooms"])
+            snap_entries = _write_partition_prefixes(
+                out_df, path, partition_col, write_parts,
+                uuid.uuid4().hex[:12], bloom_cols=sorted(blooms) or None,
+            )
+            _commit_with_rebase(
+                spark, path, m, snap_entries,
+                update_keys_df=source.select(*keys).distinct(),
+                keys=keys,
+                check_moved_keys=bool(matched or not_matched),
+                max_commit_retries=max_commit_retries,
+                drop_keys=drop_keys,
+                # by-source clauses examined a scope a competitor may have
+                # changed under us — conservatively conflict on any change
+                # inside it (the always-maybe predicate), scoped so disjoint
+                # writers outside it still rebase cleanly
+                check_predicates=(
+                    [("__merge_by_source__", "=", 1)] if by_source else None
+                ),
+                check_partition_scope=(set(examined) if by_source else None),
+                app_metadata=app_metadata,
+                op="merge",
+            )
+        finally:
+            out_df.unpersist()
+        return {
+            **stats,
+            "partitions_rewritten": len(snap_entries),
+            "partitions_dropped": len(drop_keys),
+        }
+    finally:
+        j.unpersist()
+
+
 def manifest_app_metadata(path: str, version: int | str | None = None) -> dict:
     """The application key/values committed alongside the data (the `app`
     object — e.g. a materialized view's source-version watermark). Empty
