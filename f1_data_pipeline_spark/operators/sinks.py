@@ -33,6 +33,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from f1_data_pipeline_spark.operators.partitioning import (
+    DERIVED_COL,
+    apply_transform,
+    parse_partition_spec,
+    partition_column_name,
+    prune_partition_keys,
+)
 from f1_data_pipeline_spark.operators.relational import (
     anti_join_existing,
     merge_upsert_frames,
@@ -1227,8 +1234,10 @@ def manifest_count(
     m = read_manifest(path, version)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
-    entries = _select_entries(m, partition_values)
     preds = list(predicates) if predicates else []
+    entries = _transform_prune(
+        spark, m, _select_entries(m, partition_values), preds
+    )
     count = 0
     n_meta = 0
     n_pruned = 0
@@ -1576,7 +1585,13 @@ def read_manifest_table(
     Partitions carrying merge-on-read delete files are read through a
     position anti-join against their recorded delete sets (broadcast when
     small), so MoR-deleted rows never surface; partitions without deletes
-    take the plain multi-path scan with zero overhead."""
+    take the plain multi-path scan with zero overhead.
+
+    On a transform-partitioned table (hidden partitioning), `predicates`
+    on the transform's SOURCE column additionally prune whole partitions
+    through the transform before file stats are consulted — an equality
+    predicate on a bucket(N) column reads exactly one of N partitions;
+    `partition_values` are derived values for such tables."""
     m = read_manifest(path, version)
     if m is None:
         if schema is None:
@@ -1586,6 +1601,37 @@ def read_manifest_table(
         spark, path, m, partition_values, schema, predicates,
         partition_values_encoded,
     )
+
+
+def _transform_of(m: dict):
+    """The manifest's partition transform (identity for plain-column
+    tables and legacy manifests with unparseable specs)."""
+    spec = m.get("partition_col")
+    if not spec:
+        return None
+    try:
+        return parse_partition_spec(spec)
+    except ValueError:
+        return None
+
+
+def _transform_prune(
+    spark: SparkSession, m: dict, entries: dict,
+    predicates: Sequence[tuple] | None,
+) -> dict:
+    """Partition-level data skipping through the table's partition
+    TRANSFORM: predicates on the transform's source column map to
+    derived-key constraints (time/truncate ranges, exact bucket for
+    equality), dropping partitions before any file metadata is even
+    consulted. Conservative and result-invariant, like the file pruner."""
+    pt = _transform_of(m)
+    if pt is None or pt.kind == "identity" or not predicates:
+        return entries
+    src_type = None
+    for f in (m.get("schema") or {}).get("fields", []):
+        if f["name"] == pt.source and isinstance(f["type"], str):
+            src_type = f["type"]
+    return prune_partition_keys(spark, pt, entries, predicates, src_type)
 
 
 def _read_from_manifest(
@@ -1601,7 +1647,10 @@ def _read_from_manifest(
     an explicit manifest dict — shared with staged-commit overlay reads
     (write-audit-publish), which audit a candidate manifest that is not in
     the committed log yet."""
-    entries = _select_entries(m, partition_values, partition_values_encoded)
+    entries = _transform_prune(
+        spark, m, _select_entries(m, partition_values, partition_values_encoded),
+        predicates,
+    )
     plain_paths: list[str] = []
     mor_paths: list[str] = []
     mor_entries: list[dict] = []
@@ -1926,6 +1975,14 @@ def merge_upsert_manifest(
     SAME atomic commit as the data (see `_commit_with_rebase`) — read
     back with `manifest_app_metadata`.
 
+    `partition_col` may be a plain column (identity) or a partition
+    TRANSFORM spec — `days(ts)`, `months(ts)`, `years(ts)`,
+    `bucket(N, col)`, `truncate(W, col)` (hidden partitioning,
+    operators/partitioning.py): the derived value drives the layout and
+    lives only in manifest entries, never in data files or the stored
+    schema; readers prune through the transform and `partition_values`
+    then take DERIVED values ('2024-03-05', a bucket number).
+
     `stage` names a WRITE-AUDIT-PUBLISH staging slot instead of
     committing: the data prefixes are written and validated exactly as a
     commit would (spanning keys, moved keys, constraints, stats, blooms),
@@ -1972,7 +2029,21 @@ def merge_upsert_manifest(
     loaders (loaders/__init__.py:253-273), with the all-or-nothing guarantee
     (loaders/__init__.py:108-113) carried by the manifest flip.
     """
-    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    # `partition_col` may be a partition TRANSFORM spec — days(ts),
+    # months(ts), years(ts), bucket(N, col), truncate(W, col) — in which
+    # case the derived value drives the layout but is never stored in the
+    # data files (hidden partitioning, operators/partitioning.py)
+    pt = parse_partition_spec(partition_col)
+    partition_col = pt.spec
+    pcol = partition_column_name(pt)
+    hidden = pt.kind != "identity"
+    if pt.source not in updates.columns:
+        raise ValueError(
+            f"partition source column {pt.source!r} not in the update "
+            "batch's columns"
+        )
+    updates_keyed = apply_transform(pt, updates)
+    parts = [r[0] for r in updates_keyed.select(pcol).distinct().collect()]
     if not parts:
         return 0
     if bloom_cols:
@@ -1985,8 +2056,8 @@ def merge_upsert_manifest(
     # a key spanning the NULL partition and a real one must be rejected
     # like any other spanning key (NULL partitions are first-class here)
     dup_keyed = (
-        updates.groupBy(*keys)
-        .agg(F.countDistinct(F.struct(partition_col)).alias("__np"))
+        updates_keyed.groupBy(*keys)
+        .agg(F.countDistinct(F.struct(pcol)).alias("__np"))
         .filter(F.col("__np") > 1)
         .limit(1)
         .count()
@@ -2048,7 +2119,15 @@ def merge_upsert_manifest(
         updates,
         schema_evolution,
     )
-    merged = merge_upsert_frames(existing_touched, updates, keys).persist()
+    # the derived partition value is recomputed on the MERGED rows (it is
+    # deterministic from the source column), written out for the fan-out
+    # filter, and dropped from the stored files and schema
+    merged = apply_transform(
+        pt, merge_upsert_frames(existing_touched, updates, keys)
+    ).persist()
+    public_schema = (
+        merged.drop(DERIVED_COL).schema if hidden else merged.schema
+    )
     try:
         # applied-row count = distinct update keys (duplicate-keyed rows
         # collapse in the merge — updates.count() would over-report).
@@ -2068,7 +2147,8 @@ def merge_upsert_manifest(
         )
         snap = uuid.uuid4().hex[:12]
         new_entries = _write_partition_prefixes(
-            merged, path, partition_col, touched, snap, bloom_cols=bloom_cols
+            merged, path, pcol, touched, snap, bloom_cols=bloom_cols,
+            drop_cols=(DERIVED_COL,) if hidden else (),
         )
         if stage is not None:
             _write_staged(
@@ -2080,7 +2160,7 @@ def merge_upsert_manifest(
                     "partition_col": partition_col,
                     "keys": list(keys),
                     "new_entries": new_entries,
-                    "schema": merged.schema.jsonValue(),
+                    "schema": public_schema.jsonValue(),
                     "app_metadata": app_metadata,
                     "check_moved_keys": check_moved_keys,
                 },
@@ -2095,7 +2175,7 @@ def merge_upsert_manifest(
             path,
             manifest,
             new_entries,
-            schema_json=merged.schema.jsonValue(),
+            schema_json=public_schema.jsonValue(),
             update_keys_df=updates.select(*keys).distinct(),
             keys=list(keys),
             check_moved_keys=check_moved_keys,
@@ -2244,11 +2324,16 @@ def merge_into_manifest(
         )
     if partition_col is None:
         partition_col = m["partition_col"]
-    elif m["partition_col"] != partition_col:
+    pt = parse_partition_spec(partition_col)
+    partition_col = pt.spec
+    if m["partition_col"] != partition_col:
         raise ValueError(
             f"table at {path} is manifest-partitioned by "
             f"{m['partition_col']!r}, not {partition_col!r}"
         )
+    psrc = pt.source  # the column rows carry (== partition_col if identity)
+    hidden = pt.kind != "identity"
+    pcol_w = partition_column_name(pt)
     stored = T.StructType.fromJson(m["schema"])
     t_cols = [f.name for f in stored.fields]
     extra = [c for c in source.columns if c not in t_cols]
@@ -2263,10 +2348,10 @@ def merge_into_manifest(
             bad = [c for c in assign if c not in t_cols]
             if bad:
                 raise ValueError(f"UPDATE SET on unknown columns {bad}")
-            if partition_col in assign:
+            if partition_col in assign or psrc in assign:
                 raise ValueError(
                     f"UPDATE may not assign the partition column "
-                    f"{partition_col!r} — rows never move partitions; "
+                    f"{psrc!r} — rows never move partitions; "
                     "DELETE + re-insert instead"
                 )
 
@@ -2276,23 +2361,25 @@ def merge_into_manifest(
             f"source has multiple rows per {keys} key — MERGE matches are "
             "ambiguous; pre-aggregate the source to one row per key"
         )
+    src_has_part = psrc in source.columns
+    src_keyed = apply_transform(pt, source) if src_has_part else source
     src_parts = (
-        [r[0] for r in source.select(partition_col).distinct().collect()]
-        if partition_col in source.columns
+        [r[0] for r in src_keyed.select(pcol_w).distinct().collect()]
+        if src_has_part
         else []
     )
-    if not_matched and partition_col not in source.columns:
+    if not_matched and not src_has_part:
         raise ValueError(
-            f"source lacks the partition column {partition_col!r} — "
+            f"source lacks the partition source column {psrc!r} — "
             "INSERT clauses cannot place rows"
         )
     spanning = (
-        source.groupBy(*keys)
-        .agg(F.countDistinct(F.struct(partition_col)).alias("__np"))
+        src_keyed.groupBy(*keys)
+        .agg(F.countDistinct(F.struct(pcol_w)).alias("__np"))
         .filter(F.col("__np") > 1)
         .limit(1)
         .count()
-        if partition_col in source.columns
+        if src_has_part
         else 0
     )
     if spanning:
@@ -2306,7 +2393,7 @@ def merge_into_manifest(
     # column can't localize its matches, so matched clauses then examine
     # the whole table too
     examined = {_enc_part(p): p for p in src_parts}
-    if by_source or (matched and partition_col not in source.columns):
+    if by_source or (matched and not src_has_part):
         if by_source and by_source_scope is not None:
             scope_keys = {_enc_part(v): v for v in by_source_scope}
         else:
@@ -2340,8 +2427,27 @@ def merge_into_manifest(
         spark, path, partition_values=present,
         partition_values_encoded=True, version=m["version"], schema=stored,
     )
-    # two struct sides: every condition/assignment is SQL over t.* / s.*
-    t_side = target.select(F.struct(*t_cols).alias("t"))
+    # two struct sides: every condition/assignment is SQL over t.* / s.*;
+    # each side also carries its DERIVED partition value as a top-level
+    # column (__tp/__sp) — for identity tables that's just the partition
+    # column, for transformed tables it's recomputed from the source
+    # column (deterministic), never read from storage
+    def _derived_dtype():
+        if not hidden:
+            return stored[psrc].dataType
+        if pt.kind == "bucket":
+            return T.LongType()
+        if pt.kind == "truncate" and isinstance(
+            stored[psrc].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        ):
+            return T.LongType()
+        return T.StringType()
+
+    t_side = apply_transform(pt, target).select(
+        F.struct(*t_cols).alias("t"), F.col(pcol_w).alias("__tp")
+    )
     s_cols = [
         F.col(c).cast(f.dataType).alias(c)
         if c in source.columns
@@ -2349,7 +2455,12 @@ def merge_into_manifest(
         for f in stored.fields
         for c in [f.name]
     ]
-    s_side = source.select(F.struct(*s_cols).alias("s"))
+    sp = (
+        F.col(pcol_w)
+        if src_has_part
+        else F.lit(None).cast(_derived_dtype())
+    )
+    s_side = src_keyed.select(F.struct(*s_cols).alias("s"), sp.alias("__sp"))
     on = None
     for k in keys:
         p = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
@@ -2430,25 +2541,29 @@ def merge_into_manifest(
         final = j.filter(surviving).select(
             *[_assigned(f.name) for f in stored.fields]
         )
-        # UPDATE must not have moved a row's partition (condition exprs
-        # can't — only dict assignments could, and those were rejected —
-        # but "all" assignments take s.<partition_col>, so verify)
+        # UPDATE must not have moved a row's partition. Only "all"
+        # assignments can (they take the source's value for the partition
+        # source column; dict assignments to it were rejected up front) —
+        # and for a transformed table the check compares DERIVED values,
+        # so updating a timestamp WITHIN its day partition is fine.
+        all_upd_tags = [
+            f"m{i}:update"
+            for i, (v, _c, a) in enumerate(matched)
+            if v == "update" and a == "all"
+        ]
         moved = (
-            j.filter(is_m & F.col("__act").rlike("^m[0-9]+:update$"))
-            .filter(
-                ~F.col(f"t.{partition_col}").eqNullSafe(
-                    F.col(f"s.{partition_col}")
-                )
-            )
+            j.filter(is_m & F.col("__act").isin(all_upd_tags))
+            .filter(~F.col("__tp").eqNullSafe(F.col("__sp")))
             .limit(1)
             .count()
-            if matched and partition_col in source.columns
+            if all_upd_tags and src_has_part
             else 0
         )
         if moved:
             raise ValueError(
-                f"an UPDATE clause changed {partition_col!r} for a matched "
-                "key — rows never move partitions; DELETE + re-insert"
+                f"an UPDATE clause changed the {partition_col!r} partition "
+                "of a matched key — rows never move partitions; "
+                "DELETE + re-insert"
             )
 
         # rewrite ONLY partitions where something actually changed
@@ -2456,11 +2571,7 @@ def merge_into_manifest(
         changed_parts = [
             r[0]
             for r in changed_rows.select(
-                F.coalesce(
-                    F.col(f"t.{partition_col}"), F.col(f"s.{partition_col}")
-                ).alias("p")
-                if partition_col in source.columns
-                else F.col(f"t.{partition_col}").alias("p")
+                F.coalesce(F.col("__tp"), F.col("__sp")).alias("p")
             )
             .distinct()
             .collect()
@@ -2469,15 +2580,16 @@ def merge_into_manifest(
             return {**stats, "partitions_rewritten": 0, "partitions_dropped": 0}
         touched = {_enc_part(p): p for p in changed_parts}
 
+        fin = apply_transform(pt, final) if hidden else final
         nonnull_parts = [p for p in changed_parts if p is not None]
         in_changed = (
-            F.col(partition_col).isin(nonnull_parts)
+            F.col(pcol_w).isin(nonnull_parts)
             if nonnull_parts
             else F.lit(False)
         )
         if any(p is None for p in changed_parts):
-            in_changed = in_changed | F.col(partition_col).isNull()
-        out_df = final.filter(in_changed).persist()
+            in_changed = in_changed | F.col(pcol_w).isNull()
+        out_df = fin.filter(in_changed).persist()
         try:
             out_df.count()
             _enforce_constraints(
@@ -2486,7 +2598,7 @@ def merge_into_manifest(
             # partitions whose every row was deleted drop from the manifest
             present_out = {
                 _enc_part(r[0])
-                for r in out_df.select(partition_col).distinct().collect()
+                for r in out_df.select(pcol_w).distinct().collect()
             }
             drop_keys = [
                 k for k in touched
@@ -2501,8 +2613,9 @@ def merge_into_manifest(
                 if e and e.get("blooms"):
                     blooms |= set(e["blooms"])
             snap_entries = _write_partition_prefixes(
-                out_df, path, partition_col, write_parts,
+                out_df, path, pcol_w, write_parts,
                 uuid.uuid4().hex[:12], bloom_cols=sorted(blooms) or None,
+                drop_cols=(DERIVED_COL,) if hidden else (),
             )
             _commit_with_rebase(
                 spark, path, m, snap_entries,
@@ -2711,6 +2824,7 @@ def _write_partition_prefixes(
     touched: dict,
     snap: str,
     bloom_cols: Sequence[str] | None = None,
+    drop_cols: Sequence[str] = (),
 ) -> dict[str, dict]:
     """THE per-partition object-store write fan-out shared by the MERGE
     and replace-partitions verbs: for each touched {encoded: raw value}
@@ -2733,6 +2847,10 @@ def _write_partition_prefixes(
             if val is None
             else F.col(partition_col) == F.lit(val)
         )
+        if drop_cols:
+            # hidden partitioning: the derived partition value selects the
+            # rows but is never stored in the data files
+            part_df = part_df.drop(*drop_cols)
         part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
         entry = {
             "prefix": prefix,
@@ -2904,6 +3022,15 @@ def replace_manifest_partitions(
     the MERGE.
 
     Returns {"partitions_replaced", "partitions_dropped", "rows"}."""
+    pt = parse_partition_spec(partition_col)
+    partition_col = pt.spec
+    pcol = partition_column_name(pt)
+    hidden = pt.kind != "identity"
+    if pt.source not in df.columns:
+        raise ValueError(
+            f"partition source column {pt.source!r} not in the batch's "
+            "columns"
+        )
     manifest = read_manifest(path) or {
         "version": 0,
         "partition_col": partition_col,
@@ -2935,9 +3062,10 @@ def replace_manifest_partitions(
                 "read them as NULL)"
             )
         _check_type_evolution(stored_schema, df.schema, schema_evolution)
-    df = df.persist()
+    df = apply_transform(pt, df).persist()
+    public_schema = df.drop(DERIVED_COL).schema if hidden else df.schema
     try:
-        parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+        parts = [r[0] for r in df.select(pcol).distinct().collect()]
         touched = {_enc_part(p): p for p in parts}
         overlap = set(touched) & set(drop_partitions_encoded)
         if overlap:
@@ -2958,14 +3086,15 @@ def replace_manifest_partitions(
         )
         snap = uuid.uuid4().hex[:12]
         new_entries = _write_partition_prefixes(
-            df, path, partition_col, touched, snap
+            df, path, pcol, touched, snap,
+            drop_cols=(DERIVED_COL,) if hidden else (),
         )
         _commit_with_rebase(
             spark,
             path,
             manifest,
             new_entries,
-            schema_json=df.schema.jsonValue(),
+            schema_json=public_schema.jsonValue(),
             max_commit_retries=max_commit_retries,
             drop_keys=drop_keys,
             app_metadata=app_metadata,
@@ -3153,7 +3282,9 @@ def delete_manifest_rows(
         )
     cond = _predicates_column(preds)
     delete_cond = F.coalesce(cond, F.lit(False))
-    entries = _select_entries(m, partition_values)
+    entries = _transform_prune(
+        spark, m, _select_entries(m, partition_values), preds
+    )
     snap = uuid.uuid4().hex[:12]
     stored = (
         T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
@@ -3294,10 +3425,14 @@ def update_manifest_rows(
     if not assignments:
         raise ValueError("UPDATE needs at least one assignment")
     part_col = m.get("partition_col")
-    if part_col in assignments:
+    pt_u = _transform_of(m)
+    if part_col in assignments or (
+        pt_u is not None and pt_u.source in assignments
+    ):
         raise ValueError(
-            f"cannot assign partition column {part_col!r} — moving rows "
-            "between partitions is a delete + merge, not an in-place update"
+            f"cannot assign partition column {part_col!r} (or its "
+            "transform source) — moving rows between partitions is a "
+            "delete + merge, not an in-place update"
         )
     stored = (
         T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
@@ -3310,7 +3445,9 @@ def update_manifest_rows(
                 "go through the merge path with schema_evolution=True"
             )
     cond = F.coalesce(_predicates_column(preds), F.lit(False))
-    entries = _select_entries(m, partition_values)
+    entries = _transform_prune(
+        spark, m, _select_entries(m, partition_values), preds
+    )
     snap = uuid.uuid4().hex[:12]
     new_entries: dict[str, dict] = {}
     updated = 0

@@ -242,7 +242,7 @@ def test_matched_without_source_partition_column(spark, tmp_path):
     assert stats["updated"] == 1
     assert _rows(spark, path)[7] == (3, 700)
     # INSERT clauses need a partition → loud error
-    with pytest.raises(ValueError, match="lacks the partition column"):
+    with pytest.raises(ValueError, match="lacks the partition source"):
         sinks.merge_into_manifest(spark, up, path, keys=["k"])
 
 

@@ -1,0 +1,337 @@
+"""Hidden partitioning (partition transforms) for manifest tables:
+days/months/years/bucket/truncate specs, derived values living only in
+the manifest (never in data files), transform-aware partition pruning,
+and the DML verbs operating on transformed tables.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import partitioning as P
+from f1_data_pipeline_spark.operators import sinks
+
+
+def test_spec_parsing_and_canonical_forms():
+    assert P.parse_partition_spec("day").kind == "identity"
+    t = P.parse_partition_spec("days(ts)")
+    assert (t.kind, t.source, t.param) == ("days", "ts", None)
+    b = P.parse_partition_spec("bucket(16,k)")
+    assert (b.kind, b.source, b.param) == ("bucket", "k", 16)
+    assert b.spec == "bucket(16, k)"  # canonical
+    assert P.parse_partition_spec("truncate(4, s)").spec == "truncate(4, s)"
+    for bad in ("days()", "bucket(k)", "bucket(0, k)", "days(1, ts)", "nope("):
+        with pytest.raises(ValueError):
+            P.parse_partition_spec(bad)
+
+
+def _ts_df(spark, n=200):
+    base = dt.datetime(2024, 3, 1, 6, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(hours=i % 96), float(i))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "k long, ts timestamp, v double")
+
+
+def test_days_transform_layout_and_hidden_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    m = sinks.read_manifest(path)
+    # offsets 0..95h from 03-01 06:00 span 5 calendar days
+    assert sorted(m["partitions"]) == [
+        "2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04", "2024-03-05"
+    ]
+    assert m["partition_col"] == "days(ts)"
+    # the derived value is NOT stored: schema and files are clean
+    got = sinks.read_manifest_table(spark, path)
+    assert got.columns == ["k", "ts", "v"]
+    one = glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                    recursive=True)[0]
+    assert spark.read.parquet(one).columns == ["k", "ts", "v"]
+    assert got.count() == 200
+
+
+def test_days_pruning_by_timestamp_predicate(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    m = sinks.read_manifest(path)
+    preds = [("ts", ">=", dt.datetime(2024, 3, 3, 0, 0, 0))]
+    kept = sinks._transform_prune(spark, m, dict(m["partitions"]), preds)
+    assert sorted(kept) == ["2024-03-03", "2024-03-04", "2024-03-05"]
+    # equality predicate: one day survives
+    kept = sinks._transform_prune(
+        spark, m, dict(m["partitions"]),
+        [("ts", "=", dt.datetime(2024, 3, 2, 12, 0, 0))],
+    )
+    assert sorted(kept) == ["2024-03-02"]
+    # and the pruned read returns exactly the filtered rows
+    got = sinks.read_manifest_table(spark, path, predicates=preds)
+    want = df.filter(F.col("ts") >= F.lit(dt.datetime(2024, 3, 3))).count()
+    assert got.count() == want
+
+
+def test_bucket_transform_point_lookup_prunes_to_one_partition(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="bucket(8, k)"
+    )
+    m = sinks.read_manifest(path)
+    assert len(m["partitions"]) == 8
+    kept = sinks._transform_prune(
+        spark, m, dict(m["partitions"]), [("k", "=", 42)]
+    )
+    assert len(kept) == 1
+    got = sinks.read_manifest_table(spark, path, predicates=[("k", "=", 42)])
+    assert [(r.k, r.v) for r in got.collect()] == [(42, 126)]
+    # range predicates cannot prune a hash layout — all partitions stay
+    kept = sinks._transform_prune(
+        spark, m, dict(m["partitions"]), [("k", ">", 400)]
+    )
+    assert len(kept) == 8
+
+
+def test_truncate_transforms(spark, tmp_path):
+    p1, p2 = str(tmp_path / "num"), str(tmp_path / "str")
+    dfn = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    sinks.merge_upsert_manifest(
+        spark, dfn, p1, keys=["k"], partition_col="truncate(250, v)"
+    )
+    m1 = sinks.read_manifest(p1)
+    assert sorted(m1["partitions"]) == ["0", "250", "500", "750"]
+    kept = sinks._transform_prune(
+        spark, m1, dict(m1["partitions"]), [("v", "<=", 260)]
+    )
+    assert sorted(kept) == ["0", "250"]
+
+    dfs = spark.createDataFrame(
+        [(1, "apple"), (2, "apricot"), (3, "banana"), (4, "berry")],
+        "k long, w string",
+    )
+    sinks.merge_upsert_manifest(
+        spark, dfs, p2, keys=["k"], partition_col="truncate(2, w)"
+    )
+    m2 = sinks.read_manifest(p2)
+    assert sorted(m2["partitions"]) == ["ap", "ba", "be"]
+    kept = sinks._transform_prune(
+        spark, m2, dict(m2["partitions"]), [("w", "=", "banana")]
+    )
+    assert sorted(kept) == ["ba"]
+
+
+def test_months_years_and_null_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rows = [
+        (1, dt.datetime(2023, 12, 31, 23, 0), 1.0),
+        (2, dt.datetime(2024, 1, 1, 1, 0), 2.0),
+        (3, None, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="months(ts)"
+    )
+    m = sinks.read_manifest(path)
+    assert sorted(m["partitions"]) == ["2023-12", "2024-01", "null"]
+    # NULL-source rows can't satisfy a ts predicate → the null partition
+    # prunes out; an unpredicated read still returns them
+    kept = sinks._transform_prune(
+        spark, m, dict(m["partitions"]),
+        [("ts", ">=", dt.datetime(2024, 1, 1))],
+    )
+    assert sorted(kept) == ["2024-01"]
+    assert sinks.read_manifest_table(spark, path).count() == 3
+
+
+def test_merge_is_idempotent_and_updates_stay_in_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark, 50)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    v1 = sinks.read_manifest(path)["version"]
+    # same batch again → same content
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    assert sinks.read_manifest_table(spark, path).count() == 50
+    # update a row's value (ts unchanged) — only its day partition rewrites
+    up = df.filter(F.col("k") == 7).withColumn("v", F.lit(-1.0))
+    before = sinks.read_manifest(path)["partitions"]
+    sinks.merge_upsert_manifest(
+        spark, up, path, keys=["k"], partition_col="days(ts)"
+    )
+    after = sinks.read_manifest(path)["partitions"]
+    changed = [k for k in after if after[k]["prefix"] != before[k]["prefix"]]
+    assert changed == ["2024-03-01"]
+    got = sinks.read_manifest_table(spark, path).filter(F.col("k") == 7)
+    assert got.first().v == -1.0
+
+
+def test_moving_key_across_days_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark, 50)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    moved = spark.createDataFrame(
+        [(7, dt.datetime(2024, 3, 4, 1, 0), 0.0)],
+        "k long, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError, match="already exist under other"):
+        sinks.merge_upsert_manifest(
+            spark, moved, path, keys=["k"], partition_col="days(ts)"
+        )
+
+
+def test_delete_and_update_on_transformed_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    res = sinks.delete_manifest_rows(
+        spark, path, [("ts", "<", dt.datetime(2024, 3, 2))]
+    )
+    want_deleted = df.filter(
+        F.col("ts") < F.lit(dt.datetime(2024, 3, 2))
+    ).count()
+    assert res["deleted"] == want_deleted
+    m = sinks.read_manifest(path)
+    assert "2024-03-01" not in m["partitions"]  # emptied → dropped
+    # UPDATE may not assign the transform source
+    with pytest.raises(ValueError, match="transform source"):
+        sinks.update_manifest_rows(
+            spark, path,
+            {"ts": "timestamp'2024-01-01 00:00:00'"}, [("k", "=", 30)],
+        )
+    sinks.update_manifest_rows(spark, path, {"v": "-5.0"}, [("k", "=", 30)])
+    got = sinks.read_manifest_table(spark, path).filter(F.col("k") == 30)
+    assert got.first().v == -5.0
+
+
+def test_replace_partitions_with_transform(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    # recompute day 2 wholesale: only keys 48..71 remain there
+    slice_df = df.filter(
+        (F.col("ts") >= F.lit(dt.datetime(2024, 3, 2)))
+        & (F.col("ts") < F.lit(dt.datetime(2024, 3, 3)))
+        & (F.col("k") % 2 == 0)
+    ).withColumn("v", F.lit(0.0))
+    res = sinks.replace_manifest_partitions(
+        spark, slice_df, path, partition_col="days(ts)"
+    )
+    assert res["partitions_replaced"] == 1
+    got = sinks.read_manifest_table(spark, path)
+    day2 = got.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-03-02")
+    assert day2.count() == slice_df.count()
+    assert day2.agg(F.max("v")).first()[0] == 0.0
+    # other days untouched
+    assert got.count() == df.count() - 48 + slice_df.count()
+
+
+def test_merge_into_on_transformed_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark, 96)  # 4 days × 24 rows
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    src = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 3, 1, 6, 0), 999.0),  # matched, update
+            (500, dt.datetime(2024, 3, 2, 2, 0), 1.0),  # new, insert
+        ],
+        "k long, ts timestamp, v double",
+    )
+    stats = sinks.merge_into_manifest(spark, src, path, keys=["k"])
+    assert stats["updated"] == 1 and stats["inserted"] == 1
+    got = {r.k: r.v for r in sinks.read_manifest_table(spark, path).collect()}
+    assert got[0] == 999.0 and got[500] == 1.0
+    # by-source delete scoped to a DERIVED day value
+    feed = spark.createDataFrame(
+        [(500, dt.datetime(2024, 3, 2, 2, 0), 1.0)],
+        "k long, ts timestamp, v double",
+    )
+    stats = sinks.merge_into_manifest(
+        spark, feed, path, keys=["k"],
+        when_not_matched_by_source="delete",
+        by_source_scope=["2024-03-02"],
+    )
+    assert stats["deleted_by_source"] == 24
+    day2 = sinks.read_manifest_table(spark, path).filter(
+        F.date_format("ts", "yyyy-MM-dd") == "2024-03-02"
+    )
+    assert [r.k for r in day2.collect()] == [500]
+    # updating ts WITHIN the same day is allowed (derived value unchanged)
+    same_day = spark.createDataFrame(
+        [(0, dt.datetime(2024, 3, 1, 23, 59), 1.0)],
+        "k long, ts timestamp, v double",
+    )
+    st = sinks.merge_into_manifest(
+        spark, same_day, path, keys=["k"], when_not_matched=None
+    )
+    assert st["updated"] == 1
+    # moving it to another day is not
+    other_day = spark.createDataFrame(
+        [(0, dt.datetime(2024, 3, 4, 1, 0), 1.0)],
+        "k long, ts timestamp, v double",
+    )
+    with pytest.raises(ValueError):
+        sinks.merge_into_manifest(
+            spark, other_day, path, keys=["k"], when_not_matched=None
+        )
+
+
+def test_cdc_and_time_travel_on_transformed_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark, 48)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    up = df.filter(F.col("k") == 3).withColumn("v", F.lit(0.0))
+    sinks.merge_upsert_manifest(
+        spark, up, path, keys=["k"], partition_col="days(ts)"
+    )
+    ch = sinks.manifest_row_changes(spark, path, keys=["k"], from_version=1)
+    assert {(r.k, r["_change"]) for r in ch.collect()} == {
+        (3, "update_postimage")
+    }
+    old = sinks.read_manifest_table(spark, path, version=1)
+    assert old.filter(F.col("k") == 3).first().v == 3.0
+
+
+def test_bucket_respects_source_column_type(spark, tmp_path):
+    # xxhash64(int32) != xxhash64(int64) — the mirror must cast probe
+    # literals to the stored type or pruning would silently drop rows
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("k"), F.col("id").alias("v")
+    )
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="bucket(8, k)"
+    )
+    for probe in (0, 7, 42, 199):
+        got = sinks.read_manifest_table(
+            spark, path, predicates=[("k", "=", probe)]
+        )
+        assert got.count() == 1, f"probe {probe} lost by bucket pruning"
