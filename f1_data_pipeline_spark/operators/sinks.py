@@ -1797,6 +1797,7 @@ def _commit_with_rebase(
     check_partition_scope: set[str] | None = None,
     app_metadata: dict | None = None,
     constraints_json: dict | None = None,
+    layout_json: dict | None = None,
     op: str | None = None,
 ) -> dict:
     """Optimistic-concurrency commit with Iceberg-style rebase-and-retry.
@@ -1860,6 +1861,8 @@ def _commit_with_rebase(
             cand["app"] = {**on.get("app", {}), **app_metadata}
         if constraints_json is not None:
             cand["constraints"] = constraints_json
+        if layout_json is not None:
+            cand["layout"] = layout_json
         # per-commit operation tag (DESCRIBE HISTORY forensics) — set
         # fresh each commit, deliberately NOT carried forward like `app`
         cand["op"] = op
@@ -1874,6 +1877,17 @@ def _commit_with_rebase(
             if attempt == max_commit_retries:
                 raise
             latest = read_manifest(path)
+            if latest.get("partition_col") != base_manifest.get(
+                "partition_col"
+            ):
+                # a competing repartition_manifest_table changed the
+                # table's partition SPEC — our entries are laid out under
+                # the old spec and can never be rebased onto the new one
+                raise ConcurrentWriteError(
+                    f"commit race on {path}: the table was repartitioned "
+                    f"to {latest.get('partition_col')!r} while this write "
+                    "was in flight — re-run it against the new layout"
+                ) from None
             if base["version"] in versions:
                 changed = manifest_changed_partitions(
                     path, base["version"], latest["version"]
@@ -2084,6 +2098,12 @@ def merge_upsert_manifest(
             T.StructType.fromJson(manifest["schema"]), updates.schema,
             schema_evolution,
         )
+    if not bloom_cols:
+        # table-level layout policy (manifest_set_layout): uniform bloom
+        # coverage without every writer remembering the flag
+        bloom_cols = list(
+            (manifest.get("layout") or {}).get("bloom_cols") or ()
+        ) or None
     touched = {_enc_part(p): p for p in parts}
     untouched_keys = [k for k in manifest["partitions"] if k not in touched]
 
@@ -2605,9 +2625,12 @@ def merge_into_manifest(
                 if k not in present_out and k in m["partitions"]
             ]
             write_parts = {k: v for k, v in touched.items() if k in present_out}
-            # keep bloom coverage: rebuild the union of the caller's columns
-            # and whatever the rewritten entries already indexed
-            blooms = set(bloom_cols or ())
+            # keep bloom coverage: rebuild the union of the caller's
+            # columns, the table layout policy's, and whatever the
+            # rewritten entries already indexed
+            blooms = set(bloom_cols or ()) | set(
+                (m.get("layout") or {}).get("bloom_cols") or ()
+            )
             for k in write_parts:
                 e = m["partitions"].get(k)
                 if e and e.get("blooms"):
@@ -2974,6 +2997,132 @@ def manifest_add_constraint(
                 raise
 
 
+def manifest_layout(path: str, version: int | str | None = None) -> dict:
+    """The table's declared layout policy: {"cluster_by": [...],
+    "bloom_cols": [...]} (either key may be absent). Empty dict when
+    never set."""
+    m = read_manifest(path, version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    return dict(m.get("layout", {}))
+
+
+def manifest_set_layout(
+    spark: SparkSession,
+    path: str,
+    cluster_by: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
+) -> None:
+    """Declare the table's layout policy IN the table metadata (the
+    Iceberg sort-order / Delta table-property shape), so every writer
+    applies it uniformly instead of each call site remembering flags:
+
+    - `bloom_cols`: every MERGE / replace / compaction builds bloom
+      sidecars for these columns on the partitions it writes (per-call
+      `bloom_cols=` still overrides for one write);
+    - `cluster_by`: `compact_manifest` defaults to range/z-order
+      clustering on these columns, so a plain OPTIMIZE call restores the
+      declared layout (merges stay cheap by design — clustering is the
+      compactor's job, not the committer's).
+
+    Replaces the whole layout object with exactly what's passed (pass
+    empty lists to clear). Columns must exist in the stored schema.
+    Unlike constraints, a layout change racing a data write needs no
+    conflict: a writer that committed under the old layout only costs
+    layout quality (repaired by the next compaction), never correctness,
+    so the commit rebases normally."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    stored = T.StructType.fromJson(m["schema"])
+    layout: dict = {}
+    for key, cols in (("cluster_by", cluster_by), ("bloom_cols", bloom_cols)):
+        if cols is None:
+            continue
+        bad = [c for c in cols if c not in stored.names]
+        if bad:
+            raise ValueError(f"{key} columns {bad} not in the table schema")
+        layout[key] = list(cols)
+    _commit_with_rebase(
+        spark, path, m, {}, layout_json=layout, op="set_layout"
+    )
+
+
+def repartition_manifest_table(
+    spark: SparkSession,
+    path: str,
+    partition_spec: str,
+    bloom_cols: Sequence[str] | None = None,
+) -> dict:
+    """Change the table's partition SPEC — identity column or transform
+    (`days(ts)`, `bucket(N, col)`, …) — by rewriting the whole table
+    under the new layout in ONE atomic commit (op="repartition").
+
+    This is the spec-evolution verb: the honest full-rewrite form (cost
+    ∝ table size, run it like a backfill), not Iceberg's lazy per-spec
+    manifests — in exchange every committed version has exactly one
+    spec, so reads, pruning, and the partition-scoped DML invariants
+    never juggle mixed layouts. Old versions retain the old layout
+    (time travel unaffected); the change feed between the two versions
+    is EMPTY (same rows, different layout — `manifest_row_changes`
+    diffs by key and finds nothing), so CDC consumers glide over a
+    repartition without reprocessing.
+
+    Concurrency: a full-table op cannot rebase — any commit landing
+    mid-rewrite raises ConcurrentWriteError, and every OTHER verb's
+    rebase detects a landed repartition (spec mismatch) and refuses
+    likewise, so old-spec data can never splice into the new layout.
+
+    Bloom sidecars: `bloom_cols`, else the table layout's, else the
+    union of the old entries' — coverage survives the relayout."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    pt = parse_partition_spec(partition_spec)
+    if pt.spec == m["partition_col"]:
+        raise ValueError(
+            f"table at {path} is already partitioned by {pt.spec!r}"
+        )
+    stored = T.StructType.fromJson(m["schema"])
+    if pt.source not in stored.names:
+        raise ValueError(
+            f"partition source column {pt.source!r} not in the table schema"
+        )
+    hidden = pt.kind != "identity"
+    pcol = partition_column_name(pt)
+    if not bloom_cols:
+        blooms = set((m.get("layout") or {}).get("bloom_cols") or ())
+        if not blooms:
+            for e in m["partitions"].values():
+                blooms |= set(e.get("blooms") or ())
+        bloom_cols = sorted(c for c in blooms if c in stored.names)
+    df = apply_transform(pt, _read_from_manifest(spark, path, m)).persist()
+    try:
+        rows = df.count()
+        parts = [r[0] for r in df.select(pcol).distinct().collect()]
+        touched = {_enc_part(p): p for p in parts}
+        new_entries = _write_partition_prefixes(
+            df, path, pcol, touched, uuid.uuid4().hex[:12],
+            bloom_cols=list(bloom_cols) or None,
+            drop_cols=(DERIVED_COL,) if hidden else (),
+        )
+        candidate = {
+            **m,
+            "version": m["version"] + 1,
+            "partition_col": pt.spec,
+            "partitions": new_entries,
+            "op": "repartition",
+        }
+        _commit_manifest(path, candidate)
+    finally:
+        df.unpersist()
+    return {
+        "partitions_before": len(m["partitions"]),
+        "partitions_after": len(new_entries),
+        "rows": rows,
+    }
+
+
 def manifest_drop_constraint(spark: SparkSession, path: str, name: str) -> None:
     m = read_manifest(path)
     if m is None:
@@ -3085,8 +3234,17 @@ def replace_manifest_partitions(
             f"replace partitions of {path}",
         )
         snap = uuid.uuid4().hex[:12]
+        # bloom coverage survives the replace: the layout policy's
+        # columns plus whatever the replaced entries already indexed
+        lb = set((manifest.get("layout") or {}).get("bloom_cols") or ())
+        for k in touched:
+            e = manifest["partitions"].get(k)
+            if e and e.get("blooms"):
+                lb |= set(e["blooms"])
+        lb &= set(df.columns)
         new_entries = _write_partition_prefixes(
             df, path, pcol, touched, snap,
+            bloom_cols=sorted(lb) or None,
             drop_cols=(DERIVED_COL,) if hidden else (),
         )
         _commit_with_rebase(
@@ -3149,6 +3307,10 @@ def compact_manifest(
     m = read_manifest(path)
     if m is None:
         return {"partitions": 0, "files_before": 0, "files_after": 0}
+    layout = m.get("layout") or {}
+    if cluster_by is None:
+        # OPTIMIZE honors the table's declared sort order by default
+        cluster_by = list(layout.get("cluster_by") or ()) or None
     want = (
         None if partition_values is None else {_enc_part(v) for v in partition_values}
     )
@@ -3197,12 +3359,17 @@ def compact_manifest(
             "value": enc,
             "files": _collect_file_stats(os.path.join(path, prefix)),
         }
-        if entry.get("blooms"):
+        want_blooms = sorted(
+            set(entry.get("blooms") or ())
+            | set(layout.get("bloom_cols") or ())
+        )
+        if want_blooms:
             # same rows, new prefix: rebuild the bloom sidecars so the
             # index survives compaction (content-identical bits — the
-            # bloom depends only on key values, not layout)
+            # bloom depends only on key values, not layout); partitions
+            # written before a layout declaration gain its blooms here
             new_entry["blooms"] = _write_bloom_sidecars(
-                df, path, prefix, list(entry["blooms"]),
+                df, path, prefix, want_blooms,
                 sum(f["rows"] for f in new_entry["files"]),
             )
         new_entries[enc] = new_entry

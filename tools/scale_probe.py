@@ -464,14 +464,121 @@ def probe_matview() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_partition_transforms() -> None:
+    """Partition-pruning effect of hidden partitioning vs the coarse
+    identity layout people default to.
+
+    One dataset (200k rows, 64 days of timestamps, decorrelated id key),
+    three layouts of the SAME rows:
+      - days(ts) transform (64 partitions);
+      - identity on a physical month column (3 partitions — the classic
+        'partition by month so the column count stays sane' compromise);
+      - bucket(32, id) transform.
+    Two queries: a 1-day timestamp range and an id point lookup. Reported:
+    partitions scanned (manifest-level, via the transform pruner) out of
+    total, wall time of the predicated read, and rows returned (identical
+    across layouts = pruning never changes results). The id key is
+    decorrelated from ts so file min/max stats CANNOT help the point
+    lookup — what you see for the month layout is the honest full scan,
+    and for bucket(32) the 1-of-32 partition read."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    n = 200_000
+    base = dt.datetime(2024, 1, 1)
+    df = (
+        spark.range(n)
+        .select(
+            # Knuth-hash the id so the key carries no ts ordering
+            ((F.col("id") * 2654435761) % n).alias("k"),
+            (F.col("id") % 64).alias("dayno"),
+            (F.col("id").cast("double") / 7).alias("v"),
+        )
+        .withColumn(
+            "ts",
+            F.expr(f"timestamp'{base.isoformat(sep=' ')}' "
+                   "+ make_interval(0, 0, 0, dayno, 0, 0, 0)"),
+        )
+        .withColumn("mon", F.date_format("ts", "yyyy-MM"))
+        .drop("dayno")
+    )
+    day = "2024-02-10"
+    d0 = dt.datetime(2024, 2, 10)
+    d1 = dt.datetime(2024, 2, 11)
+    probe_k = (12_345 * 2654435761) % n
+    work = tempfile.mkdtemp()
+    try:
+        layouts = {
+            "days(ts)": "days(ts)",
+            "identity_month": "mon",
+            "bucket(32, k)": "bucket(32, k)",
+        }
+        for name, spec in layouts.items():
+            path = os.path.join(work, name.replace("(", "_").replace(")", "_").replace(", ", "_"))
+            sinks.merge_upsert_manifest(
+                spark, df, path, keys=["k"], partition_col=spec
+            )
+            # steady state: a maintained table is compacted (the write
+            # fan-out's 32 files/partition would otherwise drown the
+            # pruning signal in file-open overhead)
+            sinks.compact_manifest(spark, path)
+            m = sinks.read_manifest(path)
+            total = len(m["partitions"])
+            for qname, preds in (
+                ("range_1day", [("ts", ">=", d0), ("ts", "<", d1)]),
+                ("point_k", [("k", "=", probe_k)]),
+            ):
+                kept = sinks._transform_prune(
+                    spark, m, dict(m["partitions"]), preds
+                )
+                # files a reader actually opens = transform-level partition
+                # pruning ∘ per-file stats pruning (both compose)
+                n_files = sum(
+                    len(sinks._entry_scan_paths(path, e, preds))
+                    for e in kept.values()
+                )
+                total_files = sum(
+                    len(e.get("files") or ())
+                    for e in m["partitions"].values()
+                )
+                t0 = time.time()
+                rows = sinks.read_manifest_table(
+                    spark, path, predicates=preds
+                ).count()
+                dt_s = time.time() - t0
+                print(json.dumps({
+                    "op": "partition_transforms",
+                    "layout": name,
+                    "query": qname,
+                    "partitions_scanned": len(kept),
+                    "partitions_total": total,
+                    "files_scanned": n_files,
+                    "files_total": total_files,
+                    "rows": rows,
+                    "sec": round(dt_s, 2),
+                }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
     if args and args[0] in (
         "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram",
         "ivf_drift", "heavy_hitters", "bloom_delete", "matview", "mor_delete",
+        "partition_transforms",
     ):
         op = args.pop(0)
+    if op == "partition_transforms":
+        probe_partition_transforms()
+        return
     if op == "ivf_drift":
         probe_ivf_drift()
         return
