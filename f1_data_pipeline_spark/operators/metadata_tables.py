@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from .sinks import (
     _entry_delete_rows,
     _file_maybe_matches,
+    _transform_prune,
     manifest_history,
     read_manifest,
 )
@@ -83,10 +84,13 @@ def manifest_files_df(
     readers prune on) and merge-on-read position-delete files.
 
     `predicates` (same (col, op, value) conjunctions the readers take)
-    restricts the output to the files a pruned scan WOULD open — i.e.
-    this is the scan-planning EXPLAIN for data skipping: compare
+    restricts the output to the DATA files a pruned scan would open —
+    partition-transform pruning composed with per-file stats pruning,
+    i.e. the scan-planning EXPLAIN for data skipping: compare
     `manifest_files_df(...).count()` against the predicate-filtered count
-    to see pruning effectiveness without running the query.
+    to see pruning effectiveness without running the query. (Position-
+    delete files of surviving MoR partitions are opened by a real scan
+    too but are listed only in the unpredicated output.)
 
     `size_bytes` is read from the filesystem (one stat per file,
     metadata-only); NULL if the file has been vacuumed from under a
@@ -94,8 +98,11 @@ def manifest_files_df(
     m = read_manifest(path, version)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
+    entries = dict(m["partitions"])
+    if predicates is not None:
+        entries = _transform_prune(spark, m, entries, list(predicates))
     rows: list[tuple] = []
-    for enc, entry in sorted(m["partitions"].items()):
+    for enc, entry in sorted(entries.items()):
         files = entry.get("files")
         if files is None:
             # pre-stats entry (legacy commit): surface the prefix itself

@@ -138,9 +138,17 @@ def derived_column(t: PartitionTransform, df: DataFrame) -> Column:
 
 
 def apply_transform(t: PartitionTransform, df: DataFrame) -> DataFrame:
-    """Add the transient derived column (no-op for identity)."""
+    """Add the transient derived column (no-op for identity). A frame
+    already carrying the reserved name is refused — `withColumn` would
+    silently overwrite it and the write fan-out later DROPS it, so user
+    data under that name would be lost."""
     if t.kind == "identity":
         return df
+    if DERIVED_COL in df.columns:
+        raise ValueError(
+            f"column name {DERIVED_COL!r} is reserved for the engine's "
+            "derived partition value — rename the input column"
+        )
     return df.withColumn(DERIVED_COL, derived_column(t, df))
 
 

@@ -2374,6 +2374,14 @@ def merge_into_manifest(
                     f"{psrc!r} — rows never move partitions; "
                     "DELETE + re-insert instead"
                 )
+    for verb, _, assign in by_source:
+        if verb == "update" and not isinstance(assign, dict):
+            # "all" would read columns from a source row that doesn't
+            # exist (NULL struct) — a silent no-op; demand explicitness
+            raise ValueError(
+                "when_not_matched_by_source UPDATE needs a dict of "
+                "assignments — there is no source row to take columns from"
+            )
 
     # at most one source row per key (Delta's ambiguous-merge error)
     if source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
@@ -2677,6 +2685,19 @@ def manifest_app_metadata(path: str, version: int | str | None = None) -> dict:
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
     return dict(m.get("app", {}))
+
+
+def manifest_set_app_metadata(spark: SparkSession, path: str, kv: dict) -> None:
+    """Commit application key/values WITHOUT data changes (op="set_app"):
+    the watermark-only commit a maintainer needs when a consumed source
+    window produced no output rows — the "how far I've read" state must
+    still advance atomically in the table's own log, or the consumer
+    would reprocess the window forever. Keys merge over existing app
+    metadata exactly like data-carrying commits."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    _commit_with_rebase(spark, path, m, {}, app_metadata=kv, op="set_app")
 
 
 # ---------------------------------------------------------------------------

@@ -153,3 +153,173 @@ def read_curated(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFram
         spark.read.parquet(f"{out_dir}/corpus"),
         spark.read.parquet(f"{out_dir}/packs"),
     )
+
+
+def curate_table_increment(
+    spark: SparkSession,
+    raw_path: str,
+    curated_path: str,
+    index_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_spec: str = "bucket(16, doc_id)",
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> dict:
+    """CDC-driven incremental curation: maintain a CURATED manifest table
+    from a RAW manifest table, consuming only what changed since the last
+    run — the 100 TB continuously-curated-corpus shape (a crawl lands in
+    the raw table by any MERGE-family writer; each curation cycle costs
+    the changed partitions, never the corpus).
+
+    Per cycle (one call = one cycle; schedule it like any maintenance
+    job):
+
+    1. window = (last consumed raw version, current latest), read from
+       the CURATED table's own app metadata — the consumer state lives
+       WITH the output, committed atomically with it, so state and data
+       can never diverge (the matview exactly-once pattern).
+    2. The raw change feed splits into upserts (insert/update_postimage)
+       and deletes.
+    3. Upserts pass the curation screens: quality_signals keep → exact
+       dedup → intra-batch near-dup drop → near-dup-vs-index drop
+       (persisted minhash index of everything previously accepted —
+       corpus signatures are never recomputed). Survivors join the index
+       (anti-joined on already-indexed ids) and MERGE into the curated
+       table keyed on `id_col`.
+    4. Raw deletes, plus updated docs that now FAIL the screens (their
+       new text is junk or a duplicate), are removed from the curated
+       table via a conditional MERGE (matched→delete; never-curated ids
+       fall through as no-ops). The curated table holds the latest
+       ACCEPTED version of a document or nothing.
+
+    Replay safety (single curator, like the streaming sink): every crash
+    point converges — a doc never matches itself in the index, index
+    adds anti-join already-indexed ids, MERGE/delete are idempotent, and
+    the watermark advances only in a commit that also carries that
+    cycle's output (or a watermark-only commit when the window produced
+    no output).
+
+    INDEX STALENESS: the minhash index is append-only; deleted docs'
+    signatures linger and can suppress a future identical doc as "a dup
+    of something deleted". Rebuild the index from the curated table
+    (build_minhash_index) on the same out-of-band cadence as
+    compact_minhash_index if deletes matter for your corpus.
+
+    Returns stage counts; "window" is the consumed (from, to] raw
+    version span (None → full-snapshot bootstrap)."""
+    import os
+
+    from f1_data_pipeline_spark.operators import sinks
+
+    raw_versions = sinks.manifest_versions(raw_path)
+    if not raw_versions:
+        raise FileNotFoundError(f"no manifest at {raw_path}")
+    latest = raw_versions[-1]
+    curated_exists = bool(sinks.manifest_versions(curated_path))
+    last = (
+        sinks.manifest_app_metadata(curated_path).get("raw_version")
+        if curated_exists
+        else None
+    )
+    stats = {"window": [last, latest], "merged": 0, "removed": 0,
+             "quality_dropped": 0, "dup_dropped": 0}
+    if last == latest:
+        return stats
+
+    if last is None:
+        ups = sinks.read_manifest_table(spark, raw_path, version=latest)
+        dels = ups.select(id_col).limit(0)
+    else:
+        feed = sinks.manifest_row_changes(
+            spark, raw_path, [id_col], last, latest
+        )
+        ups = feed.filter(
+            F.col("_change").isin("insert", "update_postimage")
+        ).drop("_change")
+        dels = (
+            feed.filter(F.col("_change") == "delete")
+            .select(id_col)
+            .distinct()
+        )
+
+    ups = ups.persist()
+    try:
+        n_in = ups.count()
+        keep_ids = (
+            C.quality_signals(ups, id_col, text_col)
+            .filter("keep")
+            .select(id_col)
+        )
+        quality = ups.join(keep_ids, id_col, "left_semi")
+        deduped = D.exact_dedup(quality, text_col, id_col)
+        intra = D.minhash_lsh_pairs(
+            deduped, id_col, text_col, threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        )
+        drop = intra.select(
+            F.greatest("id_a", "id_b").alias(id_col)
+        ).distinct()
+        survivors = deduped.join(drop, id_col, "left_anti")
+        if os.path.exists(os.path.join(index_path, "params.json")):
+            flagged = (
+                D.query_minhash_index(
+                    survivors, index_path, id_col, text_col, threshold,
+                    max_bucket_size=max_bucket_size,
+                )
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            survivors = survivors.join(flagged, id_col, "left_anti").persist()
+            indexed = D.minhash_index_ids(spark, index_path).withColumnRenamed(
+                "id", id_col
+            )
+            to_add = survivors.join(indexed, id_col, "left_anti")
+            if to_add.limit(1).count():
+                D.minhash_index_add(to_add, index_path, id_col, text_col)
+        else:
+            survivors = survivors.persist()
+            if survivors.limit(1).count():
+                D.build_minhash_index(survivors, index_path, id_col, text_col)
+
+        n_kept = survivors.count()
+        n_quality = quality.count()
+        stats["quality_dropped"] = n_in - n_quality
+        stats["dup_dropped"] = n_quality - n_kept
+
+        # removals: raw deletes + windowed docs that no longer pass
+        removals = dels.union(
+            ups.select(id_col).join(
+                survivors.select(id_col), id_col, "left_anti"
+            )
+        ).distinct()
+        wm = {"raw_version": latest}
+        committed_wm = False
+        if curated_exists and removals.limit(1).count():
+            res = sinks.merge_into_manifest(
+                spark, removals, curated_path, keys=[id_col],
+                when_matched="delete", when_not_matched=None,
+                app_metadata=None if n_kept else wm,
+            )
+            stats["removed"] = res["deleted"]
+            # a delete where nothing matched commits NOTHING — the
+            # watermark only advanced if a version was actually written
+            committed_wm = bool(
+                not n_kept
+                and res["partitions_rewritten"] + res["partitions_dropped"]
+            )
+        if n_kept:
+            sinks.merge_upsert_manifest(
+                spark, survivors, curated_path, keys=[id_col],
+                partition_col=partition_spec, count_rows=False,
+                app_metadata=wm,
+            )
+            stats["merged"] = n_kept
+            committed_wm = True
+        if not committed_wm and curated_exists:
+            sinks.manifest_set_app_metadata(spark, curated_path, wm)
+        survivors.unpersist()
+    finally:
+        ups.unpersist()
+    return stats

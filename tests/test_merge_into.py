@@ -160,6 +160,19 @@ def test_by_source_update_marks_stale(spark, tmp_path):
     assert rows[0] == (0, 0) and rows[2] == (0, -1) and rows[1] == (1, 2)
 
 
+def test_by_source_update_requires_explicit_assignments(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=8, parts=2)
+    feed = spark.createDataFrame([(0, 0, 0)], "k long, day long, v long")
+    # "all" would read columns from a NULL source struct — a silent no-op
+    with pytest.raises(ValueError, match="needs a dict of"):
+        sinks.merge_into_manifest(
+            spark, feed, path, keys=["k"], when_matched=None,
+            when_not_matched=None,
+            when_not_matched_by_source="update", by_source_scope=[0],
+        )
+
+
 def test_emptied_partition_drops(spark, tmp_path):
     path = str(tmp_path / "t")
     _mk(spark, path, n=8, parts=2)

@@ -68,6 +68,21 @@ def test_files_df_predicates_show_pruned_scan_set(spark, tmp_path):
     assert [r.k for r in hit.collect()] == [21]
 
 
+def test_files_df_composes_transform_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="bucket(8, k)"
+    )
+    allf = mt.manifest_files_df(spark, path)
+    pruned = mt.manifest_files_df(spark, path, predicates=[("k", "=", 99)])
+    # the point probe's file listing covers exactly one bucket partition
+    assert pruned.select("partition").distinct().count() == 1
+    assert pruned.count() < allf.count()
+
+
 def test_files_df_lists_position_deletes(spark, tmp_path):
     path = str(tmp_path / "t")
     _mk(spark, path)

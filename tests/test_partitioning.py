@@ -320,6 +320,25 @@ def test_cdc_and_time_travel_on_transformed_table(spark, tmp_path):
     assert old.filter(F.col("k") == 3).first().v == 3.0
 
 
+def test_reserved_derived_column_name_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("__pt"),
+        F.col("id").cast("timestamp").alias("ts"),
+    )
+    # hidden partitioning would overwrite then DROP the user's __pt column
+    with pytest.raises(ValueError, match="reserved"):
+        sinks.merge_upsert_manifest(
+            spark, df, path, keys=["k"], partition_col="days(ts)"
+        )
+    # identity partitioning doesn't derive anything — the name is fine
+    sinks.merge_upsert_manifest(
+        spark, df.withColumn("day", F.lit(1)), path,
+        keys=["k"], partition_col="day",
+    )
+    assert "__pt" in sinks.read_manifest_table(spark, path).columns
+
+
 def test_bucket_respects_source_column_type(spark, tmp_path):
     # xxhash64(int32) != xxhash64(int64) — the mirror must cast probe
     # literals to the stored type or pruning would silently drop rows
