@@ -3069,6 +3069,181 @@ def manifest_set_layout(
     )
 
 
+def manifest_add_column(
+    spark: SparkSession, path: str, name: str, dtype: str
+) -> None:
+    """ALTER TABLE ADD COLUMN — metadata-only (op="add_column"): the
+    stored schema gains a nullable column; no data file is touched, and
+    every prefix written before the change reads the column back as NULL
+    (the schema-evolution contract the readers already honor). `dtype`
+    is a Spark SQL type string ("bigint", "array<double>", …)."""
+    dt = spark.sql(f"select cast(null as {dtype})").schema[0].dataType
+    for attempt in range(4):
+        m = read_manifest(path)
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {path}")
+        stored = T.StructType.fromJson(m["schema"])
+        if name in stored.names:
+            raise ValueError(f"column {name!r} already exists at {path}")
+        # name-based reads make re-adding a DROPPED name hazardous: old
+        # prefixes still physically carry the old type, and an
+        # incompatible re-add would crash every read of them ("Parquet
+        # column cannot be converted"). The drop ledger remembers; only
+        # the identical type or a reader-safe widening may reuse a name.
+        dropped = dict(m.get("dropped", {}))
+        if name in dropped:
+            old = dropped[name]
+            new_s = dt.simpleString()
+            if old != new_s and (old, new_s) not in _SAFE_WIDENINGS:
+                raise ValueError(
+                    f"column {name!r} was previously dropped as type "
+                    f"{old!r}; re-adding it as {new_s!r} would make old "
+                    "prefixes unreadable — reuse the type (or a safe "
+                    "widening), or pick a new name"
+                )
+            del dropped[name]
+        new = T.StructType(list(stored.fields) + [T.StructField(name, dt, True)])
+        try:
+            # pinned like add_constraint: a rebase would re-union schemas
+            # and could interleave badly with concurrent DDL — re-read
+            # and recompute instead
+            cand_extra = {"dropped": dropped}
+            committed = _commit_with_rebase(
+                spark, path, {**m, **cand_extra}, {},
+                schema_json=new.jsonValue(),
+                max_commit_retries=0, op="add_column",
+            )
+            assert committed["version"] == m["version"] + 1
+            return
+        except ConcurrentWriteError:
+            if attempt == 3:
+                raise
+
+
+def manifest_drop_column(spark: SparkSession, path: str, name: str) -> None:
+    """ALTER TABLE DROP COLUMN — metadata-only (op="drop_column"): the
+    stored schema loses the column; data files are untouched (readers
+    request the narrower schema and parquet simply never materializes
+    the dropped column's pages — the Iceberg drop-without-rewrite
+    shape). Old versions still read it (time travel is schema-versioned
+    too).
+
+    Refused while anything in the table's metadata still depends on the
+    column — the partition source, a CHECK constraint mentioning it, or
+    the layout policy's cluster_by/bloom_cols — because silently
+    breaking those would surface as corrupt reads or unplannable writes
+    far from the DDL that caused them. Drop/update those first."""
+    for attempt in range(4):
+        m = read_manifest(path)
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {path}")
+        stored = T.StructType.fromJson(m["schema"])
+        if name not in stored.names:
+            raise ValueError(f"no column {name!r} at {path}")
+        pt = _transform_of(m)
+        if pt is not None and name == pt.source:
+            raise ValueError(
+                f"column {name!r} is the table's partition source "
+                f"({m['partition_col']!r}) — repartition_manifest_table "
+                "first"
+            )
+        layout = m.get("layout") or {}
+        if name in set(layout.get("cluster_by") or ()) | set(
+            layout.get("bloom_cols") or ()
+        ):
+            raise ValueError(
+                f"column {name!r} is referenced by the table layout "
+                "policy — manifest_set_layout without it first"
+            )
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(name)}\b")
+        hit = [
+            cname for cname, expr in (m.get("constraints") or {}).items()
+            if pat.search(expr)
+        ]
+        if hit:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraints "
+                f"{hit} — manifest_drop_constraint them first"
+            )
+        if len(stored.fields) == 1:
+            raise ValueError("cannot drop the table's only column")
+        new = T.StructType([f for f in stored.fields if f.name != name])
+        # ledger the dropped name + physical type so a future re-add
+        # can't silently pick an incompatible type (see add_column)
+        dropped = {
+            **m.get("dropped", {}),
+            name: stored[name].dataType.simpleString(),
+        }
+        try:
+            _commit_with_rebase(
+                spark, path, {**m, "dropped": dropped}, {},
+                schema_json=new.jsonValue(),
+                max_commit_retries=0, op="drop_column",
+            )
+            return
+        except ConcurrentWriteError:
+            if attempt == 3:
+                raise
+
+
+def clone_manifest_table(
+    src: str, dst: str, version: int | str | None = None
+) -> dict:
+    """Zero-copy clone (Delta SHALLOW CLONE / Iceberg snapshot-export
+    shape): hard-link every file the chosen `version` (or tag, or
+    latest) references — data prefixes, position-delete files, bloom
+    sidecars — into `dst`, and commit a fresh version-1 manifest there
+    carrying the schema, partition spec, constraints, layout, and app
+    metadata. No bytes are copied on a POSIX filesystem (cross-device
+    falls back to copy; on an object store this would be a server-side
+    copy per file — still metadata-scaled in manifest terms).
+
+    The clone is fully independent: immutable prefixes are shared via
+    links, so either side can merge, compact, or vacuum without
+    affecting the other (an unlink only drops one name on the inode).
+    Tags and history do NOT carry over — the clone starts at version 1
+    with op "clone:<src>@<v>"; use it for dev sandboxes, reproducible
+    experiment pins that must also be WRITABLE (read-only pins are what
+    `manifest_tag` is for), or table migration."""
+    m = read_manifest(src, version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {src}")
+    if manifest_versions(dst):
+        raise ValueError(f"destination {dst} already has a manifest")
+
+    def _link_prefix(prefix: str) -> int:
+        s = os.path.join(src, prefix)
+        d = os.path.join(dst, prefix)
+        os.makedirs(d, exist_ok=True)
+        n = 0
+        for f in os.listdir(s):
+            # data files and bloom sidecars; markers/CRCs regenerate
+            if not (f.endswith(".parquet") or f.startswith("_bloom_")):
+                continue
+            try:
+                os.link(os.path.join(s, f), os.path.join(d, f))
+            except OSError:  # pragma: no cover — cross-device fallback
+                shutil.copy2(os.path.join(s, f), os.path.join(d, f))
+            n += 1
+        return n
+
+    files = 0
+    for e in m["partitions"].values():
+        files += _link_prefix(e["prefix"])
+        for dd in e.get("deletes") or ():
+            files += _link_prefix(dd["prefix"])
+    clone = {**m, "version": 1, "op": f"clone:{src}@{m['version']}"}
+    _commit_manifest(dst, clone)
+    return {
+        "version": 1,
+        "from_version": m["version"],
+        "partitions": len(m["partitions"]),
+        "files_linked": files,
+    }
+
+
 def repartition_manifest_table(
     spark: SparkSession,
     path: str,
