@@ -67,7 +67,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from f1_data_pipeline_spark.operators.partitioning import (
+    DERIVED_COL,
+    apply_transform,
+    parse_partition_spec,
+)
 from f1_data_pipeline_spark.operators.sinks import (
+    _transform_of,
     manifest_changed_partitions,
     manifest_row_changes,
     manifest_versions,
@@ -177,20 +183,58 @@ def refresh_rollup(
     target's identity: keep it fixed for the life of a target path
     (changing it mid-life would mix schemas across partitions).
 
+    A HIDDEN-partitioned source (partition transform, e.g. `days(ts)`)
+    is supported by grouping on the DERIVED value: pass one group entry
+    as a `(output_name, transform_spec)` tuple whose spec matches the
+    source's — `group_cols=[("day", "days(ts)"), "cat"]` — and the
+    rollup materializes the transform as a real `day` column, with the
+    target identity-partitioned by it. Each group still lives in exactly
+    one source partition (the group key IS the partition value), so the
+    changed-partition recompute strategy carries over unchanged — the
+    natural "daily rollup over an event table" shape.
+
     Returns {"source_version", "partitions_refreshed",
     "partitions_dropped", "noop"}."""
     _check_aggs(aggs, _ROLLUP_OPS)
     sm = read_manifest(source_path)
     if sm is None:
         raise FileNotFoundError(f"no manifest at {source_path}")
-    pcol = sm.get("partition_col")
-    if pcol is None or pcol not in list(group_cols):
-        raise ValueError(
-            f"refresh_rollup needs the source partition column ({pcol!r}) "
-            f"among group_cols {list(group_cols)} — for arbitrary groups "
-            "use refresh_aggregate_deltas (additive aggs; min/max/"
-            "approx_distinct on insert-only windows)"
-        )
+    s_pt = _transform_of(sm)
+    spec_entries = [g for g in group_cols if isinstance(g, tuple)]
+    plain_cols = [g for g in group_cols if not isinstance(g, tuple)]
+    derived_name: str | None = None
+    if s_pt is not None and s_pt.kind != "identity":
+        if len(spec_entries) != 1 or parse_partition_spec(
+            spec_entries[0][1]
+        ).spec != sm["partition_col"]:
+            raise ValueError(
+                "the source is hidden-partitioned by "
+                f"{sm['partition_col']!r} — group_cols must include "
+                "exactly one (output_name, that_spec) tuple so groups "
+                "align with partitions, e.g. "
+                f"[('day', {sm['partition_col']!r}), ...]"
+            )
+        derived_name = spec_entries[0][0]
+        if derived_name in plain_cols:
+            raise ValueError(
+                f"derived group name {derived_name!r} collides with a "
+                "plain group column"
+            )
+        pcol = derived_name  # the TARGET's identity partition column
+    else:
+        if spec_entries:
+            raise ValueError(
+                "transform group entries are only for hidden-partitioned "
+                f"sources; {source_path} is identity-partitioned"
+            )
+        pcol = sm.get("partition_col")
+        if pcol is None or pcol not in list(group_cols):
+            raise ValueError(
+                f"refresh_rollup needs the source partition column ({pcol!r}) "
+                f"among group_cols {list(group_cols)} — for arbitrary groups "
+                "use refresh_aggregate_deltas (additive aggs; min/max/"
+                "approx_distinct on insert-only windows)"
+            )
     s_latest = _latest_version(source_path)
     wm = _mv_state(target_path, source_path)
     if wm == s_latest:
@@ -232,17 +276,20 @@ def refresh_rollup(
             "partitions_dropped": 0,
             "noop": False,
         }
-    slice_df = (
-        read_manifest_table(
-            spark,
-            source_path,
-            partition_values=present,
-            partition_values_encoded=True,
-            version=s_latest,
-        )
-        .groupBy(*group_cols)
-        .agg(*_rollup_exprs(aggs))
+    src = read_manifest_table(
+        spark,
+        source_path,
+        partition_values=present,
+        partition_values_encoded=True,
+        version=s_latest,
     )
+    if derived_name is not None:
+        # materialize the hidden partition value as the named group col
+        src = apply_transform(s_pt, src).withColumnRenamed(
+            DERIVED_COL, derived_name
+        )
+    gb = [derived_name if isinstance(g, tuple) else g for g in group_cols]
+    slice_df = src.groupBy(*gb).agg(*_rollup_exprs(aggs))
     out = replace_manifest_partitions(
         spark,
         slice_df,
