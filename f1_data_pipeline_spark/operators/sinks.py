@@ -4201,6 +4201,124 @@ def read_manifest_increment(
     return changes, commit
 
 
+def replicate_table_increment(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys: Sequence[str],
+    dst_partition_col: str | None = None,
+    bloom_cols: Sequence[str] | None = None,
+) -> dict:
+    """Maintain a REPLICA of a manifest table by consuming its change
+    feed — under the same partition spec, or a DIFFERENT one
+    (`dst_partition_col`): the same rows maintained bucket(N, key)-
+    partitioned next to a days(ts)-partitioned source give point lookups
+    a 1-of-N pruned path while range queries keep the time layout — a
+    materialized secondary layout, which is what a secondary index is at
+    object-store scale. Also the cross-region replication and
+    dev-mirror shape (where `clone_manifest_table` gives a one-time
+    fork, this keeps following).
+
+    Each call consumes one window (last replicated source version →
+    current latest), read from the REPLICA's own app metadata and
+    advanced only in commits that carry that window's changes — the
+    exactly-once consumer pattern shared with matviews and the curation
+    increment. Updates replicate as DELETE (preimage row) + INSERT
+    (postimage row), so a source update that moves a key across the
+    replica's partitions — legal when the specs differ — lands cleanly
+    where a partition-scoped MERGE alone would refuse. Source schema
+    evolution follows automatically (replica merges run with
+    schema_evolution=True).
+
+    Replay-safe: deletes of absent keys no-op, merges are idempotent,
+    and a crash between the delete and merge commits replays the same
+    window to the same end state. Retention contract: the replica's
+    watermark version must stay retained at the source
+    (`vacuum_manifest(keep_last=...)` covers the longest replica lag) or
+    the next increment raises loudly.
+
+    Returns {"window", "upserted", "deleted", "noop"}."""
+    versions = manifest_versions(src_path)
+    if not versions:
+        raise FileNotFoundError(f"no manifest at {src_path}")
+    latest = versions[-1]
+    dst_exists = bool(manifest_versions(dst_path))
+    last = None
+    if dst_exists:
+        app = manifest_app_metadata(dst_path)
+        bound = app.get("repl_src")
+        if bound is not None and bound != src_path:
+            raise ValueError(
+                f"replica at {dst_path} follows {bound!r}, not "
+                f"{src_path!r} — refusing to interleave two sources"
+            )
+        last = app.get("repl_version")
+    if dst_partition_col is None:
+        dst_partition_col = read_manifest(src_path)["partition_col"]
+    wm = {"repl_src": src_path, "repl_version": latest}
+    out = {"window": [last, latest], "upserted": 0, "deleted": 0,
+           "noop": False}
+    if last == latest:
+        out["noop"] = True
+        return out
+    keys = list(keys)
+    if last is None:
+        snap = read_manifest_table(spark, src_path, version=latest)
+        n = snap.count()
+        if n:
+            merge_upsert_manifest(
+                spark, snap, dst_path, keys, dst_partition_col,
+                schema_evolution=True, count_rows=False,
+                bloom_cols=bloom_cols, app_metadata=wm,
+            )
+        out["upserted"] = n
+        return out
+    feed = manifest_row_changes(
+        spark, src_path, keys, last, latest, include_preimage=True
+    ).persist()
+    try:
+        dels = feed.filter(
+            F.col("_change").isin("delete", "update_preimage")
+        ).drop("_change")
+        # a window can both evolve the source schema AND update rows; the
+        # preimage rows then carry columns the replica doesn't have yet
+        # (the ups merge is what evolves it). Deletes only need to match
+        # and localize — project to the replica's current columns.
+        dst_m = read_manifest(dst_path)
+        dst_cols = set(T.StructType.fromJson(dst_m["schema"]).names)
+        dels = dels.select([c for c in dels.columns if c in dst_cols])
+        ups = feed.filter(
+            F.col("_change").isin("insert", "update_postimage")
+        ).drop("_change")
+        n_del = dels.count()
+        n_up = ups.count()
+        committed_wm = False
+        if n_del:
+            res = merge_into_manifest(
+                spark, dels, dst_path, keys=keys,
+                when_matched="delete", when_not_matched=None,
+                app_metadata=None if n_up else wm,
+            )
+            out["deleted"] = res["deleted"]
+            committed_wm = bool(
+                not n_up
+                and res["partitions_rewritten"] + res["partitions_dropped"]
+            )
+        if n_up:
+            merge_upsert_manifest(
+                spark, ups, dst_path, keys, dst_partition_col,
+                schema_evolution=True, count_rows=False,
+                bloom_cols=bloom_cols, app_metadata=wm,
+            )
+            out["upserted"] = n_up
+            committed_wm = True
+        if not committed_wm:
+            manifest_set_app_metadata(spark, dst_path, wm)
+    finally:
+        feed.unpersist()
+    return out
+
+
 def vacuum_manifest(
     path: str, keep_last: int = 1, min_age_sec: float = 6 * 3600
 ) -> list[str]:
