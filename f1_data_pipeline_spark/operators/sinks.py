@@ -930,6 +930,97 @@ def _pred_ops():
             ">": _op.gt, ">=": _op.ge}
 
 
+def _split_top_and(s: str) -> list[str]:
+    """Split on top-level AND, quote-aware (no AND inside '...')."""
+    out, buf, i, in_q = [], [], 0, False
+    up = s.upper()
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            in_q = not in_q
+            buf.append(c)
+            i += 1
+        elif (
+            not in_q
+            and up[i : i + 3] == "AND"
+            and (i == 0 or not up[i - 1].isalnum())
+            and (i + 3 >= len(s) or not up[i + 3].isalnum())
+        ):
+            out.append("".join(buf))
+            buf = []
+            i += 3
+        else:
+            buf.append(c)
+            i += 1
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
+
+
+_PRED_RE = None
+
+
+def parse_predicates(exprs) -> list[tuple]:
+    """Parse simple SQL comparison predicates into the (col, op, value)
+    tuples every pruning reader takes — so call sites can say
+    `read_manifest_table(..., predicates=parse_predicates(
+    "ts >= timestamp'2024-03-05 00:00:00' AND k = 5"))`.
+
+    Accepts one string (split on top-level AND, quote-aware) or a
+    sequence of single comparisons. Each must be `<column> <op>
+    <literal>` with op ∈ {=, ==, <, <=, >, >=} and a literal that is a
+    number, a 'quoted string' ('' escapes a quote), TRUE/FALSE, or a
+    date'...' / timestamp'...' typed literal (parsed to datetime.date /
+    datetime.datetime, matching what the stats normalizer expects).
+    Anything fancier (OR, functions, IN, BETWEEN, column-vs-column)
+    raises — pruning predicates are deliberately this small, and the
+    residual-filter guarantee only holds for what the pruners
+    understand."""
+    import datetime as _dt
+    import re as _re
+
+    global _PRED_RE
+    if _PRED_RE is None:
+        _PRED_RE = _re.compile(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|=|<=|>=|<|>)\s*(.+?)\s*$"
+        )
+    if isinstance(exprs, str):
+        parts = _split_top_and(exprs)
+    else:
+        parts = [p for e in exprs for p in _split_top_and(e)]
+    out: list[tuple] = []
+    for p in parts:
+        m = _PRED_RE.match(p)
+        if not m:
+            raise ValueError(
+                f"unsupported predicate {p!r} — expected <col> <op> <literal>"
+            )
+        col, op, raw = m.group(1), m.group(2), m.group(3)
+        for prefix, parser in (
+            ("timestamp", lambda s: _dt.datetime.fromisoformat(s)),
+            ("date", lambda s: _dt.date.fromisoformat(s)),
+        ):
+            if raw.lower().startswith(prefix + "'") and raw.endswith("'"):
+                v = parser(raw[len(prefix) + 1 : -1])
+                break
+        else:
+            if raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
+                v = raw[1:-1].replace("''", "'")
+            elif raw.upper() in ("TRUE", "FALSE"):
+                v = raw.upper() == "TRUE"
+            else:
+                try:
+                    v = int(raw)
+                except ValueError:
+                    try:
+                        v = float(raw)
+                    except ValueError:
+                        raise ValueError(
+                            f"unsupported literal {raw!r} in predicate {p!r}"
+                        ) from None
+        out.append((col, op, v))
+    return out
+
+
 def _predicates_column(predicates: Sequence[tuple]) -> Column:
     """Conjunction of simple (col, op, value) predicates as a Spark Column —
     the residual filter that makes pruning semantically invisible."""
@@ -2169,6 +2260,7 @@ def merge_upsert_manifest(
         new_entries = _write_partition_prefixes(
             merged, path, pcol, touched, snap, bloom_cols=bloom_cols,
             drop_cols=(DERIVED_COL,) if hidden else (),
+            sort=_layout_sort(manifest),
         )
         if stage is not None:
             _write_staged(
@@ -2647,6 +2739,7 @@ def merge_into_manifest(
                 out_df, path, pcol_w, write_parts,
                 uuid.uuid4().hex[:12], bloom_cols=sorted(blooms) or None,
                 drop_cols=(DERIVED_COL,) if hidden else (),
+                sort=_layout_sort(m),
             )
             _commit_with_rebase(
                 spark, path, m, snap_entries,
@@ -2869,6 +2962,7 @@ def _write_partition_prefixes(
     snap: str,
     bloom_cols: Sequence[str] | None = None,
     drop_cols: Sequence[str] = (),
+    sort: tuple[list[str], int] | None = None,
 ) -> dict[str, dict]:
     """THE per-partition object-store write fan-out shared by the MERGE
     and replace-partitions verbs: for each touched {encoded: raw value}
@@ -2895,6 +2989,14 @@ def _write_partition_prefixes(
             # hidden partitioning: the derived partition value selects the
             # rows but is never stored in the data files
             part_df = part_df.drop(*drop_cols)
+        if sort is not None:
+            # layout sort_on_write: range-cluster THIS partition's slice
+            # so its per-file bounds prune immediately (one extra range
+            # exchange per touched partition, opted into via the layout)
+            cols, n_files = sort
+            part_df = part_df.repartitionByRange(
+                n_files, *cols
+            ).sortWithinPartitions(*cols)
         part_df.write.mode("errorifexists").parquet(os.path.join(path, prefix))
         entry = {
             "prefix": prefix,
@@ -3033,6 +3135,8 @@ def manifest_set_layout(
     path: str,
     cluster_by: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    sort_on_write: bool = False,
+    sort_files: int = 1,
 ) -> None:
     """Declare the table's layout policy IN the table metadata (the
     Iceberg sort-order / Delta table-property shape), so every writer
@@ -3045,6 +3149,15 @@ def manifest_set_layout(
       clustering on these columns, so a plain OPTIMIZE call restores the
       declared layout (merges stay cheap by design — clustering is the
       compactor's job, not the committer's).
+
+    `sort_on_write=True` additionally makes every MERGE / replace /
+    conditional-merge write its touched partitions range-clustered on
+    `cluster_by` (into `sort_files` files per partition — an incremental
+    batch's per-partition slice is batch-sized, so 1 is usually right):
+    the Delta optimized-write shape, paying one extra range exchange per
+    touched partition at commit time so per-file min/max prune well
+    IMMEDIATELY instead of only after the next compaction. Leave it off
+    for latency-critical ingest and let compaction restore layout.
 
     Replaces the whole layout object with exactly what's passed (pass
     empty lists to clear). Columns must exist in the stored schema.
@@ -3064,9 +3177,25 @@ def manifest_set_layout(
         if bad:
             raise ValueError(f"{key} columns {bad} not in the table schema")
         layout[key] = list(cols)
+    if sort_on_write:
+        if not layout.get("cluster_by"):
+            raise ValueError("sort_on_write needs cluster_by columns")
+        if sort_files < 1:
+            raise ValueError("sort_files must be >= 1")
+        layout["sort_on_write"] = True
+        layout["sort_files"] = int(sort_files)
     _commit_with_rebase(
         spark, path, m, {}, layout_json=layout, op="set_layout"
     )
+
+
+def _layout_sort(manifest: dict) -> tuple[list[str], int] | None:
+    """(cluster_by, sort_files) when the table layout asks writers to
+    range-cluster on write; None otherwise."""
+    lo = manifest.get("layout") or {}
+    if lo.get("sort_on_write") and lo.get("cluster_by"):
+        return list(lo["cluster_by"]), int(lo.get("sort_files", 1))
+    return None
 
 
 def manifest_add_column(
@@ -3442,6 +3571,7 @@ def replace_manifest_partitions(
             df, path, pcol, touched, snap,
             bloom_cols=sorted(lb) or None,
             drop_cols=(DERIVED_COL,) if hidden else (),
+            sort=_layout_sort(manifest),
         )
         _commit_with_rebase(
             spark,

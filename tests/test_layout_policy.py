@@ -130,6 +130,66 @@ def test_repartition_to_bucket_spec(spark, tmp_path):
     assert [r.v for r in got.collect()] == [-1]
 
 
+def test_sort_on_write_prunes_without_compaction(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=50)  # create, then declare the layout
+    sinks.manifest_set_layout(
+        spark, path, cluster_by=["v"], bloom_cols=[],
+        sort_on_write=True, sort_files=4,
+    )
+    big = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("day"),
+        # shuffle v so arrival order is NOT sorted
+        ((F.col("id") * 2654435761) % 8000).alias("v"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, big, path, keys=["k"], partition_col="day"
+    )
+    m = sinks.read_manifest(path)
+    # sort_files files per partition, each covering a tight v range
+    for e in m["partitions"].values():
+        assert len(e["files"]) == 4
+    from f1_data_pipeline_spark.operators import metadata_tables as mt
+
+    allf = mt.manifest_files_df(spark, path).filter(F.col("content") == "data")
+    pruned = mt.manifest_files_df(spark, path, predicates=[("v", "=", 42)])
+    # fresh merge output already prunes — no compaction needed
+    assert pruned.count() <= allf.count() / 2
+    got = sinks.read_manifest_table(spark, path, predicates=[("v", "=", 42)])
+    assert got.count() == big.filter("v = 42").count()
+    with pytest.raises(ValueError, match="needs cluster_by"):
+        sinks.manifest_set_layout(spark, path, sort_on_write=True)
+
+
+def test_parse_predicates(spark, tmp_path):
+    import datetime as dt
+
+    p = sinks.parse_predicates(
+        "ts >= timestamp'2024-03-05 10:00:00' AND k = 5 AND "
+        "name = 'o''brien AND sons' AND d <= date'2024-01-02' AND ok = TRUE"
+    )
+    assert p == [
+        ("ts", ">=", dt.datetime(2024, 3, 5, 10, 0)),
+        ("k", "=", 5),
+        ("name", "=", "o'brien AND sons"),
+        ("d", "<=", dt.date(2024, 1, 2)),
+        ("ok", "=", True),
+    ]
+    assert sinks.parse_predicates(["a > 1.5", "b = 'x'"]) == [
+        ("a", ">", 1.5), ("b", "=", "x"),
+    ]
+    for bad in ("a IN (1,2)", "a = b", "a BETWEEN 1 AND 2", "NOT a = 1"):
+        with pytest.raises(ValueError):
+            sinks.parse_predicates(bad)
+    # end to end: the parsed form drives the pruning readers
+    path = str(tmp_path / "t")
+    _mk(spark, path)
+    got = sinks.read_manifest_table(
+        spark, path, predicates=sinks.parse_predicates("k = 7 AND v >= 0")
+    )
+    assert [r.k for r in got.collect()] == [7]
+
+
 def test_repartition_same_spec_rejected(spark, tmp_path):
     path = str(tmp_path / "t")
     _mk(spark, path)
