@@ -567,17 +567,88 @@ def probe_partition_transforms() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_replication() -> None:
+    """Replication-window cost as the source table grows: a FIXED daily
+    increment (upserts + deletes touching 2 of N partitions) replicated
+    into a bucket-layout secondary replica. The claim: per-window cost is
+    ∝ the changed slice (flat), never the table — the manifest diff
+    localizes the feed and the replica merges only its touched buckets."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    for n_parts in (16, 64, 256):
+        rows_per = 4_000
+        work = tempfile.mkdtemp()
+        try:
+            src = os.path.join(work, "src")
+            dst = os.path.join(work, "dst")
+            n = n_parts * rows_per
+            df = spark.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % n_parts).alias("day"),
+                (F.col("id") * 3).alias("v"),
+            )
+            sinks.merge_upsert_manifest(
+                spark, df, src, keys=["k"], partition_col="day"
+            )
+            sinks.replicate_table_increment(
+                spark, src, dst, keys=["k"],
+                dst_partition_col="bucket(16, k)",
+            )
+            # the fixed daily window: 1000 upserts into 2 days + a purge
+            inc = spark.range(n, n + 1_000).select(
+                F.col("k" if False else "id").alias("k"),
+                (F.col("id") % 2).alias("day"),
+                F.lit(-1).cast("long").alias("v"),
+            )
+            sinks.merge_upsert_manifest(
+                spark, inc, src, keys=["k"], partition_col="day"
+            )
+            sinks.delete_manifest_rows(
+                spark, src, [("k", "<", 500)], partition_values=[0, 1]
+            )
+            t0 = time.time()
+            out = sinks.replicate_table_increment(
+                spark, src, dst, keys=["k"],
+                dst_partition_col="bucket(16, k)",
+            )
+            dt_s = time.time() - t0
+            ok = (
+                sinks.read_manifest_table(spark, dst).count()
+                == sinks.read_manifest_table(spark, src).count()
+            )
+            print(json.dumps({
+                "op": "replication",
+                "src_parts": n_parts,
+                "src_rows": n,
+                "window_upserts": out["upserted"],
+                "window_deletes": out["deleted"],
+                "sec": round(dt_s, 2),
+                "parity": ok,
+            }))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
     if args and args[0] in (
         "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram",
         "ivf_drift", "heavy_hitters", "bloom_delete", "matview", "mor_delete",
-        "partition_transforms",
+        "partition_transforms", "replication",
     ):
         op = args.pop(0)
     if op == "partition_transforms":
         probe_partition_transforms()
+        return
+    if op == "replication":
+        probe_replication()
         return
     if op == "ivf_drift":
         probe_ivf_drift()
