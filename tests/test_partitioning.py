@@ -339,6 +339,82 @@ def test_reserved_derived_column_name_refused(spark, tmp_path):
     assert "__pt" in sinks.read_manifest_table(spark, path).columns
 
 
+def test_wap_staging_on_hidden_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark, 48)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    up = spark.createDataFrame(
+        [(0, dt.datetime(2024, 3, 1, 7, 0), -1.0),
+         (500, dt.datetime(2024, 3, 9, 1, 0), 9.0)],
+        "k long, ts timestamp, v double",
+    )
+    sinks.merge_upsert_manifest(
+        spark, up, path, keys=["k"], partition_col="days(ts)",
+        stage="audit-me",
+    )
+    # committed readers unaffected; the staged overlay sees the candidate
+    assert sinks.read_manifest_table(spark, path).count() == 48
+    staged = sinks.read_staged_table(spark, path, "audit-me")
+    assert staged.count() == 49
+    assert staged.filter("k = 0").first().v == -1.0
+    sinks.publish_staged(spark, path, "audit-me")
+    got = sinks.read_manifest_table(spark, path)
+    assert got.count() == 49
+    assert "2024-03-09" in sinks.read_manifest(path)["partitions"]
+
+
+def test_metadata_count_prunes_through_transform(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _ts_df(spark, 96)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    r = sinks.manifest_count(
+        spark, path,
+        predicates=[("ts", "=", dt.datetime(2024, 3, 2, 2, 0))],
+    )
+    # count comes back right; the transform pruned before file stats
+    want = df.filter(
+        F.col("ts") == F.lit(dt.datetime(2024, 3, 2, 2, 0))
+    ).count()
+    assert r["count"] == want
+
+
+def test_cdc_consumers_glide_over_repartition(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = _ts_df(spark, 48)
+    sinks.merge_upsert_manifest(
+        spark, df, src, keys=["k"], partition_col="days(ts)"
+    )
+    sinks.replicate_table_increment(
+        spark, src, dst, keys=["k"], dst_partition_col="bucket(4, k)"
+    )
+    sinks.repartition_manifest_table(spark, src, "months(ts)")
+    out = sinks.replicate_table_increment(
+        spark, src, dst, keys=["k"], dst_partition_col="bucket(4, k)"
+    )
+    # a pure relayout produces an empty feed: watermark-only advance
+    assert out["upserted"] == 0 and out["deleted"] == 0
+    assert sinks.manifest_app_metadata(dst)["repl_version"] == \
+        sinks.manifest_versions(src)[-1]
+    # and real changes after the relayout still flow
+    up = spark.createDataFrame(
+        [(0, dt.datetime(2024, 3, 1, 6, 0), -5.0)],
+        "k long, ts timestamp, v double",
+    )
+    sinks.merge_upsert_manifest(
+        spark, up, src, keys=["k"], partition_col="months(ts)"
+    )
+    out = sinks.replicate_table_increment(
+        spark, src, dst, keys=["k"], dst_partition_col="bucket(4, k)"
+    )
+    assert out["upserted"] == 1
+    assert sinks.read_manifest_table(spark, dst).filter(
+        "k = 0").first().v == -5.0
+
+
 def test_bucket_respects_source_column_type(spark, tmp_path):
     # xxhash64(int32) != xxhash64(int64) — the mirror must cast probe
     # literals to the stored type or pruning would silently drop rows
