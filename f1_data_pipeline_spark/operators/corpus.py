@@ -570,3 +570,86 @@ def pack_sequences(
         F.max(id_col).alias("last_doc"),
         F.round(F.sum("n_tokens") / F.lit(float(max_tokens)), 4).alias("utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training export: deterministic global shuffle → ordered shard files
+# (the last stage of the pipeline: what the training job actually reads)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global pseudorandom training order WITHOUT a global
+    sort: every row gets `shard` (which file group it lands in) and `pos`
+    (its rank inside the shard), both pure functions of (seed, id).
+    Consuming shards round-robin — or all of them in (shard, pos) order —
+    yields a reproducible shuffle of the corpus; changing `seed` gives an
+    independent epoch order with zero data movement beyond the rewrite.
+
+    Scale shape: rank key = md5(seed ‖ id); shard = hash prefix mod
+    n_shards (≈uniform sizes); pos = row_number over a PER-SHARD window —
+    parallel across shards, never the single-partition global window a
+    naive ORDER BY rand() shuffle degenerates to. One shuffle on the hash,
+    one per-shard sort. No RNG state anywhere — re-running any subset of
+    the pipeline reproduces identical placement (the md5-bucket idiom
+    shared with train_test_split).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(
+        F.concat_ws("\x1f", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("__h", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring(F.col("__h"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return out.withColumn("pos", F.row_number().over(w) - 1).drop("__h")
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 0,
+) -> dict:
+    """Materialize the shuffled corpus as ordered shard files — the
+    tokenizer-ready export: `{out_dir}/data/shard=N/` holds shard N's
+    rows physically sorted by `pos` (each shard hashes to one writer
+    task, so file order IS training order), and `{out_dir}/shards.json`
+    records per-shard row counts + the (n_shards, seed) identity so a
+    loader can size its epoch without scanning. Atomic directory swap
+    (write_atomic) — a crashed export is invisible. Returns the manifest
+    dict."""
+    import json as _json
+    import os as _os
+
+    from f1_data_pipeline_spark.operators.sinks import write_atomic
+
+    sh = shuffle_shards(df, id_col, n_shards, seed)
+    ordered = sh.repartition("shard").sortWithinPartitions("pos")
+    write_atomic(ordered, f"{out_dir}/data", partition_by=["shard"])
+    counts = {
+        int(r["shard"]): r["n"]
+        for r in sh.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "rows": sum(counts.values()),
+        "shard_rows": {str(k): counts[k] for k in sorted(counts)},
+    }
+    tmp = f"{out_dir}/.shards.json.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    _os.replace(tmp, f"{out_dir}/shards.json")
+    return manifest
