@@ -539,6 +539,27 @@ def main() -> None:
     matview = bench_matview(spark, sf_dir)
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
+    # Detail blocks (spread/host/streaming/incremental/metadata/matview) go
+    # to BENCH_DETAIL.json and an EARLY stdout line; the FINAL line is the
+    # compact driver contract only. Round 5's official record was lost
+    # because the single giant line outgrew the driver's stdout-tail
+    # capture window (BENCH_r05.json parsed: null) — the last line printed
+    # must stay small.
+    detail = {
+        "reps": REPS,
+        "stat": "median",
+        "spread": spread,
+        "host": host,
+        "streaming": streaming,
+        "metadata": metadata,
+        "matview": matview,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print("DETAIL " + json.dumps(detail))
     print(
         json.dumps(
             {
@@ -547,13 +568,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": REPS,
-                "stat": "median",
-                "spread": spread,
-                "host": host,
-                "streaming": streaming,
-                "metadata": metadata,
-                "matview": matview,
             }
         )
     )

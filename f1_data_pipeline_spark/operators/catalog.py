@@ -114,21 +114,213 @@ def catalog_read(
 
 
 def register_catalog_views(
-    spark: SparkSession, catalog_path: str
+    spark: SparkSession,
+    catalog_path: str,
+    predicates_by_table: dict | None = None,
+    names: list[str] | None = None,
 ) -> dict[str, int]:
     """Create one temp view per catalog entry, each pinned to the
     version that is latest (or the entry's pinned ref) RIGHT NOW —
     spark.sql queries then see one consistent snapshot per table until
-    views are re-registered. Returns {name: pinned version}."""
+    views are re-registered. Returns {name: pinned version}.
+
+    `predicates_by_table` maps a table name to pruning predicates (the
+    (col, op, value) tuples of `read_manifest_table`, or a SQL-ish
+    string for `parse_predicates`): that table's view is then built
+    over only the files surviving partition-transform pruning, file
+    stats, and bloom sidecars — the path that makes a spark.sql WHERE
+    engage the manifest read layer instead of listing every live file.
+    The predicates are ALSO applied as a row filter inside the view, so
+    a pruned view is exactly `SELECT * FROM t WHERE <predicates>` — a
+    correct (not superset) relation under its name. `names` restricts
+    registration to the listed tables.
+
+    Consistency note: each view's version is resolved per table, not
+    atomically with the catalog snapshot read — a commit landing
+    between the two pins a version newer than that catalog snapshot
+    implies. Views are still internally consistent per table."""
     pinned: dict[str, int] = {}
     for name, e in catalog_tables(catalog_path).items():
+        if names is not None and name not in names:
+            continue
         v = resolve_manifest_ref(e["path"], e.get("ref"))
         if v is None:
             from .sinks import manifest_versions
 
             v = manifest_versions(e["path"])[-1]
-        read_manifest_table(spark, e["path"], version=v).createOrReplaceTempView(
-            name
-        )
+        preds = (predicates_by_table or {}).get(name)
+        if isinstance(preds, str):
+            from .sinks import parse_predicates
+
+            preds = parse_predicates(preds)
+        read_manifest_table(
+            spark, e["path"], version=v, predicates=preds
+        ).createOrReplaceTempView(name)
         pinned[name] = v
     return pinned
+
+
+def catalog_sql(
+    spark: SparkSession, catalog_path: str, sql: str
+) -> DataFrame:
+    """Run a spark.sql query against the catalog WITH manifest-level
+    predicate pushdown: simple top-level WHERE conjuncts
+    (`col op literal`, optionally qualified by the table name or its
+    alias) are extracted from the SQL text and pushed into each
+    referenced table's manifest read, so partition-transform pruning,
+    per-file stats, and bloom sidecars all engage before Spark ever
+    lists a file — the path `register_catalog_views` alone can't give a
+    plain spark.sql (a temp view's file list is frozen at registration).
+
+    Soundness rules (anything outside them just skips pushdown for the
+    conjunct or table — results never change, only pruning weakens):
+    conjuncts are used only from a SINGLE top-level WHERE in a query
+    with no top-level set operators; OR-bearing or unparseable
+    conjuncts are ignored; an unqualified column pushes only when
+    exactly one referenced table carries it; a table referenced more
+    than once (self-join) is never pruned. The pushed conjuncts stay in
+    the SQL as row filters, so pruning is semantically invisible.
+
+    Views for the referenced tables are (re)registered pruned for the
+    duration of the call and restored to full unpruned views (same
+    pinned versions) before returning — the returned DataFrame's plan
+    is already bound, so the restore does not affect it."""
+    tables = catalog_tables(catalog_path)
+    referenced = _referenced_tables(sql, tables)
+    preds = _extract_pushdown_predicates(spark, sql, referenced, tables)
+    pinned = register_catalog_views(
+        spark, catalog_path, predicates_by_table=preds,
+        names=list(referenced),
+    )
+    try:
+        return spark.sql(sql)
+    finally:
+        # restore full views at the SAME versions the query used
+        for name in referenced:
+            read_manifest_table(
+                spark, tables[name]["path"], version=pinned[name]
+            ).createOrReplaceTempView(name)
+
+
+_SQL_KEYWORDS = {
+    "where", "join", "on", "group", "order", "limit", "having", "union",
+    "except", "intersect", "left", "right", "full", "inner", "outer",
+    "cross", "as", "and", "or", "select", "from", "by", "using", "natural",
+    "semi", "anti", "lateral", "window", "sort", "distribute", "cluster",
+}
+
+
+def _strip_sql_strings(sql: str) -> str:
+    """The SQL with quoted literals blanked (lengths preserved) so word
+    scans never match inside strings."""
+    out, in_q = [], False
+    for ch in sql:
+        if ch == "'":
+            in_q = not in_q
+            out.append(ch)
+        else:
+            out.append(" " if in_q else ch)
+    return "".join(out)
+
+
+def _referenced_tables(sql: str, tables: dict) -> dict[str, list[str]]:
+    """{catalog table name: [aliases]} for tables the SQL references
+    (whole-word match outside string literals). A table mentioned N
+    times appears with N alias slots (None-padded) so callers can
+    detect self-joins."""
+    import re
+
+    s = _strip_sql_strings(sql)
+    out: dict[str, list[str]] = {}
+    for name in tables:
+        for m in re.finditer(rf"\b{re.escape(name)}\b", s, re.IGNORECASE):
+            # an alias follows: `FROM t x` / `JOIN t AS x` — next word
+            # that is not a keyword
+            tail = s[m.end():]
+            am = re.match(r"\s+(?:[Aa][Ss]\s+)?([A-Za-z_][A-Za-z0-9_]*)", tail)
+            alias = None
+            if am and am.group(1).lower() not in _SQL_KEYWORDS:
+                alias = am.group(1)
+            # only count FROM/JOIN positions: the word before must be
+            # FROM, JOIN, or a comma-separated relation list
+            head = s[: m.start()].rstrip()
+            prev = re.search(r"([A-Za-z_][A-Za-z0-9_]*|,)\s*$", head)
+            pw = prev.group(1).lower() if prev else ""
+            if pw in ("from", "join", ","):
+                out.setdefault(name, []).append(alias)
+    return out
+
+
+def _extract_pushdown_predicates(
+    spark: SparkSession, sql: str, referenced: dict, tables: dict
+) -> dict[str, list[tuple]]:
+    """Per-table (col, op, value) pruning predicates extracted from the
+    query's single top-level WHERE (see `catalog_sql` soundness rules).
+    Empty dict when the query shape rules pushdown out."""
+    import re
+
+    from .sinks import _split_top_and, parse_predicates
+
+    s = _strip_sql_strings(sql)
+    # reject top-level set operators (multiple SELECT blocks share depth 0)
+    depth, wheres = 0, []
+    for m in re.finditer(r"[()]|\b(where|union|except|intersect)\b", s, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            if tok.lower() == "where":
+                wheres.append(m.end())
+            else:
+                return {}
+    if len(wheres) != 1:
+        return {}
+    clause = sql[wheres[0]:]
+    end = re.search(
+        r"\b(group\s+by|order\s+by|limit|having|window)\b",
+        _strip_sql_strings(clause),
+        re.IGNORECASE,
+    )
+    if end:
+        clause = clause[: end.start()]
+    # schemas for unqualified-column resolution
+    from .sinks import read_manifest
+
+    schemas = {
+        name: set(
+            f["name"]
+            for f in (read_manifest(tables[name]["path"]).get("schema") or {})
+            .get("fields", [])
+        )
+        for name in referenced
+    }
+    alias_of = {}
+    for name, aliases in referenced.items():
+        for a in aliases:
+            if a:
+                alias_of[a.lower()] = name
+        alias_of[name.lower()] = name
+    out: dict[str, list[tuple]] = {}
+    for conj in _split_top_and(clause):
+        qual = None
+        body = conj
+        qm = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\.(.+)$", conj.strip())
+        if qm and qm.group(1).lower() in alias_of:
+            qual, body = alias_of[qm.group(1).lower()], qm.group(2)
+        try:
+            (col, op, v), = parse_predicates(body)
+        except ValueError:
+            continue
+        if qual is None:
+            owners = [n for n, cols in schemas.items() if col in cols]
+            if len(owners) != 1:
+                continue
+            qual = owners[0]
+        if col not in schemas.get(qual, ()):  # alias-qualified: verify
+            continue
+        if len(referenced.get(qual, ())) != 1:
+            continue  # self-join: one shared view can't be pruned per-side
+        out.setdefault(qual, []).append((col, op, v))
+    return out

@@ -627,29 +627,44 @@ def write_training_shards(
     rows physically sorted by `pos` (each shard hashes to one writer
     task, so file order IS training order), and `{out_dir}/shards.json`
     records per-shard row counts + the (n_shards, seed) identity so a
-    loader can size its epoch without scanning. Atomic directory swap
-    (write_atomic) — a crashed export is invisible. Returns the manifest
-    dict."""
+    loader can size its epoch without scanning. The WHOLE export — data
+    and manifest together — is staged in a side directory and published
+    with ONE top-level rename, so a crash at any point leaves either the
+    previous complete export or the new complete export, never new shard
+    data paired with a stale shards.json (round-5 advice: the old
+    two-step data-swap-then-manifest-write had exactly that window).
+    Returns the manifest dict."""
     import json as _json
     import os as _os
-
-    from f1_data_pipeline_spark.operators.sinks import write_atomic
+    import shutil as _shutil
+    import uuid as _uuid
 
     sh = shuffle_shards(df, id_col, n_shards, seed)
     ordered = sh.repartition("shard").sortWithinPartitions("pos")
-    write_atomic(ordered, f"{out_dir}/data", partition_by=["shard"])
-    counts = {
-        int(r["shard"]): r["n"]
-        for r in sh.groupBy("shard").agg(F.count("*").alias("n")).collect()
-    }
-    manifest = {
-        "n_shards": n_shards,
-        "seed": seed,
-        "rows": sum(counts.values()),
-        "shard_rows": {str(k): counts[k] for k in sorted(counts)},
-    }
-    tmp = f"{out_dir}/.shards.json.tmp"
-    with open(tmp, "w") as fh:
-        _json.dump(manifest, fh, indent=1, sort_keys=True)
-    _os.replace(tmp, f"{out_dir}/shards.json")
+    staging = f"{out_dir}.__tmp__{_uuid.uuid4().hex[:8]}"
+    try:
+        ordered.write.mode("overwrite").partitionBy("shard").parquet(
+            _os.path.join(staging, "data")
+        )
+        counts = {
+            int(r["shard"]): r["n"]
+            for r in sh.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        manifest = {
+            "n_shards": n_shards,
+            "seed": seed,
+            "rows": sum(counts.values()),
+            "shard_rows": {str(k): counts[k] for k in sorted(counts)},
+        }
+        with open(_os.path.join(staging, "shards.json"), "w") as fh:
+            _json.dump(manifest, fh, indent=1, sort_keys=True)
+        backup = None
+        if _os.path.exists(out_dir):
+            backup = f"{out_dir}.__old__{_uuid.uuid4().hex[:8]}"
+            _os.rename(out_dir, backup)
+        _os.rename(staging, out_dir)
+        if backup:
+            _shutil.rmtree(backup, ignore_errors=True)
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
     return manifest

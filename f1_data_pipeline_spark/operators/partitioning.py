@@ -115,16 +115,29 @@ def derived_column(t: PartitionTransform, df: DataFrame) -> Column:
     Time transforms emit ISO strings (lexicographic order ==
     chronological order, human-readable prefixes); bucket emits a long
     in [0, N); truncate emits a width-W string prefix or the value
-    floored to a multiple of W for numeric columns."""
+    floored to a multiple of W for numeric columns.
+
+    Time transforms over TIMESTAMP columns are defined in **UTC**,
+    independent of spark.sql.session.timeZone (Iceberg's rule). A naive
+    `date_format(ts, ...)` renders in the session zone, so a reader
+    session configured differently from the writer would recompute
+    different keys and range pruning could silently drop matching rows
+    (round-5 advice). The instant is mapped to its UTC calendar day by
+    pure epoch arithmetic (`cast(ts as double)` is seconds-since-epoch,
+    timezone-free), never through session-zone rendering. DATE columns
+    have no zone and keep the direct formatting path (date→string
+    round-trips identically in every session zone)."""
     c = F.col(t.source)
     if t.kind == "identity":
         return c
-    if t.kind == "days":
-        return F.date_format(c, "yyyy-MM-dd")
-    if t.kind == "months":
-        return F.date_format(c, "yyyy-MM")
-    if t.kind == "years":
-        return F.date_format(c, "yyyy")
+    if t.kind in ("days", "months", "years"):
+        dtype = dict(df.dtypes).get(t.source, "")
+        if dtype == "timestamp":  # instant type: pin to UTC arithmetic
+            c = F.date_from_unix_date(
+                F.floor(c.cast("double") / F.lit(86400.0)).cast("int")
+            )
+        fmt = {"days": "yyyy-MM-dd", "months": "yyyy-MM", "years": "yyyy"}
+        return F.date_format(c, fmt[t.kind])
     if t.kind == "bucket":
         # NULL stays NULL (the NULL partition), like every other transform
         return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(
@@ -162,17 +175,37 @@ def apply_transform(t: PartitionTransform, df: DataFrame) -> DataFrame:
 
 def _time_text(v) -> str | None:
     """Normalize a date/datetime/ISO-string predicate value to ISO text
-    ('YYYY-MM-DD[ HH:MM:SS...]'). None when unrecognizable (→ no
-    pruning)."""
+    ('YYYY-MM-DD[ HH:MM:SS...]'). Timezone-AWARE datetimes are converted
+    to UTC first (partition keys for timestamp columns are UTC calendar
+    periods); naive values are sliced as-is — `key_maybe_matches` pads
+    one period of slack for timestamp sources to absorb any session-zone
+    skew in how Spark interprets the same literal. None when
+    unrecognizable (→ no pruning)."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, str) and re.match(r"^\d{4}-\d{2}(-\d{2})?", v):
         return v
     return None
+
+
+def _shift_period(kind: str, s: str, delta: int) -> str:
+    """The ISO key `delta` periods away from key `s` (kind = days |
+    months | years). Driver-side date math for the pruning slack."""
+    import datetime as _dt
+
+    if kind == "years":
+        return f"{int(s) + delta:04d}"
+    if kind == "months":
+        y, mo = int(s[:4]), int(s[5:7])
+        m0 = y * 12 + (mo - 1) + delta
+        return f"{m0 // 12:04d}-{m0 % 12 + 1:02d}"
+    return (_dt.date.fromisoformat(s) + _dt.timedelta(days=delta)).isoformat()
 
 
 def derive_value(
@@ -274,18 +307,34 @@ def key_maybe_matches(
             isinstance(key_val, (int, float)) and isinstance(d, (int, float))
         ):
             continue
+        # Time transforms over a TIMESTAMP source: Spark interprets a
+        # naive literal in the READER's session zone while keys are UTC
+        # periods, so the true cutoff period can sit one period either
+        # side of the naively-derived one (zone offsets span -12h..+14h,
+        # under one day/month/year). Pad the comparison by one period —
+        # at most two extra partitions survive per predicate, and wrong
+        # pruning becomes impossible under any session zone. DATE sources
+        # are zone-free and keep exact bounds; unknown source types get
+        # the safe padded path.
+        slack = t.kind in ("days", "months", "years") and (
+            source_type is None or source_type.startswith("timestamp")
+        )
         if op in ("=", "=="):
-            if key_val != d:
+            if slack:
+                lo, hi = _shift_period(t.kind, d, -1), _shift_period(t.kind, d, 1)
+                if not (lo <= key_val <= hi):
+                    return False
+            elif key_val != d:
                 return False
         elif t.kind == "bucket":
             continue  # hash transform: only equality prunes
         # monotone transforms: T(x) op' T(v) is implied by x op v for the
         # CLOSED form of op (boundary partitions stay in)
         elif op in (">", ">="):
-            if key_val < d:
+            if key_val < (_shift_period(t.kind, d, -1) if slack else d):
                 return False
         elif op in ("<", "<="):
-            if key_val > d:
+            if key_val > (_shift_period(t.kind, d, 1) if slack else d):
                 return False
     return True
 

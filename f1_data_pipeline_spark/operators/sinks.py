@@ -838,11 +838,13 @@ def _commit_manifest(path: str, manifest: dict) -> None:
 def _stat_norm(v):
     """Normalize a stats bound / predicate value into the JSON-safe,
     order-preserving space the manifest stores: numbers stay numbers,
-    strings stay strings, date/datetime → naive ISO-8601 text (lexicographic
-    order == chronological order for a fixed type; tz info is stripped, so
-    timestamp pruning assumes one consistent zone — Spark's default
-    UTC-normalized parquet timestamps qualify). Unsupported types → None
-    (never pruned on)."""
+    strings stay strings, date/datetime → naive-UTC ISO-8601 text
+    (lexicographic order == chronological order for a fixed type).
+    Timezone-AWARE datetimes are CONVERTED to UTC before the tz info is
+    dropped (parquet timestamp stats are UTC-normalized instants, so UTC
+    text is the comparison space); naive datetimes are taken as already
+    UTC — `_pred_bounds` pads predicate literals to absorb reader-session
+    zone skew. Unsupported types → None (never pruned on)."""
     import datetime as _dt
     import decimal as _dec
     import math as _math
@@ -854,10 +856,29 @@ def _stat_norm(v):
     if isinstance(v, _dec.Decimal):
         return float(v)
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc)
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     return None
+
+
+def _pred_bounds(raw):
+    """(lo, hi) — the normalized range a predicate literal's TRUE
+    comparison value can occupy. Exact (v, v) for everything except a
+    NAIVE datetime, which is padded ±14 h (the widest session-zone
+    offset): Spark interprets a naive timestamp literal in the READER's
+    session zone while stored bounds are UTC instants, so the literal's
+    instant is only known up to the zone offset. Timezone-aware
+    datetimes convert to UTC exactly and stay unpadded."""
+    import datetime as _dt
+
+    if isinstance(raw, _dt.datetime) and raw.tzinfo is None:
+        pad = _dt.timedelta(hours=14)
+        return _stat_norm(raw - pad), _stat_norm(raw + pad)
+    v = _stat_norm(raw)
+    return v, v
 
 
 def _collect_file_stats(full_dir: str) -> list[dict]:
@@ -1063,26 +1084,29 @@ def _file_maybe_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
             continue
         if st.get("nulls") is not None and rows and st["nulls"] >= rows:
             return False
-        v = _stat_norm(raw)
+        lo, hi = _pred_bounds(raw)
         mn, mx = st.get("min"), st.get("max")
-        if v is None or mn is None or mx is None:
+        if lo is None or hi is None or mn is None or mx is None:
             continue
-        if not (_stats_comparable(mn, v) and _stats_comparable(mx, v)):
+        if not (_stats_comparable(mn, lo) and _stats_comparable(mx, hi)):
             continue
+        # the true literal value sits somewhere in [lo, hi] (== the exact
+        # value for everything but naive timestamps) — prune only when
+        # EVERY value in that range proves emptiness
         if op in ("=", "=="):
-            if v < mn or v > mx:
+            if hi < mn or lo > mx:
                 return False
         elif op == "<":
-            if mn >= v:
+            if mn >= hi:
                 return False
         elif op == "<=":
-            if mn > v:
+            if mn > hi:
                 return False
         elif op == ">":
-            if mx <= v:
+            if mx <= lo:
                 return False
         elif op == ">=":
-            if mx < v:
+            if mx < lo:
                 return False
     return True
 
@@ -1163,22 +1187,25 @@ def _file_always_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
         st = stats.get(col)
         if not st or st.get("nulls") != 0:
             return False
-        v = _stat_norm(raw)
+        lo, hi = _pred_bounds(raw)
         mn, mx = st.get("min"), st.get("max")
-        if v is None or mn is None or mx is None:
+        if lo is None or hi is None or mn is None or mx is None:
             return False
-        if not (_stats_comparable(mn, v) and _stats_comparable(mx, v)):
+        if not (_stats_comparable(mn, lo) and _stats_comparable(mx, hi)):
             return False
+        # the true literal sits in [lo, hi]; "always matches" must hold
+        # for EVERY possible value in that range (lo == hi for everything
+        # but naive timestamp literals, where the file gets scanned)
         if op in ("=", "=="):
-            ok = mn == v == mx
+            ok = mn == lo == hi == mx
         elif op == "<":
-            ok = mx < v
+            ok = mx < lo
         elif op == "<=":
-            ok = mx <= v
+            ok = mx <= lo
         elif op == ">":
-            ok = mn > v
+            ok = mn > hi
         else:  # ">="
-            ok = mn >= v
+            ok = mn >= hi
         if not ok:
             return False
     return True
@@ -2369,7 +2396,10 @@ def merge_into_manifest(
       source) pairs — [("update", cond, assignments), ("delete", cond)].
       First clause whose condition holds wins; pairs matching no clause
       keep the target row unchanged. `assignments` is "all" (take every
-      source column — the upsert shape) or {col: SQL} where the SQL may
+      column the source carries — the upsert shape; table columns a
+      narrower source LACKS keep the target's value, so a partial feed
+      never nulls out data columns or the partition source column) or
+      {col: SQL} where the SQL may
       reference both rows as `t.<col>` / `s.<col>` (e.g.
       `{"v": "t.v + s.v"}` for additive MERGE). Conditions are SQL over
       the same two aliases (`"s.ts > t.ts"` — only-if-newer upserts).
@@ -2637,8 +2667,18 @@ def merge_into_manifest(
             for i, (verb, _, assign) in enumerate(matched):
                 tag = f"m{i}:{verb}"
                 if verb == "update":
+                    # "all" takes the source's value only for columns the
+                    # source actually carries; table columns absent from a
+                    # narrower source keep the target's value (Delta errors
+                    # on UPDATE SET * with a narrower source; silently
+                    # nulling them — the old s_cols stuffing — lost data,
+                    # and when the missing column was the partition source
+                    # the row's recomputed partition went NULL and the row
+                    # vanished from the rewrite entirely)
                     v = (
-                        F.col(f"s.{c}") if assign == "all"
+                        (F.col(f"s.{c}") if c in source.columns
+                         else F.col(f"t.{c}"))
+                        if assign == "all"
                         else F.expr(assign[c]) if c in assign
                         else F.col(f"t.{c}")
                     )
@@ -4353,17 +4393,28 @@ def replicate_table_increment(
     current latest), read from the REPLICA's own app metadata and
     advanced only in commits that carry that window's changes — the
     exactly-once consumer pattern shared with matviews and the curation
-    increment. Updates replicate as DELETE (preimage row) + INSERT
-    (postimage row), so a source update that moves a key across the
-    replica's partitions — legal when the specs differ — lands cleanly
-    where a partition-scoped MERGE alone would refuse. Source schema
-    evolution follows automatically (replica merges run with
-    schema_evolution=True).
+    increment. Updates that keep their key in the same REPLICA partition
+    apply through the single upsert merge; only genuine deletes and
+    updates that MOVE a key across the replica's partitions — legal when
+    the specs differ — replicate as DELETE (preimage row) + INSERT
+    (postimage row), which a partition-scoped MERGE alone would refuse.
+    Source schema evolution follows automatically (replica merges run
+    with schema_evolution=True).
+
+    Visibility: a window with no deletes and no partition movers lands
+    in ONE commit (no intermediate state). When movers/deletes exist the
+    window applies as two commits (delete of preimages, then upsert of
+    postimages); a reader of the replica BETWEEN those commits sees the
+    moved keys absent — a transient, bounded anomaly the single-table
+    DML never has. The order is forced: upserting first would leave the
+    moved key under two partitions and trip the MERGE's spanning-keys
+    safety check on replay.
 
     Replay-safe: deletes of absent keys no-op, merges are idempotent,
-    and a crash between the delete and merge commits replays the same
-    window to the same end state. Retention contract: the replica's
-    watermark version must stay retained at the source
+    the watermark advances only with the window's FINAL commit, and a
+    crash between the delete and merge commits replays the same window
+    to the same end state. Retention contract: the replica's watermark
+    version must stay retained at the source
     (`vacuum_manifest(keep_last=...)` covers the longest replica lag) or
     the next increment raises loudly.
 
@@ -4407,9 +4458,38 @@ def replicate_table_increment(
         spark, src_path, keys, last, latest, include_preimage=True
     ).persist()
     try:
-        dels = feed.filter(
-            F.col("_change").isin("delete", "update_preimage")
-        ).drop("_change")
+        # updates whose key STAYS in the same replica partition apply
+        # through the upsert merge alone; only genuine deletes and
+        # cross-partition MOVERS need the preimage-delete commit. This
+        # keeps the common window (no movers, no deletes) single-commit
+        # and shrinks the two-commit visibility anomaly to moved keys.
+        pre = feed.filter(F.col("_change") == "update_preimage")
+        post = feed.filter(F.col("_change") == "update_postimage")
+        pt_dst = parse_partition_spec(dst_partition_col)
+        pw = partition_column_name(pt_dst)
+        if pt_dst.source in feed.columns:
+            pre_p = apply_transform(pt_dst, pre.drop("_change")).select(
+                *keys, F.col(pw).alias("__p")
+            )
+            post_p = apply_transform(pt_dst, post.drop("_change")).select(
+                *keys, F.col(pw).alias("__q")
+            )
+            movers = (
+                pre_p.join(post_p, keys)
+                .filter(~F.col("__p").eqNullSafe(F.col("__q")))
+                .select(*keys)
+            )
+            moved_pre = pre.join(movers, keys, "left_semi")
+        else:
+            # evolution edge: the feed predates the replica's partition
+            # source column — can't derive partitions; conservatively
+            # treat every update as a potential mover (old behavior)
+            moved_pre = pre
+        dels = (
+            feed.filter(F.col("_change") == "delete")
+            .unionByName(moved_pre)
+            .drop("_change")
+        )
         # a window can both evolve the source schema AND update rows; the
         # preimage rows then carry columns the replica doesn't have yet
         # (the ups merge is what evolves it). Deletes only need to match

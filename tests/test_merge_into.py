@@ -259,6 +259,57 @@ def test_matched_without_source_partition_column(spark, tmp_path):
         sinks.merge_into_manifest(spark, up, path, keys=["k"])
 
 
+def test_update_all_narrow_source_keeps_target_columns(spark, tmp_path):
+    """UPDATE 'all' with a source narrower than the table: columns the
+    source doesn't carry keep the TARGET's value — including the
+    partition source column, so the row neither loses data columns to
+    NULL nor vanishes by recomputing a NULL partition (round-5 advice:
+    silent row loss when src lacked the partition column)."""
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=20, parts=4)
+    before = _rows(spark, path)
+    # no `day` (partition source) and no... table is (k, day, v); drop day
+    up = spark.createDataFrame([(7, 700), (9, 900)], "k long, v long")
+    stats = sinks.merge_into_manifest(
+        spark, up, path, keys=["k"],
+        when_matched="update", when_not_matched=None,
+    )
+    assert stats["updated"] == 2
+    rows = _rows(spark, path)
+    assert len(rows) == 20  # no silent row loss
+    assert rows[7] == (before[7][0], 700)  # day kept, v updated
+    assert rows[9] == (before[9][0], 900)
+    for k in rows:
+        if k not in (7, 9):
+            assert rows[k] == before[k]
+
+
+def test_update_all_narrow_source_keeps_data_columns(spark, tmp_path):
+    """Source carries the key + partition but NOT every data column:
+    'all' must not null the absent columns (Delta errors on UPDATE SET *
+    here; we keep t.<col>, which is strictly safer than the old silent
+    NULL overwrite)."""
+    path = str(tmp_path / "t")
+    df = spark.range(12).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("day"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("note"),
+    )
+    sinks.merge_upsert_manifest(spark, df, path, keys=["k"], partition_col="day")
+    up = spark.createDataFrame([(4, 1, 444)], "k long, day long, v long")
+    stats = sinks.merge_into_manifest(
+        spark, up, path, keys=["k"],
+        when_matched="update", when_not_matched=None,
+    )
+    assert stats["updated"] == 1
+    got = {
+        r.k: (r.day, r.v, r.note)
+        for r in sinks.read_manifest_table(spark, path).collect()
+    }
+    assert got[4] == (1, 444, "n4")  # note kept, not nulled
+
+
 def test_cdc_sees_conditional_merge(spark, tmp_path):
     path = str(tmp_path / "t")
     _mk(spark, path, n=12, parts=2)

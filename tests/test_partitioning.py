@@ -68,17 +68,69 @@ def test_days_pruning_by_timestamp_predicate(spark, tmp_path):
     m = sinks.read_manifest(path)
     preds = [("ts", ">=", dt.datetime(2024, 3, 3, 0, 0, 0))]
     kept = sinks._transform_prune(spark, m, dict(m["partitions"]), preds)
-    assert sorted(kept) == ["2024-03-03", "2024-03-04", "2024-03-05"]
-    # equality predicate: one day survives
+    # timestamp sources keep ONE period of slack either side of the naive
+    # bound (keys are UTC periods; a reader session zone can shift the
+    # literal's instant by up to ±14 h) — 03-02 survives, 03-01 is pruned
+    assert sorted(kept) == [
+        "2024-03-02", "2024-03-03", "2024-03-04", "2024-03-05"
+    ]
+    # equality predicate: the day ± slack survives
     kept = sinks._transform_prune(
         spark, m, dict(m["partitions"]),
         [("ts", "=", dt.datetime(2024, 3, 2, 12, 0, 0))],
     )
-    assert sorted(kept) == ["2024-03-02"]
+    assert sorted(kept) == ["2024-03-01", "2024-03-02", "2024-03-03"]
+    # a timezone-AWARE probe is exact after UTC conversion (still padded)
+    ok, d = P.derive_value(
+        spark, P.parse_partition_spec("days(ts)"),
+        dt.datetime(2024, 3, 3, 1, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=14))),
+    )
+    assert (ok, d) == (True, "2024-03-02")  # UTC+14 01:00 → 03-02 11:00 UTC
     # and the pruned read returns exactly the filtered rows
     got = sinks.read_manifest_table(spark, path, predicates=preds)
     want = df.filter(F.col("ts") >= F.lit(dt.datetime(2024, 3, 3))).count()
     assert got.count() == want
+
+
+def test_time_transform_utc_fixed_across_session_zones(spark, tmp_path):
+    """days(ts) keys are UTC calendar days regardless of
+    spark.sql.session.timeZone (Iceberg's rule): a reader session in a
+    different zone recomputes identical derived values and a pruned read
+    with a naive predicate never loses rows (round-5 advice: the old
+    date_format path rendered in session zone, so a skewed reader could
+    prune partitions that contained matching rows)."""
+    path = str(tmp_path / "t")
+    df = _ts_df(spark)
+    sinks.merge_upsert_manifest(
+        spark, df, path, keys=["k"], partition_col="days(ts)"
+    )
+    keys_utc = sorted(sinks.read_manifest(path)["partitions"])
+    t = P.parse_partition_spec("days(ts)")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for zone in ("Pacific/Kiritimati", "America/Los_Angeles"):  # ±UTC
+            spark.conf.set("spark.sql.session.timeZone", zone)
+            got = sorted(
+                r[0]
+                for r in sinks.read_manifest_table(spark, path)
+                .select(P.derived_column(t, df).alias("d"))
+                .distinct()
+                .collect()
+            )
+            assert got == keys_utc, (zone, got)
+            # pruned read in the skewed session: parity with the full filter
+            cut = dt.datetime(2024, 3, 3, 0, 0, 0)
+            pruned = sinks.read_manifest_table(
+                spark, path, predicates=[("ts", ">=", cut)]
+            ).count()
+            full = (
+                sinks.read_manifest_table(spark, path)
+                .filter(F.col("ts") >= F.lit(cut))
+                .count()
+            )
+            assert pruned == full, zone
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
 
 
 def test_bucket_transform_point_lookup_prunes_to_one_partition(
@@ -155,7 +207,9 @@ def test_months_years_and_null_partition(spark, tmp_path):
         spark, m, dict(m["partitions"]),
         [("ts", ">=", dt.datetime(2024, 1, 1))],
     )
-    assert sorted(kept) == ["2024-01"]
+    # null pruned; 2023-12 survives only as the one-period session-zone
+    # slack for naive timestamp literals (the boundary month)
+    assert sorted(kept) == ["2023-12", "2024-01"]
     assert sinks.read_manifest_table(spark, path).count() == 3
 
 

@@ -165,3 +165,56 @@ def test_streaming_merge_sink_composes_with_transforms(spark, tmp_path):
     assert m["partition_col"] == "days(ts)"
     assert sorted(m["partitions"]) == ["2024-05-01", "2024-05-02"]
     assert sinks.read_manifest_table(spark, target).count() == 48
+
+
+def test_inplace_updates_replicate_in_one_commit(spark, tmp_path):
+    """An update window with no deletes and no replica-partition movers
+    must land as ONE replica commit (no preimage-delete commit, so no
+    transient missing-key window — round-5 advice)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    sinks.merge_upsert_manifest(
+        spark, _events(spark, 0, 100), src, keys=["k"],
+        partition_col="days(ts)",
+    )
+    sinks.replicate_table_increment(spark, src, dst, keys=["k"])
+    v0 = sinks.read_manifest(dst)["version"]
+    # update values only — ts (and hence the day partition) unchanged
+    up = _events(spark, 10, 30).withColumn("v", F.col("v") * -1.0)
+    sinks.merge_upsert_manifest(
+        spark, up, src, keys=["k"], partition_col="days(ts)"
+    )
+    out = sinks.replicate_table_increment(spark, src, dst, keys=["k"])
+    assert out["upserted"] == 20 and out["deleted"] == 0
+    assert _content(spark, dst) == _content(spark, src)
+    # exactly one commit: updates applied through the upsert merge alone
+    assert sinks.read_manifest(dst)["version"] == v0 + 1
+
+
+def test_moving_update_still_two_commits_and_converges(spark, tmp_path):
+    """Cross-partition movers keep the delete+insert path; replica
+    content converges and the mover count is minimal (non-moving updates
+    in the same window don't inflate the delete commit)."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    # source bucket-partitioned (updates never move THERE); replica by day
+    sinks.merge_upsert_manifest(
+        spark, _events(spark, 0, 100), src, keys=["k"],
+        partition_col="bucket(4, k)",
+    )
+    sinks.replicate_table_increment(
+        spark, src, dst, keys=["k"], dst_partition_col="days(ts)"
+    )
+    # one mover (k=5 shifts 10 days in the replica) + many in-place updates
+    mover = _events(spark, 5, 6).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 DAYS")
+    )
+    inplace = _events(spark, 50, 70).withColumn("v", F.lit(0.0))
+    sinks.merge_upsert_manifest(
+        spark, mover.unionByName(inplace), src, keys=["k"],
+        partition_col="bucket(4, k)",
+    )
+    out = sinks.replicate_table_increment(
+        spark, src, dst, keys=["k"], dst_partition_col="days(ts)"
+    )
+    assert out["deleted"] == 1  # only the mover's preimage
+    assert out["upserted"] == 21
+    assert _content(spark, dst) == _content(spark, src)
