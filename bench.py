@@ -546,6 +546,7 @@ def main() -> None:
     # capture window (BENCH_r05.json parsed: null) — the last line printed
     # must stay small.
     detail = {
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": REPS,
         "stat": "median",
         "spread": spread,

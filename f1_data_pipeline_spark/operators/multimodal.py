@@ -115,7 +115,10 @@ def decode(media: bytes, media_type: str):
             f"no {media_type} decoder in this environment; "
             "use extract_features(..., fake=True) for the tested stub path"
         )
-    return dec.open(media)  # pragma: no cover
+    import io
+
+    return dec.open(io.BytesIO(bytes(media)))  # PIL arm (pinned by
+    # tests/test_multimodal.py::test_pil_image_arm when PIL is present)
 
 
 # ---------------------------------------------------------------------------
@@ -263,16 +266,18 @@ def decode_ppm(payload: bytes) -> tuple[int, int, "object"]:
     return w, h, px
 
 
-def image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """REAL feature extraction over real bytes: decode the PPM and
-    compute per-grid-cell mean intensities — the image is split into a
-    grid of `dim` cells (row-major) and each feature is that cell's mean
-    over all channels, L2-normalized. Honest pixel statistics, not a
-    payload hash."""
+def _grid_features(px, dim: int) -> list[float]:
+    """Per-grid-cell mean intensities over an (h, w[, channels]) uint8
+    pixel array — the shared pixel-statistics path for every image
+    decoder (PPM, PIL): the image splits into a grid of `dim` cells
+    (row-major), each feature is that cell's mean over all channels,
+    L2-normalized. Honest pixel statistics, not a payload hash."""
     import numpy as np
 
-    _w, _h, px = decode_ppm(payload)
-    gray = px.astype(np.float64).mean(axis=2)  # (h, w)
+    px = np.asarray(px)
+    gray = px.astype(np.float64)
+    if gray.ndim == 3:
+        gray = gray.mean(axis=2)  # (h, w)
     rows = max(1, int(np.sqrt(dim)))
     cols = -(-dim // rows)  # ceil → rows*cols >= dim
     h, w = gray.shape
@@ -286,6 +291,34 @@ def image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     arr = np.array(feats)
     nrm = float(np.linalg.norm(arr)) or 1.0
     return [float(v) for v in (arr / nrm).astype(np.float32)]
+
+
+def image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL feature extraction over real bytes: decode the PPM and run
+    the shared grid-mean pixel statistics (`_grid_features`)."""
+    _w, _h, px = decode_ppm(payload)
+    return _grid_features(px, dim)
+
+
+def pil_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL feature extraction for COMPRESSED image formats (JPEG/PNG/
+    anything PIL reads): decode via PIL into an RGB pixel array and run
+    the SAME grid-mean statistics as the PPM path, so features are
+    decoder-independent for identical pixels. Raises NotImplementedError
+    when PIL is absent (this container) — the loud-stub contract."""
+    import io
+
+    pil = _try_decoder("image")
+    if pil is None:
+        raise NotImplementedError(
+            "no image decoder in this environment (PIL not installed); "
+            "use PPM payloads or extract_features(fake=True)"
+        )
+    import numpy as np
+
+    with pil.open(io.BytesIO(bytes(payload))) as img:
+        px = np.asarray(img.convert("RGB"))
+    return _grid_features(px, dim)
 
 
 # ---------------------------------------------------------------------------
@@ -485,9 +518,12 @@ def extract_features(
 
     `fake=False` runs the REAL codec per batch: audio rows go through
     `decode_wav` + `audio_features` (stdlib WAV parse + windowed RMS/ZCR
-    over the actual waveform); image/video rows raise NotImplementedError
-    (those decoders aren't in this environment) — filter to audio or use
-    the fake path for them. Output: (asset_id long, features array<float>).
+    over the actual waveform); PPM images and PPMV videos through the
+    pure-bytes decoders; other image formats (JPEG/PNG/...) through the
+    PIL arm (`pil_image_features` — same grid statistics), which raises
+    NotImplementedError loudly when PIL is absent (this container);
+    non-PPMV video raises. Output: (asset_id long, features
+    array<float>).
     """
     out_schema = T.StructType(
         [
@@ -508,12 +544,17 @@ def extract_features(
                         feats.append(audio_features(b, dim))
                     elif mt == "image" and bytes(b[:2]) == b"P6":
                         feats.append(image_features(b, dim))
+                    elif mt == "image":
+                        # compressed image (JPEG/PNG/...): PIL arm —
+                        # same grid statistics as PPM; raises loudly
+                        # when PIL is absent from the executors
+                        feats.append(pil_image_features(b, dim))
                     elif mt == "video" and bytes(b[:5]) == b"PPMV\n":
                         feats.append(video_features(b, dim))
                     else:
-                        # non-PPM image / non-PPMV video: decode raises
-                        # (stubbed); if a real decoder is ever installed,
-                        # implement its feature path before using fake=False
+                        # non-PPMV video: decode raises (stubbed); if a
+                        # real decoder is ever installed, implement its
+                        # feature path before using fake=False
                         decode(b, mt)
                         raise NotImplementedError(
                             f"feature extraction for decoded {mt} payloads "

@@ -887,16 +887,32 @@ def _collect_file_stats(full_dir: str) -> list[dict]:
 
     Driver-side, metadata-only (pyarrow footer reads — no data pages
     touched); called once per freshly-written prefix at commit time, so the
-    cost is ∝ files written by THIS commit, never table size. Bounds whose
-    type doesn't normalize (binary, nested) or that any row group omits are
-    recorded as null = "not prunable on" (readers keep the file)."""
+    cost is ∝ files written by THIS commit, never table size. Footer reads
+    within a prefix fan out over a thread pool (they're independent
+    filesystem reads and pyarrow releases the GIL for I/O), so a wide
+    backfill commit writing many files per prefix no longer serializes
+    on the driver — on top of the existing prefix-level pool of 8.
+    Bounds whose type doesn't normalize (binary, nested) or that any row
+    group omits are recorded as null = "not prunable on" (readers keep
+    the file)."""
+    import concurrent.futures as _fut
     import glob as _glob
 
     import pyarrow.parquet as pq
 
+    files = sorted(_glob.glob(os.path.join(full_dir, "*.parquet")))
+    if not files:
+        return []
+    if len(files) == 1:
+        metas = [pq.ParquetFile(files[0]).metadata]
+    else:
+        with _fut.ThreadPoolExecutor(
+            max_workers=min(8, len(files))
+        ) as pool:
+            metas = list(pool.map(lambda f: pq.ParquetFile(f).metadata, files))
+
     out: list[dict] = []
-    for f in sorted(_glob.glob(os.path.join(full_dir, "*.parquet"))):
-        md = pq.ParquetFile(f).metadata
+    for f, md in zip(files, metas):
         acc: dict[str, dict] = {}
         for rg_i in range(md.num_row_groups):
             rg = md.row_group(rg_i)
@@ -1129,35 +1145,25 @@ def _select_entries(
 def _entry_scan_paths(
     path: str, entry: dict, predicates: Sequence[tuple] | None
 ) -> list[str]:
-    """One entry's scan list after per-file stats pruning: exact file
-    paths where the manifest recorded them (no directory listing at all —
-    the manifest IS the listing), the prefix directory for pre-stats
-    entries."""
+    """One entry's scan list after per-file stats pruning: the prefix
+    DIRECTORY when every recorded file survives (snapshot prefixes are
+    immutable and exclusively owned by one entry, so the directory and
+    the full file list are the same scan — and PySpark marshals the path
+    list to the JVM one py4j round-trip per element, ~2 ms each, so a
+    thousand-file snapshot passed file-by-file costs seconds of pure
+    driver chatter); exact file paths only when stats pruning actually
+    drops some files; the prefix directory for pre-stats entries."""
     files = entry.get("files")
     if files is None:
         return [os.path.join(path, entry["prefix"])]
-    return [
-        os.path.join(path, entry["prefix"], fm["name"])
-        for fm in files
-        if predicates is None or _file_maybe_matches(fm, predicates)
-    ]
-
-
-def _select_scan_paths(
-    m: dict,
-    path: str,
-    partition_values: Sequence | None,
-    predicates: Sequence[tuple] | None,
-    partition_values_encoded: bool = False,
-) -> list[str]:
-    """Metadata-level scan planning: manifest-key partition pruning, then
-    per-file stats pruning. DATA files only — delete files (merge-on-read)
-    ride along in the entries and are applied by the reader."""
-    entries = _select_entries(m, partition_values, partition_values_encoded)
-    paths: list[str] = []
-    for e in entries.values():
-        paths.extend(_entry_scan_paths(path, e, predicates))
-    return paths
+    kept = (
+        [fm for fm in files if _file_maybe_matches(fm, predicates)]
+        if predicates is not None
+        else files
+    )
+    if len(kept) == len(files):
+        return [os.path.join(path, entry["prefix"])]
+    return [os.path.join(path, entry["prefix"], fm["name"]) for fm in kept]
 
 
 def manifest_scan_files(
@@ -1166,14 +1172,29 @@ def manifest_scan_files(
     predicates: Sequence[tuple] | None = None,
     version: int | None = None,
 ) -> list[str]:
-    """The scan plan `read_manifest_table` would execute: every file/prefix
-    path that survives manifest-level partition pruning and file-level
-    stats pruning. Exposed for tests and ops introspection ("how much does
-    this predicate skip?")."""
+    """The files `read_manifest_table` would open: every file path that
+    survives manifest-level partition pruning and file-level stats
+    pruning (always expanded to individual files — the real reader may
+    pass whole prefix directories to Spark when nothing in them pruned,
+    but introspection wants the countable file set). Prefixes predating
+    per-file stats appear as their prefix directory. Exposed for tests
+    and ops introspection ("how much does this predicate skip?")."""
     m = read_manifest(path, version)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
-    return _select_scan_paths(m, path, partition_values, predicates)
+    entries = _select_entries(m, partition_values, False)
+    paths: list[str] = []
+    for e in entries.values():
+        files = e.get("files")
+        if files is None:
+            paths.append(os.path.join(path, e["prefix"]))
+            continue
+        paths.extend(
+            os.path.join(path, e["prefix"], fm["name"])
+            for fm in files
+            if predicates is None or _file_maybe_matches(fm, predicates)
+        )
+    return paths
 
 
 def _file_always_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
@@ -1576,20 +1597,62 @@ def _write_bloom_sidecars(
     return blooms
 
 
+_PROBE_MEMO: dict[tuple, list[int]] = {}
+_PROBE_MEMO_CAP = 1 << 16
+
+
 def _probe_positions(
     spark: SparkSession, field: T.StructField, values: Sequence, m: int, k: int
 ) -> list[list[int]]:
-    """Per probe value, its k bit positions — computed with the exact
-    Spark expressions the build used, over a literal one-column frame of
-    the column's STORED type (so int vs string vs date hashing always
-    matches the executor side)."""
-    df = spark.createDataFrame(
-        [(v,) for v in values], T.StructType([field])
-    )
-    return [
-        list(r[0])
-        for r in df.select(_bloom_position_array(field.name, m, k)).collect()
-    ]
+    """Per probe value, its k bit positions.
+
+    Fast path: the driver-side xxhash64 mirror
+    (functions/xxhash64.py), whose parity with the executors is pinned
+    by tests/test_bloom_probe_parity.py for every supported stored type
+    — microseconds per value, memoized across calls, no job launch
+    (the round-5 bench showed the per-call Spark job costing more than
+    the scan the bloom saves for repeated point lookups). Types outside
+    the verified set fall back to the original one-row Spark job over a
+    literal frame of the column's STORED type, so driver and executor
+    hashing can never drift for any type."""
+    from f1_data_pipeline_spark.functions.xxhash64 import bloom_positions
+
+    dtype = field.dataType.simpleString()
+    out: list[list[int] | None] = []
+    missing: list[int] = []
+    for idx, v in enumerate(values):
+        key = (dtype, v, m, k)
+        try:
+            hit = _PROBE_MEMO.get(key)
+        except TypeError:  # unhashable probe value (e.g. bytearray)
+            key, hit = None, None
+        if hit is None:
+            hit = bloom_positions(dtype, v, m, k)
+            if (hit is not None and key is not None
+                    and len(_PROBE_MEMO) < _PROBE_MEMO_CAP):
+                _PROBE_MEMO[key] = hit
+        if hit is None:
+            missing.append(idx)
+        out.append(hit)
+    if missing:
+        df = spark.createDataFrame(
+            [(values[i],) for i in missing], T.StructType([field])
+        )
+        computed = [
+            list(r[0])
+            for r in df.select(
+                _bloom_position_array(field.name, m, k)
+            ).collect()
+        ]
+        for idx, pos in zip(missing, computed):
+            out[idx] = pos
+            key = (dtype, values[idx], m, k)
+            try:
+                if len(_PROBE_MEMO) < _PROBE_MEMO_CAP:
+                    _PROBE_MEMO[key] = pos
+            except TypeError:
+                pass  # unhashable probe value — just don't memoize
+    return out  # type: ignore[return-value]
 
 
 def manifest_bloom_lookup(
@@ -2174,9 +2237,16 @@ def merge_upsert_manifest(
             f"partition source column {pt.source!r} not in the update "
             "batch's columns"
         )
-    updates_keyed = apply_transform(pt, updates)
+    # persist the keyed batch: the merge runs several control-plane jobs
+    # over it (distinct partitions, spanning check, moved-keys semi-join,
+    # the merge itself, applied-count) — without the cache each one
+    # re-reads the batch's source (a parquet re-scan per job for
+    # foreachBatch streaming sinks)
+    updates_keyed = apply_transform(pt, updates).persist()
+    updates = updates_keyed.drop(DERIVED_COL) if hidden else updates_keyed
     parts = [r[0] for r in updates_keyed.select(pcol).distinct().collect()]
     if not parts:
+        updates_keyed.unpersist()
         return 0
     if bloom_cols:
         missing = [c for c in bloom_cols if c not in updates.columns]
@@ -2324,6 +2394,10 @@ def merge_upsert_manifest(
         )
     finally:
         merged.unpersist()
+        # error paths before `merged` exists leave the batch cache to
+        # Spark's ContextCleaner (unpersisted on driver GC) — acceptable
+        # for a failing merge; the happy path releases it here
+        updates_keyed.unpersist()
     return n
 
 

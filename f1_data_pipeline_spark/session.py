@@ -32,6 +32,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # Dimension tables in this schema are tiny; keep the default 10 MB
     # threshold (explicit so it's a reviewed decision, not an accident).
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # Manifest-table reads pass EXACT file paths (the manifest IS the
+    # listing). Spark's default threshold (32) routes >32 paths through a
+    # parallel-discovery Spark JOB whose launch cost (~1 s) dominated
+    # every incremental manifest merge at bench scale; below the
+    # threshold the driver stats paths directly in ~0.1 s. 256 keeps
+    # small incremental reads driver-side while genuinely huge path
+    # lists (full scans of thousand-partition tables on object stores)
+    # still fan out. Measured in tools/scale_probe.py manifest_crossover.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "256",
 }
 
 

@@ -290,3 +290,73 @@ def test_sample_frame_features_real_decoded_frames(spark):
     a0 = [r for r in rows if r["asset_id"] == 0]
     interval, _w, _h, fx = by_asset[0]
     assert {r["frame_ts_ms"] for r in a0} == set(range(0, interval * len(fx), 200))
+
+
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not installed — the "
+                    "compressed-image arm stays a loud stub here")
+def test_pil_image_arm(spark):
+    """When PIL IS present: synthesize real PNG/JPEG bytes, run
+    extract_features(fake=False) distributed, and match the driver-side
+    grid statistics — the compressed-format arm of the same pixel path
+    the PPM codec uses."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    rows = []
+    for i in range(6):
+        rng = np.random.default_rng(i)
+        px = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        fmt = "PNG" if i % 2 else "JPEG"
+        Image.fromarray(px).save(buf, format=fmt)
+        rows.append(
+            (i, bytearray(buf.getvalue()), "image",
+             {"width": 32, "height": 24, "sample_rate": None,
+              "duration_ms": None, "format": fmt.lower()})
+        )
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {
+        r["asset_id"]: r["features"]
+        for r in M.extract_features(df, fake=False).collect()
+    }
+    assert len(got) == 6
+    for i, payload, _mt, _meta in rows:
+        want = M.pil_image_features(bytes(payload))
+        assert np.allclose(got[i], want, atol=1e-6)
+
+
+def test_pil_feature_parity_with_ppm_on_identical_pixels():
+    """If PIL is present, a LOSSLESS PIL format (PNG) of the same pixels
+    must produce the same features as the raw PPM codec — the
+    decoder-independence contract of _grid_features. Without PIL the
+    compressed path must raise loudly (NotImplementedError), never
+    return fake features."""
+    payload = M.synthesize_ppm(32, 24, seed=3)
+    if not _has_pil():
+        with pytest.raises(NotImplementedError, match="PIL"):
+            M.pil_image_features(b"\x89PNG\r\n\x1a\nfake")
+        return
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    _w, _h, px = M.decode_ppm(payload)
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    assert np.allclose(
+        M.pil_image_features(buf.getvalue()),
+        M.image_features(payload),
+        atol=1e-6,
+    )

@@ -635,15 +635,153 @@ def probe_replication() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_footer_stats() -> None:
+    """Commit-time footer-stats cost as files-per-prefix grows 1→64:
+    `_collect_file_stats` reads parquet footers (metadata-only) for
+    every file a commit wrote into a prefix. The claim after the
+    round-6 change: per-file cost stays flat-ish because footer reads
+    inside a prefix fan out over a thread pool instead of serializing
+    on the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    rows_per_file = 20_000
+    for n_files in (1, 4, 16, 64):
+        work = tempfile.mkdtemp()
+        try:
+            d = os.path.join(work, "prefix")
+            (
+                spark.range(n_files * rows_per_file)
+                .selectExpr("id as k", "id * 2 as v", "uuid() as s")
+                .repartition(n_files)
+                .write.parquet(d)
+            )
+            sinks._collect_file_stats(d)  # warm fs cache
+            t0 = time.time()
+            out = sinks._collect_file_stats(d)
+            dt_s = time.time() - t0
+            print(json.dumps({
+                "op": "footer_stats",
+                "files": n_files,
+                "stats_collected": len(out),
+                "sec": round(dt_s, 4),
+                "ms_per_file": round(1000 * dt_s / n_files, 2),
+            }))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+def probe_manifest_crossover() -> None:
+    """Where does the bounded manifest sink WIN WALL-CLOCK over the
+    full-table MERGE for incremental loads? The asymptotics are proven
+    (manifest rewrites only touched partitions; full MERGE rewrites the
+    growing table every batch) but at bench scale the manifest's
+    per-commit constant (stats + commit + more jobs) dominates tiny
+    batches. Grid: target table size × fixed per-batch increment, 4
+    sequential batches each touching 2 of the table's day partitions.
+    Reports both totals; the crossover row is where manifest < full."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    n_parts = 32
+    batch_rows = 25_000
+    n_batches = 4
+    # (table rows, payload bytes per row): the narrow grid shows the
+    # fixed per-commit constant; the wide grid is the honest shape where
+    # rewrite BYTES dominate (at 100 TB they always do)
+    grid = [
+        (100_000, 0), (1_600_000, 0), (6_400_000, 0),
+        (1_600_000, 200), (6_400_000, 200), (12_800_000, 200),
+    ]
+    for table_rows, pad in grid:
+        work = tempfile.mkdtemp()
+        try:
+            payload = (
+                [F.repeat(F.lit("x"), pad).alias("pad")] if pad else []
+            )
+            base = spark.range(table_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % n_parts).alias("day"),
+                (F.col("id") * 2).alias("v"),
+                *payload,
+            )
+
+            def batches():
+                for b in range(n_batches):
+                    yield spark.range(
+                        table_rows + b * batch_rows,
+                        table_rows + (b + 1) * batch_rows,
+                    ).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") % 2 + 2 * b).alias("day"),
+                        (F.col("id") * 2).alias("v"),
+                        *payload,
+                    )
+
+            # full-table MERGE (plain upsert sink: rewrites everything)
+            full = os.path.join(work, "full")
+            sinks.merge_upsert(spark, base, full, ["k"])
+            t0 = time.time()
+            for inc in batches():
+                sinks.merge_upsert(spark, inc, full, ["k"])
+            t_full = time.time() - t0
+
+            # manifest partition-scoped MERGE
+            man = os.path.join(work, "man")
+            sinks.merge_upsert_manifest(
+                spark, base, man, ["k"], partition_col="day"
+            )
+            t0 = time.time()
+            for inc in batches():
+                sinks.merge_upsert_manifest(
+                    spark, inc, man, ["k"], partition_col="day",
+                    count_rows=False,
+                )
+            t_man = time.time() - t0
+
+            n_full = spark.read.parquet(full).count()
+            n_man = sinks.read_manifest_table(spark, man).count()
+            print(json.dumps({
+                "op": "manifest_crossover",
+                "table_rows": table_rows,
+                "pad_bytes": pad,
+                "batch_rows": batch_rows,
+                "batches": n_batches,
+                "full_merge_sec": round(t_full, 2),
+                "manifest_sec": round(t_man, 2),
+                "manifest_over_full": round(t_man / t_full, 2),
+                "parity": n_full == n_man,
+            }))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
     if args and args[0] in (
         "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram",
         "ivf_drift", "heavy_hitters", "bloom_delete", "matview", "mor_delete",
-        "partition_transforms", "replication",
+        "partition_transforms", "replication", "footer_stats",
+        "manifest_crossover",
     ):
         op = args.pop(0)
+    if op == "footer_stats":
+        probe_footer_stats()
+        return
+    if op == "manifest_crossover":
+        probe_manifest_crossover()
+        return
     if op == "partition_transforms":
         probe_partition_transforms()
         return
