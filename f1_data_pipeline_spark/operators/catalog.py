@@ -172,6 +172,12 @@ def catalog_sql(
     lists a file — the path `register_catalog_views` alone can't give a
     plain spark.sql (a temp view's file list is frozen at registration).
 
+    Time travel in SQL (Delta/Iceberg syntax, both accepted):
+    `FROM t [FOR] VERSION AS OF 3`, `FROM t [FOR] VERSION AS OF 'tag'`,
+    `FROM t [FOR] TIMESTAMP AS OF '2024-03-05 12:00:00'` (latest commit
+    at or before the instant; naive text is UTC). The clause pins that
+    table's view for this query; two different pins on one table raise.
+
     Soundness rules (anything outside them just skips pushdown for the
     conjunct or table — results never change, only pruning weakens):
     conjuncts are used only from a SINGLE top-level WHERE in a query
@@ -186,20 +192,104 @@ def catalog_sql(
     pinned versions) before returning — the returned DataFrame's plan
     is already bound, so the restore does not affect it."""
     tables = catalog_tables(catalog_path)
+    sql, travel = _strip_time_travel(sql, tables)
     referenced = _referenced_tables(sql, tables)
     preds = _extract_pushdown_predicates(spark, sql, referenced, tables)
-    pinned = register_catalog_views(
-        spark, catalog_path, predicates_by_table=preds,
-        names=list(referenced),
-    )
+    pinned: dict[str, int] = {}
+    for name in referenced:
+        e = tables[name]
+        v = travel.get(name)
+        if v is None:
+            v = resolve_manifest_ref(e["path"], e.get("ref"))
+        if v is None:
+            from .sinks import manifest_versions
+
+            v = manifest_versions(e["path"])[-1]
+        read_manifest_table(
+            spark, e["path"], version=v, predicates=preds.get(name)
+        ).createOrReplaceTempView(name)
+        pinned[name] = v
     try:
         return spark.sql(sql)
     finally:
-        # restore full views at the SAME versions the query used
+        # restore full (unpruned, un-time-traveled at the catalog's own
+        # pin) views — the returned DataFrame's plan is already bound
         for name in referenced:
+            e = tables[name]
             read_manifest_table(
-                spark, tables[name]["path"], version=pinned[name]
+                spark, e["path"],
+                version=resolve_manifest_ref(e["path"], e.get("ref")),
             ).createOrReplaceTempView(name)
+
+
+def _strip_time_travel(sql: str, tables: dict) -> tuple[str, dict]:
+    """Remove `[FOR] VERSION|TIMESTAMP AS OF <literal>` clauses that
+    follow a cataloged table name; return (clean sql, {table: version}).
+    Version literals are ints or 'tag' strings; timestamps resolve to
+    the newest commit at or before the instant (naive text = UTC)."""
+    import datetime as _dt
+    import re
+
+    from .sinks import manifest_history
+
+    out: dict[str, int] = {}
+
+    def _resolve(name: str, kind: str, lit: str) -> int:
+        e = tables[name]
+        if kind.lower() == "version":
+            if lit.startswith("'") and lit.endswith("'"):
+                v = resolve_manifest_ref(e["path"], lit[1:-1])
+            else:
+                try:
+                    v = int(lit)
+                except ValueError:
+                    raise ValueError(
+                        f"VERSION AS OF needs an integer or 'tag', got {lit!r}"
+                    ) from None
+            if read_manifest(e["path"], v) is None:
+                raise FileNotFoundError(
+                    f"no version {v} of table {name!r} (vacuumed or never "
+                    "committed)"
+                )
+            return v
+        if not (lit.startswith("'") and lit.endswith("'")):
+            raise ValueError(f"TIMESTAMP AS OF needs a quoted literal, got {lit!r}")
+        ts = _dt.datetime.fromisoformat(lit[1:-1])
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        cut = ts.timestamp()
+        cand = [
+            h["version"] for h in manifest_history(e["path"])
+            if h["committed_at"] <= cut
+        ]
+        if not cand:
+            raise FileNotFoundError(
+                f"table {name!r} has no commit at or before {lit}"
+            )
+        return max(cand)
+
+    # longest names first so `events_v2` never half-matches `events`
+    for name in sorted(tables, key=len, reverse=True):
+        pat = re.compile(
+            rf"\b{re.escape(name)}\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF"
+            rf"\s+('[^']*'|\S+)",
+            re.IGNORECASE,
+        )
+        while True:
+            m = pat.search(_strip_sql_strings(sql))
+            if not m:
+                break
+            kind = m.group(1)
+            lit = sql[m.start(2):m.end(2)]  # original text (quotes intact)
+            v = _resolve(name, kind, lit)
+            if name in out and out[name] != v:
+                raise ValueError(
+                    f"table {name!r} is time-traveled to two different "
+                    f"versions ({out[name]} and {v}) in one query"
+                )
+            out[name] = v
+            sql = sql[: m.start()] + name + sql[m.end():]
+    return sql, out
 
 
 _SQL_KEYWORDS = {

@@ -142,3 +142,52 @@ def test_catalog_sql_alias_join_and_safety_rules(spark, tmp_path):
     df3 = CAT.catalog_sql(spark, cat, q3)
     assert df3.count() == spark.sql(q3).count()
     assert set(df3.inputFiles()) == full
+
+
+def test_catalog_sql_time_travel(spark, tmp_path):
+    """SQL time travel: VERSION AS OF (number and tag) and TIMESTAMP AS
+    OF pin a table's view for one query; a later naked query sees the
+    current snapshot again."""
+    import time
+
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    _mk(spark, t, 10)  # v1: 10 rows
+    sinks.manifest_tag(t, "first")
+    t_after_v1 = time.time()
+    time.sleep(0.05)
+    df2 = spark.range(10, 25).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    sinks.merge_upsert_manifest(spark, df2, t, keys=["k"], partition_col="day")
+    CAT.catalog_create_table(cat, "tt", t)
+    CAT.register_catalog_views(spark, cat)
+
+    assert CAT.catalog_sql(spark, cat, "SELECT count(*) n FROM tt").collect()[0].n == 25
+    q = "SELECT count(*) n FROM tt VERSION AS OF 1"
+    assert CAT.catalog_sql(spark, cat, q).collect()[0].n == 10
+    q = "SELECT count(*) n FROM tt FOR VERSION AS OF 'first'"
+    assert CAT.catalog_sql(spark, cat, q).collect()[0].n == 10
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(
+        t_after_v1, dt.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f+00:00")
+    q = f"SELECT count(*) n FROM tt TIMESTAMP AS OF '{iso}'"
+    assert CAT.catalog_sql(spark, cat, q).collect()[0].n == 10
+    # time travel composes with predicate pushdown in the same query
+    q = "SELECT count(*) n FROM tt VERSION AS OF 1 WHERE k >= 5"
+    assert CAT.catalog_sql(spark, cat, q).collect()[0].n == 5
+    # restored: naked spark.sql sees the current snapshot
+    assert spark.sql("SELECT count(*) n FROM tt").collect()[0].n == 25
+    # conflicting pins raise
+    with pytest.raises(ValueError, match="two different"):
+        CAT.catalog_sql(
+            spark, cat,
+            "SELECT * FROM tt VERSION AS OF 1 "
+            "UNION ALL SELECT * FROM tt VERSION AS OF 2",
+        )
+    # vacuumed / absent versions raise loudly
+    with pytest.raises(FileNotFoundError):
+        CAT.catalog_sql(spark, cat, "SELECT * FROM tt VERSION AS OF 99")
