@@ -163,14 +163,29 @@ def register_catalog_views(
 def catalog_sql(
     spark: SparkSession, catalog_path: str, sql: str
 ) -> DataFrame:
-    """Run a spark.sql query against the catalog WITH manifest-level
-    predicate pushdown: simple top-level WHERE conjuncts
-    (`col op literal`, optionally qualified by the table name or its
-    alias) are extracted from the SQL text and pushed into each
+    """Run a spark.sql statement against the catalog.
+
+    SELECT queries get manifest-level predicate pushdown: simple
+    top-level WHERE conjuncts (`col op literal`, `col IN (...)`,
+    `col BETWEEN a AND b`, optionally qualified by the table name or
+    its alias) are extracted from the SQL text and pushed into each
     referenced table's manifest read, so partition-transform pruning,
     per-file stats, and bloom sidecars all engage before Spark ever
     lists a file — the path `register_catalog_views` alone can't give a
     plain spark.sql (a temp view's file list is frozen at registration).
+
+    DML statements route to the manifest write verbs (the reference's
+    core op is the upsert, loaders/__init__.py:253-273, so a SQL-only
+    user must be able to write): `INSERT INTO t [(cols)] SELECT ...` /
+    `... VALUES ...` → `insert_into_manifest`; `DELETE FROM t WHERE
+    <simple conjunction>` → `delete_manifest_rows`; `UPDATE t SET col =
+    expr, ... WHERE <simple conjunction>` → `update_manifest_rows`;
+    `MERGE INTO t [AS a] USING <src> [AS b] ON <equi-key conjunction>
+    WHEN ...` → `merge_into_manifest`. CDC visibility, constraints, and
+    atomic commit semantics are exactly the Python verbs'; the returned
+    DataFrame is a one-row metrics summary (e.g. `deleted`,
+    `partitions_rewritten`). Unsupported DML shapes raise — never a
+    silent partial write.
 
     Time travel in SQL (Delta/Iceberg syntax, both accepted):
     `FROM t [FOR] VERSION AS OF 3`, `FROM t [FOR] VERSION AS OF 'tag'`,
@@ -178,25 +193,71 @@ def catalog_sql(
     at or before the instant; naive text is UTC). The clause pins that
     table's view for this query; two different pins on one table raise.
 
-    Soundness rules (anything outside them just skips pushdown for the
-    conjunct or table — results never change, only pruning weakens):
-    conjuncts are used only from a SINGLE top-level WHERE in a query
-    with no top-level set operators; OR-bearing or unparseable
+    Pushdown soundness rules (anything outside them just skips pushdown
+    for the conjunct or table — results never change, only pruning
+    weakens): the query must contain exactly ONE `SELECT` (a subquery,
+    CTE, or set operand could rename, derive, or aggregate a column so
+    that an outer WHERE name denotes a different expression than the
+    base table's — pushing through would drop rows); conjuncts come
+    only from a single top-level WHERE; OR-bearing or unparseable
     conjuncts are ignored; an unqualified column pushes only when
     exactly one referenced table carries it; a table referenced more
     than once (self-join) is never pruned. The pushed conjuncts stay in
     the SQL as row filters, so pruning is semantically invisible.
 
-    Views for the referenced tables are (re)registered pruned for the
-    duration of the call and restored to full unpruned views (same
-    pinned versions) before returning — the returned DataFrame's plan
-    is already bound, so the restore does not affect it."""
+    Isolation: each referenced table is registered under a UNIQUE
+    internal view name (`__cat_<table>_<n>`) and the query's relation
+    references are rewritten to it (aliased back to the original name
+    when the query gave no alias, so column qualifiers still resolve).
+    The public view namespace is never touched — a concurrent query in
+    the same SparkSession can never observe a pruned or time-traveled
+    subset under a public table name — and the internal views are
+    dropped before returning (the DataFrame's plan is already bound).
+    A CTE whose name shadows a cataloged table keeps its standard SQL
+    meaning (those references are not rewritten)."""
     tables = catalog_tables(catalog_path)
+    verb = _re().match(r"\s*(insert|delete|update|merge)\b", sql, _re().I)
+    if verb:
+        return _catalog_dml(
+            spark, catalog_path, tables, verb.group(1).lower(), sql
+        )
     sql, travel = _strip_time_travel(sql, tables)
-    referenced = _referenced_tables(sql, tables)
-    preds = _extract_pushdown_predicates(spark, sql, referenced, tables)
-    pinned: dict[str, int] = {}
-    for name in referenced:
+    refs = _relation_refs(sql, tables)
+    preds = _extract_pushdown_predicates(spark, sql, refs, tables)
+    sql, internal = _bind_internal_views(
+        spark, tables, sql, refs, travel, preds
+    )
+    try:
+        return spark.sql(sql)
+    finally:
+        for vname in internal.values():
+            spark.catalog.dropTempView(vname)
+
+
+def _re():
+    import re
+
+    return re
+
+
+# monotone counter for internal view names: unique per process, so two
+# concurrent catalog_sql calls in one SparkSession can never collide
+_VIEW_SEQ = __import__("itertools").count()
+
+
+def _bind_internal_views(
+    spark: SparkSession,
+    tables: dict,
+    sql: str,
+    refs: list[dict],
+    travel: dict,
+    preds: dict,
+) -> tuple[str, dict[str, str]]:
+    """Register one pruned/pinned internal temp view per referenced
+    table and splice the query's relation references over to it.
+    Returns (rewritten sql, {table: internal view name})."""
+    internal: dict[str, str] = {}
+    for name in {r["name"] for r in refs}:
         e = tables[name]
         v = travel.get(name)
         if v is None:
@@ -205,21 +266,20 @@ def catalog_sql(
             from .sinks import manifest_versions
 
             v = manifest_versions(e["path"])[-1]
+        vname = f"__cat_{name}_{next(_VIEW_SEQ)}"
         read_manifest_table(
             spark, e["path"], version=v, predicates=preds.get(name)
-        ).createOrReplaceTempView(name)
-        pinned[name] = v
-    try:
-        return spark.sql(sql)
-    finally:
-        # restore full (unpruned, un-time-traveled at the catalog's own
-        # pin) views — the returned DataFrame's plan is already bound
-        for name in referenced:
-            e = tables[name]
-            read_manifest_table(
-                spark, e["path"],
-                version=resolve_manifest_ref(e["path"], e.get("ref")),
-            ).createOrReplaceTempView(name)
+        ).createOrReplaceTempView(vname)
+        internal[name] = vname
+    # splice back-to-front so earlier offsets stay valid; a reference
+    # with no alias gets `AS <original name>` so qualified columns
+    # (`t.col`) keep resolving
+    for r in sorted(refs, key=lambda r: -r["start"]):
+        repl = internal[r["name"]]
+        if r["alias"] is None:
+            repl += f" AS {r['name']}"
+        sql = sql[: r["start"]] + repl + sql[r["end"]:]
+    return sql, internal
 
 
 def _strip_time_travel(sql: str, tables: dict) -> tuple[str, dict]:
@@ -270,9 +330,11 @@ def _strip_time_travel(sql: str, tables: dict) -> tuple[str, dict]:
 
     # longest names first so `events_v2` never half-matches `events`
     for name in sorted(tables, key=len, reverse=True):
+        # unquoted version literals stop at word chars so adjacent
+        # punctuation (`... AS OF 3)`, `... AS OF 3,`) is never swallowed
         pat = re.compile(
             rf"\b{re.escape(name)}\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF"
-            rf"\s+('[^']*'|\S+)",
+            rf"\s+('[^']*'|\w+)",
             re.IGNORECASE,
         )
         while True:
@@ -313,48 +375,139 @@ def _strip_sql_strings(sql: str) -> str:
     return "".join(out)
 
 
-def _referenced_tables(sql: str, tables: dict) -> dict[str, list[str]]:
-    """{catalog table name: [aliases]} for tables the SQL references
-    (whole-word match outside string literals). A table mentioned N
-    times appears with N alias slots (None-padded) so callers can
-    detect self-joins."""
+# keywords that may precede JOIN (`LEFT OUTER JOIN`): skipped without
+# touching the relation-list state
+_JOIN_PREFIX = {
+    "left", "right", "full", "inner", "outer", "cross", "natural",
+    "semi", "anti", "lateral",
+}
+# keywords that END a FROM relation list at the current depth — a comma
+# after one of these is a SELECT/GROUP/ORDER-list comma, never a
+# relation separator (round-6 advice: `SELECT a, status FROM t` must
+# not treat a cataloged table named `status` as referenced)
+_FROM_ENDERS = {
+    "where", "group", "order", "having", "limit", "window", "select",
+    "union", "except", "intersect", "when", "set", "values", "sort",
+    "distribute", "cluster", "with",
+}
+
+
+def _cte_names(stripped_sql: str) -> set[str]:
+    """Lower-cased CTE names (`WITH name AS (`, `, name AS (`): a CTE
+    shadows a same-named cataloged table per standard SQL scoping, so
+    its references are never rewritten or pruned."""
+    import re
+
+    return {
+        m.group(2).lower()
+        for m in re.finditer(
+            r"(\bwith\b|,)\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^()]*\))?"
+            r"\s+as\s*\(",
+            stripped_sql,
+            re.IGNORECASE,
+        )
+    }
+
+
+def _relation_refs(sql: str, tables: dict) -> list[dict]:
+    """Every cataloged-table reference at a RELATION position, in query
+    order: [{"name", "alias", "start", "end", "depth"}]. A name counts
+    only directly after FROM, JOIN, or a comma inside a FROM relation
+    list at the same paren depth — never a SELECT-list / GROUP-BY comma
+    — and CTE-shadowed names never count. Context is tracked per paren
+    depth (a subquery starts fresh and restores the outer state on
+    close), so references inside derived relations are found too (they
+    must be rewritten to pinned internal views; pushdown separately
+    restricts itself to single-SELECT queries)."""
     import re
 
     s = _strip_sql_strings(sql)
-    out: dict[str, list[str]] = {}
-    for name in tables:
-        for m in re.finditer(rf"\b{re.escape(name)}\b", s, re.IGNORECASE):
-            # an alias follows: `FROM t x` / `JOIN t AS x` — next word
-            # that is not a keyword
-            tail = s[m.end():]
-            am = re.match(r"\s+(?:[Aa][Ss]\s+)?([A-Za-z_][A-Za-z0-9_]*)", tail)
-            alias = None
-            if am and am.group(1).lower() not in _SQL_KEYWORDS:
-                alias = am.group(1)
-            # only count FROM/JOIN positions: the word before must be
-            # FROM, JOIN, or a comma-separated relation list
-            head = s[: m.start()].rstrip()
-            prev = re.search(r"([A-Za-z_][A-Za-z0-9_]*|,)\s*$", head)
-            pw = prev.group(1).lower() if prev else ""
-            if pw in ("from", "join", ","):
-                out.setdefault(name, []).append(alias)
-    return out
+    shadowed = _cte_names(s)
+    names = {n.lower(): n for n in tables if n.lower() not in shadowed}
+    toks = list(re.finditer(r"[A-Za-z_][A-Za-z0-9_]*|[(),]", s))
+    refs: list[dict] = []
+    # per-depth state: in_from (inside a FROM/JOIN relation list),
+    # expect (the next identifier is a relation name)
+    stack: list[dict] = [{"f": False, "e": False}]
+    for i, t in enumerate(toks):
+        w = t.group(0)
+        lw = w.lower()
+        st = stack[-1]
+        if w == "(":
+            # a parenthesized relation (subquery / USING list / function
+            # args) consumes the pending relation slot — its ALIAS must
+            # never be mistaken for a relation name
+            st["e"] = False
+            stack.append({"f": False, "e": False})
+            continue
+        if w == ")":
+            if len(stack) > 1:
+                stack.pop()
+            continue
+        if w == ",":
+            if st["f"]:
+                st["e"] = True
+            continue
+        if lw in ("from", "join"):
+            st["f"] = True
+            st["e"] = True
+            continue
+        if lw in _JOIN_PREFIX:
+            continue
+        if lw in _FROM_ENDERS:
+            st["f"] = False
+            st["e"] = False
+            continue
+        if not st["e"]:
+            continue
+        st["e"] = False  # this identifier consumes the relation slot
+        if lw not in names:
+            continue
+        alias = None
+        j = i + 1
+        if j < len(toks) and toks[j].group(0).lower() == "as":
+            j += 1
+        nxt = toks[j].group(0) if j < len(toks) else ""
+        if (
+            nxt
+            and nxt not in "(),"
+            and (j > i + 1 or nxt.lower() not in _SQL_KEYWORDS)
+            and nxt.lower() not in _FROM_ENDERS
+        ):
+            alias = nxt
+        refs.append(
+            {
+                "name": names[lw],
+                "alias": alias,
+                "start": t.start(),
+                "end": t.end(),
+                "depth": len(stack) - 1,
+            }
+        )
+    return refs
 
 
 def _extract_pushdown_predicates(
-    spark: SparkSession, sql: str, referenced: dict, tables: dict
+    spark: SparkSession, sql: str, refs: list[dict], tables: dict
 ) -> dict[str, list[tuple]]:
-    """Per-table (col, op, value) pruning predicates extracted from the
-    query's single top-level WHERE (see `catalog_sql` soundness rules).
-    Empty dict when the query shape rules pushdown out."""
+    """Per-table pruning predicates extracted from the query's single
+    top-level WHERE (see `catalog_sql` soundness rules). Empty dict when
+    the query shape rules pushdown out — in particular any query with
+    more than one SELECT token (subquery / CTE / set operand), where an
+    outer WHERE column may denote a derived or renamed expression that
+    no longer matches the base table's physical column."""
     import re
 
     from .sinks import _split_top_and, parse_predicates
 
     s = _strip_sql_strings(sql)
-    # reject top-level set operators (multiple SELECT blocks share depth 0)
+    if len(re.findall(r"\bselect\b", s, re.IGNORECASE)) != 1:
+        return {}
+    # exactly one top-level WHERE, no top-level set operators
     depth, wheres = 0, []
-    for m in re.finditer(r"[()]|\b(where|union|except|intersect)\b", s, re.IGNORECASE):
+    for m in re.finditer(
+        r"[()]|\b(where|union|except|intersect)\b", s, re.IGNORECASE
+    ):
         tok = m.group(0)
         if tok == "(":
             depth += 1
@@ -375,7 +528,18 @@ def _extract_pushdown_predicates(
     )
     if end:
         clause = clause[: end.start()]
-    # schemas for unqualified-column resolution
+    # pushdown only targets tables referenced exactly once, at depth 0
+    counts: dict[str, int] = {}
+    for r in refs:
+        counts[r["name"]] = counts.get(r["name"], 0) + 1
+    eligible = {
+        r["name"]: r
+        for r in refs
+        if counts[r["name"]] == 1 and r["depth"] == 0
+    }
+    # schemas for unqualified-column resolution (ALL referenced tables
+    # take part in ownership resolution — a column two tables carry
+    # stays ambiguous even when one of them is pushdown-ineligible)
     from .sinks import read_manifest
 
     schemas = {
@@ -384,14 +548,14 @@ def _extract_pushdown_predicates(
             for f in (read_manifest(tables[name]["path"]).get("schema") or {})
             .get("fields", [])
         )
-        for name in referenced
+        for name in counts
     }
     alias_of = {}
-    for name, aliases in referenced.items():
-        for a in aliases:
-            if a:
-                alias_of[a.lower()] = name
-        alias_of[name.lower()] = name
+    for r in refs:
+        if r["alias"]:
+            alias_of[r["alias"].lower()] = r["name"]
+        else:
+            alias_of[r["name"].lower()] = r["name"]
     out: dict[str, list[tuple]] = {}
     for conj in _split_top_and(clause):
         qual = None
@@ -400,17 +564,323 @@ def _extract_pushdown_predicates(
         if qm and qm.group(1).lower() in alias_of:
             qual, body = alias_of[qm.group(1).lower()], qm.group(2)
         try:
-            (col, op, v), = parse_predicates(body)
+            parsed = parse_predicates(body)
         except ValueError:
-            continue
-        if qual is None:
-            owners = [n for n, cols in schemas.items() if col in cols]
-            if len(owners) != 1:
+            continue  # OR / functions / column-vs-column: skip, stay sound
+        for col, op, v in parsed:
+            q = qual
+            if q is None:
+                owners = [n for n, cols in schemas.items() if col in cols]
+                if len(owners) != 1:
+                    continue
+                q = owners[0]
+            if col not in schemas.get(q, ()):  # alias-qualified: verify
                 continue
-            qual = owners[0]
-        if col not in schemas.get(qual, ()):  # alias-qualified: verify
-            continue
-        if len(referenced.get(qual, ())) != 1:
-            continue  # self-join: one shared view can't be pruned per-side
-        out.setdefault(qual, []).append((col, op, v))
+            if q not in eligible:
+                continue  # self-join or subquery-only reference
+            out.setdefault(q, []).append((col, op, v))
     return out
+
+
+# ---------------------------------------------------------------------------
+# SQL DML routing: INSERT / DELETE / UPDATE / MERGE text against cataloged
+# manifest tables, routed to the manifest write verbs so a SQL-only user
+# of the catalog has full read-write access (the reference pipeline is
+# write-heavy — its core op is the upsert, loaders/__init__.py:253-273).
+# Only shapes the verbs can honor exactly are accepted; anything else
+# raises loudly — never a silent partial write.
+# ---------------------------------------------------------------------------
+
+
+def _dml_table(tables: dict, name: str) -> dict:
+    if name not in tables:
+        raise FileNotFoundError(f"no table {name!r} in the catalog")
+    e = tables[name]
+    if e.get("ref") is not None:
+        raise ValueError(
+            f"table {name!r} is pinned to ref {e['ref']!r} in the catalog "
+            "— DML against a pinned (frozen) entry is refused"
+        )
+    return e
+
+
+def _metrics_df(spark: SparkSession, metrics: dict) -> DataFrame:
+    """One-row DataFrame of integer DML metrics (stable column order)."""
+    cols = sorted(metrics)
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [tuple(int(metrics[c]) for c in cols)],
+        T.StructType([T.StructField(c, T.LongType(), False) for c in cols]),
+    )
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas outside quotes and parens (SET lists, INSERT
+    column lists with function calls in expressions)."""
+    out, buf, depth, in_q = [], [], 0, False
+    for ch in s:
+        if ch == "'":
+            in_q = not in_q
+            buf.append(ch)
+        elif not in_q and ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif not in_q and ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif not in_q and depth == 0 and ch == ",":
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _top_level_keyword(sql: str, kw: str, start: int = 0) -> int:
+    """Offset of the first depth-0, outside-string occurrence of `kw`
+    (word-bounded) at or after `start`; -1 if absent."""
+    import re
+
+    s = _strip_sql_strings(sql)
+    depth = 0
+    for m in re.finditer(rf"[()]|\b{kw}\b", s, re.IGNORECASE):
+        if m.group(0) == "(":
+            depth += 1
+        elif m.group(0) == ")":
+            depth -= 1
+        elif depth == 0 and m.start() >= start:
+            return m.start()
+    return -1
+
+
+def _catalog_dml(
+    spark: SparkSession, catalog_path: str, tables: dict, verb: str,
+    sql: str,
+) -> DataFrame:
+    import re
+
+    from .sinks import (
+        delete_manifest_rows,
+        insert_into_manifest,
+        merge_into_manifest,
+        parse_predicates,
+        update_manifest_rows,
+    )
+
+    if verb == "insert":
+        m = re.match(
+            r"\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*(.+)$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported INSERT shape — expected INSERT INTO <table> "
+                "[(col, ...)] SELECT ... | VALUES ..."
+            )
+        name, collist, body = m.group(1), m.group(2), m.group(3).strip()
+        e = _dml_table(tables, name)
+        if re.match(r"VALUES\b", body, re.IGNORECASE):
+            src = spark.sql(f"SELECT * FROM {body}")
+        else:
+            src = catalog_sql(spark, catalog_path, body)
+        if collist is not None:
+            cols = [c.strip() for c in collist.split(",") if c.strip()]
+            if len(cols) != len(src.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(cols)} names but the "
+                    f"source produces {len(src.columns)} columns"
+                )
+            src = src.toDF(*cols)
+        else:
+            # positional: rename the source's columns to the table's
+            # stored schema order (SQL INSERT semantics)
+            from .sinks import read_manifest
+
+            stored = (read_manifest(e["path"]) or {}).get("schema")
+            fields = [f["name"] for f in (stored or {}).get("fields", [])]
+            if len(src.columns) > len(fields):
+                raise ValueError(
+                    f"INSERT source produces {len(src.columns)} columns "
+                    f"but table {name!r} has {len(fields)}"
+                )
+            src = src.toDF(*fields[: len(src.columns)])
+        n = insert_into_manifest(spark, src, e["path"])
+        return _metrics_df(spark, {"inserted": n})
+
+    if verb == "delete":
+        m = re.match(
+            r"\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s+WHERE\s+(.+)$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported DELETE shape — expected DELETE FROM <table> "
+                "WHERE <simple conjunction> (a predicate is mandatory; "
+                "drop the table to remove it entirely)"
+            )
+        e = _dml_table(tables, m.group(1))
+        preds = parse_predicates(m.group(2).strip())
+        r = delete_manifest_rows(spark, e["path"], preds)
+        return _metrics_df(
+            spark,
+            {k: r[k] for k in ("deleted", "partitions_rewritten",
+                               "partitions_dropped")},
+        )
+
+    if verb == "update":
+        m = re.match(
+            r"\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s+(.+)$",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported UPDATE shape — expected UPDATE <table> SET "
+                "col = expr, ... WHERE <simple conjunction>"
+            )
+        e = _dml_table(tables, m.group(1))
+        rest = m.group(2)
+        w = _top_level_keyword(rest, "where")
+        if w < 0:
+            raise ValueError(
+                "refusing UPDATE with no WHERE — use the merge path for "
+                "full-table rewrites"
+            )
+        set_text, where_text = rest[:w], rest[w + len("where"):]
+        assignments = {}
+        for a in _split_top_commas(set_text):
+            am = re.match(r"\s*([A-Za-z_]\w*)\s*=\s*(.+)$", a, re.DOTALL)
+            if not am:
+                raise ValueError(f"unsupported SET assignment {a!r}")
+            from pyspark.sql import functions as F
+
+            assignments[am.group(1)] = F.expr(am.group(2).strip())
+        preds = parse_predicates(where_text.strip())
+        r = update_manifest_rows(spark, e["path"], assignments, preds)
+        return _metrics_df(
+            spark, {k: r[k] for k in ("updated", "partitions_rewritten")}
+        )
+
+    # MERGE INTO t [AS a] USING (<src>|name) [AS b] ON <equi-keys> WHEN ...
+    m = re.match(
+        r"\s*MERGE\s+INTO\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"
+        r"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|[A-Za-z_]\w*)"
+        r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+ON\s+(.+)$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported MERGE shape — expected MERGE INTO <table> [AS t] "
+            "USING <table | (subquery)> [AS s] ON <equi-key conjunction> "
+            "WHEN ..."
+        )
+    name, t_alias, src_text, s_alias, rest = m.groups()
+    e = _dml_table(tables, name)
+    if src_text.startswith("("):
+        src = catalog_sql(spark, catalog_path, src_text[1:-1])
+        if s_alias is None:
+            raise ValueError("a MERGE subquery source needs an alias")
+    else:
+        if src_text in tables:
+            src = catalog_read(spark, catalog_path, src_text)
+        else:
+            src = spark.table(src_text)  # temp view / metastore table
+    t_alias = (t_alias or name).lower()
+    s_alias = (s_alias or src_text).lower()
+
+    def _norm(text: str) -> str:
+        """Rewrite the statement's target/source qualifiers to the t./s.
+        aliases the merge verb's clause SQL expects."""
+        text = re.sub(rf"\b{t_alias}\s*\.", "t.", text, flags=re.IGNORECASE)
+        return re.sub(rf"\b{s_alias}\s*\.", "s.", text, flags=re.IGNORECASE)
+
+    w = _top_level_keyword(rest, "when")
+    if w < 0:
+        raise ValueError("MERGE with no WHEN clauses would be a no-op")
+    cond_text, clause_text = rest[:w], rest[w:]
+    keys = []
+    from .sinks import _split_top_and
+
+    for conj in _split_top_and(_norm(cond_text)):
+        km = re.match(
+            r"\s*([ts])\.([A-Za-z_]\w*)\s*=\s*([ts])\.([A-Za-z_]\w*)\s*$",
+            conj,
+        )
+        if not km or {km.group(1), km.group(3)} != {"t", "s"} \
+                or km.group(2) != km.group(4):
+            raise ValueError(
+                f"MERGE ON clause must be an equi-key conjunction "
+                f"(t.k = s.k AND ...); {conj.strip()!r} is not"
+            )
+        keys.append(km.group(2))
+
+    matched, not_matched, by_source = [], [], []
+    # split the WHEN clauses at top level
+    starts = []
+    pos = 0
+    while True:
+        p = _top_level_keyword(clause_text, "when", pos)
+        if p < 0:
+            break
+        starts.append(p)
+        pos = p + 4
+    chunks = [
+        clause_text[a:b] for a, b in zip(starts, starts[1:] + [len(clause_text)])
+    ]
+    for ch in chunks:
+        cm = re.match(
+            r"\s*WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
+            r"(?:\s+AND\s+(.+?))?\s+THEN\s+(.+?)\s*$",
+            ch,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not cm:
+            raise ValueError(f"unsupported MERGE clause {ch.strip()!r}")
+        kind = re.sub(r"\s+", " ", cm.group(1).upper())
+        cond = _norm(cm.group(2).strip()) if cm.group(2) else None
+        action = cm.group(3).strip()
+        if re.match(r"DELETE\s*$", action, re.IGNORECASE):
+            cl = ("delete", cond)
+            (by_source if kind == "NOT MATCHED BY SOURCE" else matched).append(cl)
+        elif re.match(r"UPDATE\s+SET\s+", action, re.IGNORECASE):
+            set_text = re.sub(r"^\s*UPDATE\s+SET\s+", "", action,
+                              flags=re.IGNORECASE)
+            if set_text.strip() == "*":
+                assign = "all"
+            else:
+                assign = {}
+                for a in _split_top_commas(set_text):
+                    am = re.match(
+                        r"\s*(?:t\s*\.\s*)?([A-Za-z_]\w*)\s*=\s*(.+)$",
+                        _norm(a), re.DOTALL,
+                    )
+                    if not am:
+                        raise ValueError(f"unsupported SET assignment {a!r}")
+                    assign[am.group(1)] = am.group(2).strip()
+            cl = ("update", cond, assign)
+            (by_source if kind == "NOT MATCHED BY SOURCE" else matched).append(cl)
+        elif re.match(r"INSERT\s*(\*)?\s*$", action, re.IGNORECASE):
+            if kind != "NOT MATCHED":
+                raise ValueError("INSERT is only valid WHEN NOT MATCHED")
+            not_matched.append(("insert", cond))
+        else:
+            raise ValueError(
+                f"unsupported MERGE action {action!r} — UPDATE SET */"
+                "assignments, DELETE, or INSERT [*]"
+            )
+    r = merge_into_manifest(
+        spark, src, e["path"], keys=keys,
+        when_matched=matched or None,
+        when_not_matched=not_matched or None,
+        when_not_matched_by_source=by_source or None,
+    )
+    return _metrics_df(
+        spark,
+        {k: r[k] for k in ("updated", "deleted", "inserted",
+                           "updated_by_source", "deleted_by_source")},
+    )

@@ -295,6 +295,18 @@ def key_maybe_matches(
             continue
         if key_val is None:
             return False  # NULL source rows can't satisfy any comparison
+        if op == "in":
+            # the partition survives if ANY member's derived value could
+            # land in it (each member checked with equality semantics,
+            # including the time-transform session-zone slack)
+            if not any(
+                key_maybe_matches(
+                    spark, t, enc_key, [(col, "=", x)], cache, source_type
+                )
+                for x in raw
+            ):
+                return False
+            continue
         ck = (op, repr(raw))
         if ck in cache:
             d_ok, d = cache[ck]

@@ -968,24 +968,41 @@ def _pred_ops():
 
 
 def _split_top_and(s: str) -> list[str]:
-    """Split on top-level AND, quote-aware (no AND inside '...')."""
-    out, buf, i, in_q = [], [], 0, False
+    """Split on top-level AND, quote-aware (no AND inside '...'), and
+    BETWEEN-aware: the AND that closes `col BETWEEN a AND b` belongs to
+    the predicate and never splits."""
+    out, buf, i, in_q, pending_between = [], [], 0, False, 0
     up = s.upper()
+
+    def _word_at(j: int, w: str) -> bool:
+        return (
+            up[j : j + len(w)] == w
+            and (j == 0 or not (up[j - 1].isalnum() or up[j - 1] == "_"))
+            and (
+                j + len(w) >= len(s)
+                or not (up[j + len(w)].isalnum() or up[j + len(w)] == "_")
+            )
+        )
+
     while i < len(s):
         c = s[i]
         if c == "'":
             in_q = not in_q
             buf.append(c)
             i += 1
-        elif (
-            not in_q
-            and up[i : i + 3] == "AND"
-            and (i == 0 or not up[i - 1].isalnum())
-            and (i + 3 >= len(s) or not up[i + 3].isalnum())
-        ):
-            out.append("".join(buf))
-            buf = []
-            i += 3
+        elif not in_q and _word_at(i, "BETWEEN"):
+            pending_between += 1
+            buf.append(s[i : i + 7])
+            i += 7
+        elif not in_q and _word_at(i, "AND"):
+            if pending_between:
+                pending_between -= 1
+                buf.append(s[i : i + 3])
+                i += 3
+            else:
+                out.append("".join(buf))
+                buf = []
+                i += 3
         else:
             buf.append(c)
             i += 1
@@ -996,23 +1013,56 @@ def _split_top_and(s: str) -> list[str]:
 _PRED_RE = None
 
 
+def _parse_pred_literal(raw: str, where: str):
+    """One SQL literal in predicate position: a number, a 'quoted
+    string' ('' escapes a quote), TRUE/FALSE, or a date'...' /
+    timestamp'...' typed literal (parsed to datetime.date /
+    datetime.datetime, matching what the stats normalizer expects)."""
+    import datetime as _dt
+
+    raw = raw.strip()
+    for prefix, parser in (
+        ("timestamp", lambda s: _dt.datetime.fromisoformat(s)),
+        ("date", lambda s: _dt.date.fromisoformat(s)),
+    ):
+        if raw.lower().startswith(prefix + "'") and raw.endswith("'"):
+            return parser(raw[len(prefix) + 1 : -1])
+    if raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
+        return raw[1:-1].replace("''", "'")
+    if raw.upper() in ("TRUE", "FALSE"):
+        return raw.upper() == "TRUE"
+    try:
+        return int(raw)
+    except ValueError:
+        try:
+            return float(raw)
+        except ValueError:
+            raise ValueError(
+                f"unsupported literal {raw!r} in predicate {where!r}"
+            ) from None
+
+
 def parse_predicates(exprs) -> list[tuple]:
-    """Parse simple SQL comparison predicates into the (col, op, value)
-    tuples every pruning reader takes — so call sites can say
+    """Parse simple SQL predicates into the (col, op, value) tuples
+    every pruning reader takes — so call sites can say
     `read_manifest_table(..., predicates=parse_predicates(
     "ts >= timestamp'2024-03-05 00:00:00' AND k = 5"))`.
 
     Accepts one string (split on top-level AND, quote-aware) or a
-    sequence of single comparisons. Each must be `<column> <op>
-    <literal>` with op ∈ {=, ==, <, <=, >, >=} and a literal that is a
-    number, a 'quoted string' ('' escapes a quote), TRUE/FALSE, or a
-    date'...' / timestamp'...' typed literal (parsed to datetime.date /
-    datetime.datetime, matching what the stats normalizer expects).
-    Anything fancier (OR, functions, IN, BETWEEN, column-vs-column)
-    raises — pruning predicates are deliberately this small, and the
-    residual-filter guarantee only holds for what the pruners
-    understand."""
-    import datetime as _dt
+    sequence of single predicates. Supported shapes:
+
+    - `<column> <op> <literal>` with op ∈ {=, ==, <, <=, >, >=};
+    - `<column> IN (<literal>, ...)` → one ("in", tuple) predicate
+      (point-lookup shape: pruners keep a file/partition when ANY
+      member may match, and bloom sidecars probe each member);
+    - `<column> BETWEEN <literal> AND <literal>` → desugared to
+      `>= AND <=` (inclusive, standard SQL).
+
+    Literals are numbers, 'quoted strings' ('' escapes a quote),
+    TRUE/FALSE, or date'...' / timestamp'...' typed literals. Anything
+    fancier (OR, functions, NOT IN, column-vs-column) raises — pruning
+    predicates are deliberately this small, and the residual-filter
+    guarantee only holds for what the pruners understand."""
     import re as _re
 
     global _PRED_RE
@@ -1026,36 +1076,53 @@ def parse_predicates(exprs) -> list[tuple]:
         parts = [p for e in exprs for p in _split_top_and(e)]
     out: list[tuple] = []
     for p in parts:
+        m = _re.match(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\((.+)\)\s*$",
+            p, _re.IGNORECASE,
+        )
+        if m:
+            members = _split_quote_aware_commas(m.group(2))
+            if not members:
+                raise ValueError(f"empty IN list in predicate {p!r}")
+            out.append(
+                (m.group(1), "in",
+                 tuple(_parse_pred_literal(x, p) for x in members))
+            )
+            continue
+        m = _re.match(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$",
+            p, _re.IGNORECASE,
+        )
+        if m:
+            col = m.group(1)
+            out.append((col, ">=", _parse_pred_literal(m.group(2), p)))
+            out.append((col, "<=", _parse_pred_literal(m.group(3), p)))
+            continue
         m = _PRED_RE.match(p)
         if not m:
             raise ValueError(
-                f"unsupported predicate {p!r} — expected <col> <op> <literal>"
+                f"unsupported predicate {p!r} — expected <col> <op> "
+                "<literal>, <col> IN (...), or <col> BETWEEN a AND b"
             )
         col, op, raw = m.group(1), m.group(2), m.group(3)
-        for prefix, parser in (
-            ("timestamp", lambda s: _dt.datetime.fromisoformat(s)),
-            ("date", lambda s: _dt.date.fromisoformat(s)),
-        ):
-            if raw.lower().startswith(prefix + "'") and raw.endswith("'"):
-                v = parser(raw[len(prefix) + 1 : -1])
-                break
-        else:
-            if raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
-                v = raw[1:-1].replace("''", "'")
-            elif raw.upper() in ("TRUE", "FALSE"):
-                v = raw.upper() == "TRUE"
-            else:
-                try:
-                    v = int(raw)
-                except ValueError:
-                    try:
-                        v = float(raw)
-                    except ValueError:
-                        raise ValueError(
-                            f"unsupported literal {raw!r} in predicate {p!r}"
-                        ) from None
-        out.append((col, op, v))
+        out.append((col, op, _parse_pred_literal(raw, p)))
     return out
+
+
+def _split_quote_aware_commas(s: str) -> list[str]:
+    """Split an IN-list body on commas outside quotes."""
+    out, buf, in_q = [], [], False
+    for ch in s:
+        if ch == "'":
+            in_q = not in_q
+            buf.append(ch)
+        elif ch == "," and not in_q:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
 
 
 def _predicates_column(predicates: Sequence[tuple]) -> Column:
@@ -1064,9 +1131,12 @@ def _predicates_column(predicates: Sequence[tuple]) -> Column:
     ops = _pred_ops()
     out = F.lit(True)
     for col, op, v in predicates:
+        if op == "in":
+            out = out & F.col(col).isin(*[F.lit(x) for x in v])
+            continue
         if op not in ops:
             raise ValueError(f"unsupported predicate op {op!r} on {col!r} "
-                             f"(supported: {sorted(ops)})")
+                             f"(supported: {sorted(ops)} + 'in')")
         out = out & ops[op](F.col(col), F.lit(v))
     return out
 
@@ -1100,6 +1170,17 @@ def _file_maybe_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
             continue
         if st.get("nulls") is not None and rows and st["nulls"] >= rows:
             return False
+        if op == "in":
+            # keep the file if ANY member may match; prune only when the
+            # bounds prove EVERY member absent
+            if not any(
+                _file_maybe_matches(
+                    {"rows": rows, "stats": {col: st}}, [(col, "=", x)]
+                )
+                for x in raw
+            ):
+                return False
+            continue
         lo, hi = _pred_bounds(raw)
         mn, mx = st.get("min"), st.get("max")
         if lo is None or hi is None or mn is None or mx is None:
@@ -1177,8 +1258,10 @@ def manifest_scan_files(
     pruning (always expanded to individual files — the real reader may
     pass whole prefix directories to Spark when nothing in them pruned,
     but introspection wants the countable file set). Prefixes predating
-    per-file stats appear as their prefix directory. Exposed for tests
-    and ops introspection ("how much does this predicate skip?")."""
+    per-file stats appear as their prefix directory; the live reader may
+    open FEWER files still (bloom-sidecar pruning on =/IN predicates
+    needs a SparkSession and is skipped here). Exposed for tests and ops
+    introspection ("how much does this predicate skip?")."""
     m = read_manifest(path, version)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
@@ -1208,6 +1291,17 @@ def _file_always_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
         st = stats.get(col)
         if not st or st.get("nulls") != 0:
             return False
+        if op == "in":
+            # every row matches only if all rows hold one single value
+            # that is a member (mn == mx == some exact member)
+            if not any(
+                _file_always_matches(
+                    {"stats": {col: st}}, [(col, "=", x)]
+                )
+                for x in raw
+            ):
+                return False
+            continue
         lo, hi = _pred_bounds(raw)
         mn, mx = st.get("min"), st.get("max")
         if lo is None or hi is None or mn is None or mx is None:
@@ -1704,6 +1798,66 @@ def manifest_bloom_lookup(
     return {"maybe": maybe, "no_bloom": no_bloom, "pruned": pruned}
 
 
+def _bloom_prune_entries(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    entries: dict,
+    predicates: Sequence[tuple] | None,
+) -> dict:
+    """Partition-level bloom skipping inside the ordinary read path:
+    every `col = v` / `col IN (...)` predicate on a bloom-indexed column
+    probes each candidate partition's sidecar (driver-side xxhash64
+    mirror — microseconds per value, memoized; sidecars are a few KB),
+    dropping partitions whose bloom excludes EVERY probe value.
+    Partitions without a sidecar for the column always survive, so this
+    is pure I/O avoidance — the residual filter keeps results exact.
+    This is what makes `catalog_sql("... WHERE doc_id IN (...)")` engage
+    the bloom index without the caller ever naming it."""
+    if not predicates or not entries or m.get("schema") is None:
+        return entries
+    point: list[tuple[str, list]] = []
+    for col, op, v in predicates:
+        if op in ("=", "=="):
+            vals = [v]
+        elif op == "in":
+            vals = list(v)
+        else:
+            continue
+        if any(x is None for x in vals):
+            continue  # NULL never matches a comparison; stats prune it
+        point.append((col, vals))
+    if not point:
+        return entries
+    schema = T.StructType.fromJson(m["schema"])
+    out = dict(entries)
+    for col, vals in point:
+        if col not in schema.names:
+            continue
+        field = schema[col]
+        pos_cache: dict[tuple[int, int], list[list[int]]] = {}
+        for key in list(out):
+            e = out[key]
+            bl = (e.get("blooms") or {}).get(col)
+            if not bl:
+                continue
+            bloom_path = os.path.join(path, e["prefix"], _bloom_name(col))
+            if not os.path.exists(bloom_path):
+                continue
+            mk = (bl["m"], bl["k"])
+            if mk not in pos_cache:
+                pos_cache[mk] = _probe_positions(spark, field, vals, *mk)
+            with open(bloom_path, "rb") as fh:
+                bmp = fh.read()
+            hit = any(
+                all(bmp[p // 8] >> (p % 8) & 1 for p in pos_row)
+                for pos_row in pos_cache[mk]
+            )
+            if not hit:
+                del out[key]
+    return out
+
+
 def read_manifest_point_lookup(
     spark: SparkSession,
     path: str,
@@ -1756,9 +1910,14 @@ def read_manifest_table(
     never opened), one multi-path scan.
 
     `predicates` is a conjunction of (column, op, value) with op ∈
-    {=, ==, <, <=, >, >=}; it is ALSO applied as a real filter on the
+    {=, ==, <, <=, >, >=, "in"} (an "in" value is a tuple of members;
+    `parse_predicates` produces it from `col IN (...)` and desugars
+    BETWEEN); it is ALSO applied as a real filter on the
     result, so pruning is purely an I/O optimization — results are
-    identical with or without recorded stats. `partition_values_encoded`
+    identical with or without recorded stats. Equality and IN
+    predicates on bloom-indexed columns additionally probe the
+    per-partition bloom sidecars (each member probed; a partition is
+    dropped only when its bloom excludes every member). `partition_values_encoded`
     marks `partition_values` as already-encoded manifest keys (the
     `manifest_changed_partitions` vocabulary) rather than raw values —
     internal CDC plumbing; raw values are the public surface.
@@ -1832,6 +1991,7 @@ def _read_from_manifest(
         spark, m, _select_entries(m, partition_values, partition_values_encoded),
         predicates,
     )
+    entries = _bloom_prune_entries(spark, path, m, entries, predicates)
     plain_paths: list[str] = []
     mor_paths: list[str] = []
     mor_entries: list[dict] = []
@@ -2398,6 +2558,106 @@ def merge_upsert_manifest(
         # Spark's ContextCleaner (unpersisted on driver GC) — acceptable
         # for a failing merge; the happy path releases it here
         updates_keyed.unpersist()
+    return n
+
+
+def insert_into_manifest(
+    spark: SparkSession,
+    rows: DataFrame,
+    path: str,
+    max_commit_retries: int = 3,
+    app_metadata: dict | None = None,
+) -> int:
+    """SQL-style `INSERT INTO`: append rows to a manifest table with no
+    key semantics — duplicates are kept, nothing is matched or deleted
+    (use the MERGE verbs for upserts). The fourth DML verb next to
+    MERGE / DELETE / UPDATE, and the target of `catalog_sql`'s
+    `INSERT INTO t SELECT ...` routing.
+
+    The batch's columns must be a subset of the table's stored schema
+    (schema changes go through `merge_upsert_manifest(schema_evolution=
+    True)`); omitted columns insert NULL, shared columns are cast to the
+    stored types. Rows land in partitions derived through the table's
+    partition transform; only TOUCHED partitions are rewritten (existing
+    live rows ∪ new rows — pending merge-on-read deletes fold in, stats
+    and bloom sidecars rebuild per the table's layout policy), flipped in
+    ONE atomic commit with the same disjoint-partition rebase as the
+    MERGE. CHECK constraints validate the incoming rows before any data
+    lands. At scale the cost is ∝ touched partitions (a time-partitioned
+    append touches today's partition), never table size.
+
+    Returns the number of rows inserted."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(
+            f"no manifest at {path} — create the table with "
+            "merge_upsert_manifest first"
+        )
+    if m.get("schema") is None:
+        raise ValueError(f"manifest at {path} has no stored schema")
+    stored = T.StructType.fromJson(m["schema"])
+    extra = [c for c in rows.columns if c not in stored.names]
+    if extra:
+        raise ValueError(
+            f"INSERT batch has columns the table lacks: {extra} — evolve "
+            "the schema through merge_upsert_manifest(schema_evolution="
+            "True) first"
+        )
+    have = set(rows.columns)
+    aligned = rows.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in stored.fields
+        ]
+    )
+    pt = parse_partition_spec(m["partition_col"])
+    pcol = partition_column_name(pt)
+    hidden = pt.kind != "identity"
+    keyed = apply_transform(pt, aligned).persist()
+    try:
+        n = keyed.count()
+        if n == 0:
+            return 0
+        parts = [r[0] for r in keyed.select(pcol).distinct().collect()]
+        _enforce_constraints(
+            aligned, m.get("constraints", {}), f"INSERT into {path}"
+        )
+        touched = {_enc_part(p): p for p in parts}
+        existing = read_manifest_table(
+            spark,
+            path,
+            partition_values=parts,
+            schema=stored,
+            version=m["version"],
+        )
+        merged = apply_transform(pt, existing.unionByName(aligned)).persist()
+        try:
+            merged.count()  # materialize before the concurrent fan-out
+            snap = uuid.uuid4().hex[:12]
+            bloom_cols = list(
+                (m.get("layout") or {}).get("bloom_cols") or ()
+            ) or None
+            new_entries = _write_partition_prefixes(
+                merged, path, pcol, touched, snap, bloom_cols=bloom_cols,
+                drop_cols=(DERIVED_COL,) if hidden else (),
+                sort=_layout_sort(m),
+            )
+            _commit_with_rebase(
+                spark,
+                path,
+                m,
+                new_entries,
+                schema_json=stored.jsonValue(),
+                max_commit_retries=max_commit_retries,
+                app_metadata=app_metadata,
+                op="insert",
+            )
+        finally:
+            merged.unpersist()
+    finally:
+        keyed.unpersist()
     return n
 
 

@@ -191,3 +191,140 @@ def test_catalog_sql_time_travel(spark, tmp_path):
     # vacuumed / absent versions raise loudly
     with pytest.raises(FileNotFoundError):
         CAT.catalog_sql(spark, cat, "SELECT * FROM tt VERSION AS OF 99")
+
+
+# ---------------------------------------------------------------------------
+# round 7: pushdown soundness through derived relations, namespace
+# isolation, IN/BETWEEN pushdown, time-travel literal punctuation
+# ---------------------------------------------------------------------------
+
+
+def test_pushdown_skipped_through_subqueries_and_ctes(spark, tmp_path):
+    """Round-6 advice (high): an outer WHERE over a derived relation
+    that renames/aggregates a column must NOT be pushed into the base
+    table — `v` below is max(v), not the physical column. Results must
+    match plain Spark SQL exactly."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    # v collides with a physical column but means max(v) outside
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 9), (2, 0, 5), (3, 1, 2)],
+        "k long, day long, v long",
+    )
+    sinks.merge_upsert_manifest(
+        spark, df.withColumn("id", F.monotonically_increasing_id()),
+        t, keys=["id"], partition_col="day",
+    )
+    CAT.catalog_create_table(cat, "t7", t)
+    q = ("SELECT * FROM (SELECT k, max(v) AS v FROM t7 GROUP BY k) x "
+         "WHERE v = 5")
+    got = sorted((r.k, r.v) for r in CAT.catalog_sql(spark, cat, q).collect())
+    # oracle: k=2 only (k=1's max is 9; pushing v=5 into the base scan
+    # would have dropped the (1,1,9) row and wrongly returned k=1 too)
+    assert got == [(2, 5)]
+    # CTE shape: same soundness rule
+    q2 = ("WITH agg AS (SELECT k, max(v) AS v FROM t7 GROUP BY k) "
+          "SELECT * FROM agg WHERE v = 5")
+    assert sorted(
+        (r.k, r.v) for r in CAT.catalog_sql(spark, cat, q2).collect()
+    ) == [(2, 5)]
+
+
+def test_select_list_name_collision_never_touches_other_table(spark, tmp_path):
+    """Round-6 advice (medium): `SELECT a, status FROM t` with a
+    cataloged table named `status` must not register or leak any view
+    over that unrelated table."""
+    cat = str(tmp_path / "cat")
+    t, st = str(tmp_path / "t"), str(tmp_path / "status")
+    _mk(spark, t, 8)
+    _mk(spark, st, 4)
+    CAT.catalog_create_table(cat, "tt", t)
+    CAT.catalog_create_table(cat, "status", st)
+    before = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    out = CAT.catalog_sql(spark, cat, "SELECT k, status FROM "
+                          "(SELECT k, 'ok' AS status FROM tt) z")
+    assert out.count() == 8
+    after = {v.name for v in spark.catalog.listTables() if v.isTemporary}
+    # no view (public OR internal) left behind; `status` never registered
+    assert after == before
+    assert "status" not in after
+
+
+def test_catalog_sql_public_namespace_untouched_while_df_alive(spark, tmp_path):
+    """Round-6 verdict #1: pruned relations live under unique internal
+    names, so a concurrent same-session query can never observe a
+    filtered subset under a public name — even BEFORE the returned
+    DataFrame is collected."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    _mk_hidden(spark, t)
+    CAT.catalog_create_table(cat, "ev", t)
+    CAT.register_catalog_views(spark, cat)
+    full = set(spark.sql("SELECT * FROM ev").inputFiles())
+    df = CAT.catalog_sql(
+        spark, cat,
+        "SELECT k FROM ev WHERE ts >= timestamp'2024-03-09 00:00:00'",
+    )
+    # the pruned plan is bound but NOT collected yet: the public view
+    # must still expose the full file set to any concurrent query
+    assert set(spark.sql("SELECT * FROM ev").inputFiles()) == full
+    assert set(df.inputFiles()) < full
+    assert df.count() == spark.sql(
+        "SELECT k FROM ev WHERE ts >= timestamp'2024-03-09 00:00:00'"
+    ).count()
+    # and without register_catalog_views there is never a public view
+    spark.catalog.dropTempView("ev")
+    df2 = CAT.catalog_sql(spark, cat, "SELECT count(*) n FROM ev")
+    assert df2.first().n > 0
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        spark.sql("SELECT * FROM ev").collect()
+
+
+def test_in_and_between_pushdown(spark, tmp_path):
+    """Round-6 verdict #2: IN prunes through bloom sidecars on point
+    lookups; BETWEEN prunes through hidden time partitioning. Both with
+    strictly-fewer-files and exact parity."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    _mk_hidden(spark, t)  # days(ts), 10 days, k in [0, 4000)
+    sinks.manifest_set_layout(spark, t, bloom_cols=["k"])
+    # rewrite partitions so every prefix gains a bloom sidecar for k
+    sinks.compact_manifest(spark, t)
+    CAT.catalog_create_table(cat, "ev", t)
+    CAT.register_catalog_views(spark, cat)
+    full = set(spark.sql("SELECT * FROM ev").inputFiles())
+
+    q_in = "SELECT k, v FROM ev WHERE k IN (7, 3999)"
+    df = CAT.catalog_sql(spark, cat, q_in)
+    assert sorted((r.k, r.v) for r in df.collect()) == [(7, 14), (3999, 7998)]
+    assert set(df.inputFiles()) < full  # bloom pruned partitions
+
+    q_bt = ("SELECT count(*) AS n FROM ev WHERE "
+            "ts BETWEEN timestamp'2024-03-02 00:00:00' "
+            "AND timestamp'2024-03-03 23:00:00'")
+    df2 = CAT.catalog_sql(spark, cat, q_bt)
+    assert df2.first().n == spark.sql(q_bt).first().n
+    assert set(df2.inputFiles()) < full  # time-transform pruned
+
+
+def test_time_travel_literal_stops_at_punctuation(spark, tmp_path):
+    """Round-6 advice (low): `FROM (... t VERSION AS OF 1) x` and
+    `FROM t VERSION AS OF 1, u` must parse (the old literal regex
+    swallowed ')' / ','))."""
+    cat = str(tmp_path / "cat")
+    t, u = str(tmp_path / "t"), str(tmp_path / "u")
+    _mk(spark, t, 10)
+    sinks.delete_manifest_rows(spark, t, [("k", "<", 4)])
+    _mk(spark, u, 3)
+    CAT.catalog_create_table(cat, "tv", t)
+    CAT.catalog_create_table(cat, "uv", u)
+    n = CAT.catalog_sql(
+        spark, cat,
+        "SELECT count(*) AS n FROM (SELECT * FROM tv VERSION AS OF 1) x",
+    ).first().n
+    assert n == 10
+    n2 = CAT.catalog_sql(
+        spark, cat,
+        "SELECT count(*) AS n FROM tv VERSION AS OF 1, uv",
+    ).first().n
+    assert n2 == 30  # 10 × 3 cross join

@@ -178,7 +178,14 @@ def test_parse_predicates(spark, tmp_path):
     assert sinks.parse_predicates(["a > 1.5", "b = 'x'"]) == [
         ("a", ">", 1.5), ("b", "=", "x"),
     ]
-    for bad in ("a IN (1,2)", "a = b", "a BETWEEN 1 AND 2", "NOT a = 1"):
+    # round 7: IN and BETWEEN are supported pruning shapes
+    assert sinks.parse_predicates("a IN (1, 2, 'x')") == [
+        ("a", "in", (1, 2, "x")),
+    ]
+    assert sinks.parse_predicates("a BETWEEN 1 AND 2 AND b = 3") == [
+        ("a", ">=", 1), ("a", "<=", 2), ("b", "=", 3),
+    ]
+    for bad in ("a = b", "NOT a = 1", "a IN ()", "a OR b"):
         with pytest.raises(ValueError):
             sinks.parse_predicates(bad)
     # end to end: the parsed form drives the pruning readers
