@@ -514,6 +514,38 @@ def main() -> None:
 
     host = _host_fingerprint()
 
+    # Fixed calibration probe (round-6 verdict item): a pinned-plan
+    # scan-aggregate over lineitem, timed with the same warmup+median
+    # protocol. Its plan never changes round-over-round, so its time is a
+    # pure host-speed sample — judges divide per-query deltas by the
+    # calibration delta to separate code regressions from the shared
+    # VM's ±10-25% load drift (three identical-code round-6 reruns
+    # spanned 17.0-20.0 s).
+    def _calibration() -> float:
+        def probe() -> None:
+            import pyspark.sql.functions as F
+
+            (
+                load_table(spark, sf_dir, "lineitem")
+                .groupBy("l_returnflag")
+                .agg(
+                    F.sum("l_quantity"),
+                    F.avg("l_extendedprice"),
+                    F.count(F.lit(1)),
+                )
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        probe()  # untimed warmup
+        reps = []
+        for _ in range(REPS):
+            t0 = time.time()
+            probe()
+            reps.append(time.time() - t0)
+        return round(statistics.median(reps), 3)
+
+    calibration_sec = _calibration()
+
     names = [n for n in HEADLINE if n in calls]
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -549,6 +581,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": REPS,
         "stat": "median",
+        "calibration_sec": calibration_sec,
         "spread": spread,
         "host": host,
         "streaming": streaming,
@@ -569,6 +602,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration_sec": calibration_sec,
             }
         )
     )

@@ -322,6 +322,170 @@ def pil_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 # ---------------------------------------------------------------------------
+# stdlib PNG codec arm — zlib is in the standard library, so the most
+# common lossless compressed-image format decodes with ~80 lines of
+# chunk parsing + per-scanline unfiltering, no third-party decoder. This
+# converts the compressed-image path from "loud stub unless PIL happens
+# to be installed" into an always-runnable arm in any Python
+# environment; PIL remains the arm for JPEG and everything else. Format
+# scope is deliberate: 8-bit, non-interlaced, color types 0/2/4/6
+# (gray / RGB / gray+alpha / RGBA) — the shapes every PNG encoder
+# (including PIL and `encode_png` below) emits by default; palette,
+# 16-bit, and Adam7 raise ValueError for quarantine upstream.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(px) -> bytes:
+    """Minimal PNG encoder (test-fixture twin of `decode_png`): an
+    (h, w, 3) uint8 RGB array → 8-bit truecolor, non-interlaced,
+    filter-0 scanlines, one zlib IDAT. Standard-conformant output any
+    decoder (PIL included) reads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(px, dtype=np.uint8))
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png takes an (h, w, 3) uint8 array")
+    h, w, _ = px.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png(width: int = 16, height: int = 12, seed: int = 0) -> bytes:
+    """Deterministic real PNG bytes (seeded pseudo-random RGB pixels) —
+    the compressed-format sibling of `synthesize_ppm`."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return encode_png(
+        rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Reverse the per-scanline filters (spec §9: None/Sub/Up/Average/
+    Paeth) → (h, w, ch) uint8 array. Per-byte loops for the
+    left-referencing filters are fine at asset sizes; a production
+    deployment points PIL/libpng at the same signature."""
+    import numpy as np
+
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        )
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            line = bytearray(
+                (np.frombuffer(bytes(line), dtype=np.uint8) + prev).astype(
+                    np.uint8
+                ).tobytes()
+            )
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL stdlib decode: PNG bytes → (width, height, uint8 RGB array
+    of shape (height, width, 3)). Gray replicates to 3 channels; alpha
+    is dropped (features are pixel statistics, not compositing).
+    Unsupported shapes (palette, 16-bit, interlaced) and malformed
+    bytes raise ValueError — quarantine upstream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG shape (bit depth {depth}, color type "
+            f"{color}) — 8-bit gray/RGB/GA/RGBA only"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace")
+    ch = _PNG_CHANNELS[color]
+    px = _png_unfilter(zlib.decompress(b"".join(idat)), w, h, ch)
+    if color == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif color == 6:
+        px = px[:, :, :3]
+    return w, h, px
+
+
+def png_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL feature extraction for PNG payloads via the stdlib decoder:
+    same `_grid_features` pixel statistics as the PPM and PIL arms, so
+    features are decoder-independent for identical pixels (pinned by
+    tests/test_multimodal.py PNG parity tests)."""
+    _w, _h, px = decode_png(payload)
+    return _grid_features(px, dim)
+
+
+# ---------------------------------------------------------------------------
 # real video codec arm — PPMV, a trivial uncompressed container:
 #   b"PPMV\n<n_frames> <frame_interval_ms>\n" + n_frames concatenated binary
 # P6 frames (each self-delimiting, all same geometry). Deliberately minimal —
@@ -519,11 +683,12 @@ def extract_features(
     `fake=False` runs the REAL codec per batch: audio rows go through
     `decode_wav` + `audio_features` (stdlib WAV parse + windowed RMS/ZCR
     over the actual waveform); PPM images and PPMV videos through the
-    pure-bytes decoders; other image formats (JPEG/PNG/...) through the
-    PIL arm (`pil_image_features` — same grid statistics), which raises
-    NotImplementedError loudly when PIL is absent (this container);
-    non-PPMV video raises. Output: (asset_id long, features
-    array<float>).
+    pure-bytes decoders; PNG through the stdlib zlib decoder
+    (`png_image_features` — works in any Python environment); other
+    image formats (JPEG/...) through the PIL arm (`pil_image_features`
+    — same grid statistics), which raises NotImplementedError loudly
+    when PIL is absent (this container); non-PPMV video raises.
+    Output: (asset_id long, features array<float>).
     """
     out_schema = T.StructType(
         [
@@ -544,10 +709,14 @@ def extract_features(
                         feats.append(audio_features(b, dim))
                     elif mt == "image" and bytes(b[:2]) == b"P6":
                         feats.append(image_features(b, dim))
+                    elif mt == "image" and bytes(b[:8]) == _PNG_SIG:
+                        # PNG: stdlib zlib decoder — runs in ANY Python
+                        # environment, same grid statistics as PPM/PIL
+                        feats.append(png_image_features(b, dim))
                     elif mt == "image":
-                        # compressed image (JPEG/PNG/...): PIL arm —
-                        # same grid statistics as PPM; raises loudly
-                        # when PIL is absent from the executors
+                        # other compressed images (JPEG/...): PIL arm —
+                        # same grid statistics; raises loudly when PIL
+                        # is absent from the executors
                         feats.append(pil_image_features(b, dim))
                     elif mt == "video" and bytes(b[:5]) == b"PPMV\n":
                         feats.append(video_features(b, dim))

@@ -1368,13 +1368,23 @@ _MOR_BROADCAST_MAX_ROWS = 4_000_000
 
 
 def _file_id() -> Column:
-    """Stable identity of the scanned parquet file: '<snap dir>/<basename>'
-    from the hidden _metadata column. The snap directory name carries a
-    per-write uuid, so the two segments identify a data file GLOBALLY —
-    which is what lets one anti-join span many partitions (bare basenames
-    could collide across prefixes written by different jobs)."""
+    """Stable identity of the scanned parquet file:
+    '<partition dir>/<snap dir>/<basename>' from the hidden _metadata
+    column. All three segments are required for global uniqueness: the
+    fused multi-partition write (`_write_prefixes_fused`) writes every
+    touched partition in ONE job, so the SAME task basename lands in
+    several partition dirs under the SAME snap name — with only
+    '<snap>/<basename>' the MoR anti-join would silently erase the
+    same-positioned rows of every sibling partition. The partition dir
+    (URL-encoded value) disambiguates; the snap uuid disambiguates
+    across commits to the same partition."""
     parts = F.split(F.col("_metadata.file_path"), "/")
-    return F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1))
+    return F.concat_ws(
+        "/",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
 
 
 def _entry_delete_rows(entry: dict) -> int:
@@ -2404,32 +2414,42 @@ def merge_upsert_manifest(
     # foreachBatch streaming sinks)
     updates_keyed = apply_transform(pt, updates).persist()
     updates = updates_keyed.drop(DERIVED_COL) if hidden else updates_keyed
-    parts = [r[0] for r in updates_keyed.select(pcol).distinct().collect()]
-    if not parts:
+    # ONE control-plane job yields the batch's distinct partitions, the
+    # key→partition functional-dependency check, and the applied-row
+    # count (distinct update keys — duplicate-keyed rows collapse in the
+    # merge, so updates.count() would over-report). countDistinct over a
+    # STRUCT so NULL counts as a partition value — a key spanning the
+    # NULL partition and a real one must be rejected like any other
+    # spanning key (NULL partitions are first-class here). Fused because
+    # the commit constant is per-JOB scheduling overhead: this used to be
+    # two (three with count_rows) separate batch scans per micro-batch.
+    part_rows = (
+        updates_keyed.groupBy(*keys)
+        .agg(
+            F.countDistinct(F.struct(pcol)).alias("__np"),
+            F.first(pcol).alias("__p0"),
+        )
+        .groupBy("__p0")
+        .agg(F.max("__np").alias("__mx"), F.count(F.lit(1)).alias("__nk"))
+        .collect()
+    )
+    if not part_rows:
         updates_keyed.unpersist()
         return 0
+    if any(r["__mx"] > 1 for r in part_rows):
+        raise ValueError(
+            f"update batch maps one {keys} key to multiple {partition_col} "
+            "values — keys must functionally determine the partition column "
+            "for partition-scoped MERGE"
+        )
+    parts = [r["__p0"] for r in part_rows]
+    n_keys = sum(r["__nk"] for r in part_rows)
     if bloom_cols:
         missing = [c for c in bloom_cols if c not in updates.columns]
         if missing:
             raise ValueError(
                 f"bloom_cols {missing} not in the update batch's columns"
             )
-    # countDistinct over a STRUCT so NULL counts as a partition value —
-    # a key spanning the NULL partition and a real one must be rejected
-    # like any other spanning key (NULL partitions are first-class here)
-    dup_keyed = (
-        updates_keyed.groupBy(*keys)
-        .agg(F.countDistinct(F.struct(pcol)).alias("__np"))
-        .filter(F.col("__np") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup_keyed:
-        raise ValueError(
-            f"update batch maps one {keys} key to multiple {partition_col} "
-            "values — keys must functionally determine the partition column "
-            "for partition-scoped MERGE"
-        )
 
     manifest = read_manifest(path) or {
         "version": 0,
@@ -2492,21 +2512,31 @@ def merge_upsert_manifest(
     # filter, and dropped from the stored files and schema
     merged = apply_transform(
         pt, merge_upsert_frames(existing_touched, updates, keys)
-    ).persist()
+    )
+    # the merged frame is cached + materialized only when something will
+    # read it MORE than once: the sorted legacy write fan-out (one job
+    # per partition), a constraints pre-check, or a fused bloom build.
+    # The plain streaming-sink shape (no constraints, no blooms, fused
+    # single write job) computes the merge exactly once inside the write
+    # job — no cache pass, no materialize job, per-commit jobs constant.
+    sort = _layout_sort(manifest)
+    multi_pass = bool(
+        manifest.get("constraints") or bloom_cols or sort is not None
+    )
+    if multi_pass:
+        merged = merged.persist()
     public_schema = (
         merged.drop(DERIVED_COL).schema if hidden else merged.schema
     )
     try:
-        # applied-row count = distinct update keys (duplicate-keyed rows
-        # collapse in the merge — updates.count() would over-report).
-        # `count_rows=False` skips this job and returns -1: callers that
-        # discard the count (per-micro-batch streaming sinks) shouldn't
-        # pay a batch scan per commit for it.
-        n = updates.select(*keys).distinct().count() if count_rows else -1
-        # materialize the cache with ONE job before fanning out, so the
-        # concurrent per-partition writes below all read cached rows
-        # instead of racing to recompute the merge
-        merged.count()
+        # applied-row count = distinct update keys, already aggregated in
+        # the fused control-plane job above. `count_rows=False` keeps its
+        # documented -1 contract (per-micro-batch streaming sinks).
+        n = n_keys if count_rows else -1
+        if multi_pass:
+            # materialize the cache with ONE job before fanning out, so
+            # every subsequent pass reads cached rows
+            merged.count()
         # table CHECK constraints validate the rows about to be written
         # (the merged post-image) BEFORE any data lands — a violating
         # batch leaves the table untouched
@@ -2517,7 +2547,7 @@ def merge_upsert_manifest(
         new_entries = _write_partition_prefixes(
             merged, path, pcol, touched, snap, bloom_cols=bloom_cols,
             drop_cols=(DERIVED_COL,) if hidden else (),
-            sort=_layout_sort(manifest),
+            sort=sort,
         )
         if stage is not None:
             _write_staged(
@@ -2617,10 +2647,12 @@ def insert_into_manifest(
     hidden = pt.kind != "identity"
     keyed = apply_transform(pt, aligned).persist()
     try:
-        n = keyed.count()
+        # one control-plane job: row count AND distinct partitions
+        part_rows = keyed.groupBy(pcol).count().collect()
+        n = sum(r["count"] for r in part_rows)
         if n == 0:
             return 0
-        parts = [r[0] for r in keyed.select(pcol).distinct().collect()]
+        parts = [r[0] for r in part_rows]
         _enforce_constraints(
             aligned, m.get("constraints", {}), f"INSERT into {path}"
         )
@@ -2632,17 +2664,22 @@ def insert_into_manifest(
             schema=stored,
             version=m["version"],
         )
-        merged = apply_transform(pt, existing.unionByName(aligned)).persist()
+        merged = apply_transform(pt, existing.unionByName(aligned))
+        sort = _layout_sort(m)
+        bloom_cols = list(
+            (m.get("layout") or {}).get("bloom_cols") or ()
+        ) or None
+        multi_pass = bool(bloom_cols or sort is not None)
+        if multi_pass:
+            merged = merged.persist()
         try:
-            merged.count()  # materialize before the concurrent fan-out
+            if multi_pass:
+                merged.count()  # materialize before the multi-pass reads
             snap = uuid.uuid4().hex[:12]
-            bloom_cols = list(
-                (m.get("layout") or {}).get("bloom_cols") or ()
-            ) or None
             new_entries = _write_partition_prefixes(
                 merged, path, pcol, touched, snap, bloom_cols=bloom_cols,
                 drop_cols=(DERIVED_COL,) if hidden else (),
-                sort=_layout_sort(m),
+                sort=sort,
             )
             _commit_with_rebase(
                 spark,
@@ -3338,16 +3375,41 @@ def _write_partition_prefixes(
     drop_cols: Sequence[str] = (),
     sort: tuple[list[str], int] | None = None,
 ) -> dict[str, dict]:
-    """THE per-partition object-store write fan-out shared by the MERGE
-    and replace-partitions verbs: for each touched {encoded: raw value}
-    partition, write `df`'s rows for it to a fresh immutable
-    `data/<enc>/snap-<snap>` prefix (invisible until a manifest
-    references it), collect footer stats (+ optional bloom sidecars),
-    and return the manifest entries. One write job per partition,
-    submitted concurrently — an incremental batch touching k partitions
-    pays ~max(partition write) wall-clock, not k sequential round-trips.
-    `df` must be persisted and materialized by the caller so the
-    concurrent jobs read cached rows."""
+    """THE per-partition object-store write shared by the MERGE /
+    INSERT / UPDATE / DELETE / replace verbs: for each touched
+    {encoded: raw value} partition, write `df`'s rows for it to a fresh
+    immutable `data/<enc>/snap-<snap>` prefix (invisible until a
+    manifest references it), collect footer stats (+ optional bloom
+    sidecars), and return the manifest entries.
+
+    Default (fused) path: ONE Spark job writes every touched partition
+    via a dynamic `partitionBy` over a synthetic partition id into a
+    staging prefix, then the driver renames each id directory into its
+    immutable snap prefix (same-filesystem metadata moves — the
+    object-store analogue is a manifest pointer, so nothing here is
+    rename-dependent for correctness: data is invisible until the
+    manifest commit either way). Bloom sidecars for ALL touched
+    partitions × columns build in ONE further aggregation job
+    (`_write_bloom_sidecars_fused`). This keeps the per-commit job
+    count CONSTANT in the number of touched partitions — the round-6
+    measured bottleneck for streaming micro-batch sinks was the
+    k write jobs + k×c bloom jobs per commit, pure scheduling constant
+    at any scale. A crashed staging dir is unreferenced garbage under
+    `data/` that `vacuum_manifest` reclaims by age like any other
+    uncommitted prefix.
+
+    `sort_on_write` layouts take the legacy one-job-per-partition path:
+    each partition's slice is range-clustered into exactly `n_files`
+    files, a per-partition exchange the fused single job cannot express
+    without coupling partitions' ranges; `df` must then be persisted and
+    materialized by the caller so the concurrent jobs read cached rows
+    (the fused path needs no caching — the plan runs exactly once)."""
+    if not touched:
+        return {}
+    if sort is None:
+        return _write_prefixes_fused(
+            df, path, partition_col, touched, snap, bloom_cols, drop_cols
+        )
 
     def _write_partition(item) -> tuple[str, dict]:
         enc, val = item
@@ -3384,14 +3446,173 @@ def _write_partition_prefixes(
             )
         return enc, entry
 
-    if not touched:
-        return {}
     import concurrent.futures as _futures
 
     with _futures.ThreadPoolExecutor(
         max_workers=min(8, len(touched))
     ) as pool:
         return dict(pool.map(_write_partition, touched.items()))
+
+
+def _partition_id_column(
+    df: DataFrame, partition_col: str, touched: dict
+) -> Column:
+    """Map the partition column to the touched partitions' dense integer
+    ids (rows outside `touched` map to NULL and are filtered out —
+    exactly the per-partition filters of the legacy path). Chained
+    null-safe WHENs: pure expression, no extra job, no broadcast; the
+    id count is the batch's touched-partition count, small by design
+    (compaction-scale fan-outs are fine too — Catalyst handles a few
+    hundred branches)."""
+    col = F.col(partition_col)
+    expr = F.when(F.lit(False), F.lit(None))
+    for i, (enc, val) in enumerate(sorted(touched.items())):
+        cond = col.isNull() if val is None else (col == F.lit(val))
+        expr = expr.when(cond, F.lit(i))
+    return expr
+
+
+def _write_prefixes_fused(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    touched: dict,
+    snap: str,
+    bloom_cols: Sequence[str] | None,
+    drop_cols: Sequence[str],
+) -> dict[str, dict]:
+    """One dynamic-partition write job for every touched partition (see
+    `_write_partition_prefixes`), then driver renames + pooled footer
+    stats + one fused bloom job."""
+    import concurrent.futures as _futures
+    import shutil as _shutil
+
+    order = sorted(touched.items())
+    staging = os.path.join(path, "data", f".stage-{snap}")
+    out = df.withColumn(
+        "__pw", _partition_id_column(df, partition_col, touched)
+    ).filter(F.col("__pw").isNotNull())
+    if drop_cols:
+        # hidden partitioning: the derived partition value selects the
+        # rows but is never stored in the data files
+        out = out.drop(*drop_cols)
+    out.write.mode("errorifexists").partitionBy("__pw").parquet(staging)
+
+    entries: dict[str, dict] = {}
+    for i, (enc, _val) in enumerate(order):
+        prefix = os.path.join(
+            "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
+        )
+        src = os.path.join(staging, f"__pw={i}")
+        dst = os.path.join(path, prefix)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        else:
+            # a touched partition every row of which vanished (callers
+            # normally exclude these; defensively keep the empty-prefix
+            # contract the legacy path had)
+            os.makedirs(dst)
+        entries[enc] = {"prefix": prefix, "value": enc, "files": []}
+    _shutil.rmtree(staging, ignore_errors=True)
+
+    with _futures.ThreadPoolExecutor(
+        max_workers=min(8, len(entries))
+    ) as pool:
+        stats = pool.map(
+            lambda e: _collect_file_stats(os.path.join(path, e["prefix"])),
+            entries.values(),
+        )
+        for entry, files in zip(entries.values(), stats):
+            entry["files"] = files
+    if bloom_cols:
+        _write_bloom_sidecars_fused(
+            df, path, partition_col, touched, entries, bloom_cols
+        )
+    return entries
+
+
+def _write_bloom_sidecars_fused(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    touched: dict,
+    entries: dict[str, dict],
+    bloom_cols: Sequence[str],
+) -> None:
+    """Bloom sidecars for every touched partition × column in ONE Spark
+    aggregation: positions are computed per row with the OWNING
+    partition's bitmap size m (per-partition row counts are already in
+    the fresh entries' file stats; k is the fixed 7 of `_bloom_size`),
+    tagged (partition id, column id), exploded, and bitmap-aggregated in
+    a single grouped pass — replacing the legacy one-job-per-partition-
+    per-column fan-out whose scheduling constant dominated commit time.
+    The driver assembles each (partition, column) bitmap from its 4 KB
+    bucket chunks exactly as `_build_partition_bloom` does."""
+    order = sorted(touched.items())
+    sizes: list[tuple[int, int]] = []  # (m, k) per partition id
+    for enc, _val in order:
+        n_rows = sum(f["rows"] for f in entries[enc]["files"])
+        sizes.append(_bloom_size(n_rows))
+    k_hashes = sizes[0][1]  # k is constant in _bloom_size
+    pw = _partition_id_column(df, partition_col, touched)
+    # per-row bitmap size: the owning partition's m
+    m_expr = F.when(F.lit(False), F.lit(None))
+    for i, (m, _k) in enumerate(sizes):
+        m_expr = m_expr.when(F.col("__pw") == i, F.lit(m))
+    frames = []
+    for ci, bc in enumerate(bloom_cols):
+        positions = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(bc), F.lit(j)), F.col("__m"))
+                for j in range(k_hashes)
+            ]
+        )
+        frames.append(
+            df.withColumn("__pw", pw)
+            .filter(F.col("__pw").isNotNull() & F.col(bc).isNotNull())
+            .withColumn("__m", m_expr)
+            .select(
+                "__pw",
+                F.lit(ci).alias("__bc"),
+                F.explode(positions).alias("p"),
+            )
+            .select("__pw", "__bc", (F.col("p") + 1).alias("v"))
+        )
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    rows = (
+        u.groupBy(
+            "__pw", "__bc", F.bitmap_bucket_number("v").alias("b")
+        )
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("v")).alias("bits"))
+        .collect()
+    )
+    bitmaps = {
+        (i, ci): np.zeros(sizes[i][0] // 8, dtype=np.uint8)
+        for i in range(len(order))
+        for ci in range(len(bloom_cols))
+    }
+    bucket_bytes = _BLOOM_BUCKET_BITS // 8
+    for r in rows:
+        bmp = bitmaps[(r["__pw"], r["__bc"])]
+        off = (r["b"] - 1) * bucket_bytes
+        chunk = np.frombuffer(r["bits"], dtype=np.uint8)
+        take = min(len(chunk), len(bmp) - off)
+        np.bitwise_or(bmp[off : off + take], chunk[:take],
+                      out=bmp[off : off + take])
+    for i, (enc, _val) in enumerate(order):
+        blooms: dict[str, dict] = {}
+        for ci, bc in enumerate(bloom_cols):
+            m, k = sizes[i]
+            with open(
+                os.path.join(path, entries[enc]["prefix"], _bloom_name(bc)),
+                "wb",
+            ) as fh:
+                fh.write(bitmaps[(i, ci)].tobytes())
+            blooms[bc] = {"m": m, "k": k}
+        entries[enc]["blooms"] = blooms
 
 
 def manifest_constraints(path: str, version: int | str | None = None) -> dict:

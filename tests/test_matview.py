@@ -476,7 +476,16 @@ def test_deltas_watermark_advances_on_empty_windows(spark, tmp_path):
     it bricks the view."""
     src = str(tmp_path / "esrc")
     tgt = str(tmp_path / "etgt")
-    _mk_source(spark, src)
+    # fragment the seed write (AQE normally coalesces the fused write to
+    # one file per partition, which would make the compaction below a
+    # no-op committing no version)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        _mk_source(spark, src)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
     MV.refresh_aggregate_deltas(spark, src, ["id"], tgt, ["cat"], AGGS_DELTA)
 
     # metadata-only source commit: no partitions changed

