@@ -174,6 +174,16 @@ def catalog_sql(
     lists a file — the path `register_catalog_views` alone can't give a
     plain spark.sql (a temp view's file list is frozen at registration).
 
+    DDL + maintenance statements complete the SQL console: `CREATE
+    TABLE name [(col type, ...)] PARTITIONED BY (<col or transform>)
+    [LOCATION '<path>'] [AS <select>]` (CTAS runs the select through
+    this same function, so pushdown/time travel apply; default location
+    `<catalog>/tables/<name>`); `DROP TABLE name` (name only — data
+    keeps its own lifecycle); `SHOW TABLES`; `DESCRIBE [TABLE] name`
+    (columns + partition spec + layout + constraints + version);
+    `DESCRIBE HISTORY name`; `VACUUM name [RETAIN n HOURS]`;
+    `OPTIMIZE name [ZORDER BY (cols)]` → `compact_manifest`.
+
     DML statements route to the manifest write verbs (the reference's
     core op is the upsert, loaders/__init__.py:253-273, so a SQL-only
     user must be able to write): `INSERT INTO t [(cols)] SELECT ...` /
@@ -220,6 +230,14 @@ def catalog_sql(
     if verb:
         return _catalog_dml(
             spark, catalog_path, tables, verb.group(1).lower(), sql
+        )
+    ddl = _re().match(
+        r"\s*(create|drop|show|describe|desc|vacuum|optimize)\b",
+        sql, _re().I,
+    )
+    if ddl:
+        return _catalog_ddl(
+            spark, catalog_path, tables, ddl.group(1).lower(), sql
         )
     sql, travel = _strip_time_travel(sql, tables)
     refs = _relation_refs(sql, tables)
@@ -572,14 +590,39 @@ def _extract_pushdown_predicates(
             if q is None:
                 owners = [n for n, cols in schemas.items() if col in cols]
                 if len(owners) != 1:
+                    # "why didn't it prune" forensics (round-6 nit):
+                    # soundly skipped, but say so at debug level
+                    _log().debug(
+                        "catalog_sql pushdown skipped for %r: unqualified "
+                        "column %s %s (qualify it as <table>.%s to push)",
+                        conj.strip(), col,
+                        "is ambiguous across " + str(sorted(owners))
+                        if owners else "belongs to no referenced table",
+                        col,
+                    )
                     continue
                 q = owners[0]
             if col not in schemas.get(q, ()):  # alias-qualified: verify
+                _log().debug(
+                    "catalog_sql pushdown skipped for %r: %s has no "
+                    "column %s", conj.strip(), q, col,
+                )
                 continue
             if q not in eligible:
+                _log().debug(
+                    "catalog_sql pushdown skipped for %r: table %s is "
+                    "referenced more than once or inside a derived "
+                    "relation", conj.strip(), q,
+                )
                 continue  # self-join or subquery-only reference
             out.setdefault(q, []).append((col, op, v))
     return out
+
+
+def _log():
+    import logging
+
+    return logging.getLogger("f1_data_pipeline_spark.catalog")
 
 
 # ---------------------------------------------------------------------------
@@ -884,3 +927,195 @@ def _catalog_dml(
         {k: r[k] for k in ("updated", "deleted", "inserted",
                            "updated_by_source", "deleted_by_source")},
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL DDL + maintenance routing: CREATE TABLE [(cols)] [PARTITIONED BY]
+# [AS SELECT], DROP TABLE, SHOW TABLES, DESCRIBE [TABLE|HISTORY], VACUUM,
+# OPTIMIZE [ZORDER BY] — the statements that make catalog_sql a complete
+# SQL console over manifest tables (a SQL-only user can now create,
+# inspect, read, write, and maintain without touching the Python API).
+# Same contract as the DML routing: only shapes the verbs honor exactly
+# are accepted, everything else raises loudly.
+# ---------------------------------------------------------------------------
+
+
+def _catalog_ddl(
+    spark: SparkSession, catalog_path: str, tables: dict, verb: str,
+    sql: str,
+) -> DataFrame:
+    import os
+    import re
+
+    from pyspark.sql import types as T
+
+    from . import sinks
+
+    if verb == "show":
+        if not re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.IGNORECASE):
+            raise ValueError("unsupported SHOW statement — SHOW TABLES only")
+        rows = [
+            (n, e["path"], None if e.get("ref") is None else str(e["ref"]))
+            for n, e in sorted(tables.items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, path string, ref string"
+        )
+
+    if verb in ("describe", "desc"):
+        m = re.match(
+            r"\s*DESC(?:RIBE)?\s+(HISTORY\s+)?(?:TABLE\s+)?([A-Za-z_]\w*)"
+            r"\s*$",
+            sql, re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported DESCRIBE — DESCRIBE [TABLE] <name> or "
+                "DESCRIBE HISTORY <name>"
+            )
+        name = m.group(2)
+        if name not in tables:
+            raise FileNotFoundError(f"no table {name!r} in the catalog")
+        e = tables[name]
+        if m.group(1):  # DESCRIBE HISTORY
+            hist = sinks.manifest_history(e["path"])
+            rows = [
+                (
+                    h["version"], h.get("op"),
+                    float(h["committed_at"]),  # unix seconds (commit mtime)
+                    h.get("partitions"), h.get("files"), h.get("rows"),
+                    len(h.get("changed_partitions") or ()),
+                )
+                for h in hist
+            ]
+            return spark.createDataFrame(
+                rows,
+                "version long, op string, committed_at double, "
+                "partitions long, files long, rows long, "
+                "changed_partitions long",
+            )
+        mft = sinks.read_manifest(
+            e["path"], resolve_manifest_ref(e["path"], e.get("ref"))
+        )
+        out = []
+        if mft.get("schema") is not None:
+            for f in T.StructType.fromJson(mft["schema"]).fields:
+                out.append((f.name, f.dataType.simpleString(), ""))
+        out.append(("# partitioned by", mft["partition_col"], ""))
+        layout = mft.get("layout") or {}
+        if layout:
+            out.append(("# layout", _json_text(layout), ""))
+        for cname, expr in (mft.get("constraints") or {}).items():
+            out.append((f"# check:{cname}", expr, ""))
+        out.append(("# version", str(mft["version"]), ""))
+        return spark.createDataFrame(
+            out, "col_name string, data_type string, comment string"
+        )
+
+    if verb == "vacuum":
+        m = re.match(
+            r"\s*VACUUM\s+([A-Za-z_]\w*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported VACUUM — VACUUM <name> [RETAIN <n> HOURS]"
+            )
+        e = _dml_table(tables, m.group(1))
+        kw = {}
+        if m.group(2) is not None:
+            kw["min_age_sec"] = int(m.group(2)) * 3600
+        removed = sinks.vacuum_manifest(e["path"], **kw)
+        return _metrics_df(spark, {"prefixes_removed": len(removed)})
+
+    if verb == "optimize":
+        m = re.match(
+            r"\s*OPTIMIZE\s+([A-Za-z_]\w*)"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported OPTIMIZE — OPTIMIZE <name> "
+                "[ZORDER BY (col, ...)]"
+            )
+        e = _dml_table(tables, m.group(1))
+        cluster = None
+        if m.group(2):
+            cluster = [c.strip() for c in m.group(2).split(",") if c.strip()]
+        r = sinks.compact_manifest(spark, e["path"], cluster_by=cluster)
+        return _metrics_df(
+            spark,
+            {k: r[k] for k in ("partitions", "files_before", "files_after")},
+        )
+
+    if verb == "drop":
+        m = re.match(
+            r"\s*DROP\s+TABLE\s+([A-Za-z_]\w*)\s*$", sql, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError("unsupported DROP — DROP TABLE <name>")
+        catalog_drop_table(catalog_path, m.group(1))
+        # the NAME is dropped; data keeps its own lifecycle (vacuum/rm
+        # through the table verbs) — same contract as catalog_drop_table
+        return _metrics_df(spark, {"dropped": 1})
+
+    # CREATE TABLE name [(col type, ...)] [PARTITIONED BY (spec)]
+    # [LOCATION 'path'] [AS select]
+    m = re.match(
+        r"\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)"
+        r"(?:\s*\(((?:[^()]|\([^()]*\))*)\))?"
+        r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?"
+        r"(?:\s+LOCATION\s+'([^']+)')?"
+        r"(?:\s+AS\s+(.+))?\s*$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported CREATE — CREATE TABLE <name> [(col type, ...)] "
+            "[PARTITIONED BY (<spec>)] [LOCATION '<path>'] [AS <select>]"
+        )
+    name, cols, spec, loc, body = m.groups()
+    if name in tables:
+        raise ValueError(f"table {name!r} already exists in the catalog")
+    if spec is None:
+        raise ValueError(
+            "CREATE TABLE needs PARTITIONED BY (<col> | days(ts) | "
+            "months(ts) | years(ts) | bucket(N, col) | truncate(W, col)) "
+            "— manifest tables are partition-committed"
+        )
+    spec = spec.strip()
+    loc = loc or os.path.join(catalog_path, "tables", name)
+    if cols is not None and body is not None:
+        raise ValueError(
+            "CREATE TABLE takes a column list OR an AS <select>, not both"
+        )
+    if body is not None:
+        df = catalog_sql(spark, catalog_path, body.strip())
+        from .sinks import create_manifest_table, replace_manifest_partitions
+
+        r = replace_manifest_partitions(spark, df, loc, partition_col=spec)
+        if r["partitions_replaced"] == 0:
+            # empty CTAS: the table still exists, with the SELECT's schema
+            create_manifest_table(spark, loc, df.schema, spec)
+        catalog_create_table(catalog_path, name, loc)
+        return _metrics_df(
+            spark,
+            {"rows": r["rows"], "partitions": r["partitions_replaced"]},
+        )
+    if cols is None:
+        raise ValueError(
+            "CREATE TABLE needs a column list or an AS <select>"
+        )
+    from .sinks import create_manifest_table
+
+    schema = T.StructType.fromDDL(cols)
+    create_manifest_table(spark, loc, schema, spec)
+    catalog_create_table(catalog_path, name, loc)
+    return _metrics_df(spark, {"rows": 0, "partitions": 0})
+
+
+def _json_text(v) -> str:
+    import json
+
+    return json.dumps(v, sort_keys=True)

@@ -628,12 +628,20 @@ def write_training_shards(
     task, so file order IS training order), and `{out_dir}/shards.json`
     records per-shard row counts + the (n_shards, seed) identity so a
     loader can size its epoch without scanning. The WHOLE export — data
-    and manifest together — is staged in a side directory and published
-    with ONE top-level rename, so a crash at any point leaves either the
-    previous complete export or the new complete export, never new shard
-    data paired with a stale shards.json (round-5 advice: the old
-    two-step data-swap-then-manifest-write had exactly that window).
+    and manifest together — lands in an immutable VERSIONED directory
+    (`{out_dir}.__v_<uuid>`) and `out_dir` itself is a SYMLINK flipped
+    onto it with one atomic rename, so `out_dir` resolves to a complete
+    export at EVERY instant: a crash anywhere leaves either the previous
+    or the new export live, and — unlike the earlier
+    rename-away-then-rename-in dance (round-6 advice) — there is no
+    window where `out_dir` doesn't exist at all. The symlink is the
+    POSIX analogue of an object store's pointer object; a cloud
+    deployment publishes the versioned prefix name in a tiny pointer
+    file with the same one-write flip. The previous export is retained
+    for in-flight readers (one generation); older ones are reclaimed.
+    A pre-symlink real-directory export migrates on first publish.
     Returns the manifest dict."""
+    import glob as _glob
     import json as _json
     import os as _os
     import shutil as _shutil
@@ -641,10 +649,11 @@ def write_training_shards(
 
     sh = shuffle_shards(df, id_col, n_shards, seed)
     ordered = sh.repartition("shard").sortWithinPartitions("pos")
-    staging = f"{out_dir}.__tmp__{_uuid.uuid4().hex[:8]}"
+    version = f"{out_dir}.__v_{_uuid.uuid4().hex[:8]}"
+    published = False
     try:
         ordered.write.mode("overwrite").partitionBy("shard").parquet(
-            _os.path.join(staging, "data")
+            _os.path.join(version, "data")
         )
         counts = {
             int(r["shard"]): r["n"]
@@ -656,15 +665,30 @@ def write_training_shards(
             "rows": sum(counts.values()),
             "shard_rows": {str(k): counts[k] for k in sorted(counts)},
         }
-        with open(_os.path.join(staging, "shards.json"), "w") as fh:
+        with open(_os.path.join(version, "shards.json"), "w") as fh:
             _json.dump(manifest, fh, indent=1, sort_keys=True)
-        backup = None
-        if _os.path.exists(out_dir):
-            backup = f"{out_dir}.__old__{_uuid.uuid4().hex[:8]}"
-            _os.rename(out_dir, backup)
-        _os.rename(staging, out_dir)
-        if backup:
-            _shutil.rmtree(backup, ignore_errors=True)
+        if _os.path.isdir(out_dir) and not _os.path.islink(out_dir):
+            # legacy real-directory export: one-time migration into the
+            # versioned scheme (itself crash-safe: if the rename lands
+            # and the flip below doesn't, the next publish's GC keeps
+            # the migrated dir as "previous" and out_dir flips fresh)
+            _os.rename(out_dir, f"{out_dir}.__v_legacy_{_uuid.uuid4().hex[:8]}")
+        # the atomic pointer flip: rename of a symlink over a symlink
+        tmp_link = f"{out_dir}.__ln_{_uuid.uuid4().hex[:8]}"
+        _os.symlink(_os.path.basename(version), tmp_link)
+        _os.rename(tmp_link, out_dir)
+        published = True
     finally:
-        _shutil.rmtree(staging, ignore_errors=True)
+        if not published:
+            _shutil.rmtree(version, ignore_errors=True)
+    # reclaim exports older than (current, previous) — previous stays
+    # for readers that resolved the symlink just before the flip
+    gens = [
+        d
+        for d in _glob.glob(f"{out_dir}.__v_*")
+        if _os.path.isdir(d) and not _os.path.samefile(d, version)
+    ]
+    gens.sort(key=_os.path.getmtime, reverse=True)
+    for stale in gens[1:]:
+        _shutil.rmtree(stale, ignore_errors=True)
     return manifest

@@ -701,6 +701,57 @@ class ConstraintViolationError(ValueError):
     nothing was committed; fix the batch (or drop the constraint)."""
 
 
+def _timestamp_stats_conf(spark: SparkSession):
+    """Context manager pinning parquet timestamp output to
+    TIMESTAMP_MICROS for a manifest data write. Spark's default is
+    INT96, and INT96 columns carry NO parquet min/max statistics — every
+    per-file bound the manifest records for a timestamp column would be
+    null, so time-range file skipping (and the migration verb's
+    bounds-within-period proof) could never engage. Micros footers carry
+    real bounds; readers handle both encodings transparently, so tables
+    mixing INT96 (pre-round-7) and micros files read identically — only
+    the skipping improves. Session-level conf: concurrent writes on the
+    SAME session during the window also get micros, which is the
+    behavior they want anyway."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    return _cm()
+
+
+def _time_rule_stamp(partition_col: str) -> dict:
+    """Manifest fields recording the time-key derivation rule for
+    days()/months()/years() tables: {"time_key_rule": "utc"} — UTC epoch
+    arithmetic, session-zone independent (partitioning.derived_column).
+    Stamped at table creation and carried forward by every commit, so a
+    future derivation change can recognize which rule wrote a table's
+    existing keys instead of guessing. Tables created before the UTC fix
+    (round 6) lack the stamp: their keys may have been rendered in the
+    writer's session zone — reads stay exact through the ±1-period
+    pruning slack, but an upsert near a period boundary can derive a
+    different key for an existing row and be rejected by the moved-keys
+    check; `migrate_time_partition_keys` rewrites such tables onto the
+    UTC vocabulary and stamps them. Identity/bucket/truncate/date-source
+    tables need no rule (their derivations are zone-free) but get the
+    stamp too when time-transformed over dates — harmless and uniform."""
+    pt = parse_partition_spec(partition_col)
+    if pt.kind in ("days", "months", "years"):
+        return {"time_key_rule": "utc"}
+    return {}
+
+
 def _enc_part(v) -> str:
     """Stable string encoding of a partition value for manifest keys and
     prefix names. None → 'null'; a non-NULL value whose str() would
@@ -2150,6 +2201,7 @@ def _commit_with_rebase(
     constraints_json: dict | None = None,
     layout_json: dict | None = None,
     op: str | None = None,
+    extra_fields: dict | None = None,
 ) -> dict:
     """Optimistic-concurrency commit with Iceberg-style rebase-and-retry.
 
@@ -2214,6 +2266,10 @@ def _commit_with_rebase(
             cand["constraints"] = constraints_json
         if layout_json is not None:
             cand["layout"] = layout_json
+        if extra_fields:
+            # durable top-level fields (e.g. the time_key_rule stamp) —
+            # carried forward by every later commit via the **on spread
+            cand.update(extra_fields)
         # per-commit operation tag (DESCRIBE HISTORY forensics) — set
         # fresh each commit, deliberately NOT carried forward like `app`
         cand["op"] = op
@@ -2455,6 +2511,7 @@ def merge_upsert_manifest(
         "version": 0,
         "partition_col": partition_col,
         "partitions": {},
+        **_time_rule_stamp(partition_col),
     }
     if manifest["partition_col"] != partition_col:
         raise ValueError(
@@ -3277,6 +3334,7 @@ def _staged_base(path: str, st: dict) -> dict:
         "version": 0,
         "partition_col": st["partition_col"],
         "partitions": {},
+        **_time_rule_stamp(st["partition_col"]),
     }
 
 
@@ -3406,10 +3464,30 @@ def _write_partition_prefixes(
     (the fused path needs no caching — the plan runs exactly once)."""
     if not touched:
         return {}
-    if sort is None:
-        return _write_prefixes_fused(
-            df, path, partition_col, touched, snap, bloom_cols, drop_cols
+    with _timestamp_stats_conf(df.sparkSession):
+        if sort is None:
+            return _write_prefixes_fused(
+                df, path, partition_col, touched, snap, bloom_cols,
+                drop_cols,
+            )
+        return _write_prefixes_per_partition(
+            df, path, partition_col, touched, snap, bloom_cols, drop_cols,
+            sort,
         )
+
+
+def _write_prefixes_per_partition(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    touched: dict,
+    snap: str,
+    bloom_cols: Sequence[str] | None,
+    drop_cols: Sequence[str],
+    sort: tuple[list[str], int],
+) -> dict[str, dict]:
+    """Legacy one-job-per-partition fan-out (see
+    `_write_partition_prefixes` — the sort_on_write path)."""
 
     def _write_partition(item) -> tuple[str, dict]:
         enc, val = item
@@ -4056,6 +4134,39 @@ def manifest_drop_constraint(spark: SparkSession, path: str, name: str) -> None:
     )
 
 
+def create_manifest_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    partition_col: str,
+    app_metadata: dict | None = None,
+) -> None:
+    """CREATE TABLE: commit an EMPTY v1 manifest carrying the stored
+    schema and partition spec, so the table exists (readable as zero
+    rows, DDL-able, catalog-registerable) before any data lands — the
+    `CREATE TABLE (cols...)` / empty-CTAS shape. The partition source
+    column must exist in the schema; time-transform tables get the
+    time_key_rule stamp like every other creation path. Refuses if a
+    manifest already exists (use the write verbs to add data)."""
+    if read_manifest(path) is not None:
+        raise ValueError(f"a manifest already exists at {path}")
+    pt = parse_partition_spec(partition_col)
+    if pt.source not in schema.names:
+        raise ValueError(
+            f"partition source column {pt.source!r} not in the schema"
+        )
+    base = {
+        "version": 0,
+        "partition_col": pt.spec,
+        "partitions": {},
+        **_time_rule_stamp(pt.spec),
+    }
+    _commit_with_rebase(
+        spark, path, base, {}, schema_json=schema.jsonValue(),
+        app_metadata=app_metadata, op="create",
+    )
+
+
 def replace_manifest_partitions(
     spark: SparkSession,
     df: DataFrame,
@@ -4104,6 +4215,7 @@ def replace_manifest_partitions(
         "version": 0,
         "partition_col": partition_col,
         "partitions": {},
+        **_time_rule_stamp(partition_col),
     }
     if manifest["partition_col"] != partition_col:
         raise ValueError(
@@ -4185,6 +4297,151 @@ def replace_manifest_partitions(
         "partitions_replaced": len(new_entries),
         "partitions_dropped": len(drop_keys),
         "rows": rows,
+    }
+
+
+def _entry_within_utc_period(
+    kind: str, source_col: str, key: str, entry: dict
+) -> bool:
+    """True when the entry's recorded per-file bounds PROVE every row's
+    UTC-derived key equals the stored key: all files carry bounds for the
+    source column and those bounds (UTC instants, `_stat_norm` text) fall
+    inside [period_start, next_period_start) of the stored key. ISO text
+    compares lexicographically ('2024-03-05T23:59:59' sorts between
+    '2024-03-05' and '2024-03-06'). Bounds stay sound on MoR
+    delete-bearing entries (deleted rows can only shrink the true range).
+    Missing stats → False (conservatively a migration suspect)."""
+    from .partitioning import _shift_period
+
+    files = entry.get("files")
+    if not files:
+        return False
+    lo, hi = key, _shift_period(kind, key, 1)
+    for fm in files:
+        st = (fm.get("stats") or {}).get(source_col) or {}
+        mn, mx = st.get("min"), st.get("max")
+        if mn is None or mx is None:
+            return False
+        if not (lo <= mn and mx < hi):
+            return False
+    return True
+
+
+def migrate_time_partition_keys(
+    spark: SparkSession, path: str, max_commit_retries: int = 3
+) -> dict:
+    """Migrate a days()/months()/years() table written BEFORE the UTC
+    key rule (round 6) onto the UTC key vocabulary and stamp the
+    manifest (`time_key_rule: "utc"`).
+
+    Pre-UTC writers rendered the derived key in their session zone, so a
+    row within one zone-offset of a period boundary may sit under a
+    different key than UTC derivation assigns. Reads were always exact
+    (the ±1-period pruning slack absorbs the skew), but an upsert of
+    such a row now derives the UTC key and is rejected by the moved-keys
+    check, and new rows for the same logical period land in a parallel
+    partition. This verb closes that by rewriting ONLY the partitions
+    that can hold boundary-skewed rows:
+
+    - a partition whose recorded file bounds prove every row inside its
+      stored key's UTC window is untouched (the common case — bounds are
+      UTC instants, so the proof is exact, no slack needed);
+    - every other partition's live rows are re-keyed in UTC and
+      rewritten, together with any partition that RECEIVES moved rows;
+      pending MoR deletes fold; emptied keys drop — ONE atomic commit
+      with the stamp, same crash contract as every other verb.
+
+    A table already stamped "utc" is a no-op. DATE-source tables derive
+    zone-free — they are stamped without any data movement (bounds
+    proofs pass trivially or rows re-key to identical values).
+    Returns {"migrated_partitions", "received_partitions",
+    "dropped_partitions", "already_utc"}."""
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    pt = parse_partition_spec(m["partition_col"])
+    if pt.kind not in ("days", "months", "years"):
+        raise ValueError(
+            f"table at {path} is partitioned by {m['partition_col']!r} — "
+            "only days()/months()/years() tables carry a time key rule"
+        )
+    if m.get("time_key_rule") == "utc":
+        return {
+            "migrated_partitions": 0, "received_partitions": 0,
+            "dropped_partitions": 0, "already_utc": True,
+        }
+    stamp = {"time_key_rule": "utc"}
+    suspects = [
+        enc
+        for enc, e in m["partitions"].items()
+        if not _entry_within_utc_period(pt.kind, pt.source, e["value"], e)
+    ]
+    if not suspects:
+        # every key provably already UTC — metadata-only stamp commit
+        _commit_with_rebase(
+            spark, path, m, {}, max_commit_retries=max_commit_retries,
+            extra_fields=stamp, op="migrate_time_keys",
+        )
+        return {
+            "migrated_partitions": 0, "received_partitions": 0,
+            "dropped_partitions": 0, "already_utc": False,
+        }
+    stored = (
+        T.StructType.fromJson(m["schema"]) if m.get("schema") else None
+    )
+    suspect_rows = apply_transform(
+        pt,
+        read_manifest_table(
+            spark, path, partition_values=suspects,
+            partition_values_encoded=True, schema=stored,
+            version=m["version"],
+        ),
+    )
+    new_keys = {
+        r[0] for r in suspect_rows.select(DERIVED_COL).distinct().collect()
+    }
+    receivers = sorted(
+        enc
+        for k in new_keys
+        if (enc := _enc_part(k)) in m["partitions"] and enc not in suspects
+    )
+    scope = suspects + receivers
+    keyed = apply_transform(
+        pt,
+        read_manifest_table(
+            spark, path, partition_values=scope,
+            partition_values_encoded=True, schema=stored,
+            version=m["version"],
+        ),
+    ).persist()
+    try:
+        all_keys = {
+            r[0] for r in keyed.select(DERIVED_COL).distinct().collect()
+        }
+        touched = {_enc_part(k): k for k in all_keys}
+        drop_keys = [enc for enc in scope if enc not in touched]
+        blooms = set((m.get("layout") or {}).get("bloom_cols") or ())
+        for enc in scope:
+            e = m["partitions"].get(enc)
+            if e and e.get("blooms"):
+                blooms |= set(e["blooms"])
+        new_entries = _write_partition_prefixes(
+            keyed, path, DERIVED_COL, touched, uuid.uuid4().hex[:12],
+            bloom_cols=sorted(blooms) or None, drop_cols=(DERIVED_COL,),
+            sort=_layout_sort(m),
+        )
+        _commit_with_rebase(
+            spark, path, m, new_entries,
+            max_commit_retries=max_commit_retries, drop_keys=drop_keys,
+            extra_fields=stamp, op="migrate_time_keys",
+        )
+    finally:
+        keyed.unpersist()
+    return {
+        "migrated_partitions": len(suspects),
+        "received_partitions": len(receivers),
+        "dropped_partitions": len(drop_keys),
+        "already_utc": False,
     }
 
 
@@ -4273,7 +4530,8 @@ def compact_manifest(
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
-        out.write.mode("errorifexists").parquet(os.path.join(path, prefix))
+        with _timestamp_stats_conf(spark):
+            out.write.mode("errorifexists").parquet(os.path.join(path, prefix))
         after += len(_glob.glob(os.path.join(path, prefix, "*.parquet")))
         new_entry = {
             "prefix": prefix,
@@ -4434,7 +4692,10 @@ def delete_manifest_rows(
             prefix = os.path.join(
                 "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
             )
-            keep.write.mode("errorifexists").parquet(os.path.join(path, prefix))
+            with _timestamp_stats_conf(spark):
+                keep.write.mode("errorifexists").parquet(
+                    os.path.join(path, prefix)
+                )
             new_entry = {
                 "prefix": prefix,
                 "value": enc,
@@ -4584,7 +4845,10 @@ def update_manifest_rows(
             prefix = os.path.join(
                 "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
             )
-            out.write.mode("errorifexists").parquet(os.path.join(path, prefix))
+            with _timestamp_stats_conf(spark):
+                out.write.mode("errorifexists").parquet(
+                    os.path.join(path, prefix)
+                )
             new_entry = {
                 "prefix": prefix,
                 "value": enc,

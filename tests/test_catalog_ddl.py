@@ -1,0 +1,165 @@
+"""SQL DDL + maintenance routing through catalog_sql: CREATE TABLE
+[(cols)] [PARTITIONED BY] [AS SELECT], DROP TABLE, SHOW TABLES,
+DESCRIBE [TABLE|HISTORY], VACUUM, OPTIMIZE [ZORDER BY] — the statements
+that make the SQL surface a complete console over manifest tables."""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import catalog as CAT
+from f1_data_pipeline_spark.operators import sinks
+
+
+def _seed(spark, tmp_path, n=20):
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    sinks.merge_upsert_manifest(spark, df, t, keys=["k"],
+                                partition_col="day")
+    CAT.catalog_create_table(cat, "src", t)
+    return cat, t
+
+
+def test_ctas_partitioned_and_roundtrip(spark, tmp_path):
+    cat, _ = _seed(spark, tmp_path)
+    r = CAT.catalog_sql(
+        spark, cat,
+        "CREATE TABLE evens PARTITIONED BY (day) AS "
+        "SELECT k, day, v FROM src WHERE k % 2 = 0",
+    ).first()
+    assert r.rows == 10 and r.partitions == 2  # even k → day ∈ {0, 2}
+    # default LOCATION lives under the catalog dir
+    tables = CAT.catalog_tables(cat)
+    assert tables["evens"]["path"].startswith(cat)
+    out = CAT.catalog_sql(spark, cat, "SELECT count(*) AS n FROM evens")
+    assert out.first().n == 10
+    # the created table is a full manifest table: DML works on it
+    CAT.catalog_sql(spark, cat, "DELETE FROM evens WHERE k < 4")
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM evens"
+    ).first().n == 8
+    # name collision refused
+    with pytest.raises(ValueError, match="already exists"):
+        CAT.catalog_sql(
+            spark, cat,
+            "CREATE TABLE evens PARTITIONED BY (day) AS SELECT * FROM src",
+        )
+    # PARTITIONED BY mandatory
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        CAT.catalog_sql(spark, cat,
+                        "CREATE TABLE nope AS SELECT * FROM src")
+
+
+def test_ctas_hidden_transform_and_explicit_location(spark, tmp_path):
+    cat, _ = _seed(spark, tmp_path)
+    loc = str(tmp_path / "elsewhere")
+    r = CAT.catalog_sql(
+        spark, cat,
+        "CREATE TABLE bucketed PARTITIONED BY (bucket(4, k)) "
+        f"LOCATION '{loc}' AS SELECT k, v FROM src",
+    ).first()
+    assert r.rows == 20
+    assert CAT.catalog_tables(cat)["bucketed"]["path"] == loc
+    assert sinks.read_manifest(loc)["partition_col"] == "bucket(4, k)"
+    got = CAT.catalog_sql(spark, cat,
+                          "SELECT v FROM bucketed WHERE k = 7")
+    assert got.first().v == 14
+
+
+def test_create_empty_table_then_insert(spark, tmp_path):
+    cat, _ = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE TABLE fresh (k bigint, day bigint, v bigint) "
+        "PARTITIONED BY (day)",
+    )
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM fresh"
+    ).first().n == 0
+    # the time_key_rule stamp applies to time-transformed creations
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE TABLE tfresh (k bigint, ts timestamp) "
+        "PARTITIONED BY (days(ts))",
+    )
+    tpath = CAT.catalog_tables(cat)["tfresh"]["path"]
+    assert sinks.read_manifest(tpath)["time_key_rule"] == "utc"
+    # writable through SQL from the start
+    r = CAT.catalog_sql(
+        spark, cat, "INSERT INTO fresh SELECT k, day, v FROM src"
+    ).first()
+    assert r.inserted == 20
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM fresh"
+    ).first().n == 20
+    # empty CTAS still creates the table with the SELECT's schema
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE TABLE none PARTITIONED BY (day) AS "
+        "SELECT k, day, v FROM src WHERE k < 0",
+    )
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM none"
+    ).first().n == 0
+
+
+def test_show_describe_history(spark, tmp_path):
+    cat, t = _seed(spark, tmp_path)
+    sinks.manifest_add_constraint(spark, t, "v_ok", "v >= 0")
+    rows = CAT.catalog_sql(spark, cat, "SHOW TABLES").collect()
+    assert [(r.name, r.path) for r in rows] == [("src", t)]
+    desc = {
+        r.col_name: r.data_type
+        for r in CAT.catalog_sql(spark, cat, "DESCRIBE src").collect()
+    }
+    assert desc["k"] == "bigint" and desc["v"] == "bigint"
+    assert desc["# partitioned by"] == "day"
+    assert desc["# check:v_ok"] == "v >= 0"
+    hist = CAT.catalog_sql(spark, cat, "DESCRIBE HISTORY src").collect()
+    assert [(h.version, h.op) for h in hist] == [
+        (1, "merge"), (2, "add_constraint"),
+    ]
+    assert hist[0].rows == 20 and hist[0].partitions == 4
+
+
+def test_vacuum_and_optimize(spark, tmp_path):
+    cat, t = _seed(spark, tmp_path)
+    # two merges → superseded prefixes to reclaim
+    up = spark.createDataFrame([(1, 1, 999)], "k long, day long, v long")
+    sinks.merge_upsert_manifest(spark, up, t, keys=["k"],
+                                partition_col="day")
+    r = CAT.catalog_sql(spark, cat, "VACUUM src RETAIN 0 HOURS").first()
+    assert r.prefixes_removed >= 1
+    pre = sorted(
+        r.k for r in CAT.catalog_sql(spark, cat, "SELECT k FROM src").collect()
+    )
+    o = CAT.catalog_sql(spark, cat, "OPTIMIZE src ZORDER BY (k)").first()
+    assert o.files_after <= o.files_before
+    post = sorted(
+        r.k for r in CAT.catalog_sql(spark, cat, "SELECT k FROM src").collect()
+    )
+    assert post == pre
+    # unsupported shapes raise loudly
+    for bad in ("SHOW DATABASES", "VACUUM src RETAIN x HOURS",
+                "OPTIMIZE src BY (k)", "DROP TABLE src CASCADE"):
+        with pytest.raises(ValueError):
+            CAT.catalog_sql(spark, cat, bad)
+
+
+def test_drop_table_keeps_data(spark, tmp_path):
+    cat, t = _seed(spark, tmp_path)
+    assert CAT.catalog_sql(spark, cat, "DROP TABLE src").first().dropped == 1
+    assert CAT.catalog_tables(cat) == {}
+    # data untouched — re-registerable
+    assert glob.glob(os.path.join(t, "data", "*", "*"))
+    CAT.catalog_create_table(cat, "back", t)
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM back"
+    ).first().n == 20

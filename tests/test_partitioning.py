@@ -484,3 +484,157 @@ def test_bucket_respects_source_column_type(spark, tmp_path):
             spark, path, predicates=[("k", "=", probe)]
         )
         assert got.count() == 1, f"probe {probe} lost by bucket pruning"
+
+
+# ---------------------------------------------------------------------------
+# round 7: time_key_rule stamp + pre-UTC key migration (round-6 advice)
+# ---------------------------------------------------------------------------
+
+
+def _utc(y, mo, d, h=0, mi=0):
+    return dt.datetime(y, mo, d, h, mi, tzinfo=dt.timezone.utc)
+
+
+def test_time_key_rule_stamped_on_creation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, _utc(2024, 3, 5, 12), 1.0)], "k long, ts timestamp, v double"
+    )
+    sinks.merge_upsert_manifest(spark, df, path, keys=["k"],
+                                partition_col="days(ts)")
+    assert sinks.read_manifest(path)["time_key_rule"] == "utc"
+    # identity tables carry no rule
+    p2 = str(tmp_path / "t2")
+    sinks.merge_upsert_manifest(
+        spark, df.withColumn("day", F.lit("d1")), p2, keys=["k"],
+        partition_col="day",
+    )
+    assert "time_key_rule" not in sinks.read_manifest(p2)
+    # already-utc migration is a no-op committing nothing
+    out = sinks.migrate_time_partition_keys(spark, path)
+    assert out["already_utc"] is True
+    assert sinks.read_manifest(path)["version"] == 1
+
+
+def _mk_pre_utc_table(spark, path):
+    """A table whose keys were derived the ROUND-5 way: session-zone
+    date_format rendering under Asia/Kolkata (+5:30), then the stamp
+    stripped from the commit — byte-for-byte what a pre-UTC writer left
+    behind. Rows 1/2 sit near UTC midnight (Kolkata key = next UTC day);
+    rows 3/4 are mid-day (same key under both rules)."""
+    import json
+
+    rows = [
+        (1, _utc(2024, 3, 5, 22, 0), 10.0),   # Kolkata 2024-03-06 03:30
+        (2, _utc(2024, 3, 6, 21, 0), 20.0),   # Kolkata 2024-03-07 02:30
+        (3, _utc(2024, 3, 5, 12, 0), 30.0),   # mid-day: stable key
+        (4, _utc(2024, 3, 7, 10, 0), 40.0),   # mid-day: stable key
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    real = P.derived_column
+
+    def legacy(t, frame):
+        if t.kind in ("days", "months", "years"):
+            fmt = {"days": "yyyy-MM-dd", "months": "yyyy-MM",
+                   "years": "yyyy"}[t.kind]
+            return F.date_format(F.col(t.source), fmt)
+        return real(t, frame)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    P.derived_column = legacy
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        sinks.merge_upsert_manifest(spark, df, path, keys=["k"],
+                                    partition_col="days(ts)")
+    finally:
+        P.derived_column = real
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # strip the stamp the modern writer added — pre-UTC commits had none
+    cpath = os.path.join(path, "_commits", "v00000001.json")
+    m = json.load(open(cpath))
+    del m["time_key_rule"]
+    json.dump(m, open(cpath, "w"))
+    return rows
+
+
+def test_migrate_pre_utc_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    rows = _mk_pre_utc_table(spark, path)
+    m = sinks.read_manifest(path)
+    assert "time_key_rule" not in m
+    # the legacy table really does hold zone-skewed keys
+    assert "2024-03-06" in m["partitions"] and "2024-03-07" in m["partitions"]
+    assert sinks.read_manifest_table(spark, path).filter(
+        "k = 1").count() == 1
+
+    # reads are exact even pre-migration (the documented slack)
+    got = sinks.read_manifest_table(
+        spark, path,
+        predicates=[("ts", "<", _utc(2024, 3, 6).replace(tzinfo=None))],
+    )
+    assert sorted(r.k for r in got.collect()) == [1, 3]
+
+    out = sinks.migrate_time_partition_keys(spark, path)
+    assert out["already_utc"] is False and out["migrated_partitions"] >= 2
+    m2 = sinks.read_manifest(path)
+    assert m2["time_key_rule"] == "utc"
+    # keys now match UTC derivation exactly: k1→03-05, k2→03-06
+    live = {
+        p: sorted(
+            r.k
+            for r in sinks.read_manifest_table(
+                spark, path, partition_values=[p]
+            ).collect()
+        )
+        for p in ("2024-03-05", "2024-03-06", "2024-03-07")
+    }
+    assert live == {
+        "2024-03-05": [1, 3], "2024-03-06": [2], "2024-03-07": [4],
+    }
+    # no rows lost or duplicated
+    assert sorted(
+        (r.k, r.v) for r in sinks.read_manifest_table(spark, path).collect()
+    ) == [(k, v) for k, _ts, v in rows]
+    # history names the verb
+    assert [r["op"] for r in sinks.manifest_history(path)][-1] \
+        == "migrate_time_keys"
+
+    # the once-blocked boundary upsert now lands in place
+    up = spark.createDataFrame(
+        [(1, _utc(2024, 3, 5, 22, 0), 11.0)], "k long, ts timestamp, v double"
+    )
+    sinks.merge_upsert_manifest(spark, up, path, keys=["k"],
+                                partition_col="days(ts)")
+    assert sinks.read_manifest_table(spark, path).filter(
+        "k = 1").first().v == 11.0
+    # idempotent
+    assert sinks.migrate_time_partition_keys(spark, path)["already_utc"]
+
+
+def test_migrate_stamps_clean_table_without_rewrite(spark, tmp_path):
+    """An unstamped table whose bounds PROVE every key already UTC gets
+    a metadata-only stamp commit — no partition rewritten."""
+    import json
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, _utc(2024, 3, 5, 12), 1.0), (2, _utc(2024, 3, 6, 12), 2.0)],
+        "k long, ts timestamp, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, keys=["k"],
+                                partition_col="days(ts)")
+    cpath = os.path.join(path, "_commits", "v00000001.json")
+    m = json.load(open(cpath))
+    del m["time_key_rule"]
+    json.dump(m, open(cpath, "w"))
+    before = {
+        k: e["prefix"] for k, e in sinks.read_manifest(path)["partitions"].items()
+    }
+    out = sinks.migrate_time_partition_keys(spark, path)
+    assert out == {
+        "migrated_partitions": 0, "received_partitions": 0,
+        "dropped_partitions": 0, "already_utc": False,
+    }
+    m2 = sinks.read_manifest(path)
+    assert m2["time_key_rule"] == "utc" and m2["version"] == 2
+    assert {k: e["prefix"] for k, e in m2["partitions"].items()} == before

@@ -2299,3 +2299,38 @@ def test_manifest_history_operation_tags(spark, tmp_path):
     ops = [r["op"] for r in sinks.manifest_history(path)]
     assert ops[:4] == ["merge", "add_constraint", "update", "delete"]
     assert ops[-1] == "restore:v4"
+
+
+def test_timestamp_file_stats_recorded_and_prune(spark, tmp_path):
+    """Manifest data writes pin parquet timestamps to TIMESTAMP_MICROS:
+    Spark's INT96 default carries NO parquet statistics, so timestamp
+    bounds used to record null and time-range file skipping could never
+    engage. Micros footers carry real bounds — and the session conf is
+    restored after the write."""
+    import datetime as dt
+
+    path = str(tmp_path / "ts_stats")
+    before = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    rows = [
+        (1, "d1", dt.datetime(2024, 3, 5, 6, 0, tzinfo=dt.timezone.utc)),
+        (2, "d2", dt.datetime(2024, 3, 9, 18, 0, tzinfo=dt.timezone.utc)),
+    ]
+    sinks.merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(rows, "id long, day string, ts timestamp"),
+        path, ["id"], partition_col="day",
+    )
+    assert spark.conf.get(
+        "spark.sql.parquet.outputTimestampType", None
+    ) == before
+    m = sinks.read_manifest(path)
+    st = m["partitions"]["d1"]["files"][0]["stats"]["ts"]
+    assert st["min"] is not None and st["max"] is not None
+    assert st["min"].startswith("2024-03-05")
+    # the recorded bounds actually skip: a predicate outside d1's range
+    # prunes its file away entirely
+    pred = [("ts", ">=", dt.datetime(2024, 3, 8, tzinfo=dt.timezone.utc))]
+    opened = sinks.manifest_scan_files(path, predicates=pred)
+    assert len(opened) == 1 and "d2" in opened[0]
+    got = sinks.read_manifest_table(spark, path, predicates=pred)
+    assert [r.id for r in got.collect()] == [2]

@@ -71,6 +71,45 @@ def test_write_training_shards_round_trip(spark, tmp_path):
     assert got == want
 
 
+def test_export_republish_is_pointer_flip(spark, tmp_path):
+    """Round-6 advice: out_dir must resolve to a COMPLETE export at
+    every instant. The export publishes as an immutable versioned dir
+    behind a symlink flipped atomically; re-publishing keeps exactly one
+    previous generation for in-flight readers and reclaims older ones;
+    a legacy real-directory export migrates on first re-publish."""
+    import glob
+
+    out = str(tmp_path / "export")
+    C.write_training_shards(_docs(spark, 60), out, n_shards=2, seed=1)
+    assert os.path.islink(out)
+    first_target = os.path.realpath(out)
+
+    man2 = C.write_training_shards(_docs(spark, 80), out, n_shards=2, seed=2)
+    assert os.path.islink(out)
+    assert os.path.realpath(out) != first_target
+    # previous generation retained for in-flight readers
+    assert os.path.isdir(first_target)
+    assert json.load(open(os.path.join(out, "shards.json"))) == man2
+    assert spark.read.parquet(f"{out}/data").count() == 80
+
+    # third publish: the first generation (now two behind) is reclaimed
+    C.write_training_shards(_docs(spark, 20), out, n_shards=2, seed=3)
+    assert not os.path.exists(first_target)
+    assert len(glob.glob(f"{out}.__v_*")) == 2  # current + previous
+
+    # legacy migration: a pre-symlink plain-directory export
+    legacy = str(tmp_path / "legacy")
+    C.write_training_shards(_docs(spark, 30), legacy, n_shards=2, seed=4)
+    target = os.path.realpath(legacy)
+    os.unlink(legacy)
+    os.rename(target, legacy)  # what a round-6 export looked like
+    assert os.path.isdir(legacy) and not os.path.islink(legacy)
+    man5 = C.write_training_shards(_docs(spark, 40), legacy, n_shards=2, seed=5)
+    assert os.path.islink(legacy)
+    assert spark.read.parquet(f"{legacy}/data").count() == 40
+    assert json.load(open(os.path.join(legacy, "shards.json"))) == man5
+
+
 def test_bad_args(spark):
     with pytest.raises(ValueError):
         C.shuffle_shards(_docs(spark, 5), n_shards=0)
