@@ -240,6 +240,9 @@ def catalog_sql(
             spark, catalog_path, tables, ddl.group(1).lower(), sql
         )
     sql, travel = _strip_time_travel(sql, tables)
+    fast = _count_star_fast_path(spark, tables, sql, travel)
+    if fast is not None:
+        return fast
     refs = _relation_refs(sql, tables)
     preds = _extract_pushdown_predicates(spark, sql, refs, tables)
     sql, internal = _bind_internal_views(
@@ -256,6 +259,68 @@ def _re():
     import re
 
     return re
+
+
+def _count_star_fast_path(
+    spark: SparkSession, tables: dict, sql: str, travel: dict
+):
+    """`SELECT COUNT(*) [AS alias] FROM t [WHERE <simple conjunction>]`
+    answered from manifest metadata via `manifest_count` — the Iceberg
+    fast path: with no predicate, zero files are opened (recorded rows
+    minus recorded MoR deletes); with simple predicates, only the
+    stats-undecided boundary files are scanned. Always exact (that is
+    `manifest_count`'s contract), so this is pure I/O avoidance — at
+    100 TB the difference between a metadata read and a table scan.
+    Returns None (→ the normal plan path) for any other shape, any
+    unparseable WHERE, or a CTE-shadowed name; the column is named
+    exactly as plain spark.sql would name it (`count(1)` unaliased)."""
+    import re
+
+    from pyspark.sql import types as T
+
+    from .sinks import manifest_count, parse_predicates
+
+    m = re.match(
+        r"\s*SELECT\s+COUNT\s*\(\s*\*\s*\)\s*(?:AS\s+([A-Za-z_]\w*))?"
+        r"\s+FROM\s+([A-Za-z_]\w*)\s*(?:WHERE\s+(.+?))?\s*$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    alias, name, where = m.groups()
+    if name not in tables or name.lower() in _cte_names(
+        _strip_sql_strings(sql)
+    ):
+        return None
+    preds = None
+    if where is not None:
+        try:
+            preds = parse_predicates(where.strip())
+        except ValueError:
+            return None  # OR / functions / qualified cols: normal path
+        # a qualified column (t.k) or unknown column would make
+        # parse_predicates/manifest_count misbehave — verify ownership
+        e0 = tables[name]
+        stored = (read_manifest(e0["path"]) or {}).get("schema") or {}
+        cols = {f["name"] for f in stored.get("fields", [])}
+        if any(c not in cols for c, _op, _v in preds):
+            return None
+    e = tables[name]
+    v = travel.get(name)
+    if v is None:
+        v = resolve_manifest_ref(e["path"], e.get("ref"))
+    r = manifest_count(spark, e["path"], predicates=preds, version=v)
+    _log().debug(
+        "catalog_sql COUNT(*) on %s answered from metadata: %s files "
+        "scanned, %s from stats", name, r["files_scanned"],
+        r["files_metadata"],
+    )
+    return spark.createDataFrame(
+        [(int(r["count"]),)],
+        T.StructType(
+            [T.StructField(alias or "count(1)", T.LongType(), False)]
+        ),
+    )
 
 
 # monotone counter for internal view names: unique per process, so two

@@ -163,3 +163,43 @@ def test_drop_table_keeps_data(spark, tmp_path):
     assert CAT.catalog_sql(
         spark, cat, "SELECT count(*) AS n FROM back"
     ).first().n == 20
+
+
+def test_count_star_metadata_fast_path(spark, tmp_path):
+    """SELECT COUNT(*) answers from manifest metadata (zero files opened
+    without a predicate), stays exact with predicates / MoR deletes /
+    time travel, names the column exactly as plain spark.sql would, and
+    falls back to the normal plan for shapes it can't prove."""
+    cat, t = _seed(spark, tmp_path)  # 20 rows, day = k % 4
+    CAT.register_catalog_views(spark, cat)
+
+    df = CAT.catalog_sql(spark, cat, "SELECT count(*) FROM src")
+    assert df.first()[0] == 20
+    assert df.columns == spark.sql("SELECT count(*) FROM src").columns
+    assert df.inputFiles() == []  # metadata-only: no parquet in the plan
+
+    n = CAT.catalog_sql(
+        spark, cat, "SELECT COUNT(*) AS n FROM src WHERE day = 1"
+    )
+    assert n.columns == ["n"] and n.first().n == 5
+    assert n.inputFiles() == []  # partition-pruned + stats-proven
+
+    # MoR delete: recorded deletes subtract exactly, still metadata-only
+    sinks.delete_manifest_rows(spark, t, [("k", "=", 9)], mode="mor")
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM src"
+    ).first().n == 19
+    # time travel sees the pre-delete count
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM src VERSION AS OF 1"
+    ).first().n == 20
+
+    # unprovable shapes fall back to the real plan (and stay correct)
+    fb = CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM src WHERE day = 1 OR k = 2"
+    )
+    # day=1 holds k ∈ {1,5,13,17} live (k=9 was MoR-deleted) + k=2
+    assert fb.first().n == 5 and fb.inputFiles() != []
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(k) AS n FROM src"
+    ).first().n == 19  # count(col) ≠ count(*): never fast-pathed
