@@ -507,40 +507,49 @@ def _relation_refs(sql: str, tables: dict) -> list[dict]:
     s = _strip_sql_strings(sql)
     shadowed = _cte_names(s)
     names = {n.lower(): n for n in tables if n.lower() not in shadowed}
-    toks = list(re.finditer(r"[A-Za-z_][A-Za-z0-9_]*|[(),]", s))
+    # `backtick`-quoted tokens are identifiers, never keywords/parens —
+    # a quoted cataloged name (`ev`) must be recognized and its WHOLE
+    # quoted span rewritten, or the splice would corrupt the identifier
+    toks = list(re.finditer(r"`[^`]*`|[A-Za-z_][A-Za-z0-9_]*|[(),]", s))
+
+    def _ident(tok: str) -> str:
+        return tok[1:-1] if tok.startswith("`") else tok
+
     refs: list[dict] = []
     # per-depth state: in_from (inside a FROM/JOIN relation list),
     # expect (the next identifier is a relation name)
     stack: list[dict] = [{"f": False, "e": False}]
     for i, t in enumerate(toks):
         w = t.group(0)
-        lw = w.lower()
+        quoted = w.startswith("`")
+        lw = _ident(w).lower()
         st = stack[-1]
-        if w == "(":
-            # a parenthesized relation (subquery / USING list / function
-            # args) consumes the pending relation slot — its ALIAS must
-            # never be mistaken for a relation name
-            st["e"] = False
-            stack.append({"f": False, "e": False})
-            continue
-        if w == ")":
-            if len(stack) > 1:
-                stack.pop()
-            continue
-        if w == ",":
-            if st["f"]:
+        if not quoted:
+            if w == "(":
+                # a parenthesized relation (subquery / USING list /
+                # function args) consumes the pending relation slot — its
+                # ALIAS must never be mistaken for a relation name
+                st["e"] = False
+                stack.append({"f": False, "e": False})
+                continue
+            if w == ")":
+                if len(stack) > 1:
+                    stack.pop()
+                continue
+            if w == ",":
+                if st["f"]:
+                    st["e"] = True
+                continue
+            if lw in ("from", "join"):
+                st["f"] = True
                 st["e"] = True
-            continue
-        if lw in ("from", "join"):
-            st["f"] = True
-            st["e"] = True
-            continue
-        if lw in _JOIN_PREFIX:
-            continue
-        if lw in _FROM_ENDERS:
-            st["f"] = False
-            st["e"] = False
-            continue
+                continue
+            if lw in _JOIN_PREFIX:
+                continue
+            if lw in _FROM_ENDERS:
+                st["f"] = False
+                st["e"] = False
+                continue
         if not st["e"]:
             continue
         st["e"] = False  # this identifier consumes the relation slot
@@ -550,12 +559,17 @@ def _relation_refs(sql: str, tables: dict) -> list[dict]:
         j = i + 1
         if j < len(toks) and toks[j].group(0).lower() == "as":
             j += 1
-        nxt = toks[j].group(0) if j < len(toks) else ""
+        nxt_tok = toks[j].group(0) if j < len(toks) else ""
+        nxt = _ident(nxt_tok)
         if (
             nxt
-            and nxt not in "(),"
-            and (j > i + 1 or nxt.lower() not in _SQL_KEYWORDS)
-            and nxt.lower() not in _FROM_ENDERS
+            and nxt_tok not in "(),"
+            and (
+                j > i + 1
+                or nxt_tok.startswith("`")
+                or nxt.lower() not in _SQL_KEYWORDS
+            )
+            and (nxt_tok.startswith("`") or nxt.lower() not in _FROM_ENDERS)
         ):
             alias = nxt
         refs.append(
@@ -725,25 +739,11 @@ def _metrics_df(spark: SparkSession, metrics: dict) -> DataFrame:
 
 def _split_top_commas(s: str) -> list[str]:
     """Split on commas outside quotes and parens (SET lists, INSERT
-    column lists with function calls in expressions)."""
-    out, buf, depth, in_q = [], [], 0, False
-    for ch in s:
-        if ch == "'":
-            in_q = not in_q
-            buf.append(ch)
-        elif not in_q and ch == "(":
-            depth += 1
-            buf.append(ch)
-        elif not in_q and ch == ")":
-            depth -= 1
-            buf.append(ch)
-        elif not in_q and depth == 0 and ch == ",":
-            out.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
-    out.append("".join(buf))
-    return [p.strip() for p in out if p.strip()]
+    column lists with function calls in expressions) — sinks.py's
+    shared splitter, re-exported under the local name."""
+    from .sinks import _split_quote_aware_commas
+
+    return _split_quote_aware_commas(s)
 
 
 def _top_level_keyword(sql: str, kw: str, start: int = 0) -> int:
@@ -804,17 +804,20 @@ def _catalog_dml(
             src = src.toDF(*cols)
         else:
             # positional: rename the source's columns to the table's
-            # stored schema order (SQL INSERT semantics)
-            from .sinks import read_manifest
-
+            # stored schema order. Standard SQL semantics — WITHOUT a
+            # column list the source must produce exactly the table's
+            # column count (a narrower source would silently shift
+            # values into the wrong columns; name the columns instead)
             stored = (read_manifest(e["path"]) or {}).get("schema")
             fields = [f["name"] for f in (stored or {}).get("fields", [])]
-            if len(src.columns) > len(fields):
+            if len(src.columns) != len(fields):
                 raise ValueError(
                     f"INSERT source produces {len(src.columns)} columns "
-                    f"but table {name!r} has {len(fields)}"
+                    f"but table {name!r} has {len(fields)} — use an "
+                    "explicit column list (INSERT INTO t (col, ...)) to "
+                    "insert a subset"
                 )
-            src = src.toDF(*fields[: len(src.columns)])
+            src = src.toDF(*fields)
         n = insert_into_manifest(spark, src, e["path"])
         return _metrics_df(spark, {"inserted": n})
 
@@ -900,12 +903,52 @@ def _catalog_dml(
             src = spark.table(src_text)  # temp view / metastore table
     t_alias = (t_alias or name).lower()
     s_alias = (s_alias or src_text).lower()
+    if t_alias == s_alias:
+        raise ValueError(
+            f"MERGE target and source share the qualifier {t_alias!r} — "
+            "alias one side (MERGE INTO t AS a USING s AS b ...)"
+        )
+    _qual = re.compile(
+        rf"\b({re.escape(t_alias)}|{re.escape(s_alias)})\s*\.",
+        re.IGNORECASE,
+    )
 
     def _norm(text: str) -> str:
         """Rewrite the statement's target/source qualifiers to the t./s.
-        aliases the merge verb's clause SQL expects."""
-        text = re.sub(rf"\b{t_alias}\s*\.", "t.", text, flags=re.IGNORECASE)
-        return re.sub(rf"\b{s_alias}\s*\.", "s.", text, flags=re.IGNORECASE)
+        aliases the merge verb's clause SQL expects — ONE simultaneous
+        pass (an alias literally named 't' or 's', or each side aliased
+        as the other, can never be double-rewritten) that never touches
+        text inside 'string literals' ('' escapes a quote)."""
+
+        def repl(m) -> str:
+            return "t." if m.group(1).lower() == t_alias else "s."
+
+        out: list[str] = []
+        buf: list[str] = []
+        i, n, in_q = 0, len(text), False
+        while i < n:
+            c = text[i]
+            if in_q:
+                out.append(c)
+                if c == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        out.append("'")
+                        i += 2
+                        continue
+                    in_q = False
+                i += 1
+                continue
+            if c == "'":
+                out.append(_qual.sub(repl, "".join(buf)))
+                buf = []
+                out.append(c)
+                in_q = True
+                i += 1
+                continue
+            buf.append(c)
+            i += 1
+        out.append(_qual.sub(repl, "".join(buf)))
+        return "".join(out)
 
     w = _top_level_keyword(rest, "when")
     if w < 0:

@@ -701,6 +701,10 @@ class ConstraintViolationError(ValueError):
     nothing was committed; fix the batch (or drop the constraint)."""
 
 
+_TS_CONF_LOCK = __import__("threading").Lock()
+_TS_CONF_STATE: dict = {}  # per-session {id: {"depth", "prev"}}
+
+
 def _timestamp_stats_conf(spark: SparkSession):
     """Context manager pinning parquet timestamp output to
     TIMESTAMP_MICROS for a manifest data write. Spark's default is
@@ -710,23 +714,39 @@ def _timestamp_stats_conf(spark: SparkSession):
     bounds-within-period proof) could never engage. Micros footers carry
     real bounds; readers handle both encodings transparently, so tables
     mixing INT96 (pre-round-7) and micros files read identically — only
-    the skipping improves. Session-level conf: concurrent writes on the
-    SAME session during the window also get micros, which is the
-    behavior they want anyway."""
+    the skipping improves.
+
+    The conf is session-global, so entries are REFERENCE-COUNTED per
+    session: overlapping writes (two streaming foreachBatch sinks on one
+    SparkSession) set the conf on the first enter and restore the
+    original value only when the last writer exits — without the count,
+    the first exit would strip the conf from under the second writer's
+    in-flight write and its files would silently lose their bounds."""
     import contextlib
 
     @contextlib.contextmanager
     def _cm():
         key = "spark.sql.parquet.outputTimestampType"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "TIMESTAMP_MICROS")
+        sid = id(spark)
+        with _TS_CONF_LOCK:
+            st = _TS_CONF_STATE.setdefault(sid, {"depth": 0, "prev": None})
+            if st["depth"] == 0:
+                st["prev"] = spark.conf.get(key, None)
+                spark.conf.set(key, "TIMESTAMP_MICROS")
+            st["depth"] += 1
         try:
             yield
         finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+            with _TS_CONF_LOCK:
+                st = _TS_CONF_STATE[sid]
+                st["depth"] -= 1
+                if st["depth"] == 0:
+                    prev = st.pop("prev")
+                    del _TS_CONF_STATE[sid]
+                    if prev is None:
+                        spark.conf.unset(key)
+                    else:
+                        spark.conf.set(key, prev)
 
     return _cm()
 
@@ -1161,13 +1181,21 @@ def parse_predicates(exprs) -> list[tuple]:
 
 
 def _split_quote_aware_commas(s: str) -> list[str]:
-    """Split an IN-list body on commas outside quotes."""
-    out, buf, in_q = [], [], False
+    """Split on commas outside 'quotes' and (parens) — shared by the
+    predicate IN-list parser and catalog SQL's SET/column lists (one
+    splitter, so the two surfaces can't drift)."""
+    out, buf, depth, in_q = [], [], 0, False
     for ch in s:
         if ch == "'":
             in_q = not in_q
             buf.append(ch)
-        elif ch == "," and not in_q:
+        elif not in_q and ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif not in_q and ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif not in_q and depth == 0 and ch == ",":
             out.append("".join(buf))
             buf = []
         else:
@@ -1445,15 +1473,50 @@ def _entry_delete_rows(entry: dict) -> int:
 def _read_deletes(
     spark: SparkSession, path: str, entries: Sequence[dict]
 ) -> DataFrame | None:
-    """Union of the delete files recorded by `entries` (None when none)."""
-    dirs = [
-        os.path.join(path, d["prefix"])
-        for e in entries
-        for d in e.get("deletes") or ()
-    ]
-    if not dirs:
+    """Union of the delete files recorded by `entries` (None when none),
+    with `_file` ids normalized to the CURRENT 3-segment scheme.
+
+    Delete records written since the fused-write change carry
+    `"ids": 3` and store '<partition>/<snap>/<basename>' directly.
+    Records without the marker predate it and store '<snap>/<basename>'
+    — those are upgraded AT READ TIME by prepending the owning
+    partition's directory (exact: a delete record is scoped to the one
+    data prefix it was computed against, and that prefix's partition
+    dir is the entry's encoded value), so pre-existing MoR tables keep
+    reading correctly instead of silently resurrecting deleted rows."""
+    new_dirs: list[str] = []
+    legacy: list[tuple[str, str]] = []  # (partition dir, delete dir)
+    for e in entries:
+        for d in e.get("deletes") or ():
+            full = os.path.join(path, d["prefix"])
+            if d.get("ids") == 3:
+                new_dirs.append(full)
+            else:
+                legacy.append(
+                    (urllib.parse.quote(e["value"], safe=""), full)
+                )
+    frames = []
+    if new_dirs:
+        frames.append(
+            spark.read.schema(_DELETE_FILE_SCHEMA).parquet(*new_dirs)
+        )
+    for part_dir, full in legacy:
+        frames.append(
+            spark.read.schema(_DELETE_FILE_SCHEMA)
+            .parquet(full)
+            .select(
+                F.concat(F.lit(part_dir + "/"), F.col("_file")).alias(
+                    "_file"
+                ),
+                "_pos",
+            )
+        )
+    if not frames:
         return None
-    return spark.read.schema(_DELETE_FILE_SCHEMA).parquet(*dirs)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def _tag_positions(df: DataFrame) -> DataFrame:
@@ -1907,7 +1970,16 @@ def _bloom_prune_entries(
                 continue
             mk = (bl["m"], bl["k"])
             if mk not in pos_cache:
-                pos_cache[mk] = _probe_positions(spark, field, vals, *mk)
+                try:
+                    pos_cache[mk] = _probe_positions(spark, field, vals, *mk)
+                except Exception:
+                    # a probe value that can't be coerced to the stored
+                    # type (`k = 'oops'` on a bigint — arbitrary SQL text
+                    # reaches this path via catalog_sql) must never abort
+                    # the read: bloom pruning is pure I/O avoidance, so
+                    # skip it for this column and let the residual filter
+                    # decide
+                    break
             with open(bloom_path, "rb") as fh:
                 bmp = fh.read()
             hit = any(
@@ -3532,22 +3604,58 @@ def _write_prefixes_per_partition(
         return dict(pool.map(_write_partition, touched.items()))
 
 
-def _partition_id_column(
-    df: DataFrame, partition_col: str, touched: dict
-) -> Column:
-    """Map the partition column to the touched partitions' dense integer
-    ids (rows outside `touched` map to NULL and are filtered out —
-    exactly the per-partition filters of the legacy path). Chained
-    null-safe WHENs: pure expression, no extra job, no broadcast; the
-    id count is the batch's touched-partition count, small by design
-    (compaction-scale fan-outs are fine too — Catalyst handles a few
-    hundred branches)."""
-    col = F.col(partition_col)
-    expr = F.when(F.lit(False), F.lit(None))
-    for i, (enc, val) in enumerate(sorted(touched.items())):
-        cond = col.isNull() if val is None else (col == F.lit(val))
-        expr = expr.when(cond, F.lit(i))
-    return expr
+_FUSED_WHEN_MAX = 64
+
+
+def _with_partition_ids(
+    df: DataFrame,
+    partition_col: str,
+    touched: dict,
+    sizes: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """`df` restricted to the touched partitions, plus `__pw` (dense
+    integer id over the SORTED touched encodings — exactly the
+    per-partition filters of the legacy path) and, when `sizes` is
+    given, `__m` (the owning partition's bloom bitmap size).
+
+    Small fan-outs (≤ _FUSED_WHEN_MAX, the normal incremental batch) map
+    through chained null-safe WHENs — a pure expression, no extra plan
+    nodes. Larger fan-outs (whole-table migration, wide backfills) join
+    against a broadcast id map instead: Catalyst's analysis of a
+    thousands-deep CASE WHEN is quadratic and flirts with codegen
+    limits, while a broadcast hash join over a k-row local relation is
+    O(k) and the inner join drops non-touched rows for free."""
+    order = sorted(touched.items())
+    if len(order) <= _FUSED_WHEN_MAX:
+        col = F.col(partition_col)
+        pw = F.when(F.lit(False), F.lit(None))
+        for i, (_enc, val) in enumerate(order):
+            cond = col.isNull() if val is None else (col == F.lit(val))
+            pw = pw.when(cond, F.lit(i))
+        out = df.withColumn("__pw", pw).filter(F.col("__pw").isNotNull())
+        if sizes is not None:
+            m_expr = F.when(F.lit(False), F.lit(None))
+            for i, (m, _k) in enumerate(sizes):
+                m_expr = m_expr.when(F.col("__pw") == i, F.lit(m))
+            out = out.withColumn("__m", m_expr)
+        return out
+    ptype = df.schema[partition_col].dataType
+    fields = [
+        T.StructField("__pwv", ptype),
+        T.StructField("__pw", T.IntegerType(), False),
+    ]
+    rows: list[tuple] = [(val, i) for i, (_enc, val) in enumerate(order)]
+    if sizes is not None:
+        fields.append(T.StructField("__m", T.LongType(), False))
+        rows = [
+            (val, i, sizes[i][0]) for i, (_enc, val) in enumerate(order)
+        ]
+    mdf = df.sparkSession.createDataFrame(rows, T.StructType(fields))
+    return df.join(
+        F.broadcast(mdf),
+        df[partition_col].eqNullSafe(mdf["__pwv"]),
+        "inner",
+    ).drop("__pwv")
 
 
 def _write_prefixes_fused(
@@ -3567,9 +3675,7 @@ def _write_prefixes_fused(
 
     order = sorted(touched.items())
     staging = os.path.join(path, "data", f".stage-{snap}")
-    out = df.withColumn(
-        "__pw", _partition_id_column(df, partition_col, touched)
-    ).filter(F.col("__pw").isNotNull())
+    out = _with_partition_ids(df, partition_col, touched)
     if drop_cols:
         # hidden partitioning: the derived partition value selects the
         # rows but is never stored in the data files
@@ -3633,11 +3739,8 @@ def _write_bloom_sidecars_fused(
         n_rows = sum(f["rows"] for f in entries[enc]["files"])
         sizes.append(_bloom_size(n_rows))
     k_hashes = sizes[0][1]  # k is constant in _bloom_size
-    pw = _partition_id_column(df, partition_col, touched)
-    # per-row bitmap size: the owning partition's m
-    m_expr = F.when(F.lit(False), F.lit(None))
-    for i, (m, _k) in enumerate(sizes):
-        m_expr = m_expr.when(F.col("__pw") == i, F.lit(m))
+    # one shared base: __pw (partition id) + __m (that partition's m)
+    base = _with_partition_ids(df, partition_col, touched, sizes)
     frames = []
     for ci, bc in enumerate(bloom_cols):
         positions = F.array(
@@ -3647,9 +3750,7 @@ def _write_bloom_sidecars_fused(
             ]
         )
         frames.append(
-            df.withColumn("__pw", pw)
-            .filter(F.col("__pw").isNotNull() & F.col(bc).isNotNull())
-            .withColumn("__m", m_expr)
+            base.filter(F.col(bc).isNotNull())
             .select(
                 "__pw",
                 F.lit(ci).alias("__bc"),
@@ -4684,8 +4785,12 @@ def delete_manifest_rows(
                 delete_files += 1
                 new_entries[enc] = {
                     **entry,
+                    # ids: 3 = the record's _file values are 3-segment
+                    # '<partition>/<snap>/<basename>' (records without
+                    # the marker are legacy 2-segment, upgraded at read
+                    # time by _read_deletes)
                     "deletes": list(entry.get("deletes") or ())
-                    + [{"prefix": dprefix, "rows": n_match}],
+                    + [{"prefix": dprefix, "rows": n_match, "ids": 3}],
                 }
                 continue
             keep = live.filter(~delete_cond).drop("__f", "__p")

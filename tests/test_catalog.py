@@ -328,3 +328,59 @@ def test_time_travel_literal_stops_at_punctuation(spark, tmp_path):
         "SELECT count(*) AS n FROM tv VERSION AS OF 1, uv",
     ).first().n
     assert n2 == 30  # 10 × 3 cross join
+
+
+def test_bad_typed_literal_never_aborts_bloom_read(spark, tmp_path):
+    """Round-7 review: a probe value that can't coerce to the stored
+    type (arbitrary SQL text reaches the bloom path via catalog_sql)
+    must SKIP bloom pruning, so the user sees Spark's own error for the
+    predicate (ANSI cast / type mismatch — exactly what plain spark.sql
+    raises) instead of an internal ValueError from the driver-side
+    xxhash64 probe aborting plan construction."""
+    import datetime as dt
+
+    from pyspark.errors import AnalysisException
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    _mk(spark, t, 8)
+    sinks.manifest_set_layout(spark, t, bloom_cols=["k"])
+    sinks.compact_manifest(spark, t)
+    CAT.catalog_create_table(cat, "bt", t)
+    # string on bigint: plan builds (bloom skipped), collect raises
+    # Spark's ANSI cast error — the same failure plain SQL gives
+    with pytest.raises(CapturedException, match="CAST_INVALID_INPUT"):
+        CAT.catalog_sql(
+            spark, cat, "SELECT count(*) AS n FROM bt WHERE k = 'oops'"
+        ).collect()
+    # date on bigint through the direct read path: Spark's type-mismatch
+    # analysis error, not a TypeError from the probe
+    with pytest.raises(AnalysisException, match="DATATYPE_MISMATCH"):
+        sinks.read_manifest_table(
+            spark, t, predicates=[("k", "=", dt.date(2024, 1, 1))]
+        ).count()
+    # and a well-typed probe still prunes + answers on the same table
+    got = CAT.catalog_sql(
+        spark, cat, "SELECT v FROM bt WHERE k IN (3, 900)"
+    )
+    assert [r.v for r in got.collect()] == [6]
+
+
+def test_backtick_quoted_table_names(spark, tmp_path):
+    """Round-7 review: `backtick`-quoted cataloged names must rewrite as
+    whole tokens (the round-6 code fell through to the public view; the
+    rewriting code must not corrupt the identifier)."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    _mk(spark, t, 6)
+    CAT.catalog_create_table(cat, "bq", t)
+    out = CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM `bq` WHERE k >= 2"
+    )
+    assert out.first().n == 4
+    # quoted name + alias
+    out2 = CAT.catalog_sql(
+        spark, cat, "SELECT x.k FROM `bq` AS x WHERE x.k = 3"
+    )
+    assert out2.first().k == 3

@@ -202,3 +202,55 @@ def test_dml_refuses_pinned_entries(spark, tmp_path):
     CAT.catalog_create_table(cat, "pinned", t, ref="frozen")
     with pytest.raises(ValueError, match="pinned"):
         CAT.catalog_sql(spark, cat, "DELETE FROM pinned WHERE k = 1")
+
+
+def test_positional_insert_requires_full_width(spark, tmp_path):
+    """Round-7 review: INSERT without a column list must match the
+    table's column count exactly — a narrower source would silently
+    shift values into the wrong columns (standard SQL rejects it)."""
+    cat, t = _cat(spark, tmp_path, 4)
+    with pytest.raises(ValueError, match="column list"):
+        CAT.catalog_sql(
+            spark, cat, "INSERT INTO tbl SELECT k, v FROM tbl"
+        )
+    # the explicit-column-list form is the supported subset shape
+    CAT.catalog_sql(spark, cat, "INSERT INTO tbl (k, day) VALUES (77, 1)")
+    row = sinks.read_manifest_table(spark, t).filter("k = 77").first()
+    assert row.day == 1 and row.v is None
+
+
+def test_merge_alias_named_t_or_s_and_string_literals(spark, tmp_path):
+    """Round-7 review: alias rewriting is one simultaneous pass outside
+    string literals — aliases literally named t/s (or swapped) can't be
+    double-rewritten, and quoted data text is never altered."""
+    cat, t = _cat(spark, tmp_path, 4)
+    src = spark.createDataFrame([(2, 0, 222), (9, 1, 999)],
+                                "k long, day long, v long")
+    src.createOrReplaceTempView("m_src")
+    # source aliased 't', target aliased 's' — the adversarial swap
+    r = CAT.catalog_sql(
+        spark, cat,
+        "MERGE INTO tbl AS s USING m_src AS t ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET v = t.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ).first()
+    assert (r.updated, r.inserted) == (1, 1)
+    out = sinks.read_manifest_table(spark, t)
+    assert out.filter("k = 2").first().v == 222
+    assert out.filter("k = 9").first().v == 999
+    # string literals pass through the rewrite untouched
+    sinks.manifest_add_column(spark, t, "note", "string")
+    CAT.catalog_sql(
+        spark, cat,
+        "MERGE INTO tbl AS a USING m_src AS b ON a.k = b.k "
+        "WHEN MATCHED THEN UPDATE SET note = 'about a.v and b.v'",
+    )
+    got = sinks.read_manifest_table(spark, t).filter("k = 2").first()
+    assert got.note == "about a.v and b.v"
+    # identical qualifiers on both sides refuse loudly
+    with pytest.raises(ValueError, match="alias"):
+        CAT.catalog_sql(
+            spark, cat,
+            "MERGE INTO tbl AS x USING m_src AS x ON x.k = x.k "
+            "WHEN MATCHED THEN DELETE",
+        )

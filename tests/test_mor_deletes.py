@@ -329,3 +329,56 @@ def test_mor_replay_idempotent_delete(spark, tmp_path):
     r = sinks.delete_manifest_rows(spark, path, [("k", "<", 5)], mode="mor")
     assert r["deleted"] == 0 and r["delete_files_written"] == 0
     assert sinks.manifest_versions(path)[-1] == v  # nothing to commit
+
+
+def test_legacy_two_segment_delete_files_still_apply(spark, tmp_path):
+    """On-disk compat (round-7 review): delete files written by the
+    pre-fused-write code store 2-segment '<snap>/<basename>' ids and no
+    'ids' marker. The reader must upgrade them (prepend the partition
+    dir) instead of silently resurrecting the deleted rows."""
+    import json
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, n=40, parts=4)
+
+    # write the delete the ROUND-6 way: 2-segment file ids
+    real = sinks._file_id
+
+    def legacy_id():
+        parts = F.split(F.col("_metadata.file_path"), "/")
+        return F.concat_ws(
+            "/", F.element_at(parts, -2), F.element_at(parts, -1)
+        )
+
+    sinks._file_id = legacy_id
+    try:
+        r = sinks.delete_manifest_rows(
+            spark, path, [("k", "<", 8)], mode="mor"
+        )
+    finally:
+        sinks._file_id = real
+    assert r["deleted"] == 8
+    # strip the ids marker the modern writer stamped — legacy records
+    # had none
+    versions = sinks.manifest_versions(path)
+    cpath = os.path.join(path, "_commits", f"v{versions[-1]:08d}.json")
+    m = json.load(open(cpath))
+    for e in m["partitions"].values():
+        for d in e.get("deletes") or ():
+            d.pop("ids", None)
+    json.dump(m, open(cpath, "w"))
+
+    # the legacy deletes still apply exactly
+    assert _keys(spark, path) == list(range(8, 40))
+    assert sinks.manifest_count(spark, path)["count"] == 32
+    # overlapping NEW delete (3-segment) coexists with the legacy one
+    assert sinks.delete_manifest_rows(
+        spark, path, [("k", "<", 10)], mode="mor"
+    )["deleted"] == 2
+    assert _keys(spark, path) == list(range(10, 40))
+    # a rewrite folds BOTH delete generations without resurrection
+    sinks.compact_manifest(spark, path)
+    assert _keys(spark, path) == list(range(10, 40))
+    assert not any(
+        e.get("deletes") for e in sinks.read_manifest(path)["partitions"].values()
+    )

@@ -2334,3 +2334,48 @@ def test_timestamp_file_stats_recorded_and_prune(spark, tmp_path):
     assert len(opened) == 1 and "d2" in opened[0]
     got = sinks.read_manifest_table(spark, path, predicates=pred)
     assert [r.id for r in got.collect()] == [2]
+
+
+def test_fused_write_large_fanout_uses_join_mapping(spark, tmp_path):
+    """Round-7 review: fan-outs past _FUSED_WHEN_MAX partitions map ids
+    through a broadcast join instead of a chained CASE WHEN (Catalyst
+    analysis of a thousands-deep WHEN chain is quadratic). Same results,
+    blooms included, NULL partition included."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "wide")
+    n_parts = sinks._FUSED_WHEN_MAX + 36
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 97 == 0, None)
+        .otherwise(F.col("id") % n_parts)
+        .alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, df, path, ["k"], partition_col="day", bloom_cols=["k"]
+    )
+    m = sinks.read_manifest(path)
+    assert len(m["partitions"]) == n_parts + 1  # + the NULL partition
+    assert all(e.get("blooms", {}).get("k") for e in m["partitions"].values())
+    out = sinks.read_manifest_table(spark, path)
+    assert out.count() == 500
+    assert sorted(r.k for r in out.collect()) == list(range(500))
+    # bloom point lookup still prunes on the join-mapped sidecars
+    got = sinks.read_manifest_point_lookup(spark, path, "k", [123])
+    assert [r.v for r in got.collect()] == [246]
+
+
+def test_timestamp_conf_refcounts_across_overlapping_writes(spark, tmp_path):
+    """Round-7 review: overlapping manifest writes on one session must
+    not strip the TIMESTAMP_MICROS conf from under each other — the
+    inner exit keeps it set, only the last exit restores."""
+    key = "spark.sql.parquet.outputTimestampType"
+    before = spark.conf.get(key, None)
+    with sinks._timestamp_stats_conf(spark):
+        assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+        with sinks._timestamp_stats_conf(spark):
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+        # inner exit: still pinned for the outer writer
+        assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+    assert spark.conf.get(key, None) == before
