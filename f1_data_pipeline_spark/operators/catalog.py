@@ -182,7 +182,16 @@ def catalog_sql(
     keeps its own lifecycle); `SHOW TABLES`; `DESCRIBE [TABLE] name`
     (columns + partition spec + layout + constraints + version);
     `DESCRIBE HISTORY name`; `VACUUM name [RETAIN n HOURS]`;
-    `OPTIMIZE name [ZORDER BY (cols)]` → `compact_manifest`.
+    `OPTIMIZE name [ZORDER BY (cols)]` → `compact_manifest`;
+    `INSERT OVERWRITE t SELECT ...` → `replace_manifest_partitions`
+    (each partition present in the source replaced wholesale);
+    `ALTER TABLE t ADD|DROP COLUMN / ADD|DROP CONSTRAINT ... CHECK /
+    CREATE|DROP TAG [AS OF VERSION n]`; `RESTORE TABLE t TO VERSION AS
+    OF <n | 'tag'>` → `restore_manifest` (metadata-only rollback).
+
+    `SELECT COUNT(*) [AS a] FROM t [WHERE simple conjunction]` is
+    answered from manifest metadata (`manifest_count`) — zero files
+    opened without a predicate; always exact.
 
     DML statements route to the manifest write verbs (the reference's
     core op is the upsert, loaders/__init__.py:253-273, so a SQL-only
@@ -232,7 +241,8 @@ def catalog_sql(
             spark, catalog_path, tables, verb.group(1).lower(), sql
         )
     ddl = _re().match(
-        r"\s*(create|drop|show|describe|desc|vacuum|optimize)\b",
+        r"\s*(create|drop|show|describe|desc|vacuum|optimize|alter"
+        r"|restore)\b",
         sql, _re().I,
     )
     if ddl:
@@ -779,17 +789,51 @@ def _catalog_dml(
 
     if verb == "insert":
         m = re.match(
-            r"\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*(.+)$",
+            r"\s*INSERT\s+(INTO|OVERWRITE)\s+([A-Za-z_]\w*)"
+            r"\s*(?:\(([^)]*)\))?\s*(.+)$",
             sql,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(
-                "unsupported INSERT shape — expected INSERT INTO <table> "
-                "[(col, ...)] SELECT ... | VALUES ..."
+                "unsupported INSERT shape — expected INSERT INTO|OVERWRITE "
+                "<table> [(col, ...)] SELECT ... | VALUES ..."
             )
-        name, collist, body = m.group(1), m.group(2), m.group(3).strip()
+        mode, name, collist, body = (
+            m.group(1).upper(), m.group(2), m.group(3), m.group(4).strip()
+        )
         e = _dml_table(tables, name)
+        if mode == "OVERWRITE":
+            if collist is not None:
+                raise ValueError(
+                    "INSERT OVERWRITE takes no column list — the batch "
+                    "must carry every table column (replace rewrites "
+                    "partitions wholesale and cannot backfill)"
+                )
+            from .sinks import replace_manifest_partitions
+
+            if re.match(r"VALUES\b", body, re.IGNORECASE):
+                src = spark.sql(f"SELECT * FROM {body}")
+            else:
+                src = catalog_sql(spark, catalog_path, body)
+            mft = read_manifest(e["path"])
+            fields = [
+                f["name"] for f in (mft.get("schema") or {}).get("fields", [])
+            ]
+            if len(src.columns) != len(fields):
+                raise ValueError(
+                    f"INSERT OVERWRITE source produces {len(src.columns)} "
+                    f"columns but table {name!r} has {len(fields)}"
+                )
+            r = replace_manifest_partitions(
+                spark, src.toDF(*fields), e["path"],
+                partition_col=mft["partition_col"],
+            )
+            return _metrics_df(
+                spark,
+                {"rows": r["rows"],
+                 "partitions_replaced": r["partitions_replaced"]},
+            )
         if re.match(r"VALUES\b", body, re.IGNORECASE):
             src = spark.sql(f"SELECT * FROM {body}")
         else:
@@ -1167,6 +1211,93 @@ def _catalog_ddl(
         # the NAME is dropped; data keeps its own lifecycle (vacuum/rm
         # through the table verbs) — same contract as catalog_drop_table
         return _metrics_df(spark, {"dropped": 1})
+
+    if verb == "restore":
+        # Delta syntax: RESTORE TABLE t TO VERSION AS OF n | 'tag'
+        m = re.match(
+            r"\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+VERSION\s+AS\s+OF"
+            r"\s+('[^']*'|\w+)\s*$",
+            sql, re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported RESTORE — RESTORE TABLE <name> TO VERSION "
+                "AS OF <n | 'tag'>"
+            )
+        e = _dml_table(tables, m.group(1))
+        lit = m.group(2)
+        target = lit[1:-1] if lit.startswith("'") else int(lit)
+        r = sinks.restore_manifest(spark, e["path"], target)
+        return _metrics_df(
+            spark,
+            {k: r[k] for k in ("restored_to", "new_version",
+                               "partitions_changed")},
+        )
+
+    if verb == "alter":
+        # ALTER TABLE t ADD COLUMN c type | DROP COLUMN c
+        #            | ADD CONSTRAINT name CHECK (expr)
+        #            | DROP CONSTRAINT name
+        #            | CREATE TAG name [AS OF VERSION n] | DROP TAG name
+        hm = re.match(
+            r"\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+(.+?)\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if not hm:
+            raise ValueError("unsupported ALTER — ALTER TABLE <name> ...")
+        e = _dml_table(tables, hm.group(1))
+        action = hm.group(2)
+        m = re.match(
+            r"ADD\s+COLUMN\s+([A-Za-z_]\w*)\s+(.+)$", action, re.IGNORECASE
+        )
+        if m:
+            sinks.manifest_add_column(
+                spark, e["path"], m.group(1), m.group(2).strip()
+            )
+            return _metrics_df(spark, {"columns_added": 1})
+        m = re.match(
+            r"DROP\s+COLUMN\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+        )
+        if m:
+            sinks.manifest_drop_column(spark, e["path"], m.group(1))
+            return _metrics_df(spark, {"columns_dropped": 1})
+        m = re.match(
+            r"ADD\s+CONSTRAINT\s+([A-Za-z_]\w*)\s+CHECK\s*"
+            r"\(((?:[^()]|\([^()]*\))*)\)\s*$",
+            action, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            sinks.manifest_add_constraint(
+                spark, e["path"], m.group(1), m.group(2).strip()
+            )
+            return _metrics_df(spark, {"constraints_added": 1})
+        m = re.match(
+            r"DROP\s+CONSTRAINT\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+        )
+        if m:
+            sinks.manifest_drop_constraint(spark, e["path"], m.group(1))
+            return _metrics_df(spark, {"constraints_dropped": 1})
+        m = re.match(
+            r"CREATE\s+TAG\s+([A-Za-z_]\w*)"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+            action, re.IGNORECASE,
+        )
+        if m:
+            v = sinks.manifest_tag(
+                e["path"], m.group(1),
+                int(m.group(2)) if m.group(2) else None,
+            )
+            return _metrics_df(spark, {"tagged_version": v})
+        m = re.match(
+            r"DROP\s+TAG\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+        )
+        if m:
+            sinks.manifest_delete_tag(e["path"], m.group(1))
+            return _metrics_df(spark, {"tags_dropped": 1})
+        raise ValueError(
+            f"unsupported ALTER action {action.strip()!r} — ADD|DROP "
+            "COLUMN, ADD|DROP CONSTRAINT, CREATE|DROP TAG"
+        )
 
     # CREATE TABLE name [(col type, ...)] [PARTITIONED BY (spec)]
     # [LOCATION 'path'] [AS select]

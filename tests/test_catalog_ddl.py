@@ -203,3 +203,54 @@ def test_count_star_metadata_fast_path(spark, tmp_path):
     assert CAT.catalog_sql(
         spark, cat, "SELECT count(k) AS n FROM src"
     ).first().n == 19  # count(col) ≠ count(*): never fast-pathed
+
+
+def test_insert_overwrite(spark, tmp_path):
+    """INSERT OVERWRITE replaces each partition present in the source
+    wholesale (Iceberg/Delta replaceWhere), other partitions untouched."""
+    cat, t = _seed(spark, tmp_path)  # 20 rows, day = k % 4
+    r = CAT.catalog_sql(
+        spark, cat,
+        "INSERT OVERWRITE src SELECT k + 100 AS k, day, v FROM src "
+        "WHERE day = 1",
+    ).first()
+    assert (r.rows, r.partitions_replaced) == (5, 1)
+    out = sinks.read_manifest_table(spark, t)
+    assert out.count() == 20  # day 1 replaced (5 for 5), rest untouched
+    assert out.filter("day = 1").agg({"k": "min"}).first()[0] == 101
+    assert out.filter("day = 0").count() == 5
+    with pytest.raises(ValueError, match="no column list"):
+        CAT.catalog_sql(
+            spark, cat, "INSERT OVERWRITE src (k) SELECT k FROM src"
+        )
+
+
+def test_alter_table_and_restore(spark, tmp_path):
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(spark, cat, "ALTER TABLE src ADD COLUMN note string")
+    assert "note" in sinks.read_manifest_table(spark, t).columns
+    CAT.catalog_sql(
+        spark, cat, "ALTER TABLE src ADD CONSTRAINT v_ok CHECK (v >= 0)"
+    )
+    with pytest.raises(sinks.ConstraintViolationError):
+        CAT.catalog_sql(spark, cat, "UPDATE src SET v = -1 WHERE k = 1")
+    CAT.catalog_sql(spark, cat, "ALTER TABLE src DROP CONSTRAINT v_ok")
+    CAT.catalog_sql(spark, cat, "ALTER TABLE src DROP COLUMN note")
+    assert "note" not in sinks.read_manifest_table(spark, t).columns
+
+    # tag + restore through SQL
+    CAT.catalog_sql(spark, cat, "ALTER TABLE src CREATE TAG clean")
+    CAT.catalog_sql(spark, cat, "DELETE FROM src WHERE k < 10")
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM src"
+    ).first().n == 10
+    r = CAT.catalog_sql(
+        spark, cat, "RESTORE TABLE src TO VERSION AS OF 'clean'"
+    ).first()
+    assert r.partitions_changed >= 1
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM src"
+    ).first().n == 20
+    CAT.catalog_sql(spark, cat, "ALTER TABLE src DROP TAG clean")
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        CAT.catalog_sql(spark, cat, "ALTER TABLE src RENAME TO x")
