@@ -251,6 +251,8 @@ def catalog_sql(
         )
     sql, travel = _strip_time_travel(sql, tables)
     fast = _count_star_fast_path(spark, tables, sql, travel)
+    if fast is None:
+        fast = _min_max_fast_path(spark, tables, sql, travel)
     if fast is not None:
         return fast
     refs = _relation_refs(sql, tables)
@@ -592,6 +594,120 @@ def _relation_refs(sql: str, tables: dict) -> list[dict]:
             }
         )
     return refs
+
+
+# stat types whose parquet min/max are always EXACT values — string and
+# binary bounds may be writer-truncated (still sound for pruning, but a
+# truncated max is not the answer to max(col)), so they never fast-path
+_EXACT_STAT_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "boolean",
+    "date", "timestamp",
+)
+
+
+def _min_max_fast_path(
+    spark: SparkSession, tables: dict, sql: str, travel: dict
+):
+    """`SELECT min(c)|max(c)|count(*) [AS a], ... FROM t` (no WHERE, no
+    GROUP BY) answered from manifest metadata via
+    `manifest_column_bounds` — the watermark probe a 100 TB incremental
+    scheduler runs every cycle, as SQL with zero data I/O. Exactness
+    rules: only numeric/date/timestamp/boolean columns (string parquet
+    bounds may be writer-truncated — sound for pruning, wrong as an
+    ANSWER); MoR delete-bearing or stats-less partitions make bounds
+    unanswerable → normal plan; an empty table or an all-NULL column
+    answers NULL (the correct SQL aggregate over zero non-null rows).
+    Returns None for any shape outside this — never a wrong answer."""
+    import datetime as _dt
+    import re
+
+    from pyspark.sql import types as T
+
+    from .sinks import manifest_column_bounds, read_manifest
+
+    m = re.match(
+        r"\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s*$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    select_list, name = m.groups()
+    if name not in tables or name.lower() in _cte_names(
+        _strip_sql_strings(sql)
+    ):
+        return None
+    items = []
+    for part in _split_top_commas(select_list):
+        im = re.match(
+            r"^(MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+AS\s+"
+            r"([A-Za-z_]\w*))?$|^(COUNT)\s*\(\s*\*\s*\)(?:\s+AS\s+"
+            r"([A-Za-z_]\w*))?$",
+            part.strip(), re.IGNORECASE,
+        )
+        if not im:
+            return None
+        if im.group(4):  # count(*)
+            items.append(("count", None, im.group(5) or "count(1)"))
+        else:
+            fn, col = im.group(1).lower(), im.group(2)
+            items.append((fn, col, im.group(3) or f"{fn}({col})"))
+    if not any(fn != "count" for fn, _c, _a in items):
+        return None  # pure count is _count_star_fast_path's shape
+    e = tables[name]
+    v = travel.get(name)
+    if v is None:
+        v = resolve_manifest_ref(e["path"], e.get("ref"))
+    mft = read_manifest(e["path"], v)
+    if mft is None or mft.get("schema") is None:
+        return None
+    ftypes = {
+        f["name"]: T.StructType.fromJson(mft["schema"])[f["name"]].dataType
+        for f in mft["schema"].get("fields", [])
+    }
+    values, fields, bounds_cache = [], [], {}
+    for fn, col, alias in items:
+        if fn == "count":
+            b = bounds_cache.setdefault(
+                "*", manifest_column_bounds(e["path"], "__none__", version=v)
+            )
+            if b["rows"] is None:
+                return None
+            values.append(int(b["rows"]))
+            fields.append(T.StructField(alias, T.LongType(), False))
+            continue
+        dt = ftypes.get(col)
+        if dt is None or dt.simpleString() not in _EXACT_STAT_TYPES:
+            return None
+        b = bounds_cache.setdefault(
+            col, manifest_column_bounds(e["path"], col, version=v)
+        )
+        if b["rows"] is None:
+            return None
+        raw = b[fn]
+        if raw is None:
+            # NULL is the CORRECT answer only when provably no non-null
+            # value exists (empty table, or every row null)
+            if b["rows"] == 0 or (
+                b["nulls"] is not None and b["nulls"] == b["rows"]
+            ):
+                values.append(None)
+                fields.append(T.StructField(alias, dt, True))
+                continue
+            return None  # stats couldn't answer — normal plan
+        # stored bounds are JSON-normalized: temporal types come back as
+        # ISO text and must be re-typed
+        if dt.simpleString() == "timestamp":
+            raw = _dt.datetime.fromisoformat(raw).replace(
+                tzinfo=_dt.timezone.utc
+            )
+        elif dt.simpleString() == "date":
+            raw = _dt.date.fromisoformat(raw)
+        values.append(raw)
+        fields.append(T.StructField(alias, dt, True))
+    _log().debug(
+        "catalog_sql min/max on %s answered from metadata", name
+    )
+    return spark.createDataFrame([tuple(values)], T.StructType(fields))
 
 
 def _extract_pushdown_predicates(

@@ -254,3 +254,58 @@ def test_alter_table_and_restore(spark, tmp_path):
     CAT.catalog_sql(spark, cat, "ALTER TABLE src DROP TAG clean")
     with pytest.raises(ValueError, match="unsupported ALTER"):
         CAT.catalog_sql(spark, cat, "ALTER TABLE src RENAME TO x")
+
+
+def test_min_max_metadata_fast_path(spark, tmp_path):
+    """SELECT min/max (+count) answers from manifest bounds with zero
+    data I/O for exact-stat types; strings, MoR-delete-bearing tables,
+    and WHERE clauses fall back to the real plan; empty/all-NULL columns
+    answer NULL (the correct SQL aggregate)."""
+    import datetime as dt
+
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, 0, 5.5, "b", dt.datetime(2024, 3, 5, 4, tzinfo=dt.timezone.utc)),
+            (2, 0, -1.0, "a", dt.datetime(2024, 3, 7, 9, tzinfo=dt.timezone.utc)),
+            (3, 1, 9.25, "c", dt.datetime(2024, 3, 6, 12, tzinfo=dt.timezone.utc)),
+        ],
+        "k long, day long, v double, s string, ts timestamp",
+    )
+    sinks.merge_upsert_manifest(spark, df, t, ["k"], partition_col="day")
+    CAT.catalog_create_table(cat, "mm", t)
+    CAT.register_catalog_views(spark, cat)
+
+    q = "SELECT min(v) AS lo, max(v) AS hi, max(ts) AS w, count(*) AS n FROM mm"
+    got = CAT.catalog_sql(spark, cat, q)
+    assert got.inputFiles() == []  # metadata-only
+    want = spark.sql(q).first()
+    r = got.first()
+    assert (r.lo, r.hi, r.w, r.n) == (want.lo, want.hi, want.w, want.n)
+    # unaliased naming matches plain spark.sql
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT max(k) FROM mm"
+    ).columns == spark.sql("SELECT max(k) FROM mm").columns
+
+    # strings fall back (parquet string bounds may be truncated)
+    fb = CAT.catalog_sql(spark, cat, "SELECT max(s) AS m FROM mm")
+    assert fb.first().m == "c" and fb.inputFiles() != []
+    # WHERE falls back
+    fb2 = CAT.catalog_sql(spark, cat,
+                          "SELECT max(v) AS m FROM mm WHERE day = 0")
+    assert fb2.first().m == 5.5 and fb2.inputFiles() != []
+
+    # all-NULL column answers NULL from metadata
+    sinks.manifest_add_column(spark, t, "empty_col", "double")
+    r2 = CAT.catalog_sql(
+        spark, cat, "SELECT min(empty_col) AS m, count(*) AS n FROM mm"
+    ).first()
+    assert r2.m is None and r2.n == 3
+
+    # a MoR delete file makes bounds unanswerable → real plan, still
+    # right (k=2 lives in the two-row day-0 partition, so the delete
+    # writes a position file instead of dropping the entry)
+    sinks.delete_manifest_rows(spark, t, [("k", "=", 2)], mode="mor")
+    out = CAT.catalog_sql(spark, cat, "SELECT min(v) AS m FROM mm")
+    assert out.first().m == 5.5 and out.inputFiles() != []

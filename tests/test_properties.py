@@ -464,3 +464,29 @@ def test_line_removal_invariants(spark, texts, frac):
     for i in range(len(texts)):
         assert again[i]["removed_lines"] == 0
         assert again[i]["clean_text"] == out[i]["clean_text"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    ftype=st.integers(min_value=0, max_value=4),
+)
+def test_png_roundtrip_property(w, h, seed, ftype):
+    """PNG encode→decode is the identity on arbitrary RGB pixel arrays,
+    for every scanline filter type the decoder supports — including 1-px
+    edge geometries where the left/up filter references fall off."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators import multimodal as M
+    from tests.test_multimodal import _encode_png_filtered
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = (
+        M.encode_png(px) if ftype == 0 else _encode_png_filtered(px, ftype)
+    )
+    w2, h2, back = M.decode_png(payload)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(np.asarray(back), px)
