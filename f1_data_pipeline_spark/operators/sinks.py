@@ -5237,6 +5237,91 @@ def restore_manifest(
     }
 
 
+def consume_table_changes(
+    spark: SparkSession,
+    src_path: str,
+    keys: Sequence[str],
+    target_path: str,
+    apply_fn,
+    consumer_key: str = "consumed_src_version",
+    include_preimage: bool = False,
+) -> dict:
+    """The generalized exactly-once CDC consumer loop — the pattern
+    `curate_table_increment` and `replicate_table_increment` specialize,
+    exposed for ANY user-defined incremental pipeline (feature
+    extraction, scoring, secondary-index maintenance):
+
+    1. window = (the TARGET table's `consumer_key` app metadata, the
+       source's latest version) — consumer state lives WITH the output.
+    2. `apply_fn(feed, app_metadata)` is called with the window's
+       row-level change feed (`_change` tagged; the full snapshot tagged
+       all-insert on bootstrap) and the `{consumer_key: latest}` dict it
+       MUST pass as `app_metadata=` to its FINAL manifest write verb on
+       `target_path` — that lands the watermark in the SAME atomic
+       commit as the cycle's output: crash anywhere and both rewind
+       together, so a rerun replays the identical window.
+    3. If `apply_fn` returns without advancing the watermark (it wrote
+       nothing — a junk-only window), a watermark-only `set_app` commit
+       advances it so the window is never re-walked and a vacuum past it
+       can't strip the feed's versions mid-window.
+
+    Replay contract: `apply_fn` must be idempotent over one window
+    (MERGE-family verbs are) — if it writes WITHOUT the app_metadata
+    and crashes before this function's fallback commit, the rerun
+    repeats the window against its own output, which converges for
+    idempotent writes and duplicates for blind appends (pass the
+    metadata; the kwarg exists so you never need the fallback).
+
+    Cost ∝ changed partitions, never source size (`manifest_row_changes`
+    scans only what the manifests say changed). Returns {"window",
+    "bootstrapped", "rows_in_feed" (None — never counted here; count in
+    apply_fn if wanted), "advanced"}."""
+    versions = manifest_versions(src_path)
+    if not versions:
+        raise FileNotFoundError(f"no manifest at {src_path}")
+    latest = versions[-1]
+    target_exists = bool(manifest_versions(target_path))
+    last = (
+        manifest_app_metadata(target_path).get(consumer_key)
+        if target_exists
+        else None
+    )
+    out = {
+        "window": [last, latest],
+        "bootstrapped": last is None,
+        "rows_in_feed": None,
+        "advanced": False,
+    }
+    if last == latest:
+        return out
+    if last is None:
+        feed = read_manifest_table(
+            spark, src_path, version=latest
+        ).withColumn("_change", F.lit("insert"))
+    else:
+        feed = manifest_row_changes(
+            spark, src_path, list(keys), last, latest,
+            include_preimage=include_preimage,
+        )
+    apply_fn(feed, {consumer_key: latest})
+    if (
+        bool(manifest_versions(target_path))
+        and manifest_app_metadata(target_path).get(consumer_key) == latest
+    ):
+        out["advanced"] = True
+        return out
+    if not manifest_versions(target_path):
+        raise ValueError(
+            f"apply_fn produced no manifest at {target_path} — the "
+            "consumer watermark has nowhere to live; bootstrap must "
+            "create the target (an empty create_manifest_table counts)"
+        )
+    # the fallback watermark-only commit (see the replay contract above)
+    manifest_set_app_metadata(spark, target_path, {consumer_key: latest})
+    out["advanced"] = True
+    return out
+
+
 def read_manifest_increment(
     spark: SparkSession,
     path: str,

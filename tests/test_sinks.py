@@ -2379,3 +2379,91 @@ def test_timestamp_conf_refcounts_across_overlapping_writes(spark, tmp_path):
         # inner exit: still pinned for the outer writer
         assert spark.conf.get(key) == "TIMESTAMP_MICROS"
     assert spark.conf.get(key, None) == before
+
+
+def test_consume_table_changes_generalized_loop(spark, tmp_path):
+    """The generalized exactly-once CDC consumer: bootstrap = full
+    snapshot, increments = only the changed window, watermark atomic
+    with output, junk-only windows advance via watermark-only commit,
+    crash-before-watermark replays converge for idempotent apply_fns."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    sinks.merge_upsert_manifest(spark, df, src, ["k"], partition_col="day")
+
+    seen_windows = []
+
+    def apply_fn(feed, app_metadata):
+        # maintain a filtered replica: only even v, deletes propagate
+        seen_windows.append(
+            sorted(r.k for r in feed.select("k").distinct().collect())
+        )
+        ups = feed.filter(
+            F.col("_change").isin("insert", "update_postimage")
+        ).filter("v % 4 = 0").drop("_change")
+        sinks.merge_upsert_manifest(
+            spark, ups.select("k", "day", "v"), tgt, keys=["k"],
+            partition_col="day", app_metadata=app_metadata,
+        )
+
+    # bootstrap: full snapshot as inserts
+    r1 = sinks.consume_table_changes(spark, src, ["k"], tgt, apply_fn)
+    assert r1["bootstrapped"] and r1["advanced"]
+    assert seen_windows[0] == list(range(10))
+    assert sorted(
+        r.k for r in sinks.read_manifest_table(spark, tgt).collect()
+    ) == [0, 2, 4, 6, 8]
+
+    # caught up: no-op, apply_fn not called
+    assert sinks.consume_table_changes(
+        spark, src, ["k"], tgt, apply_fn
+    )["advanced"] is False
+    assert len(seen_windows) == 1
+
+    # incremental: only the delta reaches apply_fn
+    up = spark.createDataFrame([(3, 1, 4), (20, 0, 8)],
+                               "k long, day long, v long")
+    sinks.merge_upsert_manifest(spark, up, src, ["k"], partition_col="day")
+    r2 = sinks.consume_table_changes(spark, src, ["k"], tgt, apply_fn)
+    assert r2["advanced"] and not r2["bootstrapped"]
+    assert set(seen_windows[1]) <= {1, 3, 5, 7, 9, 20}  # day-1 + day-0 changed parts
+    got = sorted(
+        r.k for r in sinks.read_manifest_table(spark, tgt).collect()
+    )
+    assert got == [0, 2, 3, 4, 6, 8, 20]
+
+    # junk-only window: nothing qualifies, watermark-only commit advances
+    junk = spark.createDataFrame([(30, 0, 7)], "k long, day long, v long")
+    sinks.merge_upsert_manifest(spark, junk, src, ["k"], partition_col="day")
+    before_v = sinks.read_manifest(tgt)["version"]
+    r3 = sinks.consume_table_changes(spark, src, ["k"], tgt, apply_fn)
+    assert r3["advanced"]
+    m = sinks.read_manifest(tgt)
+    assert m["app"]["consumed_src_version"] == sinks.read_manifest(src)["version"]
+    assert m["version"] == before_v + 1  # set_app commit only
+
+    # crash-before-watermark replay: apply WITHOUT metadata, then rerun
+    def forgetful(feed, app_metadata):
+        ups = feed.filter(
+            F.col("_change").isin("insert", "update_postimage")
+        ).filter("v % 4 = 0").drop("_change")
+        sinks.merge_upsert_manifest(
+            spark, ups.select("k", "day", "v"), tgt, keys=["k"],
+            partition_col="day",
+        )  # no app_metadata — the simulated crash point
+
+    up2 = spark.createDataFrame([(40, 0, 8)], "k long, day long, v long")
+    sinks.merge_upsert_manifest(spark, up2, src, ["k"], partition_col="day")
+    sinks.consume_table_changes(spark, src, ["k"], tgt, forgetful)
+    # rerun with the proper consumer: already advanced (fallback commit)
+    assert sinks.consume_table_changes(
+        spark, src, ["k"], tgt, apply_fn
+    )["advanced"] is False
+    assert sorted(
+        r.k for r in sinks.read_manifest_table(spark, tgt).collect()
+    ) == [0, 2, 3, 4, 6, 8, 20, 40]
