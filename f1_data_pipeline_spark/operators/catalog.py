@@ -235,20 +235,9 @@ def catalog_sql(
     A CTE whose name shadows a cataloged table keeps its standard SQL
     meaning (those references are not rewritten)."""
     tables = catalog_tables(catalog_path)
-    verb = _re().match(r"\s*(insert|delete|update|merge)\b", sql, _re().I)
-    if verb:
-        return _catalog_dml(
-            spark, catalog_path, tables, verb.group(1).lower(), sql
-        )
-    ddl = _re().match(
-        r"\s*(create|drop|show|describe|desc|vacuum|optimize|alter"
-        r"|restore)\b",
-        sql, _re().I,
-    )
-    if ddl:
-        return _catalog_ddl(
-            spark, catalog_path, tables, ddl.group(1).lower(), sql
-        )
+    routed = _route_statement(spark, catalog_path, tables, sql)
+    if routed is not None:
+        return routed
     sql, travel = _strip_time_travel(sql, tables)
     fast = _count_star_fast_path(spark, tables, sql, travel)
     if fast is None:
@@ -271,6 +260,84 @@ def _re():
     import re
 
     return re
+
+
+# the one CREATE TABLE shape the catalog owns (groups: name, column
+# list, partition spec, location, CTAS body) — other CREATE syntax
+# (USING, TEMP VIEW, ...) passes through to Spark's own catalog
+_CREATE_TABLE_RE = (
+    r"\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)"
+    r"(?:\s*\(((?:[^()]|\([^()]*\))*)\))?"
+    r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?"
+    r"(?:\s+LOCATION\s+'([^']+)')?"
+    r"(?:\s+AS\s+(.+))?\s*$"
+)
+
+# per-verb regex locating the statement's TARGET table name — the
+# routing key: a cataloged target takes the manifest verbs, anything
+# else passes through to plain spark.sql untouched (so catalog_sql stays
+# a general SQL entry point for session-catalog tables and temp views)
+_TARGET_RES = {
+    "insert": r"\s*INSERT\s+(?:INTO|OVERWRITE)\s+([A-Za-z_]\w*)",
+    "delete": r"\s*DELETE\s+FROM\s+([A-Za-z_]\w*)",
+    "update": r"\s*UPDATE\s+([A-Za-z_]\w*)",
+    "merge": r"\s*MERGE\s+INTO\s+([A-Za-z_]\w*)",
+    "drop": r"\s*DROP\s+TABLE\s+([A-Za-z_]\w*)",
+    "describe": r"\s*DESC(?:RIBE)?\s+(?:HISTORY\s+)?(?:TABLE\s+)?"
+                r"([A-Za-z_]\w*)",
+    "vacuum": r"\s*VACUUM\s+([A-Za-z_]\w*)",
+    "optimize": r"\s*OPTIMIZE\s+([A-Za-z_]\w*)",
+    "alter": r"\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)",
+    "restore": r"\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)",
+}
+
+
+def _route_statement(
+    spark: SparkSession, catalog_path: str, tables: dict, sql: str
+):
+    """Dispatch a DML/DDL/maintenance statement: the manifest routing
+    when the target is a CATALOGED table (unsupported shapes against a
+    cataloged table raise — never a silent partial write), plain
+    spark.sql pass-through when the target isn't cataloged (session-
+    catalog tables, temp views — the pre-DDL-surface behavior), None
+    when the statement is a SELECT for the caller's pushdown path."""
+    import re
+
+    m = re.match(
+        r"\s*(insert|delete|update|merge|create|drop|show|describe"
+        r"|desc|vacuum|optimize|alter|restore)\b",
+        sql, re.IGNORECASE,
+    )
+    if not m:
+        return None
+    verb = m.group(1).lower()
+    if verb == "desc":
+        verb = "describe"
+    if verb == "show":
+        if re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.IGNORECASE):
+            return _catalog_ddl(spark, catalog_path, tables, "show", sql)
+        return spark.sql(sql)  # SHOW DATABASES/FUNCTIONS/... untouched
+    if verb == "create":
+        cm = re.match(_CREATE_TABLE_RE, sql, re.IGNORECASE | re.DOTALL)
+        if cm and (cm.group(1) in tables or cm.group(3) is not None):
+            # our shape (PARTITIONED BY present) or a name collision the
+            # catalog must report — route; other CREATE syntax (USING,
+            # TEMP VIEW, ...) is Spark's
+            return _catalog_ddl(spark, catalog_path, tables, "create", sql)
+        if cm:
+            raise ValueError(
+                "CREATE TABLE needs PARTITIONED BY (<col> | days(ts) | "
+                "months(ts) | years(ts) | bucket(N, col) | "
+                "truncate(W, col)) — manifest tables are "
+                "partition-committed"
+            )
+        return spark.sql(sql)
+    tm = re.match(_TARGET_RES[verb], sql, re.IGNORECASE)
+    if tm and tm.group(1) not in tables:
+        return spark.sql(sql)  # non-cataloged target: Spark's statement
+    if verb in ("insert", "delete", "update", "merge"):
+        return _catalog_dml(spark, catalog_path, tables, verb, sql)
+    return _catalog_ddl(spark, catalog_path, tables, verb, sql)
 
 
 def _count_star_fast_path(
@@ -660,16 +727,25 @@ def _min_max_fast_path(
     mft = read_manifest(e["path"], v)
     if mft is None or mft.get("schema") is None:
         return None
-    ftypes = {
-        f["name"]: T.StructType.fromJson(mft["schema"])[f["name"]].dataType
-        for f in mft["schema"].get("fields", [])
-    }
-    values, fields, bounds_cache = [], [], {}
+    # pin the snapshot ONCE: with v=None every bounds call below would
+    # re-resolve "latest" independently, and a commit landing mid-call
+    # could mix two versions' answers in one result row
+    v = mft["version"]
+    stored = T.StructType.fromJson(mft["schema"])
+    ftypes = {f.name: f.dataType for f in stored.fields}
+    values, fields = [], []
+    bounds_cache: dict[str, dict] = {}
+
+    def bounds(col: str) -> dict:
+        if col not in bounds_cache:  # setdefault would evaluate eagerly
+            bounds_cache[col] = manifest_column_bounds(
+                e["path"], col, version=v
+            )
+        return bounds_cache[col]
+
     for fn, col, alias in items:
         if fn == "count":
-            b = bounds_cache.setdefault(
-                "*", manifest_column_bounds(e["path"], "__none__", version=v)
-            )
+            b = bounds("__none__")
             if b["rows"] is None:
                 return None
             values.append(int(b["rows"]))
@@ -678,9 +754,7 @@ def _min_max_fast_path(
         dt = ftypes.get(col)
         if dt is None or dt.simpleString() not in _EXACT_STAT_TYPES:
             return None
-        b = bounds_cache.setdefault(
-            col, manifest_column_bounds(e["path"], col, version=v)
-        )
+        b = bounds(col)
         if b["rows"] is None:
             return None
         raw = b[fn]
@@ -919,42 +993,26 @@ def _catalog_dml(
             m.group(1).upper(), m.group(2), m.group(3), m.group(4).strip()
         )
         e = _dml_table(tables, name)
-        if mode == "OVERWRITE":
-            if collist is not None:
-                raise ValueError(
-                    "INSERT OVERWRITE takes no column list — the batch "
-                    "must carry every table column (replace rewrites "
-                    "partitions wholesale and cannot backfill)"
-                )
-            from .sinks import replace_manifest_partitions
-
-            if re.match(r"VALUES\b", body, re.IGNORECASE):
-                src = spark.sql(f"SELECT * FROM {body}")
-            else:
-                src = catalog_sql(spark, catalog_path, body)
-            mft = read_manifest(e["path"])
-            fields = [
-                f["name"] for f in (mft.get("schema") or {}).get("fields", [])
-            ]
-            if len(src.columns) != len(fields):
-                raise ValueError(
-                    f"INSERT OVERWRITE source produces {len(src.columns)} "
-                    f"columns but table {name!r} has {len(fields)}"
-                )
-            r = replace_manifest_partitions(
-                spark, src.toDF(*fields), e["path"],
-                partition_col=mft["partition_col"],
-            )
-            return _metrics_df(
-                spark,
-                {"rows": r["rows"],
-                 "partitions_replaced": r["partitions_replaced"]},
+        mft = read_manifest(e["path"])
+        if mft is None:
+            raise FileNotFoundError(
+                f"no manifest at {e['path']} — the cataloged name "
+                f"{name!r} points at a table whose data is gone"
             )
         if re.match(r"VALUES\b", body, re.IGNORECASE):
             src = spark.sql(f"SELECT * FROM {body}")
         else:
             src = catalog_sql(spark, catalog_path, body)
+        fields = [
+            f["name"] for f in (mft.get("schema") or {}).get("fields", [])
+        ]
         if collist is not None:
+            if mode == "OVERWRITE":
+                raise ValueError(
+                    "INSERT OVERWRITE takes no column list — the batch "
+                    "must carry every table column (replace rewrites "
+                    "partitions wholesale and cannot backfill)"
+                )
             cols = [c.strip() for c in collist.split(",") if c.strip()]
             if len(cols) != len(src.columns):
                 raise ValueError(
@@ -968,8 +1026,6 @@ def _catalog_dml(
             # column list the source must produce exactly the table's
             # column count (a narrower source would silently shift
             # values into the wrong columns; name the columns instead)
-            stored = (read_manifest(e["path"]) or {}).get("schema")
-            fields = [f["name"] for f in (stored or {}).get("fields", [])]
             if len(src.columns) != len(fields):
                 raise ValueError(
                     f"INSERT source produces {len(src.columns)} columns "
@@ -978,6 +1034,17 @@ def _catalog_dml(
                     "insert a subset"
                 )
             src = src.toDF(*fields)
+        if mode == "OVERWRITE":
+            from .sinks import replace_manifest_partitions
+
+            r = replace_manifest_partitions(
+                spark, src, e["path"], partition_col=mft["partition_col"]
+            )
+            return _metrics_df(
+                spark,
+                {"rows": r["rows"],
+                 "partitions_replaced": r["partitions_replaced"]},
+            )
         n = insert_into_manifest(spark, src, e["path"])
         return _metrics_df(spark, {"inserted": n})
 
@@ -1342,7 +1409,16 @@ def _catalog_ddl(
             )
         e = _dml_table(tables, m.group(1))
         lit = m.group(2)
-        target = lit[1:-1] if lit.startswith("'") else int(lit)
+        if lit.startswith("'"):
+            target: int | str = lit[1:-1]
+        else:
+            try:
+                target = int(lit)
+            except ValueError:
+                raise ValueError(
+                    f"RESTORE ... TO VERSION AS OF needs an integer "
+                    f"version or a 'quoted tag'; got {lit!r}"
+                ) from None
         r = sinks.restore_manifest(spark, e["path"], target)
         return _metrics_df(
             spark,
@@ -1417,14 +1493,7 @@ def _catalog_ddl(
 
     # CREATE TABLE name [(col type, ...)] [PARTITIONED BY (spec)]
     # [LOCATION 'path'] [AS select]
-    m = re.match(
-        r"\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)"
-        r"(?:\s*\(((?:[^()]|\([^()]*\))*)\))?"
-        r"(?:\s+PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\))?"
-        r"(?:\s+LOCATION\s+'([^']+)')?"
-        r"(?:\s+AS\s+(.+))?\s*$",
-        sql, re.IGNORECASE | re.DOTALL,
-    )
+    m = re.match(_CREATE_TABLE_RE, sql, re.IGNORECASE | re.DOTALL)
     if not m:
         raise ValueError(
             "unsupported CREATE — CREATE TABLE <name> [(col type, ...)] "

@@ -5246,10 +5246,17 @@ def consume_table_changes(
     consumer_key: str = "consumed_src_version",
     include_preimage: bool = False,
 ) -> dict:
-    """The generalized exactly-once CDC consumer loop — the pattern
-    `curate_table_increment` and `replicate_table_increment` specialize,
-    exposed for ANY user-defined incremental pipeline (feature
-    extraction, scoring, secondary-index maintenance):
+    """The generalized exactly-once CDC consumer loop, exposed for ANY
+    user-defined incremental pipeline (feature extraction, scoring,
+    secondary-index maintenance). `curate_table_increment` and
+    `replicate_table_increment` follow the same protocol but PREDATE
+    this verb and remain standalone deliberately: each carries extra
+    semantics a generic loop can't host (replication binds the replica
+    to ONE source and applies cross-partition movers as a forced
+    two-commit delete-then-upsert window; curation interleaves
+    watermark-only commits with persisted-index maintenance) — a
+    protocol change must be applied in all three places, which their
+    docstrings cross-reference.
 
     1. window = (the TARGET table's `consumer_key` app metadata, the
        source's latest version) — consumer state lives WITH the output.

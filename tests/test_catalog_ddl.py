@@ -146,11 +146,13 @@ def test_vacuum_and_optimize(spark, tmp_path):
         r.k for r in CAT.catalog_sql(spark, cat, "SELECT k FROM src").collect()
     )
     assert post == pre
-    # unsupported shapes raise loudly
-    for bad in ("SHOW DATABASES", "VACUUM src RETAIN x HOURS",
+    # unsupported shapes AGAINST A CATALOGED TABLE raise loudly
+    for bad in ("VACUUM src RETAIN x HOURS",
                 "OPTIMIZE src BY (k)", "DROP TABLE src CASCADE"):
         with pytest.raises(ValueError):
             CAT.catalog_sql(spark, cat, bad)
+    # statements about the SPARK catalog pass through untouched
+    assert CAT.catalog_sql(spark, cat, "SHOW DATABASES").count() >= 1
 
 
 def test_drop_table_keeps_data(spark, tmp_path):
@@ -309,3 +311,26 @@ def test_min_max_metadata_fast_path(spark, tmp_path):
     sinks.delete_manifest_rows(spark, t, [("k", "=", 2)], mode="mor")
     out = CAT.catalog_sql(spark, cat, "SELECT min(v) AS m FROM mm")
     assert out.first().m == 5.5 and out.inputFiles() != []
+
+
+def test_non_cataloged_targets_pass_through(spark, tmp_path):
+    """Round-7 review: DML/DDL whose target is NOT a cataloged table
+    passes through to plain spark.sql (temp views, session-catalog
+    tables) — the pre-DDL-surface behavior; only cataloged targets take
+    the manifest routing."""
+    cat, _ = _seed(spark, tmp_path)
+    spark.range(5).createOrReplaceTempView("plain_view")
+    out = CAT.catalog_sql(spark, cat, "DESCRIBE plain_view")
+    assert "id" in {r.col_name for r in out.collect()}
+    # ALTER against a non-cataloged name is Spark's error, not a
+    # catalog FileNotFoundError
+    with pytest.raises(Exception) as ei:
+        CAT.catalog_sql(spark, cat, "ALTER TABLE plain_view ADD COLUMN x int")
+    assert not isinstance(ei.value, FileNotFoundError)
+    # non-manifest CREATE syntax is Spark's too
+    with pytest.raises(Exception) as ei2:
+        CAT.catalog_sql(
+            spark, cat, "CREATE TABLE sparkmanaged USING nosuchformat"
+        )
+    assert not isinstance(ei2.value, ValueError)
+    spark.catalog.dropTempView("plain_view")
