@@ -256,12 +256,6 @@ def catalog_sql(
             spark.catalog.dropTempView(vname)
 
 
-def _re():
-    import re
-
-    return re
-
-
 # the one CREATE TABLE shape the catalog owns (groups: name, column
 # list, partition spec, location, CTAS body) — other CREATE syntax
 # (USING, TEMP VIEW, ...) passes through to Spark's own catalog
@@ -319,18 +313,26 @@ def _route_statement(
         return spark.sql(sql)  # SHOW DATABASES/FUNCTIONS/... untouched
     if verb == "create":
         cm = re.match(_CREATE_TABLE_RE, sql, re.IGNORECASE | re.DOTALL)
-        if cm and (cm.group(1) in tables or cm.group(3) is not None):
-            # our shape (PARTITIONED BY present) or a name collision the
-            # catalog must report — route; other CREATE syntax (USING,
-            # TEMP VIEW, ...) is Spark's
-            return _catalog_ddl(spark, catalog_path, tables, "create", sql)
-        if cm:
-            raise ValueError(
-                "CREATE TABLE needs PARTITIONED BY (<col> | days(ts) | "
-                "months(ts) | years(ts) | bucket(N, col) | "
-                "truncate(W, col)) — manifest tables are "
-                "partition-committed"
+        loc = cm.group(4) if cm else None
+        if cm and (
+            cm.group(1) in tables          # name collision to report
+            or cm.group(3) is not None     # PARTITIONED BY → our shape
+            or (                           # LOCATION under the catalog
+                loc is not None
+                and os.path.abspath(loc).startswith(
+                    os.path.abspath(catalog_path) + os.sep
+                )
             )
+            or (                           # CTAS over a cataloged table
+                cm.group(5) is not None
+                and _relation_refs(cm.group(5), tables)
+            )
+        ):
+            # catalog-owned syntax routes (a missing PARTITIONED BY then
+            # raises with the spec hint); plain `CREATE TABLE t (a int)`
+            # and other CREATE syntax (USING, TEMP VIEW, ...) pass
+            # through to Spark's own catalog untouched
+            return _catalog_ddl(spark, catalog_path, tables, "create", sql)
         return spark.sql(sql)
     tm = re.match(_TARGET_RES[verb], sql, re.IGNORECASE)
     if tm and tm.group(1) not in tables:
@@ -371,6 +373,10 @@ def _count_star_fast_path(
         _strip_sql_strings(sql)
     ):
         return None
+    e = tables[name]
+    v = travel.get(name)
+    if v is None:
+        v = resolve_manifest_ref(e["path"], e.get("ref"))
     preds = None
     if where is not None:
         try:
@@ -379,15 +385,13 @@ def _count_star_fast_path(
             return None  # OR / functions / qualified cols: normal path
         # a qualified column (t.k) or unknown column would make
         # parse_predicates/manifest_count misbehave — verify ownership
-        e0 = tables[name]
-        stored = (read_manifest(e0["path"]) or {}).get("schema") or {}
+        # against the RESOLVED snapshot's schema (a time-traveled query
+        # must see the pinned version's columns, not today's — a column
+        # added after the pin doesn't exist at that snapshot)
+        stored = (read_manifest(e["path"], v) or {}).get("schema") or {}
         cols = {f["name"] for f in stored.get("fields", [])}
         if any(c not in cols for c, _op, _v in preds):
             return None
-    e = tables[name]
-    v = travel.get(name)
-    if v is None:
-        v = resolve_manifest_ref(e["path"], e.get("ref"))
     r = manifest_count(spark, e["path"], predicates=preds, version=v)
     _log().debug(
         "catalog_sql COUNT(*) on %s answered from metadata: %s files "
@@ -605,11 +609,18 @@ def _relation_refs(sql: str, tables: dict) -> list[dict]:
         st = stack[-1]
         if not quoted:
             if w == "(":
-                # a parenthesized relation (subquery / USING list /
-                # function args) consumes the pending relation slot — its
-                # ALIAS must never be mistaken for a relation name
+                # a parenthesized relation (subquery / parenthesized
+                # join / VALUES) consumes the pending relation slot — its
+                # ALIAS must never be mistaken for a relation name. When
+                # the slot WAS pending, the paren's first identifier is
+                # itself in relation position (`FROM a JOIN (t JOIN u ON
+                # ...)` — round-7 advice): open the inner scope expecting
+                # a relation; a SELECT/VALUES first token immediately
+                # clears it via _FROM_ENDERS, so subquery aliases and
+                # function args are still never mistaken for relations
+                pending = st["e"]
                 st["e"] = False
-                stack.append({"f": False, "e": False})
+                stack.append({"f": pending, "e": pending})
                 continue
             if w == ")":
                 if len(stack) > 1:
@@ -948,15 +959,20 @@ def _split_top_commas(s: str) -> list[str]:
 
 def _top_level_keyword(sql: str, kw: str, start: int = 0) -> int:
     """Offset of the first depth-0, outside-string occurrence of `kw`
-    (word-bounded) at or after `start`; -1 if absent."""
+    (word-bounded) at or after `start`; -1 if absent. CASE...END spans
+    count as nesting like parens, so the WHEN of a `CASE WHEN ... END`
+    expression inside a MERGE action never splits the MERGE's own WHEN
+    clauses (round-7 advice)."""
     import re
 
     s = _strip_sql_strings(sql)
     depth = 0
-    for m in re.finditer(rf"[()]|\b{kw}\b", s, re.IGNORECASE):
-        if m.group(0) == "(":
+    for m in re.finditer(rf"[()]|\bcase\b|\bend\b|\b{kw}\b", s,
+                         re.IGNORECASE):
+        tok = m.group(0).lower()
+        if tok in ("(", "case"):
             depth += 1
-        elif m.group(0) == ")":
+        elif tok in (")", "end"):
             depth -= 1
         elif depth == 0 and m.start() >= start:
             return m.start()

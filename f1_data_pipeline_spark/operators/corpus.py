@@ -621,6 +621,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     n_shards: int = 64,
     seed: int = 0,
+    keep_previous: int = 1,
 ) -> dict:
     """Materialize the shuffled corpus as ordered shard files — the
     tokenizer-ready export: `{out_dir}/data/shard=N/` holds shard N's
@@ -637,10 +638,19 @@ def write_training_shards(
     window where `out_dir` doesn't exist at all. The symlink is the
     POSIX analogue of an object store's pointer object; a cloud
     deployment publishes the versioned prefix name in a tiny pointer
-    file with the same one-write flip. The previous export is retained
-    for in-flight readers (one generation); older ones are reclaimed.
-    A pre-symlink real-directory export migrates on first publish.
+    file with the same one-write flip. The newest `keep_previous`
+    superseded exports are retained for in-flight readers (default 1 —
+    raise it when readers may span several publish cycles, the same
+    age-vs-reclaim dial as `vacuum_manifest`); older ones are reclaimed.
+    A pre-symlink real-directory export migrates on first publish; that
+    one-time migration renames the legacy directory into the versioned
+    scheme BEFORE the flip, so the at-every-instant guarantee starts
+    with the first symlink publish — during the migration itself there
+    is a brief window where `out_dir` is absent (unavoidable: a real
+    directory cannot be atomically replaced by a symlink on POSIX).
     Returns the manifest dict."""
+    if keep_previous < 0:
+        raise ValueError("keep_previous must be >= 0")
     import glob as _glob
     import json as _json
     import os as _os
@@ -681,14 +691,15 @@ def write_training_shards(
     finally:
         if not published:
             _shutil.rmtree(version, ignore_errors=True)
-    # reclaim exports older than (current, previous) — previous stays
-    # for readers that resolved the symlink just before the flip
+    # reclaim exports older than (current + keep_previous) — superseded
+    # generations stay for readers that resolved the symlink before the
+    # flip (and, with keep_previous > 1, for readers spanning cycles)
     gens = [
         d
         for d in _glob.glob(f"{out_dir}.__v_*")
         if _os.path.isdir(d) and not _os.path.samefile(d, version)
     ]
     gens.sort(key=_os.path.getmtime, reverse=True)
-    for stale in gens[1:]:
+    for stale in gens[keep_previous:]:
         _shutil.rmtree(stale, ignore_errors=True)
     return manifest

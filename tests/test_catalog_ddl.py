@@ -334,3 +334,26 @@ def test_non_cataloged_targets_pass_through(spark, tmp_path):
         )
     assert not isinstance(ei2.value, ValueError)
     spark.catalog.dropTempView("plain_view")
+
+
+def test_plain_create_table_passes_through(spark, tmp_path):
+    """Round-7 advice (low): `CREATE TABLE t (a int)` with no
+    PARTITIONED BY, no catalog LOCATION, and a non-cataloged name is
+    Spark's own statement — it must reach the session catalog, not
+    raise. Catalog-owned syntax still routes (and a missing spec still
+    raises with the PARTITIONED BY hint)."""
+    cat = str(tmp_path / "cat")
+    CAT.catalog_sql(spark, cat, "CREATE TABLE plain_tbl_r8 (a int)")
+    try:
+        names = {t.name for t in spark.catalog.listTables()}
+        assert "plain_tbl_r8" in names
+        assert "plain_tbl_r8" not in CAT.catalog_tables(cat)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plain_tbl_r8")
+    # a LOCATION under the catalog is catalog-owned: missing spec raises
+    loc = str(tmp_path / "cat" / "tables" / "owned")
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        CAT.catalog_sql(
+            spark, cat,
+            f"CREATE TABLE owned (a int) LOCATION '{loc}'",
+        )

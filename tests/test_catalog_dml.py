@@ -254,3 +254,26 @@ def test_merge_alias_named_t_or_s_and_string_literals(spark, tmp_path):
             "MERGE INTO tbl AS x USING m_src AS x ON x.k = x.k "
             "WHEN MATCHED THEN DELETE",
         )
+
+
+def test_merge_case_when_expression(spark, tmp_path):
+    """Round-7 advice (low): a CASE WHEN ... END inside a MERGE action
+    must not be mistaken for a WHEN clause boundary."""
+    cat, t = _cat(spark, tmp_path, 6)  # k 0..5, v = 2k
+    src = spark.createDataFrame(
+        [(2, 0, 50), (3, 1, 3), (100, 0, 1)], "k long, day long, v long"
+    )
+    src.createOrReplaceTempView("mcase_src")
+    r = CAT.catalog_sql(
+        spark, cat,
+        "MERGE INTO tbl USING mcase_src AS s ON tbl.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET "
+        "v = CASE WHEN s.v > 10 THEN 10 ELSE s.v END "
+        "WHEN NOT MATCHED THEN INSERT",
+    )
+    assert r.first().updated == 2 and r.first().inserted == 1
+    out = {row.k: row.v for row in
+           sinks.read_manifest_table(spark, t).collect()}
+    assert out[2] == 10      # clipped by the CASE
+    assert out[3] == 3       # passed through
+    assert out[100] == 1     # inserted

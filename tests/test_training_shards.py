@@ -113,3 +113,23 @@ def test_export_republish_is_pointer_flip(spark, tmp_path):
 def test_bad_args(spark):
     with pytest.raises(ValueError):
         C.shuffle_shards(_docs(spark, 5), n_shards=0)
+
+
+def test_keep_previous_generations(spark, tmp_path):
+    """Round-7 advice (low): the retained-generation count is a dial —
+    keep_previous=2 keeps two superseded exports for readers spanning
+    publish cycles; the default keeps one."""
+    import glob
+    import os
+
+    out = str(tmp_path / "export")
+    df = spark.range(20).select(F.col("id").alias("doc_id"))
+    for _ in range(4):
+        C.write_training_shards(df, out, n_shards=2, keep_previous=2)
+    gens = [d for d in glob.glob(out + ".__v_*") if os.path.isdir(d)]
+    assert len(gens) == 3  # current + 2 previous
+    C.write_training_shards(df, out, n_shards=2)  # default: 1 previous
+    gens = [d for d in glob.glob(out + ".__v_*") if os.path.isdir(d)]
+    assert len(gens) == 2
+    with pytest.raises(ValueError, match="keep_previous"):
+        C.write_training_shards(df, out, n_shards=2, keep_previous=-1)
