@@ -174,6 +174,18 @@ def catalog_sql(
     lists a file — the path `register_catalog_views` alone can't give a
     plain spark.sql (a temp view's file list is frozen at registration).
 
+    Star joins additionally get RUNTIME JOIN FILTERING (dynamic file
+    pruning, the Iceberg/Delta runtime-filter shape): in a single-SELECT
+    inner-join query where a dimension side carries selective literal
+    predicates, the dimension is executed first, its distinct join keys
+    (≤ 10k, else skipped) are harvested, and an IN predicate over them
+    is pushed into the fact table's manifest read — so `... FROM fact
+    JOIN dim ON fact.fk = dim.k WHERE dim.attr = x` opens only the fact
+    files whose partitions/stats/blooms can contain a matching key.
+    Disabled whenever any outer/semi/anti/natural join appears (a
+    preserved side must keep unmatched rows). See
+    `_runtime_join_filters` for the soundness argument.
+
     DDL + maintenance statements complete the SQL console: `CREATE
     TABLE name [(col type, ...)] PARTITIONED BY (<col or transform>)
     [LOCATION '<path>'] [AS <select>]` (CTAS runs the select through
@@ -218,11 +230,22 @@ def catalog_sql(
     CTE, or set operand could rename, derive, or aggregate a column so
     that an outer WHERE name denotes a different expression than the
     base table's — pushing through would drop rows); conjuncts come
-    only from a single top-level WHERE; OR-bearing or unparseable
-    conjuncts are ignored; an unqualified column pushes only when
-    exactly one referenced table carries it; a table referenced more
-    than once (self-join) is never pruned. The pushed conjuncts stay in
-    the SQL as row filters, so pruning is semantically invisible.
+    only from a single top-level WHERE; a WHERE carrying a depth-0 OR
+    disables pushdown for the whole clause (AND binds tighter than OR,
+    so conjuncts right of a split may sit inside a disjunct — pushing
+    one would drop the other branch's rows); unparseable conjuncts are
+    ignored; an unqualified column pushes only when exactly one
+    referenced table carries it; a table referenced more than once
+    (self-join) is never pruned. The pushed conjuncts stay in the SQL
+    as row filters, so pruning is semantically invisible.
+
+    One scope refinement: a CTE whose body is itself a single SELECT
+    over exactly one cataloged table with a simple WHERE is an
+    INDEPENDENT pushdown scope — its own conjuncts prune its own
+    reference only (`WITH f AS (SELECT * FROM t WHERE k = 5) SELECT
+    ... FROM f JOIN ...` opens only t's k = 5 files). Outer conjuncts
+    still never cross the CTE boundary, and a same-table reference
+    outside the CTE binds its own unpruned view.
 
     Isolation: each referenced table is registered under a UNIQUE
     internal view name (`__cat_<table>_<n>`) and the query's relation
@@ -245,14 +268,17 @@ def catalog_sql(
     if fast is not None:
         return fast
     refs = _relation_refs(sql, tables)
+    versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
     preds = _extract_pushdown_predicates(spark, sql, refs, tables)
+    _runtime_join_filters(spark, sql, refs, tables, versions, preds)
+    ref_preds = _cte_pushdown_predicates(spark, sql, refs, tables)
     sql, internal = _bind_internal_views(
-        spark, tables, sql, refs, travel, preds
+        spark, tables, sql, refs, versions, preds, ref_preds
     )
     try:
         return spark.sql(sql)
     finally:
-        for vname in internal.values():
+        for vname in internal:
             spark.catalog.dropTempView(vname)
 
 
@@ -411,19 +437,16 @@ def _count_star_fast_path(
 _VIEW_SEQ = __import__("itertools").count()
 
 
-def _bind_internal_views(
-    spark: SparkSession,
-    tables: dict,
-    sql: str,
-    refs: list[dict],
-    travel: dict,
-    preds: dict,
-) -> tuple[str, dict[str, str]]:
-    """Register one pruned/pinned internal temp view per referenced
-    table and splice the query's relation references over to it.
-    Returns (rewritten sql, {table: internal view name})."""
-    internal: dict[str, str] = {}
-    for name in {r["name"] for r in refs}:
+def _resolve_versions(
+    tables: dict, names: set[str], travel: dict
+) -> dict[str, int]:
+    """Pin every referenced table to ONE version for the whole query —
+    time-travel clause first, then the catalog entry's ref, then the
+    current latest. A single resolution shared by runtime-filter
+    harvesting and view binding, so a commit landing mid-query can never
+    make the harvested join keys and the bound view disagree."""
+    out: dict[str, int] = {}
+    for name in names:
         e = tables[name]
         v = travel.get(name)
         if v is None:
@@ -432,20 +455,58 @@ def _bind_internal_views(
             from .sinks import manifest_versions
 
             v = manifest_versions(e["path"])[-1]
+        out[name] = v
+    return out
+
+
+def _bind_internal_views(
+    spark: SparkSession,
+    tables: dict,
+    sql: str,
+    refs: list[dict],
+    versions: dict[str, int],
+    preds: dict,
+    ref_preds: dict[int, list] | None = None,
+) -> tuple[str, list[str]]:
+    """Register pruned/pinned internal temp views and splice the
+    query's relation references over to them. References share one view
+    per table (with that table's `preds`) except those with their own
+    scope-local predicates in `ref_preds` (keyed by index into `refs`,
+    e.g. a CTE-body reference) — each of those binds a private view, so
+    a table referenced both inside a pruned CTE and outside it never
+    leaks the CTE's pruning to the outer reference. Returns (rewritten
+    sql, view names to drop)."""
+    ref_preds = ref_preds or {}
+    shared: dict[str, str] = {}
+    cleanup: list[str] = []
+    bound: dict[int, str] = {}
+
+    def _register(name: str, p) -> str:
         vname = f"__cat_{name}_{next(_VIEW_SEQ)}"
         read_manifest_table(
-            spark, e["path"], version=v, predicates=preds.get(name)
+            spark, tables[name]["path"], version=versions[name],
+            predicates=p,
         ).createOrReplaceTempView(vname)
-        internal[name] = vname
+        cleanup.append(vname)
+        return vname
+
+    for i, r in enumerate(refs):
+        name = r["name"]
+        if i in ref_preds:
+            bound[i] = _register(name, ref_preds[i])
+        else:
+            if name not in shared:
+                shared[name] = _register(name, preds.get(name))
+            bound[i] = shared[name]
     # splice back-to-front so earlier offsets stay valid; a reference
     # with no alias gets `AS <original name>` so qualified columns
     # (`t.col`) keep resolving
-    for r in sorted(refs, key=lambda r: -r["start"]):
-        repl = internal[r["name"]]
+    for i, r in sorted(enumerate(refs), key=lambda t: -t[1]["start"]):
+        repl = bound[i]
         if r["alias"] is None:
             repl += f" AS {r['name']}"
         sql = sql[: r["start"]] + repl + sql[r["end"]:]
-    return sql, internal
+    return sql, cleanup
 
 
 def _strip_time_travel(sql: str, tables: dict) -> tuple[str, dict]:
@@ -836,6 +897,12 @@ def _extract_pushdown_predicates(
     )
     if end:
         clause = clause[: end.start()]
+    if _has_top_level_or(clause):
+        # a depth-0 OR makes the top-level-AND split itself invalid:
+        # `d = 1 OR k = 5 AND v = 2` parses as `d = 1 OR (k = 5 AND
+        # v = 2)`, so `v = 2` is NOT implied — pushing it would drop
+        # d = 1 rows. No conjunct from such a clause is trustworthy.
+        return {}
     # pushdown only targets tables referenced exactly once, at depth 0
     counts: dict[str, int] = {}
     for r in refs:
@@ -907,6 +974,272 @@ def _extract_pushdown_predicates(
                 continue  # self-join or subquery-only reference
             out.setdefault(q, []).append((col, op, v))
     return out
+
+
+def _cte_spans(sql: str) -> list[tuple[str, int, int]]:
+    """(name, body_start, body_end) for every CTE definition — the body
+    span excludes its enclosing parens. Matches the same definition
+    shapes as `_cte_names`, so every shadowing name also yields a span."""
+    import re
+
+    s = _strip_sql_strings(sql)
+    out: list[tuple[str, int, int]] = []
+    for m in re.finditer(
+        r"(\bwith\b|,)\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^()]*\))?"
+        r"\s+as\s*\(",
+        s,
+        re.IGNORECASE,
+    ):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(s) and depth:
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+            i += 1
+        if depth == 0:
+            out.append((m.group(2), start, i - 1))
+    return out
+
+
+def _cte_pushdown_predicates(
+    spark: SparkSession, sql: str, refs: list[dict], tables: dict
+) -> dict[int, list]:
+    """Scope-local pushdown through CTE boundaries (round-7 verdict
+    #2): a CTE whose body is itself a single SELECT over exactly one
+    cataloged table with a simple WHERE is an independently safe
+    pushdown scope — the body's own conjuncts prune the body's own
+    reference, and nothing else. `WITH f AS (SELECT * FROM t WHERE
+    k = 5) SELECT ... FROM f JOIN ...` — the most common analyst shape
+    — then opens only t's k = 5 files. Outer-query conjuncts still
+    never cross the CTE boundary (a CTE output column may be renamed or
+    derived — the round-6 soundness case stays closed), and the body's
+    conjuncts apply ONLY to the reference inside that body (keyed by
+    index into `refs`), never to other references of the same table."""
+    out: dict[int, list] = {}
+    spans = _cte_spans(sql)
+    if not spans:
+        return out
+    # names shadowed ANYWHERE in the query stay shadowed inside bodies
+    # (`_relation_refs` on a body alone can't see sibling CTEs)
+    shadowed = _cte_names(_strip_sql_strings(sql))
+    visible = {
+        n: e for n, e in tables.items() if n.lower() not in shadowed
+    }
+    for _name, a, b in spans:
+        body = sql[a:b]
+        body_refs = _relation_refs(body, visible)
+        if len(body_refs) != 1:
+            continue  # joins/unions inside the body: out of scope
+        preds = _extract_pushdown_predicates(spark, body, body_refs, tables)
+        (bref,) = body_refs
+        if not preds.get(bref["name"]):
+            continue
+        for i, r in enumerate(refs):
+            if r["start"] == a + bref["start"] and r["name"] == bref["name"]:
+                out[i] = preds[bref["name"]]
+                break
+    return out
+
+
+def _has_top_level_or(clause: str) -> bool:
+    """True when the clause text carries an OR at paren depth 0 outside
+    string literals — the condition under which splitting on top-level
+    AND stops being sound (AND binds tighter than OR, so a conjunct to
+    the right of the split may sit inside a disjunct)."""
+    import re
+
+    depth = 0
+    for m in re.finditer(
+        r"[()]|\bor\b", _strip_sql_strings(clause), re.IGNORECASE
+    ):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
+
+
+# depth-0 keywords that terminate an ON or WHERE clause span
+_CLAUSE_ENDERS = {
+    "join", "inner", "left", "right", "full", "cross", "natural", "semi",
+    "anti", "where", "on", "group", "order", "having", "limit", "window",
+    "union", "except", "intersect",
+}
+
+
+def _join_equi_conjuncts(sql: str) -> list[tuple[str, str, str, str]]:
+    """Qualified equi-join conjuncts `(qualA, colA, qualB, colB)` that
+    every output row provably satisfies: full-conjunct matches of
+    `a.x = b.y` inside depth-0 ON and WHERE clauses, taken only from
+    clauses with no depth-0 OR (callers separately require a
+    single-SELECT query with inner joins only)."""
+    import re
+
+    s = _strip_sql_strings(sql)
+    marks: list[tuple[int, str]] = []
+    depth = 0
+    for m in re.finditer(r"[()]|\b[A-Za-z_]\w*\b", s):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            marks.append((m.start(), t.lower()))
+    out: list[tuple[str, str, str, str]] = []
+    for i, (pos, tok) in enumerate(marks):
+        if tok not in ("on", "where"):
+            continue
+        end = len(s)
+        for pos2, tok2 in marks[i + 1:]:
+            if tok2 in _CLAUSE_ENDERS:
+                end = pos2
+                break
+        clause = s[pos + len(tok): end]
+        if _has_top_level_or(clause):
+            continue
+        from .sinks import _split_top_and
+
+        for conj in _split_top_and(clause):
+            jm = re.match(
+                r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
+                r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$",
+                conj,
+            )
+            if jm:
+                out.append(jm.groups())
+    return out
+
+
+# key types the runtime filter knows how to carry through the manifest
+# pruners (stats comparison + bloom probe + row filter) losslessly —
+# the same vocabulary parse_predicates produces for IN members
+def _runtime_key_types():
+    import datetime as _dt
+
+    return (int, str, bool, float, _dt.date, _dt.datetime)
+
+
+def _runtime_join_filters(
+    spark: SparkSession,
+    sql: str,
+    refs: list[dict],
+    tables: dict,
+    versions: dict[str, int],
+    preds: dict,
+    max_keys: int = 10_000,
+) -> dict:
+    """Dynamic file pruning for star joins — the Iceberg/Delta runtime
+    filter, executed at plan-build time: when a single-SELECT inner-join
+    query joins a cataloged FACT table to a cataloged dimension that
+    carries selective literal predicates, run the (broadcast-sized by
+    selectivity) dimension side first, harvest its distinct join-key
+    values, and push them as a `(key, "in", tuple)` predicate into the
+    fact's manifest read — partition-transform pruning, per-file stats,
+    and per-member bloom probes then skip fact files no dim row can
+    match. At 100 TB this is the largest scan-cost lever the literal
+    pushdown can't reach: `SELECT ... FROM fact JOIN dim ON fact.fk =
+    dim.k WHERE dim.attr = x` otherwise scans every fact file.
+
+    Soundness: inner joins only (any LEFT/RIGHT/FULL/SEMI/ANTI/NATURAL
+    keyword in the query disables the rewrite — a preserved side must
+    keep its unmatched rows); the harvested read uses the same pinned
+    version and the same pushed predicates the dim's bound view will
+    use, so the key set is a SUPERSET of the dim keys the join can see
+    (the dim view may carry further residual filters the harvest didn't
+    apply — a superset only widens the IN list, never drops a match);
+    the IN predicate is also applied as a row filter, which under an
+    inner equi-join is semantically invisible (rows it removes have no
+    match by construction, and NULL join keys never equi-match). More
+    than `max_keys` distinct keys → the filter is skipped for that join
+    (the list would bloat the plan and prune little).
+
+    Mutates `preds` in place; returns {fact: {"key", "from", "n_keys"}}
+    for logging/tests."""
+    import re
+
+    s = _strip_sql_strings(sql)
+    if len(re.findall(r"\bselect\b", s, re.IGNORECASE)) != 1:
+        return {}
+    if re.search(r"\b(left|right|full|semi|anti|natural)\b", s,
+                 re.IGNORECASE):
+        return {}
+    conjs = _join_equi_conjuncts(sql)
+    if not conjs:
+        return {}
+    counts: dict[str, int] = {}
+    for r in refs:
+        counts[r["name"]] = counts.get(r["name"], 0) + 1
+    eligible = {
+        r["name"] for r in refs if counts[r["name"]] == 1 and r["depth"] == 0
+    }
+    alias_of: dict[str, str] = {}
+    for r in refs:
+        alias_of[(r["alias"] or r["name"]).lower()] = r["name"]
+    from .sinks import read_manifest
+
+    schemas = {
+        name: {
+            f["name"]
+            for f in (
+                (read_manifest(tables[name]["path"], versions[name]) or {})
+                .get("schema") or {}
+            ).get("fields", [])
+        }
+        for name in counts
+    }
+    applied: dict[str, dict] = {}
+    # only harvest from sides that the WHERE itself made selective —
+    # never from a side whose only predicates are runtime IN filters
+    # this loop added (harvesting such a side would scan the FACT to
+    # prune an already-tiny dim: all cost, no benefit)
+    literal_sides = {n for n, p in preds.items() if p}
+    for qa, ca, qb, cb in conjs:
+        sides = []
+        for qual, col, ocol in ((qa, ca, cb), (qb, cb, ca)):
+            name = alias_of.get(qual.lower())
+            if name is None or col not in schemas.get(name, ()):
+                sides = []
+                break
+            sides.append((name, col))
+        if len(sides) != 2 or sides[0][0] == sides[1][0]:
+            continue
+        for (fact, fcol), (dim, dcol) in (
+            (sides[0], sides[1]), (sides[1], sides[0])
+        ):
+            # the harvest side must be selective (pushed literal preds)
+            # and both sides singly-referenced at depth 0
+            if dim not in literal_sides or fact not in eligible \
+                    or dim not in eligible or fact in applied:
+                continue
+            e = tables[dim]
+            rows = read_manifest_table(
+                spark, e["path"], version=versions[dim],
+                predicates=preds[dim],
+            ).select(dcol).distinct().limit(max_keys + 1).collect()
+            if len(rows) > max_keys:
+                _log().debug(
+                    "runtime join filter skipped: %s.%s has > %d distinct "
+                    "keys after predicates", dim, dcol, max_keys,
+                )
+                continue
+            vals = tuple(r[0] for r in rows if r[0] is not None)
+            if not vals or any(
+                not isinstance(v, _runtime_key_types()) for v in vals
+            ):
+                continue  # empty dim, or exotic key type → no filter
+            preds.setdefault(fact, []).append((fcol, "in", vals))
+            applied[fact] = {"key": fcol, "from": dim, "n_keys": len(vals)}
+            _log().debug(
+                "runtime join filter: %s.%s IN <%d keys from %s.%s>",
+                fact, fcol, len(vals), dim, dcol,
+            )
+    return applied
 
 
 def _log():

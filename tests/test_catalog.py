@@ -462,3 +462,153 @@ def test_count_star_fast_path_validates_pinned_schema(spark, tmp_path):
         spark, cat, "SELECT count(*) AS n FROM tv WHERE w = 5"
     )
     assert cur.first().n == 1
+
+
+def test_or_precedence_never_pushes_partial_conjunction(spark, tmp_path):
+    """Round-8 self-review (HIGH): `d = 1 OR k = 5 AND v = 2` parses as
+    `d = 1 OR (k = 5 AND v = 2)` — splitting on the top-level AND and
+    pushing the parseable `v = 2` dropped every d = 1 row. A depth-0 OR
+    must disable pushdown for the whole clause."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 0, 1, 9), (2, 0, 5, 2), (3, 1, 7, 7)],
+        "k long, day long, d long, v long",
+    )
+    sinks.merge_upsert_manifest(spark, df, t, keys=["k"],
+                                partition_col="day")
+    CAT.catalog_create_table(cat, "orbug", t)
+    CAT.register_catalog_views(spark, cat)
+    q = "SELECT k FROM orbug WHERE d = 1 OR k = 5 AND v = 2"
+    got = sorted(r.k for r in CAT.catalog_sql(spark, cat, q).collect())
+    want = sorted(r.k for r in spark.sql(q).collect())
+    assert got == want == [1]
+    # parenthesized OR keeps sibling conjuncts pushable and sound
+    q2 = "SELECT k FROM orbug WHERE (d = 1 OR k = 5) AND v = 9"
+    assert sorted(
+        r.k for r in CAT.catalog_sql(spark, cat, q2).collect()
+    ) == sorted(r.k for r in spark.sql(q2).collect()) == [1]
+
+
+def _mk_star(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("fk"),
+        (F.col("id") * 3).alias("v"),
+    )
+    sinks.merge_upsert_manifest(spark, fact, fact_p, keys=["k"],
+                                partition_col="bucket(16, fk)")
+    dim = spark.range(100).select(
+        F.col("id").alias("dk"), (F.col("id") % 50).alias("attr"),
+    )
+    sinks.merge_upsert_manifest(spark, dim, dim_p, keys=["dk"],
+                                partition_col="attr")
+    CAT.catalog_create_table(cat, "fact8", fact_p)
+    CAT.catalog_create_table(cat, "dim8", dim_p)
+    CAT.register_catalog_views(spark, cat)
+    return cat
+
+
+def test_runtime_join_filter_prunes_fact_files(spark, tmp_path):
+    """Round-7 verdict #1 (top_next): a star join whose dim side
+    carries a selective literal predicate must open strictly fewer
+    FACT files than the unfiltered read, with hash-identical results —
+    the dim's surviving join keys are pushed as an IN predicate into
+    the fact's manifest read (transform pruning on bucket(16, fk))."""
+    cat = _mk_star(spark, tmp_path)
+    full = set(spark.sql("SELECT * FROM fact8").inputFiles())
+    q = ("SELECT f.k, f.v FROM fact8 f JOIN dim8 d ON f.fk = d.dk "
+         "WHERE d.attr = 7")
+    got_df = CAT.catalog_sql(spark, cat, q)
+    fact_files = {x for x in got_df.inputFiles() if "/fact/" in x}
+    # dim attr=7 → dk ∈ {7, 57} → exactly 2 of 16 fact buckets
+    assert len(fact_files) < len(full)
+    assert sorted(map(tuple, got_df.collect())) == sorted(
+        map(tuple, spark.sql(q).collect())
+    )
+    # the reversed equi-condition direction works too
+    q2 = ("SELECT f.k FROM fact8 f JOIN dim8 d ON d.dk = f.fk "
+          "WHERE d.attr = 3")
+    df2 = CAT.catalog_sql(spark, cat, q2)
+    assert {x for x in df2.inputFiles() if "/fact/" in x} < full
+    assert df2.count() == spark.sql(q2).count()
+
+
+def test_runtime_join_filter_outer_join_safety(spark, tmp_path):
+    """LEFT/RIGHT/FULL joins preserve unmatched rows — the runtime
+    filter must stay off and results must match plain Spark exactly."""
+    cat = _mk_star(spark, tmp_path)
+    full = set(spark.sql("SELECT * FROM fact8").inputFiles())
+    q = ("SELECT f.k, d.dk FROM fact8 f LEFT JOIN dim8 d "
+         "ON f.fk = d.dk AND d.attr = 7 WHERE d.attr = 7 OR d.dk IS NULL")
+    got_df = CAT.catalog_sql(spark, cat, q)
+    assert {x for x in got_df.inputFiles() if "/fact/" in x} == full
+    assert sorted(map(tuple, got_df.collect())) == sorted(
+        map(tuple, spark.sql(q).collect())
+    )
+
+
+def test_runtime_join_filter_cap_skips(spark, tmp_path):
+    """More distinct dim keys than max_keys → the filter is skipped
+    (never a truncated — unsound — IN list)."""
+    cat = _mk_star(spark, tmp_path)
+    tables = CAT.catalog_tables(cat)
+    q = ("SELECT f.k FROM fact8 f JOIN dim8 d ON f.fk = d.dk "
+         "WHERE d.attr = 7")
+    refs = CAT._relation_refs(q, tables)
+    versions = CAT._resolve_versions(
+        tables, {r["name"] for r in refs}, {}
+    )
+    preds = CAT._extract_pushdown_predicates(spark, q, refs, tables)
+    assert "dim8" in preds
+    applied = CAT._runtime_join_filters(
+        spark, q, refs, tables, versions, preds, max_keys=1
+    )
+    assert applied == {}
+    assert "fact8" not in preds  # nothing pushed under the cap
+    # and with the default cap the same query applies the filter
+    preds2 = CAT._extract_pushdown_predicates(spark, q, refs, tables)
+    applied2 = CAT._runtime_join_filters(
+        spark, q, refs, tables, versions, preds2
+    )
+    assert applied2 == {"fact8": {"key": "fk", "from": "dim8",
+                                  "n_keys": 2}}
+
+
+def test_cte_scoped_pushdown(spark, tmp_path):
+    """Round-7 verdict #2: a CTE whose body is a single SELECT over one
+    cataloged table with a simple WHERE is an independent pushdown
+    scope — strictly fewer files, hash-identical results. The round-6
+    renamed-column soundness case stays closed (covered by
+    test_pushdown_skipped_through_subqueries_and_ctes), and a same-table
+    reference OUTSIDE the CTE is never pruned by the CTE's conjuncts."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    _mk_hidden(spark, t)  # 4000 rows over 10 days(ts) partitions
+    CAT.catalog_create_table(cat, "ev", t)
+    CAT.register_catalog_views(spark, cat)
+    full = set(spark.sql("SELECT * FROM ev").inputFiles())
+    q = ("WITH recent AS (SELECT k, v FROM ev "
+         "WHERE ts >= timestamp'2024-03-08 00:00:00') "
+         "SELECT r.k, r.v FROM recent r ORDER BY r.k")
+    got_df = CAT.catalog_sql(spark, cat, q)
+    assert set(got_df.inputFiles()) < full  # strictly fewer files
+    assert [(r.k, r.v) for r in got_df.collect()] == [
+        (r.k, r.v) for r in spark.sql(q).collect()
+    ]
+    # CTE joined against the SAME table referenced outside: the outer
+    # reference keeps the full file set; results stay exact
+    q2 = ("WITH recent AS (SELECT k FROM ev "
+          "WHERE ts >= timestamp'2024-03-08 00:00:00') "
+          "SELECT count(*) AS n FROM recent r JOIN ev e ON r.k = e.k")
+    got2 = CAT.catalog_sql(spark, cat, q2)
+    assert got2.first().n == spark.sql(q2).first().n
+    assert full <= set(got2.inputFiles())  # outer ev ref unpruned
+    # a CTE body with a join inside stays out of scope (no pruning,
+    # exact results)
+    q3 = ("WITH j AS (SELECT a.k FROM ev a JOIN ev b ON a.k = b.k "
+          "WHERE a.ts >= timestamp'2024-03-08 00:00:00') "
+          "SELECT count(*) AS n FROM j")
+    assert CAT.catalog_sql(spark, cat, q3).first().n == \
+        spark.sql(q3).first().n
