@@ -83,6 +83,21 @@ def catalog_create_table(
     _commit_state(catalog_path, v + 1, tables)
 
 
+def catalog_rename_table(catalog_path: str, old: str, new: str) -> None:
+    """Rename a catalog ENTRY — one atomic catalog commit; the data
+    path, manifest log, history, and tags are untouched (the name is
+    the catalog's, the data is the table's — same split as drop)."""
+    if not new or not new.replace("_", "").isalnum():
+        raise ValueError(f"invalid table name {new!r}")
+    v, tables = _read_state(catalog_path)
+    if old not in tables:
+        raise FileNotFoundError(f"no table {old!r} in the catalog")
+    if new in tables:
+        raise ValueError(f"table {new!r} already exists in the catalog")
+    tables = {(new if k == old else k): e for k, e in tables.items()}
+    _commit_state(catalog_path, v + 1, tables)
+
+
 def catalog_drop_table(catalog_path: str, name: str) -> None:
     """Remove the NAME — the data is untouched (tables own their own
     lifecycle; vacuum/drop data through the table verbs)."""
@@ -197,9 +212,14 @@ def catalog_sql(
     `OPTIMIZE name [ZORDER BY (cols)]` → `compact_manifest`;
     `INSERT OVERWRITE t SELECT ...` → `replace_manifest_partitions`
     (each partition present in the source replaced wholesale);
-    `ALTER TABLE t ADD|DROP COLUMN / ADD|DROP CONSTRAINT ... CHECK /
-    CREATE|DROP TAG [AS OF VERSION n]`; `RESTORE TABLE t TO VERSION AS
-    OF <n | 'tag'>` → `restore_manifest` (metadata-only rollback).
+    `ALTER TABLE t ADD|DROP COLUMN / RENAME COLUMN a TO b (metadata-only
+    — files keep their pinned physical column name forever, see
+    `manifest_rename_column`) / RENAME TO t2 (catalog-name change) /
+    ADD|DROP CONSTRAINT ... CHECK / CREATE|DROP TAG [AS OF VERSION n]`;
+    `SHOW CREATE TABLE t` (round-trippable DDL: the CREATE plus one
+    ALTER ... ADD CONSTRAINT row per constraint); `RESTORE TABLE t TO
+    VERSION AS OF <n | 'tag'>` → `restore_manifest` (metadata-only
+    rollback).
 
     `SELECT COUNT(*) [AS a] FROM t [WHERE simple conjunction]` is
     answered from manifest metadata (`manifest_count`) — zero files
@@ -335,6 +355,12 @@ def _route_statement(
         verb = "describe"
     if verb == "show":
         if re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.IGNORECASE):
+            return _catalog_ddl(spark, catalog_path, tables, "show", sql)
+        sm = re.match(
+            r"\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$",
+            sql, re.IGNORECASE,
+        )
+        if sm and sm.group(1) in tables:
             return _catalog_ddl(spark, catalog_path, tables, "show", sql)
         return spark.sql(sql)  # SHOW DATABASES/FUNCTIONS/... untouched
     if verb == "create":
@@ -1636,8 +1662,50 @@ def _catalog_ddl(
     from . import sinks
 
     if verb == "show":
+        sm = re.match(
+            r"\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$",
+            sql, re.IGNORECASE,
+        )
+        if sm:
+            name = sm.group(1)
+            if name not in tables:
+                raise FileNotFoundError(f"no table {name!r} in the catalog")
+            e = tables[name]
+            mft = sinks.read_manifest(
+                e["path"], resolve_manifest_ref(e["path"], e.get("ref"))
+            )
+            if mft is None or mft.get("schema") is None:
+                raise FileNotFoundError(
+                    f"table {name!r} has no committed schema at {e['path']}"
+                )
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in T.StructType.fromJson(mft["schema"]).fields
+            )
+            stmts = [
+                f"CREATE TABLE {name} (\n  {cols})\n"
+                f"PARTITIONED BY ({mft['partition_col']})\n"
+                f"LOCATION '{e['path']}'"
+            ]
+            # constraints round-trip as follow-up ALTERs (our CREATE
+            # grammar deliberately has no inline CHECK). Layout policy
+            # has no SQL verb — DESCRIBE shows it; manifest_set_layout
+            # restores it.
+            for cname, expr in sorted(
+                (mft.get("constraints") or {}).items()
+            ):
+                stmts.append(
+                    f"ALTER TABLE {name} ADD CONSTRAINT {cname} "
+                    f"CHECK ({expr})"
+                )
+            return spark.createDataFrame(
+                [(s,) for s in stmts], "createtab_stmt string"
+            )
         if not re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.IGNORECASE):
-            raise ValueError("unsupported SHOW statement — SHOW TABLES only")
+            raise ValueError(
+                "unsupported SHOW statement — SHOW TABLES or "
+                "SHOW CREATE TABLE <name>"
+            )
         rows = [
             (n, e["path"], None if e.get("ref") is None else str(e["ref"]))
             for n, e in sorted(tables.items())
@@ -1786,8 +1854,20 @@ def _catalog_ddl(
         )
         if not hm:
             raise ValueError("unsupported ALTER — ALTER TABLE <name> ...")
-        e = _dml_table(tables, hm.group(1))
         action = hm.group(2)
+        m = re.match(
+            r"RENAME\s+TO\s+([A-Za-z_]\w*)\s*$", action, re.IGNORECASE
+        )
+        if m:
+            # a catalog-name operation, legal even on pinned (frozen)
+            # entries — the data and its pin are untouched
+            if hm.group(1) not in tables:
+                raise FileNotFoundError(
+                    f"no table {hm.group(1)!r} in the catalog"
+                )
+            catalog_rename_table(catalog_path, hm.group(1), m.group(1))
+            return _metrics_df(spark, {"tables_renamed": 1})
+        e = _dml_table(tables, hm.group(1))
         m = re.match(
             r"ADD\s+COLUMN\s+([A-Za-z_]\w*)\s+(.+)$", action, re.IGNORECASE
         )
@@ -1835,9 +1915,19 @@ def _catalog_ddl(
         if m:
             sinks.manifest_delete_tag(e["path"], m.group(1))
             return _metrics_df(spark, {"tags_dropped": 1})
+        m = re.match(
+            r"RENAME\s+COLUMN\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*$",
+            action, re.IGNORECASE,
+        )
+        if m:
+            sinks.manifest_rename_column(
+                spark, e["path"], m.group(1), m.group(2)
+            )
+            return _metrics_df(spark, {"columns_renamed": 1})
         raise ValueError(
             f"unsupported ALTER action {action.strip()!r} — ADD|DROP "
-            "COLUMN, ADD|DROP CONSTRAINT, CREATE|DROP TAG"
+            "COLUMN, RENAME COLUMN ... TO ..., RENAME TO, ADD|DROP "
+            "CONSTRAINT, CREATE|DROP TAG"
         )
 
     # CREATE TABLE name [(col type, ...)] [PARTITIONED BY (spec)]

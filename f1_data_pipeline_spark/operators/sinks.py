@@ -1550,8 +1550,13 @@ def _live_partition_df(
     """One partition's LIVE rows (data prefix minus its recorded deletes),
     position-tagged with __f/__p — the read every partition REWRITER must
     start from, so a rewrite folds pending deletes instead of resurrecting
-    deleted rows. Output columns: data columns + __f + __p."""
-    reader = spark.read.schema(stored) if stored is not None else spark.read
+    deleted rows. Output columns: PHYSICAL-named data columns + __f + __p
+    (rewriters write files back under physical names, so staying physical
+    end-to-end keeps stats/bloom/name invariants with zero hops; callers
+    needing logical names — e.g. UPDATE applying user expressions — hop
+    with `_to_logical`/`_to_physical` at their own boundary)."""
+    scan = _scan_schema(stored)
+    reader = spark.read.schema(scan) if scan is not None else spark.read
     tagged = _tag_positions(reader.parquet(os.path.join(path, entry["prefix"])))
     dels = _read_deletes(spark, path, [entry])
     if dels is None:
@@ -1591,7 +1596,16 @@ def manifest_count(
     m = read_manifest(path, version)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
-    preds = list(predicates) if predicates else []
+    stored0 = (
+        T.StructType.fromJson(m["schema"])
+        if m.get("schema") is not None
+        else None
+    )
+    # stats, boundary scans, and the residual filter all run in
+    # physical-name space (files + footers never see a rename)
+    preds = list(
+        _map_predicates(predicates, _phys_map(stored0)) or ()
+    ) if predicates else []
     entries = _transform_prune(
         spark, m, _select_entries(m, partition_values), preds
     )
@@ -1637,12 +1651,8 @@ def manifest_count(
             else:
                 scan_paths.append(os.path.join(path, e["prefix"], fm["name"]))
     if scan_paths or mor_paths:
-        stored = (
-            T.StructType.fromJson(m["schema"])
-            if m.get("schema") is not None
-            else None
-        )
-        reader = spark.read.schema(stored) if stored is not None else spark.read
+        scan = _scan_schema(stored0)
+        reader = spark.read.schema(scan) if scan is not None else spark.read
         cond = _predicates_column(preds) if preds else None
         if scan_paths:
             df = reader.parquet(*scan_paths)
@@ -1686,6 +1696,11 @@ def manifest_column_bounds(
     m = read_manifest(path, version)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
+    if m.get("schema") is not None:
+        # per-file stats are keyed by the PHYSICAL column name
+        stored_b = T.StructType.fromJson(m["schema"])
+        if column in stored_b.names:
+            column = _phys_name(stored_b[column])
     entries = _select_entries(m, partition_values)
     mn = mx = None
     nulls: int | None = 0
@@ -2107,6 +2122,81 @@ def _transform_prune(
     return prune_partition_keys(spark, pt, entries, predicates, src_type)
 
 
+def _stored_of(m: dict | None) -> T.StructType | None:
+    """The manifest's stored (logical) schema as a StructType, or None
+    for a missing/pre-schema manifest."""
+    if not m or m.get("schema") is None:
+        return None
+    return T.StructType.fromJson(m["schema"])
+
+
+def _phys_name(f: T.StructField) -> str:
+    """The column name data files carry for this field — pinned at the
+    field's first write and NEVER changed by RENAME COLUMN (the field's
+    metadata remembers it), so per-file stats, bloom sidecars, and every
+    existing prefix stay valid across any number of renames."""
+    try:
+        return (f.metadata or {}).get("physical", f.name)
+    except Exception:
+        return f.name
+
+
+def _scan_schema(stored: T.StructType | None) -> T.StructType | None:
+    """The schema parquet scans must request: logical field names
+    swapped for their pinned physical names. Identity when no field was
+    ever renamed (the overwhelmingly common case)."""
+    if stored is None or all(_phys_name(f) == f.name for f in stored.fields):
+        return stored
+    return T.StructType(
+        [
+            T.StructField(_phys_name(f), f.dataType, f.nullable)
+            for f in stored.fields
+        ]
+    )
+
+
+def _phys_map(stored: T.StructType | None) -> dict[str, str]:
+    """{logical name: physical name} for renamed fields only — empty for
+    never-renamed tables, so every caller's hot path stays zero-cost."""
+    if stored is None:
+        return {}
+    return {
+        f.name: _phys_name(f)
+        for f in stored.fields
+        if _phys_name(f) != f.name
+    }
+
+
+def _map_predicates(
+    predicates: Sequence[tuple] | None, l2p: dict[str, str]
+) -> Sequence[tuple] | None:
+    """Predicates with logical column names rewritten to physical —
+    the form per-file stats, bloom sidecars, and physical-frame row
+    filters understand."""
+    if not predicates or not l2p:
+        return predicates
+    return [(l2p.get(c, c), op, v) for c, op, v in predicates]
+
+
+def _to_logical(df: DataFrame, stored: T.StructType | None) -> DataFrame:
+    """Rename a physically-named frame's columns to their logical names
+    (no-op for never-renamed tables)."""
+    l2p = _phys_map(stored)
+    if not l2p:
+        return df
+    return df.withColumnsRenamed({p: l for l, p in l2p.items()})
+
+
+def _to_physical(df: DataFrame, stored: T.StructType | None) -> DataFrame:
+    """Rename a logically-named frame's columns to their pinned physical
+    names — the writer-side boundary hop: every data file carries
+    physical names forever."""
+    l2p = _phys_map(stored)
+    if not l2p:
+        return df
+    return df.withColumnsRenamed(l2p)
+
+
 def _read_from_manifest(
     spark: SparkSession,
     path: str,
@@ -2120,6 +2210,16 @@ def _read_from_manifest(
     an explicit manifest dict — shared with staged-commit overlay reads
     (write-audit-publish), which audit a candidate manifest that is not in
     the committed log yet."""
+    # the manifest's stored schema is authoritative (schema evolution:
+    # prefixes written before a column existed read it back as NULL).
+    # Scans request PHYSICAL names (RENAME COLUMN never touches files);
+    # pruning predicates are mapped logical→physical to match the
+    # per-file stats and bloom sidecars, and the frame is renamed back
+    # to logical names at exit.
+    stored = (
+        T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
+    )
+    predicates = _map_predicates(predicates, _phys_map(stored))
     entries = _transform_prune(
         spark, m, _select_entries(m, partition_values, partition_values_encoded),
         predicates,
@@ -2134,12 +2234,8 @@ def _read_from_manifest(
             mor_entries.append(e)
         else:
             plain_paths.extend(_entry_scan_paths(path, e, predicates))
-    # the manifest's stored schema is authoritative (schema evolution:
-    # prefixes written before a column existed read it back as NULL)
-    stored = (
-        T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
-    )
-    reader = spark.read.schema(stored) if stored is not None else spark.read
+    scan = _scan_schema(stored)
+    reader = spark.read.schema(scan) if scan is not None else spark.read
     frames: list[DataFrame] = []
     if plain_paths:
         frames.append(reader.parquet(*plain_paths))
@@ -2154,11 +2250,13 @@ def _read_from_manifest(
         df = spark.createDataFrame(
             [], stored or (schema if schema is not None else T.StructType())
         )
-    else:
-        df = frames[0]
-        for f in frames[1:]:
-            df = df.unionByName(f)
-    return df.filter(_predicates_column(predicates)) if predicates else df
+        return df
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    if predicates:  # physical names — filter before the logical rename
+        df = df.filter(_predicates_column(predicates))
+    return _to_logical(df, stored)
 
 
 # Shared-column type changes a manifest commit may accept with
@@ -2220,6 +2318,31 @@ def _check_type_evolution(
         )
 
 
+def _graft_rename_metadata(
+    prior_json: dict | None, ours_json: dict | None
+) -> dict | None:
+    """The field metadata carrying a renamed column's pinned PHYSICAL
+    name must survive every commit — but most verbs rebuild the outgoing
+    schema from a DataFrame, whose transformations may drop field
+    metadata. Copy each same-named prior field's 'physical' pin onto the
+    outgoing field (never overwriting one the outgoing schema already
+    carries, e.g. a fresh rename commit)."""
+    if prior_json is None or ours_json is None:
+        return ours_json
+    prior = {f["name"]: f for f in prior_json.get("fields", [])}
+    changed = False
+    fields = []
+    for f in ours_json.get("fields", []):
+        p = prior.get(f["name"])
+        phys = ((p or {}).get("metadata") or {}).get("physical")
+        if phys and not (f.get("metadata") or {}).get("physical"):
+            f = {**f, "metadata": {**(f.get("metadata") or {}),
+                                   "physical": phys}}
+            changed = True
+        fields.append(f)
+    return {**ours_json, "fields": fields} if changed else ours_json
+
+
 def _union_evolved_schema(latest_json: dict | None, ours_json: dict) -> dict:
     """Merge two independently-evolved manifest schemas after a commit race.
 
@@ -2252,7 +2375,17 @@ def _union_evolved_schema(latest_json: dict | None, ours_json: dict) -> dict:
                 f"({a} by the competing writer vs {b} by this one) — "
                 "schemas cannot be rebased; re-run the merge"
             )
-    fields.extend(f for f in ours.fields if f.name in remaining)
+    # a writer that started BEFORE a competing RENAME COLUMN still knows
+    # the column by its old (= physical) name; appending it as a "new"
+    # field would alias the same physical column twice. The renamed
+    # field in `latest` already covers it — drop the stale duplicate.
+    latest_phys = {
+        _phys_name(f) for f in latest.fields if _phys_name(f) != f.name
+    }
+    fields.extend(
+        f for f in ours.fields
+        if f.name in remaining and f.name not in latest_phys
+    )
     return T.StructType(fields).jsonValue()
 
 
@@ -2331,7 +2464,9 @@ def _commit_with_rebase(
             "partitions": {**parts, **new_entries},
         }
         if schema_json is not None:
-            cand["schema"] = schema_json
+            cand["schema"] = _graft_rename_metadata(
+                on.get("schema"), schema_json
+            )
         if app_metadata is not None:
             cand["app"] = {**on.get("app", {}), **app_metadata}
         if constraints_json is not None:
@@ -2676,7 +2811,7 @@ def merge_upsert_manifest(
         new_entries = _write_partition_prefixes(
             merged, path, pcol, touched, snap, bloom_cols=bloom_cols,
             drop_cols=(DERIVED_COL,) if hidden else (),
-            sort=sort,
+            sort=sort, stored=_stored_of(manifest),
         )
         if stage is not None:
             _write_staged(
@@ -2808,7 +2943,7 @@ def insert_into_manifest(
             new_entries = _write_partition_prefixes(
                 merged, path, pcol, touched, snap, bloom_cols=bloom_cols,
                 drop_cols=(DERIVED_COL,) if hidden else (),
-                sort=sort,
+                sort=sort, stored=stored,
             )
             _commit_with_rebase(
                 spark,
@@ -3279,7 +3414,7 @@ def merge_into_manifest(
                 out_df, path, pcol_w, write_parts,
                 uuid.uuid4().hex[:12], bloom_cols=sorted(blooms) or None,
                 drop_cols=(DERIVED_COL,) if hidden else (),
-                sort=_layout_sort(m),
+                sort=_layout_sort(m), stored=_stored_of(m),
             )
             _commit_with_rebase(
                 spark, path, m, snap_entries,
@@ -3504,6 +3639,7 @@ def _write_partition_prefixes(
     bloom_cols: Sequence[str] | None = None,
     drop_cols: Sequence[str] = (),
     sort: tuple[list[str], int] | None = None,
+    stored: T.StructType | None = None,
 ) -> dict[str, dict]:
     """THE per-partition object-store write shared by the MERGE /
     INSERT / UPDATE / DELETE / replace verbs: for each touched
@@ -3536,6 +3672,12 @@ def _write_partition_prefixes(
     (the fused path needs no caching — the plan runs exactly once)."""
     if not touched:
         return {}
+    # writer-side rename boundary: frames arrive LOGICAL-named from the
+    # verbs; data files always carry the pinned PHYSICAL names (pass the
+    # stored schema — a no-op for never-renamed tables). partition_col /
+    # bloom_cols / sort cols never rename (guarded in
+    # manifest_rename_column), so they are identical in both spaces.
+    df = _to_physical(df, stored)
     with _timestamp_stats_conf(df.sparkSession):
         if sort is None:
             return _write_prefixes_fused(
@@ -3950,6 +4092,19 @@ def manifest_set_layout(
         bad = [c for c in cols if c not in stored.names]
         if bad:
             raise ValueError(f"{key} columns {bad} not in the table schema")
+        renamed = [
+            c for c in cols
+            if c in stored.names and _phys_name(stored[c]) != c
+        ]
+        if renamed:
+            # layout machinery resolves these names physically (sort
+            # exchanges, bloom builds/probes) — a renamed column's two
+            # names would silently diverge between build and probe
+            raise ValueError(
+                f"{key} columns {renamed} were renamed (their data files "
+                "carry a different physical name) — layout policies over "
+                "renamed columns are not supported"
+            )
         layout[key] = list(cols)
     if sort_on_write:
         if not layout.get("cluster_by"):
@@ -3988,6 +4143,12 @@ def manifest_add_column(
         stored = T.StructType.fromJson(m["schema"])
         if name in stored.names:
             raise ValueError(f"column {name!r} already exists at {path}")
+        if name in {_phys_name(f) for f in stored.fields}:
+            raise ValueError(
+                f"name {name!r} is the pinned physical name of a renamed "
+                "column — adding it would collide with that column's "
+                "on-file name; pick another name"
+            )
         # name-based reads make re-adding a DROPPED name hazardous: old
         # prefixes still physically carry the old type, and an
         # incompatible re-add would crash every read of them ("Parquet
@@ -4073,17 +4234,107 @@ def manifest_drop_column(spark: SparkSession, path: str, name: str) -> None:
         if len(stored.fields) == 1:
             raise ValueError("cannot drop the table's only column")
         new = T.StructType([f for f in stored.fields if f.name != name])
-        # ledger the dropped name + physical type so a future re-add
-        # can't silently pick an incompatible type (see add_column)
+        # ledger the dropped PHYSICAL name + type so a future re-add
+        # can't silently pick an incompatible type (see add_column) —
+        # data files carry the physical name, so that is the name whose
+        # reuse can crash reads of old prefixes
         dropped = {
             **m.get("dropped", {}),
-            name: stored[name].dataType.simpleString(),
+            _phys_name(stored[name]): stored[name].dataType.simpleString(),
         }
         try:
             _commit_with_rebase(
                 spark, path, {**m, "dropped": dropped}, {},
                 schema_json=new.jsonValue(),
                 max_commit_retries=0, op="drop_column",
+            )
+            return
+        except ConcurrentWriteError:
+            if attempt == 3:
+                raise
+
+
+def manifest_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> None:
+    """ALTER TABLE RENAME COLUMN — metadata-only (op="rename_column"):
+    the stored schema's field changes its LOGICAL name; no data file is
+    touched, because the field's metadata pins the PHYSICAL name it was
+    first written under, and that physical name never changes again
+    (chained renames keep pointing at the original). Scans request
+    physical names and rename at exit; writers rename logical→physical
+    at the file boundary; per-file stats and bloom sidecars — keyed by
+    physical name — stay valid across any number of renames. Old
+    snapshots read under their own schema (time travel is
+    schema-versioned), so a pre-rename version still shows the old name.
+
+    Refused while table metadata depends on the old name — the partition
+    source, a CHECK constraint mentioning it, or the layout policy's
+    cluster_by/bloom_cols — the same blast-radius rule as DROP COLUMN
+    (those systems resolve names physically and a silent rename would
+    surface as corrupt pruning far from the DDL). Also refused when
+    `new` collides with any current logical OR physical name: two
+    logical fields must never resolve to one physical column."""
+    import re as _re
+
+    if not new or not _re.match(r"^[A-Za-z_]\w*$", new):
+        raise ValueError(f"invalid column name {new!r}")
+    for attempt in range(4):
+        m = read_manifest(path)
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {path}")
+        stored = T.StructType.fromJson(m["schema"])
+        if old not in stored.names:
+            raise ValueError(f"no column {old!r} at {path}")
+        if new in stored.names:
+            raise ValueError(f"column {new!r} already exists at {path}")
+        phys_taken = {_phys_name(f) for f in stored.fields}
+        if new in phys_taken:
+            raise ValueError(
+                f"name {new!r} is the pinned physical name of an "
+                "existing (renamed) column — reusing it would alias two "
+                "logical columns onto one physical column"
+            )
+        pt = _transform_of(m)
+        if pt is not None and old == pt.source:
+            raise ValueError(
+                f"column {old!r} is the table's partition source "
+                f"({m['partition_col']!r}) — repartition_manifest_table "
+                "first"
+            )
+        layout = m.get("layout") or {}
+        if old in set(layout.get("cluster_by") or ()) | set(
+            layout.get("bloom_cols") or ()
+        ):
+            raise ValueError(
+                f"column {old!r} is referenced by the table layout "
+                "policy — manifest_set_layout without it first"
+            )
+        pat = _re.compile(rf"\b{_re.escape(old)}\b")
+        hit = [
+            cname for cname, expr in (m.get("constraints") or {}).items()
+            if pat.search(expr)
+        ]
+        if hit:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraints "
+                f"{hit} — manifest_drop_constraint them first"
+            )
+        fields = []
+        for f in stored.fields:
+            if f.name == old:
+                md = dict(f.metadata or {})
+                md["physical"] = _phys_name(f)  # chase chained renames
+                fields.append(
+                    T.StructField(new, f.dataType, f.nullable, md)
+                )
+            else:
+                fields.append(f)
+        try:
+            _commit_with_rebase(
+                spark, path, m, {},
+                schema_json=T.StructType(fields).jsonValue(),
+                max_commit_retries=0, op="rename_column",
             )
             return
         except ConcurrentWriteError:
@@ -4187,6 +4438,12 @@ def repartition_manifest_table(
         raise ValueError(
             f"partition source column {pt.source!r} not in the table schema"
         )
+    if _phys_name(stored[pt.source]) != pt.source:
+        raise ValueError(
+            f"partition source column {pt.source!r} was renamed (its data "
+            "files carry a different physical name) — partitioning by a "
+            "renamed column is not supported; rename it back first"
+        )
     hidden = pt.kind != "identity"
     pcol = partition_column_name(pt)
     if not bloom_cols:
@@ -4204,6 +4461,7 @@ def repartition_manifest_table(
             df, path, pcol, touched, uuid.uuid4().hex[:12],
             bloom_cols=list(bloom_cols) or None,
             drop_cols=(DERIVED_COL,) if hidden else (),
+            stored=stored,
         )
         candidate = {
             **m,
@@ -4379,7 +4637,7 @@ def replace_manifest_partitions(
             df, path, pcol, touched, snap,
             bloom_cols=sorted(lb) or None,
             drop_cols=(DERIVED_COL,) if hidden else (),
-            sort=_layout_sort(manifest),
+            sort=_layout_sort(manifest), stored=_stored_of(manifest),
         )
         _commit_with_rebase(
             spark,
@@ -4529,7 +4787,7 @@ def migrate_time_partition_keys(
         new_entries = _write_partition_prefixes(
             keyed, path, DERIVED_COL, touched, uuid.uuid4().hex[:12],
             bloom_cols=sorted(blooms) or None, drop_cols=(DERIVED_COL,),
-            sort=_layout_sort(m),
+            sort=_layout_sort(m), stored=_stored_of(m),
         )
         _commit_with_rebase(
             spark, path, m, new_entries,
@@ -4727,15 +4985,18 @@ def delete_manifest_rows(
         raise ValueError(
             "refusing DELETE with no predicate — drop the table instead"
         )
+    stored = (
+        T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
+    )
+    # the whole path below is PHYSICAL-named (frames, stats, rewrites):
+    # map logical predicate names once and never hop
+    preds = list(_map_predicates(preds, _phys_map(stored)))
     cond = _predicates_column(preds)
     delete_cond = F.coalesce(cond, F.lit(False))
     entries = _transform_prune(
         spark, m, _select_entries(m, partition_values), preds
     )
     snap = uuid.uuid4().hex[:12]
-    stored = (
-        T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
-    )
     new_entries: dict[str, dict] = {}
     drop_keys: list[str] = []
     deleted = 0
@@ -4898,9 +5159,13 @@ def update_manifest_rows(
                 f"UPDATE assigns unknown columns {missing} — schema changes "
                 "go through the merge path with schema_evolution=True"
             )
+    # assignments and `cond` evaluate on LOGICAL frames (user-facing
+    # names); stats triage and the commit race check run on PHYSICAL
+    # per-file metadata — two views of the same conjunction
+    phys_preds = list(_map_predicates(preds, _phys_map(stored)) or ())
     cond = F.coalesce(_predicates_column(preds), F.lit(False))
     entries = _transform_prune(
-        spark, m, _select_entries(m, partition_values), preds
+        spark, m, _select_entries(m, partition_values), phys_preds
     )
     snap = uuid.uuid4().hex[:12]
     new_entries: dict[str, dict] = {}
@@ -4909,15 +5174,16 @@ def update_manifest_rows(
     for enc, entry in entries.items():
         files = entry.get("files")
         if files is not None and not any(
-            _file_maybe_matches(fm, preds) for fm in files
+            _file_maybe_matches(fm, phys_preds) for fm in files
         ):
             skipped_stats += 1
             continue
         # LIVE rows only: the rewrite folds any pending MoR deletes (the
         # fresh prefix clears the entry's delete list) instead of
         # resurrecting deleted rows
-        df = _live_partition_df(spark, path, entry, stored).drop(
-            "__f", "__p"
+        df = _to_logical(
+            _live_partition_df(spark, path, entry, stored).drop("__f", "__p"),
+            stored,
         ).persist()
         try:
             n_match = df.filter(cond).count()
@@ -4950,8 +5216,9 @@ def update_manifest_rows(
             prefix = os.path.join(
                 "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
             )
+            phys_out = _to_physical(out, stored)
             with _timestamp_stats_conf(spark):
-                out.write.mode("errorifexists").parquet(
+                phys_out.write.mode("errorifexists").parquet(
                     os.path.join(path, prefix)
                 )
             new_entry = {
@@ -4961,7 +5228,7 @@ def update_manifest_rows(
             }
             if entry.get("blooms"):
                 new_entry["blooms"] = _write_bloom_sidecars(
-                    out, path, prefix, list(entry["blooms"]),
+                    phys_out, path, prefix, list(entry["blooms"]),
                     sum(f["rows"] for f in new_entry["files"]),
                 )
             new_entries[enc] = new_entry
@@ -4970,7 +5237,8 @@ def update_manifest_rows(
     if new_entries:
         _commit_with_rebase(
             spark, path, m, new_entries,
-            max_commit_retries=max_commit_retries, check_predicates=preds,
+            max_commit_retries=max_commit_retries,
+            check_predicates=phys_preds,
             check_partition_scope=(
                 None if partition_values is None
                 else {_enc_part(v) for v in partition_values}
@@ -5067,12 +5335,34 @@ def manifest_row_changes(
     )
     # schema evolution across the window: conform the old side to the new
     # schema (columns that didn't exist yet read as NULL) so the diff
-    # predicate and the unions resolve
+    # predicate and the unions resolve. A column RENAMED inside the
+    # window is the SAME column (matched through its pinned physical
+    # name) — matching by logical name alone would read the old side as
+    # NULL and flag every row as a spurious update.
+    new_stored = _stored_of(read_manifest(path, to_version))
+    old_stored = _stored_of(read_manifest(path, from_version))
+    old_by_phys = (
+        {_phys_name(f): f.name for f in old_stored.fields}
+        if old_stored is not None
+        else {}
+    )
+
+    def _old_source(f: T.StructField) -> Column:
+        if f.name in old.columns:
+            return F.col(f.name)
+        phys = (
+            _phys_name(new_stored[f.name])
+            if new_stored is not None and f.name in new_stored.names
+            else f.name
+        )
+        prior = old_by_phys.get(phys)
+        if prior is not None and prior in old.columns:
+            return F.col(prior)
+        return F.lit(None)
+
     old = old.select(
         *[
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in old.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
+            _old_source(f).cast(f.dataType).alias(f.name)
             for f in new.schema.fields
         ]
     )

@@ -255,7 +255,9 @@ def test_alter_table_and_restore(spark, tmp_path):
     ).first().n == 20
     CAT.catalog_sql(spark, cat, "ALTER TABLE src DROP TAG clean")
     with pytest.raises(ValueError, match="unsupported ALTER"):
-        CAT.catalog_sql(spark, cat, "ALTER TABLE src RENAME TO x")
+        CAT.catalog_sql(
+            spark, cat, "ALTER TABLE src SET TBLPROPERTIES ('a'='b')"
+        )
 
 
 def test_min_max_metadata_fast_path(spark, tmp_path):
@@ -357,3 +359,64 @@ def test_plain_create_table_passes_through(spark, tmp_path):
             spark, cat,
             f"CREATE TABLE owned (a int) LOCATION '{loc}'",
         )
+
+
+def test_sql_rename_column_and_table(spark, tmp_path):
+    """Round-7 verdict #5: ALTER TABLE ... RENAME COLUMN is metadata-only
+    (reads/DML/pushdown work under the new name; time travel shows the
+    old), and ALTER TABLE ... RENAME TO changes only the catalog name."""
+    cat, t = _seed(spark, tmp_path)  # table 'src': 20 rows, day = k % 4
+    v1 = sinks.read_manifest(t)["version"]
+    r = CAT.catalog_sql(spark, cat, "ALTER TABLE src RENAME COLUMN v TO score")
+    assert r.first().columns_renamed == 1
+    out = CAT.catalog_sql(spark, cat, "SELECT k, score FROM src WHERE score >= 0")
+    assert out.count() == 20
+    CAT.catalog_sql(spark, cat, "UPDATE src SET score = score + 5 WHERE k = 1")
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT score FROM src WHERE k = 1"
+    ).first().score == spark.range(0).count() + 1 * 2 + 5  # 2k + 5
+    # time travel: pre-rename snapshot keeps the old column name
+    old = CAT.catalog_sql(
+        spark, cat, f"SELECT v FROM src VERSION AS OF {v1} WHERE k = 1"
+    )
+    assert old.first().v == 2
+    # table rename: catalog-only
+    r2 = CAT.catalog_sql(spark, cat, "ALTER TABLE src RENAME TO facts")
+    assert r2.first().tables_renamed == 1
+    assert "src" not in CAT.catalog_tables(cat)
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM facts"
+    ).first().n == 20
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """SHOW CREATE TABLE emits DDL that, re-executed through catalog_sql
+    (with a fresh name/location), recreates an equivalent table —
+    columns, partition spec, and constraints included."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat, "ALTER TABLE src ADD CONSTRAINT k_pos CHECK (k >= 0)"
+    )
+    stmts = [r.createtab_stmt
+             for r in CAT.catalog_sql(spark, cat,
+                                      "SHOW CREATE TABLE src").collect()]
+    assert stmts[0].startswith("CREATE TABLE src (")
+    assert "PARTITIONED BY (day)" in stmts[0]
+    assert any("ADD CONSTRAINT k_pos" in s for s in stmts[1:])
+    # re-execute under a fresh name + location
+    loc2 = str(tmp_path / "clone_loc")
+    for s in stmts:
+        s2 = s.replace("src", "src2").replace(
+            f"LOCATION '{t}'", f"LOCATION '{loc2}'"
+        )
+        CAT.catalog_sql(spark, cat, s2)
+    d = {r.col_name: r.data_type
+         for r in CAT.catalog_sql(spark, cat, "DESCRIBE src2").collect()}
+    assert d["k"] == "bigint" and d["# partitioned by"] == "day"
+    assert "# check:k_pos" in d
+    # the recreated (empty) table accepts conforming inserts and rejects
+    # constraint violations — behaviorally equivalent
+    CAT.catalog_sql(spark, cat,
+                    "INSERT INTO src2 VALUES (1, 0, 2)")
+    with pytest.raises(Exception, match="k_pos|constraint"):
+        CAT.catalog_sql(spark, cat, "INSERT INTO src2 VALUES (-5, 0, 2)")

@@ -154,3 +154,125 @@ def test_clone_of_pinned_version_and_dst_guard(spark, tmp_path):
     assert sinks.read_manifest_table(spark, dst).count() == 20
     with pytest.raises(ValueError, match="already has a manifest"):
         sinks.clone_manifest_table(src, dst)
+
+
+# --------------------------- RENAME COLUMN ---------------------------
+
+
+def _mk_r(spark, path, n=40):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    sinks.merge_upsert_manifest(spark, df, path, keys=["k"],
+                                partition_col="day")
+    return df
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """RENAME COLUMN touches no data file: reads surface the new
+    logical name over old prefixes, new writes land under the pinned
+    PHYSICAL name, predicates/stats/count work through the rename, and
+    time travel shows the pre-rename name."""
+    import glob
+    import os
+
+    t = str(tmp_path / "t")
+    _mk_r(spark, t)
+    v1 = sinks.read_manifest(t)["version"]
+    files_before = sorted(glob.glob(os.path.join(t, "data", "*", "*", "*.parquet")))
+    sinks.manifest_rename_column(spark, t, "v", "score")
+    assert sorted(
+        glob.glob(os.path.join(t, "data", "*", "*", "*.parquet"))
+    ) == files_before  # metadata-only
+    out = sinks.read_manifest_table(spark, t)
+    assert out.columns == ["k", "day", "score"]
+    assert out.agg(F.sum("score")).first()[0] == sum(2 * i for i in range(40))
+    # writes under the new name; files carry the physical name
+    up = spark.createDataFrame([(100, 0, 7)], "k long, day long, score long")
+    sinks.merge_upsert_manifest(spark, up, t, keys=["k"],
+                                partition_col="day")
+    newest = max(
+        glob.glob(os.path.join(t, "data", "0", "snap-*", "*.parquet")),
+        key=os.path.getmtime,
+    )
+    assert spark.read.parquet(newest).columns == ["k", "day", "v"]
+    out2 = sinks.read_manifest_table(spark, t)
+    assert out2.count() == 41 and out2.filter("k=100").first().score == 7
+    # stats/bounds/count answer under the logical name
+    assert sinks.manifest_column_bounds(t, "score")["max"] == 78
+    assert sinks.manifest_count(
+        spark, t, predicates=[("score", ">=", 60)]
+    )["count"] == 10
+    # predicate reads prune AND filter correctly
+    assert sinks.read_manifest_table(
+        spark, t, predicates=[("score", "=", 14)]
+    ).count() == 1
+    # time travel: the old snapshot keeps its own schema
+    assert sinks.read_manifest_table(spark, t, version=v1).columns == \
+        ["k", "day", "v"]
+    # DML through the new name
+    assert sinks.delete_manifest_rows(
+        spark, t, [("score", "<", 10)]
+    )["deleted"] == 6
+    assert sinks.update_manifest_rows(
+        spark, t, {"score": F.col("score") + 1000}, [("k", "=", 20)]
+    )["updated"] == 1
+    assert sinks.read_manifest_table(spark, t).filter("k=20").first().score \
+        == 1040
+
+
+def test_rename_column_chained_and_guards(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk_r(spark, t, 8)
+    sinks.manifest_rename_column(spark, t, "v", "a1")
+    sinks.manifest_rename_column(spark, t, "a1", "a2")  # chained
+    m = sinks.read_manifest(t)
+    import pyspark.sql.types as T
+    f = T.StructType.fromJson(m["schema"])["a2"]
+    assert (f.metadata or {}).get("physical") == "v"  # chases to origin
+    assert sinks.read_manifest_table(spark, t).columns == ["k", "day", "a2"]
+    # the freed logical names are re-addable; the physical name is not
+    sinks.manifest_add_column(spark, t, "a1", "string")
+    with pytest.raises(ValueError, match="physical"):
+        sinks.manifest_add_column(spark, t, "v", "string")
+    with pytest.raises(ValueError, match="partition source"):
+        sinks.manifest_rename_column(spark, t, "day", "d2")
+    with pytest.raises(ValueError, match="already exists"):
+        sinks.manifest_rename_column(spark, t, "k", "a2")
+    with pytest.raises(ValueError, match="no column"):
+        sinks.manifest_rename_column(spark, t, "ghost", "g2")
+    # layout over a renamed column is refused (physical resolution)
+    with pytest.raises(ValueError, match="renamed"):
+        sinks.manifest_set_layout(spark, t, bloom_cols=["a2"])
+
+
+def test_rename_column_cdc_window_no_spurious_updates(spark, tmp_path):
+    """A rename inside a CDC window must NOT flag unchanged rows: the
+    old side conforms through the pinned physical name."""
+    t = str(tmp_path / "t")
+    _mk_r(spark, t, 12)
+    v1 = sinks.read_manifest(t)["version"]
+    sinks.manifest_rename_column(spark, t, "v", "score")
+    up = spark.createDataFrame([(3, 3, 999)], "k long, day long, score long")
+    sinks.merge_upsert_manifest(spark, up, t, keys=["k"],
+                                partition_col="day")
+    ch = sinks.manifest_row_changes(spark, t, ["k"], v1)
+    rows = {(r.k, r._change) for r in ch.collect()}
+    assert rows == {(3, "update_postimage")}  # only the real change
+
+
+def test_rename_column_constraint_guard_and_bloom_continuity(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mk_r(spark, t, 20)
+    sinks.manifest_add_constraint(spark, t, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        sinks.manifest_rename_column(spark, t, "v", "score")
+    sinks.manifest_drop_constraint(spark, t, "v_pos")
+    # pre-rename bloom sidecars keep pruning under the new logical name
+    sinks.manifest_set_layout(spark, t, bloom_cols=["v"])
+    sinks.compact_manifest(spark, t)  # backfills blooms on all partitions
+    sinks.manifest_set_layout(spark, t, bloom_cols=[])  # free the name
+    sinks.manifest_rename_column(spark, t, "v", "score")
+    r = sinks.read_manifest_table(spark, t, predicates=[("score", "=", 38)])
+    assert [x.k for x in r.collect()] == [19]
