@@ -164,6 +164,7 @@ def refresh_rollup(
     target_path: str,
     group_cols: Sequence[str],
     aggs: dict,
+    full_recompute_fraction: float = 0.8,
 ) -> dict:
     """Incremental refresh of `SELECT group_cols, aggs FROM source GROUP BY
     group_cols` into the manifest table at `target_path`, recomputing ONLY
@@ -193,8 +194,20 @@ def refresh_rollup(
     changed-partition recompute strategy carries over unchanged — the
     natural "daily rollup over an event table" shape.
 
+    `full_recompute_fraction` is the auto-chooser dial: when more than
+    this fraction of the source's partitions changed since the last
+    refresh, the refresher recomputes the WHOLE view in one job instead
+    of per-partition (the per-touched-partition bookkeeping overhead
+    exceeds the saved scan once nearly the whole table moved — measured
+    grid in SCALE_NOTES "matview refresh crossover": incremental wins
+    every probed cell up to 75% changed (0.05–0.82× of full) and only
+    loses at 100% changed on the larger table (1.4×), so 0.8 is the
+    measured default). Anything > 1 forces always-incremental; 0.0
+    forces always-full.
+
     Returns {"source_version", "partitions_refreshed",
-    "partitions_dropped", "noop"}."""
+    "partitions_dropped", "noop", "strategy"} — strategy ∈ {initial,
+    incremental, full, stamp, noop} records which path ran."""
     _check_aggs(aggs, _ROLLUP_OPS)
     sm = read_manifest(source_path)
     if sm is None:
@@ -243,7 +256,9 @@ def refresh_rollup(
             "partitions_refreshed": 0,
             "partitions_dropped": 0,
             "noop": True,
+            "strategy": "noop",
         }
+    src_parts = read_manifest(source_path, s_latest)["partitions"]
     if wm is None:
         if read_manifest(target_path) is not None:
             raise ValueError(
@@ -252,11 +267,29 @@ def refresh_rollup(
                 "partitions it holds would silently survive an initial "
                 "build. Start from an empty target path."
             )
-        changed = dict.fromkeys(
-            read_manifest(source_path, s_latest)["partitions"], "added"
-        )
+        changed = dict.fromkeys(src_parts, "added")
+        strategy = "initial"
     else:
         changed = manifest_changed_partitions(source_path, wm, s_latest)
+        frac = len(changed) / max(len(src_parts), 1)
+        if changed and frac > full_recompute_fraction:
+            # auto-chooser (round-7 verdict #3): per-changed-partition
+            # refresh pays a constant overhead per touched partition
+            # (manifest bookkeeping + the replace commit) ON TOP of the
+            # same scan+agg work full recompute does for those
+            # partitions — once nearly the whole table changed,
+            # recomputing everything in one job is cheaper (measured
+            # grid: SCALE_NOTES "matview refresh crossover"). A full
+            # recompute here recomputes ALL present partitions in one
+            # replace; vanished partitions still drop.
+            full = dict.fromkeys(src_parts, "added")
+            for k, st in changed.items():
+                if st == "removed":
+                    full[k] = "removed"
+            changed = full
+            strategy = "full"
+        else:
+            strategy = "incremental"
     present = [k for k, st in changed.items() if st != "removed"]
     removed = [k for k, st in changed.items() if st == "removed"]
     stamp = {WATERMARK_KEY: s_latest, "mv_source": source_path}
@@ -275,6 +308,7 @@ def refresh_rollup(
             "partitions_refreshed": 0,
             "partitions_dropped": 0,
             "noop": False,
+            "strategy": "stamp",
         }
     src = read_manifest_table(
         spark,
@@ -303,6 +337,7 @@ def refresh_rollup(
         "partitions_refreshed": out["partitions_replaced"],
         "partitions_dropped": out["partitions_dropped"],
         "noop": False,
+        "strategy": strategy,
     }
 
 

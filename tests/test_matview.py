@@ -172,8 +172,13 @@ def test_rollup_initial_build_and_incremental_parity(spark, tmp_path):
     sinks.delete_manifest_rows(spark, src, [("day", "=", "d3")])
 
     before_tgt = sinks.read_manifest(tgt)
-    out3 = MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL)
+    # 3 of 4 partitions changed: pin the chooser to incremental so this
+    # test keeps verifying the per-partition path whatever the default
+    # full_recompute_fraction dial is
+    out3 = MV.refresh_rollup(spark, src, tgt, ["day", "cat"], AGGS_FULL,
+                             full_recompute_fraction=2.0)
     assert out3["noop"] is False
+    assert out3["strategy"] == "incremental"
     assert out3["partitions_refreshed"] == 2 and out3["partitions_dropped"] == 1
     after_tgt = sinks.read_manifest(tgt)
     # untouched target partition d0 kept its prefix — incremental, not full
@@ -732,3 +737,51 @@ def test_start_matview_sink_all_filtered_first_batch(spark, tmp_path):
     drain("id > 0")
     [r] = sinks.read_manifest_table(spark, tgt).collect()
     assert (r["day"], r["cat"], r["n"]) == ("a", "x", 1)
+
+
+def test_refresh_strategy_auto_chooser(spark, tmp_path):
+    """Round-7 verdict #3: refresh_rollup recomputes the whole view in
+    one job once the changed-partition fraction exceeds the measured
+    crossover (full_recompute_fraction), and stays per-partition below
+    it — with identical results either way."""
+    src = str(tmp_path / "src")
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 8).cast("string").alias("day"),
+        (F.col("id") % 5).cast("string").alias("cat"),
+        F.col("id").cast("double").alias("v"),
+    )
+    sinks.merge_upsert_manifest(spark, df, src, ["id"], partition_col="day")
+    aggs = {"n": ("count", "*"), "sum_v": ("sum", "v")}
+    t_a, t_b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert MV.refresh_rollup(spark, src, t_a, ["day", "cat"], aggs)[
+        "strategy"] == "initial"
+    MV.refresh_rollup(spark, src, t_b, ["day", "cat"], aggs)
+    # touch 1 of 8 partitions → incremental (frac 0.125 < 0.8)
+    inc = spark.createDataFrame(
+        [(1000, "0", "1", 9.0)], "id long, day string, cat string, v double"
+    )
+    sinks.merge_upsert_manifest(spark, inc, src, ["id"], partition_col="day")
+    r = MV.refresh_rollup(spark, src, t_a, ["day", "cat"], aggs)
+    assert r["strategy"] == "incremental" and r["partitions_refreshed"] == 1
+    # same increment against t_b with the chooser forced full
+    r2 = MV.refresh_rollup(spark, src, t_b, ["day", "cat"], aggs,
+                           full_recompute_fraction=0.0)
+    assert r2["strategy"] == "full" and r2["partitions_refreshed"] == 8
+    a = sinks.read_manifest_table(spark, t_a)
+    b = sinks.read_manifest_table(spark, t_b)
+    assert a.exceptAll(b).count() == 0 and a.count() == b.count()
+    # touch 8 of 8 (frac 1.0 > 0.8) → the chooser goes full on its own
+    inc2 = spark.range(2000, 2008).select(
+        F.col("id"), (F.col("id") % 8).cast("string").alias("day"),
+        F.lit("9").alias("cat"), F.lit(1.0).alias("v"),
+    )
+    sinks.merge_upsert_manifest(spark, inc2, src, ["id"], partition_col="day")
+    r3 = MV.refresh_rollup(spark, src, t_a, ["day", "cat"], aggs)
+    assert r3["strategy"] == "full" and r3["partitions_refreshed"] == 8
+    full = (
+        sinks.read_manifest_table(spark, src).groupBy("day", "cat")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    )
+    got = sinks.read_manifest_table(spark, t_a)
+    assert got.exceptAll(full).count() == 0 and got.count() == full.count()

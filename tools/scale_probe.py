@@ -464,6 +464,84 @@ def probe_matview() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_matview_crossover() -> None:
+    """Incremental refresh vs full recompute across the changed-partition
+    fraction × table size grid (round-7 verdict #3) — the measurement
+    behind refresh_rollup's full_recompute_fraction default. Both
+    strategies refresh IDENTICAL pre-states (two targets of one source)
+    over the same increment; one JSON line per cell."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import matview as MV
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    aggs = {"n": ("count", "*"), "sum_v": ("sum", "v"), "max_v": ("max", "v")}
+    for n_parts in (64, 256):
+        rows_per = 5_000
+        for frac in (0.02, 0.25, 0.5, 0.75, 1.0):
+            k = max(1, int(round(frac * n_parts)))
+            work = tempfile.mkdtemp()
+            try:
+                src = os.path.join(work, "src")
+                n = n_parts * rows_per
+                df = spark.range(0, n).select(
+                    F.col("id"),
+                    (F.col("id") % n_parts).cast("string").alias("day"),
+                    (F.col("id") % 97).cast("string").alias("cat"),
+                    F.col("id").cast("double").alias("v"),
+                )
+                sinks.merge_upsert_manifest(
+                    spark, df, src, ["id"], partition_col="day"
+                )
+                tgt_i = os.path.join(work, "tgt_incr")
+                tgt_f = os.path.join(work, "tgt_full")
+                MV.refresh_rollup(spark, src, tgt_i, ["day", "cat"], aggs)
+                MV.refresh_rollup(spark, src, tgt_f, ["day", "cat"], aggs)
+                # the increment touches exactly k partitions
+                inc = spark.range(n, n + k * 500).select(
+                    F.col("id"),
+                    (F.col("id") % k).cast("string").alias("day"),
+                    (F.col("id") % 97).cast("string").alias("cat"),
+                    F.lit(1.0).alias("v"),
+                )
+                sinks.merge_upsert_manifest(
+                    spark, inc, src, ["id"], partition_col="day"
+                )
+                t0 = time.time()
+                ri = MV.refresh_rollup(
+                    spark, src, tgt_i, ["day", "cat"], aggs,
+                    full_recompute_fraction=2.0,  # force incremental
+                )
+                t_incr = time.time() - t0
+                t0 = time.time()
+                rf = MV.refresh_rollup(
+                    spark, src, tgt_f, ["day", "cat"], aggs,
+                    full_recompute_fraction=0.0,  # force full
+                )
+                t_full = time.time() - t0
+                assert ri["strategy"] == "incremental"
+                assert rf["strategy"] == "full"
+                # parity: both targets hold the same view
+                a = sinks.read_manifest_table(spark, tgt_i)
+                b = sinks.read_manifest_table(spark, tgt_f)
+                assert a.count() == b.count()
+                assert a.exceptAll(b).count() == 0
+                print(json.dumps({
+                    "parts": n_parts,
+                    "changed_frac": frac,
+                    "changed_parts": k,
+                    "incremental_sec": round(t_incr, 2),
+                    "full_sec": round(t_full, 2),
+                    "incr_over_full": round(t_incr / t_full, 2),
+                }))
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+
+
 def probe_partition_transforms() -> None:
     """Partition-pruning effect of hidden partitioning vs the coarse
     identity layout people default to.
@@ -773,9 +851,12 @@ def main() -> None:
         "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram",
         "ivf_drift", "heavy_hitters", "bloom_delete", "matview", "mor_delete",
         "partition_transforms", "replication", "footer_stats",
-        "manifest_crossover",
+        "manifest_crossover", "matview_crossover",
     ):
         op = args.pop(0)
+    if op == "matview_crossover":
+        probe_matview_crossover()
+        return
     if op == "footer_stats":
         probe_footer_stats()
         return
