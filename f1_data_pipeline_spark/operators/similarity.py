@@ -435,6 +435,210 @@ def ivf_search(
     )
 
 
+def _ivf_remove_ids(spark, index_path: str, ids_df: DataFrame) -> int:
+    """Remove the given `neighbor_id`s from the persisted IVF cells —
+    only the CELL PARTITIONS that actually hold one of the ids are
+    rewritten (dynamic partition overwrite); a cell emptied entirely is
+    deleted outright (dynamic overwrite never touches a partition it has
+    no rows for — leaving the stale directory would resurrect removed
+    vectors). Idempotent: removing absent ids touches nothing."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    cells_dir = f"{index_path}/cells"
+    ids = ids_df.toDF("__rm_id").distinct()
+    cells = spark.read.parquet(cells_dir)
+    touched = [
+        r["cell"]
+        for r in cells.join(
+            F.broadcast(ids), cells["neighbor_id"] == ids["__rm_id"]
+        ).select("cell").distinct().collect()
+    ]
+    if not touched:
+        return 0
+    survivors = (
+        spark.read.parquet(cells_dir)
+        .filter(F.col("cell").isin(touched))
+        .join(F.broadcast(ids),
+              F.col("neighbor_id") == F.col("__rm_id"), "left_anti")
+        .persist()
+    )
+    try:
+        kept_cells = {
+            r["cell"] for r in survivors.select("cell").distinct().collect()
+        }
+        conf = spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            if kept_cells:
+                survivors.write.mode("overwrite").partitionBy(
+                    "cell"
+                ).parquet(cells_dir)
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for c in set(touched) - kept_cells:
+            for d in _glob.glob(_os.path.join(cells_dir, f"cell={c}")):
+                _shutil.rmtree(d, ignore_errors=True)
+    finally:
+        survivors.unpersist()
+    return len(touched)
+
+
+def maintain_ivf_index(
+    spark,
+    source_path: str,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    seed: int = 42,
+    rebuild_imbalance: float = 2.5,
+    rebuild_added_frac: float = 0.5,
+) -> dict:
+    """Incremental similarity search over a manifest embeddings table —
+    the documented `consume_table_changes` composition (round-7 verdict
+    #7): each call consumes exactly the source's row changes since the
+    last call and folds them into the persisted IVF index, so index
+    freshness costs ∝ changed rows, never corpus size — the
+    "incremental ANN at 100 TB" loop assembled from existing parts.
+
+    Per cycle: bootstrap (no index yet) runs `build_ivf_index` over the
+    full snapshot; afterwards deletes and update-preimages are REMOVED
+    from their cells (only touched cell partitions rewritten) and
+    inserts + update-postimages are `ivf_index_add`-ed to their nearest
+    existing centroid. Remove-then-add makes a replayed window converge:
+    a crash after the index write but before the watermark commit
+    re-runs the same window, whose removal pass strips the previous
+    attempt's rows before re-adding them — never duplicates (the
+    exactly-once contract `consume_table_changes` requires of its
+    apply_fn, since a blind parquet append is not idempotent by itself).
+
+    The consumer watermark lives in a one-row manifest STATE table at
+    `{index_path}/_state` (columns: slot, indexed_rows,
+    added_since_rebuild, rebuilds) — `consume_table_changes` stores its
+    version watermark in that table's app metadata, committed atomically
+    WITH the cycle's stats row.
+
+    Drift policy (measured: SCALE_NOTES ivf_drift study): after the
+    adds, when max/median cell size exceeds `rebuild_imbalance` OR
+    cumulative adds since the last (re)build exceed `rebuild_added_frac`
+    of the indexed volume, the quantizer is retrained from the source
+    snapshot at the consumed version (`build_ivf_index` full rebuild —
+    recall and balance reset, the counter restarts).
+
+    Returns consume_table_changes' dict + {"action", "added",
+    "removed_cells", "rebuilt"}."""
+    import os as _os
+
+    from .sinks import consume_table_changes, merge_upsert_manifest
+
+    state_path = _os.path.join(index_path, "_state")
+    outcome = {"action": "noop", "added": 0, "removed_cells": 0,
+               "rebuilt": False}
+
+    def _commit_state(indexed_rows: int, added_cum: int, rebuilds: int,
+                      app_metadata: dict) -> None:
+        row = spark.createDataFrame(
+            [("s", int(indexed_rows), int(added_cum), int(rebuilds))],
+            "slot string, indexed_rows long, added_since_rebuild long, "
+            "rebuilds long",
+        )
+        merge_upsert_manifest(
+            spark, row, state_path, keys=["slot"], partition_col="slot",
+            app_metadata=app_metadata,
+        )
+
+    def _state_row() -> dict:
+        from .sinks import read_manifest_table
+
+        try:
+            r = read_manifest_table(spark, state_path).first()
+        except FileNotFoundError:
+            r = None
+        return (
+            {"indexed_rows": 0, "added_since_rebuild": 0, "rebuilds": 0}
+            if r is None
+            else r.asDict()
+        )
+
+    def apply_fn(feed: DataFrame, app_metadata: dict) -> None:
+        st = _state_row()
+        consumed_v = next(iter(app_metadata.values()))
+        have_index = _os.path.isdir(_os.path.join(index_path, "centroids"))
+        if not have_index:
+            base = feed.filter(F.col("_change") == "insert").drop("_change")
+            build_ivf_index(
+                base, index_path, id_col=id_col, vec_col=vec_col,
+                nlist=nlist, seed=seed,
+            )
+            n = base.count()
+            outcome.update(action="bootstrap", added=n, rebuilt=True)
+            _commit_state(n, 0, st["rebuilds"] + 1, app_metadata)
+            return
+        # remove EVERY id the window touches before adding: deleted rows
+        # go away, updated rows' stale vectors go away, and — the replay
+        # case — a crashed previous attempt's already-added inserts go
+        # away before being re-added (this is what makes the cycle
+        # idempotent; removing an absent id is a no-op)
+        gone = feed.select(id_col)
+        upserts = feed.filter(
+            F.col("_change").isin("insert", "update_postimage")
+        ).drop("_change")
+        removed_cells = _ivf_remove_ids(spark, index_path, gone)
+        added = ivf_index_add(
+            upserts, index_path, id_col=id_col, vec_col=vec_col
+        )
+        n_deleted = feed.filter(F.col("_change") == "delete").count()
+        indexed = st["indexed_rows"] + added - n_deleted \
+            - feed.filter(F.col("_change") == "update_postimage").count()
+        added_cum = st["added_since_rebuild"] + added
+        # drift check: imbalance from the live cells, adds from state
+        sizes = [
+            r["n"]
+            for r in spark.read.parquet(f"{index_path}/cells")
+            .groupBy("cell").count().withColumnRenamed("count", "n")
+            .collect()
+        ]
+        sizes.sort()
+        imbalance = (
+            sizes[-1] / max(sizes[len(sizes) // 2], 1) if sizes else 0.0
+        )
+        total = sum(sizes)
+        rebuilt = False
+        if sizes and (
+            imbalance > rebuild_imbalance
+            or added_cum > rebuild_added_frac * max(total - added_cum, 1)
+        ):
+            from .sinks import read_manifest_table
+
+            snap = read_manifest_table(
+                spark, source_path, version=consumed_v
+            )
+            build_ivf_index(
+                snap, index_path, id_col=id_col, vec_col=vec_col,
+                nlist=nlist, seed=seed,
+            )
+            total = snap.count()
+            added_cum = 0
+            rebuilt = True
+        outcome.update(
+            action="incremental", added=added,
+            removed_cells=removed_cells, rebuilt=rebuilt,
+        )
+        _commit_state(
+            total, added_cum,
+            st["rebuilds"] + (1 if rebuilt else 0), app_metadata,
+        )
+
+    r = consume_table_changes(
+        spark, source_path, [id_col], state_path, apply_fn,
+        consumer_key="ivf_consumed_src_version",
+    )
+    return {**r, **outcome}
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): the ANN memory tier. IVF bounds how many
 # vectors a probe SCANS; PQ bounds how many BYTES each scanned vector

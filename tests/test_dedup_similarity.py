@@ -772,3 +772,163 @@ def test_frequent_lines_thresholds(spark):
     assert frequent_lines(df, min_doc_frac=0.01, min_docs=2).count() == 1
     # a fraction above the line's support excludes it
     assert frequent_lines(df, min_doc_frac=1.1, min_docs=2).count() == 0
+
+
+def _rand_vecs(n, dim=8, seed=0, offset=0, shift=0.0):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (offset + i,
+         [rng.gauss(shift, 1.0) for _ in range(dim)],
+         (offset + i) % 4)
+        for i in range(n)
+    ]
+
+
+def test_maintain_ivf_index_cdc_loop(spark, tmp_path):
+    """Round-7 verdict #7: the consume_table_changes → persisted-ANN
+    composition. Inserts/updates/deletes flow from a manifest embeddings
+    table into the IVF index exactly-once (including across a
+    crash-replay), and recall@5 vs brute force holds ≥ 0.8."""
+    from f1_data_pipeline_spark.operators import sinks
+
+    src = str(tmp_path / "emb")
+    idx = str(tmp_path / "ivf")
+    base = spark.createDataFrame(
+        _rand_vecs(200, seed=1),
+        "vec_id long, embedding array<float>, part int",
+    )
+    sinks.merge_upsert_manifest(spark, base, src, keys=["vec_id"],
+                                partition_col="part")
+    # cycle 1: bootstrap
+    r1 = S.maintain_ivf_index(spark, src, idx, nlist=4)
+    assert r1["bootstrapped"] and r1["action"] == "bootstrap"
+    n_idx = spark.read.parquet(f"{idx}/cells").count()
+    assert n_idx == 200
+    # cycle 2: noop (watermark satisfied)
+    assert S.maintain_ivf_index(spark, src, idx, nlist=4)["action"] == "noop"
+    # cycle 3: inserts + an update + a delete
+    ins = spark.createDataFrame(
+        _rand_vecs(20, seed=2, offset=1000),
+        "vec_id long, embedding array<float>, part int",
+    )
+    sinks.merge_upsert_manifest(spark, ins, src, keys=["vec_id"],
+                                partition_col="part")
+    upd = spark.createDataFrame(
+        [(7, [float(9)] * 8, 7 % 4)],
+        "vec_id long, embedding array<float>, part int",
+    )
+    sinks.merge_upsert_manifest(spark, upd, src, keys=["vec_id"],
+                                partition_col="part")
+    sinks.delete_manifest_rows(spark, src, [("vec_id", "=", 13)])
+    r3 = S.maintain_ivf_index(spark, src, idx, nlist=4,
+                              rebuild_added_frac=10.0)
+    assert r3["action"] == "incremental" and r3["added"] == 21
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.count() == 219  # 200 + 20 - 1, update replaced in place
+    assert cells.filter("neighbor_id = 13").count() == 0
+    assert cells.groupBy("neighbor_id").count().filter(
+        "count > 1").count() == 0  # no duplicates anywhere
+    # the updated vector was re-assigned to its new value's cell
+    got7 = cells.filter("neighbor_id = 7").first()
+    assert abs(got7["c_vec"][0] - 9.0) < 1e-6
+    # recall floor vs brute force over the live table
+    live = sinks.read_manifest_table(spark, src)
+    qs = live.filter("vec_id < 10")
+    exact = {}
+    for r in S.brute_force_topk(qs, live, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in S.ivf_search(qs, idx, k=5, nprobe=4).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    assert hits / sum(len(v) for v in exact.values()) >= 0.8
+
+
+def test_maintain_ivf_index_crash_replay_exactly_once(spark, tmp_path):
+    """A crash AFTER the index write but BEFORE the watermark commit
+    replays the same window on the next run: the removal pass strips the
+    previous attempt's rows before re-adding — never duplicates."""
+    from f1_data_pipeline_spark.operators import sinks
+
+    src = str(tmp_path / "emb")
+    idx = str(tmp_path / "ivf")
+    base = spark.createDataFrame(
+        _rand_vecs(100, seed=3),
+        "vec_id long, embedding array<float>, part int",
+    )
+    sinks.merge_upsert_manifest(spark, base, src, keys=["vec_id"],
+                                partition_col="part")
+    S.maintain_ivf_index(spark, src, idx, nlist=4)
+    ins = spark.createDataFrame(
+        _rand_vecs(15, seed=4, offset=500),
+        "vec_id long, embedding array<float>, part int",
+    )
+    sinks.merge_upsert_manifest(spark, ins, src, keys=["vec_id"],
+                                partition_col="part")
+    # crash injection: the state commit raises AFTER the index write
+    real_merge = sinks.merge_upsert_manifest
+    calls = {"n": 0}
+
+    def crashing_merge(spark_, df, path, **kw):
+        if path.endswith("_state") and kw.get("app_metadata"):
+            calls["n"] += 1
+            raise RuntimeError("injected crash before watermark commit")
+        return real_merge(spark_, df, path, **kw)
+
+    import f1_data_pipeline_spark.operators.similarity as S_mod
+
+    orig = S_mod.__dict__.get("merge_upsert_manifest")
+    try:
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            sinks, "merge_upsert_manifest", side_effect=crashing_merge
+        ):
+            with pytest.raises(RuntimeError, match="injected"):
+                S.maintain_ivf_index(spark, src, idx, nlist=4)
+    finally:
+        if orig is not None:
+            S_mod.merge_upsert_manifest = orig
+    assert calls["n"] == 1
+    # the index HAS the adds, the watermark does NOT — replay the cycle
+    assert spark.read.parquet(f"{idx}/cells").count() == 115
+    r = S.maintain_ivf_index(spark, src, idx, nlist=4)
+    assert r["action"] == "incremental" and not r["bootstrapped"]
+    cells = spark.read.parquet(f"{idx}/cells")
+    assert cells.count() == 115  # replay converged, no duplicates
+    assert cells.groupBy("neighbor_id").count().filter(
+        "count > 1").count() == 0
+    # and the next cycle is a clean noop
+    assert S.maintain_ivf_index(spark, src, idx, nlist=4)["action"] == "noop"
+
+
+def test_maintain_ivf_index_drift_rebuild(spark, tmp_path):
+    """Adding more than rebuild_added_frac of the indexed volume triggers
+    the measured-threshold quantizer rebuild inside the SAME cycle."""
+    from f1_data_pipeline_spark.operators import sinks
+
+    src = str(tmp_path / "emb")
+    idx = str(tmp_path / "ivf")
+    base = spark.createDataFrame(
+        _rand_vecs(60, seed=5),
+        "vec_id long, embedding array<float>, part int",
+    )
+    sinks.merge_upsert_manifest(spark, base, src, keys=["vec_id"],
+                                partition_col="part")
+    S.maintain_ivf_index(spark, src, idx, nlist=4)
+    # add 100% of the indexed volume, drawn from a shifted distribution
+    ins = spark.createDataFrame(
+        _rand_vecs(60, seed=6, offset=800, shift=5.0),
+        "vec_id long, embedding array<float>, part int",
+    )
+    sinks.merge_upsert_manifest(spark, ins, src, keys=["vec_id"],
+                                partition_col="part")
+    r = S.maintain_ivf_index(spark, src, idx, nlist=4,
+                             rebuild_added_frac=0.5)
+    assert r["rebuilt"] is True
+    st = sinks.read_manifest_table(spark, str(tmp_path / "ivf" / "_state"))
+    row = st.first()
+    assert row.added_since_rebuild == 0 and row.rebuilds == 2
+    assert spark.read.parquet(f"{idx}/cells").count() == 120
