@@ -125,6 +125,14 @@ def start_merge_sink(
         raise ValueError(f"unknown commit mode {commit!r}")
     if commit == "manifest" and partition_col is None:
         raise ValueError("commit='manifest' requires partition_col")
+    if commit == "manifest":
+        # pre-warm the manifest commit path's lazy imports BEFORE the
+        # first micro-batch: the footer-stats reader (pyarrow.parquet)
+        # alone costs several hundred ms of import time, which otherwise
+        # lands entirely inside batch 1's latency (round-7 bench:
+        # batch_secs[0] 2.6 s vs ~1.5 s steady state). Driver-side and
+        # once per sink, not per batch.
+        import pyarrow.parquet  # noqa: F401
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
