@@ -351,6 +351,32 @@ def key_maybe_matches(
     return True
 
 
+def _derive_buckets_batch(
+    spark: SparkSession,
+    t: PartitionTransform,
+    vals: list,
+    source_type: str | None,
+    chunk: int = 1000,
+) -> dict:
+    """Bucket-derive MANY probe values in one control-plane job per
+    `chunk` instead of one job per value: the exact F.lit(v).cast(type)
+    → pmod(xxhash64, N) expression `derive_value` uses, fused into a
+    single projection. A 10k-member IN probe (the X42 runtime-join-filter
+    shape) costs ~10 driver jobs, not 10k. Returns {repr(v): (True, b)}
+    in `key_maybe_matches`'s cache-value shape."""
+    out: dict = {}
+    for i in range(0, len(vals), chunk):
+        part = vals[i : i + chunk]
+        cols = []
+        for j, v in enumerate(part):
+            lit = F.lit(v).cast(source_type) if source_type else F.lit(v)
+            cols.append(F.pmod(F.xxhash64(lit), F.lit(t.param)).alias(f"b{j}"))
+        row = spark.range(1).select(*cols).first()
+        for j, v in enumerate(part):
+            out[repr(v)] = (True, row[f"b{j}"])
+    return out
+
+
 def prune_partition_keys(
     spark: SparkSession,
     t: PartitionTransform,
@@ -362,10 +388,32 @@ def prune_partition_keys(
     that could satisfy the predicates. Identity transforms are returned
     unchanged (file stats prune those); derived-value computation is
     cached across keys so bucket probes cost one job per distinct
-    predicate value, not per partition."""
+    predicate value, not per partition — and for bucket transforms ALL
+    equality/IN probe values are derived up front in one fused job per
+    1000 values (`_derive_buckets_batch`), so a wide runtime-filter IN
+    list never degenerates into per-member driver jobs."""
     if not predicates or t.kind == "identity":
         return entries
     cache: dict = {}
+    if t.kind == "bucket":
+        vals, seen = [], set()
+        for col, op, raw in predicates:
+            if col != t.source:
+                continue
+            members = (
+                list(raw) if op == "in" else [raw] if op in ("=", "==") else []
+            )
+            for v in members:
+                if v is None or repr(v) in seen:
+                    continue
+                seen.add(repr(v))
+                vals.append(v)
+        if len(vals) > 1:
+            for r, dv in _derive_buckets_batch(
+                spark, t, vals, source_type
+            ).items():
+                cache[("=", r)] = dv
+                cache[("==", r)] = dv
     return {
         k: e
         for k, e in entries.items()

@@ -268,13 +268,51 @@ register(
 
 def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session ⋈ round analog: orders ⋈ customer with filters on both sides
-    # (reference: metadata.py:310-318).
-    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1998)
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+    # (reference: metadata.py:310-318). Since round 8 this entry runs
+    # through the FULL SQL console rather than a hand-built DataFrame:
+    # orders/customer land in manifest tables (fact hidden-partitioned by
+    # bucket(16, o_custkey)), a catalog binds names, and catalog_sql
+    # plans the star join — the dim's literal predicate pushes into its
+    # manifest read and its surviving join keys become a runtime IN
+    # filter on the fact's read (X42 dynamic file pruning, engaging
+    # bucket pruning + file stats + bloom probes). The driver's DuckDB
+    # hash gate thereby verifies the console end-to-end (text → routing
+    # → pushdown → runtime filter → manifest scan), not just a DataFrame
+    # plan. The temp manifest tables live for the session (the returned
+    # DataFrame's plan references their files).
+    import os
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import catalog as CAT
+    from f1_data_pipeline_spark.operators import sinks
+
+    work = tempfile.mkdtemp(prefix="sql_console_c1_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
-    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
-        "o_orderkey", "c_name", "o_totalprice"
+    fact_p = os.path.join(work, "orders_m")
+    sinks.create_manifest_table(
+        spark, fact_p, o.schema, "bucket(16, o_custkey)"
+    )
+    sinks.insert_into_manifest(spark, o, fact_p)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dim_p = os.path.join(work, "customer_m")
+    sinks.create_manifest_table(spark, dim_p, c.schema, "c_mktsegment")
+    sinks.insert_into_manifest(spark, c, dim_p)
+    cat = os.path.join(work, "cat")
+    CAT.catalog_create_table(cat, "orders_m", fact_p)
+    CAT.catalog_create_table(cat, "customer_m", dim_p)
+    return CAT.catalog_sql(
+        spark,
+        cat,
+        """
+        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        FROM orders_m o JOIN customer_m c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND EXTRACT(YEAR FROM o.o_orderdate) = 1998
+        """,
     )
 
 

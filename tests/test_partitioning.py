@@ -638,3 +638,54 @@ def test_migrate_stamps_clean_table_without_rewrite(spark, tmp_path):
     m2 = sinks.read_manifest(path)
     assert m2["time_key_rule"] == "utc" and m2["version"] == 2
     assert {k: e["prefix"] for k, e in m2["partitions"].items()} == before
+
+
+def test_bucket_in_probe_batches_derivation(spark, monkeypatch):
+    """A wide IN probe over a bucket transform must NOT run one 1-row
+    Spark job per member (at the X42 runtime-filter cap of 10k keys that
+    would be minutes of driver jobs): prune_partition_keys pre-derives
+    every =/IN probe value in one fused projection per 1000 values, and
+    the surviving-key set is identical to per-value derivation."""
+    t = P.parse_partition_spec("bucket(8, k)")
+    entries = {str(b): {"prefix": f"p{b}"} for b in range(8)}
+
+    # reference: per-value key_maybe_matches with fresh caches
+    vals = list(range(0, 600, 7)) + [None]
+    preds = [("k", "in", tuple(vals))]
+    expect = {
+        k
+        for k in entries
+        if any(
+            P.key_maybe_matches(spark, t, k, [("k", "=", v)], {}, "bigint")
+            for v in vals
+            if v is not None
+        )
+    }
+
+    calls = {"n": 0}
+    real = P.derive_value
+
+    def counting(spark_, t_, v, source_type=None):
+        calls["n"] += 1
+        return real(spark_, t_, v, source_type)
+
+    monkeypatch.setattr(P, "derive_value", counting)
+    got = P.prune_partition_keys(spark, t, entries, preds, "bigint")
+    assert set(got) == expect
+    # every member came from the batch — zero per-value derivations
+    assert calls["n"] == 0
+
+    # string source type takes the same batch path and agrees with Spark
+    ts = P.parse_partition_spec("bucket(4, s)")
+    s_entries = {str(b): {} for b in range(4)}
+    s_vals = ["alpha", "beta", "gamma", ""]
+    s_got = P.prune_partition_keys(
+        spark, ts, s_entries, [("s", "in", tuple(s_vals))], "string"
+    )
+    s_expect = {
+        str(r["b"])
+        for r in spark.createDataFrame([(v,) for v in s_vals], "s string")
+        .select(F.pmod(F.xxhash64(F.col("s")), F.lit(4)).alias("b"))
+        .collect()
+    }
+    assert set(s_got) == s_expect
