@@ -225,6 +225,12 @@ def catalog_sql(
     answered from manifest metadata (`manifest_count`) — zero files
     opened without a predicate; always exact.
 
+    `EXPLAIN <select>` returns the manifest planner's decision record
+    instead of the result — one row per cataloged reference: pinned
+    version, pushed predicates, harvested runtime filters, metadata
+    fast path, and the measured files/partitions the bound scan opens
+    vs the table's totals (see `_explain_select`).
+
     DML statements route to the manifest write verbs (the reference's
     core op is the upsert, loaders/__init__.py:253-273, so a SQL-only
     user must be able to write): `INSERT INTO t [(cols)] SELECT ...` /
@@ -277,7 +283,12 @@ def catalog_sql(
     dropped before returning (the DataFrame's plan is already bound).
     A CTE whose name shadows a cataloged table keeps its standard SQL
     meaning (those references are not rewritten)."""
+    import re
+
     tables = catalog_tables(catalog_path)
+    em = re.match(r"\s*EXPLAIN\s+(.*)$", sql, re.IGNORECASE | re.DOTALL)
+    if em:
+        return _explain_select(spark, tables, em.group(1))
     routed = _route_statement(spark, catalog_path, tables, sql)
     if routed is not None:
         return routed
@@ -533,6 +544,109 @@ def _bind_internal_views(
             repl += f" AS {r['name']}"
         sql = sql[: r["start"]] + repl + sql[r["end"]:]
     return sql, cleanup
+
+
+def _pred_str(p: tuple) -> str:
+    col, op, val = p
+    if op == "in" and isinstance(val, (tuple, list)) and len(val) > 8:
+        return f"{col} IN [{len(val)} values]"
+    return f"{col} {op} {val!r}"
+
+
+def _explain_select(spark: SparkSession, tables: dict, inner: str) -> DataFrame:
+    """`EXPLAIN <select>` — the manifest planner's decision record as a
+    DataFrame (one row per cataloged relation reference) instead of the
+    query result: the version each reference pinned, the predicates
+    pushed into its manifest read (literal pushdown, CTE-scoped
+    pushdown, harvested runtime join filters), whether a metadata-only
+    fast path answers without any scan, and the MEASURED pruning effect:
+    `files_scanned` is `inputFiles()` of the exact pruned read
+    catalog_sql would bind (so transform pruning, file stats, and bloom
+    probes are all reflected), against the table's unpruned totals.
+
+    Planning-cost only: the dimension harvest behind a runtime filter
+    does run (it is part of planning), but the explained query itself
+    never executes. `EXPLAIN` over non-SELECT statements or queries that
+    touch no cataloged table passes through to Spark's own EXPLAIN;
+    EXPLAIN of cataloged DML/DDL raises (those route to manifest verbs —
+    there is no Spark plan to show)."""
+    import re
+
+    if re.match(
+        r"\s*(insert|delete|update|merge|create|drop|show|desc|describe"
+        r"|vacuum|optimize|alter|restore)\b", inner, re.IGNORECASE,
+    ):
+        for rx in _TARGET_RES.values():
+            m = re.match(rx, inner, re.IGNORECASE)
+            if m and m.group(1) in tables:
+                raise ValueError(
+                    "EXPLAIN supports SELECT against cataloged tables; "
+                    "DML/DDL statements route to manifest verbs and have "
+                    "no Spark plan to explain"
+                )
+        return spark.sql("EXPLAIN " + inner)
+    s, travel = _strip_time_travel(inner, tables)
+    refs = _relation_refs(s, tables)
+    if not refs:
+        return spark.sql("EXPLAIN " + inner)
+    fast = None
+    if _count_star_fast_path(spark, tables, s, travel) is not None:
+        fast = "count_star_metadata_only"
+    elif _min_max_fast_path(spark, tables, s, travel) is not None:
+        fast = "min_max_metadata_only"
+    versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
+    preds = _extract_pushdown_predicates(spark, s, refs, tables)
+    rtf = _runtime_join_filters(spark, s, refs, tables, versions, preds)
+    ref_preds = _cte_pushdown_predicates(spark, s, refs, tables)
+    rows = []
+    totals: dict[str, tuple[int, int]] = {}
+    for i, r in enumerate(refs):
+        name = r["name"]
+        path = tables[name]["path"]
+        v = versions[name]
+        p = ref_preds[i] if i in ref_preds else preds.get(name)
+        if name not in totals:
+            m = read_manifest(path, v)
+            full = read_manifest_table(spark, path, version=v)
+            totals[name] = (len(m["partitions"]), len(full.inputFiles()))
+        parts_total, files_total = totals[name]
+        if fast is not None:
+            files, parts = 0, 0
+        else:
+            pruned = read_manifest_table(
+                spark, path, version=v, predicates=p
+            )
+            fl = pruned.inputFiles()
+            files = len(fl)
+            # inputFiles are file:// URIs over
+            # <table>/<partition dir>/<snap>/<name>
+            base = os.path.abspath(path)
+            parts = len({
+                os.path.relpath(
+                    f.split("://", 1)[-1], base
+                ).split(os.sep)[0]
+                for f in fl
+            })
+        note = rtf.get(name)
+        rows.append((
+            name,
+            v,
+            [_pred_str(x) for x in p] if p else [],
+            (f"{note['key']} IN ({note['n_keys']} keys harvested from "
+             f"{note['from']})") if note else None,
+            parts,
+            parts_total,
+            files,
+            files_total,
+            fast,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "table string, version long, pushdown array<string>, "
+        "runtime_filter string, partitions_scanned long, "
+        "partitions_total long, files_scanned long, files_total long, "
+        "fast_path string",
+    )
 
 
 def _strip_time_travel(sql: str, tables: dict) -> tuple[str, dict]:

@@ -612,3 +612,56 @@ def test_cte_scoped_pushdown(spark, tmp_path):
           "SELECT count(*) AS n FROM j")
     assert CAT.catalog_sql(spark, cat, q3).first().n == \
         spark.sql(q3).first().n
+
+
+def test_explain_select_decision_record(spark, tmp_path):
+    """EXPLAIN <select> returns the planner's decision record: pinned
+    version, pushed predicates, the harvested runtime filter, and the
+    measured files/partitions the bound scan opens vs totals — without
+    executing the query."""
+    cat = _mk_star(spark, tmp_path)
+    df = CAT.catalog_sql(
+        spark, cat,
+        "EXPLAIN SELECT f.k, f.v FROM fact8 f JOIN dim8 d "
+        "ON f.fk = d.dk WHERE d.attr = 7",
+    )
+    rows = {r["table"]: r for r in df.collect()}
+    assert set(rows) == {"fact8", "dim8"}
+    f, d = rows["fact8"], rows["dim8"]
+    assert d["pushdown"] == ["attr = 7"] and d["runtime_filter"] is None
+    assert f["runtime_filter"] is not None and "dim8" in f["runtime_filter"]
+    assert f["pushdown"] and f["pushdown"][0].startswith("fk in")
+    assert 0 < f["files_scanned"] < f["files_total"] == 16
+    assert 0 < d["files_scanned"] < d["files_total"]
+    assert d["partitions_scanned"] == 1 and d["partitions_total"] == 50
+    # the explained query's result tables were not touched (no execution):
+    # a second real run still matches plain Spark
+    q = ("SELECT f.k FROM fact8 f JOIN dim8 d ON f.fk = d.dk "
+         "WHERE d.attr = 7")
+    assert CAT.catalog_sql(spark, cat, q).count() == spark.sql(q).count()
+
+
+def test_explain_fast_path_and_passthrough(spark, tmp_path):
+    cat = _mk_star(spark, tmp_path)
+    [r] = CAT.catalog_sql(
+        spark, cat, "EXPLAIN SELECT COUNT(*) FROM fact8"
+    ).collect()
+    assert r["fast_path"] == "count_star_metadata_only"
+    assert r["files_scanned"] == 0 and r["files_total"] == 16
+    # time travel pins the explained version
+    sinks.delete_manifest_rows(spark, str(tmp_path / "fact"),
+                               [("fk", "=", 7)])
+    [r2] = CAT.catalog_sql(
+        spark, cat,
+        "EXPLAIN SELECT COUNT(*) FROM fact8 VERSION AS OF 1",
+    ).collect()
+    assert r2["version"] == 1
+    # non-cataloged SELECT passes through to Spark's own EXPLAIN
+    spark.range(3).createOrReplaceTempView("plain_expl_v")
+    out = CAT.catalog_sql(
+        spark, cat, "EXPLAIN SELECT * FROM plain_expl_v"
+    )
+    assert out.columns == ["plan"]
+    # cataloged DML has no Spark plan to explain
+    with pytest.raises(ValueError, match="no Spark plan"):
+        CAT.catalog_sql(spark, cat, "EXPLAIN DELETE FROM fact8 WHERE fk=1")
