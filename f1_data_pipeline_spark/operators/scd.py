@@ -1,0 +1,193 @@
+"""Slowly-changing-dimension (Type 2) maintenance over manifest tables.
+
+The reference pipeline overwrite-upserts its dimensions (drivers,
+constructors — loaders/__init__.py:253-273), losing attribute history:
+a constructor rename retroactively rewrites every old season's rows. A
+training-data/warehouse pipeline usually wants the opposite — the
+dimension AS OF the fact's time. SCD2 keeps every attribute version as
+its own row bounded by `[valid_from, valid_to)` with an `is_current`
+flag, so point-in-time joins are a plain range predicate.
+
+Spark-first shape: one broadcast-friendly join of the update batch
+against the CURRENT slice classifies every key (new / changed /
+corrected / unchanged) in a single job, and one partition-scoped
+manifest MERGE lands closed rows + new versions atomically. The target
+is hidden-partitioned by `bucket(N, key)` BY DEFAULT so every version
+of a key lives in one partition: closing a row never moves it, the
+MERGE rewrites only buckets that actually contain touched keys, and a
+point lookup prunes to 1 of N buckets — at 100 TB the write cost is
+∝ changed keys, never dimension size.
+
+Version-row identity is `(business key, valid_from)` — a natural key,
+so replays converge: re-applying a batch finds equal attributes at the
+same `valid_from` and classifies every row unchanged (exactly-once
+downstream via `app_metadata`, same as every manifest verb).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _changed_expr(attrs: Sequence[str]):
+    """NULL-safe 'any tracked attribute differs' predicate."""
+    e = F.lit(False)
+    for a in attrs:
+        e = e | ~F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}"))
+    return e
+
+
+def scd2_merge(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    ts_col: str = "effective_ts",
+    track_cols: Sequence[str] | None = None,
+    partition_col: str | None = None,
+    app_metadata: dict | None = None,
+) -> dict:
+    """Fold an update batch into the SCD2 dimension at `path`.
+
+    `updates` carries the business key(s), attribute columns, and
+    `ts_col` (the business-effective instant of each row — NOT load
+    time). Per key the LATEST batch row wins (explicit dedup, B4
+    semantics); then against the current slice:
+
+    - key absent               → insert as current (valid_from = ts)
+    - ts >  current valid_from and a tracked attribute differs
+                               → close current (valid_to = ts,
+                                 is_current = false) + insert the new
+                                 version as current
+    - ts == current valid_from and a tracked attribute differs
+                               → in-place CORRECTION of that version's
+                                 attributes (no zero-length interval,
+                                 no duplicate (key, valid_from) row)
+    - attributes all equal     → unchanged, nothing written
+    - ts <  current valid_from → raises: a late-arriving version needs
+      a history splice (close/reopen of an INTERIOR interval), which
+      this verb does not do silently
+
+    `track_cols` limits change detection to the named attributes
+    (untracked columns still refresh on rows written for other
+    reasons); default = every non-key, non-ts column. Replay-idempotent:
+    re-applying the same batch classifies every key unchanged.
+
+    Returns {"new", "changed", "corrected", "unchanged"}."""
+    from .sinks import (
+        merge_upsert_manifest,
+        read_manifest,
+        read_manifest_table,
+    )
+
+    keys = list(keys)
+    if partition_col is None:
+        partition_col = f"bucket(16, {keys[0]})"
+    attrs = list(track_cols) if track_cols is not None else [
+        c for c in updates.columns if c not in {*keys, ts_col}
+    ]
+    if not attrs:
+        raise ValueError("updates carry no attribute columns to track")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(a).desc_nulls_last() for a in attrs]
+    )
+    batch = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out_cols = [
+        *keys,
+        *attrs,
+        F.col(ts_col).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ]
+    if read_manifest(path) is None:
+        base = batch.select(*out_cols)
+        merge_upsert_manifest(
+            spark, base, path, keys=[*keys, "valid_from"],
+            partition_col=partition_col, app_metadata=app_metadata,
+        )
+        return {
+            "new": base.count(), "changed": 0, "corrected": 0,
+            "unchanged": 0,
+        }
+
+    cur = read_manifest_table(spark, path).filter("is_current")
+    j = batch.alias("u").join(cur.alias("c"), on=keys, how="left").persist()
+    try:
+        ts_u = F.col(f"u.{ts_col}").cast("timestamp")
+        status = (
+            F.when(F.col("c.valid_from").isNull(), "new")
+            .when(ts_u < F.col("c.valid_from"), "late")
+            .when(
+                _changed_expr(attrs),
+                F.when(ts_u == F.col("c.valid_from"), "corrected")
+                .otherwise("changed"),
+            )
+            .otherwise("unchanged")
+        )
+        j = j.withColumn("__st", status)
+        counts = {
+            r["__st"]: r["n"]
+            for r in j.groupBy("__st").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if counts.get("late"):
+            raise ValueError(
+                f"{counts['late']} update row(s) are OLDER than the "
+                "current version of their key — late-arriving history "
+                "needs an interior-interval splice; this verb refuses "
+                "rather than corrupting [valid_from, valid_to) chains"
+            )
+        touched = j.filter(F.col("__st").isin("new", "changed", "corrected"))
+        # closed-out predecessors of 'changed' keys: the CURRENT row with
+        # its interval capped at the new version's valid_from
+        closed = touched.filter(F.col("__st") == "changed").select(
+            *keys,
+            *[F.col(f"c.{a}").alias(a) for a in attrs],
+            F.col("c.valid_from").alias("valid_from"),
+            ts_u.alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+        fresh = touched.select(
+            *keys,
+            *[F.col(f"u.{a}").alias(a) for a in attrs],
+            ts_u.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        merge_upsert_manifest(
+            spark, fresh.unionByName(closed), path,
+            keys=[*keys, "valid_from"], partition_col=partition_col,
+            app_metadata=app_metadata,
+        )
+        return {
+            "new": counts.get("new", 0),
+            "changed": counts.get("changed", 0),
+            "corrected": counts.get("corrected", 0),
+            "unchanged": counts.get("unchanged", 0),
+        }
+    finally:
+        j.unpersist()
+
+
+def scd2_at(spark: SparkSession, path: str, ts) -> DataFrame:
+    """The dimension AS OF a business instant: one row per key whose
+    interval covers `ts` (`valid_from <= ts < valid_to`, open
+    `valid_to` = forever). This is BUSINESS time over attribute
+    versions — orthogonal to commit-time travel (`version=`), which
+    replays storage history. Point-in-time fact enrichment is then a
+    plain equi-join against this frame (or an as-of join on the fact's
+    event time via streaming/windows.py for per-row instants)."""
+    from .sinks import read_manifest_table
+
+    t = F.lit(ts).cast("timestamp")
+    return read_manifest_table(spark, path).filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

@@ -1,0 +1,179 @@
+"""SCD Type-2 dimension maintenance (operators/scd.py).
+
+The reference overwrite-upserts dimensions (loaders/__init__.py:253-273)
+and loses history; scd2_merge keeps every attribute version bounded by
+[valid_from, valid_to) so point-in-time joins work. These tests pin the
+classification matrix (new/changed/corrected/unchanged/late), the
+interval-chain invariants, replay idempotency, partition-scoped write
+cost, and business-time reads vs commit-time travel.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import scd
+from f1_data_pipeline_spark.operators import sinks
+
+SCHEMA = "team_id long, name string, country string, effective_ts timestamp"
+
+
+def _t(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day, 12, 0, 0)
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_scd2_bootstrap_change_correction_unchanged(spark, tmp_path):
+    path = str(tmp_path / "teams")
+    out = scd.scd2_merge(
+        spark,
+        _dim(spark, [(1, "Alpha", "UK", _t(1)), (2, "Beta", "DE", _t(1))]),
+        path, keys=["team_id"],
+    )
+    assert out == {"new": 2, "changed": 0, "corrected": 0, "unchanged": 0}
+    cur = sinks.read_manifest_table(spark, path)
+    assert cur.count() == 2 and cur.filter("is_current").count() == 2
+
+    # change (rename), correction (country fix at the SAME instant),
+    # unchanged, and a brand-new key — one batch
+    out2 = scd.scd2_merge(
+        spark,
+        _dim(spark, [
+            (1, "Alpha Racing", "UK", _t(5)),   # changed → close + insert
+            (2, "Beta", "AT", _t(1)),            # corrected in place
+            (3, "Gamma", "FR", _t(5)),           # new
+        ]),
+        path, keys=["team_id"],
+    )
+    assert out2 == {"new": 1, "changed": 1, "corrected": 1, "unchanged": 0}
+    rows = {
+        (r["team_id"], r["valid_from"]): r
+        for r in sinks.read_manifest_table(spark, path).collect()
+    }
+    assert len(rows) == 4  # 2 versions of team 1, corrected 2, new 3
+    old1 = rows[(1, _t(1))]
+    new1 = rows[(1, _t(5))]
+    assert not old1["is_current"] and old1["valid_to"] == _t(5)
+    assert old1["name"] == "Alpha"  # history preserved
+    assert new1["is_current"] and new1["valid_to"] is None
+    assert new1["name"] == "Alpha Racing"
+    fixed2 = rows[(2, _t(1))]
+    assert fixed2["country"] == "AT" and fixed2["is_current"]
+    # exactly one current row per key — always
+    cur = sinks.read_manifest_table(spark, path).filter("is_current")
+    assert cur.groupBy("team_id").count().filter("count != 1").count() == 0
+
+    # unchanged batch is a no-op (replay idempotency)
+    before = sinks.read_manifest(path)["version"]
+    out3 = scd.scd2_merge(
+        spark,
+        _dim(spark, [
+            (1, "Alpha Racing", "UK", _t(5)),
+            (2, "Beta", "AT", _t(1)),
+            (3, "Gamma", "FR", _t(5)),
+        ]),
+        path, keys=["team_id"],
+    )
+    assert out3["unchanged"] == 3
+    assert out3["new"] == out3["changed"] == out3["corrected"] == 0
+
+
+def test_scd2_late_arrival_refused(spark, tmp_path):
+    path = str(tmp_path / "teams")
+    scd.scd2_merge(
+        spark, _dim(spark, [(1, "Alpha", "UK", _t(10))]), path, ["team_id"]
+    )
+    with pytest.raises(ValueError, match="late-arriving"):
+        scd.scd2_merge(
+            spark, _dim(spark, [(1, "Old Alpha", "UK", _t(2))]),
+            path, ["team_id"],
+        )
+
+
+def test_scd2_batch_dedup_and_track_cols(spark, tmp_path):
+    path = str(tmp_path / "teams")
+    # two rows for one key in one batch: the latest ts wins (B4 dedup)
+    scd.scd2_merge(
+        spark,
+        _dim(spark, [(1, "Alpha", "UK", _t(1)), (1, "Alpha2", "UK", _t(3))]),
+        path, keys=["team_id"],
+    )
+    [r] = sinks.read_manifest_table(spark, path).collect()
+    assert r["name"] == "Alpha2" and r["valid_from"] == _t(3)
+    # untracked attribute drift does NOT open a new version
+    out = scd.scd2_merge(
+        spark,
+        _dim(spark, [(1, "Alpha2", "US", _t(6))]),
+        path, keys=["team_id"], track_cols=["name"],
+    )
+    assert out["unchanged"] == 1
+    assert sinks.read_manifest_table(spark, path).count() == 1
+
+
+def test_scd2_at_business_time(spark, tmp_path):
+    path = str(tmp_path / "teams")
+    scd.scd2_merge(
+        spark, _dim(spark, [(1, "Alpha", "UK", _t(1))]), path, ["team_id"]
+    )
+    scd.scd2_merge(
+        spark, _dim(spark, [(1, "Alpha Racing", "UK", _t(10))]),
+        path, ["team_id"],
+    )
+    scd.scd2_merge(
+        spark, _dim(spark, [(1, "Alpha GP", "IT", _t(20))]),
+        path, ["team_id"],
+    )
+    def name_at(day):
+        got = scd.scd2_at(spark, path, _t(day)).collect()
+        return got[0]["name"] if got else None
+
+    assert name_at(1) == "Alpha"          # inclusive lower bound
+    assert name_at(9) == "Alpha"
+    assert name_at(10) == "Alpha Racing"  # exclusive upper bound
+    assert name_at(25) == "Alpha GP"
+    # before the first version: the key does not exist yet
+    assert scd.scd2_at(spark, path, dt.datetime(2023, 12, 31)).count() == 0
+    # every instant sees exactly one version — intervals never overlap
+    for day in (1, 5, 10, 15, 20, 28):
+        assert scd.scd2_at(spark, path, _t(day)).count() == 1
+
+
+def test_scd2_partition_scoped_write(spark, tmp_path):
+    """The bucket(N, key) default layout bounds the MERGE to partitions
+    holding touched keys — untouched buckets keep their commit prefix."""
+    path = str(tmp_path / "teams")
+    base = spark.range(200).select(
+        F.col("id").alias("team_id"),
+        F.concat(F.lit("team"), F.col("id")).alias("name"),
+        F.lit("UK").alias("country"),
+        F.lit(_t(1)).alias("effective_ts"),
+    )
+    scd.scd2_merge(spark, base, path, keys=["team_id"])
+    before = {
+        k: e["prefix"]
+        for k, e in sinks.read_manifest(path)["partitions"].items()
+    }
+    assert len(before) > 4  # really spread over buckets
+    out = scd.scd2_merge(
+        spark,
+        _dim(spark, [(7, "team7 GP", "UK", _t(9))]),
+        path, keys=["team_id"],
+    )
+    assert out["changed"] == 1
+    after = {
+        k: e["prefix"]
+        for k, e in sinks.read_manifest(path)["partitions"].items()
+    }
+    moved = [k for k in before if after.get(k) != before[k]]
+    assert len(moved) == 1  # only key 7's bucket rewrote
+    # and the chain is intact
+    rows = sinks.read_manifest_table(spark, path).filter("team_id = 7")
+    got = {r["valid_from"]: r for r in rows.collect()}
+    assert got[_t(1)]["valid_to"] == _t(9) and not got[_t(1)]["is_current"]
+    assert got[_t(9)]["is_current"] and got[_t(9)]["name"] == "team7 GP"
