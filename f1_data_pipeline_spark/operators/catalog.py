@@ -619,14 +619,15 @@ def _explain_select(spark: SparkSession, tables: dict, inner: str) -> DataFrame:
             fl = pruned.inputFiles()
             files = len(fl)
             # inputFiles are file:// URIs over
-            # <table>/<partition dir>/<snap>/<name>
+            # <table>/data/<partition dir>/<snap>/<name>
             base = os.path.abspath(path)
-            parts = len({
-                os.path.relpath(
+            seen_parts = set()
+            for f in fl:
+                segs = os.path.relpath(
                     f.split("://", 1)[-1], base
-                ).split(os.sep)[0]
-                for f in fl
-            })
+                ).split(os.sep)
+                seen_parts.add(segs[1] if segs[0] == "data" else segs[0])
+            parts = len(seen_parts)
         note = rtf.get(name)
         rows.append((
             name,
@@ -731,7 +732,11 @@ _SQL_KEYWORDS = {
 
 def _strip_sql_strings(sql: str) -> str:
     """The SQL with quoted literals blanked (lengths preserved) so word
-    scans never match inside strings."""
+    scans never match inside strings. An SQL-escaped quote ('it''s')
+    toggles the in-string state twice — exit then immediate re-enter,
+    with no characters between — so the rest of the literal stays
+    blanked; escaped quotes can never leak literal text to the word
+    scanners."""
     out, in_q = [], False
     for ch in sql:
         if ch == "'":

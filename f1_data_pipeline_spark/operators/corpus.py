@@ -572,6 +572,84 @@ def pack_sequences(
     )
 
 
+# --- document chunking -----------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split long documents into overlapping token-window chunks — the
+    context-window stage between curation and packing (a doc longer than
+    the model's window must be cut; the overlap keeps boundary sentences
+    learnable from both sides). Where `pack_sequences` composes SHORT
+    docs up to the budget, this cuts LONG ones down to it; chain them
+    (chunk → pack) for a full fill.
+
+    Whitespace tokenization (the engine's token_count convention); chunk
+    i covers tokens [i·stride, i·stride + max_tokens) with
+    stride = max_tokens − overlap. Every token lands in ≥ 1 chunk;
+    consecutive chunks share exactly `overlap` tokens (the final chunk
+    may be shorter, never empty); docs at or under `max_tokens` pass
+    through as their own single chunk; whitespace-only docs yield no
+    rows. Entirely JVM-side — split → sequence → explode → slice →
+    array_join, no Python on the data path — and embarrassingly
+    parallel: no shuffle at all (`chunk_index` derives from the doc,
+    not a window).
+
+    Returns one row per chunk: (id_col, chunk_index, n_chunks,
+    chunk_tokens, chunk_text); (id_col, chunk_index) is the natural key
+    downstream stages treat as the new document id."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap}) < max_tokens ({max_tokens}) — "
+            "stride would be non-positive and chunking would never advance"
+        )
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array()).otherwise(toks)
+    n = F.size("__toks")
+    # ceil((n - overlap) / stride), min 1 for any non-empty doc: the
+    # last chunk starts at the last stride boundary strictly below
+    # n - overlap, so it is never a pure suffix of its predecessor
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+        F.lit(1),
+    )
+    out = (
+        df.withColumn("__toks", toks)
+        .filter(F.size("__toks") > 0)
+        .withColumn("__nc", n_chunks)
+        .select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.col("__nc").alias("n_chunks"),
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+                "chunk_index"
+            ),
+        )
+        .withColumn(
+            "__chunk",
+            F.slice(
+                F.col("__toks"),
+                F.col("chunk_index") * stride + 1,
+                max_tokens,
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            "n_chunks",
+            F.size("__chunk").alias("chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # training export: deterministic global shuffle → ordered shard files
 # (the last stage of the pipeline: what the training job actually reads)

@@ -49,6 +49,7 @@ def scd2_merge(
     track_cols: Sequence[str] | None = None,
     partition_col: str | None = None,
     app_metadata: dict | None = None,
+    on_late: str = "error",
 ) -> dict:
     """Fold an update batch into the SCD2 dimension at `path`.
 
@@ -67,16 +68,22 @@ def scd2_merge(
                                  attributes (no zero-length interval,
                                  no duplicate (key, valid_from) row)
     - attributes all equal     → unchanged, nothing written
-    - ts <  current valid_from → raises: a late-arriving version needs
-      a history splice (close/reopen of an INTERIOR interval), which
-      this verb does not do silently
+    - ts <  current valid_from → `on_late` decides: "error" (default)
+      raises — a late-arriving version needs a history splice
+      (close/reopen of an INTERIOR interval), which this verb does not
+      do silently; "skip" drops those rows and reports them in
+      `late_skipped` (the streaming-sink posture, where one stale
+      message must not wedge the stream)
 
     `track_cols` limits change detection to the named attributes
     (untracked columns still refresh on rows written for other
     reasons); default = every non-key, non-ts column. Replay-idempotent:
     re-applying the same batch classifies every key unchanged.
 
-    Returns {"new", "changed", "corrected", "unchanged"}."""
+    Returns {"new", "changed", "corrected", "unchanged",
+    "late_skipped"}."""
+    if on_late not in ("error", "skip"):
+        raise ValueError(f"on_late must be 'error' or 'skip', got {on_late!r}")
     from .sinks import (
         merge_upsert_manifest,
         read_manifest,
@@ -114,7 +121,7 @@ def scd2_merge(
         )
         return {
             "new": base.count(), "changed": 0, "corrected": 0,
-            "unchanged": 0,
+            "unchanged": 0, "late_skipped": 0,
         }
 
     cur = read_manifest_table(spark, path).filter("is_current")
@@ -137,12 +144,13 @@ def scd2_merge(
             for r in j.groupBy("__st").agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        if counts.get("late"):
+        if counts.get("late") and on_late == "error":
             raise ValueError(
                 f"{counts['late']} update row(s) are OLDER than the "
                 "current version of their key — late-arriving history "
                 "needs an interior-interval splice; this verb refuses "
-                "rather than corrupting [valid_from, valid_to) chains"
+                "rather than corrupting [valid_from, valid_to) chains "
+                "(pass on_late='skip' to drop such rows instead)"
             )
         touched = j.filter(F.col("__st").isin("new", "changed", "corrected"))
         # closed-out predecessors of 'changed' keys: the CURRENT row with
@@ -171,6 +179,7 @@ def scd2_merge(
             "changed": counts.get("changed", 0),
             "corrected": counts.get("corrected", 0),
             "unchanged": counts.get("unchanged", 0),
+            "late_skipped": counts.get("late", 0),
         }
     finally:
         j.unpersist()

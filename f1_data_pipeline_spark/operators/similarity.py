@@ -590,9 +590,6 @@ def maintain_ivf_index(
         added = ivf_index_add(
             upserts, index_path, id_col=id_col, vec_col=vec_col
         )
-        n_deleted = feed.filter(F.col("_change") == "delete").count()
-        indexed = st["indexed_rows"] + added - n_deleted \
-            - feed.filter(F.col("_change") == "update_postimage").count()
         added_cum = st["added_since_rebuild"] + added
         # drift check: imbalance from the live cells, adds from state
         sizes = [

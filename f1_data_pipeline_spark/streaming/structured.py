@@ -158,6 +158,49 @@ def start_merge_sink(
     )
 
 
+def start_scd2_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    ts_col: str = "effective_ts",
+    track_cols: list[str] | None = None,
+    partition_col: str | None = None,
+    on_late: str = "skip",
+) -> StreamingQuery:
+    """Streaming dimension maintenance: per micro-batch, `scd2_merge`
+    the batch into the versioned dimension at `target_path` — attribute
+    changes close the current row and open a new version, so downstream
+    point-in-time joins see history instead of the reference's
+    overwrite-upsert. Replay-idempotent: a replayed micro-batch
+    classifies every key unchanged (version identity is (key,
+    valid_from)), so crash/restart never duplicates versions.
+
+    `on_late` defaults to "skip" here (the batch verb defaults to
+    "error"): in a stream, one stale message must not wedge the query
+    forever — skipped-late counts surface in scd2_merge's return, which
+    foreachBatch discards, so monitor via the dimension itself. NOTE:
+    within ONE micro-batch only each key's LATEST version lands (B4
+    dedup semantics); intermediate versions arriving in the same batch
+    are skipped by design — shrink the trigger interval if every
+    intermediate version matters."""
+    from f1_data_pipeline_spark.operators.scd import scd2_merge
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_merge(
+            batch_df.sparkSession, batch_df, target_path, list(keys),
+            ts_col=ts_col, track_cols=track_cols,
+            partition_col=partition_col, on_late=on_late,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_matview_sink(
     stream_df: DataFrame,
     source_path: str,

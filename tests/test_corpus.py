@@ -385,3 +385,66 @@ def test_compression_signals_bands_and_edges(spark):
     assert got[3]["zlib_ratio"] > 0.7 and got[3]["keep_compression"] is False
     assert 0.1 <= got[1]["zlib_ratio"] <= 0.7
     assert got[1]["keep_compression"] is True
+
+
+def test_chunk_documents_invariants(spark):
+    """Coverage, overlap exactness, pass-through, empty-doc drop, and
+    reconstruction: dropping each chunk's leading `overlap` tokens
+    (except chunk 0) and concatenating rebuilds the document exactly."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(1000))),   # 3 chunks
+            (2, " ".join(f"s{i}" for i in range(512))),    # exactly max
+            (3, " ".join(f"u{i}" for i in range(513))),    # one over
+            (4, "short doc"),                               # under overlap
+            (5, "   "),                                     # whitespace-only
+            (6, None),                                      # null
+        ],
+        "doc_id long, text string",
+    )
+    out = C.chunk_documents(docs, max_tokens=512, overlap=64)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_index"])
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2, 3, 4}  # 5 and 6 yield nothing
+    assert [len(by_doc[d]) for d in (1, 2, 3, 4)] == [3, 1, 2, 1]
+    for d, chunks in by_doc.items():
+        assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["n_chunks"] == len(chunks) for c in chunks)
+        # consecutive chunks share exactly `overlap` tokens
+        for a, b in zip(chunks, chunks[1:]):
+            ta, tb = a["chunk_text"].split(), b["chunk_text"].split()
+            assert ta[-64:] == tb[:64]
+            assert len(tb) > 64  # every chunk carries NEW tokens
+        # de-overlapped concatenation reconstructs the document
+        rebuilt = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            rebuilt += c["chunk_text"].split()[64:]
+        orig = [
+            r["text"] for r in docs.filter(F.col("doc_id") == d).collect()
+        ][0].split()
+        assert rebuilt == orig
+    # exact-max doc passes through as one chunk of itself
+    [two] = by_doc[2]
+    assert two["chunk_tokens"] == 512
+    assert two["chunk_text"].split()[0] == "s0"
+    # one-over doc: second chunk = 64 overlap + 1 new token
+    assert by_doc[3][1]["chunk_tokens"] == 65
+
+
+def test_chunk_documents_guards_and_plan(spark):
+    with pytest.raises(ValueError, match="stride"):
+        C.chunk_documents(spark.range(1).selectExpr(
+            "id AS doc_id", "'x' AS text"), max_tokens=64, overlap=64)
+    # no shuffle: chunking is per-row derivation only
+    df = C.chunk_documents(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+        max_tokens=2, overlap=1,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r["chunk_index"]: r["chunk_text"] for r in df.collect()}
+    assert got == {0: "a b", 1: "b c"}

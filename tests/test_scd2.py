@@ -36,7 +36,8 @@ def test_scd2_bootstrap_change_correction_unchanged(spark, tmp_path):
         _dim(spark, [(1, "Alpha", "UK", _t(1)), (2, "Beta", "DE", _t(1))]),
         path, keys=["team_id"],
     )
-    assert out == {"new": 2, "changed": 0, "corrected": 0, "unchanged": 0}
+    assert out == {"new": 2, "changed": 0, "corrected": 0, "unchanged": 0,
+                   "late_skipped": 0}
     cur = sinks.read_manifest_table(spark, path)
     assert cur.count() == 2 and cur.filter("is_current").count() == 2
 
@@ -51,7 +52,8 @@ def test_scd2_bootstrap_change_correction_unchanged(spark, tmp_path):
         ]),
         path, keys=["team_id"],
     )
-    assert out2 == {"new": 1, "changed": 1, "corrected": 1, "unchanged": 0}
+    assert out2 == {"new": 1, "changed": 1, "corrected": 1, "unchanged": 0,
+                    "late_skipped": 0}
     rows = {
         (r["team_id"], r["valid_from"]): r
         for r in sinks.read_manifest_table(spark, path).collect()
@@ -177,3 +179,72 @@ def test_scd2_partition_scoped_write(spark, tmp_path):
     got = {r["valid_from"]: r for r in rows.collect()}
     assert got[_t(1)]["valid_to"] == _t(9) and not got[_t(1)]["is_current"]
     assert got[_t(9)]["is_current"] and got[_t(9)]["name"] == "team7 GP"
+
+
+def test_scd2_on_late_skip(spark, tmp_path):
+    path = str(tmp_path / "teams")
+    scd.scd2_merge(
+        spark, _dim(spark, [(1, "Alpha", "UK", _t(10))]), path, ["team_id"]
+    )
+    out = scd.scd2_merge(
+        spark,
+        _dim(spark, [
+            (1, "Old Alpha", "UK", _t(2)),     # late → dropped
+            (2, "Beta", "DE", _t(3)),          # new → lands
+        ]),
+        path, ["team_id"], on_late="skip",
+    )
+    assert out["late_skipped"] == 1 and out["new"] == 1
+    rows = {r["team_id"]: r for r in
+            sinks.read_manifest_table(spark, path).collect()}
+    assert rows[1]["name"] == "Alpha"  # the stale version never landed
+    assert rows[2]["name"] == "Beta"
+    with pytest.raises(ValueError, match="on_late"):
+        scd.scd2_merge(spark, _dim(spark, []), path, ["team_id"],
+                       on_late="banana")
+
+
+def test_start_scd2_sink_stream(spark, tmp_path):
+    """Streaming dimension maintenance end-to-end: a parquet readStream
+    of attribute updates flows through start_scd2_sink; versions land
+    with closed intervals, and re-running the drained stream (replay)
+    changes nothing."""
+    from f1_data_pipeline_spark.streaming import structured as ST
+
+    src_dir = str(tmp_path / "in")
+    tgt = str(tmp_path / "dim")
+    ck = str(tmp_path / "ck")
+    batch1 = _dim(spark, [(1, "Alpha", "UK", _t(1)), (2, "Beta", "DE", _t(1))])
+    batch1.write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(batch1.schema).parquet(src_dir)
+    q = ST.start_scd2_sink(stream, tgt, ["team_id"], ck)
+    q.awaitTermination(120)
+    assert sinks.read_manifest_table(spark, tgt).count() == 2
+
+    # second file: a rename for team 1 — a new version must open
+    _dim(spark, [(1, "Alpha Racing", "UK", _t(8))]).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q2 = ST.start_scd2_sink(
+        spark.readStream.schema(batch1.schema).parquet(src_dir),
+        tgt, ["team_id"], ck,
+    )
+    q2.awaitTermination(120)
+    rows = {
+        (r["team_id"], r["valid_from"]): r
+        for r in sinks.read_manifest_table(spark, tgt).collect()
+    }
+    assert len(rows) == 3
+    assert rows[(1, _t(1))]["valid_to"] == _t(8)
+    assert rows[(1, _t(8))]["is_current"]
+
+    # replay from a FRESH checkpoint re-feeds every file: converges
+    before = sinks.read_manifest(tgt)["version"]
+    q3 = ST.start_scd2_sink(
+        spark.readStream.schema(batch1.schema).parquet(src_dir),
+        tgt, ["team_id"], str(tmp_path / "ck2"),
+    )
+    q3.awaitTermination(120)
+    assert sinks.read_manifest_table(spark, tgt).count() == 3
+    cur = sinks.read_manifest_table(spark, tgt).filter("is_current")
+    assert cur.groupBy("team_id").count().filter("count != 1").count() == 0

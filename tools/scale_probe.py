@@ -851,9 +851,12 @@ def main() -> None:
         "minhash", "contamination", "spans", "tfidf", "tfidf_mindf", "unigram",
         "ivf_drift", "heavy_hitters", "bloom_delete", "matview", "mor_delete",
         "partition_transforms", "replication", "footer_stats",
-        "manifest_crossover", "matview_crossover",
+        "manifest_crossover", "matview_crossover", "runtime_filter",
     ):
         op = args.pop(0)
+    if op == "runtime_filter":
+        probe_runtime_filter()
+        return
     if op == "matview_crossover":
         probe_matview_crossover()
         return
@@ -1054,5 +1057,93 @@ def main() -> None:
             print(json.dumps(rec))
 
 
+
+def probe_runtime_filter() -> None:
+    """Runtime join filtering (X42): measured files-opened and wall-clock
+    for a star join through catalog_sql (dim keys harvested at plan time
+    → IN-pruned fact scan) vs the same SQL over plain registered views
+    (no manifest pruning) — across fact sizes. The planner's own EXPLAIN
+    supplies the files-opened numbers. One JSON line per cell."""
+    import os
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import catalog as CAT
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    n_dim, n_attr = 10_000, 500  # attr=7 → 20 surviving dim keys
+    for fact_rows in (200_000, 800_000, 3_200_000):
+        work = tempfile.mkdtemp()
+        try:
+            cat = os.path.join(work, "cat")
+            fact_p = os.path.join(work, "fact")
+            dim_p = os.path.join(work, "dim")
+            fact = spark.range(fact_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % n_dim).alias("fk"),
+                (F.col("id") * 3).cast("double").alias("v"),
+                # ~160B incompressible-ish payload so a file scan costs
+                # real I/O (otherwise the 2048 tiny files are pure
+                # constant overhead and pruning can't show up in time)
+                F.sha2(F.col("id").cast("string"), 512).alias("pad"),
+            )
+            sinks.create_manifest_table(
+                spark, fact_p, fact.schema, "bucket(64, fk)"
+            )
+            sinks.insert_into_manifest(spark, fact, fact_p)
+            dim = spark.range(n_dim).select(
+                F.col("id").alias("dk"), (F.col("id") % n_attr).alias("attr")
+            )
+            sinks.create_manifest_table(
+                spark, dim_p, dim.schema, "truncate(50, attr)"
+            )
+            sinks.insert_into_manifest(spark, dim, dim_p)
+            CAT.catalog_create_table(cat, "factp", fact_p)
+            CAT.catalog_create_table(cat, "dimp", dim_p)
+            q = ("SELECT f.k, f.v FROM factp f JOIN dimp d "
+                 "ON f.fk = d.dk WHERE d.attr = 7")
+            expl = {
+                r["table"]: r
+                for r in CAT.catalog_sql(spark, cat, "EXPLAIN " + q).collect()
+            }
+
+            def run_catalog():
+                CAT.catalog_sql(spark, cat, q).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_plain():
+                spark.sql(q).write.format("noop").mode("overwrite").save()
+
+            CAT.register_catalog_views(spark, cat)
+            # untimed warmups, then medians of 3 (bench protocol)
+            run_catalog(); run_plain()
+            import statistics
+            tc = []
+            tp = []
+            for _ in range(3):
+                t0 = time.time(); run_catalog(); tc.append(time.time() - t0)
+                t0 = time.time(); run_plain(); tp.append(time.time() - t0)
+            f = expl["factp"]
+            print(json.dumps({
+                "fact_rows": fact_rows,
+                "dim_keys_surviving": n_dim // n_attr,
+                "fact_files_total": f["files_total"],
+                "fact_files_scanned": f["files_scanned"],
+                "fact_partitions_scanned": f["partitions_scanned"],
+                "runtime_filter": f["runtime_filter"],
+                "catalog_sec": round(statistics.median(tc), 2),
+                "plain_view_sec": round(statistics.median(tp), 2),
+                "speedup": round(
+                    statistics.median(tp) / statistics.median(tc), 2
+                ),
+            }))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     main()
+
