@@ -234,10 +234,18 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             "day", check_moved_keys=False,
         )
 
-        full_sec, full_nb, full_durs, full_in, _ = run_incremental("full", None)
-        man_sec, man_nb, man_durs, _, man_target = run_incremental(
-            "manifest", "manifest"
-        )
+        # median of 3 interleaved reps per arm — the same protocol the
+        # headline queries use. A single rep's ratio swung 1.43–1.72
+        # across identical-code runs (scheduler noise on ~1.5 s batches),
+        # which is wider than the deltas this block exists to measure.
+        full_runs, man_runs = [], []
+        for rep in range(3):
+            full_runs.append(run_incremental(f"full_{rep}", None))
+            man_runs.append(run_incremental(f"manifest_{rep}", "manifest"))
+        full_runs.sort(key=lambda r: r[0])
+        man_runs.sort(key=lambda r: r[0])
+        full_sec, full_nb, full_durs, full_in, _ = full_runs[1]
+        man_sec, man_nb, man_durs, _, man_target = man_runs[1]
         # the scale-faithful comparison: ROWS REWRITTEN per batch. The
         # full-table MERGE rewrites the whole (growing) target every batch
         # ≈ cumulative input; the manifest sink rewrites only the touched
@@ -278,6 +286,8 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             "stream_over_batch": round(stream_sec / batch_sec, 2),
             "incremental": {
                 "max_files_per_trigger": inc_mfpt,
+                "reps": 3,
+                "stat": "median",
                 "full_merge": {
                     "sec": full_sec,
                     "micro_batches": full_nb,

@@ -248,3 +248,80 @@ def test_start_scd2_sink_stream(spark, tmp_path):
     assert sinks.read_manifest_table(spark, tgt).count() == 3
     cur = sinks.read_manifest_table(spark, tgt).filter("is_current")
     assert cur.groupBy("team_id").count().filter("count != 1").count() == 0
+
+
+@pytest.mark.parametrize("seed", [11, 29, 47])
+def test_scd2_randomized_vs_reference_model(spark, tmp_path, seed):
+    """Model check: a random update sequence applied through scd2_merge in
+    random batch splits must equal a driver-side reference SCD2 fold of
+    the same per-batch-deduped inputs — and the chain invariants (one
+    current row per key, non-overlapping back-to-back intervals) hold."""
+    import random
+
+    rng = random.Random(seed)
+    path = str(tmp_path / "dim")
+    n_keys, n_updates = 6, 36
+    # strictly increasing ts per key so no 'late' classification arises
+    next_day = {k: 1 for k in range(n_keys)}
+    updates = []
+    for _ in range(n_updates):
+        k = rng.randrange(n_keys)
+        # repeat the same attrs sometimes (unchanged), change otherwise
+        name = f"n{rng.randrange(3)}"
+        country = f"c{rng.randrange(2)}"
+        updates.append((k, name, country, _t(next_day[k])))
+        next_day[k] += rng.randrange(0, 3)  # 0 → same-instant correction
+
+    # reference model: fold batches, latest-ts row per key per batch wins
+    model: dict = {}  # key -> list of [name, country, from, to, current]
+    def model_apply(batch):
+        best = {}
+        for k, n, c, ts in batch:
+            cur = best.get(k)
+            if cur is None or (ts, n, c) > (cur[3], cur[1], cur[2]):
+                best[k] = (k, n, c, ts)
+        for k, n, c, ts in best.values():
+            hist = model.setdefault(k, [])
+            if not hist:
+                hist.append([n, c, ts, None, True])
+                continue
+            top = hist[-1]
+            if (top[0], top[1]) == (n, c):
+                continue
+            if ts == top[2]:
+                top[0], top[1] = n, c
+            else:
+                top[3], top[4] = ts, False
+                hist.append([n, c, ts, None, True])
+
+    i = 0
+    while i < len(updates):
+        j = min(len(updates), i + rng.randrange(1, 9))
+        batch = updates[i:j]
+        model_apply(batch)
+        scd.scd2_merge(spark, _dim(spark, batch), path, ["team_id"])
+        i = j
+
+    got = sorted(
+        (
+            (r["team_id"], r["name"], r["country"], r["valid_from"],
+             r["valid_to"], r["is_current"])
+            for r in sinks.read_manifest_table(spark, path).collect()
+        )
+    )
+    want = sorted(
+        (k, n, c, f, t, cur)
+        for k, hist in model.items()
+        for n, c, f, t, cur in hist
+    )
+    assert got == want
+    # invariants
+    per_key: dict = {}
+    for k, n, c, f, t, cur in got:
+        per_key.setdefault(k, []).append((f, t, cur))
+    for k, ivals in per_key.items():
+        ivals.sort()
+        assert sum(1 for _, _, cur in ivals if cur) == 1
+        assert ivals[-1][1] is None and ivals[-1][2]
+        for (f1, t1, _), (f2, _, _) in zip(ivals, ivals[1:]):
+            assert t1 == f2 and f1 < f2  # contiguous, non-overlapping
