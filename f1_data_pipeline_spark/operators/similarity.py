@@ -457,32 +457,34 @@ def _ivf_remove_ids(spark, index_path: str, ids_df: DataFrame) -> int:
     ]
     if not touched:
         return 0
+    # the write below READS cells_dir while dynamically OVERWRITING it —
+    # localCheckpoint (eager) materializes the survivors and CUTS the
+    # lineage, so no task can ever recompute a partition from the
+    # already-overwritten files (a persist() would leave that lineage
+    # live behind a cache eviction)
     survivors = (
         spark.read.parquet(cells_dir)
         .filter(F.col("cell").isin(touched))
         .join(F.broadcast(ids),
               F.col("neighbor_id") == F.col("__rm_id"), "left_anti")
-        .persist()
+        .localCheckpoint()
     )
+    kept_cells = {
+        r["cell"] for r in survivors.select("cell").distinct().collect()
+    }
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        kept_cells = {
-            r["cell"] for r in survivors.select("cell").distinct().collect()
-        }
-        conf = spark.conf
-        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            if kept_cells:
-                survivors.write.mode("overwrite").partitionBy(
-                    "cell"
-                ).parquet(cells_dir)
-        finally:
-            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        for c in set(touched) - kept_cells:
-            for d in _glob.glob(_os.path.join(cells_dir, f"cell={c}")):
-                _shutil.rmtree(d, ignore_errors=True)
+        if kept_cells:
+            survivors.write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(cells_dir)
     finally:
-        survivors.unpersist()
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for c in set(touched) - kept_cells:
+        for d in _glob.glob(_os.path.join(cells_dir, f"cell={c}")):
+            _shutil.rmtree(d, ignore_errors=True)
     return len(touched)
 
 
