@@ -1096,8 +1096,14 @@ def _parse_pred_literal(raw: str, where: str):
         ("timestamp", lambda s: _dt.datetime.fromisoformat(s)),
         ("date", lambda s: _dt.date.fromisoformat(s)),
     ):
-        if raw.lower().startswith(prefix + "'") and raw.endswith("'"):
-            return parser(raw[len(prefix) + 1 : -1])
+        low = raw.lower()
+        if low.startswith(prefix) and raw.endswith("'"):
+            # ANSI allows whitespace between the type keyword and the
+            # quote: TIMESTAMP '2022-06-01 00:00:00' and timestamp'...'
+            # are the same literal
+            body = raw[len(prefix):].lstrip()
+            if body.startswith("'"):
+                return parser(body[1:-1])
     if raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
         return raw[1:-1].replace("''", "'")
     if raw.upper() in ("TRUE", "FALSE"):

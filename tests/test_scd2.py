@@ -325,3 +325,50 @@ def test_scd2_randomized_vs_reference_model(spark, tmp_path, seed):
         assert ivals[-1][1] is None and ivals[-1][2]
         for (f1, t1, _), (f2, _, _) in zip(ivals, ivals[1:]):
             assert t1 == f2 and f1 < f2  # contiguous, non-overlapping
+
+
+def test_scd2_dimension_through_sql_console(spark, tmp_path):
+    """Composition: an SCD2 dimension is an ordinary manifest table, so
+    the SQL console reads it — business-time predicates on valid_from
+    push into the manifest read (file-stats pruning over the version
+    rows), commit-time travel sees pre-merge snapshots, and EXPLAIN
+    shows both decisions. The business-time filter itself is the
+    scd2_at predicate written in SQL."""
+    from f1_data_pipeline_spark.operators import catalog as CAT
+
+    path = str(tmp_path / "teams")
+    # history partitioned by years(valid_from)... via explicit partition:
+    # use years transform so valid_from predicates prune whole years
+    for yr, name in ((2020, "Alpha"), (2022, "Alpha Racing"),
+                     (2024, "Alpha GP")):
+        scd.scd2_merge(
+            spark,
+            spark.createDataFrame(
+                [(1, name, "UK", dt.datetime(yr, 1, 1))], SCHEMA
+            ),
+            path, ["team_id"],
+            partition_col="years(valid_from)",
+        )
+    cat = str(tmp_path / "cat")
+    CAT.catalog_create_table(cat, "teams_dim", path)
+    # the scd2_at predicate in SQL: dimension as of 2022-06-01. (The
+    # years() pruner keeps ±1 period of session-zone slack around a
+    # timestamp literal, so the cutoff sits a full period under 2024
+    # for the prune to be provable.)
+    q = ("SELECT name FROM teams_dim WHERE valid_from <= "
+         "TIMESTAMP '2022-06-01 00:00:00'")
+    got = CAT.catalog_sql(spark, cat, q)
+    # pushdown pruned the 2024 partition: strictly fewer files than full
+    full = CAT.catalog_sql(spark, cat, "SELECT * FROM teams_dim")
+    assert len(got.inputFiles()) < len(full.inputFiles())
+    assert {r["name"] for r in got.collect()} == {"Alpha", "Alpha Racing"}
+    [r] = CAT.catalog_sql(
+        spark, cat, "EXPLAIN " + q
+    ).collect()
+    assert r["pushdown"] and "valid_from" in r["pushdown"][0]
+    assert r["files_scanned"] < r["files_total"]
+    # commit-time travel: version 1 predates every later merge
+    v1 = CAT.catalog_sql(
+        spark, cat, "SELECT * FROM teams_dim VERSION AS OF 1"
+    )
+    assert v1.count() == 1
