@@ -71,9 +71,10 @@ def scd2_merge(
     - ts <  current valid_from → `on_late` decides: "error" (default)
       raises — a late-arriving version needs a history splice
       (close/reopen of an INTERIOR interval), which this verb does not
-      do silently; "skip" drops those rows and reports them in
-      `late_skipped` (the streaming-sink posture, where one stale
-      message must not wedge the stream)
+      do silently: that is `scd2_splice`'s job, route backfills there;
+      "skip" drops those rows and reports them in `late_skipped` (the
+      streaming-sink posture, where one stale message must not wedge
+      the stream)
 
     `track_cols` limits change detection to the named attributes
     (untracked columns still refresh on rows written for other
@@ -183,6 +184,163 @@ def scd2_merge(
         }
     finally:
         j.unpersist()
+
+
+def _sql_lit(v) -> str:
+    """Render a business-key value as a SQL literal for the by-source
+    delete condition. Keys are ints or strings in practice; anything
+    else raises rather than risking a mis-rendered delete predicate."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        raise ValueError(f"unsupported splice key literal {v!r}")
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    raise ValueError(f"unsupported splice key literal {v!r}")
+
+
+def scd2_splice(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    ts_col: str = "effective_ts",
+    track_cols: Sequence[str] | None = None,
+    max_keys: int = 10_000,
+    app_metadata: dict | None = None,
+) -> dict:
+    """Late-arriving history: splice version rows into the INTERIOR of
+    each touched key's interval chain — the case `scd2_merge` refuses.
+    A backfill lands a version at its true business instant: the
+    predecessor's `valid_to` caps at the new `valid_from`, the spliced
+    version's `valid_to` becomes the successor's `valid_from` (or stays
+    open, making it current), and `is_current` recomputes.
+
+    Semantics: the touched keys' chains are REBUILT deterministically
+    from the union of existing version seeds and batch rows — same
+    (key, valid_from) means the batch row is a correction and wins;
+    consecutive versions with equal tracked attributes collapse to the
+    earliest `valid_from` (a spliced version identical to its
+    predecessor adds no information — and a correction that made a
+    successor redundant collapses it too). Rebuild-from-seeds makes
+    replay convergent: re-splicing the same batch rebuilds the identical
+    chain and the MERGE rewrites nothing.
+
+    Cost ∝ touched keys, never dimension size: the existing-chain read
+    prunes to the touched keys' bucket partitions (IN predicate →
+    transform pruning), and the landing MERGE examines ONLY the
+    source's own partitions (`by_source_scope=[]`), deleting collapsed
+    version rows under a `t.<key> IN (...)` guard so co-bucketed
+    untouched keys are never examined as deletions. `max_keys` caps the
+    touched-key set (the guard is an inline IN list). Single business
+    key only — the delete guard is a single-column IN.
+
+    Returns merge_into_manifest's action counts + {"touched_keys"}."""
+    from .sinks import (
+        merge_into_manifest,
+        read_manifest,
+        read_manifest_table,
+    )
+
+    keys = list(keys)
+    if len(keys) != 1:
+        raise ValueError(
+            "scd2_splice supports a single business-key column (the "
+            "by-source delete guard is a single-column IN list)"
+        )
+    key = keys[0]
+    if read_manifest(path) is None:
+        raise FileNotFoundError(
+            f"no SCD2 dimension at {path} — bootstrap with scd2_merge"
+        )
+    attrs = list(track_cols) if track_cols is not None else [
+        c for c in updates.columns if c not in {key, ts_col}
+    ]
+    if not attrs:
+        raise ValueError("updates carry no attribute columns to track")
+    # one row per (key, valid_from): deterministic max-attrs tie-break
+    w = Window.partitionBy(key, ts_col).orderBy(
+        *[F.col(a).desc_nulls_last() for a in attrs]
+    )
+    batch = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    tk = [
+        r[0]
+        for r in batch.select(key).distinct().limit(max_keys + 1).collect()
+    ]
+    if len(tk) > max_keys:
+        raise ValueError(
+            f"splice batch touches > {max_keys} keys — split the backfill "
+            "(the delete guard is an inline IN list)"
+        )
+    zero = {
+        "touched_keys": 0, "updated": 0, "deleted": 0, "inserted": 0,
+        "updated_by_source": 0, "deleted_by_source": 0, "unchanged": 0,
+        "partitions_rewritten": 0, "partitions_dropped": 0,
+    }
+    if not tk:
+        return zero
+    existing = read_manifest_table(
+        spark, path, predicates=[(key, "in", tuple(tk))]
+    ).filter(F.col(key).isin(tk))
+    b_seed = batch.select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(ts_col).cast("timestamp").alias("valid_from"),
+        F.lit(1).alias("__src"),
+    )
+    e_seed = existing.select(
+        F.col(key), *[F.col(a) for a in attrs], F.col("valid_from"),
+        F.lit(0).alias("__src"),
+    )
+    seeds = b_seed.unionByName(e_seed)
+    w_corr = Window.partitionBy(key, "valid_from").orderBy(
+        F.col("__src").desc()
+    )
+    seeds = (
+        seeds.withColumn("__rn", F.row_number().over(w_corr))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    w_chain = Window.partitionBy(key).orderBy("valid_from")
+    same_as_prev = F.lit(True)
+    for a in attrs:
+        same_as_prev = same_as_prev & F.lag(a).over(w_chain).eqNullSafe(
+            F.col(a)
+        )
+    seeds = seeds.withColumn(
+        "__dup", F.lag("valid_from").over(w_chain).isNotNull() & same_as_prev
+    ).filter(~F.col("__dup")).drop("__dup")
+    rebuilt = seeds.withColumn(
+        "valid_to", F.lead("valid_from").over(w_chain)
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    guard = f"t.{key} IN ({', '.join(_sql_lit(v) for v in tk)})"
+    # update only on an actual value difference — an unconditional
+    # matched-update fires on every row, so a replayed splice would
+    # rewrite identical partitions forever instead of converging to a
+    # no-op commit
+    diff = " OR ".join(
+        f"NOT (s.{c} <=> t.{c})"
+        for c in [*attrs, "valid_to", "is_current"]
+    )
+    out = merge_into_manifest(
+        spark, rebuilt, path, keys=[key, "valid_from"],
+        when_matched=[("update", diff, "all")],
+        when_not_matched="insert",
+        when_not_matched_by_source=[("delete", guard)],
+        by_source_scope=[],
+        app_metadata=app_metadata,
+    )
+    return {**out, "touched_keys": len(tk)}
 
 
 def scd2_at(spark: SparkSession, path: str, ts) -> DataFrame:

@@ -372,3 +372,96 @@ def test_scd2_dimension_through_sql_console(spark, tmp_path):
         spark, cat, "SELECT * FROM teams_dim VERSION AS OF 1"
     )
     assert v1.count() == 1
+
+
+def test_scd2_splice_interior_history(spark, tmp_path):
+    """Late-arriving versions land at their true business instant: the
+    predecessor caps, the spliced version bounds at the successor, a
+    redundant splice collapses, replay rewrites nothing, and co-bucketed
+    untouched keys survive the by-source delete guard."""
+    path = str(tmp_path / "teams")
+    # key 1 has versions at day 1 and day 20; key 17 shares bucket math
+    # space and must never be examined as a deletion
+    scd.scd2_merge(
+        spark,
+        _dim(spark, [(1, "Alpha", "UK", _t(1)), (17, "Other", "FR", _t(1))]),
+        path, ["team_id"],
+    )
+    scd.scd2_merge(
+        spark, _dim(spark, [(1, "Alpha GP", "IT", _t(20))]), path,
+        ["team_id"],
+    )
+    # the missed middle version arrives late
+    out = scd.scd2_splice(
+        spark, _dim(spark, [(1, "Alpha Racing", "UK", _t(10))]),
+        path, ["team_id"],
+    )
+    assert out["touched_keys"] == 1 and out["inserted"] == 1
+    rows = {
+        (r["team_id"], r["valid_from"]): r
+        for r in sinks.read_manifest_table(spark, path).collect()
+    }
+    assert len(rows) == 4
+    assert rows[(1, _t(1))]["valid_to"] == _t(10)
+    mid = rows[(1, _t(10))]
+    assert mid["name"] == "Alpha Racing" and mid["valid_to"] == _t(20)
+    assert not mid["is_current"]
+    assert rows[(1, _t(20))]["is_current"]
+    assert rows[(17, _t(1))]["is_current"]  # untouched neighbor intact
+    # business-time reads now see the spliced era
+    assert scd.scd2_at(spark, path, _t(15)).filter(
+        "team_id = 1").first()["name"] == "Alpha Racing"
+    # replay: identical rebuild, nothing rewritten
+    again = scd.scd2_splice(
+        spark, _dim(spark, [(1, "Alpha Racing", "UK", _t(10))]),
+        path, ["team_id"],
+    )
+    assert again["partitions_rewritten"] == 0
+    assert again["inserted"] == 0 and again["deleted_by_source"] == 0
+
+
+def test_scd2_splice_collapse_and_correction(spark, tmp_path):
+    path = str(tmp_path / "teams")
+    scd.scd2_merge(
+        spark, _dim(spark, [(1, "Alpha", "UK", _t(1))]), path, ["team_id"]
+    )
+    scd.scd2_merge(
+        spark, _dim(spark, [(1, "Beta", "UK", _t(10))]), path, ["team_id"]
+    )
+    # a late version identical to its predecessor adds nothing
+    out = scd.scd2_splice(
+        spark, _dim(spark, [(1, "Alpha", "UK", _t(5))]), path, ["team_id"]
+    )
+    assert out["inserted"] == 0
+    assert sinks.read_manifest_table(spark, path).count() == 2
+    # correction at an existing interior valid_from that makes the
+    # SUCCESSOR redundant: day-1 version becomes Beta → day-10 Beta
+    # collapses away and day-1 runs open-ended
+    out2 = scd.scd2_splice(
+        spark, _dim(spark, [(1, "Beta", "UK", _t(1))]), path, ["team_id"]
+    )
+    assert out2["deleted_by_source"] == 1
+    [r] = sinks.read_manifest_table(spark, path).collect()
+    assert (r["name"], r["valid_from"], r["valid_to"], r["is_current"]) == (
+        "Beta", _t(1), None, True)
+
+
+def test_scd2_splice_newest_becomes_current_and_guards(spark, tmp_path):
+    path = str(tmp_path / "teams")
+    scd.scd2_merge(
+        spark, _dim(spark, [(1, "Alpha", "UK", _t(1))]), path, ["team_id"]
+    )
+    # a splice NEWER than everything behaves like a normal change
+    out = scd.scd2_splice(
+        spark, _dim(spark, [(1, "Alpha2", "UK", _t(9))]), path, ["team_id"]
+    )
+    assert out["inserted"] == 1
+    cur = sinks.read_manifest_table(spark, path).filter("is_current")
+    assert cur.first()["name"] == "Alpha2"
+    with pytest.raises(ValueError, match="single business-key"):
+        scd.scd2_splice(spark, _dim(spark, []), path, ["team_id", "name"])
+    with pytest.raises(FileNotFoundError):
+        scd.scd2_splice(
+            spark, _dim(spark, [(1, "x", "UK", _t(1))]),
+            str(tmp_path / "nope"), ["team_id"],
+        )
