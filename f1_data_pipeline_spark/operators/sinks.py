@@ -4817,6 +4817,7 @@ def compact_manifest(
     partition_values: Sequence | None = None,
     cluster_by: Sequence[str] | None = None,
     zorder_bits: int = 16,
+    partition_values_encoded: bool = False,
 ) -> dict:
     """Small-file compaction (and optional re-clustering) for
     manifest-committed tables.
@@ -4854,9 +4855,12 @@ def compact_manifest(
     if cluster_by is None:
         # OPTIMIZE honors the table's declared sort order by default
         cluster_by = list(layout.get("cluster_by") or ()) or None
-    want = (
-        None if partition_values is None else {_enc_part(v) for v in partition_values}
-    )
+    if partition_values is None:
+        want = None
+    elif partition_values_encoded:  # manifest-key space (maintenance.py)
+        want = set(partition_values)
+    else:
+        want = {_enc_part(v) for v in partition_values}
     stored = (
         T.StructType.fromJson(m["schema"]) if m.get("schema") is not None else None
     )
