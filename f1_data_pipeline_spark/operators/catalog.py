@@ -628,13 +628,16 @@ def _explain_select(spark: SparkSession, tables: dict, inner: str) -> DataFrame:
                 ).split(os.sep)
                 seen_parts.add(segs[1] if segs[0] == "data" else segs[0])
             parts = len(seen_parts)
-        note = rtf.get(name)
+        notes = rtf.get(name)
         rows.append((
             name,
             v,
             [_pred_str(x) for x in p] if p else [],
-            (f"{note['key']} IN ({note['n_keys']} keys harvested from "
-             f"{note['from']})") if note else None,
+            "; ".join(
+                f"{n['key']} IN ({n['n_keys']} keys harvested from "
+                f"{n['from']})"
+                for n in notes
+            ) if notes else None,
             parts,
             parts_total,
             files,
@@ -1304,8 +1307,13 @@ def _runtime_join_filters(
     than `max_keys` distinct keys → the filter is skipped for that join
     (the list would bloat the plan and prune little).
 
-    Mutates `preds` in place; returns {fact: {"key", "from", "n_keys"}}
-    for logging/tests."""
+    A fact joined to SEVERAL selective dimensions gets one IN filter per
+    distinct join column — the conjunction prunes tighter than any
+    single dim (the multi-dim star shape); at most one filter per
+    (fact, column) pair.
+
+    Mutates `preds` in place; returns {fact: [{"key", "from",
+    "n_keys"}, ...]} for logging/tests."""
     import re
 
     s = _strip_sql_strings(sql)
@@ -1358,9 +1366,13 @@ def _runtime_join_filters(
             (sides[0], sides[1]), (sides[1], sides[0])
         ):
             # the harvest side must be selective (pushed literal preds)
-            # and both sides singly-referenced at depth 0
+            # and both sides singly-referenced at depth 0; one filter
+            # per (fact, join column) — different columns compose as a
+            # conjunction
             if dim not in literal_sides or fact not in eligible \
-                    or dim not in eligible or fact in applied:
+                    or dim not in eligible or any(
+                        a["key"] == fcol for a in applied.get(fact, ())
+                    ):
                 continue
             e = tables[dim]
             rows = read_manifest_table(
@@ -1379,7 +1391,9 @@ def _runtime_join_filters(
             ):
                 continue  # empty dim, or exotic key type → no filter
             preds.setdefault(fact, []).append((fcol, "in", vals))
-            applied[fact] = {"key": fcol, "from": dim, "n_keys": len(vals)}
+            applied.setdefault(fact, []).append(
+                {"key": fcol, "from": dim, "n_keys": len(vals)}
+            )
             _log().debug(
                 "runtime join filter: %s.%s IN <%d keys from %s.%s>",
                 fact, fcol, len(vals), dim, dcol,
