@@ -1292,7 +1292,11 @@ def _runtime_join_filters(
     and per-member bloom probes then skip fact files no dim row can
     match. At 100 TB this is the largest scan-cost lever the literal
     pushdown can't reach: `SELECT ... FROM fact JOIN dim ON fact.fk =
-    dim.k WHERE dim.attr = x` otherwise scans every fact file.
+    dim.k WHERE dim.attr = x` otherwise scans every fact file. (The
+    reference's own core read is exactly this shape — a fact filtered
+    through a looked-up dimension, /root/reference/base_loader.py:
+    185-212 — so the SQL-console user's most common query is the one
+    this filter serves.)
 
     Soundness: inner joins only (any LEFT/RIGHT/FULL/SEMI/ANTI/NATURAL
     keyword in the query disables the rewrite — a preserved side must
