@@ -210,6 +210,9 @@ def catalog_sql(
     (columns + partition spec + layout + constraints + version);
     `DESCRIBE HISTORY name`; `VACUUM name [RETAIN n HOURS]`;
     `OPTIMIZE name [ZORDER BY (cols)]` → `compact_manifest`;
+    `MAINTAIN TABLE name [DRY RUN]` → the metadata-planned health pass
+    (operators/maintenance.py: compact exactly the partitions over the
+    file-count/MoR thresholds; DRY RUN reports the plan, no commit);
     `INSERT OVERWRITE t SELECT ...` → `replace_manifest_partitions`
     (each partition present in the source replaced wholesale);
     `ALTER TABLE t ADD|DROP COLUMN / RENAME COLUMN a TO b (metadata-only
@@ -338,6 +341,7 @@ _TARGET_RES = {
                 r"([A-Za-z_]\w*)",
     "vacuum": r"\s*VACUUM\s+([A-Za-z_]\w*)",
     "optimize": r"\s*OPTIMIZE\s+([A-Za-z_]\w*)",
+    "maintain": r"\s*MAINTAIN\s+TABLE\s+([A-Za-z_]\w*)",
     "alter": r"\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)",
     "restore": r"\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)",
 }
@@ -356,7 +360,7 @@ def _route_statement(
 
     m = re.match(
         r"\s*(insert|delete|update|merge|create|drop|show|describe"
-        r"|desc|vacuum|optimize|alter|restore)\b",
+        r"|desc|vacuum|optimize|maintain|alter|restore)\b",
         sql, re.IGNORECASE,
     )
     if not m:
@@ -1937,6 +1941,32 @@ def _catalog_ddl(
             spark,
             {k: r[k] for k in ("partitions", "files_before", "files_after")},
         )
+
+    if verb == "maintain":
+        # the X50 policy verb in SQL: plan from manifest metadata, then
+        # compact exactly the selected partitions (DRY RUN reports only)
+        m = re.match(
+            r"\s*MAINTAIN\s+TABLE\s+([A-Za-z_]\w*)(?:\s+(DRY\s+RUN))?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported MAINTAIN — MAINTAIN TABLE <name> [DRY RUN]"
+            )
+        e = _dml_table(tables, m.group(1))
+        from .maintenance import maintain_manifest_table
+
+        r = maintain_manifest_table(
+            spark, e["path"], dry_run=bool(m.group(2))
+        )
+        comp = r["compacted"] or {}
+        return _metrics_df(spark, {
+            "candidates": len(r["candidates"]),
+            "partitions_compacted": comp.get("partitions", 0),
+            "files_before": comp.get("files_before", 0),
+            "files_after": comp.get("files_after", 0),
+            "dry_run": 1 if r["dry_run"] else 0,
+        })
 
     if verb == "drop":
         m = re.match(

@@ -104,3 +104,35 @@ def test_maintain_vacuum_arm(spark, tmp_path):
     assert sinks.read_manifest_table(spark, path).count() == 31
     with pytest.raises(FileNotFoundError):
         MX.plan_maintenance(str(tmp_path / "missing"))
+
+
+def test_maintain_table_sql(spark, tmp_path):
+    """MAINTAIN TABLE through the SQL console: DRY RUN plans without a
+    commit, the real statement compacts only candidates."""
+    from f1_data_pipeline_spark.operators import catalog as CAT
+
+    path = str(tmp_path / "t")
+    # the SQL verb runs the DEFAULT thresholds (>8 files/partition), so
+    # fragment past them: 16-way shuffle writes >8 files into 'a'
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        _frag_table(spark, path)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert len(sinks.read_manifest(path)["partitions"]["a"]["files"]) > 8
+    cat = str(tmp_path / "cat")
+    CAT.catalog_create_table(cat, "frag", path)
+    v0 = sinks.read_manifest(path)["version"]
+    [dry] = CAT.catalog_sql(spark, cat, "MAINTAIN TABLE frag DRY RUN").collect()
+    assert dry["dry_run"] == 1 and dry["candidates"] >= 1
+    assert dry["partitions_compacted"] == 0
+    assert sinks.read_manifest(path)["version"] == v0
+    [run] = CAT.catalog_sql(spark, cat, "MAINTAIN TABLE frag").collect()
+    assert run["dry_run"] == 0
+    assert run["partitions_compacted"] == dry["candidates"]
+    assert run["files_after"] < run["files_before"]
+    # healthy now: second pass plans nothing
+    [again] = CAT.catalog_sql(spark, cat, "MAINTAIN TABLE frag").collect()
+    assert again["candidates"] == 0 and again["partitions_compacted"] == 0
+    with pytest.raises(ValueError, match="MAINTAIN"):
+        CAT.catalog_sql(spark, cat, "MAINTAIN TABLE frag EVERYTHING")
