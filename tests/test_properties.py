@@ -490,3 +490,53 @@ def test_png_roundtrip_property(w, h, seed, ftype):
     w2, h2, back = M.decode_png(payload)
     assert (w2, h2) == (w, h)
     assert np.array_equal(np.asarray(back), px)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+                      max_size=5),
+    max_tokens=st.sampled_from([8, 32, 100]),
+    overlap_frac=st.sampled_from([0.0, 0.25, 0.75]),
+)
+def test_chunk_documents_properties(spark, n_tokens, max_tokens, overlap_frac):
+    """chunk_documents invariants over arbitrary doc lengths and dials:
+    every token covered exactly once after de-overlap, consecutive
+    chunks share exactly `overlap` tokens, every chunk carries more
+    than `overlap` tokens (never a pure suffix of its predecessor), and
+    chunk counts match the closed form."""
+    from f1_data_pipeline_spark.operators.corpus import chunk_documents
+
+    overlap = int(max_tokens * overlap_frac)
+    stride = max_tokens - overlap
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(n)))
+         for i, n in enumerate(n_tokens)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(
+        docs, max_tokens=max_tokens, overlap=overlap
+    ).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(n_tokens):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_index"])
+        if n == 0:
+            assert chunks == []
+            continue
+        expect = max(1, -(-(n - overlap) // stride))
+        assert len(chunks) == expect
+        assert all(c["n_chunks"] == expect for c in chunks)
+        toks = [c["chunk_text"].split() for c in chunks]
+        for a, b in zip(toks, toks[1:]):
+            assert overlap == 0 or a[-overlap:] == b[:overlap]
+            assert len(b) > overlap
+        rebuilt = toks[0] + [
+            t for b in toks[1:] for t in (b[overlap:] if overlap else b)
+        ]
+        assert rebuilt == [f"w{i}x{j}" for j in range(n)]
