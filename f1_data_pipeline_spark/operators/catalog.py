@@ -87,7 +87,11 @@ def catalog_rename_table(catalog_path: str, old: str, new: str) -> None:
     """Rename a catalog ENTRY — one atomic catalog commit; the data
     path, manifest log, history, and tags are untouched (the name is
     the catalog's, the data is the table's — same split as drop)."""
-    if not new or not new.replace("_", "").isalnum():
+    import re as _re
+
+    # same identifier shape every SQL-console regex requires — a name
+    # starting with a digit would be unreachable from catalog_sql
+    if not _re.match(r"^[A-Za-z_]\w*$", new or ""):
         raise ValueError(f"invalid table name {new!r}")
     v, tables = _read_state(catalog_path)
     if old not in tables:
@@ -289,9 +293,25 @@ def catalog_sql(
     import re
 
     tables = catalog_tables(catalog_path)
-    em = re.match(r"\s*EXPLAIN\s+(.*)$", sql, re.IGNORECASE | re.DOTALL)
+    em = re.match(
+        r"\s*EXPLAIN(?:\s+(EXTENDED|CODEGEN|COST|FORMATTED|ANALYZE))?\s+(.*)$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
     if em:
-        return _explain_select(spark, tables, em.group(1))
+        mode, inner = em.group(1), em.group(2)
+        if mode:
+            # Spark EXPLAIN modifiers: only meaningful for plans Spark
+            # itself owns — pass through when no cataloged table is
+            # referenced, refuse (rather than mis-parse '<MODE> SELECT
+            # ...' as the query text) when one is
+            if _relation_refs(_strip_time_travel(inner, tables)[0], tables):
+                raise ValueError(
+                    f"EXPLAIN {mode.upper()} is not supported over cataloged "
+                    "tables; use plain EXPLAIN for the manifest planner's "
+                    "decision record"
+                )
+            return spark.sql(f"EXPLAIN {mode.upper()} {inner}")
+        return _explain_select(spark, tables, inner)
     routed = _route_statement(spark, catalog_path, tables, sql)
     if routed is not None:
         return routed

@@ -567,7 +567,10 @@ def maintain_ivf_index(
 
     def apply_fn(feed: DataFrame, app_metadata: dict) -> None:
         st = _state_row()
-        consumed_v = next(iter(app_metadata.values()))
+        # explicit key (the consumer_key passed below) — a future extra
+        # app-metadata entry must not silently change which version the
+        # drift rebuild snapshots
+        consumed_v = app_metadata["ivf_consumed_src_version"]
         have_index = _os.path.isdir(_os.path.join(index_path, "centroids"))
         if not have_index:
             base = feed.filter(F.col("_change") == "insert").drop("_change")

@@ -1039,10 +1039,14 @@ def _pred_ops():
 
 
 def _split_top_and(s: str) -> list[str]:
-    """Split on top-level AND, quote-aware (no AND inside '...'), and
-    BETWEEN-aware: the AND that closes `col BETWEEN a AND b` belongs to
-    the predicate and never splits."""
-    out, buf, i, in_q, pending_between = [], [], 0, False, 0
+    """Split on top-level AND, quote-aware (no AND inside '...'),
+    BETWEEN-aware (the AND that closes `col BETWEEN a AND b` belongs to
+    the predicate and never splits), and CASE-aware: ANDs inside a
+    `CASE ... END` expression are part of that expression — splitting
+    there would isolate fragments like `fact.a = dim.b` out of a WHEN
+    condition and hand the equi-join/pushdown extractors a predicate no
+    output row is required to satisfy (wrong results)."""
+    out, buf, i, in_q, pending_between, case_depth = [], [], 0, False, 0, 0
     up = s.upper()
 
     def _word_at(j: int, w: str) -> bool:
@@ -1065,9 +1069,18 @@ def _split_top_and(s: str) -> list[str]:
             pending_between += 1
             buf.append(s[i : i + 7])
             i += 7
+        elif not in_q and _word_at(i, "CASE"):
+            case_depth += 1
+            buf.append(s[i : i + 4])
+            i += 4
+        elif not in_q and case_depth and _word_at(i, "END"):
+            case_depth -= 1
+            buf.append(s[i : i + 3])
+            i += 3
         elif not in_q and _word_at(i, "AND"):
-            if pending_between:
-                pending_between -= 1
+            if pending_between or case_depth:
+                if pending_between:
+                    pending_between -= 1
                 buf.append(s[i : i + 3])
                 i += 3
             else:

@@ -706,3 +706,99 @@ def test_runtime_join_filter_two_dims_compose(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == sorted(
         r["k"] for r in spark.sql(q).collect()
     )
+
+
+def test_split_top_and_case_aware():
+    """Round-9 ADVICE (medium): ANDs inside a depth-0 CASE...END must
+    not split the clause — splitting isolated WHEN-condition fragments
+    (e.g. `f.a = d.b`) that the equi/pushdown extractors then treated
+    as conjuncts every row satisfies (wrong results)."""
+    from f1_data_pipeline_spark.operators.sinks import _split_top_and
+
+    got = _split_top_and(
+        "d.attr = 1 AND CASE WHEN x > 0 AND f.a = d.b AND y = 2 "
+        "THEN 1 ELSE 0 END = 0"
+    )
+    assert got == [
+        "d.attr = 1",
+        "CASE WHEN x > 0 AND f.a = d.b AND y = 2 THEN 1 ELSE 0 END = 0",
+    ]
+    # nested CASE: the inner END closes the inner CASE only
+    got2 = _split_top_and(
+        "a = 1 AND CASE WHEN CASE WHEN p AND q THEN 1 ELSE 0 END = 1 "
+        "AND r THEN 1 ELSE 0 END = 0 AND b = 2"
+    )
+    assert len(got2) == 3 and got2[0] == "a = 1" and got2[2] == "b = 2"
+    # BETWEEN inside CASE keeps its own AND; the CASE still doesn't split
+    got3 = _split_top_and(
+        "k = 9 AND CASE WHEN x BETWEEN 1 AND 5 AND y = 2 THEN 1 "
+        "ELSE 0 END = 1"
+    )
+    assert len(got3) == 2 and got3[0] == "k = 9"
+    # plain BETWEEN behaviour unchanged
+    assert _split_top_and("a BETWEEN 1 AND 5 AND b = 2") == [
+        "a BETWEEN 1 AND 5", "b = 2"]
+    # an identifier containing 'case'/'end' is not a keyword
+    assert _split_top_and("end_date = 1 AND case_id = 2") == [
+        "end_date = 1", "case_id = 2"]
+
+
+def test_case_in_where_no_false_runtime_filter(spark, tmp_path):
+    """End-to-end: a CASE in WHERE whose WHEN condition contains an
+    equi fragment between fact and dim columns must NOT be harvested as
+    a runtime join filter or pushed as a literal predicate — results
+    stay hash-identical to plain Spark."""
+    cat = _mk_star(spark, tmp_path)
+    # the CASE's middle conjunct `f.k = d.dk` would, pre-fix, be
+    # isolated and harvested: fact rows with k ∉ {7,57} silently drop
+    q = ("SELECT f.k FROM fact8 f JOIN dim8 d ON f.fk = d.dk "
+         "WHERE d.attr = 7 AND CASE WHEN f.v > 0 AND f.k = d.dk "
+         "AND d.attr = 2 THEN 1 ELSE 0 END = 0")
+    got = sorted(r["k"] for r in CAT.catalog_sql(spark, cat, q).collect())
+    want = sorted(r["k"] for r in spark.sql(q).collect())
+    assert got == want and len(want) == 80  # dk∈{7,57} → 40 fact rows each
+    # a literal fragment inside CASE is not pushed into the dim read
+    q2 = ("SELECT count(*) AS n FROM fact8 f JOIN dim8 d ON f.fk = d.dk "
+          "WHERE CASE WHEN f.v >= 0 AND d.attr = 2 AND f.v < 10 "
+          "THEN 1 ELSE 0 END = 0")
+    assert CAT.catalog_sql(spark, cat, q2).first().n == \
+        spark.sql(q2).first().n
+    [expl] = [r for r in CAT.catalog_sql(spark, cat, "EXPLAIN " + q2)
+              .collect() if r["table"] == "dim8"]
+    assert not expl["pushdown"] and expl["runtime_filter"] is None
+
+
+def test_rename_rejects_leading_digit(spark, tmp_path):
+    """Round-9 ADVICE: a renamed table must stay reachable from
+    catalog_sql — names the console identifier grammar rejects are
+    refused up front."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    _mk(spark, t, 10)
+    CAT.catalog_create_table(cat, "facts", t)
+    for bad in ("1fact", "9", "fa-ct", ""):
+        with pytest.raises(ValueError, match="invalid table name"):
+            CAT.catalog_rename_table(cat, "facts", bad)
+    CAT.catalog_rename_table(cat, "facts", "_fact2")
+    CAT.register_catalog_views(spark, cat)
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM _fact2").first().n == 10
+
+
+def test_explain_modifiers(spark, tmp_path):
+    """EXPLAIN EXTENDED/FORMATTED/... over a non-cataloged query passes
+    through to Spark's own EXPLAIN; over a cataloged table it is
+    refused with a clear error instead of mis-parsing 'EXTENDED
+    SELECT...' as the query text."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    _mk(spark, t, 10)
+    CAT.catalog_create_table(cat, "facts", t)
+    CAT.register_catalog_views(spark, cat)
+    spark.range(3).createOrReplaceTempView("plain_expl_mod_v")
+    out = CAT.catalog_sql(
+        spark, cat, "EXPLAIN EXTENDED SELECT * FROM plain_expl_mod_v")
+    assert out.columns == ["plan"]
+    assert "Parsed Logical Plan" in out.first().plan
+    with pytest.raises(ValueError, match="EXPLAIN FORMATTED"):
+        CAT.catalog_sql(spark, cat, "EXPLAIN FORMATTED SELECT * FROM facts")
