@@ -574,6 +574,10 @@ def _pred_str(p: tuple) -> str:
     col, op, val = p
     if op == "in" and isinstance(val, (tuple, list)) and len(val) > 8:
         return f"{col} IN [{len(val)} values]"
+    if op == "isnull":
+        return f"{col} IS NULL"
+    if op == "notnull":
+        return f"{col} IS NOT NULL"
     return f"{col} {op} {val!r}"
 
 

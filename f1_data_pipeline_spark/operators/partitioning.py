@@ -293,8 +293,18 @@ def key_maybe_matches(
     for col, op, raw in predicates:
         if col != t.source:
             continue
+        if op == "isnull":
+            # the NULL partition holds exactly the NULL-source rows: any
+            # non-NULL derived key proves no row can satisfy IS NULL
+            if key_val is not None:
+                return False
+            continue
         if key_val is None:
-            return False  # NULL source rows can't satisfy any comparison
+            return False  # NULL source rows satisfy no comparison/NOT NULL
+        if op == "notnull":
+            continue  # non-NULL key: every row's source is non-NULL
+        if op == "!=":
+            continue  # a derived partition still holds other values
         if op == "in":
             # the partition survives if ANY member's derived value could
             # land in it (each member checked with equality semantics,

@@ -1141,12 +1141,19 @@ def parse_predicates(exprs) -> list[tuple]:
     Accepts one string (split on top-level AND, quote-aware) or a
     sequence of single predicates. Supported shapes:
 
-    - `<column> <op> <literal>` with op ∈ {=, ==, <, <=, >, >=};
+    - `<column> <op> <literal>` with op ∈ {=, ==, <, <=, >, >=, !=, <>}
+      (`<>` normalizes to `!=`);
     - `<column> IN (<literal>, ...)` → one ("in", tuple) predicate
       (point-lookup shape: pruners keep a file/partition when ANY
       member may match, and bloom sidecars probe each member);
     - `<column> BETWEEN <literal> AND <literal>` → desugared to
-      `>= AND <=` (inclusive, standard SQL).
+      `>= AND <=` (inclusive, standard SQL);
+    - `<column> IS NULL` / `<column> IS NOT NULL` → ("isnull", None) /
+      ("notnull", None). These prune on the per-file `null_count`
+      recorded at commit time: `IS NULL` skips every file whose
+      recorded null count is zero for free, and `IS NOT NULL` skips
+      all-null files — the reference's own B2 filter
+      (loaders/__init__.py:73) is exactly this null-predicate shape.
 
     Literals are numbers, 'quoted strings' ('' escapes a quote),
     TRUE/FALSE, or date'...' / timestamp'...' typed literals. Anything
@@ -1158,7 +1165,7 @@ def parse_predicates(exprs) -> list[tuple]:
     global _PRED_RE
     if _PRED_RE is None:
         _PRED_RE = _re.compile(
-            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|=|<=|>=|<|>)\s*(.+?)\s*$"
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|=|<=|>=|<>|!=|<|>)\s*(.+?)\s*$"
         )
     if isinstance(exprs, str):
         parts = _split_top_and(exprs)
@@ -1166,6 +1173,14 @@ def parse_predicates(exprs) -> list[tuple]:
         parts = [p for e in exprs for p in _split_top_and(e)]
     out: list[tuple] = []
     for p in parts:
+        m = _re.match(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+(NOT\s+)?NULL\s*$",
+            p, _re.IGNORECASE,
+        )
+        if m:
+            out.append((m.group(1), "notnull" if m.group(2) else "isnull",
+                        None))
+            continue
         m = _re.match(
             r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+IN\s*\((.+)\)\s*$",
             p, _re.IGNORECASE,
@@ -1195,6 +1210,8 @@ def parse_predicates(exprs) -> list[tuple]:
                 "<literal>, <col> IN (...), or <col> BETWEEN a AND b"
             )
         col, op, raw = m.group(1), m.group(2), m.group(3)
+        if op == "<>":
+            op = "!="
         out.append((col, op, _parse_pred_literal(raw, p)))
     return out
 
@@ -1232,9 +1249,22 @@ def _predicates_column(predicates: Sequence[tuple]) -> Column:
         if op == "in":
             out = out & F.col(col).isin(*[F.lit(x) for x in v])
             continue
+        if op == "isnull":
+            out = out & F.col(col).isNull()
+            continue
+        if op == "notnull":
+            out = out & F.col(col).isNotNull()
+            continue
+        if op == "!=":
+            # SQL != : NULL rows yield NULL, filtered like false —
+            # matching DuckDB/ANSI and the pruners' "NULL never
+            # satisfies a comparison" rule
+            out = out & (F.col(col) != F.lit(v))
+            continue
         if op not in ops:
             raise ValueError(f"unsupported predicate op {op!r} on {col!r} "
-                             f"(supported: {sorted(ops)} + 'in')")
+                             f"(supported: {sorted(ops)} + "
+                             f"'in'/'!='/'isnull'/'notnull')")
         out = out & ops[op](F.col(col), F.lit(v))
     return out
 
@@ -1266,8 +1296,27 @@ def _file_maybe_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
         st = stats.get(col)
         if not st:
             continue
+        if op == "isnull":
+            # a recorded zero null count proves no row is NULL
+            if st.get("nulls") == 0:
+                return False
+            continue
         if st.get("nulls") is not None and rows and st["nulls"] >= rows:
-            return False
+            return False  # all-null: satisfies no comparison / IS NOT NULL
+        if op == "notnull":
+            continue
+        if op == "!=":
+            lo, hi = _pred_bounds(raw)
+            mn, mx = st.get("min"), st.get("max")
+            if lo is None or hi is None or mn is None or mx is None:
+                continue
+            if not (_stats_comparable(mn, lo) and _stats_comparable(mx, hi)):
+                continue
+            # every non-null row equals the (exact) literal → none
+            # satisfies !=, and NULL rows never satisfy a comparison
+            if mn == mx == lo == hi:
+                return False
+            continue
         if op == "in":
             # keep the file if ANY member may match; prune only when the
             # bounds prove EVERY member absent
@@ -1387,8 +1436,27 @@ def _file_always_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
     stats = fmeta.get("stats") or {}
     for col, op, raw in predicates:
         st = stats.get(col)
-        if not st or st.get("nulls") != 0:
+        if not st:
             return False
+        if op == "isnull":
+            rows = fmeta.get("rows")
+            if rows and st.get("nulls") is not None and st["nulls"] >= rows:
+                continue  # every row recorded NULL
+            return False
+        if st.get("nulls") != 0:
+            return False
+        if op == "notnull":
+            continue  # zero recorded nulls: every row satisfies
+        if op == "!=":
+            lo, hi = _pred_bounds(raw)
+            mn, mx = st.get("min"), st.get("max")
+            if lo is None or hi is None or mn is None or mx is None:
+                return False
+            if not (_stats_comparable(mn, lo) and _stats_comparable(mx, hi)):
+                return False
+            if not (hi < mn or lo > mx):  # literal inside bounds: unknowable
+                return False
+            continue
         if op == "in":
             # every row matches only if all rows hold one single value
             # that is a member (mn == mx == some exact member)
@@ -2077,9 +2145,11 @@ def read_manifest_table(
     never opened), one multi-path scan.
 
     `predicates` is a conjunction of (column, op, value) with op ∈
-    {=, ==, <, <=, >, >=, "in"} (an "in" value is a tuple of members;
-    `parse_predicates` produces it from `col IN (...)` and desugars
-    BETWEEN); it is ALSO applied as a real filter on the
+    {=, ==, <, <=, >, >=, !=, "in", "isnull", "notnull"} (an "in" value
+    is a tuple of members; `parse_predicates` produces it from
+    `col IN (...)`, desugars BETWEEN, and maps IS [NOT] NULL to the
+    null ops, which prune on each file's recorded null_count);
+    it is ALSO applied as a real filter on the
     result, so pruning is purely an I/O optimization — results are
     identical with or without recorded stats. Equality and IN
     predicates on bloom-indexed columns additionally probe the

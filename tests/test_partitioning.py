@@ -689,3 +689,45 @@ def test_bucket_in_probe_batches_derivation(spark, monkeypatch):
         .collect()
     }
     assert set(s_got) == s_expect
+
+
+def test_null_predicates_prune_transform_partitions(spark, tmp_path):
+    """IS NULL keeps exactly the NULL partition of a transform-partitioned
+    table, IS NOT NULL prunes it, and != prunes only the NULL partition
+    (a derived key still holds many source values)."""
+    t = P.parse_partition_spec("bucket(8, k)")
+    isnull = [("k", "isnull", None)]
+    notnull = [("k", "notnull", None)]
+    ne = [("k", "!=", 3)]
+    assert P.key_maybe_matches(spark, t, "null", isnull, {}, "bigint")
+    assert not P.key_maybe_matches(spark, t, "2", isnull, {}, "bigint")
+    assert not P.key_maybe_matches(spark, t, "null", notnull, {}, "bigint")
+    assert P.key_maybe_matches(spark, t, "2", notnull, {}, "bigint")
+    assert not P.key_maybe_matches(spark, t, "null", ne, {}, "bigint")
+    assert P.key_maybe_matches(spark, t, "2", ne, {}, "bigint")
+    # a null predicate on some OTHER column never prunes here
+    assert P.key_maybe_matches(
+        spark, t, "null", [("x", "notnull", None)], {}, "bigint"
+    )
+
+    # end-to-end: days(ts) table with a NULL-timestamp partition
+    path = str(tmp_path / "days_tbl")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 5, 12), 1.0),
+         (2, dt.datetime(2024, 3, 6, 12), 2.0),
+         (3, None, 3.0)],
+        "k long, ts timestamp, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, keys=["k"],
+                                partition_col="days(ts)")
+    got = sinks.read_manifest_table(
+        spark, path, predicates=sinks.parse_predicates("ts IS NULL")
+    )
+    assert [r["k"] for r in got.collect()] == [3]
+    # the pruned read opened only the NULL partition's files
+    assert all("/null/" in f for f in got.inputFiles())
+    got_nn = sinks.read_manifest_table(
+        spark, path, predicates=sinks.parse_predicates("ts IS NOT NULL")
+    )
+    assert sorted(r["k"] for r in got_nn.collect()) == [1, 2]
+    assert all("/null/" not in f for f in got_nn.inputFiles())

@@ -1021,7 +1021,66 @@ def test_manifest_stats_null_and_unknown_columns_conservative(spark, tmp_path):
     assert sel == []
     # unknown op raises loudly rather than mis-pruning
     with pytest.raises(ValueError, match="unsupported predicate op"):
-        sinks.read_manifest_table(spark, path, predicates=[("v", "!=", 1.0)]).count()
+        sinks.read_manifest_table(spark, path, predicates=[("v", "~", 1.0)]).count()
+
+
+def test_manifest_null_aware_predicates(spark, tmp_path):
+    """IS NULL / IS NOT NULL / != prune on recorded per-file null counts
+    and bounds, with parity against the naive filtered scan (mirrors the
+    reference's B2 null filter, loaders/__init__.py:73).
+
+    Layout: three partitions with distinct null profiles —
+    d1: v never NULL (constant 5.0), d2: v all NULL, d3: mixed."""
+    path = str(tmp_path / "man_nullpred")
+    df = spark.createDataFrame(
+        [(i, "d1", 5.0) for i in range(40)]
+        + [(100 + i, "d2", None) for i in range(40)]
+        + [(200 + i, "d3", None if i % 2 else float(i)) for i in range(40)],
+        "id long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["id"], partition_col="day")
+
+    all_files = sinks.manifest_scan_files(path)
+    naive = sinks.read_manifest_table(spark, path)
+
+    # parse: SQL surface → tuples (<> normalizes to !=)
+    assert sinks.parse_predicates("v IS NULL") == [("v", "isnull", None)]
+    assert sinks.parse_predicates("v is not null") == [("v", "notnull", None)]
+    assert sinks.parse_predicates("v <> 5.0") == [("v", "!=", 5.0)]
+
+    # IS NULL: every d1 file (null_count == 0) pruned; results exact
+    isnull = [("v", "isnull", None)]
+    sel = sinks.manifest_scan_files(path, predicates=isnull)
+    assert 0 < len(sel) < len(all_files)
+    assert all("/d1/" not in p for p in sel)
+    got = {r["id"] for r in
+           sinks.read_manifest_table(spark, path, predicates=isnull).collect()}
+    want = {r["id"] for r in naive.filter("v IS NULL").collect()}
+    assert got == want and got  # 40 d2 rows + odd d3 rows
+
+    # IS NOT NULL: the all-null d2 files pruned
+    notnull = [("v", "notnull", None)]
+    sel_nn = sinks.manifest_scan_files(path, predicates=notnull)
+    assert all("/d2/" not in p for p in sel_nn)
+    got_nn = {r["id"] for r in
+              sinks.read_manifest_table(spark, path, predicates=notnull).collect()}
+    assert got_nn == {r["id"] for r in naive.filter("v IS NOT NULL").collect()}
+
+    # !=: d1 (constant 5.0) proven all-equal → pruned; d2 all-null → pruned
+    ne = [("v", "!=", 5.0)]
+    sel_ne = sinks.manifest_scan_files(path, predicates=ne)
+    assert all("/d1/" not in p and "/d2/" not in p for p in sel_ne)
+    got_ne = {r["id"] for r in
+              sinks.read_manifest_table(spark, path, predicates=ne).collect()}
+    assert got_ne == {r["id"] for r in naive.filter("v != 5.0").collect()}
+
+    # metadata-only COUNT(*): d1 pruned + d2 always-matches means the
+    # IS NULL count reads at most the mixed partition
+    c = sinks.manifest_count(spark, path, predicates=isnull)
+    assert c["count"] == len(want)
+    assert c["files_metadata"] >= 1 and c["files_pruned"] >= 1
+    c2 = sinks.manifest_count(spark, path, predicates=notnull)
+    assert c2["count"] == len(got_nn)
 
 
 def test_manifest_cdc_null_partition(spark, tmp_path):
