@@ -494,6 +494,105 @@ def bench_matview(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_cdc(spark, sf_dir: str) -> dict:
+    """Change-feed production cost: the Structured Streaming source
+    (streaming/manifest_source.py — per-commit batches, checkpointed)
+    vs the driver-loop batch read (`manifest_row_changes` per window,
+    the shape every pre-round-9 consumer ran). Same table, same four
+    commits, same rows fed; the sink is noop on both arms so the number
+    is the FEED cost, not the downstream merge (identical either way).
+    Parity of fed row counts is asserted so the arms can't drift."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.sources import load_table
+    from f1_data_pipeline_spark.streaming.manifest_source import (
+        read_change_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        src = os.path.join(work, "src")
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 5 == 0)
+            .select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+            )
+            .withColumn("yr", F.year("o_orderdate"))
+        )
+        sinks.merge_upsert_manifest(spark, base, src, ["o_orderkey"], "yr")
+        for i in range(3):
+            upd = base.filter(F.pmod("o_orderkey", 100) == i * 5).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1
+            )
+            sinks.merge_upsert_manifest(
+                spark, upd, src, ["o_orderkey"], "yr"
+            )
+        latest = sinks.manifest_versions(src)[-1]
+
+        def loop_arm() -> float:
+            # same work as one stream drain: materialize every column of
+            # the bootstrap snapshot + each commit's change rows
+            t0 = time.time()
+            sinks.read_manifest_table(spark, src, version=1).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            for v in range(2, latest + 1):
+                sinks.manifest_row_changes(
+                    spark, src, ["o_orderkey"], v - 1, v
+                ).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        def stream_arm(tag: str) -> tuple[float, int]:
+            t0 = time.time()
+            q = (
+                read_change_stream(spark, src, ["o_orderkey"],
+                                   starting_version=1)
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation", os.path.join(work, f"ckpt_{tag}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("cdc bench: drain exceeded 600 s")
+            fed = sum(p["numInputRows"] for p in q.recentProgress)
+            q.stop()
+            return time.time() - t0, fed
+
+        # untimed parity check: both arms feed identical row counts
+        fed_loop = sinks.read_manifest_table(spark, src, version=1).count()
+        for v in range(2, latest + 1):
+            fed_loop += sinks.manifest_row_changes(
+                spark, src, ["o_orderkey"], v - 1, v
+            ).count()
+        loop_arm()  # untimed warmups (codegen, feed plans)
+        _, fed_stream = stream_arm("warm")
+        assert fed_stream == fed_loop, (fed_stream, fed_loop)
+        loop_secs, stream_secs = [], []
+        for rep in range(3):
+            loop_secs.append(loop_arm())
+            s, _ = stream_arm(f"r{rep}")
+            stream_secs.append(s)
+        loop_sec = round(statistics.median(loop_secs), 3)
+        stream_sec = round(statistics.median(stream_secs), 3)
+        return {
+            "commits": latest,
+            "rows_fed": fed_stream,
+            "driver_loop_sec": loop_sec,
+            "stream_source_sec": stream_sec,
+            "stream_over_loop": round(stream_sec / loop_sec, 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -597,6 +696,7 @@ def main() -> None:
     streaming = bench_streaming(spark, sf_dir)
     metadata = bench_metadata(spark, sf_dir)
     matview = bench_matview(spark, sf_dir)
+    cdc = bench_cdc(spark, sf_dir)
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     # Detail blocks (spread/host/streaming/incremental/metadata/matview) go
@@ -619,6 +719,7 @@ def main() -> None:
         "streaming": streaming,
         "metadata": metadata,
         "matview": matview,
+        "cdc": cdc,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

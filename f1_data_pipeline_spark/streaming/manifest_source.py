@@ -1,0 +1,536 @@
+"""Manifest change feed as a REAL Structured Streaming source.
+
+`spark.readStream.format("manifest_changes")` over a manifest table's
+commit log: offsets are manifest VERSIONS, each micro-batch is the
+row-level CDC feed of the commits in its window — the Delta-as-a-source
+contract, so checkpoint/trigger/exactly-once semantics come from
+Structured Streaming itself instead of the bespoke driver loops
+(`consume_table_changes`, `read_manifest_increment`) that preceded it.
+The reference's entire control plane is scheduled-batch-as-stream
+(/root/reference/metadata.py:150-191); this source is that pattern made
+native.
+
+Semantics
+---------
+- One row per change, tagged `_change` ∈ {insert, update_postimage,
+  delete} (+ update_preimage with option("preimage", "true")) and
+  `_commit_version` (the manifest version that landed the change) —
+  per-COMMIT granularity: a key updated in two commits of one window
+  yields both updates, in version order. (`manifest_row_changes`
+  collapses a multi-commit window to its net effect; per-commit is the
+  change-data-feed contract every streaming consumer wants, and the two
+  agree on every single-commit window — pytest pins that parity.)
+- Bootstrap: by default the FIRST batch is the full current snapshot
+  tagged all-insert (the `consume_table_changes` bootstrap shape);
+  option("starting_version", N) instead replays history from commit N
+  (requires versions N-1.. retained — vacuum keep_last must cover it).
+- Planning (driver): one InputPartition per (commit, changed manifest
+  partition) — cost ∝ changed partitions, never table size, and the
+  partitions the manifests say are untouched are never listed.
+- Reading (executors): each task reconstructs its partition's old/new
+  row sets with pyarrow (position deletes applied — merge-on-read
+  DELETEs surface as CDC deletes), classifies insert/update/delete by
+  a key join, and ships Arrow record batches — no driver data path.
+
+Scale posture: the diff grain is (changed partition × commit); the
+layout policy bounds partition size, writers reject keys that move
+partitions within a commit (the mover protocol forces a two-commit
+window, i.e. two batches here), so a per-partition diff is exact.
+Rows never cross tasks; executor memory holds one partition's old+new
+sides, the same bound `manifest_row_changes`'s shuffled join has per
+shuffle partition.
+
+Retention contract: stream state (the checkpoint) stores versions; a
+restart needs every version in its replay window still retained —
+`vacuum_manifest(keep_last=...)` must cover the longest consumer lag,
+or the next batch raises FileNotFoundError (loud, never silent loss).
+
+Trigger note: Python data sources don't implement AvailableNow's
+admission protocol, so Spark falls back to single-batch execution (one
+batch pinned at the latest offset when the trigger fires, then stop) —
+exactly the drain-the-backlog shape the helpers here want; commits
+landing mid-drain arrive on the next start, same checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = [
+    "ManifestChangesDataSource",
+    "register_manifest_changes_source",
+    "read_change_stream",
+    "start_change_stream_replica",
+]
+
+_CHANGE_FIELDS = [
+    T.StructField("_change", T.StringType()),
+    T.StructField("_commit_version", T.LongType()),
+]
+
+
+def _table_fields(path: str) -> list[tuple[str, str]]:
+    """[(logical name, physical file column name)] of the table's CURRENT
+    stored schema — files always carry physical names (RENAME COLUMN
+    never rewrites data), so the map is version-stable: an old file that
+    predates a column simply lacks its physical name and reads NULL."""
+    from f1_data_pipeline_spark.operators.sinks import (
+        _phys_name,
+        _stored_of,
+        read_manifest,
+    )
+
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    stored = _stored_of(m)
+    if stored is None:
+        raise ValueError(
+            f"manifest at {path} predates stored schemas — cannot stream"
+        )
+    return [(f.name, _phys_name(f)) for f in stored.fields]
+
+
+def _feed_schema(path: str) -> T.StructType:
+    from f1_data_pipeline_spark.operators.sinks import (
+        _stored_of,
+        read_manifest,
+    )
+
+    stored = _stored_of(read_manifest(path))
+    return T.StructType(list(stored.fields) + _CHANGE_FIELDS)
+
+
+@dataclass
+class _ChangePartition(InputPartition):
+    kind: str  # "snapshot" | "diff"
+    commit_version: int
+    new_files: list = field(default_factory=list)
+    new_delete_dirs: list = field(default_factory=list)
+    old_files: list = field(default_factory=list)
+    old_delete_dirs: list = field(default_factory=list)
+    keys: tuple = ()
+    fields: tuple = ()  # ((logical, physical), ...)
+    schema_json: str = ""
+    preimage: bool = False
+
+
+def _entry_abs(path: str, entry: dict) -> tuple[list, list]:
+    """(data file paths, delete prefix dirs) of one manifest entry,
+    absolute. Entries predating per-file metadata list their prefix
+    directory's files at plan time (driver-side listdir, bounded by the
+    entry's own file count)."""
+    pref = os.path.join(path, entry["prefix"])
+    files = entry.get("files")
+    if files is not None:
+        data = [os.path.join(pref, fm["name"]) for fm in files]
+    else:
+        data = [
+            os.path.join(pref, n)
+            for n in sorted(os.listdir(pref))
+            if n.endswith(".parquet")
+        ]
+    dels = [os.path.join(path, d["prefix"]) for d in entry.get("deletes") or ()]
+    return data, dels
+
+
+class ManifestChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "manifest_changes requires .option('path', <table root>) "
+                "or .load(<table root>)"
+            )
+        keys = options.get("keys")
+        if not keys:
+            raise ValueError(
+                "manifest_changes requires .option('keys', 'k1,k2') — the "
+                "table's logical key columns drive the row diff"
+            )
+        self._keys = tuple(k.strip() for k in keys.split(",") if k.strip())
+        sv = options.get("starting_version")
+        self._starting_version = int(sv) if sv is not None else None
+        if self._starting_version is not None and self._starting_version < 1:
+            raise ValueError("starting_version must be >= 1")
+        self._preimage = str(options.get("preimage", "false")).lower() == "true"
+        self._fields = tuple(_table_fields(self._path))
+        names = {n for n, _ in self._fields}
+        missing = [k for k in self._keys if k not in names]
+        if missing:
+            raise ValueError(
+                f"key column(s) {missing} not in table schema {sorted(names)}"
+            )
+        self._schema_json = _feed_schema(self._path).json()
+
+    # -- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        if self._starting_version is not None:
+            return {"version": self._starting_version - 1}
+        # bootstrap-snapshot mode: version 0 = nothing consumed; the first
+        # planned window (0 → latest) emits the snapshot AT latest
+        return {"version": 0, "bootstrap": "snapshot"}
+
+    def latestOffset(self) -> dict:
+        from f1_data_pipeline_spark.operators.sinks import manifest_versions
+
+        versions = manifest_versions(self._path)
+        return {"version": versions[-1] if versions else 0}
+
+    # -- planning (driver) ------------------------------------------------
+    def partitions(self, start: dict, end: dict):
+        from f1_data_pipeline_spark.operators.sinks import (
+            manifest_changed_partitions,
+            read_manifest,
+        )
+
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_ChangePartition] = []
+        common = dict(
+            keys=self._keys,
+            fields=self._fields,
+            schema_json=self._schema_json,
+            preimage=self._preimage,
+        )
+        if start.get("bootstrap") == "snapshot":
+            if hi <= 0:
+                return [
+                    _ChangePartition(kind="snapshot", commit_version=0, **common)
+                ]
+            m = read_manifest(self._path, hi)
+            if m is None:
+                raise FileNotFoundError(
+                    f"version {hi} not retained at {self._path}"
+                )
+            for e in m["partitions"].values():
+                data, dels = _entry_abs(self._path, e)
+                parts.append(
+                    _ChangePartition(
+                        kind="snapshot",
+                        commit_version=hi,
+                        new_files=data,
+                        new_delete_dirs=dels,
+                        **common,
+                    )
+                )
+            # Spark requires >= 1 partition even for an empty batch
+            return parts or [
+                _ChangePartition(kind="snapshot", commit_version=hi, **common)
+            ]
+        for v in range(lo + 1, hi + 1):
+            m_new = read_manifest(self._path, v)
+            if m_new is None:
+                raise FileNotFoundError(
+                    f"version {v} not retained at {self._path} — vacuum "
+                    "outran this stream's replay window (raise keep_last)"
+                )
+            if v == 1:
+                changed = {k: "added" for k in m_new["partitions"]}
+                m_old = None
+            else:
+                changed = manifest_changed_partitions(self._path, v - 1, v)
+                m_old = read_manifest(self._path, v - 1)
+            for k, how in changed.items():
+                p = _ChangePartition(kind="diff", commit_version=v, **common)
+                if how in ("added", "rewritten"):
+                    p.new_files, p.new_delete_dirs = _entry_abs(
+                        self._path, m_new["partitions"][k]
+                    )
+                if how in ("removed", "rewritten"):
+                    p.old_files, p.old_delete_dirs = _entry_abs(
+                        self._path, m_old["partitions"][k]
+                    )
+                parts.append(p)
+        return parts or [
+            _ChangePartition(kind="diff", commit_version=hi, **common)
+        ]
+
+    # -- reading (executors) ----------------------------------------------
+    def read(self, partition: _ChangePartition):
+        yield from _read_change_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # checkpoint state is Spark's; nothing table-side to release
+
+
+def _load_deleted_positions(delete_dirs: list) -> dict:
+    """{file id: set(row positions)} from position-delete parquet dirs.
+    Ids are '<partition>/<snap>/<basename>' (current) or
+    '<snap>/<basename>' (legacy, pre-fused-write) — both match here,
+    which is safe because the delete set is scoped to exactly this
+    partition's data prefix (sinks._read_deletes documents the scoping
+    rule this relies on)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for d in delete_dirs:
+        t = pq.read_table(d, columns=["_file", "_pos"])
+        for fid, pos in zip(
+            t.column("_file").to_pylist(), t.column("_pos").to_pylist()
+        ):
+            out.setdefault(fid, set()).add(pos)
+    return out
+
+
+def _load_side(files: list, delete_dirs: list, fields, target) -> "object":
+    """One side's live rows as a pa.Table conformed to the target arrow
+    schema's DATA columns: physical file columns mapped to logical
+    names, missing columns read as NULL, position deletes applied."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    deleted = _load_deleted_positions(delete_dirs) if delete_dirs else {}
+    tabs = []
+    for f in files:
+        t = pq.read_table(f)
+        if deleted:
+            segs = f.replace(os.sep, "/").split("/")
+            dead = deleted.get("/".join(segs[-3:]), set()) | deleted.get(
+                "/".join(segs[-2:]), set()
+            )
+            if dead:
+                mask = pa.array(
+                    [i not in dead for i in range(t.num_rows)], pa.bool_()
+                )
+                t = t.filter(mask)
+        cols = []
+        for name, phys in fields:
+            tgt_type = target.field(name).type
+            if phys in t.column_names:
+                col = t.column(phys)
+                if col.type != tgt_type:
+                    col = pc.cast(col, tgt_type)
+            else:
+                col = pa.nulls(t.num_rows, tgt_type)
+            cols.append(col)
+        tabs.append(pa.table(dict(zip([n for n, _ in fields], cols))))
+    if not tabs:
+        return pa.table(
+            {
+                n: pa.array([], target.field(n).type)
+                for n, _ in fields
+            }
+        )
+    return pa.concat_tables(tabs, promote_options="default")
+
+
+def _null_safe_changed(new_col, old_col):
+    """Boolean numpy-ish mask of rows whose values differ, NULL-safe.
+    Vectorized via pyarrow compute where the type supports equality;
+    Python comparison for the rest (lists/structs) — those rows are
+    already the bounded matched subset, never the whole table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        eq = pc.equal(new_col, old_col)
+        both_null = pc.and_(pc.is_null(new_col), pc.is_null(old_col))
+        same = pc.or_kleene(both_null, pc.fill_null(eq, False))
+        return pc.invert(same)
+    except pa.lib.ArrowNotImplementedError:
+        return pa.array(
+            [a != b for a, b in zip(new_col.to_pylist(), old_col.to_pylist())],
+            pa.bool_(),
+        )
+
+
+def _read_change_partition(p: _ChangePartition):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    full = to_arrow_schema(T.StructType.fromJson(json.loads(p.schema_json)))
+    data_names = [n for n, _ in p.fields]
+
+    def _emit(table: "pa.Table", change: str):
+        n = table.num_rows
+        if not n:
+            return None
+        out = table.append_column(
+            "_change", pa.array([change] * n, pa.string())
+        ).append_column(
+            "_commit_version", pa.array([p.commit_version] * n, pa.int64())
+        )
+        return out.cast(full)
+
+    new_t = _load_side(p.new_files, p.new_delete_dirs, p.fields, full)
+    pieces = []
+    if p.kind == "snapshot":
+        pieces.append(_emit(new_t, "insert"))
+    else:
+        old_t = _load_side(p.old_files, p.old_delete_dirs, p.fields, full)
+        keys = list(p.keys)
+        lk = new_t.select(keys).append_column(
+            "__ni", pa.array(range(new_t.num_rows), pa.int64())
+        )
+        rk = old_t.select(keys).append_column(
+            "__oi", pa.array(range(old_t.num_rows), pa.int64())
+        )
+        j = lk.join(rk, keys=keys, join_type="full outer")
+        ni, oi = j.column("__ni"), j.column("__oi")
+        ins_idx = j.filter(pc.is_null(oi)).column("__ni")
+        del_idx = j.filter(pc.is_null(ni)).column("__oi")
+        matched = j.filter(pc.and_(pc.is_valid(ni), pc.is_valid(oi)))
+        pieces.append(_emit(new_t.take(ins_idx), "insert"))
+        pieces.append(_emit(old_t.take(del_idx), "delete"))
+        if matched.num_rows:
+            m_new = new_t.take(matched.column("__ni"))
+            m_old = old_t.take(matched.column("__oi"))
+            changed = pa.array([False] * matched.num_rows, pa.bool_())
+            for c in data_names:
+                if c in keys:
+                    continue
+                changed = pc.or_(
+                    changed, _null_safe_changed(m_new.column(c), m_old.column(c))
+                )
+            upd_mask = pc.fill_null(changed, False)
+            pieces.append(_emit(m_new.filter(upd_mask), "update_postimage"))
+            if p.preimage:
+                pieces.append(_emit(m_old.filter(upd_mask), "update_preimage"))
+    for piece in pieces:
+        if piece is not None:
+            yield from piece.to_batches()
+
+
+class ManifestChangesDataSource(DataSource):
+    """spark.readStream.format("manifest_changes").option("path", root)
+    .option("keys", "k").load() — see the module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_changes"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_changes requires option 'path'")
+        return _feed_schema(path)
+
+    def streamReader(self, schema) -> ManifestChangesStreamReader:
+        return ManifestChangesStreamReader(self.options)
+
+
+def register_manifest_changes_source(spark: SparkSession) -> None:
+    spark.dataSource.register(ManifestChangesDataSource)
+
+
+def read_change_stream(
+    spark: SparkSession,
+    path: str,
+    keys,
+    starting_version: int | None = None,
+    preimage: bool = False,
+) -> DataFrame:
+    """The manifest change feed as a streaming DataFrame. Default start
+    is a bootstrap snapshot (full table tagged insert, like
+    `consume_table_changes`'s first cycle); `starting_version=N`
+    replays history per-commit from commit N instead."""
+    register_manifest_changes_source(spark)
+    reader = (
+        spark.readStream.format("manifest_changes")
+        .option("path", path)
+        .option("keys", ",".join(keys))
+    )
+    if starting_version is not None:
+        reader = reader.option("starting_version", str(starting_version))
+    if preimage:
+        reader = reader.option("preimage", "true")
+    return reader.load()
+
+
+def start_change_stream_replica(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys,
+    checkpoint: str,
+    dst_partition_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """A CDC consumer REWIRED through the streaming source: maintain a
+    replica of `src_path` at `dst_path` with readStream + foreachBatch —
+    the streaming twin of `replicate_table_increment`, with Structured
+    Streaming's checkpoint replacing the app-metadata watermark. Each
+    micro-batch applies its commits IN VERSION ORDER (a key inserted
+    then deleted across two commits of one batch must net to absent);
+    every apply verb is an idempotent MERGE/DELETE, so a batch replayed
+    after a crash converges (exactly-once effect on the replica).
+
+    Returns the StreamingQuery; `availableNow` drains the current
+    backlog then stops (the scheduled-batch shape the reference's
+    control plane runs, metadata.py:150-191)."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.sinks import (
+        delete_manifest_rows,
+        merge_upsert_manifest,
+        read_manifest,
+    )
+
+    if dst_partition_col is None:
+        # default: mirror the source's layout (identity or transform spec)
+        dst_partition_col = read_manifest(src_path).get("partition_col")
+        if dst_partition_col is None:
+            raise ValueError(
+                "source manifest records no partition_col — pass "
+                "dst_partition_col explicitly"
+            )
+    feed = read_change_stream(spark, src_path, keys)
+    key_list = list(keys)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        rows_by_v = (
+            batch.select("_commit_version").distinct().orderBy(
+                "_commit_version"
+            )
+        ).collect()
+        for (v,) in rows_by_v:
+            win = batch.filter(F.col("_commit_version") == v)
+            upserts = win.filter(
+                F.col("_change").isin("insert", "update_postimage")
+            ).drop("_change", "_commit_version")
+            if upserts.limit(1).count():
+                merge_upsert_manifest(
+                    spark,
+                    upserts,
+                    dst_path,
+                    key_list,
+                    partition_col=dst_partition_col,
+                )
+            dels = (
+                win.filter(F.col("_change") == "delete")
+                .select(*key_list)
+                .collect()
+            )
+            if dels:
+                if len(key_list) == 1:
+                    preds = [
+                        (key_list[0], "in", tuple(r[0] for r in dels))
+                    ]
+                    delete_manifest_rows(spark, dst_path, preds)
+                else:
+                    for r in dels:
+                        delete_manifest_rows(
+                            spark,
+                            dst_path,
+                            [(k, "=", r[k]) for k in key_list],
+                        )
+
+    writer = feed.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
