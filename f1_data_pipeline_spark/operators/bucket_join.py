@@ -1,0 +1,272 @@
+"""Shuffle-free joins between co-bucketed manifest tables — the
+storage-partitioned join, emulated.
+
+Two manifest tables hidden-partitioned `bucket(N, key)` on their join
+keys (operators/partitioning.py) already have every matching key pair
+co-located in same-numbered buckets: bucket ids come from the SAME
+deterministic hash (pmod(xxhash64(cast), N)) both writers ran. A plain
+`catalog_sql` join still exchanges both sides, because a path-based
+parquet scan reports no partitioning Catalyst can trust — at fact-fact
+scale that re-shuffle of both tables is the single biggest avoidable
+cost at 100 TB (the reference's FK-join read shape,
+base_loader.py:185-212, hits exactly this as facts grow).
+
+`bucket_aligned_join` removes it: the driver plans one row per bucket
+PAIR from the two manifests (metadata only), and `mapInArrow` fans the
+pairs out — each task reads its bucket's files from both sides
+(pyarrow, position deletes applied) and hash-joins them worker-side
+with Acero. Neither table's data ever enters a Spark exchange; the
+only shuffle in the plan moves N spec rows (bucket ids + file lists).
+This is what Spark's own storage-partitioned join does for DSv2
+connectors that report KeyGroupedPartitioning — unavailable to Python
+data sources, so the join moves into the task instead.
+
+Correctness contract (validated up front, loud failures):
+- both tables bucket(N, …) with equal N;
+- the bucketed source columns ARE the join keys;
+- identical key types on both sides (xxhash64 hashes int32 and int64
+  differently — a silent type mismatch would misalign buckets, so it
+  refuses instead);
+- join keys never NULL on the inner side of classification (the NULL
+  partition joins nothing and is skipped for inner joins, included
+  left-side for left joins — SQL semantics: NULL keys match nothing).
+
+Scale posture: tasks = buckets; per-task memory = one bucket pair,
+which the writer's bucket count already sizes (pick N ≈ table size /
+healthy partition size — write_bucketed's rule, sinks.py:323). Skewed
+keys concentrate in one bucket either way; re-bucket with larger N or
+fall back to the shuffled join for pathological skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["bucket_aligned_join", "plan_bucket_pairs"]
+
+
+def _bucket_layout(path: str, version: int | None = None):
+    """(N, source column, {bucket id: entry}, stored schema) of a
+    bucket-partitioned manifest table; raises for any other layout."""
+    from .partitioning import parse_partition_spec
+    from .sinks import _stored_of, read_manifest
+
+    m = read_manifest(path, version)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    spec = m.get("partition_col")
+    t = parse_partition_spec(spec) if spec else None
+    if t is None or t.kind != "bucket":
+        raise ValueError(
+            f"bucket_aligned_join requires a bucket(N, col) layout; "
+            f"{path} is partitioned {spec!r}"
+        )
+    stored = _stored_of(m)
+    if stored is None:
+        raise ValueError(f"manifest at {path} predates stored schemas")
+    return t.param, t.source, dict(m["partitions"]), stored
+
+
+def plan_bucket_pairs(
+    left_path: str,
+    right_path: str,
+    how: str = "inner",
+    version_left: int | None = None,
+    version_right: int | None = None,
+) -> list[dict]:
+    """The driver-side plan: one dict per bucket pair that can produce
+    output — {'bucket', 'left_files', 'left_deletes', 'right_files',
+    'right_deletes'}. Inner joins skip buckets absent on either side
+    (their rows cannot match anything — that IS the bucket-level file
+    pruning: files opened are exactly the matching pairs); left joins
+    keep left-only buckets with an empty right side. The NULL partition
+    ('null' key) matches nothing by SQL semantics: skipped for inner,
+    left-side-only for left."""
+    from .sinks import read_manifest
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    nl, _, left_entries, _ = _bucket_layout(left_path, version_left)
+    nr, _, right_entries, _ = _bucket_layout(right_path, version_right)
+    if nl != nr:
+        raise ValueError(
+            f"bucket counts differ ({nl} vs {nr}) — co-located joins "
+            "need identical N; re-bucket one side (set_layout) or use "
+            "the shuffled join"
+        )
+
+    def _abs(path: str, entry: dict) -> tuple[list, list]:
+        pref = os.path.join(path, entry["prefix"])
+        files = entry.get("files")
+        if files is not None:
+            data = [os.path.join(pref, fm["name"]) for fm in files]
+        else:
+            data = [
+                os.path.join(pref, n)
+                for n in sorted(os.listdir(pref))
+                if n.endswith(".parquet")
+            ]
+        dels = [
+            os.path.join(path, d["prefix"]) for d in entry.get("deletes") or ()
+        ]
+        return data, dels
+
+    plans: list[dict] = []
+    for key, le in sorted(left_entries.items()):
+        if key == "null" and how == "inner":
+            continue  # NULL join keys match nothing
+        re_ = right_entries.get(key) if key != "null" else None
+        if re_ is None and how == "inner":
+            continue
+        lf, ld = _abs(left_path, le)
+        rf, rd = _abs(right_path, re_) if re_ is not None else ([], [])
+        plans.append(
+            {
+                "bucket": key,
+                "left_files": lf,
+                "left_deletes": ld,
+                "right_files": rf,
+                "right_deletes": rd,
+            }
+        )
+    return plans
+
+
+def bucket_aligned_join(
+    spark: SparkSession,
+    left_path: str,
+    right_path: str,
+    left_on: str | None = None,
+    right_on: str | None = None,
+    how: str = "inner",
+    right_prefix: str = "r_",
+    version_left: int | None = None,
+    version_right: int | None = None,
+) -> DataFrame:
+    """Join two co-bucketed manifest tables without shuffling either.
+
+    `left_on`/`right_on` default to each table's bucket source column
+    (they must BE the bucket columns — that is the co-location the join
+    exploits). Output columns: all left columns, then the right table's
+    non-key columns; a right column whose name collides with a left one
+    is prefixed `right_prefix`. Result parity with the shuffled
+    DataFrame join is pytest-pinned (tests/test_bucket_join.py)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from .sinks import _phys_name
+
+    nl, lsrc, _, lschema = _bucket_layout(left_path, version_left)
+    _, rsrc, _, rschema = _bucket_layout(right_path, version_right)
+    left_on = left_on or lsrc
+    right_on = right_on or rsrc
+    if left_on != lsrc or right_on != rsrc:
+        raise ValueError(
+            f"join keys must be the bucketed columns: left {lsrc!r} vs "
+            f"{left_on!r}, right {rsrc!r} vs {right_on!r} — joining on "
+            "anything else has no co-location to exploit (use the "
+            "ordinary join)"
+        )
+    ltype = lschema[left_on].dataType
+    rtype = rschema[right_on].dataType
+    if ltype != rtype:
+        raise ValueError(
+            f"key types differ ({ltype.simpleString()} vs "
+            f"{rtype.simpleString()}): xxhash64 buckets them differently, "
+            "so same-valued keys would land in different buckets — widen "
+            "one table's key type first"
+        )
+
+    left_fields = tuple((f.name, _phys_name(f)) for f in lschema.fields)
+    right_data = [f for f in rschema.fields if f.name != right_on]
+    right_fields = tuple((f.name, _phys_name(f)) for f in rschema.fields)
+    left_names = {f.name for f in lschema.fields}
+    out_fields = list(lschema.fields)
+    rename: dict[str, str] = {}
+    for f in right_data:
+        out_name = (right_prefix + f.name) if f.name in left_names else f.name
+        if out_name in {x.name for x in out_fields}:
+            raise ValueError(
+                f"output column collision on {out_name!r} — pass a "
+                "different right_prefix"
+            )
+        rename[f.name] = out_name
+        out_fields.append(T.StructField(out_name, f.dataType, True))
+    out_schema = T.StructType(out_fields)
+
+    plans = plan_bucket_pairs(
+        left_path, right_path, how, version_left, version_right
+    )
+    if not plans:
+        return spark.createDataFrame([], out_schema)
+
+    spec_df = spark.createDataFrame(
+        [(p["bucket"], json.dumps(p)) for p in plans],
+        "bucket string, spec string",
+    ).repartition(len(plans), "bucket")
+
+    l_arrow = to_arrow_schema(
+        T.StructType([T.StructField(n, lschema[n].dataType) for n, _ in left_fields])
+    )
+    r_arrow = to_arrow_schema(
+        T.StructType([T.StructField(n, rschema[n].dataType) for n, _ in right_fields])
+    )
+    out_arrow = to_arrow_schema(out_schema)
+    join_type = "inner" if how == "inner" else "left outer"
+    r_keep = [f.name for f in right_data]
+
+    def _join_pairs(batches):
+        import pyarrow as pa
+
+        from f1_data_pipeline_spark.operators.arrow_read import load_side
+
+        for batch in batches:
+            for spec_raw in batch.column("spec").to_pylist():
+                p = json.loads(spec_raw)
+                lt = load_side(
+                    p["left_files"], p["left_deletes"], left_fields, l_arrow
+                )
+                rt = load_side(
+                    p["right_files"], p["right_deletes"], right_fields,
+                    r_arrow,
+                )
+                rt = rt.select([right_on] + r_keep).rename_columns(
+                    [right_on] + [rename[c] for c in r_keep]
+                )
+                # Acero rejects list/struct payloads in hash joins — the
+                # index-join trick (join key+rowid, then take) keeps any
+                # payload type out of the join kernel
+                import pyarrow.compute as pc
+
+                lk = lt.select([left_on]).append_column(
+                    "__li", pa.array(range(lt.num_rows), pa.int64())
+                )
+                rk = rt.select([right_on]).append_column(
+                    "__ri", pa.array(range(rt.num_rows), pa.int64())
+                )
+                j = lk.join(
+                    rk,
+                    keys=[left_on],
+                    right_keys=[right_on],
+                    join_type=join_type,
+                )
+                li, ri = j.column("__li"), j.column("__ri")
+                out_l = lt.take(li)
+                # right side of a left join: null rows where unmatched
+                right_cols = []
+                rt_no_key = rt.drop([right_on])
+                for name in rt_no_key.column_names:
+                    col = rt_no_key.column(name)
+                    taken = col.take(ri)  # null indices -> null values
+                    right_cols.append(taken)
+                out = out_l
+                for name, col in zip(rt_no_key.column_names, right_cols):
+                    out = out.append_column(name, col)
+                out = out.cast(out_arrow)
+                yield from out.to_batches()
+
+    return spec_df.mapInArrow(_join_pairs, out_schema)

@@ -268,23 +268,33 @@ register(
 
 def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session ⋈ round analog: orders ⋈ customer with filters on both sides
-    # (reference: metadata.py:310-318). Since round 8 this entry runs
-    # through the FULL SQL console rather than a hand-built DataFrame:
-    # orders/customer land in manifest tables (fact hidden-partitioned by
-    # bucket(16, o_custkey)), a catalog binds names, and catalog_sql
-    # plans the star join — the dim's literal predicate pushes into its
-    # manifest read and its surviving join keys become a runtime IN
-    # filter on the fact's read (X42 dynamic file pruning, engaging
-    # bucket pruning + file stats + bloom probes). The driver's DuckDB
-    # hash gate thereby verifies the console end-to-end (text → routing
-    # → pushdown → runtime filter → manifest scan), not just a DataFrame
-    # plan. The temp manifest tables live for the session (the returned
+    # (reference: metadata.py:310-318). Two oracle-hashed arms over the
+    # SAME bucket(16, o_custkey) fact manifest:
+    #
+    # - "console" (round 8): the FULL SQL console path — a catalog binds
+    #   names and catalog_sql plans the star join; the dim's literal
+    #   predicate pushes into its manifest read and its surviving join
+    #   keys become a runtime IN filter on the fact's read (X42 dynamic
+    #   file pruning: bucket pruning + file stats + bloom probes). This
+    #   verifies text → routing → pushdown → runtime filter → manifest
+    #   scan end-to-end.
+    # - "bucket" (round 9): the shuffle-free storage-partitioned join
+    #   (operators/bucket_join.py, X51) against a SECOND dim manifest
+    #   bucketed bucket(16, c_custkey) — co-located bucket pairs
+    #   Acero-join inside mapInArrow tasks, neither table entering a
+    #   Spark exchange (the reference's FK-join read shape,
+    #   base_loader.py:185-212, at fact-fact scale).
+    #
+    # The temp manifest tables live for the session (the returned
     # DataFrame's plan references their files).
     import os
     import tempfile
 
     from f1_data_pipeline_spark.operators import catalog as CAT
     from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.operators.bucket_join import (
+        bucket_aligned_join,
+    )
 
     work = tempfile.mkdtemp(prefix="sql_console_c1_")
     o = load_table(spark, sf_dir, "orders").select(
@@ -304,7 +314,7 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = os.path.join(work, "cat")
     CAT.catalog_create_table(cat, "orders_m", fact_p)
     CAT.catalog_create_table(cat, "customer_m", dim_p)
-    return CAT.catalog_sql(
+    console = CAT.catalog_sql(
         spark,
         cat,
         """
@@ -313,16 +323,41 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'BUILDING'
           AND EXTRACT(YEAR FROM o.o_orderdate) = 1998
         """,
+    ).select(
+        F.lit("console").alias("which"), "o_orderkey", "c_name",
+        "o_totalprice",
     )
+
+    dim_b = os.path.join(work, "customer_b")
+    sinks.merge_upsert_manifest(
+        spark, c, dim_b, keys=["c_custkey"],
+        partition_col="bucket(16, c_custkey)",
+    )
+    bucket = (
+        bucket_aligned_join(spark, fact_p, dim_b, "o_custkey", "c_custkey")
+        .filter(
+            (F.year("o_orderdate") == 1997)
+            & (F.col("c_mktsegment") == "MACHINERY")
+        )
+        .select(
+            F.lit("bucket").alias("which"), "o_orderkey", "c_name",
+            "o_totalprice",
+        )
+    )
+    return console.unionAll(bucket)
 
 
 register(
     "join_inner_equi",
     q_join_inner_equi,
     """
-    SELECT o_orderkey, c_name, o_totalprice
+    SELECT 'console' AS which, o_orderkey, c_name, o_totalprice
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE EXTRACT(YEAR FROM o_orderdate) = 1998 AND c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT 'bucket' AS which, o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND c_mktsegment = 'MACHINERY'
     """,
 )
 
@@ -350,19 +385,42 @@ def q_join_fk_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- C4 merge upsert (dataflow half of A7) ---------------------------------------
 
 def q_join_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # existing = pre-2000 order totals; updates = re-stated totals (+10%) for
+    # existing = pre-2000 order totals; updates = re-stated totals (×2) for
     # 1999-2000 orders. Upsert: updated rows win, new rows appended, untouched
     # rows kept (reference ON CONFLICT DO UPDATE, loaders/__init__.py:254-272).
     # `* 2` is exact in binary floating point — no rounding step, so the
     # doubles are bit-identical on both engines.
+    #
+    # Since round 9 this entry routes through the SCD2 dimension verbs
+    # (X48, operators/scd.py): the existing slice loads at business
+    # instant t1 (scd2_merge), the restatement folds in at t2 — closing
+    # the changed versions and inserting the new ones — and the result
+    # is `scd2_at(t2)`, the dimension AS OF the restatement instant.
+    # That read is definitionally the upsert result (latest version per
+    # key valid at t2), so the unchanged DuckDB oracle now hash-verifies
+    # scd2_merge's interval algebra + the as-of read end-to-end; the
+    # earlier in-memory form stays covered by merge_upsert_frames'
+    # pytest suite. Temp dimension lives for the session (the returned
+    # plan references its files).
+    import os
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import scd
+
     o = load_table(spark, sf_dir, "orders")
+    t1, t2 = "2020-01-01 00:00:00", "2021-01-01 00:00:00"
     existing = o.filter(F.year("o_orderdate") < 2000).select(
-        "o_orderkey", F.col("o_totalprice").alias("total")
+        "o_orderkey", F.col("o_totalprice").alias("total"),
+        F.lit(t1).cast("timestamp").alias("effective_ts"),
     )
     updates = o.filter(F.year("o_orderdate").between(1999, 2000)).select(
-        "o_orderkey", (F.col("o_totalprice") * 2).alias("total")
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("total"),
+        F.lit(t2).cast("timestamp").alias("effective_ts"),
     )
-    return R.merge_upsert_frames(existing, updates, ["o_orderkey"])
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_c4_"), "dim")
+    scd.scd2_merge(spark, existing, path, ["o_orderkey"])
+    scd.scd2_merge(spark, updates, path, ["o_orderkey"])
+    return scd.scd2_at(spark, path, t2).select("o_orderkey", "total")
 
 
 register(

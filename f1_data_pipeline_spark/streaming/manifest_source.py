@@ -66,6 +66,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from f1_data_pipeline_spark.operators.arrow_read import load_side as _load_side
+
 __all__ = [
     "ManifestChangesDataSource",
     "register_manifest_changes_source",
@@ -263,66 +265,6 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         pass  # checkpoint state is Spark's; nothing table-side to release
 
 
-def _load_deleted_positions(delete_dirs: list) -> dict:
-    """{file id: set(row positions)} from position-delete parquet dirs.
-    Ids are '<partition>/<snap>/<basename>' (current) or
-    '<snap>/<basename>' (legacy, pre-fused-write) — both match here,
-    which is safe because the delete set is scoped to exactly this
-    partition's data prefix (sinks._read_deletes documents the scoping
-    rule this relies on)."""
-    import pyarrow.parquet as pq
-
-    out: dict = {}
-    for d in delete_dirs:
-        t = pq.read_table(d, columns=["_file", "_pos"])
-        for fid, pos in zip(
-            t.column("_file").to_pylist(), t.column("_pos").to_pylist()
-        ):
-            out.setdefault(fid, set()).add(pos)
-    return out
-
-
-def _load_side(files: list, delete_dirs: list, fields, target) -> "object":
-    """One side's live rows as a pa.Table conformed to the target arrow
-    schema's DATA columns: physical file columns mapped to logical
-    names, missing columns read as NULL, position deletes applied."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    deleted = _load_deleted_positions(delete_dirs) if delete_dirs else {}
-    tabs = []
-    for f in files:
-        t = pq.read_table(f)
-        if deleted:
-            segs = f.replace(os.sep, "/").split("/")
-            dead = deleted.get("/".join(segs[-3:]), set()) | deleted.get(
-                "/".join(segs[-2:]), set()
-            )
-            if dead:
-                mask = pa.array(
-                    [i not in dead for i in range(t.num_rows)], pa.bool_()
-                )
-                t = t.filter(mask)
-        cols = []
-        for name, phys in fields:
-            tgt_type = target.field(name).type
-            if phys in t.column_names:
-                col = t.column(phys)
-                if col.type != tgt_type:
-                    col = pc.cast(col, tgt_type)
-            else:
-                col = pa.nulls(t.num_rows, tgt_type)
-            cols.append(col)
-        tabs.append(pa.table(dict(zip([n for n, _ in fields], cols))))
-    if not tabs:
-        return pa.table(
-            {
-                n: pa.array([], target.field(n).type)
-                for n, _ in fields
-            }
-        )
-    return pa.concat_tables(tabs, promote_options="default")
 
 
 def _null_safe_changed(new_col, old_col):
