@@ -180,7 +180,11 @@ def register_catalog_views(
 
 
 def catalog_sql(
-    spark: SparkSession, catalog_path: str, sql: str
+    spark: SparkSession,
+    catalog_path: str,
+    sql: str,
+    runtime_filters: bool = True,
+    max_harvests: int = 8,
 ) -> DataFrame:
     """Run a spark.sql statement against the catalog.
 
@@ -221,7 +225,9 @@ def catalog_sql(
     (each partition present in the source replaced wholesale);
     `ALTER TABLE t ADD|DROP COLUMN / RENAME COLUMN a TO b (metadata-only
     — files keep their pinned physical column name forever, see
-    `manifest_rename_column`) / RENAME TO t2 (catalog-name change) /
+    `manifest_rename_column`) / ALTER COLUMN c [SET DATA] TYPE <wider>
+    (reader-safe widening through `_SAFE_WIDENINGS`, metadata-only; see
+    `manifest_alter_column_type`) / RENAME TO t2 (catalog-name change) /
     ADD|DROP CONSTRAINT ... CHECK / CREATE|DROP TAG [AS OF VERSION n]`;
     `SHOW CREATE TABLE t` (round-trippable DDL: the CREATE plus one
     ALTER ... ADD CONSTRAINT row per constraint); `RESTORE TABLE t TO
@@ -324,7 +330,11 @@ def catalog_sql(
     refs = _relation_refs(sql, tables)
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
     preds = _extract_pushdown_predicates(spark, sql, refs, tables)
-    _runtime_join_filters(spark, sql, refs, tables, versions, preds)
+    if runtime_filters:
+        _runtime_join_filters(
+            spark, sql, refs, tables, versions, preds,
+            max_harvests=max_harvests,
+        )
     ref_preds = _cte_pushdown_predicates(spark, sql, refs, tables)
     sql, internal = _bind_internal_views(
         spark, tables, sql, refs, versions, preds, ref_preds
@@ -1309,6 +1319,7 @@ def _runtime_join_filters(
     versions: dict[str, int],
     preds: dict,
     max_keys: int = 10_000,
+    max_harvests: int = 8,
 ) -> dict:
     """Dynamic file pruning for star joins — the Iceberg/Delta runtime
     filter, executed at plan-build time: when a single-SELECT inner-join
@@ -1343,6 +1354,15 @@ def _runtime_join_filters(
     distinct join column — the conjunction prunes tighter than any
     single dim (the multi-dim star shape); at most one filter per
     (fact, column) pair.
+
+    Plan-time cost is BUDGETED: every harvest is a real dim scan run
+    during planning, so at most `max_harvests` scans execute per
+    statement (default 8 — a deliberately wide star; a snowflake of
+    many selective dims stops harvesting there, logged at debug, and
+    the un-harvested joins still run correctly, just unpruned).
+    `catalog_sql(runtime_filters=False)` is the full escape hatch: zero
+    planning-time scans, every join planned from literal pushdown
+    alone.
 
     Mutates `preds` in place; returns {fact: [{"key", "from",
     "n_keys"}, ...]} for logging/tests."""
@@ -1379,6 +1399,7 @@ def _runtime_join_filters(
         for name in counts
     }
     applied: dict[str, dict] = {}
+    harvests = 0
     # only harvest from sides that the WHERE itself made selective —
     # never from a side whose only predicates are runtime IN filters
     # this loop added (harvesting such a side would scan the FACT to
@@ -1406,6 +1427,14 @@ def _runtime_join_filters(
                         a["key"] == fcol for a in applied.get(fact, ())
                     ):
                 continue
+            if harvests >= max_harvests:
+                _log().debug(
+                    "runtime join filter budget (%d harvests) exhausted — "
+                    "skipping %s.%s; pass a larger max_harvests or "
+                    "runtime_filters=False", max_harvests, dim, dcol,
+                )
+                continue
+            harvests += 1
             e = tables[dim]
             rows = read_manifest_table(
                 spark, e["path"], version=versions[dim],
@@ -2115,10 +2144,19 @@ def _catalog_ddl(
                 spark, e["path"], m.group(1), m.group(2)
             )
             return _metrics_df(spark, {"columns_renamed": 1})
+        m = re.match(
+            r"ALTER\s+COLUMN\s+([A-Za-z_]\w*)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+)$",
+            action, re.IGNORECASE,
+        )
+        if m:
+            sinks.manifest_alter_column_type(
+                spark, e["path"], m.group(1), m.group(2).strip()
+            )
+            return _metrics_df(spark, {"columns_widened": 1})
         raise ValueError(
             f"unsupported ALTER action {action.strip()!r} — ADD|DROP "
-            "COLUMN, RENAME COLUMN ... TO ..., RENAME TO, ADD|DROP "
-            "CONSTRAINT, CREATE|DROP TAG"
+            "COLUMN, RENAME COLUMN ... TO ..., ALTER COLUMN ... TYPE "
+            "<wider>, RENAME TO, ADD|DROP CONSTRAINT, CREATE|DROP TAG"
         )
 
     # CREATE TABLE name [(col type, ...)] [PARTITIONED BY (spec)]

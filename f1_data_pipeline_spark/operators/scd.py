@@ -214,6 +214,7 @@ def scd2_splice(
     track_cols: Sequence[str] | None = None,
     max_keys: int = 10_000,
     app_metadata: dict | None = None,
+    auto_chunk: bool = True,
 ) -> dict:
     """Late-arriving history: splice version rows into the INTERIOR of
     each touched key's interval chain — the case `scd2_merge` refuses.
@@ -237,11 +238,23 @@ def scd2_splice(
     transform pruning), and the landing MERGE examines ONLY the
     source's own partitions (`by_source_scope=[]`), deleting collapsed
     version rows under a `t.<key> IN (...)` guard so co-bucketed
-    untouched keys are never examined as deletions. `max_keys` caps the
-    touched-key set (the guard is an inline IN list). Single business
-    key only — the delete guard is a single-column IN.
+    untouched keys are never examined as deletions. `max_keys` caps ONE
+    pass's touched-key set (the guard is an inline IN list). Single
+    business key only — the delete guard is a single-column IN.
 
-    Returns merge_into_manifest's action counts + {"touched_keys"}."""
+    Backfills touching more than `max_keys` keys auto-chunk by key hash
+    (`auto_chunk=True`, the default): the batch splits into
+    ceil(keys / 0.75·max_keys) hash slices and each splices as its own
+    commit in turn — a 100 TB backfill never needs a hand-written loop.
+    Each chunk keeps the full per-pass replay contract (rebuild-from-
+    seeds is convergent), so a crash between chunks re-runs safely: the
+    already-landed chunks rewrite nothing. `app_metadata` (a consumer
+    watermark) lands ONLY with the final chunk, so the watermark never
+    advances past a partially-landed backfill. `auto_chunk=False`
+    restores the loud refusal for callers that size their own batches.
+
+    Returns merge_into_manifest's action counts + {"touched_keys"}
+    (summed across chunks, plus {"chunks": n} when it chunked)."""
     from .sinks import (
         merge_into_manifest,
         read_manifest,
@@ -278,10 +291,34 @@ def scd2_splice(
         for r in batch.select(key).distinct().limit(max_keys + 1).collect()
     ]
     if len(tk) > max_keys:
-        raise ValueError(
-            f"splice batch touches > {max_keys} keys — split the backfill "
-            "(the delete guard is an inline IN list)"
-        )
+        if not auto_chunk:
+            raise ValueError(
+                f"splice batch touches > {max_keys} keys — split the "
+                "backfill (the delete guard is an inline IN list), or "
+                "let auto_chunk=True do it"
+            )
+        import math
+
+        n = batch.select(key).distinct().count()
+        # 0.75 headroom: hash imbalance may push a slice over the even
+        # share; a slice that still overflows recursively re-chunks
+        n_chunks = max(2, math.ceil(n / max(1, int(max_keys * 0.75))))
+        totals: dict = {"chunks": n_chunks}
+        for i in range(n_chunks):
+            part = batch.filter(
+                F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)) == i
+            )
+            out = scd2_splice(
+                spark, part, path, [key], ts_col=ts_col,
+                track_cols=track_cols, max_keys=max_keys,
+                # watermark only with the final chunk (see docstring)
+                app_metadata=app_metadata if i == n_chunks - 1 else None,
+                auto_chunk=True,
+            )
+            for k2, v in out.items():
+                if isinstance(v, (int, float)):
+                    totals[k2] = totals.get(k2, 0) + v
+        return totals
     zero = {
         "touched_keys": 0, "updated": 0, "deleted": 0, "inserted": 0,
         "updated_by_source": 0, "deleted_by_source": 0, "unchanged": 0,

@@ -4431,6 +4431,87 @@ def manifest_rename_column(
                 raise
 
 
+def manifest_alter_column_type(
+    spark: SparkSession, path: str, name: str, dtype: str
+) -> None:
+    """ALTER TABLE ALTER COLUMN TYPE — metadata-only (op="alter_type"):
+    widen a stored column's type through the SAME reader-safe rules a
+    schema-evolving merge enforces (`_SAFE_WIDENINGS`): no data file is
+    touched, old prefixes keep their narrower physical type and the
+    vectorized reader widens them on scan. Anything outside the set —
+    narrowing, string↔number, nested changes — is refused outright
+    (untouched prefixes would become unreadable). The same-type call is
+    a no-op. Old snapshots still read under their own schema (time
+    travel is schema-versioned), and SHOW CREATE TABLE reflects the new
+    type immediately.
+
+    Refused while the column drives hash/derivation machinery whose
+    output is TYPE-SENSITIVE — the partition transform source
+    (xxhash64/bucket and time-period derivation would re-derive
+    different keys for the same values, silently mis-pruning) or a
+    layout bloom column (sidecar bits were hashed at the old type, so
+    probes at the new type would wrongly exclude partitions). Re-layout
+    first; value-preserving consumers (CHECK constraints, cluster_by
+    stats pruning) are unaffected and stay."""
+    dt = spark.sql(f"select cast(null as {dtype})").schema[0].dataType
+    for attempt in range(4):
+        m = read_manifest(path)
+        if m is None:
+            raise FileNotFoundError(f"no manifest at {path}")
+        stored = T.StructType.fromJson(m["schema"])
+        if name not in stored.names:
+            raise ValueError(f"no column {name!r} at {path}")
+        old_t = stored[name].dataType
+        if old_t == dt:
+            return  # no-op, nothing to commit
+        pair = (old_t.simpleString(), dt.simpleString())
+        if pair not in _SAFE_WIDENINGS:
+            raise ValueError(
+                f"ALTER COLUMN {name} TYPE {pair[0]} -> {pair[1]} is not "
+                "an in-place-readable widening — old prefixes would "
+                "become unreadable under the new stored schema. Rewrite "
+                "the table through a full-table merge with the new "
+                f"schema instead (safe widenings: {sorted(_SAFE_WIDENINGS)})"
+            )
+        pt = _transform_of(m)
+        if pt is not None and name == pt.source:
+            raise ValueError(
+                f"column {name!r} is the table's partition source "
+                f"({m['partition_col']!r}) — the transform derives keys "
+                "from the value's TYPE (xxhash64 buckets int and bigint "
+                "differently), so widening it would silently mis-prune; "
+                "repartition_manifest_table first"
+            )
+        layout = m.get("layout") or {}
+        has_sidecar = any(
+            name in (e.get("blooms") or {})
+            for e in m["partitions"].values()
+        )
+        if name in set(layout.get("bloom_cols") or ()) or has_sidecar:
+            raise ValueError(
+                f"column {name!r} has bloom sidecars built at type "
+                f"{pair[0]} — probes at {pair[1]} hash differently and "
+                "would wrongly exclude partitions; drop the column from "
+                "the layout policy and compact (rebuilding sidecars) "
+                "before widening"
+            )
+        fields = [
+            T.StructField(name, dt, f.nullable, f.metadata)
+            if f.name == name else f
+            for f in stored.fields
+        ]
+        try:
+            _commit_with_rebase(
+                spark, path, m, {},
+                schema_json=T.StructType(fields).jsonValue(),
+                max_commit_retries=0, op="alter_type",
+            )
+            return
+        except ConcurrentWriteError:
+            if attempt == 3:
+                raise
+
+
 def clone_manifest_table(
     src: str, dst: str, version: int | str | None = None
 ) -> dict:

@@ -848,3 +848,63 @@ def test_null_predicate_pushdown_through_console(spark, tmp_path):
     ).collect()
     assert r3["pushdown"] == ["v != 5.0"]
     assert 0 < r3["files_scanned"] < r3["files_total"]
+
+
+def test_runtime_filter_budget_and_escape_hatch(spark, tmp_path, monkeypatch):
+    """Plan-time harvests are budgeted: each runtime filter runs a REAL
+    dim scan during planning, so `max_harvests` caps them per statement
+    and `runtime_filters=False` turns planning-time scans off entirely —
+    results are identical either way (the filter is pure pruning)."""
+    cat = str(tmp_path / "cat")
+    fact_p = str(tmp_path / "fact")
+    d1_p, d2_p = str(tmp_path / "d1"), str(tmp_path / "d2")
+    fact = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("fk1"),
+        (F.col("id") % 50).alias("fk2"),
+    )
+    sinks.merge_upsert_manifest(spark, fact, fact_p, keys=["k"],
+                                partition_col="bucket(16, fk1)")
+    d1 = spark.range(64).select(
+        F.col("id").alias("a"), (F.col("id") % 8).alias("attr1"))
+    sinks.merge_upsert_manifest(spark, d1, d1_p, keys=["a"],
+                                partition_col="attr1")
+    d2 = spark.range(50).select(
+        F.col("id").alias("b"), (F.col("id") % 5).alias("attr2"))
+    sinks.merge_upsert_manifest(spark, d2, d2_p, keys=["b"],
+                                partition_col="attr2")
+    CAT.catalog_create_table(cat, "factbd", fact_p)
+    CAT.catalog_create_table(cat, "dim_ba", d1_p)
+    CAT.catalog_create_table(cat, "dim_bb", d2_p)
+    CAT.register_catalog_views(spark, cat)
+    q = ("SELECT f.k FROM factbd f JOIN dim_ba x ON f.fk1 = x.a "
+         "JOIN dim_bb y ON f.fk2 = y.b "
+         "WHERE x.attr1 = 3 AND y.attr2 = 2")
+    want = sorted(r["k"] for r in spark.sql(q).collect())
+
+    applied = []
+    real = CAT._runtime_join_filters
+
+    def spy(*a, **kw):
+        out = real(*a, **kw)
+        applied.append(out)
+        return out
+
+    monkeypatch.setattr(CAT, "_runtime_join_filters", spy)
+
+    # budget of 1: exactly one harvest runs; the second join stays
+    # unfiltered; results unchanged
+    got = CAT.catalog_sql(spark, cat, q, max_harvests=1)
+    assert sorted(r["k"] for r in got.collect()) == want
+    assert sum(len(v) for v in applied[-1].values()) == 1
+
+    # full escape hatch: the harvester is never invoked
+    applied.clear()
+    got_off = CAT.catalog_sql(spark, cat, q, runtime_filters=False)
+    assert applied == []
+    assert sorted(r["k"] for r in got_off.collect()) == want
+
+    # default: both dims harvested (budget 8 is plenty)
+    got_on = CAT.catalog_sql(spark, cat, q)
+    assert sum(len(v) for v in applied[-1].values()) == 2
+    assert sorted(r["k"] for r in got_on.collect()) == want

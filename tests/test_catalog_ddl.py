@@ -420,3 +420,77 @@ def test_show_create_table_round_trips(spark, tmp_path):
                     "INSERT INTO src2 VALUES (1, 0, 2)")
     with pytest.raises(Exception, match="k_pos|constraint"):
         CAT.catalog_sql(spark, cat, "INSERT INTO src2 VALUES (-5, 0, 2)")
+
+
+def test_alter_column_type_widening(spark, tmp_path):
+    """ALTER COLUMN ... TYPE: reader-safe widening is metadata-only —
+    old prefixes stay readable (reader widens on scan), SHOW CREATE
+    reflects the new type, old snapshots still read via time travel —
+    and narrowing / string conversions are refused."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(20)], "k long, day int, v float"
+    )
+    sinks.merge_upsert_manifest(spark, df, t, keys=["k"], partition_col="day")
+    CAT.catalog_create_table(cat, "wt", t)
+    v_before = sinks.read_manifest(t)["version"]
+
+    [r] = CAT.catalog_sql(
+        spark, cat, "ALTER TABLE wt ALTER COLUMN v TYPE double"
+    ).collect()
+    assert r["columns_widened"] == 1
+    got = sinks.read_manifest_table(spark, t)
+    assert dict(got.dtypes)["v"] == "double"
+    assert sorted(x["v"] for x in got.collect()) == [float(i) for i in range(20)]
+    # no data rewritten: same prefixes as before the ALTER
+    m = sinks.read_manifest(t)
+    m0 = sinks.read_manifest(t, v_before)
+    assert {e["prefix"] for e in m["partitions"].values()} \
+        == {e["prefix"] for e in m0["partitions"].values()}
+
+    # SHOW CREATE reflects the widened type (round-trippable DDL)
+    ddl = [r["createtab_stmt"] for r in CAT.catalog_sql(
+        spark, cat, "SHOW CREATE TABLE wt").collect()]
+    assert any("v double" in s.lower() for s in ddl), ddl
+
+    # old snapshot still reads under its own (narrower) schema
+    old = sinks.read_manifest_table(spark, t, version=v_before)
+    assert dict(old.dtypes)["v"] == "float"
+
+    # SET DATA TYPE spelling + no-op same-type call
+    CAT.catalog_sql(spark, cat, "ALTER TABLE wt ALTER COLUMN k SET DATA TYPE bigint")
+    assert dict(sinks.read_manifest_table(spark, t).dtypes)["k"] == "bigint"
+
+    # a widened table still merges (schema agreement end-to-end)
+    up = spark.createDataFrame([(100, 1, 1.5)], "k long, day int, v double")
+    sinks.merge_upsert_manifest(spark, up, t, keys=["k"], partition_col="day")
+    assert sinks.read_manifest_table(spark, t).count() == 21
+
+    # refused: narrowing and string conversion
+    with pytest.raises(ValueError, match="not .*widening"):
+        CAT.catalog_sql(spark, cat, "ALTER TABLE wt ALTER COLUMN v TYPE float")
+    with pytest.raises(ValueError, match="not .*widening"):
+        CAT.catalog_sql(spark, cat, "ALTER TABLE wt ALTER COLUMN v TYPE string")
+
+
+def test_alter_column_type_blast_radius(spark, tmp_path):
+    """Type-sensitive consumers refuse the widening: the partition
+    transform source (bucket derivation) and bloom-indexed columns."""
+    cat = str(tmp_path / "cat")
+    b = str(tmp_path / "b")
+    df = spark.createDataFrame(
+        [(i, i % 100, float(i)) for i in range(50)],
+        "k int, fk int, v double",
+    )
+    sinks.merge_upsert_manifest(
+        spark, df, b, keys=["k"], partition_col="bucket(4, fk)",
+        bloom_cols=["k"],
+    )
+    CAT.catalog_create_table(cat, "bt", b)
+    with pytest.raises(ValueError, match="partition source"):
+        CAT.catalog_sql(spark, cat, "ALTER TABLE bt ALTER COLUMN fk TYPE bigint")
+    with pytest.raises(ValueError, match="bloom"):
+        CAT.catalog_sql(spark, cat, "ALTER TABLE bt ALTER COLUMN k TYPE bigint")
+    # a plain column on the same table still widens
+    CAT.catalog_sql(spark, cat, "ALTER TABLE bt ALTER COLUMN v TYPE double")

@@ -465,3 +465,54 @@ def test_scd2_splice_newest_becomes_current_and_guards(spark, tmp_path):
             spark, _dim(spark, [(1, "x", "UK", _t(1))]),
             str(tmp_path / "nope"), ["team_id"],
         )
+
+
+def test_scd2_splice_auto_chunks_large_backfills(spark, tmp_path):
+    """A backfill touching more keys than max_keys auto-chunks by key
+    hash, each chunk its own convergent commit — landing IDENTICALLY to
+    an unchunked splice — while auto_chunk=False keeps the loud refusal
+    and the watermark lands only with the final chunk."""
+    seed = [(k, f"n{k}", "UK", _t(1)) for k in range(40)] + [
+        (k, f"m{k}", "IT", _t(20)) for k in range(40)
+    ]
+    backfill = _dim(
+        spark, [(k, f"late{k}", "FR", _t(10)) for k in range(0, 30)]
+    )
+
+    chunked = str(tmp_path / "chunked")
+    scd.scd2_merge(spark, _dim(spark, [r for r in seed if r[3] == _t(1)]),
+                   chunked, ["team_id"])
+    scd.scd2_merge(spark, _dim(spark, [r for r in seed if r[3] == _t(20)]),
+                   chunked, ["team_id"])
+    v_before = sinks.read_manifest(chunked)["version"]
+
+    with pytest.raises(ValueError, match="splice batch touches"):
+        scd.scd2_splice(spark, backfill, chunked, ["team_id"], max_keys=8,
+                        auto_chunk=False)
+
+    out = scd.scd2_splice(
+        spark, backfill, chunked, ["team_id"], max_keys=8,
+        app_metadata={"backfill_watermark": 42},
+    )
+    assert out["chunks"] >= 2 and out["touched_keys"] == 30
+    assert out["inserted"] == 30
+    # several commits landed; watermark only with the final one
+    assert sinks.read_manifest(chunked)["version"] >= v_before + out["chunks"] - 1
+    assert sinks.manifest_app_metadata(chunked)["backfill_watermark"] == 42
+
+    plain = str(tmp_path / "plain")
+    scd.scd2_merge(spark, _dim(spark, [r for r in seed if r[3] == _t(1)]),
+                   plain, ["team_id"])
+    scd.scd2_merge(spark, _dim(spark, [r for r in seed if r[3] == _t(20)]),
+                   plain, ["team_id"])
+    scd.scd2_splice(spark, backfill, plain, ["team_id"])  # one pass
+
+    rows = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in sinks.read_manifest_table(spark, p).collect()
+    )
+    assert rows(chunked) == rows(plain)
+
+    # replay of the chunked backfill converges: nothing rewritten
+    again = scd.scd2_splice(spark, backfill, chunked, ["team_id"],
+                            max_keys=8)
+    assert again["partitions_rewritten"] == 0 and again["inserted"] == 0
