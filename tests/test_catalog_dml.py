@@ -277,3 +277,36 @@ def test_merge_case_when_expression(spark, tmp_path):
     assert out[2] == 10      # clipped by the CASE
     assert out[3] == 3       # passed through
     assert out[100] == 1     # inserted
+
+
+def test_sql_dml_null_predicates(spark, tmp_path):
+    """DELETE/UPDATE with IS [NOT] NULL and != route through the same
+    parse_predicates vocabulary the readers prune on (round-9
+    NULL-aware predicates, reference B2 loaders/__init__.py:73)."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 2, None if i < 4 else float(i)) for i in range(10)],
+        "k long, day long, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, t, keys=["k"], partition_col="day")
+    CAT.catalog_create_table(cat, "nulls_t", t)
+
+    r = CAT.catalog_sql(
+        spark, cat, "UPDATE nulls_t SET v = -1.0 WHERE v IS NULL"
+    )
+    assert r.first().updated == 4
+    got = sinks.read_manifest_table(spark, t)
+    assert got.filter("v IS NULL").count() == 0
+    assert got.filter("v = -1.0").count() == 4
+
+    r2 = CAT.catalog_sql(spark, cat, "DELETE FROM nulls_t WHERE v <> -1.0")
+    assert r2.first().deleted == 6
+    assert sinks.read_manifest_table(spark, t).count() == 4
+
+    # SELECT with IS NOT NULL still matches plain Spark over the view
+    CAT.register_catalog_views(spark, cat)
+    n = CAT.catalog_sql(
+        spark, cat, "SELECT count(*) AS n FROM nulls_t WHERE v IS NOT NULL"
+    ).first().n
+    assert n == 4

@@ -844,6 +844,92 @@ def probe_manifest_crossover() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_headline_scale() -> None:
+    """Round-9 verdict #6: the three most expensive headline queries
+    (standings_recompute, dedup_minhash, duplicate_spans) timed at 1× and
+    N× (default 4×) the sf dir's data, query code UNCHANGED — the
+    replicated tables land in a temp directory shaped like an sf dir, so
+    the same callables just point at it. Replication scales the real
+    work: lineitem/orders/customer key columns offset per replica (join
+    fan-out and per-nation group sizes grow with the data; nation, the
+    broadcast dim, copies once), document tokens get a per-replica
+    suffix (the disjoint-mode perturbation: shingles stay replica-local,
+    so dup density is constant and candidate volume should scale ~N).
+
+    A ~linear plan shows time ratio ≈ N ± host noise (the sf0.1 bench's
+    documented ±10–25%); a ratio well past ~1.5·N flags a superlinear
+    stage that sub-second sf0.1 medians would drown. One warmup + median
+    of 3 per (query, factor); one JSON line per query."""
+    import os
+    import statistics
+    import tempfile
+
+    from f1_data_pipeline_spark.operators.standings import customer_standings
+    from f1_data_pipeline_spark.queries_text import (
+        q_dedup_minhash,
+        q_duplicate_spans,
+    )
+    from f1_data_pipeline_spark.session import get_spark
+    from f1_data_pipeline_spark.sources import load_table
+
+    args = sys.argv[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    factor = int(args[1]) if len(args) > 1 else 4
+
+    spark = get_spark("scale_probe")
+    work = tempfile.mkdtemp(prefix="headline_scale_")
+    scaled = os.path.join(work, f"{factor}x")
+    os.makedirs(scaled)
+    OFF = 10_000_000
+
+    def land(name, per_replica):
+        parts = []
+        for i in range(factor):
+            parts.append(per_replica(load_table(spark, sf_dir, name), i))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        df.write.parquet(os.path.join(scaled, f"{name}.parquet"))
+
+    land("lineitem", lambda d, i: d.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(i * OFF)))
+    land("orders", lambda d, i: d.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(i * OFF)
+    ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * OFF)))
+    land("customer", lambda d, i: d.withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(i * OFF)))
+    load_table(spark, sf_dir, "nation").write.parquet(
+        os.path.join(scaled, "nation.parquet"))
+    land("documents", lambda d, i: d.select(
+        (F.col("doc_id") + F.lit(i * OFF)).alias("doc_id"),
+        F.regexp_replace("text", r"(\S+)", r"$1" + f"r{i}").alias("text"),
+    ))
+
+    queries = {
+        "standings_recompute": customer_standings,
+        "dedup_minhash": q_dedup_minhash,
+        "duplicate_spans": q_duplicate_spans,
+    }
+
+    def timed(fn, d) -> tuple[float, int]:
+        fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            reps.append(time.time() - t0)
+        return round(statistics.median(reps), 3), fn(spark, d).count()
+
+    for name, fn in queries.items():
+        s1, r1 = timed(fn, sf_dir)
+        sN, rN = timed(fn, scaled)
+        print(json.dumps({
+            "op": "headline_scale", "query": name, "sf_dir": sf_dir,
+            "factor": factor, "sec_1x": s1, "sec_Nx": sN,
+            "ratio": round(sN / s1, 2), "rows_1x": r1, "rows_Nx": rN,
+        }), flush=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
@@ -852,8 +938,12 @@ def main() -> None:
         "ivf_drift", "heavy_hitters", "bloom_delete", "matview", "mor_delete",
         "partition_transforms", "replication", "footer_stats",
         "manifest_crossover", "matview_crossover", "runtime_filter",
+        "headline_scale",
     ):
         op = args.pop(0)
+    if op == "headline_scale":
+        probe_headline_scale()
+        return
     if op == "runtime_filter":
         probe_runtime_filter()
         return
