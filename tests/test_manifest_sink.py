@@ -1,0 +1,169 @@
+"""Native streaming manifest sink (streaming/manifest_sink.py): one
+atomic manifest commit per micro-batch, exactly-once by construction
+(per-batch partition keys), no foreachBatch."""
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from f1_data_pipeline_spark.operators import sinks
+from f1_data_pipeline_spark.streaming.manifest_sink import (
+    ManifestAppendStreamWriter,
+    start_manifest_append_stream,
+)
+from f1_data_pipeline_spark.streaming.manifest_source import (
+    read_change_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(spark, src, lo, hi, part):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 3, 1, i % 24), float(i)) for i in range(lo, hi)],
+        SCHEMA,
+    )
+    df.coalesce(1).write.parquet(os.path.join(src, part))
+
+
+def _drain(spark, src, dst, ckpt, sink_id="stream", mfpt=None):
+    reader = spark.readStream.schema(SCHEMA).format("parquet")
+    if mfpt:
+        reader = reader.option("maxFilesPerTrigger", mfpt)
+    q = start_manifest_append_stream(
+        reader.load(src + "/b*"), dst, ckpt, sink_id=sink_id
+    )
+    q.awaitTermination(300)
+
+
+def test_append_sink_lands_batches_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, 0, 50, "b1")
+    _write_batch(spark, src, 50, 80, "b2")
+    _drain(spark, src, dst, ckpt, mfpt=1)  # one micro-batch per file
+
+    m = sinks.read_manifest(dst)
+    assert m["partition_col"] == "_stream_batch"
+    assert len(m["partitions"]) == 2  # one landing partition per batch
+    assert all(k.startswith("stream-") for k in m["partitions"])
+    got = sinks.read_manifest_table(spark, dst)
+    assert got.count() == 80
+    assert sorted(r["event_id"] for r in got.collect()) == list(range(80))
+    assert dict(got.dtypes) == {
+        "event_id": "bigint", "ts": "timestamp", "value": "double"
+    }
+
+    # restart on the same checkpoint with new input: only the new file
+    # lands; nothing replays (counts prove exactly-once effect)
+    _write_batch(spark, src, 80, 90, "b3")
+    _drain(spark, src, dst, ckpt, mfpt=1)
+    got2 = sinks.read_manifest_table(spark, dst)
+    assert got2.count() == 90
+    assert got2.groupBy("event_id").count().filter("count > 1").count() == 0
+    # no staged leftovers
+    assert glob.glob(os.path.join(dst, "_staged_stream", "*")) == []
+
+
+def test_append_sink_replayed_epoch_is_dropped(spark, tmp_path):
+    """Simulate Spark replaying an epoch that already committed: the
+    second commit with the same batchId finds its partition key and
+    drops the staged duplicates."""
+    dst = str(tmp_path / "dst")
+    w = ManifestAppendStreamWriter({"path": dst, "sink_id": "s"}, SCHEMA)
+
+    import pyarrow as pa
+
+    batch = pa.record_batch(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([None, None], pa.timestamp("us", tz="UTC")),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    msg1 = w.write(iter([batch]))
+    w.commit([msg1], batchId=0)
+    assert sinks.read_manifest(dst)["version"] == 1
+
+    msg2 = w.write(iter([batch]))  # the replay's duplicate staging
+    w.commit([msg2], batchId=0)
+    assert sinks.read_manifest(dst)["version"] == 1  # no second commit
+    assert not os.path.exists(msg2.file)
+    assert sinks.read_manifest_table(spark, dst).count() == 2
+
+    # a NEW epoch commits normally
+    msg3 = w.write(iter([batch]))
+    w.commit([msg3], batchId=1)
+    assert sinks.read_manifest(dst)["version"] == 2
+    assert sinks.read_manifest_table(spark, dst).count() == 4
+
+
+def test_append_sink_guards(spark, tmp_path):
+    # schema drift refused on restart
+    dst = str(tmp_path / "dst")
+    w = ManifestAppendStreamWriter({"path": dst}, SCHEMA)
+
+    import pyarrow as pa
+
+    batch = pa.record_batch({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([None], pa.timestamp("us", tz="UTC")),
+        "value": pa.array([1.0], pa.float64()),
+    })
+    w.commit([w.write(iter([batch]))], batchId=0)
+    drifted = T.StructType(list(SCHEMA)[:2])
+    with pytest.raises(ValueError, match="does not match"):
+        ManifestAppendStreamWriter({"path": dst}, drifted)
+
+    # a non-landing manifest table refuses the sink
+    other = str(tmp_path / "other")
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("day")
+    )
+    sinks.merge_upsert_manifest(spark, df, other, keys=["k"],
+                                partition_col="day")
+    with pytest.raises(ValueError, match="not a streaming landing table"):
+        ManifestAppendStreamWriter({"path": other}, SCHEMA)
+
+    # sink_id with a separator refused (it prefixes partition keys)
+    with pytest.raises(ValueError, match="sink_id"):
+        ManifestAppendStreamWriter(
+            {"path": dst, "sink_id": "a-b"}, SCHEMA
+        )
+
+
+def test_landing_table_feeds_the_change_stream(spark, tmp_path):
+    """Source→sink symmetry: batches landed by the streaming sink are
+    consumable per-commit through the manifest_changes streaming source
+    (landing zone → curation, both native)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _write_batch(spark, src, 0, 30, "b1")
+    _write_batch(spark, src, 30, 40, "b2")
+    _drain(spark, src, dst, str(tmp_path / "c1"), mfpt=1)
+
+    out, ckpt2 = str(tmp_path / "feed"), str(tmp_path / "c2")
+    q = (
+        read_change_stream(spark, dst, ["event_id"], starting_version=1)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(out)
+    assert feed.count() == 40
+    assert {r["_change"] for r in feed.collect()} == {"insert"}
+    assert feed.select("_commit_version").distinct().count() == 2
