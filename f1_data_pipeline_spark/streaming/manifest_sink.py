@@ -83,12 +83,31 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError(
                 "manifest_append requires .option('path', <table root>)"
             )
-        self._sink_id = options.get("sink_id", "stream")
-        if "-" in self._sink_id or "/" in self._sink_id:
+        sink_id = options.get("sink_id")
+        if sink_id is None:
+            # Replay detection is keyed (sink_id, batchId) — batchIds are
+            # per-CHECKPOINT, so the namespace must be too: a fresh query
+            # reusing an old sink_id would see its early batch keys
+            # already committed and silently drop them as replays.
+            # Deriving the default from the checkpoint location makes
+            # fresh checkpoint → fresh namespace automatic; an explicit
+            # sink_id opts into manual namespacing (keep it paired with
+            # its checkpoint for life).
+            ck = options.get("checkpointlocation")
+            if ck:
+                import hashlib
+
+                sink_id = "ck" + hashlib.md5(
+                    os.path.abspath(ck).encode()
+                ).hexdigest()[:10]
+            else:
+                sink_id = "stream"
+        if "-" in sink_id or "/" in sink_id:
             raise ValueError(
-                f"sink_id {self._sink_id!r} must not contain '-' or '/' "
+                f"sink_id {sink_id!r} must not contain '-' or '/' "
                 "(it prefixes the batch partition key)"
             )
+        self._sink_id = sink_id
         self._schema = schema
         self._validate_schema()
 
@@ -236,18 +255,21 @@ def start_manifest_append_stream(
     df,
     path: str,
     checkpoint: str,
-    sink_id: str = "stream",
+    sink_id: str | None = None,
     trigger_available_now: bool = True,
 ):
     """Convenience starter: land a streaming DataFrame into a manifest
-    table, one atomic commit per micro-batch, exactly once."""
+    table, one atomic commit per micro-batch, exactly once. The batch
+    namespace defaults to a checkpoint-derived id (see the writer's
+    sink_id note) — pass `sink_id` only to namespace manually."""
     register_manifest_append_sink(df.sparkSession)
     writer = (
         df.writeStream.format("manifest_append")
         .option("path", path)
-        .option("sink_id", sink_id)
         .option("checkpointLocation", checkpoint)
     )
+    if sink_id is not None:
+        writer = writer.option("sink_id", sink_id)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

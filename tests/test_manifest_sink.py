@@ -167,3 +167,35 @@ def test_landing_table_feeds_the_change_stream(spark, tmp_path):
     assert feed.count() == 40
     assert {r["_change"] for r in feed.collect()} == {"insert"}
     assert feed.select("_commit_version").distinct().count() == 2
+
+
+def test_fresh_checkpoint_gets_fresh_namespace(spark, tmp_path):
+    """Without an explicit sink_id, the batch namespace derives from the
+    checkpoint location — a NEW query (fresh checkpoint) against the
+    same landing table can never be mistaken for an epoch replay, and a
+    restart on the SAME checkpoint still dedups."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _write_batch(spark, src, 0, 20, "b1")
+
+    def _go(ck):
+        q = start_manifest_append_stream(
+            spark.readStream.schema(SCHEMA).format("parquet").load(src + "/b*"),
+            dst, ck,
+        )
+        q.awaitTermination(300)
+
+    _go(str(tmp_path / "ckA"))
+    m = sinks.read_manifest(dst)
+    assert all(k.startswith("ck") for k in m["partitions"])
+    assert sinks.read_manifest_table(spark, dst).count() == 20
+
+    # same checkpoint: replayed input is NOT re-landed
+    _go(str(tmp_path / "ckA"))
+    assert sinks.read_manifest_table(spark, dst).count() == 20
+
+    # fresh checkpoint: a genuinely new query, its batches land
+    _go(str(tmp_path / "ckB"))
+    assert sinks.read_manifest_table(spark, dst).count() == 40
+    assert len({k.split("-")[0] for k in
+                sinks.read_manifest(dst)["partitions"]}) == 2
