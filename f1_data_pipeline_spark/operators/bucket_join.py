@@ -204,10 +204,13 @@ def bucket_aligned_join(
     if not plans:
         return spark.createDataFrame([], out_schema)
 
+    # range-partition the spec rows: exactly one bucket pair per task
+    # (hash repartition would collide ~1/e of the slots, leaving some
+    # tasks joining 2-3 pairs while others idle — straggler tax at scale)
     spec_df = spark.createDataFrame(
         [(p["bucket"], json.dumps(p)) for p in plans],
         "bucket string, spec string",
-    ).repartition(len(plans), "bucket")
+    ).repartitionByRange(len(plans), "bucket")
 
     l_arrow = to_arrow_schema(
         T.StructType([T.StructField(n, lschema[n].dataType) for n, _ in left_fields])

@@ -316,7 +316,10 @@ def scd2_splice(
                 auto_chunk=True,
             )
             for k2, v in out.items():
-                if isinstance(v, (int, float)):
+                # "chunks" from a recursively re-chunked slice would
+                # double-count against this level's total — report this
+                # level's slice count only
+                if k2 != "chunks" and isinstance(v, (int, float)):
                     totals[k2] = totals.get(k2, 0) + v
         return totals
     zero = {
