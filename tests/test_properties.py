@@ -540,3 +540,122 @@ def test_chunk_documents_properties(spark, n_tokens, max_tokens, overlap_frac):
             t for b in toks[1:] for t in (b[overlap:] if overlap else b)
         ]
         assert rebuilt == [f"w{i}x{j}" for j in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# File-stats pruning soundness (round 9, incl. IS NULL / IS NOT NULL / !=):
+# against ANY rows and ANY well-typed predicate conjunction, with stats
+# derived exactly the way the commit-time footer collector derives them —
+# and with stats arbitrarily DEGRADED to unknown —
+#   (a) a file holding a matching row is never pruned, and
+#   (b) a file _file_always_matches claims is all-matching really is.
+# These two implications are the entire correctness contract of data
+# skipping; everything else is an I/O optimization.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _file_and_preds(draw):
+    n = draw(st.integers(0, 12))
+    ints = st.one_of(st.none(), st.integers(-5, 5))
+    floats = st.one_of(st.none(), st.sampled_from(
+        [-2.5, -1.0, 0.0, 0.5, 1.0, 3.25]))
+    strs = st.one_of(st.none(), st.sampled_from(["a", "b", "cc", "d"]))
+    rows = [
+        {"a": draw(ints), "b": draw(floats), "s": draw(strs)}
+        for _ in range(n)
+    ]
+    stats = {}
+    for col in ("a", "b", "s"):
+        vals = [r[col] for r in rows if r[col] is not None]
+        st_entry = {
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "nulls": sum(1 for r in rows if r[col] is None),
+        }
+        # degrade arbitrarily: bounds and/or null counts may be unknown
+        if draw(st.booleans()):
+            st_entry["min"] = st_entry["max"] = None
+        if draw(st.booleans()):
+            st_entry["nulls"] = None
+        if draw(st.booleans()):
+            stats[col] = st_entry  # sometimes the column has no stats row
+    fmeta = {"rows": n, "stats": stats}
+
+    domains = {
+        "a": st.integers(-6, 6),
+        "b": st.sampled_from([-2.5, -1.0, 0.0, 0.5, 1.0, 3.25, 9.0]),
+        "s": st.sampled_from(["a", "b", "cc", "d", "zz"]),
+    }
+    preds = []
+    for _ in range(draw(st.integers(0, 4))):
+        col = draw(st.sampled_from(["a", "b", "s"]))
+        op = draw(st.sampled_from(
+            ["=", "<", "<=", ">", ">=", "!=", "in", "isnull", "notnull"]))
+        if op == "in":
+            v = tuple(
+                draw(domains[col]) for _ in range(draw(st.integers(1, 3)))
+            )
+        elif op in ("isnull", "notnull"):
+            v = None
+        else:
+            v = draw(domains[col])
+        preds.append((col, op, v))
+    return rows, fmeta, preds
+
+
+def _row_sat(row, preds) -> bool:
+    for col, op, v in preds:
+        x = row[col]
+        if op == "isnull":
+            if x is not None:
+                return False
+            continue
+        if x is None:
+            return False  # NULL satisfies no comparison / IS NOT NULL
+        if op == "notnull":
+            continue
+        if op == "in":
+            if not any(x == m for m in v):
+                return False
+        elif op == "=":
+            if not x == v:
+                return False
+        elif op == "!=":
+            if not x != v:
+                return False
+        elif op == "<":
+            if not x < v:
+                return False
+        elif op == "<=":
+            if not x <= v:
+                return False
+        elif op == ">":
+            if not x > v:
+                return False
+        elif op == ">=":
+            if not x >= v:
+                return False
+    return True
+
+
+@settings(max_examples=400, deadline=None)
+@given(case=_file_and_preds())
+def test_stats_pruning_never_wrong(case):
+    from f1_data_pipeline_spark.operators.sinks import (
+        _file_always_matches,
+        _file_maybe_matches,
+    )
+
+    rows, fmeta, preds = case
+    sat = [_row_sat(r, preds) for r in rows]
+    if any(sat):
+        assert _file_maybe_matches(fmeta, preds), (
+            f"pruned a file holding a matching row: {rows} {preds} {fmeta}"
+        )
+    if _file_always_matches(fmeta, preds):
+        # vacuously true on an empty file: callers add its 0 rows
+        assert all(sat), (
+            f"always-matches claimed over a non-matching row: "
+            f"{rows} {preds} {fmeta}"
+        )
