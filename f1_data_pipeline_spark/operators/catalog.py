@@ -636,6 +636,7 @@ def _explain_select(spark: SparkSession, tables: dict, inner: str) -> DataFrame:
     preds = _extract_pushdown_predicates(spark, s, refs, tables)
     rtf = _runtime_join_filters(spark, s, refs, tables, versions, preds)
     ref_preds = _cte_pushdown_predicates(spark, s, refs, tables)
+    ba = _bucket_aligned_notes(s, refs, tables, versions)
     rows = []
     totals: dict[str, tuple[int, int]] = {}
     for i, r in enumerate(refs):
@@ -681,14 +682,70 @@ def _explain_select(spark: SparkSession, tables: dict, inner: str) -> DataFrame:
             files,
             files_total,
             fast,
+            ba.get(name),
         ))
     return spark.createDataFrame(
         rows,
         "table string, version long, pushdown array<string>, "
         "runtime_filter string, partitions_scanned long, "
         "partitions_total long, files_scanned long, files_total long, "
-        "fast_path string",
+        "fast_path string, bucket_aligned string",
     )
+
+
+def _bucket_aligned_notes(
+    sql: str, refs: list[dict], tables: dict, versions: dict[str, int]
+) -> dict[str, str]:
+    """EXPLAIN advisory: for each equi-join conjunct whose two sides are
+    cataloged manifest tables bucket(N, <their join column>) with equal
+    N and identical key types, note that `bucket_aligned_join` (X51)
+    can run the join shuffle-free. catalog_sql itself still plans the
+    exchange (arbitrary SQL shapes can't be rewritten soundly from
+    text); the note tells the user the zero-shuffle path exists."""
+    from .partitioning import parse_partition_spec
+    from .sinks import _stored_of, read_manifest
+
+    alias_of: dict[str, str] = {}
+    for r in refs:
+        alias_of[(r["alias"] or r["name"]).lower()] = r["name"]
+    layouts: dict[str, tuple] = {}
+
+    def layout(name: str):
+        if name not in layouts:
+            m = read_manifest(tables[name]["path"], versions[name])
+            spec = (m or {}).get("partition_col")
+            t = None
+            try:
+                t = parse_partition_spec(spec) if spec else None
+            except ValueError:
+                t = None
+            stored = _stored_of(m) if m else None
+            layouts[name] = (t, stored)
+        return layouts[name]
+
+    out: dict[str, str] = {}
+    for qa, ca, qb, cb in _join_equi_conjuncts(sql):
+        na, nb = alias_of.get(qa.lower()), alias_of.get(qb.lower())
+        if not na or not nb or na == nb:
+            continue
+        (ta, sa), (tb, sb) = layout(na), layout(nb)
+        if (
+            ta is None or tb is None
+            or ta.kind != "bucket" or tb.kind != "bucket"
+            or ta.param != tb.param
+            or ta.source != ca or tb.source != cb
+            or sa is None or sb is None
+            or ca not in sa.names or cb not in sb.names
+            or sa[ca].dataType != sb[cb].dataType
+        ):
+            continue
+        note = (
+            f"eligible: bucket_aligned_join({na}, {nb}) on "
+            f"{ca} = {cb} ({ta.param} buckets, zero exchange)"
+        )
+        out.setdefault(na, note)
+        out.setdefault(nb, note)
+    return out
 
 
 def _strip_time_travel(sql: str, tables: dict) -> tuple[str, dict]:

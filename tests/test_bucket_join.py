@@ -172,3 +172,36 @@ def test_colliding_right_columns_prefixed(spark, tmp_path):
     assert got.count() == 50
     [r] = got.filter("k = 7").collect()
     assert (r["v"], r["r_v"]) == (7.0, 70.0)
+
+
+def test_explain_reports_bucket_aligned_eligibility(spark, tmp_path):
+    """EXPLAIN's decision record advertises the zero-shuffle path when
+    both join sides are co-bucketed on the join keys — and stays silent
+    when layouts don't align."""
+    from f1_data_pipeline_spark.operators import catalog as CAT
+
+    fact_p, dim_p = _mk_pair(spark, tmp_path)
+    cat = str(tmp_path / "cat")
+    CAT.catalog_create_table(cat, "bfact", fact_p)
+    CAT.catalog_create_table(cat, "bdim", dim_p)
+    rows = {r["table"]: r for r in CAT.catalog_sql(
+        spark, cat,
+        "EXPLAIN SELECT f.k FROM bfact f JOIN bdim d ON f.fk = d.dk",
+    ).collect()}
+    assert rows["bfact"]["bucket_aligned"] is not None
+    assert "bucket_aligned_join(bfact, bdim)" in rows["bfact"]["bucket_aligned"]
+    assert rows["bdim"]["bucket_aligned"] == rows["bfact"]["bucket_aligned"]
+
+    # misaligned N: no advisory
+    other_p = str(tmp_path / "o4")
+    d4 = spark.range(8).select(F.col("id").alias("dk"),
+                               F.col("id").alias("attr"),
+                               F.lit("x").alias("name"))
+    sinks.merge_upsert_manifest(spark, d4, other_p, keys=["dk"],
+                                partition_col="bucket(4, dk)")
+    CAT.catalog_create_table(cat, "dim4", other_p)
+    rows2 = {r["table"]: r for r in CAT.catalog_sql(
+        spark, cat,
+        "EXPLAIN SELECT f.k FROM bfact f JOIN dim4 d ON f.fk = d.dk",
+    ).collect()}
+    assert rows2["bfact"]["bucket_aligned"] is None

@@ -199,3 +199,33 @@ def test_fresh_checkpoint_gets_fresh_namespace(spark, tmp_path):
     assert sinks.read_manifest_table(spark, dst).count() == 40
     assert len({k.split("-")[0] for k in
                 sinks.read_manifest(dst)["partitions"]}) == 2
+
+
+def test_landing_table_lifecycle_compact_and_relayout(spark, tmp_path):
+    """The landing zone composes with the table-maintenance verbs: many
+    small batch partitions compact per-partition, and
+    repartition_manifest_table re-keys the landing table into an
+    analytical layout (spec evolution = the downstream half of the
+    landing pattern)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    for i in range(6):
+        _write_batch(spark, src, i * 10, (i + 1) * 10, f"b{i}")
+    _drain(spark, src, dst, str(tmp_path / "ck"), mfpt=1)
+    before = {tuple(r) for r in sinks.read_manifest_table(spark, dst).collect()}
+    assert len(sinks.read_manifest(dst)["partitions"]) == 6
+
+    # per-partition compaction leaves results identical
+    sinks.compact_manifest(spark, dst)
+    assert {tuple(r)
+            for r in sinks.read_manifest_table(spark, dst).collect()} == before
+
+    # re-layout into an analytical bucketed table (values from data)
+    sinks.repartition_manifest_table(spark, dst, "bucket(4, event_id)")
+    m = sinks.read_manifest(dst)
+    assert m["partition_col"] == "bucket(4, event_id)"
+    assert {tuple(r)
+            for r in sinks.read_manifest_table(spark, dst).collect()} == before
+    # and the re-keyed table now refuses further landing appends
+    with pytest.raises(ValueError, match="not a streaming landing table"):
+        ManifestAppendStreamWriter({"path": dst}, SCHEMA)
