@@ -13,7 +13,27 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["load_deleted_positions", "load_side"]
+__all__ = ["entry_paths", "load_deleted_positions", "load_side"]
+
+
+def entry_paths(path: str, entry: dict) -> tuple[list, list]:
+    """(data file paths, delete prefix dirs) of one manifest entry,
+    absolute. Entries predating per-file metadata list their prefix
+    directory's files at plan time (driver-side listdir, bounded by the
+    entry's own file count). Shared by every worker-side reader so the
+    entry→paths resolution can never diverge between them."""
+    pref = os.path.join(path, entry["prefix"])
+    files = entry.get("files")
+    if files is not None:
+        data = [os.path.join(pref, fm["name"]) for fm in files]
+    else:
+        data = [
+            os.path.join(pref, n)
+            for n in sorted(os.listdir(pref))
+            if n.endswith(".parquet")
+        ]
+    dels = [os.path.join(path, d["prefix"]) for d in entry.get("deletes") or ()]
+    return data, dels
 
 
 def load_deleted_positions(delete_dirs: list) -> dict:

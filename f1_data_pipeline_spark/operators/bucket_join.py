@@ -87,7 +87,7 @@ def plan_bucket_pairs(
     keep left-only buckets with an empty right side. The NULL partition
     ('null' key) matches nothing by SQL semantics: skipped for inner,
     left-side-only for left."""
-    from .sinks import read_manifest
+    from .arrow_read import entry_paths
 
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -100,22 +100,6 @@ def plan_bucket_pairs(
             "the shuffled join"
         )
 
-    def _abs(path: str, entry: dict) -> tuple[list, list]:
-        pref = os.path.join(path, entry["prefix"])
-        files = entry.get("files")
-        if files is not None:
-            data = [os.path.join(pref, fm["name"]) for fm in files]
-        else:
-            data = [
-                os.path.join(pref, n)
-                for n in sorted(os.listdir(pref))
-                if n.endswith(".parquet")
-            ]
-        dels = [
-            os.path.join(path, d["prefix"]) for d in entry.get("deletes") or ()
-        ]
-        return data, dels
-
     plans: list[dict] = []
     for key, le in sorted(left_entries.items()):
         if key == "null" and how == "inner":
@@ -123,8 +107,9 @@ def plan_bucket_pairs(
         re_ = right_entries.get(key) if key != "null" else None
         if re_ is None and how == "inner":
             continue
-        lf, ld = _abs(left_path, le)
-        rf, rd = _abs(right_path, re_) if re_ is not None else ([], [])
+        lf, ld = entry_paths(left_path, le)
+        rf, rd = (entry_paths(right_path, re_)
+                  if re_ is not None else ([], []))
         plans.append(
             {
                 "bucket": key,

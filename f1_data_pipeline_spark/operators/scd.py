@@ -215,6 +215,7 @@ def scd2_splice(
     max_keys: int = 10_000,
     app_metadata: dict | None = None,
     auto_chunk: bool = True,
+    _chunk_depth: int = 0,
 ) -> dict:
     """Late-arriving history: splice version rows into the INTERIOR of
     each touched key's interval chain — the case `scd2_merge` refuses.
@@ -249,9 +250,11 @@ def scd2_splice(
     Each chunk keeps the full per-pass replay contract (rebuild-from-
     seeds is convergent), so a crash between chunks re-runs safely: the
     already-landed chunks rewrite nothing. `app_metadata` (a consumer
-    watermark) lands ONLY with the final chunk, so the watermark never
-    advances past a partially-landed backfill. `auto_chunk=False`
-    restores the loud refusal for callers that size their own batches.
+    watermark) lands in a dedicated watermark-only commit AFTER every
+    chunk has landed — never attached to a chunk, so an empty final
+    hash slice can't drop it and it never advances past a
+    partially-landed backfill. `auto_chunk=False` restores the loud
+    refusal for callers that size their own batches.
 
     Returns merge_into_manifest's action counts + {"touched_keys"}
     (summed across chunks, plus {"chunks": n} when it chunked)."""
@@ -299,21 +302,30 @@ def scd2_splice(
             )
         import math
 
+        from .sinks import manifest_set_app_metadata
+
         n = batch.select(key).distinct().count()
         # 0.75 headroom: hash imbalance may push a slice over the even
-        # share; a slice that still overflows recursively re-chunks
+        # share; a slice that still overflows recursively re-chunks.
+        # The slicing hash is SALTED with the recursion depth (the
+        # second xxhash64 argument): a child re-chunking a parent slice
+        # with an unsalted hash whose chunk count divides the parent's
+        # would re-derive the already-fixed residue — every key in one
+        # child chunk, zero progress, infinite recursion.
+        depth = int(_chunk_depth)
         n_chunks = max(2, math.ceil(n / max(1, int(max_keys * 0.75))))
         totals: dict = {"chunks": n_chunks}
         for i in range(n_chunks):
             part = batch.filter(
-                F.pmod(F.xxhash64(F.col(key)), F.lit(n_chunks)) == i
+                F.pmod(F.xxhash64(F.col(key), F.lit(depth)), F.lit(n_chunks))
+                == i
             )
             out = scd2_splice(
                 spark, part, path, [key], ts_col=ts_col,
                 track_cols=track_cols, max_keys=max_keys,
-                # watermark only with the final chunk (see docstring)
-                app_metadata=app_metadata if i == n_chunks - 1 else None,
+                app_metadata=None,  # watermark lands once, below
                 auto_chunk=True,
+                _chunk_depth=depth + 1,
             )
             for k2, v in out.items():
                 # "chunks" from a recursively re-chunked slice would
@@ -321,6 +333,12 @@ def scd2_splice(
                 # level's slice count only
                 if k2 != "chunks" and isinstance(v, (int, float)):
                     totals[k2] = totals.get(k2, 0) + v
+        if app_metadata and depth == 0:
+            # the consumer watermark advances only after EVERY chunk
+            # landed — a dedicated watermark-only commit, never attached
+            # to a chunk (the final hash slice can legitimately be
+            # empty, which would silently drop the watermark)
+            manifest_set_app_metadata(spark, path, app_metadata)
         return totals
     zero = {
         "touched_keys": 0, "updated": 0, "deleted": 0, "inserted": 0,

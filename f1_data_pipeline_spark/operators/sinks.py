@@ -1046,7 +1046,12 @@ def _split_top_and(s: str) -> list[str]:
     there would isolate fragments like `fact.a = dim.b` out of a WHEN
     condition and hand the equi-join/pushdown extractors a predicate no
     output row is required to satisfy (wrong results)."""
-    out, buf, i, in_q, pending_between, case_depth = [], [], 0, False, 0, 0
+    # pending BETWEEN counts are PER CASE-NESTING LEVEL (a stack): in
+    # `x BETWEEN CASE WHEN a AND b THEN 1 ELSE 2 END AND 10`, the WHEN's
+    # AND belongs to the inner CASE and must NOT consume the outer
+    # BETWEEN's closing AND — a flat counter did exactly that, mis-
+    # splitting at the real closing AND
+    out, buf, i, in_q, pending = [], [], 0, False, [0]
     up = s.upper()
 
     def _word_at(j: int, w: str) -> bool:
@@ -1066,21 +1071,23 @@ def _split_top_and(s: str) -> list[str]:
             buf.append(c)
             i += 1
         elif not in_q and _word_at(i, "BETWEEN"):
-            pending_between += 1
+            pending[-1] += 1
             buf.append(s[i : i + 7])
             i += 7
         elif not in_q and _word_at(i, "CASE"):
-            case_depth += 1
+            pending.append(0)
             buf.append(s[i : i + 4])
             i += 4
-        elif not in_q and case_depth and _word_at(i, "END"):
-            case_depth -= 1
+        elif not in_q and len(pending) > 1 and _word_at(i, "END"):
+            pending.pop()  # unclosed BETWEENs inside the CASE die with it
             buf.append(s[i : i + 3])
             i += 3
         elif not in_q and _word_at(i, "AND"):
-            if pending_between or case_depth:
-                if pending_between:
-                    pending_between -= 1
+            if pending[-1]:
+                pending[-1] -= 1
+                buf.append(s[i : i + 3])
+                i += 3
+            elif len(pending) > 1:  # inside a CASE: never a split point
                 buf.append(s[i : i + 3])
                 i += 3
             else:

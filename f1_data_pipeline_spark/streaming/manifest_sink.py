@@ -76,6 +76,30 @@ class _StagedFile(WriterCommitMessage):
     rows: int
 
 
+def _check_landing_layout(path: str, m: dict | None) -> None:
+    """The sink's table preconditions, re-checked on every commit retry
+    (a concurrent repartition/DDL between re-reads must fail the query,
+    not be silently absorbed into a corrupted layout)."""
+    if m is None:
+        return  # bootstraps on first commit
+    if m.get("partition_col") != "_stream_batch":
+        raise ValueError(
+            f"{path} is partitioned by {m.get('partition_col')!r}, not a "
+            "streaming landing table — appending batch-keyed partitions "
+            "would corrupt its layout; land to a fresh path and curate "
+            "downstream"
+        )
+    if m.get("constraints"):
+        raise ValueError(
+            f"{path} declares CHECK constraints "
+            f"{sorted(m['constraints'])} — the landing sink writes raw "
+            "Arrow batches with no Spark plan to validate them against, "
+            "so it cannot honor the constraint contract every batch "
+            "writer enforces; drop the constraints on the landing table "
+            "and validate in the curation step downstream"
+        )
+
+
 class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict, schema: T.StructType):
         self._path = options.get("path")
@@ -101,7 +125,16 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
                     os.path.abspath(ck).encode()
                 ).hexdigest()[:10]
             else:
-                sink_id = "stream"
+                # a constant fallback would be the data-loss foot-gun
+                # this derivation exists to remove (two queries sharing
+                # it would treat each other's batch ids as replays)
+                raise ValueError(
+                    "manifest_append cannot derive a batch namespace: "
+                    "checkpointLocation was set via session conf, not a "
+                    "writeStream option — pass .option('sink_id', <id>) "
+                    "(keep it paired with its checkpoint for life) or "
+                    "set checkpointLocation as a writer option"
+                )
         if "-" in sink_id or "/" in sink_id:
             raise ValueError(
                 f"sink_id {sink_id!r} must not contain '-' or '/' "
@@ -109,23 +142,25 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
             )
         self._sink_id = sink_id
         self._schema = schema
-        self._validate_schema()
+        # logical -> pinned physical file-column names: data files must
+        # carry PHYSICAL names (RENAME COLUMN never rewrites files and
+        # readers request physical names — a post-rename append written
+        # under logical names would read back all-NULL). Physical names
+        # never change once pinned, so the map computed at start stays
+        # valid for the stream's life. Identity until any rename exists.
+        self._phys = {f.name: f.name for f in schema}
+        self._validate_table()
 
-    def _validate_schema(self) -> None:
-        from f1_data_pipeline_spark.operators.sinks import read_manifest
+    def _validate_table(self) -> None:
+        from f1_data_pipeline_spark.operators.sinks import (
+            _phys_name,
+            read_manifest,
+        )
 
         m = read_manifest(self._path)
-        if m is None:
+        _check_landing_layout(self._path, m)
+        if m is None or m.get("schema") is None:
             return  # table bootstraps on first commit
-        if m.get("partition_col") != "_stream_batch":
-            raise ValueError(
-                f"{self._path} is partitioned by "
-                f"{m.get('partition_col')!r}, not a streaming landing "
-                "table — appending batch-keyed partitions would corrupt "
-                "its layout; land to a fresh path and curate downstream"
-            )
-        if m.get("schema") is None:
-            return
         stored = T.StructType.fromJson(m["schema"])
         ours = [(f.name, f.dataType.simpleString()) for f in self._schema]
         theirs = [(f.name, f.dataType.simpleString()) for f in stored]
@@ -136,6 +171,7 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
                 "schema silently; widen the table first (ALTER COLUMN "
                 "TYPE) or land to a new table"
             )
+        self._phys = {f.name: _phys_name(f) for f in stored.fields}
 
     # -- executors ---------------------------------------------------------
     def write(self, iterator) -> _StagedFile:
@@ -151,6 +187,10 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
+                # files carry pinned PHYSICAL column names (see __init__)
+                batch = batch.rename_columns(
+                    [self._phys.get(n, n) for n in batch.schema.names]
+                )
                 if writer is None:
                     os.makedirs(os.path.dirname(dest), exist_ok=True)
                     writer = pq.ParquetWriter(dest, batch.schema)
@@ -177,6 +217,7 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
             return  # empty batch: nothing to land, nothing to replay
         while True:
             m = read_manifest(self._path)
+            _check_landing_layout(self._path, m)
             if m is not None and key in m["partitions"]:
                 # replayed epoch: the batch already landed atomically —
                 # structural exactly-once, staged bytes are duplicates

@@ -66,6 +66,9 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from f1_data_pipeline_spark.operators.arrow_read import (
+    entry_paths as _entry_abs,
+)
 from f1_data_pipeline_spark.operators.arrow_read import load_side as _load_side
 
 __all__ = [
@@ -109,7 +112,14 @@ def _feed_schema(path: str) -> T.StructType:
         read_manifest,
     )
 
-    stored = _stored_of(read_manifest(path))
+    m = read_manifest(path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path}")
+    stored = _stored_of(m)
+    if stored is None:
+        raise ValueError(
+            f"manifest at {path} predates stored schemas — cannot stream"
+        )
     return T.StructType(list(stored.fields) + _CHANGE_FIELDS)
 
 
@@ -125,25 +135,6 @@ class _ChangePartition(InputPartition):
     fields: tuple = ()  # ((logical, physical), ...)
     schema_json: str = ""
     preimage: bool = False
-
-
-def _entry_abs(path: str, entry: dict) -> tuple[list, list]:
-    """(data file paths, delete prefix dirs) of one manifest entry,
-    absolute. Entries predating per-file metadata list their prefix
-    directory's files at plan time (driver-side listdir, bounded by the
-    entry's own file count)."""
-    pref = os.path.join(path, entry["prefix"])
-    files = entry.get("files")
-    if files is not None:
-        data = [os.path.join(pref, fm["name"]) for fm in files]
-    else:
-        data = [
-            os.path.join(pref, n)
-            for n in sorted(os.listdir(pref))
-            if n.endswith(".parquet")
-        ]
-    dels = [os.path.join(path, d["prefix"]) for d in entry.get("deletes") or ()]
-    return data, dels
 
 
 class ManifestChangesStreamReader(DataSourceStreamReader):
@@ -416,7 +407,7 @@ def start_change_stream_replica(
     from pyspark.sql import functions as F
 
     from f1_data_pipeline_spark.operators.sinks import (
-        delete_manifest_rows,
+        merge_into_manifest,
         merge_upsert_manifest,
         read_manifest,
     )
@@ -451,24 +442,17 @@ def start_change_stream_replica(
                     key_list,
                     partition_col=dst_partition_col,
                 )
-            dels = (
-                win.filter(F.col("_change") == "delete")
-                .select(*key_list)
-                .collect()
-            )
-            if dels:
-                if len(key_list) == 1:
-                    preds = [
-                        (key_list[0], "in", tuple(r[0] for r in dels))
-                    ]
-                    delete_manifest_rows(spark, dst_path, preds)
-                else:
-                    for r in dels:
-                        delete_manifest_rows(
-                            spark,
-                            dst_path,
-                            [(k, "=", r[k]) for k in key_list],
-                        )
+            dels = win.filter(F.col("_change") == "delete").select(*key_list)
+            if dels.limit(1).count():
+                # one MERGE-delete commit per version window, any key
+                # arity, keys never collected to the driver (a delete-
+                # heavy batch used to issue one delete_manifest_rows
+                # pass PER ROW on multi-column keys)
+                merge_into_manifest(
+                    spark, dels, dst_path, keys=key_list,
+                    when_matched=[("delete", None)],
+                    when_not_matched=None,
+                )
 
     writer = feed.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint

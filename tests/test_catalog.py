@@ -741,6 +741,20 @@ def test_split_top_and_case_aware():
     # an identifier containing 'case'/'end' is not a keyword
     assert _split_top_and("end_date = 1 AND case_id = 2") == [
         "end_date = 1", "case_id = 2"]
+    # round-9 review fix: a BETWEEN opened OUTSIDE a CASE must not have
+    # its closing AND consumed by an AND inside the CASE (pending
+    # BETWEEN counts are per case-nesting level)
+    got4 = _split_top_and(
+        "x BETWEEN CASE WHEN a AND b THEN 1 ELSE 2 END AND 10 AND y = 5"
+    )
+    assert got4 == [
+        "x BETWEEN CASE WHEN a AND b THEN 1 ELSE 2 END AND 10", "y = 5"]
+    # a BETWEEN opened INSIDE a CASE dies with its CASE
+    got5 = _split_top_and(
+        "k = 1 AND CASE WHEN t BETWEEN 1 AND 5 THEN 1 ELSE 0 END = 1 "
+        "AND z = 3"
+    )
+    assert len(got5) == 3 and got5[0] == "k = 1" and got5[2] == "z = 3"
 
 
 def test_case_in_where_no_false_runtime_filter(spark, tmp_path):

@@ -114,7 +114,7 @@ def test_append_sink_replayed_epoch_is_dropped(spark, tmp_path):
 def test_append_sink_guards(spark, tmp_path):
     # schema drift refused on restart
     dst = str(tmp_path / "dst")
-    w = ManifestAppendStreamWriter({"path": dst}, SCHEMA)
+    w = ManifestAppendStreamWriter({"path": dst, "sink_id": "g"}, SCHEMA)
 
     import pyarrow as pa
 
@@ -126,7 +126,12 @@ def test_append_sink_guards(spark, tmp_path):
     w.commit([w.write(iter([batch]))], batchId=0)
     drifted = T.StructType(list(SCHEMA)[:2])
     with pytest.raises(ValueError, match="does not match"):
-        ManifestAppendStreamWriter({"path": dst}, drifted)
+        ManifestAppendStreamWriter({"path": dst, "sink_id": "g"}, drifted)
+
+    # no sink_id and no checkpoint option: refuse rather than fall back
+    # to a constant namespace another query could collide with
+    with pytest.raises(ValueError, match="batch namespace"):
+        ManifestAppendStreamWriter({"path": dst}, SCHEMA)
 
     # a non-landing manifest table refuses the sink
     other = str(tmp_path / "other")
@@ -136,7 +141,13 @@ def test_append_sink_guards(spark, tmp_path):
     sinks.merge_upsert_manifest(spark, df, other, keys=["k"],
                                 partition_col="day")
     with pytest.raises(ValueError, match="not a streaming landing table"):
-        ManifestAppendStreamWriter({"path": other}, SCHEMA)
+        ManifestAppendStreamWriter({"path": other, "sink_id": "g"}, SCHEMA)
+
+    # declared CHECK constraints: the sink cannot enforce them — refuse
+    sinks.manifest_add_constraint(spark, dst, "pos", "value >= 0")
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        ManifestAppendStreamWriter({"path": dst, "sink_id": "g"}, SCHEMA)
+    sinks.manifest_drop_constraint(spark, dst, "pos")
 
     # sink_id with a separator refused (it prefixes partition keys)
     with pytest.raises(ValueError, match="sink_id"):
@@ -228,4 +239,45 @@ def test_landing_table_lifecycle_compact_and_relayout(spark, tmp_path):
             for r in sinks.read_manifest_table(spark, dst).collect()} == before
     # and the re-keyed table now refuses further landing appends
     with pytest.raises(ValueError, match="not a streaming landing table"):
-        ManifestAppendStreamWriter({"path": dst}, SCHEMA)
+        ManifestAppendStreamWriter({"path": dst, "sink_id": "g"}, SCHEMA)
+
+
+def test_append_after_rename_keeps_physical_names(spark, tmp_path):
+    """RENAME COLUMN between stream runs: a restarted sink writes files
+    under the PINNED physical names (like every batch writer), so the
+    renamed column reads back with real values, not NULLs."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _write_batch(spark, src, 0, 10, "b1")
+    _drain(spark, src, dst, str(tmp_path / "c1"), sink_id="a")
+
+    sinks.manifest_rename_column(spark, dst, "value", "amount")
+    renamed = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(i, dt.datetime(2024, 3, 1), float(i)) for i in range(10, 20)],
+        renamed,
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    q = start_manifest_append_stream(
+        spark.readStream.schema(renamed).format("parquet").load(src + "/b2"),
+        dst, str(tmp_path / "c2"), sink_id="b",
+    )
+    q.awaitTermination(300)
+    got = sinks.read_manifest_table(spark, dst)
+    assert got.count() == 20
+    assert got.filter("amount IS NULL").count() == 0
+    assert {r["amount"] for r in got.filter("event_id = 15").collect()} == {15.0}
+    # and the new files physically carry the PINNED name 'value'
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    new_files = _glob.glob(os.path.join(dst, "data", "b-0", "snap-*", "*.parquet"))
+    assert new_files and all(
+        "value" in pq.ParquetFile(f).schema_arrow.names for f in new_files
+    )
