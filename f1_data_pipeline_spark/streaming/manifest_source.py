@@ -157,6 +157,10 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         if self._starting_version is not None and self._starting_version < 1:
             raise ValueError("starting_version must be >= 1")
         self._preimage = str(options.get("preimage", "false")).lower() == "true"
+        mvpt = options.get("max_versions_per_batch")
+        self._max_versions = int(mvpt) if mvpt is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("max_versions_per_batch must be >= 1")
         self._fields = tuple(_table_fields(self._path))
         names = {n for n, _ in self._fields}
         missing = [k for k in self._keys if k not in names]
@@ -169,16 +173,31 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
         if self._starting_version is not None:
+            self._consumed = self._starting_version - 1
             return {"version": self._starting_version - 1}
         # bootstrap-snapshot mode: version 0 = nothing consumed; the first
         # planned window (0 → latest) emits the snapshot AT latest
+        self._consumed = 0
         return {"version": 0, "bootstrap": "snapshot"}
 
     def latestOffset(self) -> dict:
         from f1_data_pipeline_spark.operators.sinks import manifest_versions
 
         versions = manifest_versions(self._path)
-        return {"version": versions[-1] if versions else 0}
+        latest = versions[-1] if versions else 0
+        base = getattr(self, "_consumed", None)
+        if self._max_versions is not None and base is not None:
+            # catch-up rate limit: at most N commits per micro-batch.
+            # The base is learned from the run's own planning calls
+            # (Spark asks for the latest offset BEFORE initialOffset and
+            # never tells a restarted reader its checkpointed offset, so
+            # pre-seeding the base here could sit BELOW the checkpoint
+            # and stall the stream forever). Net contract: the FIRST
+            # batch of a (re)started query takes the whole backlog; every
+            # later batch is bounded — a mid-run commit burst drains in
+            # N-commit chunks instead of one giant batch.
+            latest = min(latest, base + self._max_versions)
+        return {"version": latest}
 
     # -- planning (driver) ------------------------------------------------
     def partitions(self, start: dict, end: dict):
@@ -188,6 +207,7 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         )
 
         lo, hi = int(start["version"]), int(end["version"])
+        self._consumed = hi  # rate-limit base for the NEXT latestOffset
         parts: list[_ChangePartition] = []
         common = dict(
             keys=self._keys,
@@ -253,7 +273,8 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         yield from _read_change_partition(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # checkpoint state is Spark's; nothing table-side to release
+        # checkpoint state is Spark's; track it only as the rate-limit base
+        self._consumed = int(end["version"])
 
 
 
@@ -365,11 +386,20 @@ def read_change_stream(
     keys,
     starting_version: int | None = None,
     preimage: bool = False,
+    max_versions_per_batch: int | None = None,
 ) -> DataFrame:
     """The manifest change feed as a streaming DataFrame. Default start
     is a bootstrap snapshot (full table tagged insert, like
     `consume_table_changes`'s first cycle); `starting_version=N`
-    replays history per-commit from commit N instead."""
+    replays history per-commit from commit N instead.
+    `max_versions_per_batch` rate-limits catch-up (the
+    maxFilesPerTrigger analogue): after a run's first batch, at most N
+    commits plan per micro-batch, so a mid-run commit burst drains in
+    bounded chunks. The FIRST batch of a (re)started query still takes
+    its whole backlog — Spark never tells a reader its checkpointed
+    offset before asking for the latest one, so an earlier cap could
+    stall a restart (see latestOffset); bound initial replays with
+    starting_version instead."""
     register_manifest_changes_source(spark)
     reader = (
         spark.readStream.format("manifest_changes")
@@ -380,6 +410,10 @@ def read_change_stream(
         reader = reader.option("starting_version", str(starting_version))
     if preimage:
         reader = reader.option("preimage", "true")
+    if max_versions_per_batch is not None:
+        reader = reader.option(
+            "max_versions_per_batch", str(max_versions_per_batch)
+        )
     return reader.load()
 
 

@@ -227,3 +227,60 @@ def test_timestamp_and_hidden_partition_feed(spark, tmp_path):
     [u] = got.filter("_commit_version = 2").collect()
     assert (u["k"], u["s"], u["_change"]) == (2, "y2", "update_postimage")
     assert u["ts"] == dt.datetime(2024, 3, 6, 1)
+
+
+def test_backlog_rate_limit_bounds_batches(spark, tmp_path):
+    """max_versions_per_batch: after a run's first batch, a mid-run
+    commit burst drains in bounded chunks (at most N commits per
+    micro-batch) — never one giant batch — with the full feed arriving
+    exactly once."""
+    import time as _time
+
+    def _commit(i):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame([(i, "a", float(i))],
+                                  "k long, g string, v double"),
+            path, ["k"], partition_col="g",
+        )
+
+    path = str(tmp_path / "src")
+    _commit(0)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        read_change_stream(spark, path, ["k"], starting_version=1,
+                           max_versions_per_batch=2)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second").start()
+    )
+
+    def _wait_rows(n, timeout=240):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n:
+                    return
+            except Exception:
+                pass
+            _time.sleep(2)
+        raise AssertionError(f"timed out waiting for {n} rows")
+
+    try:
+        _wait_rows(1)  # the run's first batch (uncapped by design)
+        for i in range(1, 5):
+            _commit(i)  # a mid-run burst of 4 commits
+        _wait_rows(5)
+    finally:
+        progress = list(q.recentProgress)
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 5  # one insert per commit, nothing duplicated
+    assert got.groupBy("k", "_commit_version", "_change").count() \
+              .filter("count > 1").count() == 0
+    assert got.select("_commit_version").distinct().count() == 5
+    # the burst drained across >= 2 capped batches (4 commits / cap 2),
+    # and no batch after the first carried more than 2 commits' rows
+    nonempty = [p for p in progress if p["numInputRows"] > 0]
+    assert len(nonempty) >= 3, [p["numInputRows"] for p in progress]
+    assert all(p["numInputRows"] <= 2 for p in nonempty[1:])
