@@ -107,6 +107,12 @@ def decode(media: bytes, media_type: str):
         return decode_wav(media)
     if media_type == "image" and bytes(media[:2]) == b"P6":
         return decode_ppm(media)
+    if media_type == "image" and bytes(media[:8]) == _PNG_SIG:
+        return decode_png(media)
+    if media_type == "image" and bytes(media[:2]) == b"BM":
+        return decode_bmp(media)
+    if media_type == "image" and bytes(media[:4]) == b"GIF8":
+        return decode_gif(media)
     if media_type == "video" and bytes(media[:5]) == b"PPMV\n":
         return decode_ppmv(media)
     dec = _try_decoder(media_type)
@@ -486,6 +492,323 @@ def png_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 # ---------------------------------------------------------------------------
+# stdlib BMP codec arm — uncompressed 24-bit BI_RGB Windows bitmaps:
+# pure struct parsing (headers + padded BGR scanlines), no libraries.
+# Scope: 24-bit, BI_RGB (compression 0), bottom-up or top-down; other
+# bit depths / RLE raise ValueError for quarantine upstream.
+# ---------------------------------------------------------------------------
+
+def encode_bmp(px) -> bytes:
+    """Minimal BMP encoder (test-fixture twin of `decode_bmp`): an
+    (h, w, 3) uint8 RGB array → 24-bit BI_RGB bottom-up bitmap any
+    viewer reads."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(px, dtype=np.uint8))
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp takes an (h, w, 3) uint8 array")
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    # bottom-up rows, BGR byte order
+    body = b"".join(px[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return head + info + body
+
+
+def synthesize_bmp(width: int = 16, height: int = 12, seed: int = 0) -> bytes:
+    """Deterministic real BMP bytes (seeded pseudo-random RGB pixels)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return encode_bmp(
+        rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    )
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL stdlib decode: BMP bytes → (width, height, uint8 RGB array of
+    shape (height, width, 3) in top-down row order). 24-bit BI_RGB only
+    (the format every uncompressed-export path emits); palette/16-bit/
+    RLE raise ValueError — quarantine upstream."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP (bad signature/short header)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP shape (bpp {bpp}, compression {comp}) — "
+            "24-bit BI_RGB only"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError("invalid BMP geometry")
+    stride = (w * 3 + 3) & ~3
+    if data_off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if not top_down:
+        px = px[::-1]
+    return w, h, np.ascontiguousarray(px)
+
+
+def bmp_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL feature extraction for BMP payloads — the same
+    `_grid_features` pixel statistics as every other image arm."""
+    _w, _h, px = decode_bmp(payload)
+    return _grid_features(px, dim)
+
+
+# ---------------------------------------------------------------------------
+# stdlib GIF codec arm — the LZW-compressed palette format, decoded with
+# pure Python (the LZW variant is ~60 lines; no codec library involved).
+# Scope: GIF87a/89a, global or local color table, FIRST frame,
+# non-interlaced (interlace raises for quarantine); extensions are
+# skipped per the block grammar. The encoder emits single-frame GIF87a
+# with a global table — standard-conformant output any decoder reads —
+# and the hypothesis round-trip test pins the LZW code-width/CLEAR
+# mechanics against it.
+# ---------------------------------------------------------------------------
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows the code width when the
+    next code no longer fits, resets at 4096 — LSB-first bit packing."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table():
+        return {(i,): i for i in range(clear)}
+
+    width = min_code_size + 1
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear, width)
+    w: tuple = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            # the just-assigned code is the first that needs more bits:
+            # widen BEFORE the next emit (decoder mirrors this timing)
+            width += 1
+        elif next_code - 1 == (1 << 12):
+            emit(clear, width)
+            table, next_code, width = fresh_table(), eoi + 1, min_code_size + 1
+        w = (int(k),)
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
+    """Inverse of `_lzw_encode_gif`, including the KwKwK special case
+    (a code one past the table referencing its own output). Bit
+    exhaustion ends the stream like EOI — real-world encoders (the
+    classic 1×1 fixture included) let the final EOI fall off the last
+    byte; the caller validates the decoded pixel count."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = 0  # bit position
+
+    class _Exhausted(Exception):
+        pass
+
+    def read(width: int) -> int:
+        nonlocal pos
+        byte, bit = divmod(pos, 8)
+        val = 0
+        got = 0
+        while got < width:
+            if byte >= len(data):
+                raise _Exhausted
+            take = min(8 - bit, width - got)
+            val |= ((data[byte] >> bit) & ((1 << take) - 1)) << got
+            got += take
+            bit += take
+            if bit == 8:
+                byte, bit = byte + 1, 0
+        pos += width
+        return val
+
+    def fresh():
+        return [(i,) for i in range(clear)] + [None, None]
+
+    width = min_code_size + 1
+    table = fresh()
+    out: list[int] = []
+    prev: tuple | None = None
+    while True:
+        try:
+            code = read(width)
+        except _Exhausted:
+            return out
+        if code == clear:
+            table, width, prev = fresh(), min_code_size + 1, None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(idx, palette) -> bytes:
+    """Minimal single-frame GIF87a encoder (test-fixture twin of
+    `decode_gif`): an (h, w) uint8 index array + an (n, 3) palette →
+    global-color-table, non-interlaced GIF any decoder reads."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("encode_gif takes (h, w) indices + (n, 3) palette")
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("index references past the palette")
+    h, w = idx.shape
+    bits = max(1, (len(pal) - 1).bit_length())  # table size = 2^bits
+    table = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    min_code = max(2, bits)
+    lzw = _lzw_encode_gif(idx.flatten(), min_code)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+        + table.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code]) + blocks + b"\x00"
+        + b"\x3b"
+    )
+
+
+def synthesize_gif(
+    width: int = 16, height: int = 12, seed: int = 0, colors: int = 16
+) -> bytes:
+    """Deterministic real GIF bytes (seeded palette + index field)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, colors, size=(height, width), dtype=np.uint8)
+    return encode_gif(idx, pal)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, "object"]:
+    """REAL stdlib decode: GIF bytes → (width, height, uint8 RGB array of
+    the FIRST frame). Pure-Python LZW; interlaced frames and malformed
+    block grammar raise ValueError — quarantine upstream."""
+    import struct
+
+    import numpy as np
+
+    payload = bytes(payload)
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        global_table = np.frombuffer(
+            payload, np.uint8, n * 3, pos
+        ).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF carries no image frame")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"corrupt GIF block grammar (0x{block:02x})")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF frames are unsupported")
+        table = global_table
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _lzw_decode_gif(b"".join(chunks), min_code)
+        if len(idx) < w * h:
+            raise ValueError("GIF frame decoded short")
+        arr = np.array(idx[: w * h], dtype=np.uint16).reshape(h, w)
+        if int(arr.max(initial=0)) >= len(table):
+            raise ValueError("GIF index past the color table")
+        return w, h, table[arr]
+    raise ValueError("GIF carries no image frame")
+
+
+def gif_image_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """REAL feature extraction for GIF payloads — first frame through
+    the shared `_grid_features` pixel statistics."""
+    _w, _h, px = decode_gif(payload)
+    return _grid_features(px, dim)
+
+
+# ---------------------------------------------------------------------------
 # real video codec arm — PPMV, a trivial uncompressed container:
 #   b"PPMV\n<n_frames> <frame_interval_ms>\n" + n_frames concatenated binary
 # P6 frames (each self-delimiting, all same geometry). Deliberately minimal —
@@ -713,6 +1036,10 @@ def extract_features(
                         # PNG: stdlib zlib decoder — runs in ANY Python
                         # environment, same grid statistics as PPM/PIL
                         feats.append(png_image_features(b, dim))
+                    elif mt == "image" and bytes(b[:2]) == b"BM":
+                        feats.append(bmp_image_features(b, dim))
+                    elif mt == "image" and bytes(b[:4]) == b"GIF8":
+                        feats.append(gif_image_features(b, dim))
                     elif mt == "image":
                         # other compressed images (JPEG/...): PIL arm —
                         # same grid statistics; raises loudly when PIL

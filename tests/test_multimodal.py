@@ -507,3 +507,119 @@ def test_pil_feature_parity_with_ppm_on_identical_pixels():
         M.image_features(payload),
         atol=1e-6,
     )
+
+
+def test_bmp_roundtrip_and_features(spark):
+    """REAL stdlib BMP codec: encode→decode identity incl. stride
+    padding on odd widths, top-down negative-height form, feature
+    parity with the shared grid statistics, loud refusals."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    for w, h, seed in [(16, 12, 0), (5, 3, 1), (1, 1, 2), (7, 9, 3)]:
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = M.encode_bmp(px)
+        w2, h2, back = M.decode_bmp(payload)
+        assert (w2, h2) == (w, h) and (back == px).all()
+
+    # top-down variant (negative height) decodes to the same pixels
+    px = np.random.default_rng(4).integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    payload = bytearray(M.encode_bmp(px))
+    struct.pack_into("<i", payload, 22, -6)  # biHeight := -h (top-down)
+    body = bytes(payload[54:])
+    stride = (5 * 3 + 3) & ~3
+    rows = [body[i * stride:(i + 1) * stride] for i in range(6)]
+    payload = bytes(payload[:54]) + b"".join(reversed(rows))
+    _w, _h, back = M.decode_bmp(payload)
+    assert (back == px).all()
+
+    # same pixels through BMP and PPM agree feature-for-feature
+    ppm = b"P6\n5 6\n255\n" + px.tobytes()
+    assert M.bmp_image_features(M.encode_bmp(px)) == M.image_features(ppm)
+
+    with _pytest.raises(ValueError, match="24-bit"):
+        bad = bytearray(M.encode_bmp(px))
+        struct.pack_into("<H", bad, 28, 8)  # bpp := 8
+        M.decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError, match="not a BMP"):
+        M.decode_bmp(b"XX" + bytes(60))
+
+
+def test_gif_roundtrip_fixture_and_features(spark):
+    """REAL stdlib GIF codec (pure-Python LZW): encode→decode identity
+    across palette sizes (code-width growth) and past the 4096-code
+    CLEAR reset; an INDEPENDENTLY-published fixture (the classic 1×1
+    transparent GIF) decodes, pinning the decoder against bytes my
+    encoder never produced; interlace refused loudly."""
+    import base64
+
+    import numpy as np
+    import pytest as _pytest
+
+    for w, h, colors, seed in [
+        (16, 12, 16, 0), (5, 3, 2, 1), (40, 30, 128, 2),
+        (64, 64, 256, 3), (1, 1, 4, 4), (9, 7, 3, 5),
+    ]:
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(colors, 3), dtype=np.uint8)
+        idx = rng.integers(0, colors, size=(h, w), dtype=np.uint8)
+        w2, h2, px = M.decode_gif(M.encode_gif(idx, pal))
+        assert (w2, h2) == (w, h) and (px == pal[idx]).all()
+
+    # 22.5k high-entropy pixels: crosses the 4096-code CLEAR reset
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(150, 150), dtype=np.uint8)
+    _w, _h, px = M.decode_gif(M.encode_gif(idx, pal))
+    assert (px == pal[idx]).all()
+
+    # widely-published 1×1 transparent GIF89a (EOI truncated off the
+    # final byte — the tolerance real decoders have)
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, px = M.decode_gif(tiny)
+    assert (w, h) == (1, 1) and px.tolist() == [[[0, 0, 0]]]
+
+    # GIF features == PPM features for identical pixels
+    pal = np.array([[0, 0, 0], [10, 200, 30], [255, 255, 255]], np.uint8)
+    idx = (np.arange(48).reshape(6, 8) % 3).astype(np.uint8)
+    rgb = pal[idx]
+    ppm = b"P6\n8 6\n255\n" + rgb.tobytes()
+    assert M.gif_image_features(M.encode_gif(idx, pal)) \
+        == M.image_features(ppm)
+
+    # interlace flag refused
+    g = bytearray(M.encode_gif(idx, pal))
+    pos = g.index(b"\x2c")
+    g[pos + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        M.decode_gif(bytes(g))
+
+
+def test_extract_features_real_path_bmp_and_gif(spark):
+    """The Arrow-batched real feature path dispatches BMP and GIF by
+    magic alongside PPM/PNG, one mapInPandas pass over mixed formats."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(12, 16), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(M.encode_bmp(px))),
+        (2, "image", bytearray(M.encode_gif(idx, pal))),
+        (3, "image", bytearray(b"P6\n16 12\n255\n" + px.tobytes())),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, media binary"
+    )
+    got = {r["asset_id"]: r["features"]
+           for r in M.extract_features(df, fake=False).collect()}
+    assert set(got) == {1, 2, 3}
+    # BMP and PPM carried identical pixels: identical features
+    assert got[1] == got[3]
+    assert len(got[2]) == M.FEATURE_DIM and any(v != 0 for v in got[2])

@@ -659,3 +659,26 @@ def test_stats_pruning_never_wrong(case):
             f"always-matches claimed over a non-matching row: "
             f"{rows} {preds} {fmeta}"
         )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    colors=st.integers(2, 256),
+    seed=st.integers(0, 10_000),
+)
+def test_gif_lzw_roundtrip_property(w, h, colors, seed):
+    """GIF encode→decode identity over arbitrary geometry × palette
+    size × pixel field — the property that pins the LZW code-width and
+    CLEAR mechanics (the classic off-by-one bug class in this codec)."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, colors, size=(h, w), dtype=np.uint8)
+    w2, h2, px = M.decode_gif(M.encode_gif(idx, pal))
+    assert (w2, h2) == (w, h)
+    assert (px == pal[idx]).all()
