@@ -132,6 +132,36 @@ def catalog_read(
     return read_manifest_table(spark, e["path"], **kw)
 
 
+def catalog_read_stream(
+    spark: SparkSession,
+    catalog_path: str,
+    name: str,
+    keys,
+    **kw,
+) -> DataFrame:
+    """The cataloged table's CHANGE FEED as a streaming DataFrame —
+    `read_change_stream` (streaming/manifest_source.py) resolved by
+    catalog name. Keyword args pass through (starting_version, preimage,
+    max_versions_per_batch). Pinned (frozen) catalog entries refuse: a
+    pin promises a static snapshot, and a change stream is the opposite
+    contract — stream the live table under its own name instead."""
+    from f1_data_pipeline_spark.streaming.manifest_source import (
+        read_change_stream,
+    )
+
+    tables = catalog_tables(catalog_path)
+    if name not in tables:
+        raise FileNotFoundError(f"no table {name!r} in the catalog")
+    e = tables[name]
+    if e.get("ref") is not None:
+        raise ValueError(
+            f"table {name!r} is pinned to ref {e['ref']!r} — a pinned "
+            "entry promises a frozen snapshot; register the live table "
+            "under another name to stream its changes"
+        )
+    return read_change_stream(spark, e["path"], keys, **kw)
+
+
 def register_catalog_views(
     spark: SparkSession,
     catalog_path: str,

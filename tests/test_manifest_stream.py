@@ -284,3 +284,29 @@ def test_backlog_rate_limit_bounds_batches(spark, tmp_path):
     nonempty = [p for p in progress if p["numInputRows"] > 0]
     assert len(nonempty) >= 3, [p["numInputRows"] for p in progress]
     assert all(p["numInputRows"] <= 2 for p in nonempty[1:])
+
+
+def test_catalog_read_stream_by_name(spark, tmp_path):
+    """catalog_read_stream: the change feed resolved by catalog name;
+    pinned entries refuse (a pin promises a frozen snapshot)."""
+    from f1_data_pipeline_spark.operators import catalog as CAT
+
+    path = str(tmp_path / "src")
+    _mk_table(spark, path)
+    cat = str(tmp_path / "cat")
+    CAT.catalog_create_table(cat, "live", path)
+    sinks.manifest_tag(path, "v1pin", 1)
+    CAT.catalog_create_table(cat, "frozen", path, ref="v1pin")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    feed = CAT.catalog_read_stream(spark, cat, "live", ["k"],
+                                   starting_version=2)
+    _drain(feed, out, ckpt)
+    got = spark.read.parquet(out)
+    assert _rows(got.filter("_commit_version = 2").drop("_commit_version")) \
+        == _rows(sinks.manifest_row_changes(spark, path, ["k"], 1, 2))
+
+    with pytest.raises(ValueError, match="pinned"):
+        CAT.catalog_read_stream(spark, cat, "frozen", ["k"])
+    with pytest.raises(FileNotFoundError):
+        CAT.catalog_read_stream(spark, cat, "ghost", ["k"])
