@@ -742,15 +742,25 @@ def synthesize_gif(
 
 def decode_gif(payload: bytes) -> tuple[int, int, "object"]:
     """REAL stdlib decode: GIF bytes → (width, height, uint8 RGB array of
-    the FIRST frame). Pure-Python LZW; interlaced frames and malformed
-    block grammar raise ValueError — quarantine upstream."""
+    the FIRST frame). Pure-Python LZW; interlaced frames, malformed
+    block grammar, and truncated payloads raise ValueError — quarantine
+    upstream (struct/index errors from arbitrary bytes are normalized
+    to ValueError so one bad row never crashes a batch)."""
     import struct
-
-    import numpy as np
 
     payload = bytes(payload)
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
+    try:
+        return _decode_gif_body(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated/corrupt GIF payload: {e}") from None
+
+
+def _decode_gif_body(payload: bytes) -> tuple[int, int, "object"]:
+    import struct
+
+    import numpy as np
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     global_table = None
@@ -785,6 +795,14 @@ def decode_gif(payload: bytes) -> tuple[int, int, "object"]:
         if table is None:
             raise ValueError("GIF frame has no color table")
         min_code = payload[pos]
+        if not 2 <= min_code <= 8:
+            # spec range (palettes are <= 256 colors). An unvalidated
+            # byte here would size the LZW root table 1 << min_code —
+            # a corrupt 0xFF would hang/OOM the executor, and < 2
+            # breaks the width-growth arithmetic silently.
+            raise ValueError(
+                f"invalid GIF LZW minimum code size {min_code}"
+            )
         pos += 1
         chunks = []
         while payload[pos]:

@@ -185,6 +185,13 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
 
         versions = manifest_versions(self._path)
         latest = versions[-1] if versions else 0
+        if self._starting_version is not None:
+            # a starting_version beyond the current latest means "skip
+            # everything until commit N lands": the reported offset must
+            # never REGRESS below N-1, or Spark would checkpoint the
+            # lower offset and later emit the very versions the caller
+            # asked to skip
+            latest = max(latest, self._starting_version - 1)
         base = getattr(self, "_consumed", None)
         if self._max_versions is not None and base is not None:
             # catch-up rate limit: at most N commits per micro-batch.
@@ -456,6 +463,21 @@ def start_change_stream_replica(
             )
     feed = read_change_stream(spark, src_path, keys)
     key_list = list(keys)
+    # delete rows carry the full pre-image: keeping the partition
+    # SOURCE column beside the keys lets the MERGE-delete examine only
+    # the touched partitions instead of full-outer-joining the whole
+    # replica every version window
+    try:
+        from f1_data_pipeline_spark.operators.partitioning import (
+            parse_partition_spec,
+        )
+
+        psrc = parse_partition_spec(dst_partition_col).source
+    except Exception:
+        psrc = None
+    del_cols = key_list + (
+        [psrc] if psrc and psrc not in key_list else []
+    )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         rows_by_v = (
@@ -476,12 +498,14 @@ def start_change_stream_replica(
                     key_list,
                     partition_col=dst_partition_col,
                 )
-            dels = win.filter(F.col("_change") == "delete").select(*key_list)
+            dels = win.filter(F.col("_change") == "delete").select(*del_cols)
             if dels.limit(1).count():
                 # one MERGE-delete commit per version window, any key
                 # arity, keys never collected to the driver (a delete-
                 # heavy batch used to issue one delete_manifest_rows
-                # pass PER ROW on multi-column keys)
+                # pass PER ROW on multi-column keys); the carried
+                # partition source column scopes the merge to touched
+                # partitions only
                 merge_into_manifest(
                     spark, dels, dst_path, keys=key_list,
                     when_matched=[("delete", None)],

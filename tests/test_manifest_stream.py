@@ -310,3 +310,35 @@ def test_catalog_read_stream_by_name(spark, tmp_path):
         CAT.catalog_read_stream(spark, cat, "frozen", ["k"])
     with pytest.raises(FileNotFoundError):
         CAT.catalog_read_stream(spark, cat, "ghost", ["k"])
+
+
+def test_starting_version_beyond_latest_skips_not_regresses(spark, tmp_path):
+    """starting_version past the current latest means 'skip everything
+    until commit N lands': the offset never regresses, the pre-N
+    commits are never emitted, and commits from N on stream normally."""
+    path = str(tmp_path / "src")
+    for i in range(3):  # v1..v3
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame([(i, "a", float(i))],
+                                  "k long, g string, v double"),
+            path, ["k"], partition_col="g",
+        )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(read_change_stream(spark, path, ["k"], starting_version=5),
+           out, ckpt)
+    assert spark.read.parquet(out).count() == 0  # nothing before v5
+
+    for i in range(3, 6):  # v4..v6
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame([(i, "a", float(i))],
+                                  "k long, g string, v double"),
+            path, ["k"], partition_col="g",
+        )
+    _drain(read_change_stream(spark, path, ["k"], starting_version=5),
+           out, ckpt)
+    got = spark.read.parquet(out)
+    # v4 (below starting_version) never surfaces; v5 and v6 do
+    assert sorted(r["_commit_version"] for r in got.collect()) == [5, 6]
+    assert sorted(r["k"] for r in got.collect()) == [4, 5]

@@ -623,3 +623,40 @@ def test_extract_features_real_path_bmp_and_gif(spark):
     # BMP and PPM carried identical pixels: identical features
     assert got[1] == got[3]
     assert len(got[2]) == M.FEATURE_DIM and any(v != 0 for v in got[2])
+
+
+def test_gif_malformed_payloads_raise_valueerror(spark):
+    """The quarantine contract: arbitrary corrupt/truncated GIF bytes
+    raise ValueError (never struct.error/IndexError/hang) — including
+    an out-of-range LZW minimum code size that would otherwise size a
+    1 << 255 root table."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    good = bytearray(M.synthesize_gif(8, 6, seed=1, colors=4))
+    # image descriptor sits right after header + LSD + global table
+    # (searching for 0x2c could hit a random color-table byte)
+    desc = 13 + 3 * (2 << (good[10] & 7))
+    assert good[desc] == 0x2C
+    # out-of-range LZW min code size (the 0xFF bomb)
+    pos = desc + 10
+    bomb = bytearray(good)
+    bomb[pos] = 0xFF
+    with _pytest.raises(ValueError, match="minimum code size"):
+        M.decode_gif(bytes(bomb))
+    low = bytearray(good)
+    low[pos] = 1
+    with _pytest.raises(ValueError, match="minimum code size"):
+        M.decode_gif(bytes(low))
+    # truncations at every structural boundary raise ValueError
+    for cut in (8, 12, 14, len(good) - 3):
+        with _pytest.raises(ValueError):
+            M.decode_gif(bytes(good[:cut]))
+    # bad grammar byte where a block introducer belongs
+    g = bytearray(good)
+    g[desc] = 0x7A
+    with _pytest.raises(ValueError, match="block grammar"):
+        M.decode_gif(bytes(g))
+    del struct, np
