@@ -246,7 +246,10 @@ def catalog_sql(
     `<catalog>/tables/<name>`); `DROP TABLE name` (name only — data
     keeps its own lifecycle); `SHOW TABLES`; `DESCRIBE [TABLE] name`
     (columns + partition spec + layout + constraints + version);
-    `DESCRIBE HISTORY name`; `VACUUM name [RETAIN n HOURS]`;
+    `DESCRIBE HISTORY name`; `DESCRIBE DETAIL name` (one-row table
+    summary: location, layout, version, partitions/files/live rows,
+    bytes, constraint + tag counts); `SHOW TAGS name`;
+    `VACUUM name [RETAIN n HOURS]`;
     `OPTIMIZE name [ZORDER BY (cols)]` → `compact_manifest`;
     `MAINTAIN TABLE name [DRY RUN]` → the metadata-planned health pass
     (operators/maintenance.py: compact exactly the partitions over the
@@ -397,7 +400,7 @@ _TARGET_RES = {
     "update": r"\s*UPDATE\s+([A-Za-z_]\w*)",
     "merge": r"\s*MERGE\s+INTO\s+([A-Za-z_]\w*)",
     "drop": r"\s*DROP\s+TABLE\s+([A-Za-z_]\w*)",
-    "describe": r"\s*DESC(?:RIBE)?\s+(?:HISTORY\s+)?(?:TABLE\s+)?"
+    "describe": r"\s*DESC(?:RIBE)?\s+(?:HISTORY\s+|DETAIL\s+)?(?:TABLE\s+)?"
                 r"([A-Za-z_]\w*)",
     "vacuum": r"\s*VACUUM\s+([A-Za-z_]\w*)",
     "optimize": r"\s*OPTIMIZE\s+([A-Za-z_]\w*)",
@@ -432,10 +435,16 @@ def _route_statement(
         if re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.IGNORECASE):
             return _catalog_ddl(spark, catalog_path, tables, "show", sql)
         sm = re.match(
-            r"\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_]\w*)\s*$",
+            r"\s*SHOW\s+(?:CREATE\s+TABLE|TAGS(?:\s+FROM|\s+IN)?)\s+"
+            r"([A-Za-z_]\w*)\s*$",
             sql, re.IGNORECASE,
         )
-        if sm and sm.group(1) in tables:
+        if sm and (
+            sm.group(1) in tables
+            or re.match(r"\s*SHOW\s+TAGS\b", sql, re.IGNORECASE)
+        ):
+            # SHOW TAGS always routes (a missing name must raise the
+            # catalog's FileNotFoundError, not Spark's parse error)
             return _catalog_ddl(spark, catalog_path, tables, "show", sql)
         return spark.sql(sql)  # SHOW DATABASES/FUNCTIONS/... untouched
     if verb == "create":
@@ -1982,10 +1991,24 @@ def _catalog_ddl(
             return spark.createDataFrame(
                 [(s,) for s in stmts], "createtab_stmt string"
             )
+        mt = re.match(
+            r"\s*SHOW\s+TAGS\s+(?:FROM\s+|IN\s+)?([A-Za-z_]\w*)\s*$",
+            sql, re.IGNORECASE,
+        )
+        if mt:
+            name = mt.group(1)
+            if name not in tables:
+                raise FileNotFoundError(f"no table {name!r} in the catalog")
+            tags = sinks.manifest_tags(tables[name]["path"])
+            return spark.createDataFrame(
+                sorted(tags.items()), "tag string, version long"
+            ) if tags else spark.createDataFrame(
+                [], "tag string, version long"
+            )
         if not re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.IGNORECASE):
             raise ValueError(
-                "unsupported SHOW statement — SHOW TABLES or "
-                "SHOW CREATE TABLE <name>"
+                "unsupported SHOW statement — SHOW TABLES, "
+                "SHOW TAGS <name>, or SHOW CREATE TABLE <name>"
             )
         rows = [
             (n, e["path"], None if e.get("ref") is None else str(e["ref"]))
@@ -1997,19 +2020,59 @@ def _catalog_ddl(
 
     if verb in ("describe", "desc"):
         m = re.match(
-            r"\s*DESC(?:RIBE)?\s+(HISTORY\s+)?(?:TABLE\s+)?([A-Za-z_]\w*)"
-            r"\s*$",
+            r"\s*DESC(?:RIBE)?\s+(HISTORY\s+|DETAIL\s+)?(?:TABLE\s+)?"
+            r"([A-Za-z_]\w*)\s*$",
             sql, re.IGNORECASE,
         )
         if not m:
             raise ValueError(
-                "unsupported DESCRIBE — DESCRIBE [TABLE] <name> or "
-                "DESCRIBE HISTORY <name>"
+                "unsupported DESCRIBE — DESCRIBE [TABLE] <name>, "
+                "DESCRIBE HISTORY <name>, or DESCRIBE DETAIL <name>"
             )
         name = m.group(2)
         if name not in tables:
             raise FileNotFoundError(f"no table {name!r} in the catalog")
         e = tables[name]
+        if m.group(1) and m.group(1).strip().upper() == "DETAIL":
+            # one-row table summary (the Delta DESCRIBE DETAIL shape):
+            # manifest metadata + a driver-side size/file walk over the
+            # referenced prefixes (cost ∝ files — a DESCRIBE verb, not
+            # a hot path)
+            from f1_data_pipeline_spark.operators.arrow_read import (
+                entry_paths,
+            )
+
+            mft = sinks.read_manifest(
+                e["path"], resolve_manifest_ref(e["path"], e.get("ref"))
+            )
+            n_files = 0
+            size = 0
+            rows: int | None = 0
+            for entry in mft["partitions"].values():
+                files, _dels = entry_paths(e["path"], entry)
+                n_files += len(files)
+                size += sum(
+                    os.path.getsize(f) for f in files if os.path.exists(f)
+                )
+                fl = entry.get("files")
+                if rows is not None and fl is not None:
+                    rows += sum(fm["rows"] for fm in fl)
+                    rows -= sinks._entry_delete_rows(entry)
+                else:
+                    rows = None  # pre-stats prefix: unknown without a scan
+            return spark.createDataFrame(
+                [(
+                    name, e["path"], "manifest", mft["partition_col"],
+                    mft["version"], len(mft["partitions"]), n_files,
+                    rows, size,
+                    len(mft.get("constraints") or {}),
+                    len(sinks.manifest_tags(e["path"])),
+                )],
+                "name string, location string, format string, "
+                "partition_col string, version long, num_partitions long, "
+                "num_files long, rows long, size_bytes long, "
+                "num_constraints long, num_tags long",
+            )
         if m.group(1):  # DESCRIBE HISTORY
             hist = sinks.manifest_history(e["path"])
             rows = [

@@ -494,3 +494,31 @@ def test_alter_column_type_blast_radius(spark, tmp_path):
         CAT.catalog_sql(spark, cat, "ALTER TABLE bt ALTER COLUMN k TYPE bigint")
     # a plain column on the same table still widens
     CAT.catalog_sql(spark, cat, "ALTER TABLE bt ALTER COLUMN v TYPE double")
+
+
+def test_describe_detail_and_show_tags(spark, tmp_path):
+    """DESCRIBE DETAIL: one-row table summary from manifest metadata +
+    a size walk; SHOW TAGS lists pinned versions. Rows reflect live
+    counts through MoR deletes; pre-stats unknowns surface as NULL."""
+    cat, t = _seed(spark, tmp_path, 20)
+    sinks.manifest_tag(t, "rel1")
+    sinks.manifest_add_constraint(spark, t, "v_pos", "v >= 0")
+    sinks.delete_manifest_rows(spark, t, [("k", "=", 3)], mode="mor")
+
+    [d] = CAT.catalog_sql(spark, cat, "DESCRIBE DETAIL src").collect()
+    assert d["name"] == "src" and d["location"] == t
+    assert d["format"] == "manifest" and d["partition_col"] == "day"
+    assert d["num_partitions"] == 4 and d["rows"] == 19  # MoR delete seen
+    assert d["num_files"] >= 4 and d["size_bytes"] > 0
+    assert d["num_constraints"] == 1 and d["num_tags"] == 1
+    assert d["version"] == sinks.read_manifest(t)["version"]
+
+    got = CAT.catalog_sql(spark, cat, "SHOW TAGS src").collect()
+    assert [(r["tag"], r["version"]) for r in got] == [("rel1", 1)]
+    sinks.manifest_tag(t, "rel2")
+    assert CAT.catalog_sql(spark, cat, "SHOW TAGS FROM src").count() == 2
+
+    with pytest.raises(FileNotFoundError):
+        CAT.catalog_sql(spark, cat, "SHOW TAGS ghost")
+    # DESCRIBE of a non-cataloged target keeps the established policy:
+    # pass through to Spark's own statement (which then errors its way)
