@@ -47,7 +47,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["bucket_aligned_join", "plan_bucket_pairs"]
+__all__ = ["bucket_aligned_join", "bucket_join_output", "plan_bucket_pairs"]
 
 
 def _bucket_layout(path: str, version: int | None = None):
@@ -169,19 +169,8 @@ def bucket_aligned_join(
     left_fields = tuple((f.name, _phys_name(f)) for f in lschema.fields)
     right_data = [f for f in rschema.fields if f.name != right_on]
     right_fields = tuple((f.name, _phys_name(f)) for f in rschema.fields)
-    left_names = {f.name for f in lschema.fields}
-    out_fields = list(lschema.fields)
-    rename: dict[str, str] = {}
-    for f in right_data:
-        out_name = (right_prefix + f.name) if f.name in left_names else f.name
-        if out_name in {x.name for x in out_fields}:
-            raise ValueError(
-                f"output column collision on {out_name!r} — pass a "
-                "different right_prefix"
-            )
-        rename[f.name] = out_name
-        out_fields.append(T.StructField(out_name, f.dataType, True))
-    out_schema = T.StructType(out_fields)
+    out_schema, rename = bucket_join_output(lschema, rschema, right_on,
+                                            right_prefix)
 
     plans = plan_bucket_pairs(
         left_path, right_path, how, version_left, version_right

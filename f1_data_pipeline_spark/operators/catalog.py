@@ -350,7 +350,10 @@ def catalog_sql(
                     "decision record"
                 )
             return spark.sql(f"EXPLAIN {mode.upper()} {inner}")
-        return _explain_select(spark, tables, inner)
+        return _explain_select(
+            spark, tables, inner,
+            runtime_filters=runtime_filters, max_harvests=max_harvests,
+        )
     routed = _route_statement(spark, catalog_path, tables, sql)
     if routed is not None:
         return routed
@@ -630,7 +633,13 @@ def _pred_str(p: tuple) -> str:
     return f"{col} {op} {val!r}"
 
 
-def _explain_select(spark: SparkSession, tables: dict, inner: str) -> DataFrame:
+def _explain_select(
+    spark: SparkSession,
+    tables: dict,
+    inner: str,
+    runtime_filters: bool = True,
+    max_harvests: int = 8,
+) -> DataFrame:
     """`EXPLAIN <select>` — the manifest planner's decision record as a
     DataFrame (one row per cataloged relation reference) instead of the
     query result: the version each reference pinned, the predicates
@@ -673,7 +682,17 @@ def _explain_select(spark: SparkSession, tables: dict, inner: str) -> DataFrame:
         fast = "min_max_metadata_only"
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
     preds = _extract_pushdown_predicates(spark, s, refs, tables)
-    rtf = _runtime_join_filters(spark, s, refs, tables, versions, preds)
+    # mirror execution exactly: a caller running with
+    # runtime_filters=False must see an EXPLAIN that neither harvests
+    # (real dim scans at plan time) nor reports filters the run won't use
+    rtf = (
+        _runtime_join_filters(
+            spark, s, refs, tables, versions, preds,
+            max_harvests=max_harvests,
+        )
+        if runtime_filters
+        else {}
+    )
     ref_preds = _cte_pushdown_predicates(spark, s, refs, tables)
     ba = _bucket_aligned_notes(s, refs, tables, versions)
     rows = []

@@ -215,32 +215,68 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
         key = _enc_part(f"{self._sink_id}-{batchId}")
         if not staged:
             return  # empty batch: nothing to land, nothing to replay
-        while True:
+        entry = None
+        last_err = None
+        # bounded like every other committer (manifest_alter_column_type
+        # caps at 4): a sustained stream of disjoint writers must surface
+        # an error, not starve the stream's driver commit silently
+        for _attempt in range(6):
             m = read_manifest(self._path)
             _check_landing_layout(self._path, m)
             if m is not None and key in m["partitions"]:
+                # A LEGITIMATE Spark replay is only the latest
+                # uncommitted epoch: this batchId's key committed while
+                # HIGHER batchIds exist under the same sink_id means the
+                # checkpoint was reset IN PLACE (contents wiped, path
+                # reused) so batchIds restarted inside the old namespace —
+                # dropping these batches as "replays" would be silent
+                # data loss. Refuse loudly instead.
+                prefix = f"{self._sink_id}-"
+                higher = []
+                for e in m["partitions"].values():
+                    val = e.get("value", "")
+                    if isinstance(val, str) and val.startswith(prefix):
+                        try:
+                            b = int(val[len(prefix):])
+                        except ValueError:
+                            continue
+                        if b > batchId:
+                            higher.append(b)
+                if higher:
+                    raise ValueError(
+                        f"batchId {batchId} arrived as a replay but batches "
+                        f"up to {max(higher)} are already committed under "
+                        f"sink_id {self._sink_id!r} — the checkpoint was "
+                        "reset in place, so batch ids restarted inside the "
+                        "old namespace and these batches would be silently "
+                        "dropped as replays. Restart the stream with a NEW "
+                        "checkpoint path (the default sink_id derives from "
+                        "it) or a new explicit sink_id."
+                    )
                 # replayed epoch: the batch already landed atomically —
                 # structural exactly-once, staged bytes are duplicates
                 for f in staged:
                     if os.path.exists(f):
                         os.unlink(f)
                 return
-            snap = os.path.join(
-                "data", key, f"snap-{uuid.uuid4().hex[:12]}"
-            )
-            full = os.path.join(self._path, snap)
-            os.makedirs(full)
-            for f in staged:
-                os.rename(f, os.path.join(full, os.path.basename(f)))
-            staged = [
-                os.path.join(full, n)
-                for n in sorted(os.listdir(full))
-            ]  # if the commit races, retry re-moves from here
-            entry = {
-                "prefix": snap,
-                "value": f"{self._sink_id}-{batchId}",
-                "files": _collect_file_stats(full),
-            }
+            if entry is None:
+                # files move into the snap dir ONCE; commit retries reuse
+                # it (a new dir per attempt would orphan empties)
+                snap = os.path.join(
+                    "data", key, f"snap-{uuid.uuid4().hex[:12]}"
+                )
+                full = os.path.join(self._path, snap)
+                os.makedirs(full)
+                for f in staged:
+                    os.rename(f, os.path.join(full, os.path.basename(f)))
+                staged = [
+                    os.path.join(full, n) for n in sorted(os.listdir(full))
+                ]
+                entry = {
+                    "prefix": snap,
+                    "value": f"{self._sink_id}-{batchId}",
+                    "files": _collect_file_stats(full),
+                }
             base_partitions = dict(m["partitions"]) if m else {}
             cand = {
                 "version": (m["version"] + 1) if m else 1,
@@ -263,8 +299,10 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
             try:
                 _commit_manifest(self._path, cand)
                 return
-            except ConcurrentWriteError:
+            except ConcurrentWriteError as e:
+                last_err = e
                 continue  # a disjoint writer landed; rebase = re-read
+        raise last_err
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

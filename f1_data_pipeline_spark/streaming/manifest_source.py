@@ -260,6 +260,16 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
             else:
                 changed = manifest_changed_partitions(self._path, v - 1, v)
                 m_old = read_manifest(self._path, v - 1)
+                if m_old is None:
+                    # vacuum removed v-1 between the changed-partitions
+                    # call and this re-read — same retention failure as
+                    # the m_new check, same loud message (not a TypeError
+                    # on m_old["partitions"] below)
+                    raise FileNotFoundError(
+                        f"version {v - 1} not retained at {self._path} — "
+                        "vacuum outran this stream's replay window "
+                        "(raise keep_last)"
+                    )
             for k, how in changed.items():
                 p = _ChangePartition(kind="diff", commit_version=v, **common)
                 if how in ("added", "rewritten"):
@@ -432,6 +442,7 @@ def start_change_stream_replica(
     checkpoint: str,
     dst_partition_col: str | None = None,
     trigger_available_now: bool = True,
+    max_versions_per_batch: int = 64,
 ):
     """A CDC consumer REWIRED through the streaming source: maintain a
     replica of `src_path` at `dst_path` with readStream + foreachBatch —
@@ -444,7 +455,9 @@ def start_change_stream_replica(
 
     Returns the StreamingQuery; `availableNow` drains the current
     backlog then stops (the scheduled-batch shape the reference's
-    control plane runs, metadata.py:150-191)."""
+    control plane runs, metadata.py:150-191). `max_versions_per_batch`
+    (always set — it is also the bound on the per-version MERGE loop
+    inside each micro-batch) rate-limits catch-up."""
     from pyspark.sql import functions as F
 
     from f1_data_pipeline_spark.operators.sinks import (
@@ -461,7 +474,10 @@ def start_change_stream_replica(
                 "source manifest records no partition_col — pass "
                 "dst_partition_col explicitly"
             )
-    feed = read_change_stream(spark, src_path, keys)
+    feed = read_change_stream(
+        spark, src_path, keys,
+        max_versions_per_batch=max_versions_per_batch,
+    )
     key_list = list(keys)
     # delete rows carry the full pre-image: keeping the partition
     # SOURCE column beside the keys lets the MERGE-delete examine only
@@ -480,6 +496,11 @@ def start_change_stream_replica(
     )
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        # driver loop bound: one MERGE round per DISTINCT commit version
+        # in the micro-batch, and the stream's max_versions_per_batch
+        # rate limit (always set by this starter, default 64) caps that —
+        # this collect() is ≤ that many one-column rows, never
+        # proportional to table size or row count
         rows_by_v = (
             batch.select("_commit_version").distinct().orderBy(
                 "_commit_version"

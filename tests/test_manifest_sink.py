@@ -281,3 +281,38 @@ def test_append_after_rename_keeps_physical_names(spark, tmp_path):
     assert new_files and all(
         "value" in pq.ParquetFile(f).schema_arrow.names for f in new_files
     )
+
+
+def test_checkpoint_wiped_in_place_refuses_batchid_regression(
+    spark, tmp_path
+):
+    """Wiping a checkpoint's CONTENTS and reusing the path restarts
+    batchIds at 0 inside the OLD sink_id namespace — the early batches
+    would look like replays and be silently dropped. The commit must
+    detect the regression (this batchId committed while HIGHER batchIds
+    exist for the same sink_id) and refuse loudly instead."""
+    import pyarrow as pa
+
+    dst = str(tmp_path / "dst")
+    w = ManifestAppendStreamWriter({"path": dst, "sink_id": "s"}, SCHEMA)
+    batch = pa.record_batch(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([None, None], pa.timestamp("us", tz="UTC")),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    for b in (0, 1, 2):
+        w.commit([w.write(iter([batch]))], batchId=b)
+    assert sinks.read_manifest(dst)["version"] == 3
+
+    # "reset" stream: same sink_id, batchIds restart at 0 — NEW data
+    # that must not be silently treated as batch 0's replay
+    msg = w.write(iter([batch]))
+    with pytest.raises(ValueError, match="reset in place"):
+        w.commit([msg], batchId=0)
+    # legitimate replay of the LATEST epoch still drops quietly
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], batchId=2)
+    assert sinks.read_manifest(dst)["version"] == 3
+    assert not os.path.exists(msg2.file)
