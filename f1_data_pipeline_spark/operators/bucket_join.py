@@ -122,6 +122,36 @@ def plan_bucket_pairs(
     return plans
 
 
+def bucket_join_output(
+    lschema: T.StructType,
+    rschema: T.StructType,
+    right_on: str,
+    right_prefix: str = "r_",
+) -> tuple[T.StructType, dict[str, str]]:
+    """The join's output contract, computed from the two stored schemas:
+    (output schema, {right column -> output name}). All left columns
+    keep their names; the right key is dropped (it equals the left key
+    on matched rows); a right column colliding with a left name is
+    prefixed `right_prefix`. Shared with catalog_sql's bucket-join
+    router so the SQL rewrite can never drift from what
+    `bucket_aligned_join` actually emits."""
+    left_names = {f.name for f in lschema.fields}
+    out_fields = list(lschema.fields)
+    rename: dict[str, str] = {}
+    for f in rschema.fields:
+        if f.name == right_on:
+            continue
+        out_name = (right_prefix + f.name) if f.name in left_names else f.name
+        if out_name in {x.name for x in out_fields}:
+            raise ValueError(
+                f"output column collision on {out_name!r} — pass a "
+                "different right_prefix"
+            )
+        rename[f.name] = out_name
+        out_fields.append(T.StructField(out_name, f.dataType, True))
+    return T.StructType(out_fields), rename
+
+
 def bucket_aligned_join(
     spark: SparkSession,
     left_path: str,

@@ -215,6 +215,7 @@ def catalog_sql(
     sql: str,
     runtime_filters: bool = True,
     max_harvests: int = 8,
+    bucket_joins: bool = True,
 ) -> DataFrame:
     """Run a spark.sql statement against the catalog.
 
@@ -238,6 +239,23 @@ def catalog_sql(
     Disabled whenever any outer/semi/anti/natural join appears (a
     preserved side must keep unmatched rows). See
     `_runtime_join_filters` for the soundness argument.
+
+    Co-bucketed joins EXECUTE shuffle-free (round 10): a single-SELECT
+    `FROM A [a] [INNER|LEFT] JOIN B [b] ON a.k = b.k ...` where both
+    sides are cataloged manifest tables laid out bucket(N, <join col>)
+    with equal N and identical key types routes through
+    `bucket_aligned_join` (operators/bucket_join.py, X51) — the join
+    collapses into one internal view whose tasks Acero-join co-located
+    bucket pairs; neither table's data enters a Spark exchange, and the
+    rest of the statement (WHERE/GROUP BY/ORDER BY/...) runs unchanged
+    over the view. Shapes outside `_match_bucket_join`'s contract
+    (`*` projections, extra ON conjuncts, a third relation, references
+    to renamed collision columns, the right key under LEFT join) fall
+    back to the ordinary shuffled plan — routing only ever changes the
+    physical strategy, never the result. `bucket_joins=False` opts out
+    entirely; EXPLAIN records `taken:` when the route fires (with the
+    measured bucket-pair file counts) and `eligible:` when only the
+    layout qualifies.
 
     DDL + maintenance statements complete the SQL console: `CREATE
     TABLE name [(col type, ...)] PARTITIONED BY (<col or transform>)
@@ -353,6 +371,7 @@ def catalog_sql(
         return _explain_select(
             spark, tables, inner,
             runtime_filters=runtime_filters, max_harvests=max_harvests,
+            bucket_joins=bucket_joins,
         )
     routed = _route_statement(spark, catalog_path, tables, sql)
     if routed is not None:
@@ -365,6 +384,33 @@ def catalog_sql(
         return fast
     refs = _relation_refs(sql, tables)
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
+    if bucket_joins:
+        bj = _match_bucket_join(sql, refs, tables, versions)
+        if bj is not None:
+            # the shuffle-free storage-partitioned join (X51): the two
+            # co-bucketed refs collapse into ONE internal view over
+            # bucket_aligned_join; the rest of the query runs over it,
+            # and pushed predicates simply stay row filters (they were
+            # row filters in the original text too)
+            from .bucket_join import bucket_aligned_join
+
+            _log().debug("catalog_sql bucket-join route: %s", bj["note"])
+            df = bucket_aligned_join(
+                spark,
+                tables[bj["left"]]["path"],
+                tables[bj["right"]]["path"],
+                bj["left_on"],
+                bj["right_on"],
+                how=bj["how"],
+                version_left=versions[bj["left"]],
+                version_right=versions[bj["right"]],
+            )
+            vname = f"__cat_bkt_{next(_VIEW_SEQ)}"
+            df.createOrReplaceTempView(vname)
+            try:
+                return spark.sql(bj["new_sql"](vname))
+            finally:
+                spark.catalog.dropTempView(vname)
     preds = _extract_pushdown_predicates(spark, sql, refs, tables)
     if runtime_filters:
         _runtime_join_filters(
@@ -639,6 +685,7 @@ def _explain_select(
     inner: str,
     runtime_filters: bool = True,
     max_harvests: int = 8,
+    bucket_joins: bool = True,
 ) -> DataFrame:
     """`EXPLAIN <select>` — the manifest planner's decision record as a
     DataFrame (one row per cataloged relation reference) instead of the
@@ -681,20 +728,46 @@ def _explain_select(
     elif _min_max_fast_path(spark, tables, s, travel) is not None:
         fast = "min_max_metadata_only"
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
-    preds = _extract_pushdown_predicates(spark, s, refs, tables)
-    # mirror execution exactly: a caller running with
-    # runtime_filters=False must see an EXPLAIN that neither harvests
-    # (real dim scans at plan time) nor reports filters the run won't use
-    rtf = (
-        _runtime_join_filters(
-            spark, s, refs, tables, versions, preds,
-            max_harvests=max_harvests,
-        )
-        if runtime_filters
-        else {}
+    # mirror execution exactly: would catalog_sql route this statement
+    # through bucket_aligned_join? Then no predicate pushdown/harvesting
+    # happens either, and the scan measurement is the bucket-pair plan.
+    bj = (
+        _match_bucket_join(s, refs, tables, versions)
+        if bucket_joins else None
     )
-    ref_preds = _cte_pushdown_predicates(spark, s, refs, tables)
-    ba = _bucket_aligned_notes(s, refs, tables, versions)
+    bj_scan: dict[str, tuple[int, int]] = {}
+    if bj is not None:
+        from .bucket_join import plan_bucket_pairs
+
+        pairs = plan_bucket_pairs(
+            tables[bj["left"]]["path"], tables[bj["right"]]["path"],
+            bj["how"], versions[bj["left"]], versions[bj["right"]],
+        )
+        bj_scan[bj["left"]] = (
+            sum(1 for p in pairs if p["left_files"]),
+            sum(len(p["left_files"]) for p in pairs),
+        )
+        bj_scan[bj["right"]] = (
+            sum(1 for p in pairs if p["right_files"]),
+            sum(len(p["right_files"]) for p in pairs),
+        )
+        preds, rtf, ref_preds = {}, {}, {}
+        ba = {bj["left"]: bj["note"], bj["right"]: bj["note"]}
+    else:
+        preds = _extract_pushdown_predicates(spark, s, refs, tables)
+        # a caller running with runtime_filters=False must see an EXPLAIN
+        # that neither harvests (real dim scans at plan time) nor reports
+        # filters the run won't use
+        rtf = (
+            _runtime_join_filters(
+                spark, s, refs, tables, versions, preds,
+                max_harvests=max_harvests,
+            )
+            if runtime_filters
+            else {}
+        )
+        ref_preds = _cte_pushdown_predicates(spark, s, refs, tables)
+        ba = _bucket_aligned_notes(s, refs, tables, versions)
     rows = []
     totals: dict[str, tuple[int, int]] = {}
     for i, r in enumerate(refs):
@@ -709,6 +782,8 @@ def _explain_select(
         parts_total, files_total = totals[name]
         if fast is not None:
             files, parts = 0, 0
+        elif name in bj_scan:
+            parts, files = bj_scan[name]
         else:
             pruned = read_manifest_table(
                 spark, path, version=v, predicates=p
@@ -754,12 +829,14 @@ def _explain_select(
 def _bucket_aligned_notes(
     sql: str, refs: list[dict], tables: dict, versions: dict[str, int]
 ) -> dict[str, str]:
-    """EXPLAIN advisory: for each equi-join conjunct whose two sides are
-    cataloged manifest tables bucket(N, <their join column>) with equal
-    N and identical key types, note that `bucket_aligned_join` (X51)
-    can run the join shuffle-free. catalog_sql itself still plans the
-    exchange (arbitrary SQL shapes can't be rewritten soundly from
-    text); the note tells the user the zero-shuffle path exists."""
+    """EXPLAIN advisory for statements the bucket-join ROUTER refused
+    (shape outside `_match_bucket_join`'s contract — extra ON conjuncts,
+    `*` projection, third relation, ...): for each equi-join conjunct
+    whose two sides are cataloged manifest tables bucket(N, <their join
+    column>) with equal N and identical key types, note that
+    `bucket_aligned_join` (X51) could run the join shuffle-free if the
+    statement were reshaped. A routed statement reports `taken:` from
+    the router instead (see `_explain_select`)."""
     from .partitioning import parse_partition_spec
     from .sinks import _stored_of, read_manifest
 
@@ -804,6 +881,241 @@ def _bucket_aligned_notes(
         out.setdefault(na, note)
         out.setdefault(nb, note)
     return out
+
+
+def _match_bucket_join(
+    sql: str, refs: list[dict], tables: dict, versions: dict[str, int]
+) -> dict | None:
+    """The bucket-join ROUTER's planner (round-10: EXPLAIN used to only
+    advertise eligibility; now catalog_sql acts on it). Detects the one
+    query shape that can soundly run through `bucket_aligned_join`
+    (operators/bucket_join.py, X51) instead of a shuffled Spark join,
+    and precomputes the rewritten SQL. Returns None for anything else —
+    the fallback is always the ordinary (correct, shuffled) plan, so a
+    refusal only costs performance, never correctness.
+
+    Eligible shape:
+      SELECT <list> FROM A [AS a] [INNER|LEFT [OUTER]] JOIN B [AS b]
+        ON a.k = b.k [WHERE ...] [GROUP BY ...] [ORDER BY ...] ...
+    where A and B are cataloged manifest tables both laid out
+    bucket(N, <their join column>) with equal N and identical key
+    types. The join collapses into an internal temp view over
+    `bucket_aligned_join` (zero exchange over table data; the only
+    shuffle moves N spec rows) and every qualified column reference in
+    the rest of the query is rewritten to the view's output names —
+    WHERE/GROUP BY/HAVING/ORDER BY/LIMIT then run unchanged over the
+    view, so pushed predicates simply become post-join row filters
+    (they were row filters in the original text too).
+
+    Conservative refusals (fall back to the shuffled join):
+    - more than one SELECT, any CTE, set operands, >2 cataloged refs,
+      a third (non-cataloged) JOIN, comma joins;
+    - `*` / `alias.*` projections (the view's output schema drops the
+      right key and may prefix collisions — `*` would change the
+      result schema);
+    - extra ON conjuncts (only the single bucket-key equality);
+    - any reference to a right column whose name collides with a left
+      column (its view name is prefixed, which would rename an
+      unaliased SELECT output — schema change);
+    - LEFT JOIN queries referencing the right key outside ON (the view
+      only carries the left key; on unmatched rows they differ);
+    - a column named like either alias on either side (could be struct
+      field access — `alias.x` would be ambiguous to rewrite);
+    - the right key's bare (unqualified) name appearing anywhere when
+      it differs from the left key's (it has no view column).
+
+    The returned dict carries `new_sql(view_name)` plus the join
+    parameters for `bucket_aligned_join` and a human `note` for
+    EXPLAIN's decision record."""
+    import re
+
+    from .partitioning import parse_partition_spec
+    from .sinks import _split_top_and, _stored_of, read_manifest
+
+    s = _strip_sql_strings(sql)
+    if _cte_names(s):
+        return None
+    if len(refs) != 2:
+        return None
+    a, b = refs
+    if a["depth"] or b["depth"] or a["name"] == b["name"]:
+        return None
+
+    # depth-0 keyword marks
+    marks: list[tuple[int, str]] = []
+    depth = 0
+    for m in re.finditer(r"[()]|\b[A-Za-z_]\w*\b|\*|,", s):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            marks.append((m.start(), t.lower()))
+    kws = [t for _, t in marks]
+    if kws.count("select") != 1 or kws.count("from") != 1 \
+            or kws.count("join") != 1:
+        return None
+    sel_pos = next(p for p, t in marks if t == "select")
+    from_pos = next(p for p, t in marks if t == "from")
+    # `*` at depth 0 between SELECT and FROM only matters in projection
+    # position (after SELECT/comma/dot); refusing any depth-0 `*` there
+    # is conservative (x*2 arithmetic also refuses — fallback is correct)
+    if any(t == "*" and sel_pos < p < from_pos for p, t in marks):
+        return None
+    if s[from_pos + 4: a["start"]].strip():
+        return None  # FROM must bind directly to the first cataloged ref
+    glue = s[a["end"]: b["start"]]
+    alias_a = a["alias"]
+    ga = rf"(?:\s+(?:AS\s+)?{re.escape(alias_a)})?" if alias_a else ""
+    gm = re.match(
+        rf"^{ga}\s*(INNER\s+|LEFT\s+(?:OUTER\s+)?)?JOIN\s*$",
+        glue, re.IGNORECASE | re.DOTALL,
+    )
+    if not gm:
+        return None
+    how = "left" if (gm.group(1) or "").lower().startswith("left") else "inner"
+    tail = s[b["end"]:]
+    alias_b = b["alias"]
+    gb = rf"(?:\s+(?:AS\s+)?{re.escape(alias_b)})?" if alias_b else ""
+    om = re.match(rf"^{gb}\s*\bON\b", tail, re.IGNORECASE)
+    if not om:
+        return None
+    on_start = b["end"] + om.end()
+    # ON clause ends at the next depth-0 clause keyword (or EOS)
+    on_end = len(sql)
+    for p, t in marks:
+        if p >= on_start and t in _FROM_ENDERS:
+            on_end = p
+            break
+    on_clause = sql[on_start:on_end]
+    if _has_top_level_or(on_clause):
+        return None
+    conjs = _split_top_and(on_clause)
+    if len(conjs) != 1:
+        return None  # extra ON conjuncts: v1 routes only the pure key join
+    jm = re.match(
+        r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
+        r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$",
+        conjs[0],
+    )
+    if not jm:
+        return None
+    q1, c1, q2, c2 = jm.groups()
+    qual_of = {
+        (alias_a or a["name"]).lower(): "L",
+        (alias_b or b["name"]).lower(): "R",
+    }
+    if len(qual_of) != 2:
+        return None  # alias collision between the two sides
+    s1, s2 = qual_of.get(q1.lower()), qual_of.get(q2.lower())
+    if s1 is None or s2 is None or s1 == s2:
+        return None
+    (lcol, rcol) = (c1, c2) if s1 == "L" else (c2, c1)
+
+    # bucket-layout eligibility on the PINNED versions
+    def layout(name: str):
+        m = read_manifest(tables[name]["path"], versions[name])
+        spec = (m or {}).get("partition_col")
+        try:
+            t = parse_partition_spec(spec) if spec else None
+        except ValueError:
+            t = None
+        return t, (_stored_of(m) if m else None)
+
+    (tl, sl), (tr, sr) = layout(a["name"]), layout(b["name"])
+    if (
+        tl is None or tr is None
+        or tl.kind != "bucket" or tr.kind != "bucket"
+        or tl.param != tr.param
+        or sl is None or sr is None
+    ):
+        return None
+    lmap = {f.name.lower(): f.name for f in sl.fields}
+    rmap = {f.name.lower(): f.name for f in sr.fields}
+    left_on = lmap.get(lcol.lower())
+    right_on = rmap.get(rcol.lower())
+    if left_on is None or right_on is None:
+        return None
+    if tl.source != left_on or tr.source != right_on:
+        return None  # join keys must BE the bucketed columns
+    if sl[left_on].dataType != sr[right_on].dataType:
+        return None  # xxhash64 would misalign differently-typed keys
+    # a data column named like an alias could be a struct access target
+    for al in (alias_a, alias_b):
+        if al and (al.lower() in lmap or al.lower() in rmap):
+            return None
+
+    from .bucket_join import bucket_join_output
+
+    try:
+        _out, rename = bucket_join_output(sl, sr, right_on)
+    except ValueError:
+        return None  # prefix collision — let the shuffled join handle it
+
+    # rewrite qualified refs in the text OUTSIDE the FROM..ON span
+    pre, post = sql[:from_pos], sql[on_end:]
+    if right_on.lower() != left_on.lower():
+        # the right key has no view column; its bare name anywhere in
+        # the remaining text could be meant to resolve to it
+        if re.search(
+            rf"(?<![.\w]){re.escape(right_on)}\b", pre + post, re.IGNORECASE
+        ):
+            return None
+
+    def _rewrite(region: str) -> str | None:
+        out, last = [], 0
+        stripped = _strip_sql_strings(region)
+        for qm in re.finditer(
+            r"\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)", stripped
+        ):
+            side = qual_of.get(qm.group(1).lower())
+            if side is None:
+                continue  # not our aliases — leave untouched
+            col = qm.group(2)
+            if side == "L":
+                canon = lmap.get(col.lower())
+                if canon is None:
+                    return None  # column the table lacks — don't guess
+            else:
+                if col.lower() == right_on.lower():
+                    if how == "left":
+                        return None  # unmatched rows: right key is NULL
+                    canon = left_on  # inner: provably equal
+                else:
+                    canon = rmap.get(col.lower())
+                    if canon is None:
+                        return None
+                    canon = rename[canon]
+                    if canon != rmap[col.lower()]:
+                        return None  # renamed collision: output-name change
+            out.append(region[last:qm.start()])
+            out.append(canon)
+            last = qm.end()
+        out.append(region[last:])
+        return "".join(out)
+
+    pre_rw, post_rw = _rewrite(pre), _rewrite(post)
+    if pre_rw is None or post_rw is None:
+        return None
+
+    def new_sql(view: str) -> str:
+        return f"{pre_rw}FROM {view} {post_rw}"
+
+    return {
+        "left": a["name"],
+        "right": b["name"],
+        "left_on": left_on,
+        "right_on": right_on,
+        "how": how,
+        "buckets": tl.param,
+        "new_sql": new_sql,
+        "note": (
+            f"taken: bucket_aligned_join({a['name']}, {b['name']}) on "
+            f"{left_on} = {right_on} ({tl.param} buckets, how={how}, "
+            "zero exchange over table data)"
+        ),
+    }
 
 
 def _strip_time_travel(sql: str, tables: dict) -> tuple[str, dict]:
@@ -1048,34 +1360,50 @@ _EXACT_STAT_TYPES = (
 def _min_max_fast_path(
     spark: SparkSession, tables: dict, sql: str, travel: dict
 ):
-    """`SELECT min(c)|max(c)|count(*) [AS a], ... FROM t` (no WHERE, no
-    GROUP BY) answered from manifest metadata via
+    """`SELECT min(c)|max(c)|count(*) [AS a], ... FROM t [WHERE <simple
+    conjunction>]` (no GROUP BY) answered from manifest metadata via
     `manifest_column_bounds` — the watermark probe a 100 TB incremental
     scheduler runs every cycle, as SQL with zero data I/O. Exactness
-    rules: only numeric/date/timestamp/boolean columns (string parquet
-    bounds may be writer-truncated — sound for pruning, wrong as an
-    ANSWER); MoR delete-bearing or stats-less partitions make bounds
+    rules: only numeric/date/timestamp/boolean answer columns (string
+    parquet bounds may be writer-truncated — sound for pruning, wrong as
+    an ANSWER); MoR delete-bearing or stats-less partitions make bounds
     unanswerable → normal plan; an empty table or an all-NULL column
     answers NULL (the correct SQL aggregate over zero non-null rows).
-    Returns None for any shape outside this — never a wrong answer."""
+    A WHERE (round 10, verdict #2) keeps the answer metadata-only
+    exactly when every file the predicates don't prune ALWAYS-matches
+    them (partition-aligned predicates — see `manifest_column_bounds`);
+    one undecided boundary file → normal plan, loudly visible in
+    EXPLAIN as the absent fast_path. Returns None for any shape outside
+    this — never a wrong answer."""
     import datetime as _dt
     import re
 
     from pyspark.sql import types as T
 
-    from .sinks import manifest_column_bounds, read_manifest
+    from .sinks import (
+        manifest_column_bounds,
+        parse_predicates,
+        read_manifest,
+    )
 
     m = re.match(
-        r"\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s*$",
+        r"\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)"
+        r"\s*(?:WHERE\s+(.+?))?\s*$",
         sql, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         return None
-    select_list, name = m.groups()
+    select_list, name, where = m.groups()
     if name not in tables or name.lower() in _cte_names(
         _strip_sql_strings(sql)
     ):
         return None
+    preds = None
+    if where is not None:
+        try:
+            preds = parse_predicates(where.strip())
+        except ValueError:
+            return None  # OR / functions / qualified cols: normal plan
     items = []
     for part in _split_top_commas(select_list):
         im = re.match(
@@ -1106,13 +1434,17 @@ def _min_max_fast_path(
     v = mft["version"]
     stored = T.StructType.fromJson(mft["schema"])
     ftypes = {f.name: f.dataType for f in stored.fields}
+    if preds is not None and any(c not in ftypes for c, _op, _v in preds):
+        # a qualified/unknown predicate column must take the normal plan
+        # (same snapshot-schema rule as the COUNT(*) fast path)
+        return None
     values, fields = [], []
     bounds_cache: dict[str, dict] = {}
 
     def bounds(col: str) -> dict:
         if col not in bounds_cache:  # setdefault would evaluate eagerly
             bounds_cache[col] = manifest_column_bounds(
-                e["path"], col, version=v
+                e["path"], col, version=v, predicates=preds, spark=spark,
             )
         return bounds_cache[col]
 

@@ -1776,6 +1776,8 @@ def manifest_column_bounds(
     column: str,
     partition_values: Sequence | None = None,
     version: int | None = None,
+    predicates: Sequence[tuple] | None = None,
+    spark: SparkSession | None = None,
 ) -> dict:
     """MIN/MAX/null-count for one column from manifest metadata alone —
     zero data I/O, never an approximation: components that any selected
@@ -1786,16 +1788,39 @@ def manifest_column_bounds(
     Partitions carrying merge-on-read deletes make min/max/nulls
     unanswerable (a deleted row may have held the recorded bound — file
     stats stay sound for PRUNING but stop being exact answers); `rows`
-    stays exact (recorded rows minus recorded deletes)."""
+    stays exact (recorded rows minus recorded deletes).
+
+    With `predicates` (simple (col, op, value) conjunction; pass `spark`
+    to engage transform-partition pruning), the bounds are over MATCHING
+    rows only, answerable from metadata exactly when the predicate is
+    decided per file: files whose stats prove NO row matches contribute
+    nothing, files whose stats prove EVERY row matches contribute their
+    recorded stats, and ANY undecided boundary file (or any MoR-delete
+    entry) makes the whole answer unanswerable — all-None, including
+    `rows` — so the caller falls back to a scan rather than trusting
+    polluted bounds. The common exact case is a predicate on the
+    (identity or transform) partition source column, where partition
+    boundaries ARE predicate boundaries."""
     m = read_manifest(path, version)
     if m is None:
         raise FileNotFoundError(f"no manifest at {path}")
-    if m.get("schema") is not None:
+    stored_b = (
+        T.StructType.fromJson(m["schema"])
+        if m.get("schema") is not None else None
+    )
+    if stored_b is not None and column in stored_b.names:
         # per-file stats are keyed by the PHYSICAL column name
-        stored_b = T.StructType.fromJson(m["schema"])
-        if column in stored_b.names:
-            column = _phys_name(stored_b[column])
+        column = _phys_name(stored_b[column])
+    preds = (
+        list(_map_predicates(predicates, _phys_map(stored_b)) or ())
+        if predicates else []
+    )
     entries = _select_entries(m, partition_values)
+    if preds:
+        if spark is not None:
+            entries = _transform_prune(spark, m, entries, preds)
+        unanswerable = {"min": None, "max": None, "nulls": None,
+                        "rows": None}
     mn = mx = None
     nulls: int | None = 0
     rows = 0
@@ -1805,10 +1830,19 @@ def manifest_column_bounds(
         if files is None:
             return {"min": None, "max": None, "nulls": None, "rows": None}
         if e.get("deletes"):
+            if preds:
+                # deletes are not attributed per file: which matching
+                # rows survive is unknowable from metadata
+                return unanswerable
             bounds_ok = False
             nulls = None
             rows -= _entry_delete_rows(e)
         for fm in files:
+            if preds:
+                if not _file_maybe_matches(fm, preds):
+                    continue  # provably zero matching rows
+                if not _file_always_matches(fm, preds):
+                    return unanswerable  # boundary file: scan instead
             rows += fm["rows"]
             st = (fm.get("stats") or {}).get(column)
             if st is None:

@@ -344,7 +344,27 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
-    return console.unionAll(bucket)
+
+    # third arm (round 10): the same shuffle-free join REACHED FROM SQL —
+    # catalog_sql detects the co-bucketed layout and routes through
+    # bucket_aligned_join itself (X51 via the console; EXPLAIN records
+    # `taken:`), so a SQL-only user gets the zero-exchange plan without
+    # ever importing the operator. Oracle-hashed like the other arms.
+    CAT.catalog_create_table(cat, "customer_b", dim_b)
+    routed = CAT.catalog_sql(
+        spark,
+        cat,
+        """
+        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        FROM orders_m o JOIN customer_b c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'AUTOMOBILE'
+          AND EXTRACT(YEAR FROM o.o_orderdate) = 1996
+        """,
+    ).select(
+        F.lit("console_bucket").alias("which"), "o_orderkey", "c_name",
+        "o_totalprice",
+    )
+    return console.unionAll(bucket).unionAll(routed)
 
 
 register(
@@ -358,6 +378,10 @@ register(
     SELECT 'bucket' AS which, o_orderkey, c_name, o_totalprice
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE EXTRACT(YEAR FROM o_orderdate) = 1997 AND c_mktsegment = 'MACHINERY'
+    UNION ALL
+    SELECT 'console_bucket' AS which, o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND c_mktsegment = 'AUTOMOBILE'
     """,
 )
 

@@ -1,0 +1,200 @@
+"""catalog_sql routes eligible co-bucketed joins through
+bucket_aligned_join (round 10): the SQL console no longer only
+ADVERTISES the shuffle-free storage-partitioned join in EXPLAIN — it
+executes it. Routing must be result-invisible (same rows, same output
+schema as the shuffled plan), refusable shapes must fall back, and
+EXPLAIN must record `taken:` with the measured bucket-pair scan."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import catalog as CAT
+from f1_data_pipeline_spark.operators import sinks
+
+
+@pytest.fixture()
+def star(spark, tmp_path):
+    """orders-like fact + customer-like dim, co-bucketed bucket(8, key),
+    plus a NON-bucketed dim for fallback checks; all cataloged."""
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    flat_p = str(tmp_path / "flat")
+    cat = str(tmp_path / "cat")
+    fact = spark.range(3000).select(
+        F.col("id").alias("ok"),
+        (F.col("id") % 97).alias("ck"),
+        (F.col("id") * 1.5).alias("total"),
+        (F.col("id") % 5).alias("flag"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, fact, fact_p, keys=["ok"], partition_col="bucket(8, ck)"
+    )
+    dim = spark.range(97).select(
+        F.col("id").alias("ck"),
+        F.concat(F.lit("c"), F.col("id")).alias("name"),
+        (F.col("id") % 3).alias("seg"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, dim, dim_p, keys=["ck"], partition_col="bucket(8, ck)"
+    )
+    sinks.merge_upsert_manifest(
+        spark, dim, flat_p, keys=["ck"], partition_col="seg"
+    )
+    CAT.catalog_create_table(cat, "fact", fact_p)
+    CAT.catalog_create_table(cat, "dim", dim_p)
+    CAT.catalog_create_table(cat, "flat", flat_p)
+    return cat
+
+
+Q = """
+    SELECT f.ok, d.name, f.total
+    FROM fact f JOIN dim d ON f.ck = d.ck
+    WHERE d.seg = 1 AND f.flag < 3
+"""
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_routed_join_parity_and_zero_data_exchange(spark, star):
+    routed = CAT.catalog_sql(spark, star, Q)
+    shuffled = CAT.catalog_sql(spark, star, Q, bucket_joins=False)
+    assert routed.columns == shuffled.columns == ["ok", "name", "total"]
+    assert _rows(routed) == _rows(shuffled)
+    assert len(_rows(routed)) > 0
+    p = _plan(routed)
+    # no Spark join and no parquet scan over table data — the join runs
+    # inside mapInArrow tasks; the opt-out plans the ordinary join
+    assert "Join" not in p
+    assert "Scan parquet" not in p and "FileScan" not in p
+    assert "Join" in _plan(shuffled)
+
+
+def test_routed_aggregate_group_order(spark, star):
+    q = """
+        SELECT d.seg AS seg, COUNT(*) AS n, SUM(f.total) AS tot
+        FROM fact f JOIN dim d ON f.ck = d.ck
+        GROUP BY d.seg ORDER BY seg
+    """
+    routed = CAT.catalog_sql(spark, star, q)
+    shuffled = CAT.catalog_sql(spark, star, q, bucket_joins=False)
+    assert routed.columns == ["seg", "n", "tot"]
+    assert _rows(routed) == _rows(shuffled)
+    assert "Scan parquet" not in _plan(routed)
+
+
+def test_routed_left_join_parity(spark, star, tmp_path):
+    # fact keys 0..96 all match; add unmatched fact rows via a second
+    # commit so LEFT keeps them with NULL right columns
+    extra = spark.createDataFrame(
+        [(90001, 970, 1.0, 0), (90002, 971, 2.0, 1)],
+        "ok long, ck long, total double, flag long",
+    )
+    fact_p = CAT.catalog_tables(star)["fact"]["path"]
+    sinks.merge_upsert_manifest(
+        spark, extra, fact_p, keys=["ok"], partition_col="bucket(8, ck)"
+    )
+    q = """
+        SELECT f.ok, d.name
+        FROM fact f LEFT JOIN dim d ON f.ck = d.ck
+    """
+    routed = CAT.catalog_sql(spark, star, q)
+    shuffled = CAT.catalog_sql(spark, star, q, bucket_joins=False)
+    assert _rows(routed) == _rows(shuffled)
+    assert "Join" not in _plan(routed)
+    got = {r["ok"]: r["name"] for r in routed.collect()}
+    assert got[90001] is None and got[90002] is None
+
+
+def test_inner_right_key_reference_rewrites_to_left(spark, star):
+    # d.ck is provably equal to f.ck on inner rows — routed and allowed
+    q = """
+        SELECT f.ok, d.ck AS dck
+        FROM fact f JOIN dim d ON f.ck = d.ck
+        WHERE d.ck < 5
+    """
+    routed = CAT.catalog_sql(spark, star, q)
+    shuffled = CAT.catalog_sql(spark, star, q, bucket_joins=False)
+    assert _rows(routed) == _rows(shuffled)
+    assert "Join" not in _plan(routed)
+
+
+def test_fallback_shapes_still_correct(spark, star):
+    # each of these refuses the route (shape or layout) and must still
+    # return the ordinary join's answer
+    fallbacks = [
+        # non-bucketed dim side
+        """SELECT f.ok, d.name FROM fact f JOIN flat d ON f.ck = d.ck
+           WHERE d.seg = 1""",
+        # star projection (output schema would change)
+        "SELECT * FROM fact f JOIN dim d ON f.ck = d.ck WHERE d.seg = 2",
+        # extra ON conjunct
+        """SELECT f.ok, d.name FROM fact f JOIN dim d
+           ON f.ck = d.ck AND f.flag = d.seg""",
+        # right key referenced under LEFT join (NULL on unmatched rows)
+        """SELECT f.ok, d.ck FROM fact f LEFT JOIN dim d ON f.ck = d.ck""",
+    ]
+    for q in fallbacks:
+        routed = CAT.catalog_sql(spark, star, q)
+        off = CAT.catalog_sql(spark, star, q, bucket_joins=False)
+        assert _rows(routed) == _rows(off), q
+        assert "Join" in _plan(routed), q  # fell back to the shuffled plan
+
+
+def test_explain_records_taken_with_bucket_pair_scan(spark, star):
+    ex = {r["table"]: r for r in CAT.catalog_sql(
+        spark, star, "EXPLAIN " + Q
+    ).collect()}
+    for t in ("fact", "dim"):
+        assert ex[t]["bucket_aligned"].startswith("taken:")
+        assert "zero exchange" in ex[t]["bucket_aligned"]
+        assert 0 < ex[t]["files_scanned"] <= ex[t]["files_total"]
+        assert ex[t]["pushdown"] == []  # routing skips manifest pushdown
+    # opt-out: EXPLAIN mirrors the un-routed plan (eligible note only)
+    ex_off = {r["table"]: r for r in CAT.catalog_sql(
+        spark, star, "EXPLAIN " + Q, bucket_joins=False
+    ).collect()}
+    assert ex_off["fact"]["bucket_aligned"].startswith("eligible:")
+    # a refused shape reports eligible:, not taken:
+    ex_star = {r["table"]: r for r in CAT.catalog_sql(
+        spark, star,
+        "EXPLAIN SELECT * FROM fact f JOIN dim d ON f.ck = d.ck",
+    ).collect()}
+    assert ex_star["fact"]["bucket_aligned"].startswith("eligible:")
+
+
+def test_route_respects_time_travel_pins(spark, star):
+    # dim v1 has 97 rows; v2 renames nothing but adds 3 rows — a
+    # time-traveled query must join against the pinned snapshot
+    dim_p = CAT.catalog_tables(star)["dim"]["path"]
+    extra = spark.createDataFrame(
+        [(200, "late200", 0), (201, "late201", 1), (202, "late202", 2)],
+        "ck long, name string, seg long",
+    )
+    sinks.merge_upsert_manifest(
+        spark, extra, dim_p, keys=["ck"], partition_col="bucket(8, ck)"
+    )
+    q_now = """
+        SELECT d.ck AS k, d.name FROM fact f JOIN dim d ON f.ck = d.ck
+        WHERE d.ck >= 200
+    """
+    assert CAT.catalog_sql(spark, star, q_now).count() == 0  # no matching fact
+    q_dim_only = """
+        SELECT f.ok, d.name
+        FROM fact f JOIN dim VERSION AS OF 1 d ON f.ck = d.ck
+    """
+    pinned = CAT.catalog_sql(spark, star, q_dim_only)
+    live = CAT.catalog_sql(
+        spark, star,
+        "SELECT f.ok, d.name FROM fact f JOIN dim d ON f.ck = d.ck",
+    )
+    assert "Join" not in _plan(pinned)
+    assert pinned.count() == live.count()  # late keys have no fact rows

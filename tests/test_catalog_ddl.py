@@ -262,9 +262,11 @@ def test_alter_table_and_restore(spark, tmp_path):
 
 def test_min_max_metadata_fast_path(spark, tmp_path):
     """SELECT min/max (+count) answers from manifest bounds with zero
-    data I/O for exact-stat types; strings, MoR-delete-bearing tables,
-    and WHERE clauses fall back to the real plan; empty/all-NULL columns
-    answer NULL (the correct SQL aggregate)."""
+    data I/O for exact-stat types; strings and MoR-delete-bearing tables
+    fall back to the real plan; a WHERE stays metadata-only when the
+    predicate is decided per file (partition-aligned / stats-decided —
+    round 10, verdict #2) and falls back on any boundary file;
+    empty/all-NULL columns answer NULL (the correct SQL aggregate)."""
     import datetime as dt
 
     cat = str(tmp_path / "cat")
@@ -295,10 +297,37 @@ def test_min_max_metadata_fast_path(spark, tmp_path):
     # strings fall back (parquet string bounds may be truncated)
     fb = CAT.catalog_sql(spark, cat, "SELECT max(s) AS m FROM mm")
     assert fb.first().m == "c" and fb.inputFiles() != []
-    # WHERE falls back
+    # WHERE on the partition column is partition-aligned: every
+    # surviving file always-matches → still metadata-only
     fb2 = CAT.catalog_sql(spark, cat,
                           "SELECT max(v) AS m FROM mm WHERE day = 0")
-    assert fb2.first().m == 5.5 and fb2.inputFiles() != []
+    assert fb2.first().m == 5.5 and fb2.inputFiles() == []
+    # mixed aggregates + count under the same pruned WHERE
+    mixed = CAT.catalog_sql(
+        spark, cat,
+        "SELECT min(v) AS lo, count(*) AS n FROM mm WHERE day = 0",
+    )
+    assert mixed.inputFiles() == []
+    rm = mixed.first()
+    assert (rm.lo, rm.n) == (-1.0, 2)
+    # a predicate every pruned-set file's bounds DECIDE is also exact
+    # (day-1's file [9.25, 9.25] proves no row matches; day-0's
+    # [-1.0, 5.5] proves all rows match)
+    dec = CAT.catalog_sql(spark, cat,
+                          "SELECT max(v) AS m FROM mm WHERE v < 6")
+    assert dec.first().m == 5.5 and dec.inputFiles() == []
+    # a boundary file (bounds straddle the literal) → real plan
+    fb3 = CAT.catalog_sql(spark, cat,
+                          "SELECT max(v) AS m FROM mm WHERE v < 5")
+    assert fb3.first().m == -1.0 and fb3.inputFiles() != []
+    # WHERE pruning everything: NULL min over zero matching rows
+    none = CAT.catalog_sql(
+        spark, cat,
+        "SELECT min(v) AS m, count(*) AS n FROM mm WHERE day = 7",
+    )
+    assert none.inputFiles() == []
+    rn = none.first()
+    assert rn.m is None and rn.n == 0
 
     # all-NULL column answers NULL from metadata
     sinks.manifest_add_column(spark, t, "empty_col", "double")
