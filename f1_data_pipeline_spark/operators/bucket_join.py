@@ -72,21 +72,54 @@ def _bucket_layout(path: str, version: int | None = None):
     return t.param, t.source, dict(m["partitions"]), stored
 
 
+# per-task memory guard default: one bucket pair's UNCOMPRESSED data
+# bytes (what the task's Arrow buffers actually occupy). A healthy
+# writer sizes buckets well under this (write_bucketed's rule, N ≈
+# table size / healthy partition size); only pathological key skew
+# concentrates a multi-GiB pair in one task, and that should fail
+# loudly at PLAN time, not OOM an executor mid-join.
+DEFAULT_MAX_PAIR_BYTES = 4 << 30
+
+
+def _entry_bytes(path: str, entry: dict) -> int:
+    """One entry's data bytes: the manifest-recorded per-file `bytes`
+    (uncompressed; commits since round 10 record it — zero I/O), a
+    driver stat() per file for older commits (on-disk compressed — an
+    underestimate, so the guard only under-triggers on legacy data)."""
+    files = entry.get("files")
+    if files is not None and all("bytes" in fm for fm in files):
+        return sum(fm["bytes"] for fm in files)
+    from .arrow_read import entry_paths
+
+    data, _ = entry_paths(path, entry)
+    return sum(os.path.getsize(f) for f in data)
+
+
 def plan_bucket_pairs(
     left_path: str,
     right_path: str,
     how: str = "inner",
     version_left: int | None = None,
     version_right: int | None = None,
+    max_pair_bytes: int | None = DEFAULT_MAX_PAIR_BYTES,
 ) -> list[dict]:
     """The driver-side plan: one dict per bucket pair that can produce
     output — {'bucket', 'left_files', 'left_deletes', 'right_files',
-    'right_deletes'}. Inner joins skip buckets absent on either side
-    (their rows cannot match anything — that IS the bucket-level file
-    pruning: files opened are exactly the matching pairs); left joins
-    keep left-only buckets with an empty right side. The NULL partition
-    ('null' key) matches nothing by SQL semantics: skipped for inner,
-    left-side-only for left."""
+    'right_deletes', 'bytes'}. Inner joins skip buckets absent on either
+    side (their rows cannot match anything — that IS the bucket-level
+    file pruning: files opened are exactly the matching pairs); left
+    joins keep left-only buckets with an empty right side. The NULL
+    partition ('null' key) matches nothing by SQL semantics: skipped
+    for inner, left-side-only for left.
+
+    Self-defending pair sizing (round 10, verdict #5): each pair's
+    summed uncompressed data bytes (manifest-recorded, see
+    `_entry_bytes`) is checked
+    against `max_pair_bytes` — a task materializes exactly one pair, so
+    a skewed hot bucket used to be a mid-join executor OOM; now it is a
+    loud plan-time error naming the bucket and the remedies. Pass
+    `max_pair_bytes=None` to disable (or a larger budget for big-memory
+    executors)."""
     from .arrow_read import entry_paths
 
     if how not in ("inner", "left"):
@@ -110,6 +143,19 @@ def plan_bucket_pairs(
         lf, ld = entry_paths(left_path, le)
         rf, rd = (entry_paths(right_path, re_)
                   if re_ is not None else ([], []))
+        pair_bytes = _entry_bytes(left_path, le) + (
+            _entry_bytes(right_path, re_) if re_ is not None else 0
+        )
+        if max_pair_bytes is not None and pair_bytes > max_pair_bytes:
+            raise ValueError(
+                f"bucket {key!r} pair holds {pair_bytes:,} data bytes "
+                f"(> max_pair_bytes {max_pair_bytes:,}) — one task "
+                "materializes one bucket pair, so this would risk an "
+                "executor OOM mid-join. Remedies: re-bucket with a "
+                "larger N (set_layout + repartition_manifest_table), "
+                "fall back to the shuffled join for this query, or "
+                "raise max_pair_bytes if the executors have the memory."
+            )
         plans.append(
             {
                 "bucket": key,
@@ -117,6 +163,7 @@ def plan_bucket_pairs(
                 "left_deletes": ld,
                 "right_files": rf,
                 "right_deletes": rd,
+                "bytes": pair_bytes,
             }
         )
     return plans
@@ -162,6 +209,7 @@ def bucket_aligned_join(
     right_prefix: str = "r_",
     version_left: int | None = None,
     version_right: int | None = None,
+    max_pair_bytes: int | None = DEFAULT_MAX_PAIR_BYTES,
 ) -> DataFrame:
     """Join two co-bucketed manifest tables without shuffling either.
 
@@ -203,7 +251,8 @@ def bucket_aligned_join(
                                             right_prefix)
 
     plans = plan_bucket_pairs(
-        left_path, right_path, how, version_left, version_right
+        left_path, right_path, how, version_left, version_right,
+        max_pair_bytes=max_pair_bytes,
     )
     if not plans:
         return spark.createDataFrame([], out_schema)

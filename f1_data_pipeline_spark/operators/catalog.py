@@ -308,6 +308,17 @@ def catalog_sql(
     `partitions_rewritten`). Unsupported DML shapes raise — never a
     silent partial write.
 
+    SCD2 dimensions in SQL (round 10): `MERGE INTO dim USING <table |
+    (subquery)> APPLY AS SCD2 (KEYS (k, ...), TS <effective col>
+    [, TRACK (a, b)] [, ON LATE SKIP|ERROR])` routes to `scd2_merge`
+    (operators/scd.py) — versioned history instead of overwrites; the
+    `SPLICE` variant routes late interior history to `scd2_splice`.
+    Reads come back with `FROM dim [FOR] BUSINESS TIME AS OF
+    '<instant>'` — the `scd2_at` as-of filter bound into the table's
+    view, composable with joins/aggregates and with storage time travel
+    (write the storage clause first: `dim VERSION AS OF 3 FOR BUSINESS
+    TIME AS OF '...'`).
+
     Time travel in SQL (Delta/Iceberg syntax, both accepted):
     `FROM t [FOR] VERSION AS OF 3`, `FROM t [FOR] VERSION AS OF 'tag'`,
     `FROM t [FOR] TIMESTAMP AS OF '2024-03-05 12:00:00'` (latest commit
@@ -376,15 +387,19 @@ def catalog_sql(
     routed = _route_statement(spark, catalog_path, tables, sql)
     if routed is not None:
         return routed
+    sql, business = _strip_business_time(sql, tables)
     sql, travel = _strip_time_travel(sql, tables)
-    fast = _count_star_fast_path(spark, tables, sql, travel)
-    if fast is None:
-        fast = _min_max_fast_path(spark, tables, sql, travel)
-    if fast is not None:
-        return fast
+    if not business:
+        # metadata fast paths answer over ALL rows — a business-time pin
+        # filters to one interval per key, so they must take the plan
+        fast = _count_star_fast_path(spark, tables, sql, travel)
+        if fast is None:
+            fast = _min_max_fast_path(spark, tables, sql, travel)
+        if fast is not None:
+            return fast
     refs = _relation_refs(sql, tables)
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
-    if bucket_joins:
+    if bucket_joins and not business:
         bj = _match_bucket_join(sql, refs, tables, versions)
         if bj is not None:
             # the shuffle-free storage-partitioned join (X51): the two
@@ -419,7 +434,8 @@ def catalog_sql(
         )
     ref_preds = _cte_pushdown_predicates(spark, sql, refs, tables)
     sql, internal = _bind_internal_views(
-        spark, tables, sql, refs, versions, preds, ref_preds
+        spark, tables, sql, refs, versions, preds, ref_preds,
+        business=business,
     )
     try:
         return spark.sql(sql)
@@ -626,6 +642,7 @@ def _bind_internal_views(
     versions: dict[str, int],
     preds: dict,
     ref_preds: dict[int, list] | None = None,
+    business: dict[str, str] | None = None,
 ) -> tuple[str, list[str]]:
     """Register pruned/pinned internal temp views and splice the
     query's relation references over to them. References share one view
@@ -633,19 +650,31 @@ def _bind_internal_views(
     scope-local predicates in `ref_preds` (keyed by index into `refs`,
     e.g. a CTE-body reference) — each of those binds a private view, so
     a table referenced both inside a pruned CTE and outside it never
-    leaks the CTE's pruning to the outer reference. Returns (rewritten
-    sql, view names to drop)."""
+    leaks the CTE's pruning to the outer reference. A table pinned in
+    `business` ({name: instant literal}) binds its view through the
+    SCD2 as-of row filter (`scd2_at` semantics, operators/scd.py:404).
+    Returns (rewritten sql, view names to drop)."""
     ref_preds = ref_preds or {}
+    business = business or {}
     shared: dict[str, str] = {}
     cleanup: list[str] = []
     bound: dict[int, str] = {}
 
     def _register(name: str, p) -> str:
+        from pyspark.sql import functions as F
+
         vname = f"__cat_{name}_{next(_VIEW_SEQ)}"
-        read_manifest_table(
+        df = read_manifest_table(
             spark, tables[name]["path"], version=versions[name],
             predicates=p,
-        ).createOrReplaceTempView(vname)
+        )
+        if name in business:
+            t = F.lit(business[name]).cast("timestamp")
+            df = df.filter(
+                (F.col("valid_from") <= t)
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+            )
+        df.createOrReplaceTempView(vname)
         cleanup.append(vname)
         return vname
 
@@ -718,22 +747,24 @@ def _explain_select(
                     "no Spark plan to explain"
                 )
         return spark.sql("EXPLAIN " + inner)
-    s, travel = _strip_time_travel(inner, tables)
+    s, business = _strip_business_time(inner, tables)
+    s, travel = _strip_time_travel(s, tables)
     refs = _relation_refs(s, tables)
     if not refs:
         return spark.sql("EXPLAIN " + inner)
     fast = None
-    if _count_star_fast_path(spark, tables, s, travel) is not None:
-        fast = "count_star_metadata_only"
-    elif _min_max_fast_path(spark, tables, s, travel) is not None:
-        fast = "min_max_metadata_only"
+    if not business:
+        if _count_star_fast_path(spark, tables, s, travel) is not None:
+            fast = "count_star_metadata_only"
+        elif _min_max_fast_path(spark, tables, s, travel) is not None:
+            fast = "min_max_metadata_only"
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
     # mirror execution exactly: would catalog_sql route this statement
     # through bucket_aligned_join? Then no predicate pushdown/harvesting
     # happens either, and the scan measurement is the bucket-pair plan.
     bj = (
         _match_bucket_join(s, refs, tables, versions)
-        if bucket_joins else None
+        if bucket_joins and not business else None
     )
     bj_scan: dict[str, tuple[int, int]] = {}
     if bj is not None:
@@ -801,10 +832,15 @@ def _explain_select(
                 seen_parts.add(segs[1] if segs[0] == "data" else segs[0])
             parts = len(seen_parts)
         notes = rtf.get(name)
+        pd_list = [_pred_str(x) for x in p] if p else []
+        if name in business:
+            pd_list.append(
+                f"BUSINESS TIME AS OF '{business[name]}' (row filter)"
+            )
         rows.append((
             name,
             v,
-            [_pred_str(x) for x in p] if p else [],
+            pd_list,
             "; ".join(
                 f"{n['key']} IN ({n['n_keys']} keys harvested from "
                 f"{n['from']})"
@@ -1116,6 +1152,47 @@ def _match_bucket_join(
             "zero exchange over table data)"
         ),
     }
+
+
+def _strip_business_time(sql: str, tables: dict) -> tuple[str, dict]:
+    """Remove `[FOR] BUSINESS TIME AS OF '<ts>'` (also BUSINESS_TIME)
+    clauses following a cataloged table name; return (clean sql,
+    {table: ts literal string}). This is BUSINESS time over an SCD2
+    dimension's `[valid_from, valid_to)` intervals (operators/scd.py,
+    `scd2_at`) — orthogonal to `VERSION/TIMESTAMP AS OF`, which replays
+    STORAGE history; the two compose (`t VERSION AS OF 3 FOR BUSINESS
+    TIME AS OF '...'` reads snapshot 3's intervals at that instant).
+    The pinned table's bound view gets the as-of row filter
+    (`valid_from <= ts < valid_to`, open valid_to = forever), so any
+    SELECT — joins, aggregates — sees the dimension as of the instant.
+    Two different instants on one table raise, like version pins."""
+    import re
+
+    out: dict[str, str] = {}
+    for name in sorted(tables, key=len, reverse=True):
+        pat = re.compile(
+            rf"\b{re.escape(name)}((?:\s+(?:FOR\s+)?(?:VERSION|TIMESTAMP)"
+            rf"\s+AS\s+OF\s+(?:'[^']*'|\w+))?)\s+(?:FOR\s+)?"
+            rf"BUSINESS[_ ]TIME\s+AS\s+OF\s+('[^']*')",
+            re.IGNORECASE,
+        )
+        while True:
+            m = pat.search(_strip_sql_strings(sql))
+            if not m:
+                break
+            lit = sql[m.start(2) + 1: m.end(2) - 1]  # unquoted instant
+            if name in out and out[name] != lit:
+                raise ValueError(
+                    f"table {name!r} is business-time pinned to two "
+                    f"different instants ({out[name]!r} and {lit!r}) in "
+                    "one query"
+                )
+            out[name] = lit
+            # keep any storage time-travel clause (group 1) for
+            # _strip_time_travel to consume
+            sql = sql[: m.start()] + name + sql[m.start(1): m.end(1)] \
+                + sql[m.end():]
+    return sql, out
 
 
 def _strip_time_travel(sql: str, tables: dict) -> tuple[str, dict]:
@@ -2118,6 +2195,77 @@ def _catalog_dml(
         return _metrics_df(
             spark, {k: r[k] for k in ("updated", "partitions_rewritten")}
         )
+
+    # MERGE INTO t USING <src> APPLY AS SCD2 [SPLICE] (KEYS (...), TS c,
+    # [TRACK (...),] [ON LATE SKIP|ERROR]) — the Type-2 dimension verbs
+    # (operators/scd.py: scd2_merge / scd2_splice) as SQL, so the console
+    # that can CREATE/MERGE/RESTORE can also MAINTAIN an SCD2 dimension
+    # (round-10 verdict #4; the reference's watermarked upsert loop,
+    # loaders/__init__.py:254-272, is exactly the feed this consumes —
+    # here it lands as versioned history instead of overwrites). Reads
+    # come back through `FOR BUSINESS TIME AS OF` (see
+    # `_strip_business_time`).
+    sm = re.match(
+        r"\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+USING\s+"
+        r"(\((?:[^()]|\([^()]*\))*\)|[A-Za-z_]\w*)"
+        r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"
+        r"\s+APPLY\s+AS\s+SCD2(\s+SPLICE)?\s*\((.+)\)\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if sm:
+        from . import scd
+        from .sinks import read_manifest
+
+        name, src_text, _s_alias, splice, spec = sm.groups()
+        e = _dml_table(tables, name)
+        if src_text.startswith("("):
+            src = catalog_sql(spark, catalog_path, src_text[1:-1])
+        elif src_text in tables:
+            src = catalog_read(spark, catalog_path, src_text)
+        else:
+            src = spark.table(src_text)  # temp view / metastore table
+        keys = ts_col = track = None
+        on_late = "error"
+        for part in _split_top_commas(spec):
+            p = part.strip()
+            km = re.match(r"^KEYS\s*\(([^)]*)\)$", p, re.IGNORECASE)
+            tm = re.match(r"^TS\s+([A-Za-z_]\w*)$", p, re.IGNORECASE)
+            rm = re.match(r"^TRACK\s*\(([^)]*)\)$", p, re.IGNORECASE)
+            lm = re.match(r"^ON\s+LATE\s+(SKIP|ERROR)$", p, re.IGNORECASE)
+            if km:
+                keys = [c.strip() for c in km.group(1).split(",") if c.strip()]
+            elif tm:
+                ts_col = tm.group(1)
+            elif rm:
+                track = [c.strip() for c in rm.group(1).split(",") if c.strip()]
+            elif lm:
+                on_late = lm.group(1).lower()
+            else:
+                raise ValueError(
+                    f"unsupported SCD2 spec item {p!r} — expected "
+                    "KEYS (...), TS <col>, TRACK (...), ON LATE SKIP|ERROR"
+                )
+        if not keys or ts_col is None:
+            raise ValueError(
+                "APPLY AS SCD2 requires KEYS (...) and TS <col> in the spec"
+            )
+        if splice:
+            if on_late != "error":
+                raise ValueError(
+                    "ON LATE applies to SCD2 MERGE only (SPLICE exists "
+                    "to LAND late history)"
+                )
+            r = scd.scd2_splice(
+                spark, src, e["path"], keys, ts_col=ts_col, track_cols=track,
+            )
+        else:
+            r = scd.scd2_merge(
+                spark, src, e["path"], keys, ts_col=ts_col, track_cols=track,
+                partition_col=read_manifest(e["path"]).get("partition_col"),
+                on_late=on_late,
+            )
+        return _metrics_df(spark, r)
 
     # MERGE INTO t [AS a] USING (<src>|name) [AS b] ON <equi-keys> WHEN ...
     m = re.match(

@@ -1027,7 +1027,21 @@ def _collect_file_stats(full_dir: str) -> list[dict]:
             }
             for name, c in acc.items()
         }
-        out.append({"name": os.path.basename(f), "rows": md.num_rows, "stats": stats})
+        out.append({
+            "name": os.path.basename(f),
+            "rows": md.num_rows,
+            # uncompressed data size from the footer already in hand
+            # (one more field, zero extra I/O): task-memory budgeting —
+            # e.g. the bucket-join pair-size guard — plans from recorded
+            # bytes instead of stat()ing every file at plan time, and
+            # uncompressed is the number a task's Arrow buffers actually
+            # occupy
+            "bytes": sum(
+                md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups)
+            ),
+            "stats": stats,
+        })
     return out
 
 

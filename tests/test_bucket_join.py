@@ -205,3 +205,23 @@ def test_explain_reports_bucket_aligned_eligibility(spark, tmp_path):
         "EXPLAIN SELECT f.k FROM bfact f JOIN dim4 d ON f.fk = d.dk",
     ).collect()}
     assert rows2["bfact"]["bucket_aligned"] is None
+
+
+def test_hot_bucket_pair_raises_at_plan_time(spark, tmp_path):
+    """A skewed bucket pair past max_pair_bytes fails LOUDLY at plan
+    time (naming the bucket and remedies) instead of OOMing the task;
+    None disables the guard; healthy pairs plan under the default and
+    record their bytes."""
+    fact_p, dim_p = _mk_pair(spark, tmp_path)
+    pairs = plan_bucket_pairs(fact_p, dim_p)  # default budget: fine
+    assert all(p["bytes"] > 0 for p in pairs)
+    smallest = min(p["bytes"] for p in pairs)
+    with pytest.raises(ValueError, match="re-bucket with a larger N"):
+        plan_bucket_pairs(fact_p, dim_p, max_pair_bytes=smallest - 1)
+    with pytest.raises(ValueError, match="max_pair_bytes"):
+        bucket_aligned_join(
+            spark, fact_p, dim_p, "fk", "dk", max_pair_bytes=1
+        )
+    assert len(
+        plan_bucket_pairs(fact_p, dim_p, max_pair_bytes=None)
+    ) == len(pairs)
