@@ -593,6 +593,136 @@ def bench_cdc(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_pipeline(spark, sf_dir: str) -> dict:
+    """The full NATIVE streaming loop (round 10): readStream
+    manifest_changes → curation screen → manifest_append sink, one
+    atomic commit per micro-batch, no foreachBatch — vs the foreachBatch
+    equivalent (same source, same screen, insert_into_manifest per
+    batch, the pre-X53 consumer shape). Fresh destination + checkpoint
+    per run; landed row parity asserted so the arms can't drift. The
+    value of the native loop is exactly-once WITHOUT a bespoke driver
+    loop; this block prices it honestly against the handwritten one."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.sources import load_table
+    from f1_data_pipeline_spark.streaming.manifest_sink import (
+        start_manifest_append_stream,
+    )
+    from f1_data_pipeline_spark.streaming.manifest_source import (
+        read_change_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        src = os.path.join(work, "src")
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+            .withColumn("yr", F.year("o_orderdate"))
+        )
+        sinks.merge_upsert_manifest(spark, base, src, ["o_orderkey"], "yr")
+        for i in range(3):
+            upd = base.filter(F.pmod("o_orderkey", 100) == i * 5).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1
+            )
+            sinks.merge_upsert_manifest(spark, upd, src, ["o_orderkey"], "yr")
+        commits = sinks.manifest_versions(src)[-1]
+
+        def screen(feed):
+            return feed.filter(
+                F.col("_change").isin("insert", "update_postimage")
+            ).select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") * 1.1).alias("gross"),
+            )
+
+        def native_arm(tag: str) -> tuple[float, str]:
+            dst = os.path.join(work, f"native_{tag}")
+            t0 = time.time()
+            q = start_manifest_append_stream(
+                screen(read_change_stream(
+                    spark, src, ["o_orderkey"], starting_version=1
+                )),
+                dst,
+                os.path.join(work, f"nckpt_{tag}"),
+                sink_id="p",
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("pipeline bench: drain exceeded 600 s")
+            q.stop()
+            return time.time() - t0, dst
+
+        def feb_arm(tag: str) -> tuple[float, str]:
+            from pyspark.sql import types as T
+
+            dst = os.path.join(work, f"feb_{tag}")
+            t0 = time.time()
+            sinks.create_manifest_table(
+                spark, dst,
+                T.StructType([
+                    T.StructField("o_orderkey", T.LongType()),
+                    T.StructField("o_custkey", T.LongType()),
+                    T.StructField("gross", T.DoubleType()),
+                    T.StructField("b", T.StringType()),
+                ]),
+                "b",
+            )
+
+            def _apply(batch, batch_id):
+                sinks.insert_into_manifest(
+                    spark,
+                    batch.withColumn("b", F.lit(f"{tag}-{batch_id}")),
+                    dst,
+                )
+
+            q = (
+                screen(read_change_stream(
+                    spark, src, ["o_orderkey"], starting_version=1
+                ))
+                .writeStream.foreachBatch(_apply)
+                .option(
+                    "checkpointLocation", os.path.join(work, f"fckpt_{tag}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("pipeline bench: drain exceeded 600 s")
+            q.stop()
+            return time.time() - t0, dst
+
+        # warmup + landed-rows parity
+        _, ndst = native_arm("warm")
+        _, fdst = feb_arm("warm")
+        n_rows = sinks.read_manifest_table(spark, ndst).count()
+        f_rows = sinks.read_manifest_table(spark, fdst).count()
+        assert n_rows == f_rows, (n_rows, f_rows)
+        nat, feb = [], []
+        for rep in range(3):
+            s, _ = native_arm(f"r{rep}")
+            nat.append(s)
+            s, _ = feb_arm(f"r{rep}")
+            feb.append(s)
+        nat_sec = round(statistics.median(nat), 3)
+        feb_sec = round(statistics.median(feb), 3)
+        return {
+            "commits": commits,
+            "rows_landed": n_rows,
+            "foreachbatch_sec": feb_sec,
+            "native_loop_sec": nat_sec,
+            "native_over_foreachbatch": round(nat_sec / feb_sec, 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -697,6 +827,7 @@ def main() -> None:
     metadata = bench_metadata(spark, sf_dir)
     matview = bench_matview(spark, sf_dir)
     cdc = bench_cdc(spark, sf_dir)
+    pipeline = bench_pipeline(spark, sf_dir)
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     # Detail blocks (spread/host/streaming/incremental/metadata/matview) go
@@ -720,6 +851,7 @@ def main() -> None:
         "metadata": metadata,
         "matview": matview,
         "cdc": cdc,
+        "pipeline": pipeline,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

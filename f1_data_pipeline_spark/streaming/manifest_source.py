@@ -120,6 +120,16 @@ def _feed_schema(path: str) -> T.StructType:
         raise ValueError(
             f"manifest at {path} predates stored schemas — cannot stream"
         )
+    meta = {f.name for f in _CHANGE_FIELDS}
+    clash = sorted(meta & set(stored.names))
+    if clash:
+        # refuse at START (a worker-side schema KeyError mid-stream is
+        # undebuggable): feed meta columns shadow same-named data columns
+        raise ValueError(
+            f"table at {path} has data column(s) {clash} that collide "
+            "with the change feed's meta columns — rename them (ALTER "
+            "TABLE ... RENAME COLUMN) before streaming changes"
+        )
     return T.StructType(list(stored.fields) + _CHANGE_FIELDS)
 
 
