@@ -3968,8 +3968,8 @@ def _write_prefixes_fused(
         out = out.drop(*drop_cols)
     out.write.mode("errorifexists").partitionBy("__pw").parquet(staging)
 
-    entries: dict[str, dict] = {}
-    for i, (enc, _val) in enumerate(order):
+    def _promote(item) -> tuple[str, dict]:
+        i, (enc, _val) = item
         prefix = os.path.join(
             "data", urllib.parse.quote(enc, safe=""), f"snap-{snap}"
         )
@@ -3983,7 +3983,23 @@ def _write_prefixes_fused(
             # normally exclude these; defensively keep the empty-prefix
             # contract the legacy path had)
             os.makedirs(dst)
-        entries[enc] = {"prefix": prefix, "value": enc, "files": []}
+        return enc, {"prefix": prefix, "value": enc, "files": []}
+
+    # staging→final promotion runs POOLED (round-10 verdict #7): each
+    # rename touches a distinct destination, so they are independent —
+    # on a local fs a rename is microseconds and the pool is noise, but
+    # on an object store each is a COPY+DELETE round-trip, and a 10⁴–10⁵
+    # partition backfill's serial loop would become the commit's
+    # critical path. The atomic step stays the single manifest CAS
+    # below; a crash mid-promotion leaves orphans vacuum reclaims (the
+    # standard crash contract). tools/scale_probe.py commit_path
+    # measures the phase split.
+    entries_list: list[tuple[str, dict]]
+    with _futures.ThreadPoolExecutor(
+        max_workers=min(16, len(order))
+    ) as pool:
+        entries_list = list(pool.map(_promote, enumerate(order)))
+    entries: dict[str, dict] = dict(entries_list)
     _shutil.rmtree(staging, ignore_errors=True)
 
     with _futures.ThreadPoolExecutor(

@@ -930,6 +930,229 @@ def probe_headline_scale() -> None:
         }), flush=True)
 
 
+def probe_bucket_join() -> None:
+    """Round-10 verdict #6: the bucket-aligned join (X51) at 1× and N×
+    data with the bucket count FIXED — each pair grows ∝ N, so the scale
+    contract is: plan time ~flat (metadata-only), files opened exactly
+    the matching pairs (no other file listed or read), join wall ∝ pair
+    bytes (the per-task Acero join is the whole data path). A wall ratio
+    well past ~1.5·N would flag a superlinear stage inside the task.
+    One JSON line per factor: plan_sec, files_planned, join_sec,
+    pair_bytes ratios."""
+    import os
+    import statistics
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.operators.bucket_join import (
+        bucket_aligned_join,
+        plan_bucket_pairs,
+    )
+    from f1_data_pipeline_spark.session import get_spark
+
+    args = sys.argv[2:]
+    factors = [int(a) for a in args] if args else [1, 4]
+    spark = get_spark("scale_probe")
+    BUCKETS, BASE_FACT, BASE_DIM = 16, 400_000, 40_000
+    base: dict | None = None
+    for factor in factors:
+        work = tempfile.mkdtemp(prefix=f"bucket_scale_{factor}x_")
+        fact_p, dim_p = os.path.join(work, "f"), os.path.join(work, "d")
+        n_f, n_d = BASE_FACT * factor, BASE_DIM * factor
+        fact = spark.range(n_f).select(
+            F.col("id").alias("k"),
+            (F.col("id") % n_d).alias("fk"),
+            (F.col("id") * 2.0).alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        sinks.merge_upsert_manifest(
+            spark, fact, fact_p, ["k"],
+            partition_col=f"bucket({BUCKETS}, fk)",
+        )
+        dim = spark.range(n_d).select(
+            F.col("id").alias("dk"),
+            (F.col("id") % 7).alias("attr"),
+        )
+        sinks.merge_upsert_manifest(
+            spark, dim, dim_p, ["dk"],
+            partition_col=f"bucket({BUCKETS}, dk)",
+        )
+        t0 = time.time()
+        pairs = plan_bucket_pairs(fact_p, dim_p, max_pair_bytes=None)
+        plan_sec = round(time.time() - t0, 3)
+        files = sum(
+            len(p["left_files"]) + len(p["right_files"]) for p in pairs
+        )
+        pair_bytes = sum(p["bytes"] for p in pairs)
+
+        def run():
+            bucket_aligned_join(
+                spark, fact_p, dim_p, "fk", "dk", max_pair_bytes=None
+            ).write.format("noop").mode("overwrite").save()
+
+        run()  # warmup
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            run()
+            reps.append(time.time() - t0)
+        join_sec = round(statistics.median(reps), 3)
+        rec = {
+            "op": "bucket_join", "factor": factor, "buckets": BUCKETS,
+            "fact_rows": n_f, "dim_rows": n_d, "pairs": len(pairs),
+            "files_planned": files, "pair_bytes": pair_bytes,
+            "plan_sec": plan_sec, "join_sec": join_sec,
+        }
+        if base is None:
+            base = rec
+        else:
+            rec["bytes_ratio"] = round(pair_bytes / base["pair_bytes"], 2)
+            rec["join_ratio"] = round(join_sec / base["join_sec"], 2)
+            rec["plan_ratio"] = round(
+                plan_sec / max(base["plan_sec"], 1e-3), 2
+            )
+        print(json.dumps(rec), flush=True)
+
+
+def probe_manifest_changes() -> None:
+    """Round-10 verdict #6: the streaming change source (X52) must cost
+    ∝ CHANGED partitions, not table size. Build a table at 1× and N×
+    rows with the PARTITION SIZE held constant (32·N identity
+    partitions, so the table grows by partition count — the realistic
+    100 TB shape, where more data means more partitions, not fatter
+    ones), land the SAME small update (fixed rows, 1 partition
+    touched), and drain (a) just that commit and (b) the full bootstrap
+    snapshot. Contract: update-drain ~flat across factors (its planning
+    is metadata ∝ changed partitions and its read is one constant-size
+    partition's old+new files) while snapshot-drain grows with the
+    table. One JSON line per factor."""
+    import os
+    import statistics
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+    from f1_data_pipeline_spark.streaming.manifest_source import (
+        read_change_stream,
+    )
+
+    args = sys.argv[2:]
+    factors = [int(a) for a in args] if args else [1, 4]
+    spark = get_spark("scale_probe")
+    BASE_ROWS, BASE_GROUPS, UPDATE_ROWS = 400_000, 32, 5_000
+    base: dict | None = None
+    for factor in factors:
+        work = tempfile.mkdtemp(prefix=f"chg_scale_{factor}x_")
+        src = os.path.join(work, "src")
+        n = BASE_ROWS * factor
+        GROUPS = BASE_GROUPS * factor  # constant rows per partition
+        df = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % GROUPS).cast("string").alias("g"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        sinks.merge_upsert_manifest(spark, df, src, ["k"], "g")
+        upd = spark.range(UPDATE_ROWS).select(
+            (F.col("id") * GROUPS).alias("k"),  # all rows land in g=0
+            F.lit("0").alias("g"),
+            F.lit("updated").alias("payload"),
+        )
+        sinks.merge_upsert_manifest(spark, upd, src, ["k"], "g")
+        v_upd = sinks.manifest_versions(src)[-1]
+
+        def drain(tag: str, start: int) -> float:
+            t0 = time.time()
+            q = (
+                read_change_stream(spark, src, ["k"], starting_version=start)
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation", os.path.join(work, f"ck_{tag}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("drain exceeded 600 s")
+            q.stop()
+            return time.time() - t0
+
+        drain("warm", v_upd)  # warmup (stream engine, codegen)
+        upd_secs = [drain(f"u{i}", v_upd) for i in range(3)]
+        snap_sec = drain("snap", 1)
+        rec = {
+            "op": "manifest_changes", "factor": factor, "table_rows": n,
+            "update_rows": UPDATE_ROWS,
+            "update_drain_sec": round(statistics.median(upd_secs), 3),
+            "snapshot_drain_sec": round(snap_sec, 3),
+        }
+        if base is None:
+            base = rec
+        else:
+            rec["update_ratio"] = round(
+                rec["update_drain_sec"] / base["update_drain_sec"], 2
+            )
+            rec["snapshot_ratio"] = round(
+                snap_sec / base["snapshot_drain_sec"], 2
+            )
+        print(json.dumps(rec), flush=True)
+
+
+def probe_commit_path() -> None:
+    """Round-10 verdict #7: the fused commit's driver-side phase split
+    at high partition counts. One fused write touching P partitions,
+    timed end-to-end, plus a pure-rename microbench of P directory
+    renames (what the promotion loop does per partition) — the rename
+    share shows whether the promotion loop can ever dominate the commit
+    on this filesystem, and prices what a 10⁴-partition backfill pays
+    driver-side. The loop is pooled since round 10 (sinks.py _promote);
+    on an object store each rename is a COPY+DELETE round-trip, which is
+    where the pool matters. One JSON line per P."""
+    import os
+    import statistics
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    args = sys.argv[2:]
+    parts = [int(a) for a in args] if args else [256, 1024, 4096]
+    spark = get_spark("scale_probe")
+    for p in parts:
+        work = tempfile.mkdtemp(prefix=f"commit_path_{p}_")
+        path = os.path.join(work, "t")
+        df = spark.range(p * 50).select(
+            F.col("id").alias("k"),
+            (F.col("id") % p).cast("string").alias("g"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        t0 = time.time()
+        sinks.merge_upsert_manifest(spark, df, path, ["k"], "g")
+        total = round(time.time() - t0, 3)
+        # pure-rename microbench: P empty dirs moved once, like _promote
+        src_root = os.path.join(work, "mb_src")
+        dst_root = os.path.join(work, "mb_dst")
+        reps = []
+        for r in range(3):
+            srcs = []
+            for i in range(p):
+                s = os.path.join(src_root, f"r{r}", f"d{i}")
+                os.makedirs(s)
+                srcs.append(s)
+            os.makedirs(os.path.join(dst_root, f"r{r}"))
+            t0 = time.time()
+            for i, s in enumerate(srcs):
+                os.rename(s, os.path.join(dst_root, f"r{r}", f"d{i}"))
+            reps.append(time.time() - t0)
+        rename_sec = round(statistics.median(reps), 4)
+        print(json.dumps({
+            "op": "commit_path", "partitions": p,
+            "fused_commit_sec": total,
+            "serial_rename_microbench_sec": rename_sec,
+            "rename_share": round(rename_sec / total, 4),
+        }), flush=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     op = "minhash"
@@ -938,9 +1161,18 @@ def main() -> None:
         "ivf_drift", "heavy_hitters", "bloom_delete", "matview", "mor_delete",
         "partition_transforms", "replication", "footer_stats",
         "manifest_crossover", "matview_crossover", "runtime_filter",
-        "headline_scale",
+        "headline_scale", "bucket_join", "manifest_changes", "commit_path",
     ):
         op = args.pop(0)
+    if op == "bucket_join":
+        probe_bucket_join()
+        return
+    if op == "manifest_changes":
+        probe_manifest_changes()
+        return
+    if op == "commit_path":
+        probe_commit_path()
+        return
     if op == "headline_scale":
         probe_headline_scale()
         return
