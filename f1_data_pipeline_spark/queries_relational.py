@@ -426,10 +426,18 @@ def q_join_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # earlier in-memory form stays covered by merge_upsert_frames'
     # pytest suite. Temp dimension lives for the session (the returned
     # plan references its files).
+    #
+    # Since round 10 the whole round-trip runs through the SQL CONSOLE
+    # (the new SCD2 surface): `MERGE INTO dim USING <src> APPLY AS SCD2
+    # (KEYS (...), TS ...)` twice, then `SELECT ... FROM dim FOR
+    # BUSINESS TIME AS OF t2` — so the SQL verbs themselves (parse →
+    # scd2_merge routing → business-time view binding) sit under the
+    # same DuckDB hash, not just the Python operators they wrap.
     import os
     import tempfile
 
-    from f1_data_pipeline_spark.operators import scd
+    from f1_data_pipeline_spark.operators import catalog as CAT
+    from f1_data_pipeline_spark.operators import sinks
 
     o = load_table(spark, sf_dir, "orders")
     t1, t2 = "2020-01-01 00:00:00", "2021-01-01 00:00:00"
@@ -441,10 +449,36 @@ def q_join_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", (F.col("o_totalprice") * 2).alias("total"),
         F.lit(t2).cast("timestamp").alias("effective_ts"),
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="scd2_c4_"), "dim")
-    scd.scd2_merge(spark, existing, path, ["o_orderkey"])
-    scd.scd2_merge(spark, updates, path, ["o_orderkey"])
-    return scd.scd2_at(spark, path, t2).select("o_orderkey", "total")
+    work = tempfile.mkdtemp(prefix="scd2_c4_")
+    path = os.path.join(work, "dim")
+    cat = os.path.join(work, "cat")
+    from pyspark.sql import types as T
+
+    sinks.create_manifest_table(
+        spark, path,
+        T.StructType([
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]),
+        "bucket(16, o_orderkey)",
+    )
+    CAT.catalog_create_table(cat, "dim", path)
+    existing.createOrReplaceTempView("__scd2_c4_existing")
+    updates.createOrReplaceTempView("__scd2_c4_updates")
+    for src in ("__scd2_c4_existing", "__scd2_c4_updates"):
+        CAT.catalog_sql(
+            spark, cat,
+            f"MERGE INTO dim USING {src} APPLY AS SCD2 "
+            "(KEYS (o_orderkey), TS effective_ts)",
+        )
+    return CAT.catalog_sql(
+        spark, cat,
+        "SELECT o_orderkey, total FROM dim "
+        f"FOR BUSINESS TIME AS OF '{t2}'",
+    )
 
 
 register(
