@@ -943,13 +943,19 @@ def _match_bucket_join(
     view, so pushed predicates simply become post-join row filters
     (they were row filters in the original text too).
 
+    Extra ON conjuncts beside the bucket-key equality are allowed for
+    INNER joins (ON ≡ WHERE there, so they move post-join as row
+    filters over the view, with the original WHERE parenthesized before
+    ANDing); under LEFT they change which rows null-extend, so any
+    residual refuses.
+
     Conservative refusals (fall back to the shuffled join):
     - more than one SELECT, any CTE, set operands, >2 cataloged refs,
       a third (non-cataloged) JOIN, comma joins;
     - `*` / `alias.*` projections (the view's output schema drops the
       right key and may prefix collisions — `*` would change the
       result schema);
-    - extra ON conjuncts (only the single bucket-key equality);
+    - LEFT JOIN with any ON conjunct beside the key equality;
     - any reference to a right column whose name collides with a left
       column (its view name is prefixed, which would rename an
       unaliased SELECT output — schema change);
@@ -1027,27 +1033,12 @@ def _match_bucket_join(
     on_clause = sql[on_start:on_end]
     if _has_top_level_or(on_clause):
         return None
-    conjs = _split_top_and(on_clause)
-    if len(conjs) != 1:
-        return None  # extra ON conjuncts: v1 routes only the pure key join
-    jm = re.match(
-        r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
-        r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$",
-        conjs[0],
-    )
-    if not jm:
-        return None
-    q1, c1, q2, c2 = jm.groups()
     qual_of = {
         (alias_a or a["name"]).lower(): "L",
         (alias_b or b["name"]).lower(): "R",
     }
     if len(qual_of) != 2:
         return None  # alias collision between the two sides
-    s1, s2 = qual_of.get(q1.lower()), qual_of.get(q2.lower())
-    if s1 is None or s2 is None or s1 == s2:
-        return None
-    (lcol, rcol) = (c1, c2) if s1 == "L" else (c2, c1)
 
     # bucket-layout eligibility on the PINNED versions
     def layout(name: str):
@@ -1069,12 +1060,37 @@ def _match_bucket_join(
         return None
     lmap = {f.name.lower(): f.name for f in sl.fields}
     rmap = {f.name.lower(): f.name for f in sr.fields}
-    left_on = lmap.get(lcol.lower())
-    right_on = rmap.get(rcol.lower())
-    if left_on is None or right_on is None:
+    left_on, right_on = tl.source, tr.source
+
+    # classify ON conjuncts: exactly ONE must be the bucket-key equality
+    # (either orientation); the rest are RESIDUALS — for an inner join
+    # ON ≡ WHERE, so they move post-join as row filters over the view;
+    # for LEFT they change which rows null-extend, so any residual
+    # refuses (fallback stays correct)
+    key_found = False
+    residuals: list[str] = []
+    for conj in _split_top_and(on_clause):
+        jm = re.match(
+            r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
+            r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$",
+            conj,
+        )
+        if jm and not key_found:
+            q1, c1, q2, c2 = jm.groups()
+            s1, s2 = qual_of.get(q1.lower()), qual_of.get(q2.lower())
+            if s1 is not None and s2 is not None and s1 != s2:
+                lcol, rcol = (c1, c2) if s1 == "L" else (c2, c1)
+                if (
+                    lmap.get(lcol.lower()) == left_on
+                    and rmap.get(rcol.lower()) == right_on
+                ):
+                    key_found = True
+                    continue
+        residuals.append(conj)
+    if not key_found:
         return None
-    if tl.source != left_on or tr.source != right_on:
-        return None  # join keys must BE the bucketed columns
+    if residuals and how == "left":
+        return None
     if sl[left_on].dataType != sr[right_on].dataType:
         return None  # xxhash64 would misalign differently-typed keys
     # a data column named like an alias could be a struct access target
@@ -1134,9 +1150,42 @@ def _match_bucket_join(
     pre_rw, post_rw = _rewrite(pre), _rewrite(post)
     if pre_rw is None or post_rw is None:
         return None
+    residuals_rw = [_rewrite(c) for c in residuals]
+    if any(c is None for c in residuals_rw):
+        return None
 
     def new_sql(view: str) -> str:
-        return f"{pre_rw}FROM {view} {post_rw}"
+        tail = post_rw
+        if residuals_rw:
+            cond = " AND ".join(f"({c.strip()})" for c in residuals_rw)
+            wm = re.match(r"^\s*WHERE\b", tail, re.IGNORECASE)
+            if wm:
+                # wrap the ORIGINAL WHERE clause in parens before ANDing
+                # the residuals (it may carry a top-level OR); the clause
+                # ends at the next depth-0 GROUP/ORDER/... keyword
+                rest = tail[wm.end():]
+                stripped = _strip_sql_strings(rest)
+                end, d = len(rest), 0
+                for m2 in re.finditer(
+                    r"[()]|\b(group|order|having|limit|window|union"
+                    r"|except|intersect)\b",
+                    stripped, re.IGNORECASE,
+                ):
+                    t2 = m2.group(0)
+                    if t2 == "(":
+                        d += 1
+                    elif t2 == ")":
+                        d -= 1
+                    elif d == 0:
+                        end = m2.start()
+                        break
+                tail = (
+                    f"WHERE {cond} AND ({rest[:end].strip()}) "
+                    + rest[end:]
+                )
+            else:
+                tail = f"WHERE {cond} " + tail
+        return f"{pre_rw}FROM {view} {tail}"
 
     return {
         "left": a["name"],

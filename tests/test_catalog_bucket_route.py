@@ -127,6 +127,32 @@ def test_inner_right_key_reference_rewrites_to_left(spark, star):
     assert "Join" not in _plan(routed)
 
 
+def test_inner_residual_on_conjuncts_route(spark, star):
+    """Extra ON conjuncts beside the key equality move post-join for
+    INNER joins (ON ≡ WHERE) — routed, result-identical, including when
+    the query also carries its own WHERE with a top-level OR (the
+    original clause must be parenthesized before ANDing residuals)."""
+    q = """
+        SELECT f.ok, d.name FROM fact f JOIN dim d
+        ON f.ck = d.ck AND f.flag = d.seg
+    """
+    routed = CAT.catalog_sql(spark, star, q)
+    shuffled = CAT.catalog_sql(spark, star, q, bucket_joins=False)
+    assert _rows(routed) == _rows(shuffled)
+    assert len(_rows(routed)) > 0
+    assert "Join" not in _plan(routed)
+    q2 = """
+        SELECT f.ok, d.name FROM fact f JOIN dim d
+        ON f.ck = d.ck AND d.seg = 1
+        WHERE f.flag = 0 OR f.flag = 2
+    """
+    routed2 = CAT.catalog_sql(spark, star, q2)
+    shuffled2 = CAT.catalog_sql(spark, star, q2, bucket_joins=False)
+    assert _rows(routed2) == _rows(shuffled2)
+    assert len(_rows(routed2)) > 0
+    assert "Join" not in _plan(routed2)
+
+
 def test_fallback_shapes_still_correct(spark, star):
     # each of these refuses the route (shape or layout) and must still
     # return the ordinary join's answer
@@ -136,11 +162,11 @@ def test_fallback_shapes_still_correct(spark, star):
            WHERE d.seg = 1""",
         # star projection (output schema would change)
         "SELECT * FROM fact f JOIN dim d ON f.ck = d.ck WHERE d.seg = 2",
-        # extra ON conjunct
-        """SELECT f.ok, d.name FROM fact f JOIN dim d
-           ON f.ck = d.ck AND f.flag = d.seg""",
         # right key referenced under LEFT join (NULL on unmatched rows)
         """SELECT f.ok, d.ck FROM fact f LEFT JOIN dim d ON f.ck = d.ck""",
+        # LEFT join with a residual ON conjunct (changes null-extension)
+        """SELECT f.ok, d.name FROM fact f LEFT JOIN dim d
+           ON f.ck = d.ck AND d.seg = 1""",
     ]
     for q in fallbacks:
         routed = CAT.catalog_sql(spark, star, q)
