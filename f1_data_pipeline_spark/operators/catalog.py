@@ -267,6 +267,9 @@ def catalog_sql(
     `DESCRIBE HISTORY name`; `DESCRIBE DETAIL name` (one-row table
     summary: location, layout, version, partitions/files/live rows,
     bytes, constraint + tag counts); `SHOW TAGS name`;
+    `SHOW PARTITIONS name` (metadata-only per-partition health: files,
+    live rows, recorded data bytes, MoR delete files — the pre-OPTIMIZE
+    observability question);
     `VACUUM name [RETAIN n HOURS]`;
     `OPTIMIZE name [ZORDER BY (cols)]` → `compact_manifest`;
     `MAINTAIN TABLE name [DRY RUN]` → the metadata-planned health pass
@@ -500,8 +503,8 @@ def _route_statement(
         if re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.IGNORECASE):
             return _catalog_ddl(spark, catalog_path, tables, "show", sql)
         sm = re.match(
-            r"\s*SHOW\s+(?:CREATE\s+TABLE|TAGS(?:\s+FROM|\s+IN)?)\s+"
-            r"([A-Za-z_]\w*)\s*$",
+            r"\s*SHOW\s+(?:CREATE\s+TABLE|TAGS(?:\s+FROM|\s+IN)?"
+            r"|PARTITIONS)\s+([A-Za-z_]\w*)\s*$",
             sql, re.IGNORECASE,
         )
         if sm and (
@@ -509,7 +512,9 @@ def _route_statement(
             or re.match(r"\s*SHOW\s+TAGS\b", sql, re.IGNORECASE)
         ):
             # SHOW TAGS always routes (a missing name must raise the
-            # catalog's FileNotFoundError, not Spark's parse error)
+            # catalog's FileNotFoundError, not Spark's parse error);
+            # SHOW PARTITIONS of a non-cataloged name falls through to
+            # Spark's own verb (session-catalog partitioned tables)
             return _catalog_ddl(spark, catalog_path, tables, "show", sql)
         return spark.sql(sql)  # SHOW DATABASES/FUNCTIONS/... untouched
     if verb == "create":
@@ -2539,6 +2544,50 @@ def _catalog_ddl(
             return spark.createDataFrame(
                 [(s,) for s in stmts], "createtab_stmt string"
             )
+        mp = re.match(
+            r"\s*SHOW\s+PARTITIONS\s+([A-Za-z_]\w*)\s*$",
+            sql, re.IGNORECASE,
+        )
+        if mp:
+            # per-partition health/observability, METADATA-ONLY (zero
+            # file I/O — the "which partitions are fat / fragmented /
+            # delete-laden" question a 100 TB operator asks before
+            # OPTIMIZE or MAINTAIN TABLE): value, files, live rows,
+            # recorded uncompressed data bytes (NULL for pre-round-10
+            # commits that predate per-file bytes), MoR delete files
+            name = mp.group(1)
+            if name not in tables:
+                raise FileNotFoundError(f"no table {name!r} in the catalog")
+            e = tables[name]
+            mft = sinks.read_manifest(
+                e["path"], resolve_manifest_ref(e["path"], e.get("ref"))
+            )
+            rows = []
+            for key in sorted(mft["partitions"]):
+                entry = mft["partitions"][key]
+                fl = entry.get("files")
+                if fl is None:
+                    rows.append((entry.get("value", key), None, None,
+                                 None, 0))
+                    continue
+                nbytes = (
+                    sum(fm["bytes"] for fm in fl)
+                    if fl and all("bytes" in fm for fm in fl)
+                    else None
+                )
+                rows.append((
+                    entry.get("value", key),
+                    len(fl),
+                    sum(fm["rows"] for fm in fl)
+                    - sinks._entry_delete_rows(entry),
+                    nbytes,
+                    len(entry.get("deletes") or ()),
+                ))
+            return spark.createDataFrame(
+                rows,
+                "partition string, files long, rows long, "
+                "data_bytes long, delete_files long",
+            )
         mt = re.match(
             r"\s*SHOW\s+TAGS\s+(?:FROM\s+|IN\s+)?([A-Za-z_]\w*)\s*$",
             sql, re.IGNORECASE,
@@ -2556,7 +2605,8 @@ def _catalog_ddl(
         if not re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.IGNORECASE):
             raise ValueError(
                 "unsupported SHOW statement — SHOW TABLES, "
-                "SHOW TAGS <name>, or SHOW CREATE TABLE <name>"
+                "SHOW TAGS <name>, SHOW PARTITIONS <name>, or "
+                "SHOW CREATE TABLE <name>"
             )
         rows = [
             (n, e["path"], None if e.get("ref") is None else str(e["ref"]))

@@ -551,3 +551,33 @@ def test_describe_detail_and_show_tags(spark, tmp_path):
         CAT.catalog_sql(spark, cat, "SHOW TAGS ghost")
     # DESCRIBE of a non-cataloged target keeps the established policy:
     # pass through to Spark's own statement (which then errors its way)
+
+
+def test_show_partitions_metadata_only(spark, tmp_path):
+    """SHOW PARTITIONS: per-partition files/rows/recorded-bytes/delete
+    counts from the manifest alone — the pre-OPTIMIZE observability
+    question, zero file I/O; missing names raise the catalog's error;
+    a non-cataloged name falls through to Spark's own verb."""
+    cat, t = _seed(spark, tmp_path)
+    out = CAT.catalog_sql(spark, cat, "SHOW PARTITIONS src")
+    assert out.columns == [
+        "partition", "files", "rows", "data_bytes", "delete_files"
+    ]
+    rows = {r.partition: r for r in out.collect()}
+    assert set(rows) == {"0", "1", "2", "3"}
+    assert all(r.files >= 1 and r.data_bytes > 0 for r in rows.values())
+    assert sum(r.rows for r in rows.values()) == 20
+    assert all(r.delete_files == 0 for r in rows.values())
+    # MoR delete shows up in its partition's delete_files and live rows
+    sinks.delete_manifest_rows(spark, t, [("k", "=", 4)], mode="mor")
+    rows2 = {
+        r.partition: r
+        for r in CAT.catalog_sql(spark, cat, "SHOW PARTITIONS src").collect()
+    }
+    assert rows2["0"].delete_files == 1
+    assert rows2["0"].rows == rows["0"].rows - 1
+    # non-cataloged name falls through to Spark's own SHOW PARTITIONS
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        CAT.catalog_sql(spark, cat, "SHOW PARTITIONS nope")
