@@ -290,7 +290,10 @@ def catalog_sql(
 
     `SELECT COUNT(*) [AS a] FROM t [WHERE simple conjunction]` is
     answered from manifest metadata (`manifest_count`) — zero files
-    opened without a predicate; always exact.
+    opened without a predicate; always exact. `SELECT <pcol>, COUNT(*)
+    FROM t [WHERE <pcol conj>] GROUP BY <pcol>` on an
+    identity-partitioned table is likewise metadata-only (the partition
+    histogram; see `_group_count_fast_path`).
 
     `EXPLAIN <select>` returns the manifest planner's decision record
     instead of the result — one row per cataloged reference: pinned
@@ -398,6 +401,8 @@ def catalog_sql(
         fast = _count_star_fast_path(spark, tables, sql, travel)
         if fast is None:
             fast = _min_max_fast_path(spark, tables, sql, travel)
+        if fast is None:
+            fast = _group_count_fast_path(spark, tables, sql, travel)
         if fast is not None:
             return fast
     refs = _relation_refs(sql, tables)
@@ -612,6 +617,120 @@ def _count_star_fast_path(
     )
 
 
+def _group_count_fast_path(
+    spark: SparkSession, tables: dict, sql: str, travel: dict
+):
+    """`SELECT <pcol>, COUNT(*) [AS a] FROM t [WHERE <simple conj on
+    pcol>] GROUP BY <pcol>` answered from manifest metadata when `t` is
+    IDENTITY-partitioned on `pcol` — the partition histogram, the first
+    query an operator runs against a 100 TB table ("how big is each
+    day?"), with zero files opened. Exact: per-partition recorded rows
+    minus recorded MoR-delete rows (delete files list unique live
+    positions by construction); every partition value is a single
+    manifest entry under identity partitioning, and a WHERE restricted
+    to pcol conjuncts prunes whole entries. Pre-stats entries, transform
+    layouts, non-pcol predicates, or a NULL-partition entry on a query
+    whose grouping would need typed NULL handling all return None — the
+    normal plan, never a wrong answer. Column order/naming matches
+    plain spark.sql (`count(1)` unaliased)."""
+    import re
+
+    from .sinks import _entry_delete_rows, parse_predicates, read_manifest
+
+    m = re.match(
+        r"\s*SELECT\s+([A-Za-z_]\w*)\s*,\s*COUNT\s*\(\s*\*\s*\)\s*"
+        r"(?:AS\s+([A-Za-z_]\w*))?\s+FROM\s+([A-Za-z_]\w*)"
+        r"\s*(?:WHERE\s+(.+?))?\s+GROUP\s+BY\s+([A-Za-z_]\w*)\s*$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    pcol, alias, name, where, gcol = m.groups()
+    if pcol != gcol or name not in tables or name.lower() in _cte_names(
+        _strip_sql_strings(sql)
+    ):
+        return None
+    e = tables[name]
+    v = travel.get(name)
+    if v is None:
+        v = resolve_manifest_ref(e["path"], e.get("ref"))
+    mft = read_manifest(e["path"], v)
+    if mft is None or mft.get("schema") is None:
+        return None
+    if mft.get("partition_col") != pcol:
+        return None  # identity partitioning on the grouped column only
+    from pyspark.sql import types as T
+
+    stored = T.StructType.fromJson(mft["schema"])
+    if pcol not in stored.names:
+        return None
+    ptype = stored[pcol].dataType
+    if ptype.simpleString() not in (
+        "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
+    ):
+        return None  # value round-trips through the entry's stored form
+    preds = None
+    if where is not None:
+        try:
+            preds = parse_predicates(where.strip())
+        except ValueError:
+            return None
+        if any(c != pcol for c, _op, _v in preds):
+            return None  # only pcol conjuncts prune whole entries
+    rows = []
+    for key, entry in mft["partitions"].items():
+        files = entry.get("files")
+        if files is None or "value" not in entry:
+            return None  # pre-stats/pre-value entry: take the real plan
+        val = entry["value"]
+        if val is None or key == "null":
+            # NULL partition: GROUP BY emits a NULL group — typed NULL
+            # handling across WHERE ops is not worth the fast path
+            return None
+        # re-type the stored (_enc_part) value to the column's type
+        if ptype.simpleString() == "string":
+            # undo the _enc_part escape ('=null' stores the literal
+            # string 'null'; '==x' stores '=x')
+            if val.startswith("="):
+                val = val[1:]
+        elif ptype.simpleString() == "date":
+            import datetime as _dt
+
+            val = _dt.date.fromisoformat(val)
+        elif ptype.simpleString() == "boolean":
+            val = val in (True, "true", "True")
+        else:
+            val = int(val)
+        if preds is not None:
+            from .sinks import _file_always_matches
+
+            probe = {
+                "rows": 1,
+                "stats": {pcol: {"min": val, "max": val, "nulls": 0}},
+            }
+            try:
+                if not _file_always_matches(probe, preds):
+                    # identity layout: every row in the entry holds
+                    # exactly `val`, so not-always-match = no row matches
+                    continue
+            except TypeError:
+                return None  # incomparable literal/type: normal plan
+        n = sum(fm["rows"] for fm in files) - _entry_delete_rows(entry)
+        if n:
+            rows.append((val, n))
+    _log().debug(
+        "catalog_sql GROUP BY %s COUNT(*) on %s answered from metadata "
+        "(%d groups)", pcol, name, len(rows),
+    )
+    return spark.createDataFrame(
+        sorted(rows),
+        T.StructType([
+            T.StructField(pcol, ptype, True),
+            T.StructField(alias or "count(1)", T.LongType(), False),
+        ]),
+    )
+
+
 # monotone counter for internal view names: unique per process, so two
 # concurrent catalog_sql calls in one SparkSession can never collide
 _VIEW_SEQ = __import__("itertools").count()
@@ -763,6 +882,8 @@ def _explain_select(
             fast = "count_star_metadata_only"
         elif _min_max_fast_path(spark, tables, s, travel) is not None:
             fast = "min_max_metadata_only"
+        elif _group_count_fast_path(spark, tables, s, travel) is not None:
+            fast = "group_count_metadata_only"
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
     # mirror execution exactly: would catalog_sql route this statement
     # through bucket_aligned_join? Then no predicate pushdown/harvesting

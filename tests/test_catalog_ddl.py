@@ -581,3 +581,55 @@ def test_show_partitions_metadata_only(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         CAT.catalog_sql(spark, cat, "SHOW PARTITIONS nope")
+
+
+def test_group_count_metadata_fast_path(spark, tmp_path):
+    """SELECT pcol, COUNT(*) ... GROUP BY pcol on an identity-partitioned
+    table: the partition histogram from metadata, zero files opened;
+    exact under WHERE-on-pcol pruning and MoR deletes; other shapes
+    (non-pcol grouping, non-pcol WHERE) take the real plan."""
+    cat, t = _seed(spark, tmp_path)  # 20 rows, day = k % 4
+
+    q = "SELECT day, COUNT(*) AS n FROM src GROUP BY day"
+    got = CAT.catalog_sql(spark, cat, q)
+    assert got.inputFiles() == []
+    assert sorted((r.day, r.n) for r in got.collect()) == [
+        (0, 5), (1, 5), (2, 5), (3, 5)
+    ]
+    # unaliased naming matches plain spark.sql
+    CAT.register_catalog_views(spark, cat)
+    assert CAT.catalog_sql(
+        spark, cat, "SELECT day, COUNT(*) FROM src GROUP BY day"
+    ).columns == spark.sql(
+        "SELECT day, COUNT(*) FROM src GROUP BY day"
+    ).columns
+
+    # WHERE on the partition column prunes whole entries, still exact
+    w = CAT.catalog_sql(
+        spark, cat,
+        "SELECT day, COUNT(*) AS n FROM src WHERE day >= 2 GROUP BY day",
+    )
+    assert w.inputFiles() == []
+    assert sorted((r.day, r.n) for r in w.collect()) == [(2, 5), (3, 5)]
+
+    # MoR delete subtracts exactly, still metadata-only
+    sinks.delete_manifest_rows(spark, t, [("k", "=", 4)], mode="mor")
+    g2 = CAT.catalog_sql(spark, cat, q)
+    assert g2.inputFiles() == []
+    assert dict((r.day, r.n) for r in g2.collect())[0] == 4
+
+    # EXPLAIN records the fast path
+    ex = CAT.catalog_sql(spark, cat, "EXPLAIN " + q).first()
+    assert ex.fast_path == "group_count_metadata_only"
+    assert ex.files_scanned == 0
+
+    # non-pcol WHERE and non-pcol grouping take the real plan
+    fb = CAT.catalog_sql(
+        spark, cat,
+        "SELECT day, COUNT(*) AS n FROM src WHERE v > 4 GROUP BY day",
+    )
+    assert fb.inputFiles() != []
+    fb2 = CAT.catalog_sql(
+        spark, cat, "SELECT v, COUNT(*) AS n FROM src GROUP BY v"
+    )
+    assert fb2.inputFiles() != []
