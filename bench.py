@@ -383,7 +383,49 @@ def bench_metadata(spark, sf_dir: str) -> dict:
         assert point == full == 1
         n_parts = len(sinks.read_manifest(path)["partitions"])
 
+        # round-10 rows: MIN/MAX with a partition-aligned WHERE (the
+        # watermark probe) and the GROUP BY partition histogram — both
+        # metadata-only, parity-asserted against the scan plan
+        yr = sorted(
+            e["value"] for e in
+            sinks.read_manifest(path)["partitions"].values()
+        )[-1]
+        t0 = time.time()
+        mm = sinks.manifest_column_bounds(
+            path, "o_orderkey", predicates=[("year", "=", yr)],
+            spark=spark,
+        )
+        t_meta_minmax = time.time() - t0
+        t0 = time.time()
+        scan_mm = (
+            sinks.read_manifest_table(spark, path)
+            .filter(F.col("year") == yr)
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .collect()[0]
+        )
+        t_scan_minmax = time.time() - t0
+        assert (mm["min"], mm["max"]) == tuple(scan_mm), (mm, scan_mm)
+
+        t0 = time.time()
+        hist = {
+            e["value"]: sum(f["rows"] for f in e["files"])
+            for e in sinks.read_manifest(path)["partitions"].values()
+        }
+        t_meta_hist = time.time() - t0
+        t0 = time.time()
+        scan_hist = {
+            r["year"]: r["n"]
+            for r in sinks.read_manifest_table(spark, path)
+            .groupBy("year").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        t_scan_hist = time.time() - t0
+        assert hist == scan_hist
+
         return {
+            "minmax_where_meta_sec": round(t_meta_minmax, 3),
+            "minmax_where_scan_sec": round(t_scan_minmax, 3),
+            "group_count_meta_sec": round(t_meta_hist, 4),
+            "group_count_scan_sec": round(t_scan_hist, 3),
             "rows": scan_cnt,
             "partitions": n_parts,
             "count_meta_sec": round(t_meta_count, 3),
