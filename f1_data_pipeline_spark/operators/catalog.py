@@ -325,6 +325,17 @@ def catalog_sql(
     (write the storage clause first: `dim VERSION AS OF 3 FOR BUSINESS
     TIME AS OF '...'`).
 
+    Materialized views in SQL (round 10): `CREATE MATERIALIZED VIEW
+    name [LOCATION '<path>'] AS SELECT <groups + aliased aggregates>
+    FROM <cataloged table> GROUP BY <groups>` materializes the rollup
+    through `refresh_rollup` (operators/matview.py) and stores the spec
+    in the target's app metadata; `REFRESH MATERIALIZED VIEW name`
+    recomputes only changed source partitions (the auto-chooser may
+    elect a full rebuild past its measured crossover). Supported
+    aggregates: COUNT(*)/COUNT(c)/COUNT(DISTINCT c)/
+    APPROX_COUNT_DISTINCT(c)/SUM/MIN/MAX/AVG; a hidden-partitioned
+    source groups by `days|months|years|hours(col) AS name`.
+
     Time travel in SQL (Delta/Iceberg syntax, both accepted):
     `FROM t [FOR] VERSION AS OF 3`, `FROM t [FOR] VERSION AS OF 'tag'`,
     `FROM t [FOR] TIMESTAMP AS OF '2024-03-05 12:00:00'` (latest commit
@@ -480,6 +491,7 @@ _TARGET_RES = {
     "maintain": r"\s*MAINTAIN\s+TABLE\s+([A-Za-z_]\w*)",
     "alter": r"\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)",
     "restore": r"\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)",
+    "refresh": r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)",
 }
 
 
@@ -496,12 +508,18 @@ def _route_statement(
 
     m = re.match(
         r"\s*(insert|delete|update|merge|create|drop|show|describe"
-        r"|desc|vacuum|optimize|maintain|alter|restore)\b",
+        r"|desc|vacuum|optimize|maintain|alter|restore|refresh)\b",
         sql, re.IGNORECASE,
     )
     if not m:
         return None
     verb = m.group(1).lower()
+    if verb == "refresh":
+        rm = re.match(_TARGET_RES["refresh"], sql, re.IGNORECASE)
+        if not rm or rm.group(1) not in tables:
+            # REFRESH TABLE / non-cataloged MV: Spark's own statement
+            return spark.sql(sql)
+        return _refresh_matview(spark, catalog_path, tables, rm.group(1))
     if verb == "desc":
         verb = "describe"
     if verb == "show":
@@ -523,6 +541,11 @@ def _route_statement(
             return _catalog_ddl(spark, catalog_path, tables, "show", sql)
         return spark.sql(sql)  # SHOW DATABASES/FUNCTIONS/... untouched
     if verb == "create":
+        mv = re.match(
+            r"\s*CREATE\s+MATERIALIZED\s+VIEW\b", sql, re.IGNORECASE
+        )
+        if mv:
+            return _create_matview(spark, catalog_path, tables, sql)
         cm = re.match(_CREATE_TABLE_RE, sql, re.IGNORECASE | re.DOTALL)
         loc = cm.group(4) if cm else None
         if cm and (
@@ -2229,6 +2252,213 @@ def _top_level_keyword(sql: str, kw: str, start: int = 0) -> int:
         elif depth == 0 and m.start() >= start:
             return m.start()
     return -1
+
+
+# supported transforms for a derived group column in a materialized
+# view's SELECT list (`days(ts) AS day`) — must match the SOURCE's own
+# hidden-partition spec, which refresh_rollup validates
+_MV_TRANSFORMS = ("days", "months", "years", "hours")
+
+
+def _parse_mv_query(body: str, tables: dict):
+    """Parse the one GROUP-BY rollup shape `CREATE MATERIALIZED VIEW`
+    accepts into refresh_rollup's (source name, group_cols, aggs).
+    Every aggregate needs an alias (it names the target column);
+    unsupported expressions raise loudly — never a silently-different
+    view."""
+    import re
+
+    bm = re.match(
+        r"\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s+"
+        r"GROUP\s+BY\s+(.+?)\s*$",
+        body, re.IGNORECASE | re.DOTALL,
+    )
+    if not bm:
+        raise ValueError(
+            "unsupported materialized-view query — expected "
+            "SELECT <group cols + aggregates> FROM <cataloged table> "
+            "GROUP BY <group cols>"
+        )
+    sel, src, gb = bm.groups()
+    if src not in tables:
+        raise FileNotFoundError(f"no table {src!r} in the catalog")
+    gb_items = [g.strip() for g in _split_top_commas(gb)]
+    group_cols: list = []
+    aggs: dict = {}
+    covered: set[str] = set()
+    for part in _split_top_commas(sel):
+        p = part.strip()
+        pm = re.match(r"^([A-Za-z_]\w*)$", p)
+        if pm:
+            group_cols.append(pm.group(1))
+            covered.add(pm.group(1).lower())
+            continue
+        dm = re.match(
+            rf"^({'|'.join(_MV_TRANSFORMS)})\s*\(\s*([A-Za-z_]\w*)\s*\)"
+            rf"\s+AS\s+([A-Za-z_]\w*)$",
+            p, re.IGNORECASE,
+        )
+        if dm:
+            tf, col, alias = dm.groups()
+            spec = f"{tf.lower()}({col})"
+            group_cols.append((alias, spec))
+            covered.add(alias.lower())
+            covered.add(re.sub(r"\s+", "", spec).lower())
+            continue
+        am = re.match(
+            r"^COUNT\s*\(\s*\*\s*\)\s+AS\s+([A-Za-z_]\w*)$",
+            p, re.IGNORECASE,
+        )
+        if am:
+            aggs[am.group(1)] = ("count", "*")
+            continue
+        am = re.match(
+            r"^COUNT\s*\(\s*DISTINCT\s+([A-Za-z_]\w*)\s*\)\s+AS\s+"
+            r"([A-Za-z_]\w*)$",
+            p, re.IGNORECASE,
+        )
+        if am:
+            aggs[am.group(2)] = ("count_distinct", am.group(1))
+            continue
+        am = re.match(
+            r"^APPROX_COUNT_DISTINCT\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+"
+            r"([A-Za-z_]\w*)$",
+            p, re.IGNORECASE,
+        )
+        if am:
+            aggs[am.group(2)] = ("approx_distinct", am.group(1))
+            continue
+        am = re.match(
+            r"^(SUM|MIN|MAX|AVG|COUNT)\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+"
+            r"([A-Za-z_]\w*)$",
+            p, re.IGNORECASE,
+        )
+        if am:
+            aggs[am.group(3)] = (am.group(1).lower(), am.group(2))
+            continue
+        raise ValueError(
+            f"unsupported materialized-view SELECT item {p!r} — "
+            "supported: group columns, days|months|years|hours(col) AS "
+            "name, and COUNT(*)/COUNT(c)/COUNT(DISTINCT c)/"
+            "APPROX_COUNT_DISTINCT(c)/SUM/MIN/MAX/AVG(c), each "
+            "aggregate WITH an alias"
+        )
+    if not aggs or not group_cols:
+        raise ValueError(
+            "a materialized view needs at least one group column and "
+            "one aggregate"
+        )
+    want = {re.sub(r"\s+", "", g).lower() for g in gb_items}
+    if want - covered or len(gb_items) != len(group_cols):
+        raise ValueError(
+            f"GROUP BY list {gb_items} must name exactly the SELECT "
+            "list's group columns (by name, alias, or transform text)"
+        )
+    return src, group_cols, aggs
+
+
+def _create_matview(
+    spark: SparkSession, catalog_path: str, tables: dict, sql: str
+) -> DataFrame:
+    """`CREATE MATERIALIZED VIEW name [LOCATION '<path>'] AS SELECT
+    <groups + aggregates> FROM <cataloged table> GROUP BY <groups>` —
+    the matview engine (operators/matview.py refresh_rollup) as SQL.
+    The view materializes as its own manifest table; the rollup spec
+    lands in the target's app metadata in the SAME initial commit path,
+    so `REFRESH MATERIALIZED VIEW name` later recomputes ONLY changed
+    source partitions with no Python-side spec to carry around."""
+    import re
+
+    from . import matview as MV
+    from .sinks import manifest_set_app_metadata
+
+    m = re.match(
+        r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)"
+        r"(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(.+)$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported CREATE MATERIALIZED VIEW shape — expected "
+            "CREATE MATERIALIZED VIEW <name> [LOCATION '<path>'] AS "
+            "SELECT ... FROM <table> GROUP BY ..."
+        )
+    name, loc, body = m.groups()
+    if name in tables:
+        raise ValueError(f"table {name!r} already exists in the catalog")
+    src, group_cols, aggs = _parse_mv_query(body, tables)
+    src_path = tables[src]["path"]
+    if tables[src].get("ref") is not None:
+        raise ValueError(
+            f"source {src!r} is pinned in the catalog — a materialized "
+            "view maintains itself against the LIVE table"
+        )
+    tgt = loc or os.path.join(catalog_path, "tables", name)
+    r = MV.refresh_rollup(spark, src_path, tgt, group_cols, aggs)
+    manifest_set_app_metadata(spark, tgt, {
+        "matview_sql": {
+            "source": src,
+            "group_cols": [
+                list(g) if isinstance(g, tuple) else g for g in group_cols
+            ],
+            "aggs": {k: list(v) for k, v in aggs.items()},
+        },
+    })
+    catalog_create_table(catalog_path, name, tgt)
+    return _mv_metrics_df(spark, r)
+
+
+def _refresh_matview(
+    spark: SparkSession, catalog_path: str, tables: dict, name: str
+) -> DataFrame:
+    """`REFRESH MATERIALIZED VIEW name`: re-run the rollup stored in the
+    target's app metadata — incremental over changed source partitions,
+    with refresh_rollup's auto-chooser deciding incremental vs full."""
+    from . import matview as MV
+    from .sinks import manifest_app_metadata
+
+    e = tables[name]
+    spec = manifest_app_metadata(e["path"]).get("matview_sql")
+    if not spec:
+        raise ValueError(
+            f"table {name!r} is not a SQL materialized view (no "
+            "matview_sql spec in its app metadata) — create it with "
+            "CREATE MATERIALIZED VIEW, or refresh Python-maintained "
+            "rollups with matview.refresh_rollup directly"
+        )
+    src = spec["source"]
+    if src not in tables:
+        raise FileNotFoundError(
+            f"materialized view {name!r} reads from {src!r}, which is "
+            "no longer in the catalog"
+        )
+    group_cols = [
+        tuple(g) if isinstance(g, list) else g for g in spec["group_cols"]
+    ]
+    aggs = {k: tuple(v) for k, v in spec["aggs"].items()}
+    r = MV.refresh_rollup(
+        spark, tables[src]["path"], e["path"], group_cols, aggs
+    )
+    return _mv_metrics_df(spark, r)
+
+
+def _mv_metrics_df(spark: SparkSession, r: dict) -> DataFrame:
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [(
+            str(r.get("strategy")),
+            int(r.get("source_version") or 0),
+            int(r.get("partitions_refreshed") or 0),
+            int(r.get("partitions_dropped") or 0),
+        )],
+        T.StructType([
+            T.StructField("strategy", T.StringType(), False),
+            T.StructField("source_version", T.LongType(), False),
+            T.StructField("partitions_refreshed", T.LongType(), False),
+            T.StructField("partitions_dropped", T.LongType(), False),
+        ]),
+    )
 
 
 def _catalog_dml(
