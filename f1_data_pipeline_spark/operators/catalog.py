@@ -3052,6 +3052,22 @@ def _catalog_ddl(
             out.append(("# layout", _json_text(layout), ""))
         for cname, expr in (mft.get("constraints") or {}).items():
             out.append((f"# check:{cname}", expr, ""))
+        mv_spec = (mft.get("app") or {}).get("matview_sql")
+        if mv_spec:
+            out.append((
+                "# materialized view",
+                f"FROM {mv_spec['source']} GROUP BY "
+                + ", ".join(
+                    g[1] + " AS " + g[0] if isinstance(g, list) else g
+                    for g in mv_spec["group_cols"]
+                )
+                + " | "
+                + ", ".join(
+                    f"{a}={op}({c})"
+                    for a, (op, c) in sorted(mv_spec["aggs"].items())
+                ),
+                "",
+            ))
         out.append(("# version", str(mft["version"]), ""))
         return spark.createDataFrame(
             out, "col_name string, data_type string, comment string"

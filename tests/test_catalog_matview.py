@@ -127,3 +127,17 @@ def test_matview_over_hidden_partitioned_source(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_describe_shows_matview_spec(spark, tmp_path):
+    cat, _ = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, COUNT(*) AS n FROM src GROUP BY day",
+    )
+    desc = {
+        r.col_name: r.data_type
+        for r in CAT.catalog_sql(spark, cat, "DESCRIBE mv").collect()
+    }
+    assert desc["# materialized view"] == "FROM src GROUP BY day | n=count(*)"
