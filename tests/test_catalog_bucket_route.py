@@ -224,3 +224,86 @@ def test_route_respects_time_travel_pins(spark, star):
     )
     assert "Join" not in _plan(pinned)
     assert pinned.count() == live.count()  # late keys have no fact rows
+
+
+# ---------------------------------------------------------------------------
+# Property: for randomly generated queries inside the routable grammar,
+# the routed plan is result-identical to the shuffled plan (the router's
+# whole contract — any mismatch is a soundness bug, not a perf bug).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_COLS_F = ["f.ok", "f.total", "f.flag"]
+_COLS_D = ["d.name", "d.seg", "d.ck"]
+_PREDS = [
+    "f.flag < 3", "d.seg = 1", "f.ok % 7 = 0", "d.seg <> 2",
+    "f.total > 50", "d.name LIKE 'c1%'",
+]
+
+
+@st.composite
+def _routable_query(draw):
+    cols = draw(
+        st.lists(
+            st.sampled_from(_COLS_F + _COLS_D),
+            min_size=1, max_size=4, unique=True,
+        )
+    )
+    sel = ", ".join(
+        f"{c} AS c{i}" for i, c in enumerate(cols)
+    )
+    on_extra = draw(st.lists(st.sampled_from(_PREDS), max_size=2,
+                             unique=True))
+    on = " AND ".join(["f.ck = d.ck"] + on_extra)
+    where = draw(st.lists(st.sampled_from(_PREDS), max_size=2,
+                          unique=True))
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    wc = f" WHERE {joiner.join(where)}" if where else ""
+    order = ", ".join(f"c{i}" for i in range(len(cols)))
+    return (
+        f"SELECT {sel} FROM fact f JOIN dim d ON {on}{wc} "
+        f"ORDER BY {order}"
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_routable_query())
+def test_property_routed_equals_shuffled(spark, star_session, q):
+    routed = CAT.catalog_sql(spark, star_session, q)
+    shuffled = CAT.catalog_sql(spark, star_session, q, bucket_joins=False)
+    assert _rows(routed) == _rows(shuffled), q
+    assert "Join" not in _plan(routed), q
+
+
+@pytest.fixture(scope="module")
+def star_session(spark, tmp_path_factory):
+    """Module-scoped star fixture for the property test (hypothesis
+    re-invokes the test body many times; rebuilding the tables per
+    example would dominate the run)."""
+    tmp = tmp_path_factory.mktemp("bucket_prop")
+    fact_p, dim_p, cat = str(tmp / "f"), str(tmp / "d"), str(tmp / "cat")
+    fact = spark.range(2000).select(
+        F.col("id").alias("ok"),
+        (F.col("id") % 97).alias("ck"),
+        (F.col("id") * 1.5).alias("total"),
+        (F.col("id") % 5).alias("flag"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, fact, fact_p, keys=["ok"], partition_col="bucket(8, ck)"
+    )
+    dim = spark.range(97).select(
+        F.col("id").alias("ck"),
+        F.concat(F.lit("c"), F.col("id")).alias("name"),
+        (F.col("id") % 3).alias("seg"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, dim, dim_p, keys=["ck"], partition_col="bucket(8, ck)"
+    )
+    CAT.catalog_create_table(cat, "fact", fact_p)
+    CAT.catalog_create_table(cat, "dim", dim_p)
+    return cat
