@@ -2620,8 +2620,11 @@ def _catalog_dml(
     )
     if sm:
         from . import scd
-        from .sinks import read_manifest
 
+        # NOTE: read_manifest comes from the MODULE-level import — a
+        # function-local `from .sinks import read_manifest` here would
+        # make the name local to the whole function and break the
+        # INSERT branch above (UnboundLocalError before this line runs)
         name, src_text, _s_alias, splice, spec = sm.groups()
         e = _dml_table(tables, name)
         if src_text.startswith("("):
