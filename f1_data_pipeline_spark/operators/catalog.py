@@ -429,22 +429,34 @@ def catalog_sql(
             from .bucket_join import bucket_aligned_join
 
             _log().debug("catalog_sql bucket-join route: %s", bj["note"])
-            df = bucket_aligned_join(
-                spark,
-                tables[bj["left"]]["path"],
-                tables[bj["right"]]["path"],
-                bj["left_on"],
-                bj["right_on"],
-                how=bj["how"],
-                version_left=versions[bj["left"]],
-                version_right=versions[bj["right"]],
-            )
-            vname = f"__cat_bkt_{next(_VIEW_SEQ)}"
-            df.createOrReplaceTempView(vname)
             try:
-                return spark.sql(bj["new_sql"](vname))
-            finally:
-                spark.catalog.dropTempView(vname)
+                df = bucket_aligned_join(
+                    spark,
+                    tables[bj["left"]]["path"],
+                    tables[bj["right"]]["path"],
+                    bj["left_on"],
+                    bj["right_on"],
+                    how=bj["how"],
+                    version_left=versions[bj["left"]],
+                    version_right=versions[bj["right"]],
+                )
+            except ValueError as err:
+                # the operator's self-defense (hot bucket past
+                # max_pair_bytes, or a layout raced out from under the
+                # match) refuses the ROUTE, not the QUERY — the shuffled
+                # plan below handles any size (round-10 self-review #4)
+                _log().debug(
+                    "bucket-join route abandoned, using the shuffled "
+                    "plan: %s", err,
+                )
+                bj = None
+            if bj is not None:
+                vname = f"__cat_bkt_{next(_VIEW_SEQ)}"
+                df.createOrReplaceTempView(vname)
+                try:
+                    return spark.sql(bj["new_sql"](vname))
+                finally:
+                    spark.catalog.dropTempView(vname)
     preds = _extract_pushdown_predicates(spark, sql, refs, tables)
     if runtime_filters:
         _runtime_join_filters(
@@ -725,19 +737,34 @@ def _group_count_fast_path(
         else:
             val = int(val)
         if preds is not None:
-            from .sinks import _file_always_matches
+            from .sinks import (
+                _file_always_matches,
+                _file_maybe_matches,
+                _stat_norm,
+            )
 
+            # the probe carries the value in STAT-NORMALIZED form (the
+            # space per-file stats and predicate literals compare in),
+            # so always/maybe behave exactly as they do for real files
             probe = {
                 "rows": 1,
-                "stats": {pcol: {"min": val, "max": val, "nulls": 0}},
+                "stats": {
+                    pcol: {
+                        "min": _stat_norm(val), "max": _stat_norm(val),
+                        "nulls": 0,
+                    }
+                },
             }
-            try:
-                if not _file_always_matches(probe, preds):
-                    # identity layout: every row in the entry holds
-                    # exactly `val`, so not-always-match = no row matches
-                    continue
-            except TypeError:
-                return None  # incomparable literal/type: normal plan
+            if _file_always_matches(probe, preds):
+                pass  # identity layout: every entry row matches
+            elif not _file_maybe_matches(probe, preds):
+                continue  # provably no row of this entry matches
+            else:
+                # UNDECIDABLE (incomparable literal type, e.g. a quoted
+                # literal against an int partition that plain Spark
+                # would coerce): take the real plan — never guess a
+                # group away (round-10 self-review finding #1)
+                return None
         n = sum(fm["rows"] for fm in files) - _entry_delete_rows(entry)
         if n:
             rows.append((val, n))
@@ -916,13 +943,24 @@ def _explain_select(
         if bucket_joins and not business else None
     )
     bj_scan: dict[str, tuple[int, int]] = {}
+    bj_refused: str | None = None
     if bj is not None:
         from .bucket_join import plan_bucket_pairs
 
-        pairs = plan_bucket_pairs(
-            tables[bj["left"]]["path"], tables[bj["right"]]["path"],
-            bj["how"], versions[bj["left"]], versions[bj["right"]],
-        )
+        try:
+            pairs = plan_bucket_pairs(
+                tables[bj["left"]]["path"], tables[bj["right"]]["path"],
+                bj["how"], versions[bj["left"]], versions[bj["right"]],
+            )
+        except ValueError as err:
+            # mirror execution: the route abandons on the pair-size
+            # guard and the shuffled plan runs — record why
+            bj_refused = (
+                f"refused: {str(err).splitlines()[0][:120]} "
+                "(shuffled plan used)"
+            )
+            bj = None
+    if bj is not None:
         bj_scan[bj["left"]] = (
             sum(1 for p in pairs if p["left_files"]),
             sum(len(p["left_files"]) for p in pairs),
@@ -948,6 +986,8 @@ def _explain_select(
         )
         ref_preds = _cte_pushdown_predicates(spark, s, refs, tables)
         ba = _bucket_aligned_notes(s, refs, tables, versions)
+        if bj_refused:
+            ba = {k: bj_refused for k in ba}
     rows = []
     totals: dict[str, tuple[int, int]] = {}
     for i, r in enumerate(refs):
@@ -1256,13 +1296,28 @@ def _match_bucket_join(
 
     # rewrite qualified refs in the text OUTSIDE the FROM..ON span
     pre, post = sql[:from_pos], sql[on_end:]
+    # UNQUALIFIED identifiers the view resolves DIFFERENTLY than the
+    # original two-relation scope (round-10 self-review findings #2/#3):
+    # the right key (dropped from the view) and any column both sides
+    # carry (ambiguous in the original — an AnalysisException — but
+    # silently left-resolved in the view, whose colliding right column
+    # was renamed). A bare occurrence of any of these in ANY rewritten
+    # region (SELECT list, residual ON conjuncts, WHERE/GROUP/ORDER
+    # tail) refuses the route; output aliases sharing the name also
+    # refuse — conservative, and the fallback is merely the shuffled
+    # plan.
+    banned = {n for n in rmap if n in lmap}
     if right_on.lower() != left_on.lower():
-        # the right key has no view column; its bare name anywhere in
-        # the remaining text could be meant to resolve to it
-        if re.search(
-            rf"(?<![.\w]){re.escape(right_on)}\b", pre + post, re.IGNORECASE
-        ):
-            return None
+        banned.add(right_on.lower())
+    if banned:
+        bare = re.compile(
+            r"(?<![.\w])(" + "|".join(re.escape(n) for n in banned)
+            + r")\b(?!\s*\.)",
+            re.IGNORECASE,
+        )
+        for region in (pre, post, *residuals):
+            if bare.search(_strip_sql_strings(region)):
+                return None
 
     def _rewrite(region: str) -> str | None:
         out, last = [], 0
@@ -2370,7 +2425,6 @@ def _create_matview(
     import re
 
     from . import matview as MV
-    from .sinks import manifest_set_app_metadata
 
     m = re.match(
         r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)"
@@ -2394,16 +2448,23 @@ def _create_matview(
             "view maintains itself against the LIVE table"
         )
     tgt = loc or os.path.join(catalog_path, "tables", name)
-    r = MV.refresh_rollup(spark, src_path, tgt, group_cols, aggs)
-    manifest_set_app_metadata(spark, tgt, {
-        "matview_sql": {
-            "source": src,
-            "group_cols": [
-                list(g) if isinstance(g, tuple) else g for g in group_cols
-            ],
-            "aggs": {k: list(v) for k, v in aggs.items()},
+    # the spec rides the INITIAL build's own commit (extra_app_metadata)
+    # — no separate spec commit a crash could separate from the data;
+    # a crash before catalog registration resumes cleanly (re-CREATE
+    # finds the built, spec-carrying target and refreshes incrementally)
+    r = MV.refresh_rollup(
+        spark, src_path, tgt, group_cols, aggs,
+        extra_app_metadata={
+            "matview_sql": {
+                "source": src,
+                "group_cols": [
+                    list(g) if isinstance(g, tuple) else g
+                    for g in group_cols
+                ],
+                "aggs": {k: list(v) for k, v in aggs.items()},
+            },
         },
-    })
+    )
     catalog_create_table(catalog_path, name, tgt)
     return _mv_metrics_df(spark, r)
 
@@ -2417,7 +2478,9 @@ def _refresh_matview(
     from . import matview as MV
     from .sinks import manifest_app_metadata
 
-    e = tables[name]
+    # a refresh WRITES — the pinned-entry (frozen snapshot) refusal
+    # every DML verb enforces applies here too (self-review finding #5)
+    e = _dml_table(tables, name)
     spec = manifest_app_metadata(e["path"]).get("matview_sql")
     if not spec:
         raise ValueError(

@@ -165,6 +165,7 @@ def refresh_rollup(
     group_cols: Sequence[str],
     aggs: dict,
     full_recompute_fraction: float = 0.8,
+    extra_app_metadata: dict | None = None,
 ) -> dict:
     """Incremental refresh of `SELECT group_cols, aggs FROM source GROUP BY
     group_cols` into the manifest table at `target_path`, recomputing ONLY
@@ -204,6 +205,12 @@ def refresh_rollup(
     loses at 100% changed on the larger table (1.4×), so 0.8 is the
     measured default). Anything > 1 forces always-incremental; 0.0
     forces always-full.
+
+    `extra_app_metadata` merges into the watermark stamp of every
+    commit this refresh makes — callers persisting their own spec
+    beside the view (the SQL console's `matview_sql`) get it in the
+    SAME atomic commit as the data, never a second commit a crash can
+    separate.
 
     Returns {"source_version", "partitions_refreshed",
     "partitions_dropped", "noop", "strategy"} — strategy ∈ {initial,
@@ -292,7 +299,10 @@ def refresh_rollup(
             strategy = "incremental"
     present = [k for k, st in changed.items() if st != "removed"]
     removed = [k for k, st in changed.items() if st == "removed"]
-    stamp = {WATERMARK_KEY: s_latest, "mv_source": source_path}
+    stamp = {
+        WATERMARK_KEY: s_latest, "mv_source": source_path,
+        **(extra_app_metadata or {}),
+    }
     if not changed:
         # versions moved without partition changes (retention churn):
         # advance the watermark alone so future refreshes no-op cheaply

@@ -633,3 +633,50 @@ def test_group_count_metadata_fast_path(spark, tmp_path):
         spark, cat, "SELECT v, COUNT(*) AS n FROM src GROUP BY v"
     )
     assert fb2.inputFiles() != []
+
+
+def test_group_count_undecidable_predicates_take_the_plan(spark, tmp_path):
+    """Round-10 self-review #1: an UNDECIDABLE predicate comparison
+    (date literal vs date partition value, quoted literal vs int
+    partition — plain Spark coerces both) must take the real plan, not
+    silently drop groups as 'no match'."""
+    import datetime as dt
+
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 6, 1 + i % 4), i * 1.0) for i in range(20)],
+        "k long, d date, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, t, keys=["k"],
+                                partition_col="d")
+    CAT.catalog_create_table(cat, "dt", t)
+    # date-typed groups WITHOUT a WHERE answer from metadata
+    base = CAT.catalog_sql(
+        spark, cat, "SELECT d, COUNT(*) AS n FROM dt GROUP BY d"
+    )
+    assert base.inputFiles() == []
+    assert sum(r.n for r in base.collect()) == 20
+    # date literal WHERE: metadata answers only if DECIDED; either way
+    # the result must match the real plan
+    q = ("SELECT d, COUNT(*) AS n FROM dt "
+         "WHERE d >= DATE '2024-06-03' GROUP BY d")
+    got = sorted(
+        (str(r.d), r.n) for r in CAT.catalog_sql(spark, cat, q).collect()
+    )
+    spark.sql("SELECT 1")  # keep session warm
+    want = sorted(
+        (str(r.d), r.n)
+        for r in sinks.read_manifest_table(spark, t)
+        .filter(F.col("d") >= F.lit("2024-06-03").cast("date"))
+        .groupBy("d").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert got == want and len(got) == 2
+    # quoted literal against an int partition (Spark coerces): the
+    # original int-partitioned fixture
+    cat2, _t2 = _seed(spark, tmp_path / "intfixture")
+    got2 = CAT.catalog_sql(
+        spark, cat2,
+        "SELECT day, COUNT(*) AS n FROM src WHERE day = '2' GROUP BY day",
+    ).collect()
+    assert [(r.day, r.n) for r in got2] == [(2, 5)]

@@ -141,3 +141,27 @@ def test_describe_shows_matview_spec(spark, tmp_path):
         for r in CAT.catalog_sql(spark, cat, "DESCRIBE mv").collect()
     }
     assert desc["# materialized view"] == "FROM src GROUP BY day | n=count(*)"
+
+
+def test_mv_spec_lands_in_the_initial_commit(spark, tmp_path):
+    """Round-10 self-review #6: the rollup spec rides the initial
+    build's OWN commit (extra_app_metadata) — version 1 of the target
+    already carries matview_sql, so no crash window can separate data
+    from spec; a pinned catalog entry refuses REFRESH like every other
+    write verb (#5)."""
+    cat, _ = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, COUNT(*) AS n FROM src GROUP BY day",
+    )
+    tgt = CAT.catalog_tables(cat)["mv"]["path"]
+    v1 = sinks.read_manifest(tgt, 1)
+    assert v1["version"] == 1
+    assert "matview_sql" in (v1.get("app") or {})
+
+    # pinned (frozen) entry: REFRESH refused like DML
+    CAT.catalog_sql(spark, cat, "DROP TABLE mv")
+    CAT.catalog_create_table(cat, "mv", tgt, ref=1)
+    with pytest.raises(ValueError, match="pinned"):
+        CAT.catalog_sql(spark, cat, "REFRESH MATERIALIZED VIEW mv")
