@@ -102,6 +102,8 @@ def plan_bucket_pairs(
     version_left: int | None = None,
     version_right: int | None = None,
     max_pair_bytes: int | None = DEFAULT_MAX_PAIR_BYTES,
+    left_predicates=None,
+    right_predicates=None,
 ) -> list[dict]:
     """The driver-side plan: one dict per bucket pair that can produce
     output — {'bucket', 'left_files', 'left_deletes', 'right_files',
@@ -119,19 +121,64 @@ def plan_bucket_pairs(
     a skewed hot bucket used to be a mid-join executor OOM; now it is a
     loud plan-time error naming the bucket and the remedies. Pass
     `max_pair_bytes=None` to disable (or a larger budget for big-memory
-    executors)."""
+    executors).
+
+    `left_predicates` / `right_predicates` (simple (col, op, value)
+    conjunctions in LOGICAL column names, `parse_predicates` shape)
+    engage per-file STATS PRUNING inside each bucket: files whose
+    recorded bounds prove no row satisfies the conjunction are dropped
+    from the pair's scan list, and a side emptied by pruning drops the
+    whole pair for inner joins. Scan avoidance only — the caller must
+    still apply the predicates as row filters (catalog_sql's router
+    keeps the WHERE in the rewritten statement). For `how='left'` only
+    `left_predicates` are accepted: pruning RIGHT rows would flip
+    matched left rows to null-extended, changing the result."""
     from .arrow_read import entry_paths
+    from .sinks import _file_maybe_matches, _map_predicates, _phys_map
 
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    nl, _, left_entries, _ = _bucket_layout(left_path, version_left)
-    nr, _, right_entries, _ = _bucket_layout(right_path, version_right)
+    if how == "left" and right_predicates:
+        raise ValueError(
+            "right_predicates with how='left' would change which rows "
+            "null-extend — apply right-side filters post-join instead"
+        )
+    nl, _, left_entries, sl = _bucket_layout(left_path, version_left)
+    nr, _, right_entries, sr = _bucket_layout(right_path, version_right)
     if nl != nr:
         raise ValueError(
             f"bucket counts differ ({nl} vs {nr}) — co-located joins "
             "need identical N; re-bucket one side (set_layout) or use "
             "the shuffled join"
         )
+    lpreds = (
+        list(_map_predicates(left_predicates, _phys_map(sl)))
+        if left_predicates else None
+    )
+    rpreds = (
+        list(_map_predicates(right_predicates, _phys_map(sr)))
+        if right_predicates else None
+    )
+
+    def _side(path: str, entry: dict, preds) -> tuple[list, list, int]:
+        """(kept data paths, delete dirs, kept bytes) after stats
+        pruning; pre-stats entries read whole (never mispruned)."""
+        files = entry.get("files")
+        if preds is None or files is None:
+            f, d = entry_paths(path, entry)
+            return f, d, _entry_bytes(path, entry)
+        kept = [fm for fm in files if _file_maybe_matches(fm, preds)]
+        pref = os.path.join(path, entry["prefix"])
+        paths = [os.path.join(pref, fm["name"]) for fm in kept]
+        nbytes = sum(
+            fm["bytes"] if "bytes" in fm else os.path.getsize(p)
+            for fm, p in zip(kept, paths)
+        )
+        dels = [
+            os.path.join(path, d["prefix"])
+            for d in entry.get("deletes") or ()
+        ]
+        return paths, dels, nbytes
 
     plans: list[dict] = []
     for key, le in sorted(left_entries.items()):
@@ -140,12 +187,16 @@ def plan_bucket_pairs(
         re_ = right_entries.get(key) if key != "null" else None
         if re_ is None and how == "inner":
             continue
-        lf, ld = entry_paths(left_path, le)
-        rf, rd = (entry_paths(right_path, re_)
-                  if re_ is not None else ([], []))
-        pair_bytes = _entry_bytes(left_path, le) + (
-            _entry_bytes(right_path, re_) if re_ is not None else 0
+        lf, ld, lbytes = _side(left_path, le, lpreds)
+        rf, rd, rbytes = (
+            _side(right_path, re_, rpreds)
+            if re_ is not None else ([], [], 0)
         )
+        if not lf:
+            continue  # every left row provably fails the conjunction
+        if how == "inner" and not rf:
+            continue
+        pair_bytes = lbytes + rbytes
         if max_pair_bytes is not None and pair_bytes > max_pair_bytes:
             raise ValueError(
                 f"bucket {key!r} pair holds {pair_bytes:,} data bytes "
@@ -210,6 +261,8 @@ def bucket_aligned_join(
     version_left: int | None = None,
     version_right: int | None = None,
     max_pair_bytes: int | None = DEFAULT_MAX_PAIR_BYTES,
+    left_predicates=None,
+    right_predicates=None,
 ) -> DataFrame:
     """Join two co-bucketed manifest tables without shuffling either.
 
@@ -253,6 +306,8 @@ def bucket_aligned_join(
     plans = plan_bucket_pairs(
         left_path, right_path, how, version_left, version_right,
         max_pair_bytes=max_pair_bytes,
+        left_predicates=left_predicates,
+        right_predicates=right_predicates,
     )
     if not plans:
         return spark.createDataFrame([], out_schema)

@@ -429,6 +429,14 @@ def catalog_sql(
             from .bucket_join import bucket_aligned_join
 
             _log().debug("catalog_sql bucket-join route: %s", bj["note"])
+            # the WHERE's sound conjuncts still prune FILES inside each
+            # bucket (the scan avoidance routing would otherwise lose);
+            # they stay in the rewritten SQL as row filters, so this is
+            # I/O-only. Right-side pruning is inner-join-only (a LEFT
+            # join's null-extension must see every right row).
+            scan_preds = _extract_pushdown_predicates(
+                spark, sql, refs, tables
+            )
             try:
                 df = bucket_aligned_join(
                     spark,
@@ -439,6 +447,11 @@ def catalog_sql(
                     how=bj["how"],
                     version_left=versions[bj["left"]],
                     version_right=versions[bj["right"]],
+                    left_predicates=scan_preds.get(bj["left"]),
+                    right_predicates=(
+                        scan_preds.get(bj["right"])
+                        if bj["how"] == "inner" else None
+                    ),
                 )
             except ValueError as err:
                 # the operator's self-defense (hot bucket past
@@ -947,10 +960,16 @@ def _explain_select(
     if bj is not None:
         from .bucket_join import plan_bucket_pairs
 
+        bj_preds = _extract_pushdown_predicates(spark, s, refs, tables)
         try:
             pairs = plan_bucket_pairs(
                 tables[bj["left"]]["path"], tables[bj["right"]]["path"],
                 bj["how"], versions[bj["left"]], versions[bj["right"]],
+                left_predicates=bj_preds.get(bj["left"]),
+                right_predicates=(
+                    bj_preds.get(bj["right"])
+                    if bj["how"] == "inner" else None
+                ),
             )
         except ValueError as err:
             # mirror execution: the route abandons on the pair-size
@@ -969,7 +988,9 @@ def _explain_select(
             sum(1 for p in pairs if p["right_files"]),
             sum(len(p["right_files"]) for p in pairs),
         )
-        preds, rtf, ref_preds = {}, {}, {}
+        # display the conjuncts the route DID use for in-bucket file
+        # pruning; harvesting/CTE pushdown stay quiet (not applicable)
+        preds, rtf, ref_preds = bj_preds, {}, {}
         ba = {bj["left"]: bj["note"], bj["right"]: bj["note"]}
     else:
         preds = _extract_pushdown_predicates(spark, s, refs, tables)

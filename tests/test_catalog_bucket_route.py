@@ -183,7 +183,10 @@ def test_explain_records_taken_with_bucket_pair_scan(spark, star):
         assert ex[t]["bucket_aligned"].startswith("taken:")
         assert "zero exchange" in ex[t]["bucket_aligned"]
         assert 0 < ex[t]["files_scanned"] <= ex[t]["files_total"]
-        assert ex[t]["pushdown"] == []  # routing skips manifest pushdown
+    # the WHERE's sound conjuncts engage IN-BUCKET file pruning and are
+    # reported per side
+    assert ex["fact"]["pushdown"] == ["flag < 3"]
+    assert ex["dim"]["pushdown"] == ["seg = 1"]
     # opt-out: EXPLAIN mirrors the un-routed plan (eligible note only)
     ex_off = {r["table"]: r for r in CAT.catalog_sql(
         spark, star, "EXPLAIN " + Q, bucket_joins=False
@@ -379,3 +382,67 @@ def test_hot_bucket_route_falls_back_to_shuffled(spark, star, monkeypatch):
     ).collect()}
     assert ex["fact"]["bucket_aligned"].startswith("refused:")
     assert "shuffled plan used" in ex["fact"]["bucket_aligned"]
+
+
+def test_routed_join_prunes_files_inside_buckets(spark, tmp_path):
+    """The WHERE's sound conjuncts prune FILES inside each bucket pair
+    (the scan avoidance routing would otherwise lose): two commits with
+    disjoint flag values give every bucket stats-separable files; a
+    flag predicate halves the fact files opened, result unchanged. For
+    LEFT joins only the left side prunes."""
+    fact_p, dim_p, cat = (
+        str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "cat")
+    )
+    a = spark.range(1000).select(
+        F.col("id").alias("ok"), (F.col("id") % 32).alias("ck"),
+        F.lit(0).alias("flag"), (F.col("id") * 1.0).alias("v"),
+    )
+    b = spark.range(1000, 2000).select(
+        F.col("id").alias("ok"), (F.col("id") % 32).alias("ck"),
+        F.lit(9).alias("flag"), (F.col("id") * 1.0).alias("v"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, a, fact_p, keys=["ok"], partition_col="bucket(4, ck)"
+    )
+    # APPEND the second flag population: new files land beside commit
+    # A's in each bucket, so per-file flag stats separate the commits
+    sinks.insert_into_manifest(spark, b, fact_p)
+    dim = spark.range(32).select(
+        F.col("id").alias("ck"), (F.col("id") % 3).alias("seg"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, dim, dim_p, keys=["ck"], partition_col="bucket(4, ck)"
+    )
+    CAT.catalog_create_table(cat, "fact", fact_p)
+    CAT.catalog_create_table(cat, "dim", dim_p)
+    q = """
+        SELECT f.ok, d.seg FROM fact f JOIN dim d ON f.ck = d.ck
+        WHERE f.flag = 9
+    """
+    routed = CAT.catalog_sql(spark, cat, q)
+    off = CAT.catalog_sql(spark, cat, q, bucket_joins=False)
+    assert _rows(routed) == _rows(off)
+    assert len(_rows(routed)) == 1000
+    ex = {r["table"]: r for r in CAT.catalog_sql(
+        spark, cat, "EXPLAIN " + q
+    ).collect()}
+    assert ex["fact"]["bucket_aligned"].startswith("taken:")
+    # commit-A files (flag=0 only) pruned by stats: at most half opened
+    assert ex["fact"]["files_scanned"] < ex["fact"]["files_total"]
+    assert ex["fact"]["pushdown"] == ["flag = 9"]
+    # a WHERE no row satisfies plans zero pairs, returns zero rows
+    none = CAT.catalog_sql(
+        spark, cat,
+        "SELECT f.ok FROM fact f JOIN dim d ON f.ck = d.ck "
+        "WHERE f.flag = 5",
+    )
+    assert none.count() == 0
+    # LEFT join: left side still prunes, right side reads whole
+    ql = """
+        SELECT f.ok, d.seg FROM fact f LEFT JOIN dim d ON f.ck = d.ck
+        WHERE f.flag = 9
+    """
+    routed_l = CAT.catalog_sql(spark, cat, ql)
+    off_l = CAT.catalog_sql(spark, cat, ql, bucket_joins=False)
+    assert _rows(routed_l) == _rows(off_l)
+    assert "Join" not in _plan(routed_l)
