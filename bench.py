@@ -765,6 +765,81 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_bucket_route(spark, sf_dir: str) -> dict:
+    """The round-10 router priced: the SAME SQL text through catalog_sql
+    with the bucket-join route on (zero-exchange mapInArrow pairs, the
+    X51 storage-partitioned join) vs off (Spark's shuffled join over the
+    same manifest tables). Co-bucketed orders ⋈ customer on custkey at
+    the bench SF; row-set parity asserted. The interesting number at
+    100 TB is the exchange this removes — at bench scale the absolute
+    win is modest (both sides are small), so the honest metric is the
+    ratio plus the plan shape, which the route's tests pin."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from f1_data_pipeline_spark.operators import catalog as CAT
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.sources import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_route_")
+    try:
+        fact_p = os.path.join(work, "orders_m")
+        dim_p = os.path.join(work, "customer_m")
+        cat = os.path.join(work, "cat")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        )
+        sinks.merge_upsert_manifest(
+            spark, o, fact_p, ["o_orderkey"],
+            partition_col="bucket(16, o_custkey)",
+        )
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        sinks.merge_upsert_manifest(
+            spark, c, dim_p, ["c_custkey"],
+            partition_col="bucket(16, c_custkey)",
+        )
+        CAT.catalog_create_table(cat, "orders_m", fact_p)
+        CAT.catalog_create_table(cat, "customer_m", dim_p)
+        q = """
+            SELECT o.o_orderkey, c.c_mktsegment, o.o_totalprice
+            FROM orders_m o JOIN customer_m c ON o.o_custkey = c.c_custkey
+            WHERE EXTRACT(YEAR FROM o.o_orderdate) >= 1995
+        """
+
+        def run(routed: bool) -> float:
+            t0 = time.time()
+            CAT.catalog_sql(
+                spark, cat, q, bucket_joins=routed
+            ).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        n_routed = CAT.catalog_sql(spark, cat, q).count()
+        n_shuffled = CAT.catalog_sql(
+            spark, cat, q, bucket_joins=False
+        ).count()
+        assert n_routed == n_shuffled, (n_routed, n_shuffled)
+        run(True)
+        run(False)  # warmups
+        routed_secs, shuffled_secs = [], []
+        for _ in range(3):
+            routed_secs.append(run(True))
+            shuffled_secs.append(run(False))
+        r = round(statistics.median(routed_secs), 3)
+        s = round(statistics.median(shuffled_secs), 3)
+        return {
+            "rows": n_routed,
+            "routed_sec": r,
+            "shuffled_sec": s,
+            "routed_over_shuffled": round(r / s, 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -870,6 +945,7 @@ def main() -> None:
     matview = bench_matview(spark, sf_dir)
     cdc = bench_cdc(spark, sf_dir)
     pipeline = bench_pipeline(spark, sf_dir)
+    bucket_route = bench_bucket_route(spark, sf_dir)
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     # Detail blocks (spread/host/streaming/incremental/metadata/matview) go
@@ -894,6 +970,7 @@ def main() -> None:
         "matview": matview,
         "cdc": cdc,
         "pipeline": pipeline,
+        "bucket_route": bucket_route,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

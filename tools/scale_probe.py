@@ -990,18 +990,31 @@ def probe_bucket_join() -> None:
                 spark, fact_p, dim_p, "fk", "dk", max_pair_bytes=None
             ).write.format("noop").mode("overwrite").save()
 
-        run()  # warmup
-        reps = []
-        for _ in range(3):
-            t0 = time.time()
-            run()
-            reps.append(time.time() - t0)
-        join_sec = round(statistics.median(reps), 3)
+        def run_shuffled():
+            f = sinks.read_manifest_table(spark, fact_p)
+            d = sinks.read_manifest_table(spark, dim_p)
+            f.join(d, f["fk"] == d["dk"], "inner").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        def med(fn) -> float:
+            fn()  # warmup
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                fn()
+                reps.append(time.time() - t0)
+            return round(statistics.median(reps), 3)
+
+        join_sec = med(run)
+        shuffled_sec = med(run_shuffled)
         rec = {
             "op": "bucket_join", "factor": factor, "buckets": BUCKETS,
             "fact_rows": n_f, "dim_rows": n_d, "pairs": len(pairs),
             "files_planned": files, "pair_bytes": pair_bytes,
             "plan_sec": plan_sec, "join_sec": join_sec,
+            "shuffled_sec": shuffled_sec,
+            "routed_over_shuffled": round(join_sec / shuffled_sec, 2),
         }
         if base is None:
             base = rec
