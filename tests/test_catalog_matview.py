@@ -165,3 +165,32 @@ def test_mv_spec_lands_in_the_initial_commit(spark, tmp_path):
     CAT.catalog_create_table(cat, "mv", tgt, ref=1)
     with pytest.raises(ValueError, match="pinned"):
         CAT.catalog_sql(spark, cat, "REFRESH MATERIALIZED VIEW mv")
+
+
+def test_create_matview_resumes_after_registration_crash(spark, tmp_path):
+    """A crash between the initial build and catalog registration must
+    resume cleanly: the target already carries data + spec in its own
+    commit, so re-running CREATE refreshes incrementally (no double
+    materialization) and completes the registration."""
+    cat, t = _seed(spark, tmp_path)
+    ddl = (
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, COUNT(*) AS n FROM src GROUP BY day"
+    )
+    CAT.catalog_sql(spark, cat, ddl)
+    tgt = CAT.catalog_tables(cat)["mv"]["path"]
+    # simulate the crash window: registration lost, data+spec on disk
+    CAT.catalog_drop_table(cat, "mv")
+    # meanwhile the source moved
+    up = spark.createDataFrame(
+        [(100, 1, 0, 1.0)], "k long, day long, cat long, v double"
+    )
+    sinks.merge_upsert_manifest(spark, up, t, keys=["k"],
+                                partition_col="day")
+    r = CAT.catalog_sql(spark, cat, ddl).first()
+    assert r.strategy == "incremental"  # resumed, not re-materialized
+    assert "mv" in CAT.catalog_tables(cat)
+    got = {r.day: r.n for r in CAT.catalog_sql(
+        spark, cat, "SELECT day, n FROM mv"
+    ).collect()}
+    assert got == {0: 10, 1: 11, 2: 10, 3: 10}
