@@ -777,8 +777,6 @@ def bench_bucket_route(spark, sf_dir: str) -> dict:
     import shutil
     import tempfile
 
-    import pyspark.sql.functions as F
-
     from f1_data_pipeline_spark.operators import catalog as CAT
     from f1_data_pipeline_spark.operators import sinks
     from f1_data_pipeline_spark.sources import load_table

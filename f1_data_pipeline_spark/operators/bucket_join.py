@@ -162,23 +162,20 @@ def plan_bucket_pairs(
 
     def _side(path: str, entry: dict, preds) -> tuple[list, list, int]:
         """(kept data paths, delete dirs, kept bytes) after stats
-        pruning; pre-stats entries read whole (never mispruned)."""
+        pruning; pre-stats entries read whole (never mispruned). Path
+        and byte resolution stay on the SHARED helpers (entry_paths /
+        _entry_bytes) over a kept-files entry copy, so the
+        entry→paths mapping can never diverge from the readers'."""
         files = entry.get("files")
-        if preds is None or files is None:
-            f, d = entry_paths(path, entry)
-            return f, d, _entry_bytes(path, entry)
-        kept = [fm for fm in files if _file_maybe_matches(fm, preds)]
-        pref = os.path.join(path, entry["prefix"])
-        paths = [os.path.join(pref, fm["name"]) for fm in kept]
-        nbytes = sum(
-            fm["bytes"] if "bytes" in fm else os.path.getsize(p)
-            for fm, p in zip(kept, paths)
-        )
-        dels = [
-            os.path.join(path, d["prefix"])
-            for d in entry.get("deletes") or ()
-        ]
-        return paths, dels, nbytes
+        if preds is not None and files is not None:
+            entry = {
+                **entry,
+                "files": [
+                    fm for fm in files if _file_maybe_matches(fm, preds)
+                ],
+            }
+        f, d = entry_paths(path, entry)
+        return f, d, _entry_bytes(path, entry)
 
     plans: list[dict] = []
     for key, le in sorted(left_entries.items()):

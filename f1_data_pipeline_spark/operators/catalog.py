@@ -418,6 +418,10 @@ def catalog_sql(
             return fast
     refs = _relation_refs(sql, tables)
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
+    # one extraction serves both the bucket route (in-bucket file
+    # pruning) and the ordinary path (manifest pushdown) — it re-reads
+    # manifests for schema resolution, so never compute it twice
+    preds = _extract_pushdown_predicates(spark, sql, refs, tables)
     if bucket_joins and not business:
         bj = _match_bucket_join(sql, refs, tables, versions)
         if bj is not None:
@@ -434,9 +438,6 @@ def catalog_sql(
             # they stay in the rewritten SQL as row filters, so this is
             # I/O-only. Right-side pruning is inner-join-only (a LEFT
             # join's null-extension must see every right row).
-            scan_preds = _extract_pushdown_predicates(
-                spark, sql, refs, tables
-            )
             try:
                 df = bucket_aligned_join(
                     spark,
@@ -447,9 +448,9 @@ def catalog_sql(
                     how=bj["how"],
                     version_left=versions[bj["left"]],
                     version_right=versions[bj["right"]],
-                    left_predicates=scan_preds.get(bj["left"]),
+                    left_predicates=preds.get(bj["left"]),
                     right_predicates=(
-                        scan_preds.get(bj["right"])
+                        preds.get(bj["right"])
                         if bj["how"] == "inner" else None
                     ),
                 )
@@ -470,7 +471,6 @@ def catalog_sql(
                     return spark.sql(bj["new_sql"](vname))
                 finally:
                     spark.catalog.dropTempView(vname)
-    preds = _extract_pushdown_predicates(spark, sql, refs, tables)
     if runtime_filters:
         _runtime_join_filters(
             spark, sql, refs, tables, versions, preds,
@@ -957,10 +957,12 @@ def _explain_select(
     )
     bj_scan: dict[str, tuple[int, int]] = {}
     bj_refused: str | None = None
+    # one extraction serves both branches (it re-reads manifests for
+    # schema resolution — never compute it twice per statement)
+    bj_preds = _extract_pushdown_predicates(spark, s, refs, tables)
     if bj is not None:
         from .bucket_join import plan_bucket_pairs
 
-        bj_preds = _extract_pushdown_predicates(spark, s, refs, tables)
         try:
             pairs = plan_bucket_pairs(
                 tables[bj["left"]]["path"], tables[bj["right"]]["path"],
@@ -988,12 +990,17 @@ def _explain_select(
             sum(1 for p in pairs if p["right_files"]),
             sum(len(p["right_files"]) for p in pairs),
         )
-        # display the conjuncts the route DID use for in-bucket file
-        # pruning; harvesting/CTE pushdown stay quiet (not applicable)
-        preds, rtf, ref_preds = bj_preds, {}, {}
+        # display ONLY the conjuncts the route DID use for in-bucket
+        # file pruning (a LEFT join withholds the right side's — review
+        # finding: the record must never claim pruning that didn't run);
+        # harvesting/CTE pushdown stay quiet (not applicable)
+        preds = dict(bj_preds)
+        if bj["how"] != "inner":
+            preds.pop(bj["right"], None)
+        rtf, ref_preds = {}, {}
         ba = {bj["left"]: bj["note"], bj["right"]: bj["note"]}
     else:
-        preds = _extract_pushdown_predicates(spark, s, refs, tables)
+        preds = bj_preds
         # a caller running with runtime_filters=False must see an EXPLAIN
         # that neither harvests (real dim scans at plan time) nor reports
         # filters the run won't use

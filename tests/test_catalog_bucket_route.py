@@ -396,17 +396,24 @@ def test_routed_join_prunes_files_inside_buckets(spark, tmp_path):
     a = spark.range(1000).select(
         F.col("id").alias("ok"), (F.col("id") % 32).alias("ck"),
         F.lit(0).alias("flag"), (F.col("id") * 1.0).alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
     )
     b = spark.range(1000, 2000).select(
         F.col("id").alias("ok"), (F.col("id") % 32).alias("ck"),
         F.lit(9).alias("flag"), (F.col("id") * 1.0).alias("v"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
     )
     sinks.merge_upsert_manifest(
-        spark, a, fact_p, keys=["ok"], partition_col="bucket(4, ck)"
+        spark, a.unionAll(b), fact_p, keys=["ok"],
+        partition_col="bucket(4, ck)",
     )
-    # APPEND the second flag population: new files land beside commit
-    # A's in each bucket, so per-file flag stats separate the commits
-    sinks.insert_into_manifest(spark, b, fact_p)
+    # flag-cluster each bucket into small files so per-file flag bounds
+    # DETERMINISTICALLY separate the two populations (review finding:
+    # relying on union task boundaries made the pruning assertions
+    # fixture-luck)
+    sinks.compact_manifest(
+        spark, fact_p, target_file_bytes=16 * 1024, cluster_by=["flag"]
+    )
     dim = spark.range(32).select(
         F.col("id").alias("ck"), (F.col("id") % 3).alias("seg"),
     )
