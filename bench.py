@@ -808,31 +808,63 @@ def bench_bucket_route(spark, sf_dir: str) -> dict:
             WHERE EXTRACT(YEAR FROM o.o_orderdate) >= 1995
         """
 
-        def run(routed: bool) -> float:
+        def run(bucket_joins) -> float:
             t0 = time.time()
             CAT.catalog_sql(
-                spark, cat, q, bucket_joins=routed
+                spark, cat, q, bucket_joins=bucket_joins
             ).write.format("noop").mode("overwrite").save()
             return time.time() - t0
 
-        n_routed = CAT.catalog_sql(spark, cat, q).count()
-        n_shuffled = CAT.catalog_sql(
-            spark, cat, q, bucket_joins=False
-        ).count()
-        assert n_routed == n_shuffled, (n_routed, n_shuffled)
-        run(True)
+        # content-level parity (round-10 advice): sorted row tuples, not
+        # count() — the bench's own gate must catch value drift between
+        # the two arms, not just cardinality drift
+        rows_routed = sorted(
+            map(tuple, CAT.catalog_sql(
+                spark, cat, q, bucket_joins="force"
+            ).collect())
+        )
+        rows_shuffled = sorted(
+            map(tuple, CAT.catalog_sql(
+                spark, cat, q, bucket_joins=False
+            ).collect())
+        )
+        assert rows_routed == rows_shuffled, (
+            len(rows_routed), len(rows_shuffled)
+        )
+        n_routed = len(rows_routed)
+        run("force")
         run(False)  # warmups
-        routed_secs, shuffled_secs = [], []
+        routed_secs, shuffled_secs, console_secs = [], [], []
         for _ in range(3):
-            routed_secs.append(run(True))
+            routed_secs.append(run("force"))
             shuffled_secs.append(run(False))
+            console_secs.append(run(True))  # cost-gated default
         r = round(statistics.median(routed_secs), 3)
         s = round(statistics.median(shuffled_secs), 3)
+        con = round(statistics.median(console_secs), 3)
+        # what the cost-gated default actually decided (round 11): below
+        # the route floor the console takes the shuffled plan, so
+        # console_over_shuffled should sit near 1.0 at bench SFs while
+        # routed_over_shuffled keeps pricing the forced machinery
+        from f1_data_pipeline_spark.operators.bucket_join import (
+            plan_bucket_pairs,
+        )
+        pair_bytes = sum(
+            p["bytes"] for p in plan_bucket_pairs(fact_p, dim_p)
+        )
+        floor = CAT.default_min_route_bytes(spark)
         return {
             "rows": n_routed,
             "routed_sec": r,
             "shuffled_sec": s,
             "routed_over_shuffled": round(r / s, 2),
+            "console_sec": con,
+            "console_over_shuffled": round(con / s, 2),
+            "console_choice": (
+                "routed" if pair_bytes >= floor
+                else f"shuffled (pair bytes {pair_bytes:,} below route "
+                     f"floor {floor:,})"
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

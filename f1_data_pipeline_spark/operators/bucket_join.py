@@ -260,6 +260,7 @@ def bucket_aligned_join(
     max_pair_bytes: int | None = DEFAULT_MAX_PAIR_BYTES,
     left_predicates=None,
     right_predicates=None,
+    plans: list[dict] | None = None,
 ) -> DataFrame:
     """Join two co-bucketed manifest tables without shuffling either.
 
@@ -268,7 +269,13 @@ def bucket_aligned_join(
     exploits). Output columns: all left columns, then the right table's
     non-key columns; a right column whose name collides with a left one
     is prefixed `right_prefix`. Result parity with the shuffled
-    DataFrame join is pytest-pinned (tests/test_bucket_join.py)."""
+    DataFrame join is pytest-pinned (tests/test_bucket_join.py).
+
+    `plans`: a `plan_bucket_pairs` result already computed for the SAME
+    (paths, how, versions, predicates) — pass it to skip re-planning
+    (catalog_sql's router plans first to cost-gate the route and hands
+    the plan down; the two metadata walks would otherwise run twice per
+    statement). The caller owns arg consistency."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from .sinks import _phys_name
@@ -300,12 +307,13 @@ def bucket_aligned_join(
     out_schema, rename = bucket_join_output(lschema, rschema, right_on,
                                             right_prefix)
 
-    plans = plan_bucket_pairs(
-        left_path, right_path, how, version_left, version_right,
-        max_pair_bytes=max_pair_bytes,
-        left_predicates=left_predicates,
-        right_predicates=right_predicates,
-    )
+    if plans is None:
+        plans = plan_bucket_pairs(
+            left_path, right_path, how, version_left, version_right,
+            max_pair_bytes=max_pair_bytes,
+            left_predicates=left_predicates,
+            right_predicates=right_predicates,
+        )
     if not plans:
         return spark.createDataFrame([], out_schema)
 

@@ -215,7 +215,8 @@ def catalog_sql(
     sql: str,
     runtime_filters: bool = True,
     max_harvests: int = 8,
-    bucket_joins: bool = True,
+    bucket_joins: bool | str = True,
+    min_route_bytes: int | None = None,
 ) -> DataFrame:
     """Run a spark.sql statement against the catalog.
 
@@ -252,10 +253,23 @@ def catalog_sql(
     (`*` projections, extra ON conjuncts, a third relation, references
     to renamed collision columns, the right key under LEFT join) fall
     back to the ordinary shuffled plan — routing only ever changes the
-    physical strategy, never the result. `bucket_joins=False` opts out
-    entirely; EXPLAIN records `taken:` when the route fires (with the
-    measured bucket-pair file counts) and `eligible:` when only the
-    layout qualifies.
+    physical strategy, never the result.
+
+    The route is COST-GATED (round 11): the routed plan's flat floor
+    (Python worker spin-up + per-task pyarrow opens) makes it the
+    measured-slower choice for small tables, so an eligible join routes
+    only when the plan's total pair bytes (already summed for the
+    `max_pair_bytes` OOM guard — metadata only) reach `min_route_bytes`.
+    Default: `default_min_route_bytes(spark)` = 48 MiB × default
+    parallelism, the per-core normalization of the measured
+    routed-vs-shuffled crossover (SCALE_NOTES round 10: routed wins
+    between 0.6 and 2.4 GB of pair bytes on 32 cores). Below the floor
+    the shuffled plan runs and EXPLAIN records `eligible … below route
+    floor`. `bucket_joins="force"` routes whenever eligible (no floor —
+    benchmarking, or executors whose measured crossover differs);
+    `bucket_joins=False` opts out entirely; EXPLAIN records `taken:`
+    when the route fires (with the measured bucket-pair file counts)
+    and `eligible:` when only the layout qualifies.
 
     DDL + maintenance statements complete the SQL console: `CREATE
     TABLE name [(col type, ...)] PARTITIONED BY (<col or transform>)
@@ -399,7 +413,7 @@ def catalog_sql(
         return _explain_select(
             spark, tables, inner,
             runtime_filters=runtime_filters, max_harvests=max_harvests,
-            bucket_joins=bucket_joins,
+            bucket_joins=bucket_joins, min_route_bytes=min_route_bytes,
         )
     routed = _route_statement(spark, catalog_path, tables, sql)
     if routed is not None:
@@ -430,24 +444,21 @@ def catalog_sql(
             # bucket_aligned_join; the rest of the query runs over it,
             # and pushed predicates simply stay row filters (they were
             # row filters in the original text too)
-            from .bucket_join import bucket_aligned_join
+            from .bucket_join import bucket_aligned_join, plan_bucket_pairs
 
-            _log().debug("catalog_sql bucket-join route: %s", bj["note"])
             # the WHERE's sound conjuncts still prune FILES inside each
             # bucket (the scan avoidance routing would otherwise lose);
             # they stay in the rewritten SQL as row filters, so this is
             # I/O-only. Right-side pruning is inner-join-only (a LEFT
             # join's null-extension must see every right row).
+            pairs = None
             try:
-                df = bucket_aligned_join(
-                    spark,
+                pairs = plan_bucket_pairs(
                     tables[bj["left"]]["path"],
                     tables[bj["right"]]["path"],
-                    bj["left_on"],
-                    bj["right_on"],
-                    how=bj["how"],
-                    version_left=versions[bj["left"]],
-                    version_right=versions[bj["right"]],
+                    bj["how"],
+                    versions[bj["left"]],
+                    versions[bj["right"]],
                     left_predicates=preds.get(bj["left"]),
                     right_predicates=(
                         preds.get(bj["right"])
@@ -464,6 +475,49 @@ def catalog_sql(
                     "plan: %s", err,
                 )
                 bj = None
+            if bj is not None and bucket_joins != "force":
+                # the COST GATE (round 11): below the measured crossover
+                # the routed plan's flat floor makes it the slower
+                # choice — take the shuffled plan the planner measured
+                # faster. The pair bytes are the same sums the OOM guard
+                # just computed; zero extra I/O.
+                floor = (
+                    default_min_route_bytes(spark)
+                    if min_route_bytes is None else min_route_bytes
+                )
+                pair_bytes = sum(p["bytes"] for p in pairs)
+                if pair_bytes < floor:
+                    _log().debug(
+                        "bucket-join route eligible but below route "
+                        "floor (%s < %s pair bytes) — using the "
+                        "shuffled plan", pair_bytes, floor,
+                    )
+                    bj = None
+            if bj is not None:
+                _log().debug("catalog_sql bucket-join route: %s", bj["note"])
+                try:
+                    df = bucket_aligned_join(
+                        spark,
+                        tables[bj["left"]]["path"],
+                        tables[bj["right"]]["path"],
+                        bj["left_on"],
+                        bj["right_on"],
+                        how=bj["how"],
+                        version_left=versions[bj["left"]],
+                        version_right=versions[bj["right"]],
+                        left_predicates=preds.get(bj["left"]),
+                        right_predicates=(
+                            preds.get(bj["right"])
+                            if bj["how"] == "inner" else None
+                        ),
+                        plans=pairs,
+                    )
+                except ValueError as err:
+                    _log().debug(
+                        "bucket-join route abandoned, using the shuffled "
+                        "plan: %s", err,
+                    )
+                    bj = None
             if bj is not None:
                 vname = f"__cat_bkt_{next(_VIEW_SEQ)}"
                 df.createOrReplaceTempView(vname)
@@ -541,9 +595,17 @@ def _route_statement(
     verb = m.group(1).lower()
     if verb == "refresh":
         rm = re.match(_TARGET_RES["refresh"], sql, re.IGNORECASE)
-        if not rm or rm.group(1) not in tables:
-            # REFRESH TABLE / non-cataloged MV: Spark's own statement
+        if not rm:
+            # REFRESH TABLE / FUNCTION / ...: Spark's own statement
             return spark.sql(sql)
+        if rm.group(1) not in tables:
+            # Spark has no MATERIALIZED VIEW syntax, so delegating would
+            # surface an opaque ParseException — give the same
+            # FileNotFoundError every other verb gives for unknown names
+            # (round-10 advice)
+            raise FileNotFoundError(
+                f"no materialized view {rm.group(1)!r} in the catalog"
+            )
         return _refresh_matview(spark, catalog_path, tables, rm.group(1))
     if verb == "desc":
         verb = "describe"
@@ -901,7 +963,8 @@ def _explain_select(
     inner: str,
     runtime_filters: bool = True,
     max_harvests: int = 8,
-    bucket_joins: bool = True,
+    bucket_joins: bool | str = True,
+    min_route_bytes: int | None = None,
 ) -> DataFrame:
     """`EXPLAIN <select>` — the manifest planner's decision record as a
     DataFrame (one row per cataloged relation reference) instead of the
@@ -981,6 +1044,19 @@ def _explain_select(
                 "(shuffled plan used)"
             )
             bj = None
+        if bj is not None and bucket_joins != "force":
+            # mirror the execution path's cost gate exactly (round 11)
+            floor = (
+                default_min_route_bytes(spark)
+                if min_route_bytes is None else min_route_bytes
+            )
+            pair_bytes = sum(p["bytes"] for p in pairs)
+            if pair_bytes < floor:
+                bj_refused = (
+                    f"eligible (below route floor: {pair_bytes:,} < "
+                    f"{floor:,} pair bytes; shuffled plan used)"
+                )
+                bj = None
     if bj is not None:
         bj_scan[bj["left"]] = (
             sum(1 for p in pairs if p["left_files"]),
@@ -1134,6 +1210,30 @@ def _bucket_aligned_notes(
         out.setdefault(na, note)
         out.setdefault(nb, note)
     return out
+
+
+# Per-core normalization of the measured routed-vs-shuffled crossover
+# (SCALE_NOTES round 10, `tools/scale_probe.py bucket_join`): on 32
+# cores the routed plan loses below 594 MB of total pair bytes (1.85×
+# slower) and wins at 2.38 GB (0.66×), so the flip sits in between —
+# 48 MiB/core puts the default floor at 1.5 GiB there, mid-band. The
+# routed plan's cost floor (Python worker spin-up, per-task pyarrow
+# opens) is per-TASK and tasks ≈ cores at small N, hence per-core
+# scaling: more cores = more flat floor to amortize before the removed
+# exchange pays.
+DEFAULT_MIN_ROUTE_BYTES_PER_CORE = 48 << 20
+
+
+def default_min_route_bytes(spark: SparkSession) -> int:
+    """The bucket-join route's default cost-gate floor for this session:
+    an eligible join routes only when its plan's total pair bytes reach
+    this (else the shuffled plan is the measured-faster choice). Override
+    per-statement with `catalog_sql(..., min_route_bytes=...)`, or skip
+    the gate entirely with `bucket_joins="force"`."""
+    return (
+        DEFAULT_MIN_ROUTE_BYTES_PER_CORE
+        * spark.sparkContext.defaultParallelism
+    )
 
 
 def _match_bucket_join(

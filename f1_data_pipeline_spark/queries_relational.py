@@ -350,6 +350,9 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket_aligned_join itself (X51 via the console; EXPLAIN records
     # `taken:`), so a SQL-only user gets the zero-exchange plan without
     # ever importing the operator. Oracle-hashed like the other arms.
+    # `bucket_joins="force"` since round 11: this arm exists to hash the
+    # ROUTED plan, and at oracle SFs the pair bytes sit below the cost
+    # gate's floor where the default (correctly) picks shuffled.
     CAT.catalog_create_table(cat, "customer_b", dim_b)
     routed = CAT.catalog_sql(
         spark,
@@ -360,6 +363,7 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'AUTOMOBILE'
           AND EXTRACT(YEAR FROM o.o_orderdate) = 1996
         """,
+        bucket_joins="force",
     ).select(
         F.lit("console_bucket").alias("which"), "o_orderkey", "c_name",
         "o_totalprice",

@@ -50,6 +50,8 @@ from __future__ import annotations
 
 import json
 import os
+import random
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -217,10 +219,19 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
             return  # empty batch: nothing to land, nothing to replay
         entry = None
         last_err = None
-        # bounded like every other committer (manifest_alter_column_type
-        # caps at 4): a sustained stream of disjoint writers must surface
-        # an error, not starve the stream's driver commit silently
-        for _attempt in range(6):
+        # Bounded like every other committer, but with jittered backoff
+        # between CAS attempts (round-10 advice): six IMMEDIATE re-reads
+        # are easy to exhaust when several streams append to one table —
+        # each rebase is only a manifest read, so contenders re-collide
+        # within the same few milliseconds. Exponential backoff with
+        # full jitter desynchronizes the contenders; 20 attempts spanning
+        # ~10 s of cumulative sleep keeps liveness under sustained
+        # disjoint-writer load while still surfacing a loud error (never
+        # silently starving the stream's driver commit) if the table is
+        # genuinely thrashing.
+        for _attempt in range(20):
+            if _attempt:
+                time.sleep(random.uniform(0, min(0.05 * 2 ** _attempt, 2.0)))
             m = read_manifest(self._path)
             _check_landing_layout(self._path, m)
             if m is not None and key in m["partitions"]:

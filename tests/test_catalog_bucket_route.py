@@ -3,7 +3,15 @@ bucket_aligned_join (round 10): the SQL console no longer only
 ADVERTISES the shuffle-free storage-partitioned join in EXPLAIN — it
 executes it. Routing must be result-invisible (same rows, same output
 schema as the shuffled plan), refusable shapes must fall back, and
-EXPLAIN must record `taken:` with the measured bucket-pair scan."""
+EXPLAIN must record `taken:` with the measured bucket-pair scan.
+
+Since round 11 the route is COST-GATED on the plan's total pair bytes
+(the routed plan is measured-slower below its crossover —
+`test_cost_gate_routes_only_past_byte_floor`), so the fixture-scale
+tests that assert ROUTED behavior pass `bucket_joins="force"`: they
+pin the routed plan's soundness, which the gate must not be allowed to
+hide. Shape refusals still refuse under force — force bypasses only
+the byte floor, never the soundness contract."""
 from __future__ import annotations
 
 import os
@@ -65,7 +73,7 @@ def _plan(df) -> str:
 
 
 def test_routed_join_parity_and_zero_data_exchange(spark, star):
-    routed = CAT.catalog_sql(spark, star, Q)
+    routed = CAT.catalog_sql(spark, star, Q, bucket_joins="force")
     shuffled = CAT.catalog_sql(spark, star, Q, bucket_joins=False)
     assert routed.columns == shuffled.columns == ["ok", "name", "total"]
     assert _rows(routed) == _rows(shuffled)
@@ -84,7 +92,7 @@ def test_routed_aggregate_group_order(spark, star):
         FROM fact f JOIN dim d ON f.ck = d.ck
         GROUP BY d.seg ORDER BY seg
     """
-    routed = CAT.catalog_sql(spark, star, q)
+    routed = CAT.catalog_sql(spark, star, q, bucket_joins="force")
     shuffled = CAT.catalog_sql(spark, star, q, bucket_joins=False)
     assert routed.columns == ["seg", "n", "tot"]
     assert _rows(routed) == _rows(shuffled)
@@ -106,7 +114,7 @@ def test_routed_left_join_parity(spark, star, tmp_path):
         SELECT f.ok, d.name
         FROM fact f LEFT JOIN dim d ON f.ck = d.ck
     """
-    routed = CAT.catalog_sql(spark, star, q)
+    routed = CAT.catalog_sql(spark, star, q, bucket_joins="force")
     shuffled = CAT.catalog_sql(spark, star, q, bucket_joins=False)
     assert _rows(routed) == _rows(shuffled)
     assert "Join" not in _plan(routed)
@@ -121,7 +129,7 @@ def test_inner_right_key_reference_rewrites_to_left(spark, star):
         FROM fact f JOIN dim d ON f.ck = d.ck
         WHERE d.ck < 5
     """
-    routed = CAT.catalog_sql(spark, star, q)
+    routed = CAT.catalog_sql(spark, star, q, bucket_joins="force")
     shuffled = CAT.catalog_sql(spark, star, q, bucket_joins=False)
     assert _rows(routed) == _rows(shuffled)
     assert "Join" not in _plan(routed)
@@ -136,7 +144,7 @@ def test_inner_residual_on_conjuncts_route(spark, star):
         SELECT f.ok, d.name FROM fact f JOIN dim d
         ON f.ck = d.ck AND f.flag = d.seg
     """
-    routed = CAT.catalog_sql(spark, star, q)
+    routed = CAT.catalog_sql(spark, star, q, bucket_joins="force")
     shuffled = CAT.catalog_sql(spark, star, q, bucket_joins=False)
     assert _rows(routed) == _rows(shuffled)
     assert len(_rows(routed)) > 0
@@ -146,7 +154,7 @@ def test_inner_residual_on_conjuncts_route(spark, star):
         ON f.ck = d.ck AND d.seg = 1
         WHERE f.flag = 0 OR f.flag = 2
     """
-    routed2 = CAT.catalog_sql(spark, star, q2)
+    routed2 = CAT.catalog_sql(spark, star, q2, bucket_joins="force")
     shuffled2 = CAT.catalog_sql(spark, star, q2, bucket_joins=False)
     assert _rows(routed2) == _rows(shuffled2)
     assert len(_rows(routed2)) > 0
@@ -169,7 +177,7 @@ def test_fallback_shapes_still_correct(spark, star):
            ON f.ck = d.ck AND d.seg = 1""",
     ]
     for q in fallbacks:
-        routed = CAT.catalog_sql(spark, star, q)
+        routed = CAT.catalog_sql(spark, star, q, bucket_joins="force")
         off = CAT.catalog_sql(spark, star, q, bucket_joins=False)
         assert _rows(routed) == _rows(off), q
         assert "Join" in _plan(routed), q  # fell back to the shuffled plan
@@ -177,7 +185,7 @@ def test_fallback_shapes_still_correct(spark, star):
 
 def test_explain_records_taken_with_bucket_pair_scan(spark, star):
     ex = {r["table"]: r for r in CAT.catalog_sql(
-        spark, star, "EXPLAIN " + Q
+        spark, star, "EXPLAIN " + Q, bucket_joins="force"
     ).collect()}
     for t in ("fact", "dim"):
         assert ex[t]["bucket_aligned"].startswith("taken:")
@@ -220,10 +228,11 @@ def test_route_respects_time_travel_pins(spark, star):
         SELECT f.ok, d.name
         FROM fact f JOIN dim VERSION AS OF 1 d ON f.ck = d.ck
     """
-    pinned = CAT.catalog_sql(spark, star, q_dim_only)
+    pinned = CAT.catalog_sql(spark, star, q_dim_only, bucket_joins="force")
     live = CAT.catalog_sql(
         spark, star,
         "SELECT f.ok, d.name FROM fact f JOIN dim d ON f.ck = d.ck",
+        bucket_joins="force",
     )
     assert "Join" not in _plan(pinned)
     assert pinned.count() == live.count()  # late keys have no fact rows
@@ -277,7 +286,7 @@ def _routable_query(draw):
 )
 @given(q=_routable_query())
 def test_property_routed_equals_shuffled(spark, star_session, q):
-    routed = CAT.catalog_sql(spark, star_session, q)
+    routed = CAT.catalog_sql(spark, star_session, q, bucket_joins="force")
     shuffled = CAT.catalog_sql(spark, star_session, q, bucket_joins=False)
     assert _rows(routed) == _rows(shuffled), q
     assert "Join" not in _plan(routed), q
@@ -344,7 +353,7 @@ def test_bare_identifier_guards_refuse_route(spark, star, tmp_path):
         SELECT f.k, d.attr FROM fact2 f JOIN dim2 d
         ON f.fk = d.dk AND dk > 5
     """
-    routed = CAT.catalog_sql(spark, cat2, q)
+    routed = CAT.catalog_sql(spark, cat2, q, bucket_joins="force")
     off = CAT.catalog_sql(spark, cat2, q, bucket_joins=False)
     assert _rows(routed) == _rows(off)
     assert len(_rows(routed)) > 0
@@ -356,7 +365,7 @@ def test_bare_identifier_guards_refuse_route(spark, star, tmp_path):
 
     q2 = "SELECT ck FROM fact f JOIN dim d ON f.ck = d.ck"
     with pytest.raises(AnalysisException):
-        CAT.catalog_sql(spark, star, q2)
+        CAT.catalog_sql(spark, star, q2, bucket_joins="force")
 
 
 def test_hot_bucket_route_falls_back_to_shuffled(spark, star, monkeypatch):
@@ -371,14 +380,14 @@ def test_hot_bucket_route_falls_back_to_shuffled(spark, star, monkeypatch):
         )
 
     monkeypatch.setattr(BJ, "bucket_aligned_join", _boom)
-    routed = CAT.catalog_sql(spark, star, Q)
+    routed = CAT.catalog_sql(spark, star, Q, bucket_joins="force")
     off = CAT.catalog_sql(spark, star, Q, bucket_joins=False)
     assert _rows(routed) == _rows(off)
     assert "Join" in _plan(routed)  # fell back
 
     monkeypatch.setattr(BJ, "plan_bucket_pairs", _boom)
     ex = {r["table"]: r for r in CAT.catalog_sql(
-        spark, star, "EXPLAIN " + Q
+        spark, star, "EXPLAIN " + Q, bucket_joins="force"
     ).collect()}
     assert ex["fact"]["bucket_aligned"].startswith("refused:")
     assert "shuffled plan used" in ex["fact"]["bucket_aligned"]
@@ -426,12 +435,12 @@ def test_routed_join_prunes_files_inside_buckets(spark, tmp_path):
         SELECT f.ok, d.seg FROM fact f JOIN dim d ON f.ck = d.ck
         WHERE f.flag = 9
     """
-    routed = CAT.catalog_sql(spark, cat, q)
+    routed = CAT.catalog_sql(spark, cat, q, bucket_joins="force")
     off = CAT.catalog_sql(spark, cat, q, bucket_joins=False)
     assert _rows(routed) == _rows(off)
     assert len(_rows(routed)) == 1000
     ex = {r["table"]: r for r in CAT.catalog_sql(
-        spark, cat, "EXPLAIN " + q
+        spark, cat, "EXPLAIN " + q, bucket_joins="force"
     ).collect()}
     assert ex["fact"]["bucket_aligned"].startswith("taken:")
     # commit-A files (flag=0 only) pruned by stats: at most half opened
@@ -442,6 +451,7 @@ def test_routed_join_prunes_files_inside_buckets(spark, tmp_path):
         spark, cat,
         "SELECT f.ok FROM fact f JOIN dim d ON f.ck = d.ck "
         "WHERE f.flag = 5",
+        bucket_joins="force",
     )
     assert none.count() == 0
     # LEFT join: left side still prunes, right side reads whole
@@ -449,7 +459,48 @@ def test_routed_join_prunes_files_inside_buckets(spark, tmp_path):
         SELECT f.ok, d.seg FROM fact f LEFT JOIN dim d ON f.ck = d.ck
         WHERE f.flag = 9
     """
-    routed_l = CAT.catalog_sql(spark, cat, ql)
+    routed_l = CAT.catalog_sql(spark, cat, ql, bucket_joins="force")
     off_l = CAT.catalog_sql(spark, cat, ql, bucket_joins=False)
     assert _rows(routed_l) == _rows(off_l)
     assert "Join" not in _plan(routed_l)
+
+
+def test_cost_gate_routes_only_past_byte_floor(spark, star):
+    """Round-11 verdict #1: the router COSTS the route. Below the
+    pair-bytes floor (fixture tables sit far under the default ~GiB
+    floor) the measured-faster shuffled plan runs and EXPLAIN records
+    the floor decision; `min_route_bytes=0` re-enables the route for
+    the same statement; `bucket_joins="force"` bypasses the gate.
+    Result parity across all three."""
+    gated = CAT.catalog_sql(spark, star, Q)
+    assert "Join" in _plan(gated)  # shuffled, by the gate's measurement
+    floored = CAT.catalog_sql(spark, star, Q, min_route_bytes=0)
+    forced = CAT.catalog_sql(spark, star, Q, bucket_joins="force")
+    assert "Join" not in _plan(floored)
+    assert "Join" not in _plan(forced)
+    assert _rows(gated) == _rows(floored) == _rows(forced)
+    assert len(_rows(gated)) > 0
+
+    # EXPLAIN mirrors the gated decision exactly
+    ex = {r["table"]: r for r in CAT.catalog_sql(
+        spark, star, "EXPLAIN " + Q
+    ).collect()}
+    for t in ("fact", "dim"):
+        assert "below route floor" in ex[t]["bucket_aligned"]
+        assert "shuffled plan used" in ex[t]["bucket_aligned"]
+    # ... and the un-routed mirror still pushes/harvests as the
+    # shuffled plan will run: the dim's literal predicate is pushed
+    # (runtime-filter IN lists may join it — the shuffled plan's shape)
+    assert "seg = 1" in ex["dim"]["pushdown"]
+
+    # with the floor lowered, EXPLAIN mirrors the routed decision
+    ex2 = {r["table"]: r for r in CAT.catalog_sql(
+        spark, star, "EXPLAIN " + Q, min_route_bytes=0
+    ).collect()}
+    assert ex2["fact"]["bucket_aligned"].startswith("taken:")
+
+    # the default floor scales per-core from the measured crossover
+    assert CAT.default_min_route_bytes(spark) == (
+        CAT.DEFAULT_MIN_ROUTE_BYTES_PER_CORE
+        * spark.sparkContext.defaultParallelism
+    )

@@ -80,6 +80,16 @@ def test_create_and_refresh_materialized_view(spark, tmp_path):
     # REFRESH of a non-MV cataloged table raises the spec error
     with pytest.raises(ValueError, match="not a SQL materialized view"):
         CAT.catalog_sql(spark, cat, "REFRESH MATERIALIZED VIEW src")
+    # REFRESH of an UNKNOWN name: the catalog's FileNotFoundError, like
+    # every other verb — not Spark's opaque ParseException (r10 advice)
+    with pytest.raises(FileNotFoundError, match="no materialized view"):
+        CAT.catalog_sql(spark, cat, "REFRESH MATERIALIZED VIEW nosuch")
+    # plain REFRESH TABLE shapes still delegate to Spark's own statement
+    spark.range(3).createOrReplaceTempView("rf_tmp")
+    try:
+        CAT.catalog_sql(spark, cat, "REFRESH TABLE rf_tmp")
+    finally:
+        spark.catalog.dropTempView("rf_tmp")
     # unsupported SELECT items raise loudly at CREATE
     with pytest.raises(ValueError, match="unsupported materialized-view"):
         CAT.catalog_sql(
