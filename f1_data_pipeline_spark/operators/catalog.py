@@ -1300,17 +1300,8 @@ def _match_bucket_join(
     if a["depth"] or b["depth"] or a["name"] == b["name"]:
         return None
 
-    # depth-0 keyword marks
-    marks: list[tuple[int, str]] = []
-    depth = 0
-    for m in re.finditer(r"[()]|\b[A-Za-z_]\w*\b|\*|,", s):
-        t = m.group(0)
-        if t == "(":
-            depth += 1
-        elif t == ")":
-            depth -= 1
-        elif depth == 0:
-            marks.append((m.start(), t.lower()))
+    # depth-0 keyword marks (the shared scanner)
+    marks = _depth0_marks(s, r"\b[A-Za-z_]\w*\b|\*|,")
     kws = [t for _, t in marks]
     if kws.count("select") != 1 or kws.count("from") != 1 \
             or kws.count("join") != 1:
@@ -1496,21 +1487,12 @@ def _match_bucket_join(
                 # the residuals (it may carry a top-level OR); the clause
                 # ends at the next depth-0 GROUP/ORDER/... keyword
                 rest = tail[wm.end():]
-                stripped = _strip_sql_strings(rest)
-                end, d = len(rest), 0
-                for m2 in re.finditer(
-                    r"[()]|\b(group|order|having|limit|window|union"
+                enders = _depth0_marks(
+                    _strip_sql_strings(rest),
+                    r"\b(group|order|having|limit|window|union"
                     r"|except|intersect)\b",
-                    stripped, re.IGNORECASE,
-                ):
-                    t2 = m2.group(0)
-                    if t2 == "(":
-                        d += 1
-                    elif t2 == ")":
-                        d -= 1
-                    elif d == 0:
-                        end = m2.start()
-                        break
+                )
+                end = enders[0][0] if enders else len(rest)
                 tail = (
                     f"WHERE {cond} AND ({rest[:end].strip()}) "
                     + rest[end:]
@@ -1671,6 +1653,38 @@ def _strip_sql_strings(sql: str) -> str:
         else:
             out.append(" " if in_q else ch)
     return "".join(out)
+
+
+def _depth0_marks(
+    stripped: str, pattern: str, case_end: bool = False
+) -> list[tuple[int, str]]:
+    """Every depth-0 occurrence of `pattern` in string-stripped SQL
+    text, as (offset, lowercased token) — THE shared paren-depth walk
+    behind the console's scanners (round-10 advice: each verb used to
+    re-implement this inline, growing the soundness surface linearly
+    with verbs; new verbs must route through here). Depth counts
+    parens, plus CASE...END spans when `case_end=True` (a WHEN inside a
+    CASE expression must not read as a MERGE's own WHEN — round-7
+    advice). The caller passes text ALREADY through
+    `_strip_sql_strings`; the depth tokens themselves (parens, and
+    case/end under `case_end`) are consumed for depth tracking and
+    never reported, even if `pattern` would match them."""
+    import re
+
+    extra = r"|\bcase\b|\bend\b" if case_end else ""
+    marks: list[tuple[int, str]] = []
+    depth = 0
+    for m in re.finditer(
+        rf"[()]{extra}|{pattern}", stripped, re.IGNORECASE
+    ):
+        tok = m.group(0).lower()
+        if tok == "(" or (case_end and tok == "case"):
+            depth += 1
+        elif tok == ")" or (case_end and tok == "end"):
+            depth -= 1
+        elif depth == 0:
+            marks.append((m.start(), tok))
+    return marks
 
 
 # keywords that may precede JOIN (`LEFT OUTER JOIN`): skipped without
@@ -1964,20 +1978,14 @@ def _extract_pushdown_predicates(
     if len(re.findall(r"\bselect\b", s, re.IGNORECASE)) != 1:
         return {}
     # exactly one top-level WHERE, no top-level set operators
-    depth, wheres = 0, []
-    for m in re.finditer(
-        r"[()]|\b(where|union|except|intersect)\b", s, re.IGNORECASE
+    wheres = []
+    for pos, tok in _depth0_marks(
+        s, r"\b(where|union|except|intersect)\b"
     ):
-        tok = m.group(0)
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            depth -= 1
-        elif depth == 0:
-            if tok.lower() == "where":
-                wheres.append(m.end())
-            else:
-                return {}
+        if tok == "where":
+            wheres.append(pos + len("where"))
+        else:
+            return {}
     if len(wheres) != 1:
         return {}
     clause = sql[wheres[0]:]
@@ -2139,20 +2147,7 @@ def _has_top_level_or(clause: str) -> bool:
     string literals — the condition under which splitting on top-level
     AND stops being sound (AND binds tighter than OR, so a conjunct to
     the right of the split may sit inside a disjunct)."""
-    import re
-
-    depth = 0
-    for m in re.finditer(
-        r"[()]|\bor\b", _strip_sql_strings(clause), re.IGNORECASE
-    ):
-        tok = m.group(0)
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            depth -= 1
-        elif depth == 0:
-            return True
-    return False
+    return bool(_depth0_marks(_strip_sql_strings(clause), r"\bor\b"))
 
 
 # depth-0 keywords that terminate an ON or WHERE clause span
@@ -2172,16 +2167,7 @@ def _join_equi_conjuncts(sql: str) -> list[tuple[str, str, str, str]]:
     import re
 
     s = _strip_sql_strings(sql)
-    marks: list[tuple[int, str]] = []
-    depth = 0
-    for m in re.finditer(r"[()]|\b[A-Za-z_]\w*\b", s):
-        t = m.group(0)
-        if t == "(":
-            depth += 1
-        elif t == ")":
-            depth -= 1
-        elif depth == 0:
-            marks.append((m.start(), t.lower()))
+    marks = _depth0_marks(s, r"\b[A-Za-z_]\w*\b")
     out: list[tuple[str, str, str, str]] = []
     for i, (pos, tok) in enumerate(marks):
         if tok not in ("on", "where"):
@@ -2421,19 +2407,11 @@ def _top_level_keyword(sql: str, kw: str, start: int = 0) -> int:
     count as nesting like parens, so the WHEN of a `CASE WHEN ... END`
     expression inside a MERGE action never splits the MERGE's own WHEN
     clauses (round-7 advice)."""
-    import re
-
-    s = _strip_sql_strings(sql)
-    depth = 0
-    for m in re.finditer(rf"[()]|\bcase\b|\bend\b|\b{kw}\b", s,
-                         re.IGNORECASE):
-        tok = m.group(0).lower()
-        if tok in ("(", "case"):
-            depth += 1
-        elif tok in (")", "end"):
-            depth -= 1
-        elif depth == 0 and m.start() >= start:
-            return m.start()
+    for pos, _tok in _depth0_marks(
+        _strip_sql_strings(sql), rf"\b{kw}\b", case_end=True
+    ):
+        if pos >= start:
+            return pos
     return -1
 
 
