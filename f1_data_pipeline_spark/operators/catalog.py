@@ -65,11 +65,16 @@ def _commit_state(catalog_path: str, version: int, tables: dict) -> None:
 def catalog_create_table(
     catalog_path: str, name: str, table_path: str,
     ref: int | str | None = None,
+    mv_of: str | None = None,
 ) -> None:
     """Register `name` → `table_path` (optionally pinned to a version
     number or tag). The table must already have a committed manifest —
     a catalog that can point at nothing turns every typo into a
-    confusing downstream failure."""
+    confusing downstream failure. `mv_of` marks the entry as a SQL
+    materialized view over source table `mv_of` (set by CREATE
+    MATERIALIZED VIEW): the transparent rewrite consults ONLY marked
+    entries, so answering a rollup query never costs a manifest read
+    per cataloged table."""
     if not name or not name.replace("_", "").isalnum():
         raise ValueError(f"invalid table name {name!r}")
     if read_manifest(table_path, ref) is None:
@@ -79,7 +84,10 @@ def catalog_create_table(
     v, tables = _read_state(catalog_path)
     if name in tables:
         raise ValueError(f"table {name!r} already exists in the catalog")
-    tables = {**tables, name: {"path": table_path, "ref": ref}}
+    entry = {"path": table_path, "ref": ref}
+    if mv_of is not None:
+        entry["mv_of"] = mv_of
+    tables = {**tables, name: entry}
     _commit_state(catalog_path, v + 1, tables)
 
 
@@ -217,6 +225,7 @@ def catalog_sql(
     max_harvests: int = 8,
     bucket_joins: bool | str = True,
     min_route_bytes: int | None = None,
+    matview_rewrite: bool = True,
 ) -> DataFrame:
     """Run a spark.sql statement against the catalog.
 
@@ -307,7 +316,10 @@ def catalog_sql(
     opened without a predicate; always exact. `SELECT <pcol>, COUNT(*)
     FROM t [WHERE <pcol conj>] GROUP BY <pcol>` on an
     identity-partitioned table is likewise metadata-only (the partition
-    histogram; see `_group_count_fast_path`).
+    histogram; see `_group_count_fast_path`), as are MIN/MAX/COUNT(col)
+    select lists (`_min_max_fast_path`: COUNT(col) = recorded rows −
+    recorded nulls, exact for any type; MoR deletes or missing stats →
+    normal plan).
 
     `EXPLAIN <select>` returns the manifest planner's decision record
     instead of the result — one row per cataloged reference: pinned
@@ -348,7 +360,15 @@ def catalog_sql(
     elect a full rebuild past its measured crossover). Supported
     aggregates: COUNT(*)/COUNT(c)/COUNT(DISTINCT c)/
     APPROX_COUNT_DISTINCT(c)/SUM/MIN/MAX/AVG; a hidden-partitioned
-    source groups by `days|months|years|hours(col) AS name`.
+    source groups by `days|months|years|hours(col) AS name`. Registered
+    views also ANSWER queries (round 11, transparent rewrite): a
+    `SELECT <groups + aggregates> FROM src GROUP BY <groups>` whose
+    grouping matches a view's spec and whose aggregates are a subset of
+    its (aliases free) reads the view instead of re-aggregating —
+    gated on freshness (the view's consumed-source-version watermark
+    must equal the query's pinned source version; stale views fall
+    through to the direct plan). EXPLAIN records `matview: answered
+    from <name>@v<N>`; see `_matview_rewrite`.
 
     Time travel in SQL (Delta/Iceberg syntax, both accepted):
     `FROM t [FOR] VERSION AS OF 3`, `FROM t [FOR] VERSION AS OF 'tag'`,
@@ -414,6 +434,7 @@ def catalog_sql(
             spark, tables, inner,
             runtime_filters=runtime_filters, max_harvests=max_harvests,
             bucket_joins=bucket_joins, min_route_bytes=min_route_bytes,
+            matview_rewrite=matview_rewrite,
         )
     routed = _route_statement(spark, catalog_path, tables, sql)
     if routed is not None:
@@ -430,6 +451,14 @@ def catalog_sql(
             fast = _group_count_fast_path(spark, tables, sql, travel)
         if fast is not None:
             return fast
+        # transparent MV rewrite (round 11): a rollup query matching a
+        # FRESH registered materialized view reads the view instead of
+        # re-aggregating the source; stale/foreign views fall through;
+        # matview_rewrite=False opts out (always the direct plan)
+        if matview_rewrite:
+            mv = _matview_rewrite(spark, tables, sql, travel)
+            if mv is not None:
+                return mv["df"]
     refs = _relation_refs(sql, tables)
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
     # one extraction serves both the bucket route (in-bucket file
@@ -965,6 +994,7 @@ def _explain_select(
     max_harvests: int = 8,
     bucket_joins: bool | str = True,
     min_route_bytes: int | None = None,
+    matview_rewrite: bool = True,
 ) -> DataFrame:
     """`EXPLAIN <select>` — the manifest planner's decision record as a
     DataFrame (one row per cataloged relation reference) instead of the
@@ -1010,6 +1040,13 @@ def _explain_select(
             fast = "min_max_metadata_only"
         elif _group_count_fast_path(spark, tables, s, travel) is not None:
             fast = "group_count_metadata_only"
+        elif matview_rewrite:
+            # mirror the MV rewrite: the source is never scanned when a
+            # fresh view answers (files_scanned 0 below is honest — the
+            # view's own small read is not a source scan)
+            mvr = _matview_rewrite(spark, tables, s, travel)
+            if mvr is not None:
+                fast = mvr["note"]
     versions = _resolve_versions(tables, {r["name"] for r in refs}, travel)
     # mirror execution exactly: would catalog_sql route this statement
     # through bucket_aligned_join? Then no predicate pushdown/harvesting
@@ -1832,15 +1869,19 @@ _EXACT_STAT_TYPES = (
 def _min_max_fast_path(
     spark: SparkSession, tables: dict, sql: str, travel: dict
 ):
-    """`SELECT min(c)|max(c)|count(*) [AS a], ... FROM t [WHERE <simple
-    conjunction>]` (no GROUP BY) answered from manifest metadata via
-    `manifest_column_bounds` — the watermark probe a 100 TB incremental
-    scheduler runs every cycle, as SQL with zero data I/O. Exactness
-    rules: only numeric/date/timestamp/boolean answer columns (string
-    parquet bounds may be writer-truncated — sound for pruning, wrong as
-    an ANSWER); MoR delete-bearing or stats-less partitions make bounds
-    unanswerable → normal plan; an empty table or an all-NULL column
-    answers NULL (the correct SQL aggregate over zero non-null rows).
+    """`SELECT min(c)|max(c)|count(c)|count(*) [AS a], ... FROM t
+    [WHERE <simple conjunction>]` (no GROUP BY) answered from manifest
+    metadata via `manifest_column_bounds` — the watermark probe a
+    100 TB incremental scheduler runs every cycle, as SQL with zero
+    data I/O. Exactness rules: only numeric/date/timestamp/boolean
+    answer columns for MIN/MAX (string parquet bounds may be
+    writer-truncated — sound for pruning, wrong as an ANSWER; COUNT(c)
+    = recorded rows − recorded null count is exact for ANY type, so it
+    carries no type restriction — round-11 verdict #4, reference D3's
+    rowcount accounting, loaders/__init__.py:97); MoR delete-bearing or
+    stats-less partitions make the answers unanswerable → normal plan;
+    an empty table or an all-NULL column answers NULL for MIN/MAX (the
+    correct SQL aggregate over zero non-null rows) and 0 for COUNT(c).
     A WHERE (round 10, verdict #2) keeps the answer metadata-only
     exactly when every file the predicates don't prune ALWAYS-matches
     them (partition-aligned predicates — see `manifest_column_bounds`);
@@ -1879,7 +1920,7 @@ def _min_max_fast_path(
     items = []
     for part in _split_top_commas(select_list):
         im = re.match(
-            r"^(MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+AS\s+"
+            r"^(MIN|MAX|COUNT)\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+AS\s+"
             r"([A-Za-z_]\w*))?$|^(COUNT)\s*\(\s*\*\s*\)(?:\s+AS\s+"
             r"([A-Za-z_]\w*))?$",
             part.strip(), re.IGNORECASE,
@@ -1891,8 +1932,8 @@ def _min_max_fast_path(
         else:
             fn, col = im.group(1).lower(), im.group(2)
             items.append((fn, col, im.group(3) or f"{fn}({col})"))
-    if not any(fn != "count" for fn, _c, _a in items):
-        return None  # pure count is _count_star_fast_path's shape
+    if all(fn == "count" and c is None for fn, c, _a in items):
+        return None  # pure count(*) is _count_star_fast_path's shape
     e = tables[name]
     v = travel.get(name)
     if v is None:
@@ -1921,11 +1962,24 @@ def _min_max_fast_path(
         return bounds_cache[col]
 
     for fn, col, alias in items:
-        if fn == "count":
+        if fn == "count" and col is None:
             b = bounds("__none__")
             if b["rows"] is None:
                 return None
             values.append(int(b["rows"]))
+            fields.append(T.StructField(alias, T.LongType(), False))
+            continue
+        if fn == "count":
+            # COUNT(col) = recorded rows − recorded nulls, exact for any
+            # type; unanswerable (→ normal plan) whenever any surviving
+            # file lacks a recorded null count or deletes pollute it —
+            # manifest_column_bounds returns nulls=None for both
+            if col not in ftypes:
+                return None  # unknown column: Spark's own error, not ours
+            b = bounds(col)
+            if b["rows"] is None or b["nulls"] is None:
+                return None
+            values.append(int(b["rows"]) - int(b["nulls"]))
             fields.append(T.StructField(alias, T.LongType(), False))
             continue
         dt = ftypes.get(col)
@@ -2518,6 +2572,209 @@ def _parse_mv_query(body: str, tables: dict):
     return src, group_cols, aggs
 
 
+def _matview_rewrite(
+    spark: SparkSession, tables: dict, sql: str, travel: dict
+) -> dict | None:
+    """Transparent materialized-view rewrite (round-11 verdict #2): a
+    console `SELECT <groups + aggregates> FROM src GROUP BY <groups>`
+    whose grouping exactly matches a registered MV's persisted spec and
+    whose aggregates are a SUBSET of the MV's (aliases free, item order
+    free) reads the MV table instead of scanning and re-aggregating the
+    source — the reference's whole standings design (store the rollup,
+    read the rollup: /root/reference/loaders/__init__.py:517-528), made
+    automatic. Returns {"df", "note"} or None (→ the normal plan).
+
+    FRESHNESS gate: the MV's consumed-source-version watermark
+    (matview.WATERMARK_KEY, stamped by the SAME commit as its data)
+    must EQUAL the source version this query pins (time travel pins
+    compose: `FROM src VERSION AS OF 3` answers from an MV whose
+    watermark is 3) and the MV's recorded source path must be the
+    catalog's current path for the name — else fall through to the
+    (correct, fresh) direct aggregation. Nothing is ever answered from
+    a stale or foreign view.
+
+    Candidate discovery costs no per-table scan: only catalog entries
+    marked `mv_of == src` at CREATE MATERIALIZED VIEW time are read
+    (one manifest JSON per candidate).
+
+    Conservative refusals (fall through, never wrong): any WHERE /
+    HAVING / ORDER BY / LIMIT (the regex requires GROUP BY to end the
+    statement and FROM to bind directly to the source), multiple
+    SELECTs, CTE-shadowed source names, unaliased transform items, a
+    grouping that differs from the spec's in any way (a coarser
+    grouping would need re-aggregation — COUNT DISTINCT cannot be
+    re-aggregated, so none is attempted), any aggregate outside the
+    spec. Unaliased aggregates carry Spark's default output names
+    (`sum(v)`, `count(1)`, ...) so the rewritten schema is
+    indistinguishable from the direct plan's. Double SUM/AVG values may
+    differ from the direct plan in the last ulp (plan-order float
+    reassociation — the documented matview semantic, matview.py)."""
+    import re
+
+    from . import matview as MV
+    from .sinks import read_manifest_table
+
+    s = _strip_sql_strings(sql)
+    if len(re.findall(r"\bselect\b", s, re.IGNORECASE)) != 1:
+        return None
+    m = re.match(
+        r"\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s+"
+        r"GROUP\s+BY\s+(.+?)\s*$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    sel, src, gb = m.groups()
+    if src not in tables or src.lower() in _cte_names(s):
+        return None
+
+    def norm(t: str) -> str:
+        return re.sub(r"\s+", "", t).lower()
+
+    # parse the SELECT list tolerantly: group cols (plain, aliasable),
+    # group transforms (alias required — it names the MV column at
+    # CREATE, and an unaliased transform has no Spark-default name the
+    # MV could reproduce), aggregates with free aliases
+    # items in SELECT-list order (the rewrite must reproduce the
+    # query's output column order exactly): ("plain", col, out) |
+    # ("transform", normspec, out) | ("agg", (op, arg), out)
+    items: list[tuple] = []
+    covered: set[str] = set()
+    for part in _split_top_commas(sel):
+        p = part.strip()
+        pm = re.match(
+            r"^([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?$", p,
+            re.IGNORECASE,
+        )
+        if pm:
+            col, alias = pm.groups()
+            items.append(("plain", col, alias or col))
+            covered |= {col.lower(), (alias or col).lower()}
+            continue
+        tm = re.match(
+            rf"^({'|'.join(_MV_TRANSFORMS)})\s*\(\s*([A-Za-z_]\w*)\s*\)"
+            rf"\s+AS\s+([A-Za-z_]\w*)$",
+            p, re.IGNORECASE,
+        )
+        if tm:
+            tf, col, alias = tm.groups()
+            items.append(("transform", f"{tf.lower()}({col.lower()})", alias))
+            covered |= {alias.lower(), f"{tf.lower()}({col.lower()})"}
+            continue
+        am = re.match(
+            r"^COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z_]\w*))?$", p,
+            re.IGNORECASE,
+        )
+        if am:
+            items.append(("agg", ("count", "*"), am.group(1) or "count(1)"))
+            continue
+        am = re.match(
+            r"^COUNT\s*\(\s*DISTINCT\s+([A-Za-z_]\w*)\s*\)"
+            r"(?:\s+AS\s+([A-Za-z_]\w*))?$",
+            p, re.IGNORECASE,
+        )
+        if am:
+            c, alias = am.groups()
+            items.append(("agg", ("count_distinct", c.lower()),
+                          alias or f"count(DISTINCT {c})"))
+            continue
+        am = re.match(
+            r"^APPROX_COUNT_DISTINCT\s*\(\s*([A-Za-z_]\w*)\s*\)"
+            r"(?:\s+AS\s+([A-Za-z_]\w*))?$",
+            p, re.IGNORECASE,
+        )
+        if am:
+            c, alias = am.groups()
+            items.append(("agg", ("approx_distinct", c.lower()),
+                          alias or f"approx_count_distinct({c})"))
+            continue
+        am = re.match(
+            r"^(SUM|MIN|MAX|AVG|COUNT)\s*\(\s*([A-Za-z_]\w*)\s*\)"
+            r"(?:\s+AS\s+([A-Za-z_]\w*))?$",
+            p, re.IGNORECASE,
+        )
+        if am:
+            op, c, alias = am.groups()
+            items.append(("agg", (op.lower(), c.lower()),
+                          alias or f"{op.lower()}({c})"))
+            continue
+        return None  # outside the rollup grammar
+    n_groups = sum(1 for it in items if it[0] != "agg")
+    if n_groups == len(items) or n_groups == 0:
+        return None  # no aggregates / no group columns: not a rollup
+    # the GROUP BY list must name exactly the SELECT list's group items
+    # (by name, alias, or transform text — same rule as CREATE's parser)
+    gb_items = [norm(g) for g in _split_top_commas(gb)]
+    if set(gb_items) - covered or len(gb_items) != n_groups:
+        return None
+
+    e_src = tables[src]
+    sv = travel.get(src)
+    if sv is None:
+        sv = resolve_manifest_ref(e_src["path"], e_src.get("ref"))
+    if sv is None:  # unpinned entry: resolve "latest" to a number once
+        m_src = read_manifest(e_src["path"])
+        if m_src is None:
+            return None
+        sv = m_src["version"]
+
+    for name, e in sorted(tables.items()):
+        if e.get("mv_of") != src:
+            continue
+        mft = read_manifest(
+            e["path"], resolve_manifest_ref(e["path"], e.get("ref"))
+        )
+        if mft is None:
+            continue
+        v_mv = mft["version"]  # pin: the read below must see THIS app
+        app = mft.get("app") or {}
+        spec = app.get("matview_sql")
+        wm = app.get(MV.WATERMARK_KEY)
+        if (
+            not spec
+            or wm != sv                                  # stale / future
+            or app.get("mv_source") != e_src["path"]     # foreign source
+        ):
+            continue
+        spec_plain = {
+            g.lower(): g for g in spec["group_cols"] if isinstance(g, str)
+        }
+        spec_trans = {
+            norm(g[1]): g[0] for g in spec["group_cols"]
+            if not isinstance(g, str)
+        }
+        spec_aggs = {
+            (op, (arg.lower() if arg != "*" else "*")): out
+            for out, (op, arg) in (
+                (k, tuple(v)) for k, v in spec["aggs"].items()
+            )
+        }
+        if n_groups != len(spec["group_cols"]):
+            continue  # coarser/finer grouping: re-aggregation territory
+        cols = []
+        for kind, key, out in items:
+            if kind == "plain":
+                mv_col = spec_plain.get(key.lower())
+            elif kind == "transform":
+                mv_col = spec_trans.get(key)
+            else:
+                mv_col = spec_aggs.get(key)
+            if mv_col is None:
+                break
+            cols.append((mv_col, out))
+        if len(cols) != len(items):
+            continue  # an item the spec lacks: not answerable here
+        from pyspark.sql import functions as F
+
+        df = read_manifest_table(spark, e["path"], version=v_mv).select(
+            [F.col(c).alias(out) for c, out in cols]
+        )
+        note = f"matview: answered from {name}@v{v_mv} (source v{sv})"
+        _log().debug("catalog_sql %s", note)
+        return {"df": df, "note": note}
+    return None
+
+
 def _create_matview(
     spark: SparkSession, catalog_path: str, tables: dict, sql: str
 ) -> DataFrame:
@@ -2571,7 +2828,7 @@ def _create_matview(
             },
         },
     )
-    catalog_create_table(catalog_path, name, tgt)
+    catalog_create_table(catalog_path, name, tgt, mv_of=src)
     return _mv_metrics_df(spark, r)
 
 

@@ -35,12 +35,16 @@ def _mv_rows(spark, cat):
 
 
 def _want_rows(spark, cat):
+    # matview_rewrite=False: this helper IS the direct-aggregation
+    # baseline — letting the round-11 transparent rewrite answer it from
+    # the view would make every parity assertion circular
     return sorted(
         tuple(r) for r in CAT.catalog_sql(
             spark, cat,
             "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total FROM src "
             "GROUP BY day, cat",
             bucket_joins=False,
+            matview_rewrite=False,
         ).collect()
     )
 
@@ -204,3 +208,223 @@ def test_create_matview_resumes_after_registration_crash(spark, tmp_path):
         spark, cat, "SELECT day, n FROM mv"
     ).collect()}
     assert got == {0: 10, 1: 11, 2: 10, 3: 10}
+
+
+# ---------------------------------------------------------------------------
+# Round 11: transparent materialized-view rewrite — a rollup SELECT
+# matching a FRESH registered MV's spec answers from the view.
+# ---------------------------------------------------------------------------
+
+def _direct(spark, cat, q):
+    return sorted(tuple(r) for r in CAT.catalog_sql(
+        spark, cat, q, matview_rewrite=False
+    ).collect())
+
+
+def _rewritten(spark, cat, q):
+    return CAT.catalog_sql(spark, cat, q)
+
+
+def _approx_eq(rows_a, rows_b):
+    assert len(rows_a) == len(rows_b)
+    for ra, rb in zip(rows_a, rows_b):
+        assert len(ra) == len(rb)
+        for a, b in zip(ra, rb):
+            if isinstance(a, float):
+                assert b == pytest.approx(a, rel=1e-12), (ra, rb)
+            else:
+                assert a == b, (ra, rb)
+
+
+def test_transparent_rewrite_answers_from_fresh_view(spark, tmp_path):
+    """A rollup SELECT whose grouping matches the MV spec and whose
+    aggregates are a subset (aliases free, order free, unaliased
+    defaults preserved) reads the VIEW's files, result-identical to
+    the direct aggregation; EXPLAIN records the decision."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total, MIN(v) AS lo "
+        "FROM src GROUP BY day, cat",
+    )
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    # subset of aggregates, fresh aliases, reordered items
+    q = ("SELECT cat, SUM(v) AS s, day AS d, COUNT(*) AS c "
+         "FROM src GROUP BY cat, day")
+    got = _rewritten(spark, cat, q)
+    assert got.columns == ["cat", "s", "d", "c"]
+    files = got.inputFiles()
+    assert files and all(mv_path in f for f in files)  # reads the VIEW
+    _approx_eq(sorted(tuple(r) for r in got.collect()), _direct(spark, cat, q))
+    # unaliased aggregates keep Spark's default output names
+    q2 = "SELECT day, cat, SUM(v), COUNT(*) FROM src GROUP BY day, cat"
+    got2 = _rewritten(spark, cat, q2)
+    assert got2.columns == CAT.catalog_sql(
+        spark, cat, q2, matview_rewrite=False
+    ).columns == ["day", "cat", "sum(v)", "count(1)"]
+    _approx_eq(
+        sorted(tuple(r) for r in got2.collect()), _direct(spark, cat, q2)
+    )
+    # EXPLAIN mirrors: fast_path records the answering view + versions
+    ex = CAT.catalog_sql(spark, cat, "EXPLAIN " + q).collect()[0]
+    assert ex["fast_path"].startswith("matview: answered from mv@v")
+    assert ex["files_scanned"] == 0  # the SOURCE is never scanned
+    # the opt-out reads the source
+    off = CAT.catalog_sql(spark, cat, q, matview_rewrite=False)
+    assert any(t in f for f in off.inputFiles())
+
+
+def test_rewrite_freshness_gate_and_time_travel(spark, tmp_path):
+    """A stale view NEVER answers: after a source commit the same query
+    falls through to the direct plan (new rows visible), REFRESH makes
+    the view answer again, and a time-traveled query pinned AT the
+    view's watermark answers from the view even while the live source
+    is ahead."""
+    cat, t = _seed(spark, tmp_path)
+    # two group columns: the single-pcol partition-histogram fast path
+    # can't answer this shape, so the MV rewrite is what's under test
+    # (refresh_rollup itself requires the partition column among the
+    # groups, so a cat-only view can't exist)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n FROM src GROUP BY day, cat",
+    )
+    q = "SELECT day, cat, COUNT(*) AS n FROM src GROUP BY day, cat"
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    wm = sinks.read_manifest(t)["version"]
+    files = _rewritten(spark, cat, q).inputFiles()
+    assert files and all(mv_path in f for f in files)
+
+    # source advances: the view is stale — the direct plan must run and
+    # SEE the new rows (the strongest possible non-rewrite proof)
+    up = spark.createDataFrame([(1000, 1, 2, 5.0), (1001, 1, 2, 6.0)],
+                               "k long, day long, cat long, v double")
+    sinks.merge_upsert_manifest(spark, up, t, keys=["k"],
+                                partition_col="day")
+    live = {(r.day, r.cat): r.n
+            for r in _rewritten(spark, cat, q).collect()}
+    assert live[(1, 2)] == 5  # 3 seeded + 2 new — a stale MV would say 3
+    ex = CAT.catalog_sql(spark, cat, "EXPLAIN " + q).collect()[0]
+    assert ex["fast_path"] is None
+
+    # ... but pinning the query AT the watermark re-enables the view
+    qv = (f"SELECT day, cat, COUNT(*) AS n FROM src VERSION AS OF {wm} "
+          "GROUP BY day, cat")
+    pinned = CAT.catalog_sql(spark, cat, qv)
+    pf = pinned.inputFiles()
+    assert pf and all(mv_path in f for f in pf)
+    assert {(r.day, r.cat): r.n for r in pinned.collect()}[(1, 2)] == 3
+
+    # REFRESH: fresh again, new counts, answered from the view
+    CAT.catalog_sql(spark, cat, "REFRESH MATERIALIZED VIEW mv")
+    again = _rewritten(spark, cat, q)
+    af = again.inputFiles()
+    assert af and all(mv_path in f for f in af)
+    assert {(r.day, r.cat): r.n for r in again.collect()}[(1, 2)] == 5
+
+
+def test_rewrite_conservative_refusals(spark, tmp_path):
+    """Shapes the view cannot PROVABLY answer take the direct plan:
+    a WHERE, a coarser grouping, an aggregate outside the spec, a
+    transform grouping the spec lacks — parity with the direct plan is
+    the refusal proof (the MV's values would differ for the coarser
+    grouping)."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total "
+        "FROM src GROUP BY day, cat",
+    )
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    refusals = [
+        "SELECT cat, COUNT(*) AS n FROM src GROUP BY cat",  # coarser
+        "SELECT day, cat, MAX(v) AS m FROM src GROUP BY day, cat",  # agg
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "WHERE day = 1 GROUP BY day, cat"),                 # WHERE
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "GROUP BY day, cat ORDER BY day"),                  # tail
+    ]
+    for q in refusals:
+        got = CAT.catalog_sql(spark, cat, q)
+        assert not any(mv_path in f for f in got.inputFiles()), q
+        assert sorted(tuple(r) for r in got.collect()) == \
+            _direct(spark, cat, q), q
+    # DROP TABLE mv: the rewrite is gone with the entry
+    CAT.catalog_sql(spark, cat, "DROP TABLE mv")
+    q = "SELECT day, cat, COUNT(*) AS n FROM src GROUP BY day, cat"
+    assert not any(
+        mv_path in f for f in CAT.catalog_sql(spark, cat, q).inputFiles()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Property: for random rollup queries INSIDE the rewrite grammar over a
+# registered MV, rewrite == direct (the rewrite's whole contract).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_AGGS = [
+    ("COUNT(*)", "n0"), ("SUM(v)", "n1"), ("MIN(v)", "n2"),
+    ("MAX(v)", "n3"), ("COUNT(DISTINCT cat)", "n4"), ("AVG(v)", "n5"),
+    ("COUNT(v)", "n6"),
+]
+
+
+@st.composite
+def _rollup_query(draw):
+    groups = draw(st.permutations(["day", "cat"]))
+    galias = draw(st.booleans())
+    gsel = [f"{g} AS g_{g}" if galias else g for g in groups]
+    gby = [f"g_{g}" if galias and draw(st.booleans()) else g
+           for g in groups]
+    aggs = draw(st.lists(st.sampled_from(_AGGS), min_size=1, max_size=4,
+                         unique=True))
+    asel = [
+        f"{expr} AS {alias}" if draw(st.booleans()) else expr
+        for expr, alias in aggs
+    ]
+    items = gsel + asel
+    order = draw(st.permutations(items))
+    return f"SELECT {', '.join(order)} FROM src GROUP BY {', '.join(gby)}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_rollup_query())
+def test_property_rewrite_equals_direct(spark, mv_session, q):
+    cat, mv_path = mv_session
+    got = CAT.catalog_sql(spark, cat, q)
+    assert got.inputFiles() and all(
+        mv_path in f for f in got.inputFiles()
+    ), q  # inside the grammar ⇒ always answered from the view
+    direct = CAT.catalog_sql(spark, cat, q, matview_rewrite=False)
+    assert got.columns == direct.columns, q
+    key = lambda rows: sorted(
+        tuple(x if not isinstance(x, float) else round(x, 9) for x in r)
+        for r in rows
+    )
+    _approx_eq(
+        key(tuple(r) for r in got.collect()),
+        key(tuple(r) for r in direct.collect()),
+    )
+
+
+@pytest.fixture(scope="module")
+def mv_session(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mv_prop")
+    cat, t = _seed(spark, tmp)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS SELECT day, cat, "
+        "COUNT(*) AS c0, SUM(v) AS c1, MIN(v) AS c2, MAX(v) AS c3, "
+        "COUNT(DISTINCT cat) AS c4, AVG(v) AS c5, COUNT(v) AS c6 "
+        "FROM src GROUP BY day, cat",
+    )
+    return cat, CAT.catalog_tables(cat)["mv"]["path"]
