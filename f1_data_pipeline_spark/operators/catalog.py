@@ -465,6 +465,8 @@ def catalog_sql(
     # pruning) and the ordinary path (manifest pushdown) — it re-reads
     # manifests for schema resolution, so never compute it twice
     preds = _extract_pushdown_predicates(spark, sql, refs, tables)
+    harvested = False
+    bucket_view: str | None = None
     if bucket_joins and not business:
         bj = _match_bucket_join(sql, refs, tables, versions)
         if bj is not None:
@@ -475,6 +477,17 @@ def catalog_sql(
             # row filters in the original text too)
             from .bucket_join import bucket_aligned_join, plan_bucket_pairs
 
+            if bj["n_refs"] > 2 and runtime_filters:
+                # multi-relation route: harvest BEFORE planning, so a
+                # selective third relation's join keys prune files
+                # INSIDE the pair's buckets (the same preds dict the
+                # plan reads below) — the routed star keeps the dynamic
+                # file pruning the shuffled star would get
+                _runtime_join_filters(
+                    spark, sql, refs, tables, versions, preds,
+                    max_harvests=max_harvests,
+                )
+                harvested = True
             # the WHERE's sound conjuncts still prune FILES inside each
             # bucket (the scan avoidance routing would otherwise lose);
             # they stay in the rewritten SQL as row filters, so this is
@@ -550,25 +563,38 @@ def catalog_sql(
             if bj is not None:
                 vname = f"__cat_bkt_{next(_VIEW_SEQ)}"
                 df.createOrReplaceTempView(vname)
-                try:
-                    return spark.sql(bj["new_sql"](vname))
-                finally:
-                    spark.catalog.dropTempView(vname)
-    if runtime_filters:
-        _runtime_join_filters(
-            spark, sql, refs, tables, versions, preds,
-            max_harvests=max_harvests,
-        )
-    ref_preds = _cte_pushdown_predicates(spark, sql, refs, tables)
-    sql, internal = _bind_internal_views(
-        spark, tables, sql, refs, versions, preds, ref_preds,
-        business=business,
-    )
+                if bj["n_refs"] == 2:
+                    try:
+                        return spark.sql(bj["new_sql"](vname))
+                    finally:
+                        spark.catalog.dropTempView(vname)
+                # multi-relation: the pair is now the `__bkt_pair` view;
+                # rebind the REMAINING cataloged relations through the
+                # ordinary tail below (their own pushdown + isolation).
+                # `preds` stays valid — it is keyed by table name and
+                # the surviving relations' WHERE text is unchanged.
+                bucket_view = vname
+                sql = bj["new_sql"](vname)
+                refs = _relation_refs(sql, tables)
     try:
-        return spark.sql(sql)
+        if runtime_filters and not harvested:
+            _runtime_join_filters(
+                spark, sql, refs, tables, versions, preds,
+                max_harvests=max_harvests,
+            )
+        ref_preds = _cte_pushdown_predicates(spark, sql, refs, tables)
+        sql, internal = _bind_internal_views(
+            spark, tables, sql, refs, versions, preds, ref_preds,
+            business=business,
+        )
+        try:
+            return spark.sql(sql)
+        finally:
+            for vname in internal:
+                spark.catalog.dropTempView(vname)
     finally:
-        for vname in internal:
-            spark.catalog.dropTempView(vname)
+        if bucket_view is not None:
+            spark.catalog.dropTempView(bucket_view)
 
 
 # the one CREATE TABLE shape the catalog owns (groups: name, column
@@ -1060,9 +1086,19 @@ def _explain_select(
     # one extraction serves both branches (it re-reads manifests for
     # schema resolution — never compute it twice per statement)
     bj_preds = _extract_pushdown_predicates(spark, s, refs, tables)
+    bj_rtf: dict = {}
+    bj_harvested = False
     if bj is not None:
         from .bucket_join import plan_bucket_pairs
 
+        if bj["n_refs"] > 2 and runtime_filters:
+            # mirror execution: the multi-relation route harvests BEFORE
+            # planning so third-relation keys prune inside the buckets
+            bj_rtf = _runtime_join_filters(
+                spark, s, refs, tables, versions, bj_preds,
+                max_harvests=max_harvests,
+            )
+            bj_harvested = True
         try:
             pairs = plan_bucket_pairs(
                 tables[bj["left"]]["path"], tables[bj["right"]]["path"],
@@ -1106,19 +1142,22 @@ def _explain_select(
         # display ONLY the conjuncts the route DID use for in-bucket
         # file pruning (a LEFT join withholds the right side's — review
         # finding: the record must never claim pruning that didn't run);
-        # harvesting/CTE pushdown stay quiet (not applicable)
+        # pair-side harvesting/CTE pushdown stay quiet (not applicable);
+        # a multi-relation route reports the pre-plan harvest it DID run
         preds = dict(bj_preds)
         if bj["how"] != "inner":
             preds.pop(bj["right"], None)
-        rtf, ref_preds = {}, {}
+        rtf, ref_preds = bj_rtf, {}
         ba = {bj["left"]: bj["note"], bj["right"]: bj["note"]}
     else:
         preds = bj_preds
         # a caller running with runtime_filters=False must see an EXPLAIN
         # that neither harvests (real dim scans at plan time) nor reports
-        # filters the run won't use
+        # filters the run won't use; an abandoned multi-relation route
+        # already harvested (mirroring execution) — don't scan dims twice
         rtf = (
-            _runtime_join_filters(
+            bj_rtf if bj_harvested
+            else _runtime_join_filters(
                 spark, s, refs, tables, versions, preds,
                 max_harvests=max_harvests,
             )
@@ -1303,9 +1342,26 @@ def _match_bucket_join(
     ANDing); under LEFT they change which rows null-extend, so any
     residual refuses.
 
+    MULTI-RELATION queries (round-11 verdict #3): when the FROM chain
+    opens with an eligible pair and continues with further INNER joins
+    to other cataloged tables — `FROM A a JOIN B b ON a.k = b.k JOIN C
+    c ON ... [JOIN D ...]`, the reference's star shape
+    (base_loader.py:185-212) at fact-fact scale — the pair alone
+    collapses into the view (aliased `__bkt_pair`, so every rewritten
+    reference stays QUALIFIED and can never turn ambiguous against the
+    other relations' columns) and the remaining joins run as ordinary
+    shuffled joins over it; the other tables keep their own manifest
+    binding, pushdown, and runtime-filter harvest. Multi-relation
+    restrictions on top of the pair rules: inner joins only
+    (everywhere), no residual ON conjuncts on the pair, every
+    alias/name distinct.
+
     Conservative refusals (fall back to the shuffled join):
-    - more than one SELECT, any CTE, set operands, >2 cataloged refs,
-      a third (non-cataloged) JOIN, comma joins;
+    - more than one SELECT, any CTE, set operands, non-cataloged or
+      repeated relations, comma joins;
+    - any outer/semi/anti/natural/lateral join keyword when more than
+      two relations appear (the pair must not change which rows the
+      preserved sides see);
     - `*` / `alias.*` projections (the view's output schema drops the
       right key and may prefix collisions — `*` would change the
       result schema);
@@ -1331,18 +1387,30 @@ def _match_bucket_join(
     s = _strip_sql_strings(sql)
     if _cte_names(s):
         return None
-    if len(refs) != 2:
+    if len(refs) < 2:
         return None
-    a, b = refs
-    if a["depth"] or b["depth"] or a["name"] == b["name"]:
+    a, b = refs[0], refs[1]
+    multi = len(refs) > 2
+    names = [r["name"] for r in refs]
+    if any(r["depth"] for r in refs) or len(set(names)) != len(names):
         return None
 
     # depth-0 keyword marks (the shared scanner)
     marks = _depth0_marks(s, r"\b[A-Za-z_]\w*\b|\*|,")
     kws = [t for _, t in marks]
     if kws.count("select") != 1 or kws.count("from") != 1 \
-            or kws.count("join") != 1:
+            or kws.count("join") != len(refs) - 1:
         return None
+    if multi:
+        # the collapsed pair must not change which rows any preserved
+        # side sees, and the placeholder alias must be free; a COLUMN
+        # named like a join keyword also refuses — conservative
+        if any(
+            k in kws
+            for k in ("left", "right", "full", "outer", "cross",
+                      "natural", "semi", "anti", "lateral")
+        ) or "__bkt_pair" in kws:
+            return None
     sel_pos = next(p for p, t in marks if t == "select")
     from_pos = next(p for p, t in marks if t == "from")
     # `*` at depth 0 between SELECT and FROM only matters in projection
@@ -1369,10 +1437,15 @@ def _match_bucket_join(
     if not om:
         return None
     on_start = b["end"] + om.end()
-    # ON clause ends at the next depth-0 clause keyword (or EOS)
+    # the pair's ON clause ends at the next depth-0 clause keyword OR
+    # the next JOIN chain keyword (multi-relation); a keyword-looking
+    # token right after a dot is a qualified column, not a clause end
+    on_enders = _FROM_ENDERS | ({"join", "inner"} if multi else set())
     on_end = len(sql)
     for p, t in marks:
-        if p >= on_start and t in _FROM_ENDERS:
+        if p >= on_start and t in on_enders and (
+            p == 0 or s[p - 1] != "."
+        ):
             on_end = p
             break
     on_clause = sql[on_start:on_end]
@@ -1382,8 +1455,9 @@ def _match_bucket_join(
         (alias_a or a["name"]).lower(): "L",
         (alias_b or b["name"]).lower(): "R",
     }
-    if len(qual_of) != 2:
-        return None  # alias collision between the two sides
+    all_quals = [(r["alias"] or r["name"]).lower() for r in refs]
+    if len(qual_of) != 2 or len(set(all_quals)) != len(all_quals):
+        return None  # alias collision between relations
 
     # bucket-layout eligibility on the PINNED versions
     def layout(name: str):
@@ -1434,7 +1508,10 @@ def _match_bucket_join(
         residuals.append(conj)
     if not key_found:
         return None
-    if residuals and how == "left":
+    if residuals and (how == "left" or multi):
+        # LEFT: residuals change null-extension; multi: folding them
+        # into a WHERE that sits beyond the remaining join chain is a
+        # rewrite hazard for no routing gain — refuse, fall back
         return None
     if sl[left_on].dataType != sr[right_on].dataType:
         return None  # xxhash64 would misalign differently-typed keys
@@ -1502,7 +1579,10 @@ def _match_bucket_join(
                     if canon != rmap[col.lower()]:
                         return None  # renamed collision: output-name change
             out.append(region[last:qm.start()])
-            out.append(canon)
+            # multi-relation: keep rewritten refs QUALIFIED by the
+            # view's placeholder alias — an unqualified name could turn
+            # ambiguous against the remaining relations' columns
+            out.append(f"__bkt_pair.{canon}" if multi else canon)
             last = qm.end()
         out.append(region[last:])
         return "".join(out)
@@ -1536,8 +1616,11 @@ def _match_bucket_join(
                 )
             else:
                 tail = f"WHERE {cond} " + tail
+        if multi:
+            return f"{pre_rw}FROM {view} AS __bkt_pair {tail}"
         return f"{pre_rw}FROM {view} {tail}"
 
+    others = ", ".join(r["name"] for r in refs[2:])
     return {
         "left": a["name"],
         "right": b["name"],
@@ -1545,11 +1628,14 @@ def _match_bucket_join(
         "right_on": right_on,
         "how": how,
         "buckets": tl.param,
+        "n_refs": len(refs),
         "new_sql": new_sql,
         "note": (
             f"taken: bucket_aligned_join({a['name']}, {b['name']}) on "
             f"{left_on} = {right_on} ({tl.param} buckets, how={how}, "
             "zero exchange over table data)"
+            + (f"; {others} joined shuffled over the view" if multi
+               else "")
         ),
     }
 
