@@ -803,12 +803,83 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
             feb.append(s)
         nat_sec = round(statistics.median(nat), 3)
         feb_sec = round(statistics.median(feb), 3)
+
+        # round-11 arm: the STATEFUL native loop (X6 composed on
+        # X52/X53) — withWatermark + tumbling-window aggregate between
+        # source and sink. Python-source drains run single-batch, so
+        # the watermark a batch persists closes windows on the NEXT
+        # data-bearing drain (the pytest pin documents this): the arm
+        # lands a base commit, drains (state build, nothing emitted),
+        # lands the updates, drains again (early windows emit). Priced
+        # against the equivalent batch re-aggregation of the same feed.
+        s_src = os.path.join(work, "s_src")
+        sinks.merge_upsert_manifest(
+            spark, base, s_src, ["o_orderkey"], "yr"
+        )
+
+        def s_agg(feed):
+            return (
+                feed.filter(
+                    F.col("_change").isin("insert", "update_postimage")
+                )
+                .withColumn("ts", F.col("o_orderdate").cast("timestamp"))
+                .withWatermark("ts", "30 days")
+                .groupBy(F.window("ts", "90 days"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("o_totalprice").alias("rev"))
+                .select(F.col("window.start").alias("ws"), "n", "rev")
+            )
+
+        s_dst = os.path.join(work, "s_dst")
+        s_ck = os.path.join(work, "s_ckpt")
+
+        def s_drain():
+            q = start_manifest_append_stream(
+                s_agg(read_change_stream(
+                    spark, s_src, ["o_orderkey"], starting_version=1
+                )),
+                s_dst, s_ck, sink_id="w",
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError("stateful bench: drain exceeded 600 s")
+            q.stop()
+
+        t0 = time.time()
+        s_drain()
+        s_sec = time.time() - t0
+        for i in range(3):
+            upd = base.filter(
+                F.pmod("o_orderkey", 100) == i * 5
+            ).withColumn("o_totalprice", F.col("o_totalprice") + 1)
+            sinks.merge_upsert_manifest(
+                spark, upd, s_src, ["o_orderkey"], "yr"
+            )
+        t0 = time.time()
+        s_drain()
+        s_sec += time.time() - t0
+        s_windows = sinks.read_manifest_table(spark, s_dst).count()
+        assert s_windows > 0
+        t0 = time.time()
+        (
+            sinks.read_manifest_table(spark, s_src)
+            .groupBy(F.window(F.col("o_orderdate").cast("timestamp"),
+                              "90 days"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_totalprice").alias("rev"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        s_batch_sec = time.time() - t0
+
         return {
             "commits": commits,
             "rows_landed": n_rows,
             "foreachbatch_sec": feb_sec,
             "native_loop_sec": nat_sec,
             "native_over_foreachbatch": round(nat_sec / feb_sec, 2),
+            "stateful_loop_sec": round(s_sec, 3),
+            "stateful_windows_emitted": s_windows,
+            "stateful_batch_agg_sec": round(s_batch_sec, 3),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

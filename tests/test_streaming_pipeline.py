@@ -143,3 +143,110 @@ def test_native_loop_parity_and_crash_replay(spark, tmp_path):
     assert sorted(
         (r.k, r.v2) for r in downstream.collect()
     ) == sorted((r.k, r.v2) for r in got3.collect())
+
+
+def test_native_loop_stateful_window_aggregate(spark, tmp_path):
+    """Round-11 verdict #5: the native loop composed with a STATEFUL
+    operator — readStream manifest_changes → withWatermark + tumbling
+    window aggregate → manifest_append — must keep checkpointed
+    operator state and the sink's structural exactly-once in agreement
+    across a crash. The sharpest pin: a window receives one row BEFORE
+    the crash/restart and one row AFTER; the emitted aggregate must
+    combine both, exactly once.
+
+    Emission semantics pinned here: the Python streaming source runs
+    single-batch drains, so the watermark a batch persists closes
+    windows on the NEXT drain that carries data (no-data re-drains run
+    no batch and flush nothing) — eventual and exactly-once, one drain
+    behind the watermark."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(minute):
+        return dt.datetime(2024, 3, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+    def commit(rows):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                rows, "k long, g string, ts timestamp, v double"
+            ),
+            src, ["k"], partition_col="g",
+        )
+
+    # commit 1: two windows' worth of data + a 00:30 row that (a) will
+    # push the watermark past both and (b) OPENS a window held in state
+    commit([
+        (1, "a", ts(1), 1.0), (2, "a", ts(2), 2.0),
+        (3, "b", ts(6), 3.0), (10, "a", ts(30), 10.0),
+    ])
+
+    def agg(feed):
+        return (
+            feed.filter(F.col("_change").isin("insert", "update_postimage"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot"))
+            .select(F.col("window.start").alias("ws"), "g", "n", "tot")
+        )
+
+    def drain():
+        feed = read_change_stream(spark, src, ["k"], starting_version=1)
+        q = start_manifest_append_stream(agg(feed), dst, ckpt, sink_id="w")
+        assert q.awaitTermination(300)
+        q.stop()
+
+    def landed():
+        try:
+            return sorted(
+                (r.ws.replace(tzinfo=None), r.g, r.n, r.tot)
+                for r in sinks.read_manifest_table(spark, dst).collect()
+            )
+        except FileNotFoundError:
+            return []  # the sink bootstraps on its first non-empty emit
+
+    # drain 1: watermark starts at 0, so NOTHING is emitted yet — the
+    # batch only loads state and persists watermark 00:20
+    drain()
+    assert landed() == []
+
+    # commit 2 lands a second row in the 00:30 window and a 01:00 row;
+    # drain 2's batch runs with watermark 00:20 → the two early windows
+    # emit; the 00:30 window (now TWO rows) stays in state
+    commit([(11, "a", ts(32), 5.0), (12, "b", ts(60), 1.0)])
+    drain()
+    closed_1 = [(ts(0), "a", 2, 3.0), (ts(5), "b", 1, 3.0)]
+    assert landed() == closed_1
+
+    # ---- crash/replay: wipe the checkpoint's last commit marker; the
+    # replayed epoch must re-emit NOTHING new (the sink's batch-keyed
+    # partition swallows the duplicate; the state store rewinds to the
+    # epoch's version instead of double-counting)
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "*")))
+    real = [c for c in commits if not c.endswith(".crc")]
+    os.unlink(real[-1])
+    crc = os.path.join(
+        os.path.dirname(real[-1]), f".{os.path.basename(real[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.unlink(crc)
+    drain()
+    assert landed() == closed_1  # exactly-once THROUGH the crash
+
+    # ---- the state pin: the next data-bearing drain closes the 00:30
+    # window — its aggregate must COMBINE the pre-crash row (10.0, held
+    # in checkpointed state across crash + restarts) with the
+    # post-restart row (5.0), each counted exactly once
+    commit([(13, "a", ts(90), 2.0)])
+    drain()
+    closed_2 = sorted(closed_1 + [(ts(30), "a", 2, 15.0)])
+    assert landed() == closed_2
+
+    # ---- one more late commit closes the 01:00 window, exactly once
+    commit([(14, "b", ts(120), 9.0)])
+    drain()
+    closed_3 = sorted(closed_2 + [(ts(60), "b", 1, 1.0)])
+    assert landed() == closed_3
