@@ -24,13 +24,21 @@ Semantics
   tagged all-insert (the `consume_table_changes` bootstrap shape);
   option("starting_version", N) instead replays history from commit N
   (requires versions N-1.. retained — vacuum keep_last must cover it).
-- Planning (driver): one InputPartition per (commit, changed manifest
-  partition) — cost ∝ changed partitions, never table size, and the
-  partitions the manifests say are untouched are never listed.
-- Reading (executors): each task reconstructs its partition's old/new
-  row sets with pyarrow (position deletes applied — merge-on-read
-  DELETEs surface as CDC deletes), classifies insert/update/delete by
-  a key join, and ships Arrow record batches — no driver data path.
+- Planning (driver): one InputPartition per changed manifest PARTITION
+  spanning the batch's whole version window, carrying its per-commit
+  diff steps (round 11: adjacent commits FOLD — it used to be one per
+  (commit, partition)) — cost ∝ changed partitions, never table size,
+  and the partitions the manifests say are untouched are never listed.
+- Reading (executors): each task walks its partition's steps in
+  version order, reconstructing old/new row sets with pyarrow
+  (position deletes applied — merge-on-read DELETEs surface as CDC
+  deletes) and reusing step i's loaded new side as step i+1's old side
+  (K commits touch K+1 snapshot loads, not 2K), classifies
+  insert/update/delete by a key join, and ships Arrow record batches —
+  no driver data path. Emitted rows are byte-identical to per-commit
+  planning; ordering is guaranteed only BY `_commit_version` (as
+  before — tasks across partitions were always unordered, and within a
+  partition steps run in version order).
 
 Scale posture: the diff grain is (changed partition × commit); the
 layout policy bounds partition size, writers reject keys that move
@@ -135,12 +143,18 @@ def _feed_schema(path: str) -> T.StructType:
 
 @dataclass
 class _ChangePartition(InputPartition):
-    kind: str  # "snapshot" | "diff"
+    kind: str  # "snapshot" | "chain"
     commit_version: int
     new_files: list = field(default_factory=list)
     new_delete_dirs: list = field(default_factory=list)
-    old_files: list = field(default_factory=list)
-    old_delete_dirs: list = field(default_factory=list)
+    # chain: this manifest partition's per-commit diff steps for the
+    # whole batch window, in version order — each element is
+    # (commit_version, new_files, new_delete_dirs, old_files,
+    # old_delete_dirs). One task walks the chain and REUSES each loaded
+    # snapshot as step i's new side AND step i+1's old side (they are
+    # the same entry by construction), so a partition touched by K
+    # commits loads K+1 snapshots instead of 2K across K tasks.
+    steps: list = field(default_factory=list)
     keys: tuple = ()
     fields: tuple = ()  # ((logical, physical), ...)
     schema_json: str = ""
@@ -257,6 +271,22 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
             return parts or [
                 _ChangePartition(kind="snapshot", commit_version=hi, **common)
             ]
+        # Adjacent-commit FOLDING (round-11 verdict #6): plan one
+        # InputPartition per changed MANIFEST PARTITION spanning the
+        # whole version window, carrying its per-commit diff steps —
+        # instead of one per (commit, partition). The emitted rows are
+        # IDENTICAL (each step still diffs one commit and tags its own
+        # _commit_version — the per-commit feed contract is untouched,
+        # and within a partition the steps execute in version order in
+        # one task); what folding removes is the per-task fixed cost (a
+        # Python worker round-trip + pyarrow opens per (commit,
+        # partition)) and half the snapshot loads (see _ChangePartition
+        # .steps). Ordering guarantee, unchanged from per-commit
+        # planning: rows carry _commit_version and order is only
+        # guaranteed BY that column — tasks across partitions were
+        # always unordered. Task bound: one partition's steps ≤ the
+        # window's commit count, which max_versions_per_batch caps.
+        chains: dict[str, list] = {}
         for v in range(lo + 1, hi + 1):
             m_new = read_manifest(self._path, v)
             if m_new is None:
@@ -281,18 +311,26 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
                         "(raise keep_last)"
                     )
             for k, how in changed.items():
-                p = _ChangePartition(kind="diff", commit_version=v, **common)
+                nf, nd, of, od = [], [], [], []
                 if how in ("added", "rewritten"):
-                    p.new_files, p.new_delete_dirs = _entry_abs(
+                    nf, nd = _entry_abs(
                         self._path, m_new["partitions"][k]
                     )
                 if how in ("removed", "rewritten"):
-                    p.old_files, p.old_delete_dirs = _entry_abs(
+                    of, od = _entry_abs(
                         self._path, m_old["partitions"][k]
                     )
-                parts.append(p)
+                chains.setdefault(k, []).append((v, nf, nd, of, od))
+        for k in sorted(chains):
+            steps = chains[k]
+            parts.append(
+                _ChangePartition(
+                    kind="chain", commit_version=steps[-1][0],
+                    steps=steps, **common,
+                )
+            )
         return parts or [
-            _ChangePartition(kind="diff", commit_version=hi, **common)
+            _ChangePartition(kind="chain", commit_version=hi, **common)
         ]
 
     # -- reading (executors) ----------------------------------------------
@@ -335,23 +373,19 @@ def _read_change_partition(p: _ChangePartition):
     full = to_arrow_schema(T.StructType.fromJson(json.loads(p.schema_json)))
     data_names = [n for n, _ in p.fields]
 
-    def _emit(table: "pa.Table", change: str):
+    def _emit(table: "pa.Table", change: str, version: int):
         n = table.num_rows
         if not n:
             return None
         out = table.append_column(
             "_change", pa.array([change] * n, pa.string())
         ).append_column(
-            "_commit_version", pa.array([p.commit_version] * n, pa.int64())
+            "_commit_version", pa.array([version] * n, pa.int64())
         )
         return out.cast(full)
 
-    new_t = _load_side(p.new_files, p.new_delete_dirs, p.fields, full)
-    pieces = []
-    if p.kind == "snapshot":
-        pieces.append(_emit(new_t, "insert"))
-    else:
-        old_t = _load_side(p.old_files, p.old_delete_dirs, p.fields, full)
+    def _diff(new_t, old_t, version: int):
+        pieces = []
         keys = list(p.keys)
         lk = new_t.select(keys).append_column(
             "__ni", pa.array(range(new_t.num_rows), pa.int64())
@@ -364,8 +398,8 @@ def _read_change_partition(p: _ChangePartition):
         ins_idx = j.filter(pc.is_null(oi)).column("__ni")
         del_idx = j.filter(pc.is_null(ni)).column("__oi")
         matched = j.filter(pc.and_(pc.is_valid(ni), pc.is_valid(oi)))
-        pieces.append(_emit(new_t.take(ins_idx), "insert"))
-        pieces.append(_emit(old_t.take(del_idx), "delete"))
+        pieces.append(_emit(new_t.take(ins_idx), "insert", version))
+        pieces.append(_emit(old_t.take(del_idx), "delete", version))
         if matched.num_rows:
             m_new = new_t.take(matched.column("__ni"))
             m_old = old_t.take(matched.column("__oi"))
@@ -374,15 +408,44 @@ def _read_change_partition(p: _ChangePartition):
                 if c in keys:
                     continue
                 changed = pc.or_(
-                    changed, _null_safe_changed(m_new.column(c), m_old.column(c))
+                    changed,
+                    _null_safe_changed(m_new.column(c), m_old.column(c)),
                 )
             upd_mask = pc.fill_null(changed, False)
-            pieces.append(_emit(m_new.filter(upd_mask), "update_postimage"))
+            pieces.append(
+                _emit(m_new.filter(upd_mask), "update_postimage", version)
+            )
             if p.preimage:
-                pieces.append(_emit(m_old.filter(upd_mask), "update_preimage"))
-    for piece in pieces:
+                pieces.append(
+                    _emit(m_old.filter(upd_mask), "update_preimage", version)
+                )
+        return pieces
+
+    if p.kind == "snapshot":
+        new_t = _load_side(p.new_files, p.new_delete_dirs, p.fields, full)
+        piece = _emit(new_t, "insert", p.commit_version)
         if piece is not None:
             yield from piece.to_batches()
+        return
+    # chain: walk this manifest partition's per-commit steps in version
+    # order, reusing the previous step's loaded NEW side as this step's
+    # OLD side whenever the file lists match (they do by construction
+    # for adjacent touches — the entry at version v IS the old side of
+    # the next commit that touches the partition)
+    prev_sig = None
+    prev_t = None
+    for version, nf, nd, of, od in p.steps:
+        old_sig = (tuple(of), tuple(od))
+        if prev_sig is not None and old_sig == prev_sig:
+            old_t = prev_t
+        else:
+            old_t = _load_side(of, od, p.fields, full)
+        new_t = _load_side(nf, nd, p.fields, full)
+        for piece in _diff(new_t, old_t, version):
+            if piece is not None:
+                yield from piece.to_batches()
+        prev_sig = (tuple(nf), tuple(nd))
+        prev_t = new_t
 
 
 class ManifestChangesDataSource(DataSource):
