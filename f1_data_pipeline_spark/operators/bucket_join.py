@@ -104,6 +104,7 @@ def plan_bucket_pairs(
     max_pair_bytes: int | None = DEFAULT_MAX_PAIR_BYTES,
     left_predicates=None,
     right_predicates=None,
+    layouts: tuple | None = None,
 ) -> list[dict]:
     """The driver-side plan: one dict per bucket pair that can produce
     output — {'bucket', 'left_files', 'left_deletes', 'right_files',
@@ -132,7 +133,14 @@ def plan_bucket_pairs(
     still apply the predicates as row filters (catalog_sql's router
     keeps the WHERE in the rewritten statement). For `how='left'` only
     `left_predicates` are accepted: pruning RIGHT rows would flip
-    matched left rows to null-extended, changing the result."""
+    matched left rows to null-extended, changing the result.
+
+    `layouts`: the two `_bucket_layout(...)` results for the SAME
+    (paths, versions), precomputed — pass to skip re-reading and
+    re-parsing both manifests (at 10^5 file records per table the JSON
+    parse IS the plan cost; catalog_sql's router reads each manifest
+    once at match time and threads the layouts through plan and join).
+    The caller owns arg consistency."""
     from .arrow_read import entry_paths
     from .sinks import _file_maybe_matches, _map_predicates, _phys_map
 
@@ -143,8 +151,12 @@ def plan_bucket_pairs(
             "right_predicates with how='left' would change which rows "
             "null-extend — apply right-side filters post-join instead"
         )
-    nl, _, left_entries, sl = _bucket_layout(left_path, version_left)
-    nr, _, right_entries, sr = _bucket_layout(right_path, version_right)
+    if layouts is not None:
+        (nl, _lsrc, left_entries, sl), (nr, _rsrc, right_entries, sr) = \
+            layouts
+    else:
+        nl, _, left_entries, sl = _bucket_layout(left_path, version_left)
+        nr, _, right_entries, sr = _bucket_layout(right_path, version_right)
     if nl != nr:
         raise ValueError(
             f"bucket counts differ ({nl} vs {nr}) — co-located joins "
@@ -261,6 +273,7 @@ def bucket_aligned_join(
     left_predicates=None,
     right_predicates=None,
     plans: list[dict] | None = None,
+    layouts: tuple | None = None,
 ) -> DataFrame:
     """Join two co-bucketed manifest tables without shuffling either.
 
@@ -275,13 +288,18 @@ def bucket_aligned_join(
     (paths, how, versions, predicates) — pass it to skip re-planning
     (catalog_sql's router plans first to cost-gate the route and hands
     the plan down; the two metadata walks would otherwise run twice per
-    statement). The caller owns arg consistency."""
+    statement). `layouts`: the two `_bucket_layout` results, same
+    contract (skips re-reading both manifests — see plan_bucket_pairs).
+    The caller owns arg consistency."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from .sinks import _phys_name
 
-    nl, lsrc, _, lschema = _bucket_layout(left_path, version_left)
-    _, rsrc, _, rschema = _bucket_layout(right_path, version_right)
+    if layouts is not None:
+        (nl, lsrc, _le, lschema), (_nr, rsrc, _re_, rschema) = layouts
+    else:
+        nl, lsrc, _, lschema = _bucket_layout(left_path, version_left)
+        _, rsrc, _, rschema = _bucket_layout(right_path, version_right)
     left_on = left_on or lsrc
     right_on = right_on or rsrc
     if left_on != lsrc or right_on != rsrc:
@@ -313,6 +331,7 @@ def bucket_aligned_join(
             max_pair_bytes=max_pair_bytes,
             left_predicates=left_predicates,
             right_predicates=right_predicates,
+            layouts=layouts,
         )
     if not plans:
         return spark.createDataFrame([], out_schema)

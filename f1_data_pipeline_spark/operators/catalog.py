@@ -506,6 +506,7 @@ def catalog_sql(
                         preds.get(bj["right"])
                         if bj["how"] == "inner" else None
                     ),
+                    layouts=bj["layouts"],
                 )
             except ValueError as err:
                 # the operator's self-defense (hot bucket past
@@ -553,6 +554,7 @@ def catalog_sql(
                             if bj["how"] == "inner" else None
                         ),
                         plans=pairs,
+                        layouts=bj["layouts"],
                     )
                 except ValueError as err:
                     _log().debug(
@@ -1108,6 +1110,7 @@ def _explain_select(
                     bj_preds.get(bj["right"])
                     if bj["how"] == "inner" else None
                 ),
+                layouts=bj["layouts"],
             )
         except ValueError as err:
             # mirror execution: the route abandons on the pair-size
@@ -1459,7 +1462,10 @@ def _match_bucket_join(
     if len(qual_of) != 2 or len(set(all_quals)) != len(all_quals):
         return None  # alias collision between relations
 
-    # bucket-layout eligibility on the PINNED versions
+    # bucket-layout eligibility on the PINNED versions — the manifests
+    # read here are kept (returned as `layouts`) so plan and join never
+    # re-read them: at 10^5 file records the JSON parse IS the plan
+    # cost (tools/scale_probe.py router_plan)
     def layout(name: str):
         m = read_manifest(tables[name]["path"], versions[name])
         spec = (m or {}).get("partition_col")
@@ -1467,9 +1473,9 @@ def _match_bucket_join(
             t = parse_partition_spec(spec) if spec else None
         except ValueError:
             t = None
-        return t, (_stored_of(m) if m else None)
+        return t, (_stored_of(m) if m else None), m
 
-    (tl, sl), (tr, sr) = layout(a["name"]), layout(b["name"])
+    (tl, sl, ml), (tr, sr, mr) = layout(a["name"]), layout(b["name"])
     if (
         tl is None or tr is None
         or tl.kind != "bucket" or tr.kind != "bucket"
@@ -1629,6 +1635,14 @@ def _match_bucket_join(
         "how": how,
         "buckets": tl.param,
         "n_refs": len(refs),
+        # _bucket_layout-shaped, from the manifests ALREADY read above —
+        # plan_bucket_pairs/bucket_aligned_join accept these to skip
+        # their own re-read (2 manifest parses per routed statement, not
+        # 6)
+        "layouts": (
+            (tl.param, tl.source, dict(ml["partitions"]), sl),
+            (tr.param, tr.source, dict(mr["partitions"]), sr),
+        ),
         "new_sql": new_sql,
         "note": (
             f"taken: bucket_aligned_join({a['name']}, {b['name']}) on "

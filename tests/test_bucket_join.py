@@ -188,9 +188,18 @@ def test_explain_reports_bucket_aligned_eligibility(spark, tmp_path):
         spark, cat,
         "EXPLAIN SELECT f.k FROM bfact f JOIN bdim d ON f.fk = d.dk",
     ).collect()}
+    # round 11: the route is cost-gated, so at fixture scale the record
+    # reports eligibility + the floor decision; forcing shows `taken:`
     assert rows["bfact"]["bucket_aligned"] is not None
-    assert "bucket_aligned_join(bfact, bdim)" in rows["bfact"]["bucket_aligned"]
+    assert "below route floor" in rows["bfact"]["bucket_aligned"]
     assert rows["bdim"]["bucket_aligned"] == rows["bfact"]["bucket_aligned"]
+    forced = {r["table"]: r for r in CAT.catalog_sql(
+        spark, cat,
+        "EXPLAIN SELECT f.k FROM bfact f JOIN bdim d ON f.fk = d.dk",
+        bucket_joins="force",
+    ).collect()}
+    assert "bucket_aligned_join(bfact, bdim)" in \
+        forced["bfact"]["bucket_aligned"]
 
     # misaligned N: no advisory
     other_p = str(tmp_path / "o4")

@@ -1027,6 +1027,150 @@ def probe_bucket_join() -> None:
         print(json.dumps(rec), flush=True)
 
 
+def probe_router_plan() -> None:
+    """Round-11 verdict #8: the console bucket-join ROUTER's plan-time
+    cost as a function of manifest FILE COUNT (10^3 → 10^5 per table).
+    Planning never opens a data file — `_match_bucket_join` is two
+    manifest reads + a regex walk over the statement, and
+    `plan_bucket_pairs` a per-file-record metadata sweep — so the probe
+    FABRICATES per-file records (name/rows/bytes/stats clones of a real
+    record with spread bounds, committed as a new manifest version over
+    a real co-bucketed pair; no data files exist and none are needed)
+    and times exactly the calls catalog_sql's route executes. Contract:
+    metadata-scaled — at worst linear in file records, dominated by the
+    JSON manifest read (reported separately as the floor); any
+    superlinearity is a planner bug. One JSON line per file count."""
+    import copy
+    import os
+    import statistics
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import catalog as CAT
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.operators.bucket_join import (
+        plan_bucket_pairs,
+    )
+    from f1_data_pipeline_spark.session import get_spark
+
+    args = sys.argv[2:]
+    counts = [int(a) for a in args] if args else [1_000, 10_000, 100_000]
+    spark = get_spark("scale_probe")
+    BUCKETS = 16
+    work = tempfile.mkdtemp(prefix="router_plan_")
+    cat = os.path.join(work, "cat")
+    fact_p, dim_p = os.path.join(work, "fact"), os.path.join(work, "dim")
+    fact = spark.range(BUCKETS * 50).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("fk"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, fact, fact_p, ["k"], partition_col=f"bucket({BUCKETS}, fk)"
+    )
+    dim = spark.range(997).select(
+        F.col("id").alias("dk"), (F.col("id") % 7).alias("attr"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, dim, dim_p, ["dk"], partition_col=f"bucket({BUCKETS}, dk)"
+    )
+    CAT.catalog_create_table(cat, "fact", fact_p)
+    CAT.catalog_create_table(cat, "dim", dim_p)
+    q = ("SELECT f.k, d.attr FROM fact f JOIN dim d ON f.fk = d.dk "
+         "WHERE f.v < {lim}")
+
+    def fabricate(path: str, n_files: int, spread_col: str | None):
+        m = sinks.read_manifest(path)
+        per = max(1, n_files // len(m["partitions"]))
+        parts = {}
+        for key, e in m["partitions"].items():
+            proto = e["files"][0]
+            files = []
+            for i in range(per):
+                fm = copy.deepcopy(proto)
+                fm["name"] = f"fake-{i:06d}.parquet"
+                if spread_col:
+                    fm["stats"][spread_col] = {
+                        "min": float(i), "max": float(i + 1), "nulls": 0,
+                    }
+                files.append(fm)
+            parts[key] = {**e, "files": files}
+        sinks._commit_manifest(path, {
+            **m, "version": m["version"] + 1,
+            "op": "probe_fabricate", "partitions": parts,
+        })
+        return per * len(m["partitions"])
+
+    def med(fn) -> float:
+        fn()  # warmup
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            reps.append(time.time() - t0)
+        return round(statistics.median(reps), 4)
+
+    base = None
+    for n in counts:
+        real_n = fabricate(fact_p, n, "v")
+        fabricate(dim_p, n, None)
+        per_bucket = real_n // BUCKETS
+        lim = float(per_bucket // 2)  # bounds decide ~half the files
+        sql = q.format(lim=lim)
+        tables = CAT.catalog_tables(cat)
+        refs = CAT._relation_refs(sql, tables)
+        versions = CAT._resolve_versions(
+            tables, {r["name"] for r in refs}, {}
+        )
+        match_sec = med(
+            lambda: CAT._match_bucket_join(sql, refs, tables, versions)
+        )
+        plan_sec = med(
+            lambda: plan_bucket_pairs(fact_p, dim_p, max_pair_bytes=None)
+        )
+        preds = [("v", "<", lim)]
+        plan_pruned_sec = med(
+            lambda: plan_bucket_pairs(
+                fact_p, dim_p, max_pair_bytes=None, left_predicates=preds
+            )
+        )
+        read_sec = med(lambda: sinks.read_manifest(fact_p))
+
+        # the FULL routed-statement metadata cost as catalog_sql runs
+        # it since round 11: one match (2 manifest reads, layouts kept)
+        # + one plan over the THREADED layouts (0 re-reads)
+        def route_total():
+            bj = CAT._match_bucket_join(sql, refs, tables, versions)
+            plan_bucket_pairs(
+                fact_p, dim_p, max_pair_bytes=None,
+                left_predicates=preds, layouts=bj["layouts"],
+            )
+
+        route_total_sec = med(route_total)
+        pairs = plan_bucket_pairs(
+            fact_p, dim_p, max_pair_bytes=None, left_predicates=preds
+        )
+        kept = sum(len(p["left_files"]) for p in pairs)
+        rec = {
+            "op": "router_plan", "files_per_table": real_n,
+            "match_sec": match_sec, "plan_sec": plan_sec,
+            "plan_pruned_sec": plan_pruned_sec,
+            "route_total_sec": route_total_sec,
+            "manifest_read_sec": read_sec,
+            "fact_files_kept_after_prune": kept,
+        }
+        if base is None:
+            base = rec
+        else:
+            rec["files_ratio"] = round(
+                real_n / base["files_per_table"], 1
+            )
+            for kk in ("match_sec", "plan_sec", "plan_pruned_sec",
+                       "route_total_sec"):
+                rec[kk + "_ratio"] = round(
+                    rec[kk] / max(base[kk], 1e-4), 2
+                )
+        print(json.dumps(rec), flush=True)
+
+
 def probe_manifest_changes() -> None:
     """Round-10 verdict #6: the streaming change source (X52) must cost
     ∝ CHANGED partitions, not table size. Build a table at 1× and N×
@@ -1175,8 +1319,12 @@ def main() -> None:
         "partition_transforms", "replication", "footer_stats",
         "manifest_crossover", "matview_crossover", "runtime_filter",
         "headline_scale", "bucket_join", "manifest_changes", "commit_path",
+        "router_plan",
     ):
         op = args.pop(0)
+    if op == "router_plan":
+        probe_router_plan()
+        return
     if op == "bucket_join":
         probe_bucket_join()
         return
