@@ -2697,36 +2697,52 @@ def _matview_rewrite(
     marked `mv_of == src` at CREATE MATERIALIZED VIEW time are read
     (one manifest JSON per candidate).
 
-    Conservative refusals (fall through, never wrong): any WHERE /
-    HAVING / ORDER BY / LIMIT (the regex requires GROUP BY to end the
-    statement and FROM to bind directly to the source), multiple
-    SELECTs, CTE-shadowed source names, unaliased transform items, a
-    grouping that differs from the spec's in any way (a coarser
-    grouping would need re-aggregation — COUNT DISTINCT cannot be
-    re-aggregated, so none is attempted), any aggregate outside the
-    spec. Unaliased aggregates carry Spark's default output names
-    (`sum(v)`, `count(1)`, ...) so the rewritten schema is
-    indistinguishable from the direct plan's. Double SUM/AVG values may
-    differ from the direct plan in the last ulp (plan-order float
-    reassociation — the documented matview semantic, matview.py)."""
+    A WHERE is allowed when it is a simple conjunction over PLAIN group
+    columns only (parse_predicates shape): a predicate on grouping
+    columns commutes with the grouping (σ_P(γ_G(T)) = γ_G(σ_P(T)) when
+    P reads only G), and plain group columns keep their source names in
+    the view, so the clause applies verbatim as a row filter over the
+    view. Anything else in the WHERE — a non-group column, a transform
+    source column (`days(ts)`-grouped views store `day`, not `ts`), an
+    OR, a function — falls through.
+
+    Conservative refusals (fall through, never wrong): HAVING / ORDER
+    BY / LIMIT (the regex requires GROUP BY to end the statement and
+    FROM to bind directly to the source), a WHERE outside the
+    group-column conjunction shape above, multiple SELECTs,
+    CTE-shadowed source names, unaliased transform items, a grouping
+    that differs from the spec's in any way (a coarser grouping would
+    need re-aggregation — COUNT DISTINCT cannot be re-aggregated, so
+    none is attempted), any aggregate outside the spec. Unaliased
+    aggregates carry Spark's default output names (`sum(v)`,
+    `count(1)`, ...) so the rewritten schema is indistinguishable from
+    the direct plan's. Double SUM/AVG values may differ from the direct
+    plan in the last ulp (plan-order float reassociation — the
+    documented matview semantic, matview.py)."""
     import re
 
     from . import matview as MV
-    from .sinks import read_manifest_table
+    from .sinks import parse_predicates, read_manifest_table
 
     s = _strip_sql_strings(sql)
     if len(re.findall(r"\bselect\b", s, re.IGNORECASE)) != 1:
         return None
     m = re.match(
-        r"\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s+"
-        r"GROUP\s+BY\s+(.+?)\s*$",
+        r"\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)"
+        r"(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*$",
         sql, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         return None
-    sel, src, gb = m.groups()
+    sel, src, where, gb = m.groups()
     if src not in tables or src.lower() in _cte_names(s):
         return None
+    wpreds = None
+    if where is not None:
+        try:
+            wpreds = parse_predicates(where.strip())
+        except ValueError:
+            return None  # OR / functions / qualified cols: direct plan
 
     def norm(t: str) -> str:
         return re.sub(r"\s+", "", t).lower()
@@ -2851,6 +2867,13 @@ def _matview_rewrite(
         }
         if n_groups != len(spec["group_cols"]):
             continue  # coarser/finer grouping: re-aggregation territory
+        if wpreds is not None and any(
+            c.lower() not in spec_plain for c, _op, _v in wpreds
+        ):
+            # only predicates over PLAIN group columns commute with the
+            # grouping AND keep their names in the view — anything else
+            # (non-group column, transform source) cannot answer here
+            continue
         cols = []
         for kind, key, out in items:
             if kind == "plain":
@@ -2866,10 +2889,17 @@ def _matview_rewrite(
             continue  # an item the spec lacks: not answerable here
         from pyspark.sql import functions as F
 
-        df = read_manifest_table(spark, e["path"], version=v_mv).select(
-            [F.col(c).alias(out) for c, out in cols]
+        df = read_manifest_table(spark, e["path"], version=v_mv)
+        if where is not None:
+            # verbatim row filter: plain group cols keep their source
+            # names in the view, and wpreds proved the clause reads
+            # only those
+            df = df.filter(where)
+        df = df.select([F.col(c).alias(out) for c, out in cols])
+        note = f"matview: answered from {name}@v{v_mv} (source v{sv})" + (
+            " (WHERE applied over the view's group columns)"
+            if where is not None else ""
         )
-        note = f"matview: answered from {name}@v{v_mv} (source v{sv})"
         _log().debug("catalog_sql %s", note)
         return {"df": df, "note": note}
     return None

@@ -343,7 +343,9 @@ def test_rewrite_conservative_refusals(spark, tmp_path):
         "SELECT cat, COUNT(*) AS n FROM src GROUP BY cat",  # coarser
         "SELECT day, cat, MAX(v) AS m FROM src GROUP BY day, cat",  # agg
         ("SELECT day, cat, COUNT(*) AS n FROM src "
-         "WHERE day = 1 GROUP BY day, cat"),                 # WHERE
+         "WHERE v > 3 GROUP BY day, cat"),                   # non-group WHERE
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "WHERE day = 1 OR cat = 2 GROUP BY day, cat"),      # OR WHERE
         ("SELECT day, cat, COUNT(*) AS n FROM src "
          "GROUP BY day, cat ORDER BY day"),                  # tail
     ]
@@ -428,3 +430,39 @@ def mv_session(spark, tmp_path_factory):
         "FROM src GROUP BY day, cat",
     )
     return cat, CAT.catalog_tables(cat)["mv"]["path"]
+
+
+def test_rewrite_where_over_group_columns(spark, tmp_path):
+    """A WHERE that is a simple conjunction over PLAIN group columns
+    commutes with the grouping, so the view answers it with the clause
+    applied verbatim as a row filter — the dashboard shape
+    (`... WHERE day >= X GROUP BY day, cat`). Non-group columns, ORs,
+    and transform sources keep refusing (the refusals test)."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, MIN(v) AS lo "
+        "FROM src GROUP BY day, cat",
+    )
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    for q in (
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "WHERE day >= 1 GROUP BY day, cat"),
+        ("SELECT cat, MIN(v) AS lo, day FROM src "
+         "WHERE day = 2 AND cat <> 0 GROUP BY day, cat"),
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "WHERE day IN (0, 3) GROUP BY day, cat"),
+    ):
+        got = CAT.catalog_sql(spark, cat, q)
+        files = got.inputFiles()
+        assert files and all(mv_path in f for f in files), q
+        assert sorted(tuple(r) for r in got.collect()) == \
+            _direct(spark, cat, q), q
+    ex = CAT.catalog_sql(
+        spark, cat,
+        "EXPLAIN SELECT day, cat, COUNT(*) AS n FROM src "
+        "WHERE day >= 1 GROUP BY day, cat",
+    ).collect()[0]
+    assert ex["fast_path"].startswith("matview: answered from mv@v")
+    assert "WHERE applied over the view" in ex["fast_path"]
