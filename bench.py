@@ -555,6 +555,30 @@ def bench_matview(spark, sf_dir: str) -> dict:
              "SUM(o_totalprice) AS rev FROM orders_mv_src "
              "GROUP BY oyear, o_orderpriority")
 
+        # gate (second review): the rewrite arm must PROVE it fired and
+        # that its rows match the direct plan — a silent fall-through
+        # would otherwise report a plausible ~1.0 ratio forever
+        mv_path = CAT.catalog_tables(cat)["orders_rollup"]["path"]
+        rw_df = CAT.catalog_sql(spark, cat, q)
+        assert rw_df.inputFiles() and all(
+            mv_path in f for f in rw_df.inputFiles()
+        ), "matview rewrite did not fire in the bench arm"
+        rw_rows = {
+            (r[0], r[1]): (r[2], r[3]) for r in rw_df.collect()
+        }
+        di_rows = {
+            (r[0], r[1]): (r[2], r[3])
+            for r in CAT.catalog_sql(
+                spark, cat, q, matview_rewrite=False
+            ).collect()
+        }
+        assert rw_rows.keys() == di_rows.keys()
+        import math as _math
+
+        for k2, (n_a, rev_a) in rw_rows.items():
+            n_b, rev_b = di_rows[k2]
+            assert n_a == n_b and _math.isclose(rev_a, rev_b, rel_tol=1e-9)
+
         def _run(rw: bool) -> float:
             t0 = time.time()
             CAT.catalog_sql(
@@ -962,17 +986,16 @@ def bench_bucket_route(spark, sf_dir: str) -> dict:
         r = round(statistics.median(routed_secs), 3)
         s = round(statistics.median(shuffled_secs), 3)
         con = round(statistics.median(console_secs), 3)
-        # what the cost-gated default actually decided (round 11): below
-        # the route floor the console takes the shuffled plan, so
+        # what the cost-gated default actually decided (round 11): read
+        # the EXPLAIN decision record — the decision the timed console
+        # runs ACTUALLY made (second review: an independent re-plan here
+        # could diverge from the gated run near the floor) — below the
+        # route floor the console takes the shuffled plan, so
         # console_over_shuffled should sit near 1.0 at bench SFs while
         # routed_over_shuffled keeps pricing the forced machinery
-        from f1_data_pipeline_spark.operators.bucket_join import (
-            plan_bucket_pairs,
-        )
-        pair_bytes = sum(
-            p["bytes"] for p in plan_bucket_pairs(fact_p, dim_p)
-        )
-        floor = CAT.default_min_route_bytes(spark)
+        note = CAT.catalog_sql(
+            spark, cat, "EXPLAIN " + q
+        ).collect()[0]["bucket_aligned"]
         return {
             "rows": n_routed,
             "routed_sec": r,
@@ -981,9 +1004,7 @@ def bench_bucket_route(spark, sf_dir: str) -> dict:
             "console_sec": con,
             "console_over_shuffled": round(con / s, 2),
             "console_choice": (
-                "routed" if pair_bytes >= floor
-                else f"shuffled (pair bytes {pair_bytes:,} below route "
-                     f"floor {floor:,})"
+                "routed" if (note or "").startswith("taken:") else note
             ),
         }
     finally:

@@ -2710,15 +2710,22 @@ def _matview_rewrite(
     BY / LIMIT (the regex requires GROUP BY to end the statement and
     FROM to bind directly to the source), a WHERE outside the
     group-column conjunction shape above, multiple SELECTs,
-    CTE-shadowed source names, unaliased transform items, a grouping
-    that differs from the spec's in any way (a coarser grouping would
-    need re-aggregation — COUNT DISTINCT cannot be re-aggregated, so
-    none is attempted), any aggregate outside the spec. Unaliased
-    aggregates carry Spark's default output names (`sum(v)`,
-    `count(1)`, ...) so the rewritten schema is indistinguishable from
-    the direct plan's. Double SUM/AVG values may differ from the direct
-    plan in the last ulp (plan-order float reassociation — the
-    documented matview semantic, matview.py)."""
+    CTE-shadowed source names, a grouping that differs from the spec's
+    in any way (a coarser grouping would need re-aggregation — COUNT
+    DISTINCT cannot be re-aggregated, so none is attempted), any
+    aggregate outside the spec, transform-grouped items or specs
+    (`days(ts)` is a partition transform, not executable Spark SQL —
+    answering it only while the view is fresh would make the SAME
+    statement error once stale; it never answers, consistently — query
+    the view by name instead), and a group alias that shadows a REAL
+    source column (Spark resolves GROUP BY to the real column first, so
+    the alias-matched rewrite would answer a statement the direct plan
+    rejects — second-review finding). Unaliased aggregates carry
+    Spark's default output names (`sum(v)`, `count(1)`, ...) so the
+    rewritten schema is indistinguishable from the direct plan's.
+    Double SUM/AVG values may differ from the direct plan in the last
+    ulp (plan-order float reassociation — the documented matview
+    semantic, matview.py)."""
     import re
 
     from . import matview as MV
@@ -2766,16 +2773,6 @@ def _matview_rewrite(
             col, alias = pm.groups()
             items.append(("plain", col, alias or col))
             covered |= {col.lower(), (alias or col).lower()}
-            continue
-        tm = re.match(
-            rf"^({'|'.join(_MV_TRANSFORMS)})\s*\(\s*([A-Za-z_]\w*)\s*\)"
-            rf"\s+AS\s+([A-Za-z_]\w*)$",
-            p, re.IGNORECASE,
-        )
-        if tm:
-            tf, col, alias = tm.groups()
-            items.append(("transform", f"{tf.lower()}({col.lower()})", alias))
-            covered |= {alias.lower(), f"{tf.lower()}({col.lower()})"}
             continue
         am = re.match(
             r"^COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z_]\w*))?$", p,
@@ -2828,11 +2825,26 @@ def _matview_rewrite(
     sv = travel.get(src)
     if sv is None:
         sv = resolve_manifest_ref(e_src["path"], e_src.get("ref"))
+    m_src = read_manifest(e_src["path"], sv)
+    if m_src is None:
+        return None
     if sv is None:  # unpinned entry: resolve "latest" to a number once
-        m_src = read_manifest(e_src["path"])
-        if m_src is None:
-            return None
         sv = m_src["version"]
+    src_cols = {
+        f["name"].lower()
+        for f in (m_src.get("schema") or {}).get("fields", [])
+    }
+    # a group alias that names a REAL source column resolves to that
+    # column under Spark's GROUP BY rules, so alias-matching the GROUP
+    # BY list would answer a statement the direct plan rejects — refuse
+    # (second-review finding #1)
+    for kind, key, out in items:
+        if (
+            kind == "plain"
+            and out.lower() != key.lower()
+            and out.lower() in src_cols
+        ):
+            return None
 
     for name, e in sorted(tables.items()):
         if e.get("mv_of") != src:
@@ -2852,13 +2864,14 @@ def _matview_rewrite(
             or app.get("mv_source") != e_src["path"]     # foreign source
         ):
             continue
-        spec_plain = {
-            g.lower(): g for g in spec["group_cols"] if isinstance(g, str)
-        }
-        spec_trans = {
-            norm(g[1]): g[0] for g in spec["group_cols"]
-            if not isinstance(g, str)
-        }
+        if any(not isinstance(g, str) for g in spec["group_cols"]):
+            # transform-grouped views (days(ts) AS day, ...) never
+            # rewrite: `days(ts)` is not executable Spark SQL, so an
+            # answer that disappears when the view goes stale would
+            # turn the SAME statement into an error (second-review
+            # finding #2) — query the view by name instead
+            continue
+        spec_plain = {g.lower(): g for g in spec["group_cols"]}
         spec_aggs = {
             (op, (arg.lower() if arg != "*" else "*")): out
             for out, (op, arg) in (
@@ -2878,8 +2891,6 @@ def _matview_rewrite(
         for kind, key, out in items:
             if kind == "plain":
                 mv_col = spec_plain.get(key.lower())
-            elif kind == "transform":
-                mv_col = spec_trans.get(key)
             else:
                 mv_col = spec_aggs.get(key)
             if mv_col is None:

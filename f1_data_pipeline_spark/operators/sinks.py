@@ -5511,6 +5511,14 @@ def manifest_changed_partitions(
     m_to = read_manifest(path, to_version)
     if m_from is None or m_to is None:
         raise FileNotFoundError(f"missing manifest version at {path}")
+    return changed_partitions_between(m_from, m_to)
+
+
+def changed_partitions_between(m_from: dict, m_to: dict) -> dict[str, str]:
+    """`manifest_changed_partitions` over ALREADY-READ manifests — the
+    comparison itself, shared so callers that walk many versions (the
+    streaming change source's batch planner) parse each manifest once
+    instead of re-reading both per window step."""
     p_from, p_to = m_from["partitions"], m_to["partitions"]
     out: dict[str, str] = {}
     for k, e in p_to.items():

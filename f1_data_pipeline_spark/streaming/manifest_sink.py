@@ -224,11 +224,12 @@ class ManifestAppendStreamWriter(DataSourceStreamArrowWriter):
         # are easy to exhaust when several streams append to one table —
         # each rebase is only a manifest read, so contenders re-collide
         # within the same few milliseconds. Exponential backoff with
-        # full jitter desynchronizes the contenders; 20 attempts spanning
-        # ~10 s of cumulative sleep keeps liveness under sustained
-        # disjoint-writer load while still surfacing a loud error (never
-        # silently starving the stream's driver commit) if the table is
-        # genuinely thrashing.
+        # full jitter desynchronizes the contenders; 20 attempts span
+        # ~15.5 s of expected cumulative sleep (~31 s worst case — the
+        # 2 s cap is reached at attempt 6, then 14 uniform(0, 2) draws),
+        # keeping liveness under sustained disjoint-writer load while
+        # still surfacing a loud error (never silently starving the
+        # stream's driver commit) if the table is genuinely thrashing.
         for _attempt in range(20):
             if _attempt:
                 time.sleep(random.uniform(0, min(0.05 * 2 ** _attempt, 2.0)))

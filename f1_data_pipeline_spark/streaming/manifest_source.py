@@ -233,7 +233,7 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
     # -- planning (driver) ------------------------------------------------
     def partitions(self, start: dict, end: dict):
         from f1_data_pipeline_spark.operators.sinks import (
-            manifest_changed_partitions,
+            changed_partitions_between,
             read_manifest,
         )
 
@@ -287,6 +287,18 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
         # always unordered. Task bound: one partition's steps ≤ the
         # window's commit count, which max_versions_per_batch caps.
         chains: dict[str, list] = {}
+        # each version's manifest is parsed ONCE: v's manifest carries
+        # over as v+1's old side (second review: the per-version
+        # changed-partitions call used to re-read both sides, 4 parses
+        # per step where K+1 suffice for a K-commit window)
+        m_old = None
+        if lo >= 1 and hi > lo:  # empty windows read nothing
+            m_old = read_manifest(self._path, lo)
+            if m_old is None:
+                raise FileNotFoundError(
+                    f"version {lo} not retained at {self._path} — vacuum "
+                    "outran this stream's replay window (raise keep_last)"
+                )
         for v in range(lo + 1, hi + 1):
             m_new = read_manifest(self._path, v)
             if m_new is None:
@@ -296,20 +308,8 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
                 )
             if v == 1:
                 changed = {k: "added" for k in m_new["partitions"]}
-                m_old = None
             else:
-                changed = manifest_changed_partitions(self._path, v - 1, v)
-                m_old = read_manifest(self._path, v - 1)
-                if m_old is None:
-                    # vacuum removed v-1 between the changed-partitions
-                    # call and this re-read — same retention failure as
-                    # the m_new check, same loud message (not a TypeError
-                    # on m_old["partitions"] below)
-                    raise FileNotFoundError(
-                        f"version {v - 1} not retained at {self._path} — "
-                        "vacuum outran this stream's replay window "
-                        "(raise keep_last)"
-                    )
+                changed = changed_partitions_between(m_old, m_new)
             for k, how in changed.items():
                 nf, nd, of, od = [], [], [], []
                 if how in ("added", "rewritten"):
@@ -321,6 +321,7 @@ class ManifestChangesStreamReader(DataSourceStreamReader):
                         self._path, m_old["partitions"][k]
                     )
                 chains.setdefault(k, []).append((v, nf, nd, of, od))
+            m_old = m_new  # v's snapshot IS v+1's old side
         for k in sorted(chains):
             steps = chains[k]
             parts.append(

@@ -466,3 +466,59 @@ def test_rewrite_where_over_group_columns(spark, tmp_path):
     ).collect()[0]
     assert ex["fast_path"].startswith("matview: answered from mv@v")
     assert "WHERE applied over the view" in ex["fast_path"]
+
+
+def test_rewrite_refuses_alias_shadowing_and_transform_specs(spark, tmp_path):
+    """Second-review findings: (1) a group alias that names a REAL
+    source column must refuse the rewrite — Spark resolves GROUP BY to
+    the real column first, so the alias-matched answer would accept a
+    statement the direct plan rejects; (2) transform-grouped views
+    (days(ts)) never rewrite — `days(ts)` is not executable Spark SQL,
+    so an answer that vanishes when the view goes stale would turn the
+    same statement into an error."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n FROM src GROUP BY day, cat",
+    )
+    # `day AS cat` shadows the real column `cat`: the direct plan
+    # rejects this statement (day is neither grouped-by-cat nor
+    # aggregated under Spark's resolution), so the rewrite must too
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    q = "SELECT day AS cat, cat AS c2, COUNT(*) AS n FROM src GROUP BY cat, c2"
+    with pytest.raises(AnalysisException):
+        CAT.catalog_sql(spark, cat, q).collect()
+
+    # a harmless alias (no shadowing) still answers
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    ok = CAT.catalog_sql(
+        spark, cat,
+        "SELECT day AS d, cat AS c, COUNT(*) AS n FROM src GROUP BY d, c",
+    )
+    assert ok.inputFiles() and all(mv_path in f for f in ok.inputFiles())
+
+    # transform-grouped views never transparently rewrite: the same
+    # days(ts) text errors with or without a fresh view
+    ev = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 3, 1 + i % 3, i % 24), float(i))
+         for i in range(30)],
+        "event_id long, ts timestamp, value double",
+    )
+    sinks.merge_upsert_manifest(
+        spark, df, ev, keys=["event_id"], partition_col="days(ts)"
+    )
+    CAT.catalog_create_table(cat, "ev", ev)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW daily AS "
+        "SELECT days(ts) AS day, COUNT(*) AS n FROM ev GROUP BY days(ts)",
+    )
+    with pytest.raises(AnalysisException):
+        CAT.catalog_sql(
+            spark, cat,
+            "SELECT days(ts) AS day, COUNT(*) AS n FROM ev "
+            "GROUP BY days(ts)",
+        ).collect()
