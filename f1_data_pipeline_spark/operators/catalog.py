@@ -2184,6 +2184,21 @@ def _extract_pushdown_predicates(
             alias_of[r["alias"].lower()] = r["name"]
         else:
             alias_of[r["name"].lower()] = r["name"]
+    # IS NULL under an outer join is the ONE null-ACCEPTING pruning
+    # predicate, and the row-filter invisibility argument breaks for
+    # it: pruning a matched row on a null-extendable side flips its
+    # partner to a null-extended row, which then PASSES the `IS NULL`
+    # row filter — `A LEFT JOIN C ... WHERE c.y IS NULL` (the
+    # find-unmatched idiom) would return matched keys. Every other
+    # supported predicate evaluates NULL → not-true, so the flipped
+    # row is filtered either way. When any depth-0 outer-join keyword
+    # appears (a keyword-looking token after a dot is a qualified
+    # column), isnull conjuncts are not pushed for ANY table —
+    # conservative: they stay row filters, only pruning weakens.
+    outer_join = any(
+        pos == 0 or s[pos - 1] != "."
+        for pos, _tok in _depth0_marks(s, r"\b(left|right|full)\b")
+    )
     out: dict[str, list[tuple]] = {}
     for conj in _split_top_and(clause):
         qual = None
@@ -2196,6 +2211,14 @@ def _extract_pushdown_predicates(
         except ValueError:
             continue  # OR / functions / column-vs-column: skip, stay sound
         for col, op, v in parsed:
+            if op == "isnull" and outer_join:
+                _log().debug(
+                    "catalog_sql pushdown skipped for %r: IS NULL is "
+                    "null-accepting and the query has an outer join — "
+                    "pruning could flip matched rows to null-extended "
+                    "ones that pass the filter", conj.strip(),
+                )
+                continue
             q = qual
             if q is None:
                 owners = [n for n, cols in schemas.items() if col in cols]

@@ -922,3 +922,59 @@ def test_runtime_filter_budget_and_escape_hatch(spark, tmp_path, monkeypatch):
     got_on = CAT.catalog_sql(spark, cat, q)
     assert sum(len(v) for v in applied[-1].values()) == 2
     assert sorted(r["k"] for r in got_on.collect()) == want
+
+
+def test_isnull_pushdown_never_prunes_under_outer_joins(spark, tmp_path):
+    """Round-11 audit find (latent since IS NULL pruning landed): IS
+    NULL is the one null-ACCEPTING pruning predicate, so pruning a
+    matched row on a null-extendable side of an outer join flips its
+    partner to a null-extended row that then PASSES the filter — the
+    find-unmatched idiom `A LEFT JOIN C ... WHERE c.y IS NULL` returned
+    matched keys. Outer-join queries now keep IS NULL as a row filter
+    only; inner joins and single-table scans still prune on null
+    counts."""
+    import os
+
+    from f1_data_pipeline_spark.operators import catalog as CAT
+
+    cat = str(tmp_path / "cat")
+    a = spark.createDataFrame([(1, "p"), (2, "p"), (3, "q")],
+                              "k long, g string")
+    c = spark.createDataFrame([(1, 1.0, "p"), (2, 2.0, "q")],
+                              "k long, y double, g string")
+    sinks.merge_upsert_manifest(spark, a, str(tmp_path / "a"), ["k"],
+                                partition_col="g")
+    sinks.merge_upsert_manifest(spark, c, str(tmp_path / "c"), ["k"],
+                                partition_col="g")
+    CAT.catalog_create_table(cat, "ta", str(tmp_path / "a"))
+    CAT.catalog_create_table(cat, "tc", str(tmp_path / "c"))
+
+    # the find-unmatched idiom: only the unmatched key survives
+    q = "SELECT a.k FROM ta a LEFT JOIN tc c ON a.k = c.k WHERE c.y IS NULL"
+    assert sorted(
+        r.k for r in CAT.catalog_sql(spark, cat, q).collect()
+    ) == [3]
+    ex = {r["table"]: r for r in
+          CAT.catalog_sql(spark, cat, "EXPLAIN " + q).collect()}
+    assert ex["tc"]["pushdown"] == []  # NOT pushed under the outer join
+
+    # right-join flip of the same hazard
+    q2 = "SELECT c.k FROM ta a RIGHT JOIN tc c ON a.k = c.k WHERE a.g IS NULL"
+    assert CAT.catalog_sql(spark, cat, q2).count() == 0
+
+    # inner joins still push (a joined inner row can't fabricate NULLs)
+    q3 = "SELECT a.k FROM ta a JOIN tc c ON a.k = c.k WHERE c.y IS NULL"
+    assert CAT.catalog_sql(spark, cat, q3).count() == 0
+    ex3 = {r["table"]: r for r in
+           CAT.catalog_sql(spark, cat, "EXPLAIN " + q3).collect()}
+    assert ex3["tc"]["pushdown"] == ["y IS NULL"]
+
+    # IS NOT NULL (null-rejecting) keeps pushing under outer joins
+    q4 = ("SELECT a.k FROM ta a LEFT JOIN tc c ON a.k = c.k "
+          "WHERE c.y IS NOT NULL")
+    assert sorted(
+        r.k for r in CAT.catalog_sql(spark, cat, q4).collect()
+    ) == [1, 2]
+    ex4 = {r["table"]: r for r in
+           CAT.catalog_sql(spark, cat, "EXPLAIN " + q4).collect()}
+    assert ex4["tc"]["pushdown"] == ["y IS NOT NULL"]
