@@ -1,0 +1,143 @@
+"""Whole-console soundness property: for random single-SELECT queries
+over cataloged tables — mixed join types, WHERE conjunctions including
+the null-accepting IS NULL shapes, aggregates — `catalog_sql` (default,
+with every optimization it chooses: literal pushdown, runtime join
+filters, metadata fast paths, the cost-gated bucket route) and
+`catalog_sql(bucket_joins="force", min_route_bytes=0)` must both equal
+plain `spark.sql` over UNPRUNED registered views of the same tables.
+The ground truth applies no manifest-level optimization at all, so any
+divergence is a planner soundness bug by construction (this is the
+test shape that would have caught the round-11 IS-NULL-under-outer-join
+pushdown bug directly)."""
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import catalog as CAT
+from f1_data_pipeline_spark.operators import sinks
+
+
+@pytest.fixture(scope="module")
+def console(spark, tmp_path_factory):
+    """A co-bucketed fact/dim pair (so the route can engage) with NULLs
+    sprinkled into non-key columns on both sides, cataloged AND
+    registered as plain views for the ground truth."""
+    tmp = tmp_path_factory.mktemp("console_prop")
+    fact_p, dim_p, cat = str(tmp / "f"), str(tmp / "d"), str(tmp / "cat")
+    fact = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 37).alias("ck"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") * 1.5).alias("v"),
+        (F.col("id") % 4).alias("flag"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, fact, fact_p, keys=["k"], partition_col="bucket(4, ck)"
+    )
+    # dim keys 0..29 only: fact keys 30..36 are UNMATCHED (the outer
+    # joins' null-extension paths all exercise)
+    dim = spark.range(30).select(
+        F.col("id").alias("ck"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.concat(F.lit("c"), F.col("id"))).alias("name"),
+        (F.col("id") % 3).alias("seg"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, dim, dim_p, keys=["ck"], partition_col="bucket(4, ck)"
+    )
+    CAT.catalog_create_table(cat, "pf", fact_p)
+    CAT.catalog_create_table(cat, "pd", dim_p)
+    # ground truth: plain snapshot views, no manifest-level pruning
+    sinks.read_manifest_table(spark, fact_p).createOrReplaceTempView(
+        "gt_pf"
+    )
+    sinks.read_manifest_table(spark, dim_p).createOrReplaceTempView(
+        "gt_pd"
+    )
+    return cat
+
+
+_JOINS = ["JOIN", "LEFT JOIN", "RIGHT JOIN"]
+_PREDS = [
+    "d.name IS NULL", "d.name IS NOT NULL", "f.v IS NULL",
+    "f.v IS NOT NULL", "f.flag < 2", "d.seg = 1", "f.v > 100",
+    "f.ck IN (1, 2, 3, 33)", "d.seg <> 0", "f.flag BETWEEN 1 AND 2",
+]
+_COLS = ["f.k", "f.ck", "f.v", "f.flag", "d.name", "d.seg"]
+
+
+@st.composite
+def _console_query(draw):
+    cols = draw(st.lists(st.sampled_from(_COLS), min_size=1, max_size=4,
+                         unique=True))
+    sel = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))
+    join = draw(st.sampled_from(_JOINS))
+    preds = draw(st.lists(st.sampled_from(_PREDS), max_size=3,
+                          unique=True))
+    glue = draw(st.sampled_from([" AND ", " OR "])) if len(preds) > 1 \
+        else " AND "
+    wc = f" WHERE {glue.join(preds)}" if preds else ""
+    return (
+        f"SELECT {sel} FROM pf f {join} pd d ON f.ck = d.ck{wc}",
+        f"SELECT {sel} FROM gt_pf f {join} gt_pd d ON f.ck = d.ck{wc}",
+    )
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple(
+            (x is None, 0 if x is None else x) for x in t
+        ),
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_console_query())
+def test_property_console_equals_unpruned_ground_truth(spark, console, q):
+    cat_q, gt_q = q
+    want = _rows(spark.sql(gt_q))
+    got = _rows(CAT.catalog_sql(spark, console, cat_q))
+    assert got == want, cat_q
+    # forcing the bucket route (floor off) must not change results
+    # either — inner routes execute, outer/banned shapes fall back
+    forced = _rows(CAT.catalog_sql(
+        spark, console, cat_q, bucket_joins="force", min_route_bytes=0
+    ))
+    assert forced == want, cat_q
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pred=st.lists(st.sampled_from(_PREDS[:7]), min_size=0, max_size=2,
+                  unique=True),
+    agg=st.sampled_from(
+        ["COUNT(*) AS n", "COUNT(f.v) AS n", "MIN(f.flag) AS n",
+         "SUM(f.flag) AS n"]
+    ),
+)
+def test_property_console_aggregates_equal_ground_truth(
+    spark, console, pred, agg
+):
+    """Single-table aggregate shapes: the metadata fast paths (COUNT(*),
+    COUNT(col), MIN/MAX, histograms) must agree with the unpruned scan
+    for every WHERE they claim to answer — and for the ones they
+    decline, the ordinary pruned plan must too."""
+    f_pred = [p.replace("f.", "") for p in pred if p.startswith("f.")]
+    wc = f" WHERE {' AND '.join(f_pred)}" if f_pred else ""
+    cat_q = f"SELECT {agg.replace('f.', '')} FROM pf{wc}"
+    gt_q = f"SELECT {agg.replace('f.', '')} FROM gt_pf{wc}"
+    got = _rows(CAT.catalog_sql(spark, console, cat_q))
+    want = _rows(spark.sql(gt_q))
+    assert got == want, cat_q
