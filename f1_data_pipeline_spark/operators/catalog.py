@@ -1346,8 +1346,8 @@ def _match_bucket_join(
     residual refuses.
 
     MULTI-RELATION queries (round-11 verdict #3): when the FROM chain
-    opens with an eligible pair and continues with further INNER joins
-    to other cataloged tables — `FROM A a JOIN B b ON a.k = b.k JOIN C
+    opens with an eligible pair and continues with further joins to
+    other cataloged tables — `FROM A a JOIN B b ON a.k = b.k JOIN C
     c ON ... [JOIN D ...]`, the reference's star shape
     (base_loader.py:185-212) at fact-fact scale — the pair alone
     collapses into the view (aliased `__bkt_pair`, so every rewritten
@@ -1355,16 +1355,24 @@ def _match_bucket_join(
     other relations' columns) and the remaining joins run as ordinary
     shuffled joins over it; the other tables keep their own manifest
     binding, pushdown, and runtime-filter harvest. Multi-relation
-    restrictions on top of the pair rules: inner joins only
-    (everywhere), no residual ON conjuncts on the pair, every
-    alias/name distinct.
+    restrictions on top of the pair rules: the PAIR itself must be
+    inner, no residual ON conjuncts on the pair, every alias/name
+    distinct. TAIL joins may be INNER/LEFT/RIGHT/FULL: the pair is a
+    unit, so `(A ⋈ B) LEFT JOIN C` is semantics-preserving — and the
+    pair's in-bucket pruning stays sound under outer tails because
+    pushed predicates are null-rejecting by construction (the
+    IS-NULL-under-outer-join rule in `_extract_pushdown_predicates`),
+    so a pruned view row's partner flipping to null-extended is always
+    removed by the same row filter.
 
     Conservative refusals (fall back to the shuffled join):
     - more than one SELECT, any CTE, set operands, non-cataloged or
       repeated relations, comma joins;
-    - any outer/semi/anti/natural/lateral join keyword when more than
-      two relations appear (the pair must not change which rows the
-      preserved sides see);
+    - any semi/anti/natural/lateral/cross join keyword when more than
+      two relations appear (NATURAL resolves columns against the
+      view's changed schema; the others are out of the unit argument's
+      scope), or an outer keyword BEFORE the pair's ON ends (it would
+      change the pair's own join type);
     - `*` / `alias.*` projections (the view's output schema drops the
       right key and may prefix collisions — `*` would change the
       result schema);
@@ -1405,13 +1413,17 @@ def _match_bucket_join(
             or kws.count("join") != len(refs) - 1:
         return None
     if multi:
-        # the collapsed pair must not change which rows any preserved
-        # side sees, and the placeholder alias must be free; a COLUMN
-        # named like a join keyword also refuses — conservative
+        # joins that resolve columns implicitly (NATURAL: against the
+        # view's schema, which drops/renames pair columns) or reshape
+        # rows in ways the unit argument doesn't cover conservatively
+        # refuse anywhere; the placeholder alias must be free. Plain
+        # outer keywords are checked POSITIONALLY below once the pair's
+        # ON span is known: an outer join AFTER the pair is an ordinary
+        # join over the collapsed unit ((A ⋈ B) LEFT/RIGHT/FULL JOIN C
+        # is semantics-preserving), one BEFORE would change the pair.
         if any(
             k in kws
-            for k in ("left", "right", "full", "outer", "cross",
-                      "natural", "semi", "anti", "lateral")
+            for k in ("cross", "natural", "semi", "anti", "lateral")
         ) or "__bkt_pair" in kws:
             return None
     sel_pos = next(p for p, t in marks if t == "select")
@@ -1443,7 +1455,9 @@ def _match_bucket_join(
     # the pair's ON clause ends at the next depth-0 clause keyword OR
     # the next JOIN chain keyword (multi-relation); a keyword-looking
     # token right after a dot is a qualified column, not a clause end
-    on_enders = _FROM_ENDERS | ({"join", "inner"} if multi else set())
+    on_enders = _FROM_ENDERS | (
+        {"join", "inner", "left", "right", "full"} if multi else set()
+    )
     on_end = len(sql)
     for p, t in marks:
         if p >= on_start and t in on_enders and (
@@ -1452,6 +1466,16 @@ def _match_bucket_join(
             on_end = p
             break
     on_clause = sql[on_start:on_end]
+    if multi and any(
+        t in ("left", "right", "full", "outer") and p < on_end
+        and (p == 0 or s[p - 1] != ".")
+        for p, t in marks
+    ):
+        # an outer keyword before the pair's ON ends belongs to the
+        # pair itself (or sits ambiguously in its span) — the collapse
+        # must not change which rows any preserved side sees; outer
+        # TAIL joins (p >= on_end) run unchanged over the view
+        return None
     if _has_top_level_or(on_clause):
         return None
     qual_of = {

@@ -65,7 +65,13 @@ Q = """
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # None-safe ordering (outer-tail tests produce null-extended rows)
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple(
+            (x is None, 0 if x is None else x) for x in t
+        ),
+    )
 
 
 def _plan(df) -> str:
@@ -563,15 +569,52 @@ def test_multi_relation_pair_route(spark, star):
     assert "MapInArrow" in _plan(routed2)
 
 
+def test_multi_relation_outer_tail_joins_route(spark, star, tmp_path):
+    """Outer TAIL joins route (the pair is a unit — `(A ⋈ B) LEFT JOIN
+    C` is semantics-preserving): LEFT and RIGHT tails collapse the pair
+    and stay result-identical, including unmatched rows on either
+    side."""
+    # make some pair keys unmatched in flat: a second flat-like dim
+    # with only a third of the keys
+    small_p = str(tmp_path / "small")
+    small = spark.range(0, 150, 3).select(  # keys 99..147 unmatched
+        F.col("id").alias("sk"), (F.col("id") % 5).alias("grade"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, small, small_p, keys=["sk"], partition_col="grade"
+    )
+    CAT.catalog_create_table(star, "small", small_p)
+    for tail in ("LEFT JOIN", "RIGHT JOIN", "FULL JOIN"):
+        # with a WHERE (exercises in-bucket pruning under the outer
+        # tail) and without one (exercises the null-extension rows the
+        # WHERE would otherwise filter — f.flag NULL fails `< 3`)
+        for wc in (" WHERE f.flag < 3", ""):
+            q = f"""
+                SELECT f.ok, d.name, s.grade AS g2
+                FROM fact f JOIN dim d ON f.ck = d.ck
+                {tail} small s ON d.ck = s.sk{wc}
+            """
+            routed = CAT.catalog_sql(spark, star, q, bucket_joins="force")
+            off = CAT.catalog_sql(spark, star, q, bucket_joins=False)
+            assert _rows(routed) == _rows(off), (tail, wc)
+            assert "MapInArrow" in _plan(routed), (tail, wc)
+            if tail != "LEFT JOIN" and not wc:
+                # unmatched small keys null-extend the view side
+                assert any(
+                    r[0] is None for r in routed.collect()
+                ), tail
+
+
 def test_multi_relation_refusals_fall_back(spark, star):
-    """Multi-relation restrictions: any outer join or a residual ON
-    conjunct on the pair refuses the collapse — the fully shuffled plan
-    runs, results unchanged; a bare shared-key identifier keeps Spark's
-    ambiguity error rather than silently resolving in the view."""
+    """Multi-relation restrictions: an outer keyword on the PAIR
+    itself or a residual ON conjunct on the pair refuses the collapse —
+    the fully shuffled plan runs, results unchanged; a bare shared-key
+    identifier keeps Spark's ambiguity error rather than silently
+    resolving in the view."""
     fallbacks = [
-        # LEFT join anywhere in a 3-relation chain
-        """SELECT f.ok, d.name FROM fact f JOIN dim d ON f.ck = d.ck
-           LEFT JOIN flat x ON d.ck = x.ck""",
+        # LEFT on the PAIR itself (before the pair's ON ends)
+        """SELECT f.ok, d.name FROM fact f LEFT JOIN dim d ON f.ck = d.ck
+           JOIN flat x ON f.ck = x.ck""",
         # residual ON conjunct on the pair
         """SELECT f.ok, d.name FROM fact f JOIN dim d
            ON f.ck = d.ck AND d.seg = 1 JOIN flat x ON d.ck = x.ck""",

@@ -48,14 +48,28 @@ def console(spark, tmp_path_factory):
     sinks.merge_upsert_manifest(
         spark, dim, dim_p, keys=["ck"], partition_col="bucket(4, ck)"
     )
+    # a third, non-bucketed relation for multi-relation tails; keys
+    # 20..49 so both matched and unmatched rows exist on every side
+    ext_p = str(tmp / "e")
+    ext = spark.range(20, 50).select(
+        F.col("id").alias("ek"),
+        (F.col("id") % 2).alias("grade"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, ext, ext_p, keys=["ek"], partition_col="grade"
+    )
     CAT.catalog_create_table(cat, "pf", fact_p)
     CAT.catalog_create_table(cat, "pd", dim_p)
+    CAT.catalog_create_table(cat, "pe", ext_p)
     # ground truth: plain snapshot views, no manifest-level pruning
     sinks.read_manifest_table(spark, fact_p).createOrReplaceTempView(
         "gt_pf"
     )
     sinks.read_manifest_table(spark, dim_p).createOrReplaceTempView(
         "gt_pd"
+    )
+    sinks.read_manifest_table(spark, ext_p).createOrReplaceTempView(
+        "gt_pe"
     )
     return cat
 
@@ -141,3 +155,49 @@ def test_property_console_aggregates_equal_ground_truth(
     got = _rows(CAT.catalog_sql(spark, console, cat_q))
     want = _rows(spark.sql(gt_q))
     assert got == want, cat_q
+
+
+_TAILS = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+_PREDS3 = _PREDS + ["e.grade = 1", "e.grade IS NULL"]
+_COLS3 = _COLS + ["e.ek", "e.grade"]
+
+
+@st.composite
+def _star_query(draw):
+    cols = draw(st.lists(st.sampled_from(_COLS3), min_size=1, max_size=4,
+                         unique=True))
+    sel = ", ".join(f"{c} AS c{i}" for i, c in enumerate(cols))
+    tail = draw(st.sampled_from(_TAILS))
+    on3 = draw(st.sampled_from(["d.ck = e.ek", "f.ck = e.ek"]))
+    preds = draw(st.lists(st.sampled_from(_PREDS3), max_size=2,
+                          unique=True))
+    wc = f" WHERE {' AND '.join(preds)}" if preds else ""
+    body = (f"SELECT {sel} FROM {{pf}} f JOIN {{pd}} d ON f.ck = d.ck "
+            f"{tail} {{pe}} e ON {on3}{wc}")
+    return (
+        body.format(pf="pf", pd="pd", pe="pe"),
+        body.format(pf="gt_pf", pd="gt_pd", pe="gt_pe"),
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_star_query())
+def test_property_star_console_equals_unpruned_ground_truth(
+    spark, console, q
+):
+    """Three-relation stars: the pair route (forced and gated), the
+    outer TAIL joins over the collapsed view, runtime-filter harvest,
+    and the IS-NULL-under-outer-join pushdown rule must all agree with
+    plain spark.sql over unpruned views."""
+    cat_q, gt_q = q
+    want = _rows(spark.sql(gt_q))
+    got = _rows(CAT.catalog_sql(spark, console, cat_q))
+    assert got == want, cat_q
+    forced = _rows(CAT.catalog_sql(
+        spark, console, cat_q, bucket_joins="force", min_route_bytes=0
+    ))
+    assert forced == want, cat_q
