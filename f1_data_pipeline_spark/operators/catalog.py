@@ -2753,10 +2753,16 @@ def _matview_rewrite(
     source column (`days(ts)`-grouped views store `day`, not `ts`), an
     OR, a function — falls through.
 
-    Conservative refusals (fall through, never wrong): HAVING / ORDER
-    BY / LIMIT (the regex requires GROUP BY to end the statement and
-    FROM to bind directly to the source), a WHERE outside the
-    group-column conjunction shape above, multiple SELECTs,
+    ORDER BY / LIMIT tails are allowed when every sort key is an
+    OUTPUT column name of the query (`... GROUP BY day ORDER BY n DESC
+    LIMIT 10`, the top-N dashboard shape) — they apply over the
+    rewritten frame; expression sort keys, NULLS FIRST/LAST, or keys
+    outside the output list fall through.
+
+    Conservative refusals (fall through, never wrong): HAVING (the
+    regex requires GROUP BY — with the optional tails above — to end
+    the statement and FROM to bind directly to the source), a WHERE
+    outside the group-column conjunction shape above, multiple SELECTs,
     CTE-shadowed source names, a grouping that differs from the spec's
     in any way (a coarser grouping would need re-aggregation — COUNT
     DISTINCT cannot be re-aggregated, so none is attempted), any
@@ -2797,6 +2803,35 @@ def _matview_rewrite(
             wpreds = parse_predicates(where.strip())
         except ValueError:
             return None  # OR / functions / qualified cols: direct plan
+    # ORDER BY / LIMIT tails (the top-N dashboard shape): split off the
+    # GROUP BY text's depth-0 ORDER/LIMIT marks; sort keys must be
+    # OUTPUT column names of this query (they exist on the rewritten
+    # frame verbatim) — anything else falls through to the direct plan
+    order_items: list[tuple[str, bool]] = []
+    limit_n: int | None = None
+    gb_marks = _depth0_marks(_strip_sql_strings(gb), r"\b(order|limit)\b")
+    if gb_marks:
+        tail_txt = gb[gb_marks[0][0]:]
+        gb = gb[: gb_marks[0][0]]
+        tm = re.match(
+            r"^(?:ORDER\s+BY\s+(.+?))?(?:\s*LIMIT\s+(\d+))?\s*$",
+            tail_txt, re.IGNORECASE | re.DOTALL,
+        )
+        if not tm or (tm.group(1) is None and tm.group(2) is None):
+            return None
+        if tm.group(2) is not None:
+            limit_n = int(tm.group(2))
+        if tm.group(1) is not None:
+            for it in _split_top_commas(tm.group(1)):
+                im = re.match(
+                    r"^\s*([A-Za-z_]\w*)(?:\s+(ASC|DESC))?\s*$",
+                    it, re.IGNORECASE,
+                )
+                if not im:
+                    return None  # expressions / NULLS FIRST: direct plan
+                order_items.append(
+                    (im.group(1), (im.group(2) or "ASC").upper() == "ASC")
+                )
 
     def norm(t: str) -> str:
         return re.sub(r"\s+", "", t).lower()
@@ -2947,6 +2982,9 @@ def _matview_rewrite(
             continue  # an item the spec lacks: not answerable here
         from pyspark.sql import functions as F
 
+        out_by_lower = {out.lower(): out for _c, out in cols}
+        if any(o.lower() not in out_by_lower for o, _asc in order_items):
+            continue  # a sort key that isn't an output column: direct
         df = read_manifest_table(spark, e["path"], version=v_mv)
         if where is not None:
             # verbatim row filter: plain group cols keep their source
@@ -2954,6 +2992,14 @@ def _matview_rewrite(
             # only those
             df = df.filter(where)
         df = df.select([F.col(c).alias(out) for c, out in cols])
+        if order_items:
+            df = df.orderBy([
+                F.col(out_by_lower[o.lower()]).asc() if asc
+                else F.col(out_by_lower[o.lower()]).desc()
+                for o, asc in order_items
+            ])
+        if limit_n is not None:
+            df = df.limit(limit_n)
         note = f"matview: answered from {name}@v{v_mv} (source v{sv})" + (
             " (WHERE applied over the view's group columns)"
             if where is not None else ""

@@ -346,8 +346,10 @@ def test_rewrite_conservative_refusals(spark, tmp_path):
          "WHERE v > 3 GROUP BY day, cat"),                   # non-group WHERE
         ("SELECT day, cat, COUNT(*) AS n FROM src "
          "WHERE day = 1 OR cat = 2 GROUP BY day, cat"),      # OR WHERE
+        ("SELECT day, cat AS c, COUNT(*) AS n FROM src "
+         "GROUP BY day, cat ORDER BY cat"),    # sort key not an output
         ("SELECT day, cat, COUNT(*) AS n FROM src "
-         "GROUP BY day, cat ORDER BY day"),                  # tail
+         "GROUP BY day, cat ORDER BY n NULLS LAST"),  # beyond grammar
     ]
     for q in refusals:
         got = CAT.catalog_sql(spark, cat, q)
@@ -522,3 +524,38 @@ def test_rewrite_refuses_alias_shadowing_and_transform_specs(spark, tmp_path):
             "SELECT days(ts) AS day, COUNT(*) AS n FROM ev "
             "GROUP BY days(ts)",
         ).collect()
+
+
+def test_rewrite_order_by_limit_tails(spark, tmp_path):
+    """ORDER BY / LIMIT tails whose sort keys are output columns apply
+    over the rewritten frame — the top-N dashboard shape — with
+    ORDERED parity against the direct plan (unique sort keys, so LIMIT
+    is deterministic)."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total "
+        "FROM src GROUP BY day, cat",
+    )
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    for q in (
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "GROUP BY day, cat ORDER BY day DESC, cat LIMIT 5"),
+        ("SELECT day AS d, cat, COUNT(*) AS n FROM src "
+         "GROUP BY d, cat ORDER BY d, cat"),
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "WHERE day >= 1 GROUP BY day, cat ORDER BY day, cat LIMIT 3"),
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "GROUP BY day, cat LIMIT 100"),
+    ):
+        got = CAT.catalog_sql(spark, cat, q)
+        files = got.inputFiles()
+        assert files and all(mv_path in f for f in files), q
+        direct = CAT.catalog_sql(spark, cat, q, matview_rewrite=False)
+        if "ORDER BY" in q:
+            assert [tuple(r) for r in got.collect()] == \
+                [tuple(r) for r in direct.collect()], q  # ordered parity
+        else:
+            assert sorted(tuple(r) for r in got.collect()) == \
+                sorted(tuple(r) for r in direct.collect()), q
