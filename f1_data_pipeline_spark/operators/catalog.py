@@ -363,9 +363,11 @@ def catalog_sql(
     source groups by `days|months|years|hours(col) AS name`. Registered
     views also ANSWER queries (round 11, transparent rewrite): a
     `SELECT <groups + aggregates> FROM src GROUP BY <groups>` whose
-    grouping matches a view's spec and whose aggregates are a subset of
-    its (aliases free) reads the view instead of re-aggregating —
-    gated on freshness (the view's consumed-source-version watermark
+    grouping matches a view's spec (or, round 12, a strict SUBSET of
+    its plain group columns with only COUNT/SUM/MIN/MAX — answered by
+    re-aggregating the view) and whose aggregates are a subset of
+    its (aliases free) reads the view instead of re-aggregating the
+    source — gated on freshness (the view's consumed-source-version watermark
     must equal the query's pinned source version; stale views fall
     through to the direct plan). EXPLAIN records `matview: answered
     from <name>@v<N>`; see `_matview_rewrite`.
@@ -411,6 +413,15 @@ def catalog_sql(
     meaning (those references are not rewritten)."""
     import re
 
+    if not isinstance(bucket_joins, bool) and bucket_joins != "force":
+        # any other truthy string ("Force", "on") would silently run the
+        # cost-gated default while the caller believes they forced the
+        # route — the one mode switch here whose misspelling changes the
+        # PHYSICAL plan without changing results, so it must be loud
+        raise ValueError(
+            f"bucket_joins must be True, False, or the literal 'force'; "
+            f"got {bucket_joins!r}"
+        )
     tables = catalog_tables(catalog_path)
     em = re.match(
         r"\s*EXPLAIN(?:\s+(EXTENDED|CODEGEN|COST|FORMATTED|ANALYZE))?\s+(.*)$",
@@ -2731,6 +2742,21 @@ def _matview_rewrite(
     read the rollup: /root/reference/loaders/__init__.py:517-528), made
     automatic. Returns {"df", "note"} or None (→ the normal plan).
 
+    A COARSER grouping (round-12 verdict #3: the query groups by a
+    strict subset of the spec's plain group columns) also answers, by
+    RE-AGGREGATING the view — sound because every spec group lies
+    entirely inside one query group, so COUNT/SUM roll up by summing
+    the stored per-group values and MIN/MAX by min/max (the reference's
+    per-season totals over the per-(season, round) standings store,
+    loaders/__init__.py:517-528). Re-agg results are cast back to the
+    view column's type, which is exactly the direct plan's result type.
+    AVG and COUNT(DISTINCT) queries are NOT re-aggregable from final
+    values and take the direct plan under a coarser grouping.
+    APPROX_COUNT_DISTINCT never rewrites at all (round-11 advice): the
+    stored HLL estimate can differ from the direct plan's independent
+    estimate by far more than the last-ulp float semantic below, so the
+    same statement's value would shift as the view goes fresh/stale.
+
     FRESHNESS gate: the MV's consumed-source-version watermark
     (matview.WATERMARK_KEY, stamped by the SAME commit as its data)
     must EQUAL the source version this query pins (time travel pins
@@ -2763,10 +2789,11 @@ def _matview_rewrite(
     regex requires GROUP BY — with the optional tails above — to end
     the statement and FROM to bind directly to the source), a WHERE
     outside the group-column conjunction shape above, multiple SELECTs,
-    CTE-shadowed source names, a grouping that differs from the spec's
-    in any way (a coarser grouping would need re-aggregation — COUNT
-    DISTINCT cannot be re-aggregated, so none is attempted), any
-    aggregate outside the spec, transform-grouped items or specs
+    CTE-shadowed source names, a grouping FINER than the spec's (the
+    view cannot split its groups), a coarser grouping whose aggregates
+    include AVG or COUNT(DISTINCT) (not re-aggregable from final
+    values), any aggregate outside the spec, transform-grouped items or
+    specs
     (`days(ts)` is a partition transform, not executable Spark SQL —
     answering it only while the view is fresh would make the SAME
     statement error once stale; it never answers, consistently — query
@@ -2836,13 +2863,13 @@ def _matview_rewrite(
     def norm(t: str) -> str:
         return re.sub(r"\s+", "", t).lower()
 
-    # parse the SELECT list tolerantly: group cols (plain, aliasable),
-    # group transforms (alias required — it names the MV column at
-    # CREATE, and an unaliased transform has no Spark-default name the
-    # MV could reproduce), aggregates with free aliases
+    # parse the SELECT list tolerantly: plain group cols (aliasable) and
+    # aggregates with free aliases; a transform item (days(ts) AS day)
+    # has no branch here on purpose — it falls to the final return None,
+    # matching the transform-grouped-spec refusal below.
     # items in SELECT-list order (the rewrite must reproduce the
     # query's output column order exactly): ("plain", col, out) |
-    # ("transform", normspec, out) | ("agg", (op, arg), out)
+    # ("agg", (op, arg), out)
     items: list[tuple] = []
     covered: set[str] = set()
     for part in _split_top_commas(sel):
@@ -2897,6 +2924,14 @@ def _matview_rewrite(
     n_groups = sum(1 for it in items if it[0] != "agg")
     if n_groups == len(items) or n_groups == 0:
         return None  # no aggregates / no group columns: not a rollup
+    if any(it[0] == "agg" and it[1][0] == "approx_distinct" for it in items):
+        # APPROX_COUNT_DISTINCT never rewrites (round-11 advice): the
+        # view stores ITS refresh's HLL estimate, which can differ from
+        # the direct plan's independently computed estimate by far more
+        # than the documented last-ulp SUM/AVG drift — the same
+        # statement's value would silently shift as the view goes
+        # fresh/stale. Query the view by name for the stored estimate.
+        return None
     # the GROUP BY list must name exactly the SELECT list's group items
     # (by name, alias, or transform text — same rule as CREATE's parser)
     gb_items = [norm(g) for g in _split_top_commas(gb)]
@@ -2960,14 +2995,30 @@ def _matview_rewrite(
                 (k, tuple(v)) for k, v in spec["aggs"].items()
             )
         }
-        if n_groups != len(spec["group_cols"]):
-            continue  # coarser/finer grouping: re-aggregation territory
+        if n_groups > len(spec["group_cols"]):
+            continue  # finer grouping than the spec: the view can't split
+        coarse = n_groups < len(spec["group_cols"])
+        if coarse and any(
+            it[0] == "agg" and it[1][0] not in ("count", "sum", "min", "max")
+            for it in items
+        ):
+            # coarser grouping re-AGGREGATES the view (round-12, verdict
+            # #3): COUNT/SUM roll up by summing the per-group values,
+            # MIN/MAX by min/max — sound because every spec group lies
+            # entirely inside one query group. AVG and COUNT(DISTINCT)
+            # are not re-aggregable from final values (the view stores
+            # neither the count behind the avg nor the distinct sets) —
+            # direct plan. (APPROX_COUNT_DISTINCT already refused above.)
+            continue
         if wpreds is not None and any(
             c.lower() not in spec_plain for c, _op, _v in wpreds
         ):
             # only predicates over PLAIN group columns commute with the
             # grouping AND keep their names in the view — anything else
-            # (non-group column, transform source) cannot answer here
+            # (non-group column, transform source) cannot answer here.
+            # Under a coarser grouping the clause may read ANY spec
+            # group column (constant within each spec group, so filter-
+            # then-re-aggregate equals aggregate-then-filter on source).
             continue
         cols = []
         for kind, key, out in items:
@@ -2977,12 +3028,12 @@ def _matview_rewrite(
                 mv_col = spec_aggs.get(key)
             if mv_col is None:
                 break
-            cols.append((mv_col, out))
+            cols.append((kind, key, mv_col, out))
         if len(cols) != len(items):
             continue  # an item the spec lacks: not answerable here
         from pyspark.sql import functions as F
 
-        out_by_lower = {out.lower(): out for _c, out in cols}
+        out_by_lower = {out.lower(): out for *_k, out in cols}
         if any(o.lower() not in out_by_lower for o, _asc in order_items):
             continue  # a sort key that isn't an output column: direct
         df = read_manifest_table(spark, e["path"], version=v_mv)
@@ -2991,7 +3042,36 @@ def _matview_rewrite(
             # names in the view, and wpreds proved the clause reads
             # only those
             df = df.filter(where)
-        df = df.select([F.col(c).alias(out) for c, out in cols])
+        if coarse and len({out.lower() for *_k, out in cols}) != len(cols):
+            continue  # duplicate output names would make F.col ambiguous
+        if not coarse:
+            df = df.select([F.col(c).alias(out) for _k, _key, c, out in cols])
+        else:
+            # re-aggregate the view's rows to the query's coarser
+            # grouping; each re-agg result is cast back to the VIEW
+            # column's type, which IS the direct plan's result type
+            # (sum(decimal(p,s)) widens to decimal(p+10,s) once, not
+            # twice; sum over long stays long), so the rewritten schema
+            # is indistinguishable from the direct plan's
+            gb_mv = [c for kind, _key, c, _out in cols if kind == "plain"]
+            agg_exprs = []
+            for kind, key, c, out in cols:
+                if kind != "agg":
+                    continue
+                op = key[0]
+                dt = dict(df.dtypes)[c]
+                if op in ("count", "sum"):
+                    agg_exprs.append(F.sum(c).cast(dt).alias(out))
+                elif op == "min":
+                    agg_exprs.append(F.min(c).alias(out))
+                else:
+                    agg_exprs.append(F.max(c).alias(out))
+            df = df.groupBy(*gb_mv).agg(*agg_exprs)
+            # restore the query's SELECT-list order and group aliases
+            df = df.select([
+                (F.col(c).alias(out) if kind == "plain" else F.col(out))
+                for kind, _key, c, out in cols
+            ])
         if order_items:
             df = df.orderBy([
                 F.col(out_by_lower[o.lower()]).asc() if asc
@@ -3000,9 +3080,17 @@ def _matview_rewrite(
             ])
         if limit_n is not None:
             df = df.limit(limit_n)
-        note = f"matview: answered from {name}@v{v_mv} (source v{sv})" + (
-            " (WHERE applied over the view's group columns)"
-            if where is not None else ""
+        note = (
+            f"matview: answered from {name}@v{v_mv} (source v{sv})"
+            + (
+                f" (re-aggregated {len(spec['group_cols'])} spec group "
+                f"cols → {n_groups})"
+                if coarse else ""
+            )
+            + (
+                " (WHERE applied over the view's group columns)"
+                if where is not None else ""
+            )
         )
         _log().debug("catalog_sql %s", note)
         return {"df": df, "note": note}

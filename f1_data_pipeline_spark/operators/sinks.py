@@ -1008,7 +1008,13 @@ def _collect_file_stats(full_dir: str) -> list[dict]:
                     cur["nulls_ok"] = False
                     nonnull = None
                 if st.has_min_max:
-                    mn, mx = _stat_norm(st.min), _stat_norm(st.max)
+                    try:
+                        mn, mx = _stat_norm(st.min), _stat_norm(st.max)
+                    except NotImplementedError:
+                        # pyarrow can't logically cast this type's footer
+                        # bounds (ArrowNotImplementedError — e.g. decimal
+                        # columns): record "not prunable on", never guess
+                        mn = mx = None
                     if mn is None or mx is None:
                         cur["bounds_ok"] = False
                     else:

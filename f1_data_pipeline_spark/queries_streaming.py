@@ -294,9 +294,101 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP + CUBE (day, event_type) as one tagged union: per-type,
     per-day, grand totals (rollup) plus the cross combinations (cube) in a
     single oracle-checked result — grouping-set analytics absent from the
-    reference (SURVEY §2.D)."""
+    reference (SURVEY §2.D).
+
+    Since round 12 the composite carries three more arms that put the
+    TRANSPARENT MATERIALIZED-VIEW REWRITE under the DuckDB oracle
+    (round-11 verdict #1 — until now the only read-path planner feature
+    whose answers reached users gated by pytest alone): an exact-
+    aggregates view (COUNT / SUM over decimal / MIN / MAX — no double
+    accumulation, so no ulp drift vs the strict value hash) is built
+    over a manifest copy of `events` via `CREATE MATERIALIZED VIEW`,
+    and each arm's SELECT is answered THROUGH `catalog_sql`'s rewrite —
+    `matview` (COUNT + decimal SUM at the spec's grouping),
+    `matview_minmax` (MIN/MAX at the spec's grouping), and
+    `matview_coarse` (COUNT + SUM re-aggregated to a strict SUBSET of
+    the spec's group columns — round-12 verdict #3). Each arm first
+    runs `EXPLAIN` and RAISES unless the decision record proves the
+    rewrite fired (`matview: answered from daily_mv@...`), so the
+    oracle hash verifiably covers the rewrite path, never a silent
+    fallback to the direct plan. Reference tie: the stored standings
+    rollup read back as the answer, loaders/__init__.py:517-528."""
     ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    return _daily_agg(ev, "rollup").unionAll(_daily_agg(ev, "cube"))
+    base = _daily_agg(ev, "rollup").unionAll(_daily_agg(ev, "cube"))
+
+    import os
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import catalog as CAT
+    from f1_data_pipeline_spark.operators import sinks
+
+    work = tempfile.mkdtemp(prefix="mv_ga_")
+    fact_p = os.path.join(work, "events_m")
+    cat = os.path.join(work, "cat")
+    # decimal measure: SUM(decimal) is order-exact on both engines, so
+    # the rewrite's answer hashes identically to DuckDB's — the exact-
+    # aggregates discipline that sidesteps the double-sum ulp blocker
+    fact = ev.select(
+        "day", "event_type", "event_id",
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+    )
+    sinks.create_manifest_table(spark, fact_p, fact.schema, "event_type")
+    sinks.insert_into_manifest(spark, fact, fact_p)
+    CAT.catalog_create_table(cat, "events_m", fact_p)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW daily_mv AS "
+        "SELECT day, event_type, COUNT(*) AS n_events, "
+        "SUM(value_dec) AS total_dec, MIN(event_id) AS min_ev, "
+        "MAX(value_dec) AS max_dec "
+        "FROM events_m GROUP BY day, event_type",
+    )
+    arm_sqls = {
+        "matview": (
+            "SELECT day, event_type, COUNT(*) AS n_events, "
+            "SUM(value_dec) AS total_dec FROM events_m "
+            "GROUP BY day, event_type"
+        ),
+        "matview_minmax": (
+            "SELECT day, event_type, MIN(event_id) AS n_events, "
+            "MAX(value_dec) AS max_dec FROM events_m "
+            "GROUP BY day, event_type"
+        ),
+        "matview_coarse": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "SUM(value_dec) AS total_dec FROM events_m "
+            "GROUP BY event_type"
+        ),
+    }
+    arms = {}
+    for mode, q in arm_sqls.items():
+        # the gate: EXPLAIN must prove the rewrite answers this arm —
+        # a silent fallback to the direct plan would leave the rewrite
+        # unhashed while the row values still matched (bounded collect:
+        # one decision row per referenced table)
+        rec = CAT.catalog_sql(spark, cat, "EXPLAIN " + q).collect()[0]
+        fp = rec["fast_path"] or ""
+        if not fp.startswith("matview: answered from daily_mv@"):
+            raise RuntimeError(
+                f"grouping_analytics arm {mode!r} was NOT answered by "
+                f"the materialized-view rewrite (fast_path={fp!r}) — "
+                "the oracle hash would cover the direct plan instead"
+            )
+        arms[mode] = CAT.catalog_sql(spark, cat, q)
+    mv1 = arms["matview"].select(
+        F.lit("matview").alias("mode"), "day", "event_type", "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )
+    mv2 = arms["matview_minmax"].select(
+        F.lit("matview_minmax").alias("mode"), "day", "event_type",
+        "n_events", F.col("max_dec").cast("double").alias("total_value"),
+    )
+    mv3 = arms["matview_coarse"].select(
+        F.lit("matview_coarse").alias("mode"),
+        F.lit(None).cast("date").alias("day"), "event_type", "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )
+    return base.unionAll(mv1).unionAll(mv2).unionAll(mv3)
 
 
 register(
@@ -314,6 +406,24 @@ register(
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
     FROM events
     GROUP BY CUBE (day, event_type)
+    UNION ALL
+    SELECT 'matview', CAST(ts AS DATE) AS day, event_type,
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events
+    GROUP BY day, event_type
+    UNION ALL
+    SELECT 'matview_minmax', CAST(ts AS DATE) AS day, event_type,
+           MIN(event_id),
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events
+    GROUP BY day, event_type
+    UNION ALL
+    SELECT 'matview_coarse', CAST(NULL AS DATE) AS day, event_type,
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events
+    GROUP BY event_type
     """,
 )
 

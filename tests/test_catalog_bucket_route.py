@@ -633,3 +633,17 @@ def test_multi_relation_refusals_fall_back(spark, star):
             JOIN flat x ON d.ck = x.ck WHERE ck >= 0"""
     with pytest.raises(AnalysisException):
         CAT.catalog_sql(spark, star, qa, bucket_joins="force").collect()
+
+
+def test_bucket_joins_param_validated(spark, star):
+    """Round-11 advice: any truthy string other than the literal
+    'force' ('Force', 'on') used to be silently treated as the
+    cost-gated default while the caller believed they forced the
+    route — the one mode switch whose misspelling changes the PHYSICAL
+    plan without changing results, so it must raise loudly."""
+    for bad in ("Force", "on", "FORCE", 1):
+        with pytest.raises(ValueError, match="bucket_joins must be"):
+            CAT.catalog_sql(spark, star, Q, bucket_joins=bad)
+    # EXPLAIN goes through the same validation
+    with pytest.raises(ValueError, match="bucket_joins must be"):
+        CAT.catalog_sql(spark, star, "EXPLAIN " + Q, bucket_joins="on")

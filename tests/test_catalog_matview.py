@@ -327,20 +327,25 @@ def test_rewrite_freshness_gate_and_time_travel(spark, tmp_path):
 
 def test_rewrite_conservative_refusals(spark, tmp_path):
     """Shapes the view cannot PROVABLY answer take the direct plan:
-    a WHERE, a coarser grouping, an aggregate outside the spec, a
-    transform grouping the spec lacks — parity with the direct plan is
-    the refusal proof (the MV's values would differ for the coarser
-    grouping)."""
+    a non-group WHERE, a coarser grouping with a non-re-aggregable
+    aggregate (AVG / COUNT DISTINCT — round 12: COUNT/SUM/MIN/MAX now
+    re-aggregate instead), an aggregate outside the spec, a finer
+    grouping — parity with the direct plan is the refusal proof."""
     cat, t = _seed(spark, tmp_path)
     CAT.catalog_sql(
         spark, cat,
         "CREATE MATERIALIZED VIEW mv AS "
-        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total "
+        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total, AVG(v) AS a, "
+        "COUNT(DISTINCT k) AS d "
         "FROM src GROUP BY day, cat",
     )
     mv_path = CAT.catalog_tables(cat)["mv"]["path"]
     refusals = [
-        "SELECT cat, COUNT(*) AS n FROM src GROUP BY cat",  # coarser
+        # coarser + AVG: the view stores the final average, which cannot
+        # be re-aggregated without the per-group counts
+        "SELECT cat, AVG(v) AS a FROM src GROUP BY cat",
+        # coarser + COUNT DISTINCT: distinct sets aren't stored
+        "SELECT cat, COUNT(DISTINCT k) AS d FROM src GROUP BY cat",
         "SELECT day, cat, MAX(v) AS m FROM src GROUP BY day, cat",  # agg
         ("SELECT day, cat, COUNT(*) AS n FROM src "
          "WHERE v > 3 GROUP BY day, cat"),                   # non-group WHERE
@@ -364,9 +369,82 @@ def test_rewrite_conservative_refusals(spark, tmp_path):
     )
 
 
+def test_rewrite_coarser_grouping_reaggregates(spark, tmp_path):
+    """Round-12 verdict #3: GROUP BY a strict SUBSET of the spec's group
+    columns answers by RE-AGGREGATING the view — COUNT/SUM roll up by
+    summing the stored per-group values, MIN/MAX by min/max (sound:
+    every spec group lies entirely inside one query group). The result
+    schema equals the direct plan's (re-agg casts back to the view
+    column's type); a WHERE over ANY spec group column still applies
+    (constant within each spec group); ORDER BY / LIMIT tails compose;
+    EXPLAIN records the re-aggregation."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total, MIN(v) AS lo, "
+        "MAX(v) AS hi, COUNT(v) AS nv "
+        "FROM src GROUP BY day, cat",
+    )
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    queries = [
+        "SELECT cat, COUNT(*) AS n, SUM(v) AS s FROM src GROUP BY cat",
+        ("SELECT day, MIN(v) AS lo, MAX(v) AS hi, COUNT(v) AS nv "
+         "FROM src GROUP BY day"),
+        # WHERE over a spec group column NOT in the query's grouping
+        "SELECT cat, SUM(v) AS s FROM src WHERE day >= 1 GROUP BY cat",
+        ("SELECT cat, SUM(v) AS s FROM src GROUP BY cat "
+         "ORDER BY s DESC LIMIT 2"),
+    ]
+    for q in queries:
+        got = CAT.catalog_sql(spark, cat, q)
+        files = got.inputFiles()
+        assert files and all(mv_path in f for f in files), q
+        direct = CAT.catalog_sql(spark, cat, q, matview_rewrite=False)
+        assert got.columns == direct.columns, q
+        assert [f.dataType for f in got.schema] == \
+            [f.dataType for f in direct.schema], q
+        _approx_eq(
+            sorted(tuple(r) for r in got.collect()),
+            sorted(tuple(r) for r in direct.collect()),
+        )
+    ex = CAT.catalog_sql(
+        spark, cat,
+        "EXPLAIN SELECT cat, SUM(v) AS s FROM src GROUP BY cat",
+    ).collect()[0]
+    assert "re-aggregated" in ex["fast_path"]
+    assert ex["files_scanned"] == 0
+
+
+def test_rewrite_refuses_approx_count_distinct(spark, tmp_path):
+    """Round-11 advice: APPROX_COUNT_DISTINCT never rewrites — the
+    view's stored HLL estimate can differ from the direct plan's
+    independently computed one by far more than the documented last-ulp
+    float drift, so the same statement's value would silently shift as
+    the view goes fresh/stale. The direct plan always runs."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, APPROX_COUNT_DISTINCT(k) AS ad "
+        "FROM src GROUP BY day, cat",
+    )
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    q = ("SELECT day, cat, APPROX_COUNT_DISTINCT(k) AS ad FROM src "
+         "GROUP BY day, cat")
+    got = CAT.catalog_sql(spark, cat, q)
+    assert not any(mv_path in f for f in got.inputFiles())
+    assert sorted(tuple(r) for r in got.collect()) == _direct(spark, cat, q)
+    # ... while exact aggregates in the same view still rewrite
+    q2 = "SELECT day, cat, COUNT(*) AS n FROM src GROUP BY day, cat"
+    f2 = CAT.catalog_sql(spark, cat, q2).inputFiles()
+    assert f2 and all(mv_path in f for f in f2)
+
+
 # ---------------------------------------------------------------------------
 # Property: for random rollup queries INSIDE the rewrite grammar over a
-# registered MV, rewrite == direct (the rewrite's whole contract).
+# registered MV — equal groupings AND coarser (subset) groupings with
+# re-aggregable aggregates — rewrite == direct (the rewrite's contract).
 # ---------------------------------------------------------------------------
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
@@ -378,15 +456,31 @@ _AGGS = [
 ]
 
 
+_REAGG_AGGS = [
+    a for a in _AGGS
+    if a[0] in ("COUNT(*)", "SUM(v)", "MIN(v)", "MAX(v)", "COUNT(v)")
+]
+
+
 @st.composite
 def _rollup_query(draw):
-    groups = draw(st.permutations(["day", "cat"]))
+    coarse = draw(st.booleans())
+    if coarse:
+        # subset grouping: group by `cat` only (not `day`, whose
+        # COUNT(*)-only shape the partition-histogram fast path answers
+        # first) with only re-aggregable aggregates — the round-12
+        # re-aggregation path
+        groups = ["cat"]
+    else:
+        groups = draw(st.permutations(["day", "cat"]))
     galias = draw(st.booleans())
     gsel = [f"{g} AS g_{g}" if galias else g for g in groups]
     gby = [f"g_{g}" if galias and draw(st.booleans()) else g
            for g in groups]
-    aggs = draw(st.lists(st.sampled_from(_AGGS), min_size=1, max_size=4,
-                         unique=True))
+    aggs = draw(st.lists(
+        st.sampled_from(_REAGG_AGGS if coarse else _AGGS),
+        min_size=1, max_size=4, unique=True,
+    ))
     asel = [
         f"{expr} AS {alias}" if draw(st.booleans()) else expr
         for expr, alias in aggs

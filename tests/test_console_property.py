@@ -201,3 +201,141 @@ def test_property_star_console_equals_unpruned_ground_truth(
         spark, console, cat_q, bucket_joins="force", min_route_bytes=0
     ))
     assert forced == want, cat_q
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (verdict #8): the same unpruned-ground-truth discipline over the
+# MATVIEW REWRITE and the METADATA FAST PATHS — random rollup specs and
+# COUNT/MIN/MAX shapes against a table with MoR deletes, restated keys
+# (overlapping file bounds), and NULLs. Grammar-matching rollups answer
+# from the registered view (equal grouping = projection, subset grouping =
+# re-aggregation), fast-path shapes answer from metadata, everything else
+# takes the pruned direct plan — ALL of them must equal plain spark.sql
+# over an unpruned snapshot view. This is the suite that catches the next
+# IS-NULL-class planner bug before it ships.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mv_console(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mv_prop2")
+    t, cat = str(tmp / "pm"), str(tmp / "cat")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("flag"),
+        (F.col("id") % 3).alias("seg"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") * 7 % 100).cast("decimal(12,2)"))
+        .alias("dv"),
+    )
+    sinks.merge_upsert_manifest(spark, df, t, keys=["k"],
+                                partition_col="flag")
+    # restate a slice (second files per partition, overlapping bounds)…
+    up = spark.range(100, 160).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("flag"),
+        ((F.col("id") + 1) % 3).alias("seg"),
+        (F.col("id") % 90).cast("decimal(12,2)").alias("dv"),
+    )
+    sinks.merge_upsert_manifest(spark, up, t, keys=["k"],
+                                partition_col="flag")
+    # …then MoR position deletes: every downstream answer (view refresh,
+    # metadata fast paths, pruned scans) must see through the delete set
+    sinks.delete_manifest_rows(spark, t, [("k", "<", 40)], mode="mor",
+                               mor_threshold=1.0)
+    CAT.catalog_create_table(cat, "pm", t)
+    # the view is created AFTER every mutation, so it is FRESH: grammar-
+    # matching rollups rewrite; the exact decimal measure keeps stored
+    # values bit-identical to the direct plan's (no double-sum drift)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW pm_mv AS "
+        "SELECT flag, seg, COUNT(*) AS n, COUNT(dv) AS nv, "
+        "SUM(dv) AS s, MIN(dv) AS lo, MAX(dv) AS hi, AVG(dv) AS a "
+        "FROM pm GROUP BY flag, seg",
+    )
+    sinks.read_manifest_table(spark, t).createOrReplaceTempView("gt_pm")
+    return cat
+
+
+_MV_AGGS = [
+    "COUNT(*) AS a0", "COUNT(dv) AS a1", "SUM(dv) AS a2",
+    "MIN(dv) AS a3", "MAX(dv) AS a4", "AVG(dv) AS a5",
+]
+_MV_WHERES = [
+    None, "flag >= 2", "seg = 1", "flag IN (1, 3)",
+    "flag = 2 AND seg <> 0", "dv > 50",
+]
+
+
+@st.composite
+def _rollup_shape(draw):
+    groups = draw(st.sampled_from(
+        [["flag", "seg"], ["seg", "flag"], ["seg"], ["flag"]]
+    ))
+    aggs = draw(st.lists(st.sampled_from(_MV_AGGS), min_size=1,
+                         max_size=3, unique=True))
+    w = draw(st.sampled_from(_MV_WHERES))
+    wc = f" WHERE {w}" if w else ""
+    sel = ", ".join(groups + aggs)
+    gb = ", ".join(groups)
+    return (
+        f"SELECT {sel} FROM pm{wc} GROUP BY {gb}",
+        f"SELECT {sel} FROM gt_pm{wc} GROUP BY {gb}",
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=_rollup_shape())
+def test_property_rollups_equal_unpruned_ground_truth(
+    spark, mv_console, q
+):
+    cat_q, gt_q = q
+    want = _rows(spark.sql(gt_q))
+    got = _rows(CAT.catalog_sql(spark, mv_console, cat_q))
+    assert got == want, cat_q
+    # the rewrite opt-out (always the pruned direct plan) must agree too
+    off = _rows(CAT.catalog_sql(
+        spark, mv_console, cat_q, matview_rewrite=False
+    ))
+    assert off == want, cat_q
+
+
+_META_AGGS = [
+    "COUNT(*) AS n", "COUNT(dv) AS n", "MIN(dv) AS n", "MAX(dv) AS n",
+    "MIN(k) AS n", "MAX(k) AS n", "COUNT(k) AS n",
+    "MIN(k) AS n1, MAX(dv) AS n2, COUNT(*) AS n3",
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    agg=st.sampled_from(_META_AGGS),
+    w=st.sampled_from(_MV_WHERES),
+    grouped=st.booleans(),
+)
+def test_property_metadata_fast_paths_see_mor_deletes(
+    spark, mv_console, agg, w, grouped
+):
+    """COUNT(*)/COUNT(col)/MIN/MAX select lists and the partition-
+    histogram GROUP BY shape over a table WITH MoR deletes: every fast
+    path either answers exactly (recorded rows − recorded delete rows)
+    or declines to the real plan — never a stale pre-delete number."""
+    wc = f" WHERE {w}" if w else ""
+    if grouped:
+        cat_q = f"SELECT flag, COUNT(*) AS n FROM pm{wc} GROUP BY flag"
+        gt_q = f"SELECT flag, COUNT(*) AS n FROM gt_pm{wc} GROUP BY flag"
+    else:
+        cat_q = f"SELECT {agg} FROM pm{wc}"
+        gt_q = f"SELECT {agg} FROM gt_pm{wc}"
+    got = _rows(CAT.catalog_sql(spark, mv_console, cat_q))
+    want = _rows(spark.sql(gt_q))
+    assert got == want, cat_q
