@@ -697,12 +697,92 @@ def bench_cdc(spark, sf_dir: str) -> dict:
             stream_secs.append(s)
         loop_sec = round(statistics.median(loop_secs), 3)
         stream_sec = round(statistics.median(stream_secs), 3)
+
+        # STEADY-STATE arm (round-12 verdict #2): the per-drain gap above
+        # is dominated by Spark's per-QUERY-START Python source-runner
+        # spawn (~1.2 s measured: fresh interpreter + pyspark import;
+        # PythonStreamingSourceRunner hardcodes useDaemon=false — see
+        # manifest_source.py's module docstring and SCALE_NOTES). A
+        # consumer that keeps ONE query alive (processingTime trigger)
+        # pays it once; this arm measures the MARGINAL cost of draining a
+        # fresh commit wave through the live query — the number that
+        # extrapolates to a continuously-fed 100 TB table, where drains
+        # vastly outnumber query starts. Runs AFTER the per-drain reps so
+        # its extra commits can't contaminate their fixed 4-commit window.
+        landed: list[tuple[float, int]] = []
+
+        def _count(batch, _bid):
+            n = batch.count()
+            if n:
+                landed.append((time.time(), n))
+
+        q = (
+            read_change_stream(spark, src, ["o_orderkey"],
+                               starting_version=1)
+            .writeStream.foreachBatch(_count)
+            .option("checkpointLocation", os.path.join(work, "ckpt_steady"))
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+        def _wait_rows(target: int, timeout: float = 120.0) -> float:
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                if sum(n for _, n in landed) >= target:
+                    return landed[-1][0]
+                time.sleep(0.02)
+            q.stop()
+            raise RuntimeError("cdc steady-state arm: drain timed out")
+
+        try:
+            _wait_rows(fed_stream)  # the backlog batch (pays the spawn)
+            expected_total = fed_stream  # absolute cumulative target —
+            # the live query can drain a wave WHILE this driver code is
+            # still computing its expected count, so per-wave "rows seen
+            # so far" arithmetic would race; cumulative totals can't
+            wave_secs, wave_loop_secs, wave_rows = [], [], []
+            for w in range(3):
+                upd = base.filter(
+                    F.pmod("o_orderkey", 100) == w * 5 + 55
+                ).withColumn("o_totalprice", F.col("o_totalprice") + 2)
+                sinks.merge_upsert_manifest(
+                    spark, upd, src, ["o_orderkey"], "yr"
+                )
+                t_commit = time.time()
+                v = sinks.manifest_versions(src)[-1]
+                expect = sinks.manifest_row_changes(
+                    spark, src, ["o_orderkey"], v - 1, v
+                ).count()
+                expected_total += expect
+                t_landed = _wait_rows(expected_total)
+                # the trigger can land the wave before/while the expect
+                # count above runs — clamp the marginal latency at 0
+                wave_secs.append(max(t_landed - t_commit, 0.0))
+                wave_rows.append(expect)
+                # the loop-arm equivalent of the same wave, same window
+                t0 = time.time()
+                sinks.manifest_row_changes(
+                    spark, src, ["o_orderkey"], v - 1, v
+                ).write.format("noop").mode("overwrite").save()
+                wave_loop_secs.append(time.time() - t0)
+        finally:
+            q.stop()
+        steady_sec = round(statistics.median(wave_secs), 3)
+        steady_loop = round(statistics.median(wave_loop_secs), 3)
         return {
             "commits": latest,
             "rows_fed": fed_stream,
             "driver_loop_sec": loop_sec,
             "stream_source_sec": stream_sec,
             "stream_over_loop": round(stream_sec / loop_sec, 2),
+            "steady_state": {
+                "trigger": "processingTime=50ms",
+                "waves": len(wave_secs),
+                "rows_per_wave": wave_rows,
+                "per_wave_sec": steady_sec,
+                "per_wave_loop_sec": steady_loop,
+                "steady_over_loop": round(steady_sec / steady_loop, 2),
+            },
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -842,6 +922,10 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
         )
 
         def s_agg(feed):
+            # decimal revenue accumulation: the stateful store and the
+            # batch plan sum in different orders — exact decimal addition
+            # makes the content parity gate below an equality, not a
+            # tolerance (the same discipline the DuckDB oracles use)
             return (
                 feed.filter(
                     F.col("_change").isin("insert", "update_postimage")
@@ -850,7 +934,8 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
                 .withWatermark("ts", "30 days")
                 .groupBy(F.window("ts", "90 days"))
                 .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("o_totalprice").alias("rev"))
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                      .alias("rev"))
                 .select(F.col("window.start").alias("ws"), "n", "rev")
             )
 
@@ -884,16 +969,52 @@ def bench_pipeline(spark, sf_dir: str) -> dict:
         s_sec += time.time() - t0
         s_windows = sinks.read_manifest_table(spark, s_dst).count()
         assert s_windows > 0
+
+        def s_batch_df():
+            # the batch twin aggregates THE SAME ROWS the stream fed its
+            # stateful operator: the v1 snapshot plus every later
+            # commit's insert/update_postimage rows (an updated key
+            # contributes its pre-update row at v1 AND its postimage —
+            # exactly what the streaming aggregate accumulated)
+            cols = ["o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderdate"]
+            feed_rows = sinks.read_manifest_table(
+                spark, s_src, version=1
+            ).select(*cols)
+            for v in range(2, sinks.manifest_versions(s_src)[-1] + 1):
+                feed_rows = feed_rows.unionByName(
+                    sinks.manifest_row_changes(
+                        spark, s_src, ["o_orderkey"], v - 1, v
+                    )
+                    .filter(F.col("_change").isin(
+                        "insert", "update_postimage"))
+                    .select(*cols)
+                )
+            return (
+                feed_rows
+                .groupBy(F.window(F.col("o_orderdate").cast("timestamp"),
+                                  "90 days"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                      .alias("rev"))
+                .select(F.col("window.start").alias("ws"), "n", "rev")
+            )
+
         t0 = time.time()
-        (
-            sinks.read_manifest_table(spark, s_src)
-            .groupBy(F.window(F.col("o_orderdate").cast("timestamp"),
-                              "90 days"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("o_totalprice").alias("rev"))
-            .write.format("noop").mode("overwrite").save()
-        )
+        s_batch_df().write.format("noop").mode("overwrite").save()
         s_batch_sec = time.time() - t0
+        # content-level parity gate (round-11 advice): every landed
+        # window row must EQUAL the batch aggregation's row for that
+        # window start — a value-drifting stateful pipeline can no
+        # longer report a plausible ratio (the other arms' discipline).
+        # Landed ⊆ batch: the stream only emits windows its watermark
+        # closed; unclosed tails legitimately stay in state.
+        want = {r.ws: (r.n, r.rev) for r in s_batch_df().collect()}
+        for r in sinks.read_manifest_table(spark, s_dst).collect():
+            assert r.ws in want and want[r.ws] == (r.n, r.rev), (
+                "stateful arm window drifted from batch aggregation",
+                r.ws, (r.n, r.rev), want.get(r.ws),
+            )
 
         return {
             "commits": commits,
@@ -1066,7 +1187,7 @@ def main() -> None:
     # calibration delta to separate code regressions from the shared
     # VM's ±10-25% load drift (three identical-code round-6 reruns
     # spanned 17.0-20.0 s).
-    def _calibration() -> float:
+    def _calibration() -> tuple[float, list[float]]:
         def probe() -> None:
             import pyspark.sql.functions as F
 
@@ -1086,10 +1207,10 @@ def main() -> None:
         for _ in range(REPS):
             t0 = time.time()
             probe()
-            reps.append(time.time() - t0)
-        return round(statistics.median(reps), 3)
+            reps.append(round(time.time() - t0, 3))
+        return round(statistics.median(reps), 3), reps
 
-    calibration_sec = _calibration()
+    calibration_sec, cal_samples = _calibration()
 
     names = [n for n in HEADLINE if n in calls]
     timings: dict[str, float] = {}
@@ -1117,6 +1238,13 @@ def main() -> None:
     cdc = bench_cdc(spark, sf_dir)
     pipeline = bench_pipeline(spark, sf_dir)
     bucket_route = bench_bucket_route(spark, sf_dir)
+    # second calibration pass AFTER all blocks (round-12 verdict #7):
+    # host speed can drift across a several-minute run; normalizing by
+    # the median of BOTH passes makes cross-round comparison a column
+    # instead of a host-noise argument
+    calibration_end_sec, cal_end_samples = _calibration()
+    cal_all = cal_samples + cal_end_samples
+    norm_base = statistics.median(cal_all)
     host["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
 
     # Detail blocks (spread/host/streaming/incremental/metadata/matview) go
@@ -1130,7 +1258,17 @@ def main() -> None:
         "reps": REPS,
         "stat": "median",
         "calibration_sec": calibration_sec,
+        "calibration_end_sec": calibration_end_sec,
+        "calibration_samples": cal_all,
         "total_sec": round(total, 3),
+        # calibration-normalized total + per-query values (round-12
+        # verdict #7): seconds ÷ the run's own median calibration sample.
+        # Dimensionless and host-speed-invariant — compare THESE across
+        # rounds; raw seconds stay for absolute envelope checks
+        "total_normalized": round(total / norm_base, 2),
+        "normalized": {
+            name: round(t / norm_base, 2) for name, t in timings.items()
+        },
         # per-query medians also land here so tools/bench_compare.py can
         # diff any two BENCH_DETAIL snapshots without the driver record
         "queries": timings,
@@ -1158,6 +1296,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration_sec": calibration_sec,
+                "total_normalized": round(total / norm_base, 2),
             }
         )
     )

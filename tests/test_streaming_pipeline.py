@@ -250,3 +250,92 @@ def test_native_loop_stateful_window_aggregate(spark, tmp_path):
     drain()
     closed_3 = sorted(closed_2 + [(ts(60), "b", 1, 1.0)])
     assert landed() == closed_3
+
+
+def test_heartbeat_closes_windows_without_new_data(spark, tmp_path):
+    """Round-12 verdict #5: with `heartbeat=True` the source runs a
+    batch on EVERY trigger, empty when no commits landed — so the
+    watermark persisted by the previous data-bearing drain closes its
+    complete windows on the very next drain, even an idle one. This
+    flips the round-11 pin (`test_native_loop_stateful_window_aggregate`
+    documents the default's one-data-bearing-drain lag): a dashboard
+    consumer no longer waits for the next upstream commit. Idle
+    heartbeat drains are also exactly-once (a second one emits nothing
+    new) and don't disturb later data drains."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(minute):
+        return dt.datetime(2024, 3, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+    def commit(rows):
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                rows, "k long, g string, ts timestamp, v double"
+            ),
+            src, ["k"], partition_col="g",
+        )
+
+    commit([
+        (1, "a", ts(1), 1.0), (2, "a", ts(2), 2.0),
+        (3, "b", ts(6), 3.0), (10, "a", ts(30), 10.0),
+    ])
+
+    def agg(feed):
+        return (
+            feed.filter(F.col("_change").isin("insert", "update_postimage"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes"), "g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot"))
+            .select(F.col("window.start").alias("ws"), "g", "n", "tot")
+        )
+
+    def drain():
+        feed = read_change_stream(
+            spark, src, ["k"], starting_version=1, heartbeat=True
+        )
+        q = start_manifest_append_stream(agg(feed), dst, ckpt, sink_id="w")
+        assert q.awaitTermination(300)
+        q.stop()
+
+    def landed():
+        try:
+            return sorted(
+                (r.ws.replace(tzinfo=None), r.g, r.n, r.tot)
+                for r in sinks.read_manifest_table(spark, dst).collect()
+            )
+        except FileNotFoundError:
+            return []
+
+    # drain 1 (data): watermark starts at 0 — nothing emitted, state
+    # loaded, watermark 00:20 persisted (same as the default source)
+    drain()
+    assert landed() == []
+
+    # drain 2 (IDLE — no new commits): the heartbeat's empty batch
+    # applies watermark 00:20 and the two complete windows emit NOW —
+    # under the default source this drain would run no batch at all
+    drain()
+    closed_1 = [(ts(0), "a", 2, 3.0), (ts(5), "b", 1, 3.0)]
+    assert landed() == closed_1
+
+    # drain 3 (idle again): exactly-once — nothing new emits
+    drain()
+    assert landed() == closed_1
+
+    # a later DATA drain behaves exactly as without the heartbeat: the
+    # 00:30 window stays open (watermark 00:20 < its end + delay) and
+    # the new rows land in state
+    commit([(11, "a", ts(32), 5.0), (12, "b", ts(60), 1.0)])
+    drain()
+    assert landed() == closed_1
+    # ... and one idle heartbeat drain later, the combined 00:30 window
+    # (pre-commit row 10.0 + post-commit row 5.0) closes without any
+    # further upstream commit
+    drain()
+    closed_2 = sorted(closed_1 + [(ts(30), "a", 2, 15.0)])
+    assert landed() == closed_2
