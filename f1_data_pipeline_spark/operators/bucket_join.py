@@ -34,8 +34,11 @@ Correctness contract (validated up front, loud failures):
 Scale posture: tasks = buckets; per-task memory = one bucket pair,
 which the writer's bucket count already sizes (pick N ≈ table size /
 healthy partition size — write_bucketed's rule, sinks.py:323). Skewed
-keys concentrate in one bucket either way; re-bucket with larger N or
-fall back to the shuffled join for pathological skew.
+keys concentrate in one bucket either way; an oversized pair SUB-SPLITS
+into bounded file-group tasks against the replicated smaller side
+(round 12, `_split_hot_pair`), and only the genuinely un-splittable
+shapes (both sides hot, one giant file, a hot null-extending side)
+refuse loudly toward re-bucketing or the shuffled join.
 """
 
 from __future__ import annotations
@@ -81,20 +84,6 @@ def _bucket_layout(path: str, version: int | None = None):
 DEFAULT_MAX_PAIR_BYTES = 4 << 30
 
 
-def _entry_bytes(path: str, entry: dict) -> int:
-    """One entry's data bytes: the manifest-recorded per-file `bytes`
-    (uncompressed; commits since round 10 record it — zero I/O), a
-    driver stat() per file for older commits (on-disk compressed — an
-    underestimate, so the guard only under-triggers on legacy data)."""
-    files = entry.get("files")
-    if files is not None and all("bytes" in fm for fm in files):
-        return sum(fm["bytes"] for fm in files)
-    from .arrow_read import entry_paths
-
-    data, _ = entry_paths(path, entry)
-    return sum(os.path.getsize(f) for f in data)
-
-
 def plan_bucket_pairs(
     left_path: str,
     right_path: str,
@@ -116,11 +105,15 @@ def plan_bucket_pairs(
     for inner, left-side-only for left.
 
     Self-defending pair sizing (round 10, verdict #5): each pair's
-    summed uncompressed data bytes (manifest-recorded, see
-    `_entry_bytes`) is checked
+    summed uncompressed data bytes (manifest-recorded) is checked
     against `max_pair_bytes` — a task materializes exactly one pair, so
-    a skewed hot bucket used to be a mid-join executor OOM; now it is a
-    loud plan-time error naming the bucket and the remedies. Pass
+    a skewed hot bucket used to be a mid-join executor OOM. An
+    oversized pair now SUB-SPLITS (round 12, `_split_hot_pair`): the
+    larger side's files pack into K ≤-budget groups, each its own task
+    joined against the replicated smaller side — same result, bounded
+    task memory; the loud plan-time error remains for the genuinely
+    un-splittable cases (replicated side near the budget, one giant
+    file, a hot RIGHT side under a left join). Pass
     `max_pair_bytes=None` to disable (or a larger budget for big-memory
     executors).
 
@@ -172,12 +165,16 @@ def plan_bucket_pairs(
         if right_predicates else None
     )
 
-    def _side(path: str, entry: dict, preds) -> tuple[list, list, int]:
-        """(kept data paths, delete dirs, kept bytes) after stats
+    def _side(path: str, entry: dict, preds) -> tuple[list, list, list]:
+        """(kept data paths, delete dirs, per-file bytes) after stats
         pruning; pre-stats entries read whole (never mispruned). Path
-        and byte resolution stay on the SHARED helpers (entry_paths /
-        _entry_bytes) over a kept-files entry copy, so the
-        entry→paths mapping can never diverge from the readers'."""
+        resolution stays on the SHARED entry_paths helper over a
+        kept-files entry copy, so the entry→paths mapping can never
+        diverge from the readers'. Per-file bytes come from the
+        manifest's recorded uncompressed sizes (zero I/O); legacy
+        entries fall back to a driver stat() per file (compressed — an
+        underestimate, same epistemic status the pair guard always
+        had)."""
         files = entry.get("files")
         if preds is not None and files is not None:
             entry = {
@@ -187,7 +184,12 @@ def plan_bucket_pairs(
                 ],
             }
         f, d = entry_paths(path, entry)
-        return f, d, _entry_bytes(path, entry)
+        kept = entry.get("files")
+        if kept is not None and all("bytes" in fm for fm in kept):
+            per = [fm["bytes"] for fm in kept]
+        else:
+            per = [os.path.getsize(x) for x in f]
+        return f, d, per
 
     plans: list[dict] = []
     for key, le in sorted(left_entries.items()):
@@ -196,26 +198,24 @@ def plan_bucket_pairs(
         re_ = right_entries.get(key) if key != "null" else None
         if re_ is None and how == "inner":
             continue
-        lf, ld, lbytes = _side(left_path, le, lpreds)
-        rf, rd, rbytes = (
+        lf, ld, lper = _side(left_path, le, lpreds)
+        rf, rd, rper = (
             _side(right_path, re_, rpreds)
-            if re_ is not None else ([], [], 0)
+            if re_ is not None else ([], [], [])
         )
         if not lf:
             continue  # every left row provably fails the conjunction
         if how == "inner" and not rf:
             continue
+        lbytes, rbytes = sum(lper), sum(rper)
         pair_bytes = lbytes + rbytes
         if max_pair_bytes is not None and pair_bytes > max_pair_bytes:
-            raise ValueError(
-                f"bucket {key!r} pair holds {pair_bytes:,} data bytes "
-                f"(> max_pair_bytes {max_pair_bytes:,}) — one task "
-                "materializes one bucket pair, so this would risk an "
-                "executor OOM mid-join. Remedies: re-bucket with a "
-                "larger N (set_layout + repartition_manifest_table), "
-                "fall back to the shuffled join for this query, or "
-                "raise max_pair_bytes if the executors have the memory."
+            sub = _split_hot_pair(
+                key, how, max_pair_bytes,
+                lf, ld, lper, rf, rd, rper,
             )
+            plans.extend(sub)
+            continue
         plans.append(
             {
                 "bucket": key,
@@ -227,6 +227,98 @@ def plan_bucket_pairs(
             }
         )
     return plans
+
+
+def _split_hot_pair(
+    key: str,
+    how: str,
+    max_pair_bytes: int,
+    lf: list, ld: list, lper: list,
+    rf: list, rd: list, rper: list,
+) -> list[dict]:
+    """SUB-SPLIT an oversized bucket pair (round-12 verdict #4) instead
+    of refusing: the LARGER side's files pack into K groups (first-fit
+    decreasing on recorded bytes), each joined against the REPLICATED
+    smaller side in its own task — the union of the K sub-joins equals
+    the whole pair's join because every big-side row appears in exactly
+    one group and sees the complete other side. Soundness bound: the
+    big side must be the LEFT side under `how='left'` (splitting the
+    preserved-row side is fine — each left row still null-extends
+    against the FULL right side; splitting the RIGHT side would
+    null-extend a left row in every group that lacks its match). The
+    loud plan-time raise remains for the genuinely un-splittable cases:
+    the small side alone (which every sub-task replicates) near the
+    budget, a single big-side file over it, or a hot RIGHT side under a
+    left join."""
+    lbytes, rbytes = sum(lper), sum(rper)
+    if lbytes >= rbytes:
+        big_side, big_f, big_per = "left", lf, lper
+        small_bytes, splittable = rbytes, True
+    else:
+        big_side, big_f, big_per = "right", rf, rper
+        small_bytes = lbytes
+        # splitting the null-extending side of a LEFT join is unsound
+        splittable = how == "inner"
+    budget = max_pair_bytes - small_bytes
+    why = None
+    if not splittable:
+        why = (
+            f"the hot side is the RIGHT side of a LEFT join — splitting "
+            "it would null-extend preserved rows in every sub-task that "
+            "lacks their match"
+        )
+    elif budget <= 0 or (big_per and max(big_per) > budget):
+        why = (
+            f"no file grouping fits: the replicated side holds "
+            f"{small_bytes:,} bytes and the largest hot-side file "
+            f"{max(big_per):,} — their sum exceeds max_pair_bytes"
+            if budget > 0 else
+            f"the replicated side alone holds {small_bytes:,} bytes ≥ "
+            "the budget, so every sub-task would still be oversized"
+        )
+    elif len(big_f) <= 1:
+        why = "the hot side is a single file — nothing to split"
+    if why is not None:
+        raise ValueError(
+            f"bucket {key!r} pair holds {lbytes + rbytes:,} data bytes "
+            f"(> max_pair_bytes {max_pair_bytes:,}) and cannot sub-split "
+            f"({why}) — one task materializes one bucket pair, so this "
+            "would risk an executor OOM mid-join. Remedies: re-bucket "
+            "with a larger N (set_layout + repartition_manifest_table), "
+            "fall back to the shuffled join for this query, or raise "
+            "max_pair_bytes if the executors have the memory."
+        )
+    # first-fit decreasing pack of the hot side's files into ≤-budget
+    # groups; position deletes ride along whole (they key by file
+    # identity, so a group simply ignores deletes for files it lacks —
+    # the same mechanism in-bucket stats pruning already relies on)
+    groups: list[dict] = []
+    for f, b in sorted(zip(big_f, big_per), key=lambda t: -t[1]):
+        for g in groups:
+            if g["bytes"] + b <= budget:
+                g["files"].append(f)
+                g["bytes"] += b
+                break
+        else:
+            groups.append({"files": [f], "bytes": b})
+    out = []
+    k = len(groups)
+    for i, g in enumerate(groups):
+        sub_lf, sub_rf = (g["files"], rf) if big_side == "left" else \
+            (lf, g["files"])
+        out.append({
+            "bucket": key,
+            # unique per-task spec key: the executor fan-out range-
+            # partitions on it so each SUB-pair still gets its own task
+            "task_key": f"{key}#{i:04d}",
+            "split": f"{i + 1}/{k}",
+            "left_files": sub_lf,
+            "left_deletes": ld,
+            "right_files": sub_rf,
+            "right_deletes": rd,
+            "bytes": g["bytes"] + small_bytes,
+        })
+    return out
 
 
 def bucket_join_output(
@@ -338,9 +430,11 @@ def bucket_aligned_join(
 
     # range-partition the spec rows: exactly one bucket pair per task
     # (hash repartition would collide ~1/e of the slots, leaving some
-    # tasks joining 2-3 pairs while others idle — straggler tax at scale)
+    # tasks joining 2-3 pairs while others idle — straggler tax at
+    # scale). Sub-split pairs carry a unique task_key per sub-group so
+    # a hot bucket's K sub-joins fan out to K tasks, not one.
     spec_df = spark.createDataFrame(
-        [(p["bucket"], json.dumps(p)) for p in plans],
+        [(p.get("task_key", p["bucket"]), json.dumps(p)) for p in plans],
         "bucket string, spec string",
     ).repartitionByRange(len(plans), "bucket")
 

@@ -225,6 +225,7 @@ def catalog_sql(
     max_harvests: int = 8,
     bucket_joins: bool | str = True,
     min_route_bytes: int | None = None,
+    max_pair_bytes: int | None = None,
     matview_rewrite: bool = True,
 ) -> DataFrame:
     """Run a spark.sql statement against the catalog.
@@ -278,7 +279,12 @@ def catalog_sql(
     benchmarking, or executors whose measured crossover differs);
     `bucket_joins=False` opts out entirely; EXPLAIN records `taken:`
     when the route fires (with the measured bucket-pair file counts)
-    and `eligible:` when only the layout qualifies.
+    and `eligible:` when only the layout qualifies. `max_pair_bytes`
+    overrides the route's per-task pair-size budget
+    (bucket_join.DEFAULT_MAX_PAIR_BYTES when None): an oversized pair
+    SUB-SPLITS into bounded file-group tasks (round 12 — EXPLAIN
+    records `hot-bucket sub-split`), and only un-splittable shapes
+    refuse the route toward the shuffled plan.
 
     DDL + maintenance statements complete the SQL console: `CREATE
     TABLE name [(col type, ...)] PARTITIONED BY (<col or transform>)
@@ -445,6 +451,7 @@ def catalog_sql(
             spark, tables, inner,
             runtime_filters=runtime_filters, max_harvests=max_harvests,
             bucket_joins=bucket_joins, min_route_bytes=min_route_bytes,
+            max_pair_bytes=max_pair_bytes,
             matview_rewrite=matview_rewrite,
         )
     routed = _route_statement(spark, catalog_path, tables, sql)
@@ -506,6 +513,10 @@ def catalog_sql(
             # join's null-extension must see every right row).
             pairs = None
             try:
+                pair_kwargs = (
+                    {} if max_pair_bytes is None
+                    else {"max_pair_bytes": max_pair_bytes}
+                )
                 pairs = plan_bucket_pairs(
                     tables[bj["left"]]["path"],
                     tables[bj["right"]]["path"],
@@ -518,6 +529,7 @@ def catalog_sql(
                         if bj["how"] == "inner" else None
                     ),
                     layouts=bj["layouts"],
+                    **pair_kwargs,
                 )
             except ValueError as err:
                 # the operator's self-defense (hot bucket past
@@ -1033,6 +1045,7 @@ def _explain_select(
     max_harvests: int = 8,
     bucket_joins: bool | str = True,
     min_route_bytes: int | None = None,
+    max_pair_bytes: int | None = None,
     matview_rewrite: bool = True,
 ) -> DataFrame:
     """`EXPLAIN <select>` — the manifest planner's decision record as a
@@ -1113,6 +1126,10 @@ def _explain_select(
             )
             bj_harvested = True
         try:
+            pair_kwargs = (
+                {} if max_pair_bytes is None
+                else {"max_pair_bytes": max_pair_bytes}
+            )
             pairs = plan_bucket_pairs(
                 tables[bj["left"]]["path"], tables[bj["right"]]["path"],
                 bj["how"], versions[bj["left"]], versions[bj["right"]],
@@ -1122,6 +1139,7 @@ def _explain_select(
                     if bj["how"] == "inner" else None
                 ),
                 layouts=bj["layouts"],
+                **pair_kwargs,
             )
         except ValueError as err:
             # mirror execution: the route abandons on the pair-size
@@ -1145,13 +1163,16 @@ def _explain_select(
                 )
                 bj = None
     if bj is not None:
+        # UNIQUE buckets/files per side: a sub-split hot bucket plans K
+        # tasks that replicate the smaller side, and the record must
+        # report files the scan OPENS once, not per-task copies
         bj_scan[bj["left"]] = (
-            sum(1 for p in pairs if p["left_files"]),
-            sum(len(p["left_files"]) for p in pairs),
+            len({p["bucket"] for p in pairs if p["left_files"]}),
+            len({f for p in pairs for f in p["left_files"]}),
         )
         bj_scan[bj["right"]] = (
-            sum(1 for p in pairs if p["right_files"]),
-            sum(len(p["right_files"]) for p in pairs),
+            len({p["bucket"] for p in pairs if p["right_files"]}),
+            len({f for p in pairs for f in p["right_files"]}),
         )
         # display ONLY the conjuncts the route DID use for in-bucket
         # file pruning (a LEFT join withholds the right side's — review
@@ -1162,7 +1183,17 @@ def _explain_select(
         if bj["how"] != "inner":
             preds.pop(bj["right"], None)
         rtf, ref_preds = bj_rtf, {}
-        ba = {bj["left"]: bj["note"], bj["right"]: bj["note"]}
+        note = bj["note"]
+        split_tasks = [p for p in pairs if p.get("split")]
+        if split_tasks:
+            # record the hot-bucket sub-split (round-12 verdict #4): the
+            # route still runs, but K tasks share the oversized pair(s)
+            hot = sorted({p["bucket"] for p in split_tasks})
+            note += (
+                f" (hot-bucket sub-split: {len(split_tasks)} tasks over "
+                f"oversized bucket(s) {', '.join(hot)})"
+            )
+        ba = {bj["left"]: note, bj["right"]: note}
     else:
         preds = bj_preds
         # a caller running with runtime_filters=False must see an EXPLAIN

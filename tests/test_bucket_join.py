@@ -234,3 +234,76 @@ def test_hot_bucket_pair_raises_at_plan_time(spark, tmp_path):
     assert len(
         plan_bucket_pairs(fact_p, dim_p, max_pair_bytes=None)
     ) == len(pairs)
+
+
+def test_hot_bucket_sub_split_parity(spark, tmp_path):
+    """Round-12 verdict #4: an oversized bucket pair SUB-SPLITS — the
+    larger side's files pack into ≤-budget groups, each joined against
+    the replicated smaller side in its own task — instead of refusing.
+    Result parity with the shuffled join (inner AND left, hot side
+    preserved), every sub-task under budget, and the loud raise remains
+    for the unsound case (hot RIGHT side under a LEFT join)."""
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("fk"),
+        (F.col("id") * 2.0).alias("v"),
+    ).repartition(6)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        sinks.merge_upsert_manifest(
+            spark, fact, fact_p, keys=["k"], partition_col="bucket(4, fk)"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    dim = spark.range(64).select(
+        F.col("id").alias("dk"),
+        (F.col("id") % 7).alias("attr"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"),
+    )
+    sinks.merge_upsert_manifest(
+        spark, dim, dim_p, keys=["dk"], partition_col="bucket(4, dk)"
+    )
+
+    whole = plan_bucket_pairs(fact_p, dim_p)
+    assert any(
+        len(p["left_files"]) > 1 for p in whole
+    ), "fixture must fabricate a multi-file hot side"
+    cap = max(p["bytes"] for p in whole) - 1  # forces ≥1 split
+
+    sub = plan_bucket_pairs(fact_p, dim_p, max_pair_bytes=cap)
+    split_tasks = [p for p in sub if p.get("split")]
+    assert len(sub) > len(whole) and split_tasks
+    assert all(p["bytes"] <= cap for p in sub)
+    # sub-tasks of one bucket carry unique task keys and the full
+    # replicated dim side
+    hot = split_tasks[0]["bucket"]
+    hot_tasks = [p for p in sub if p["bucket"] == hot]
+    assert len({p["task_key"] for p in hot_tasks}) == len(hot_tasks) > 1
+    rf0 = hot_tasks[0]["right_files"]
+    assert all(p["right_files"] == rf0 for p in hot_tasks)
+    # the hot side's files partition exactly (no dup, no loss)
+    whole_hot = next(p for p in whole if p["bucket"] == hot)
+    got_files = [f for p in hot_tasks for f in p["left_files"]]
+    assert sorted(got_files) == sorted(whole_hot["left_files"])
+    assert len(set(got_files)) == len(got_files)
+
+    # result parity: inner and left (hot side IS the preserved side)
+    for how in ("inner", "left"):
+        routed = bucket_aligned_join(
+            spark, fact_p, dim_p, "fk", "dk", how=how, max_pair_bytes=cap
+        )
+        assert _rows(routed.select("k", "fk", "v", "attr", "name")) == \
+            _rows(_shuffled(spark, fact_p, dim_p, how)), how
+
+    # hot RIGHT side under a LEFT join: splitting the null-extending
+    # side is unsound — the loud raise stays (dim LEFT-joins fact, and
+    # fact is the bigger side)
+    with pytest.raises(ValueError, match="cannot sub-split"):
+        bucket_aligned_join(
+            spark, dim_p, fact_p, "dk", "fk", how="left",
+            max_pair_bytes=cap,
+        )

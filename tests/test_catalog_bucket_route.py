@@ -647,3 +647,63 @@ def test_bucket_joins_param_validated(spark, star):
     # EXPLAIN goes through the same validation
     with pytest.raises(ValueError, match="bucket_joins must be"):
         CAT.catalog_sql(spark, star, "EXPLAIN " + Q, bucket_joins="on")
+
+
+def test_route_sub_splits_hot_bucket(spark, tmp_path):
+    """Round-12 verdict #4, the SQL surface: a routed statement whose
+    pair budget (catalog_sql's new max_pair_bytes override) is exceeded
+    SUB-SPLITS the hot buckets instead of falling back — results match
+    the shuffled plan, and EXPLAIN records the split with UNIQUE file
+    counts (the replicated small side isn't double-counted)."""
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    cat = str(tmp_path / "cat")
+    fact = spark.range(3000).select(
+        F.col("id").alias("ok"),
+        (F.col("id") % 97).alias("ck"),
+        (F.col("id") * 1.5).alias("total"),
+    ).repartition(5)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        sinks.merge_upsert_manifest(
+            spark, fact, fact_p, keys=["ok"], partition_col="bucket(4, ck)"
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    dim = spark.range(97).select(
+        F.col("id").alias("ck"), F.concat(F.lit("c"), F.col("id")).alias("name")
+    )
+    sinks.merge_upsert_manifest(
+        spark, dim, dim_p, keys=["ck"], partition_col="bucket(4, ck)"
+    )
+    CAT.catalog_create_table(cat, "fact", fact_p)
+    CAT.catalog_create_table(cat, "dim", dim_p)
+    from f1_data_pipeline_spark.operators.bucket_join import (
+        plan_bucket_pairs,
+    )
+
+    whole = plan_bucket_pairs(fact_p, dim_p)
+    cap = max(p["bytes"] for p in whole) - 1
+    q = ("SELECT f.ok, d.name, f.total FROM fact f "
+         "JOIN dim d ON f.ck = d.ck WHERE f.total >= 0")
+    routed = CAT.catalog_sql(
+        spark, cat, q, bucket_joins="force", max_pair_bytes=cap
+    )
+    off = CAT.catalog_sql(spark, cat, q, bucket_joins=False)
+    assert _rows(routed) == _rows(off)
+    assert "MapInArrow" in _plan(routed)  # the route DID run
+
+    ex = {r["table"]: r for r in CAT.catalog_sql(
+        spark, cat, "EXPLAIN " + q, bucket_joins="force",
+        max_pair_bytes=cap,
+    ).collect()}
+    assert "hot-bucket sub-split" in ex["fact"]["bucket_aligned"]
+    # unique-file accounting: the replicated dim side reports its real
+    # file count, not one copy per sub-task
+    dim_files = len(
+        sinks.read_manifest_table(spark, dim_p).inputFiles()
+    )
+    assert ex["dim"]["files_scanned"] == dim_files

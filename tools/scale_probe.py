@@ -1027,6 +1027,120 @@ def probe_bucket_join() -> None:
         print(json.dumps(rec), flush=True)
 
 
+def probe_hot_bucket() -> None:
+    """Round-12 verdict #4: the hot-bucket SUB-SPLIT under real key
+    skew. Fabricates a fact where one key holds ~half the rows (so one
+    bucket pair dwarfs the rest), then joins three ways: routed with no
+    pair budget (ONE straggler task owns the hot pair), routed with a
+    budget that forces the hot pair into K file-group sub-tasks, and
+    the ordinary shuffled join. Contract: the split removes the
+    straggler (split_sec < whole_sec, both row-identical — pytest owns
+    parity), every sub-task stays under the budget, and the un-hot
+    pairs plan unchanged. One JSON line per factor."""
+    import os
+    import statistics
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.operators.bucket_join import (
+        bucket_aligned_join,
+        plan_bucket_pairs,
+    )
+    from f1_data_pipeline_spark.session import get_spark
+
+    args = sys.argv[2:]
+    factors = [int(a) for a in args] if args else [1, 4]
+    spark = get_spark("scale_probe")
+    BUCKETS, BASE_FACT, BASE_DIM = 16, 400_000, 40_000
+    base: dict | None = None
+    for factor in factors:
+        work = tempfile.mkdtemp(prefix=f"hot_bucket_{factor}x_")
+        fact_p, dim_p = os.path.join(work, "f"), os.path.join(work, "d")
+        n_f, n_d = BASE_FACT * factor, BASE_DIM * factor
+        # ~50% of fact rows carry ONE key → one bucket holds half the
+        # table; the rest spread uniformly
+        fact = spark.range(n_f).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, F.lit(7).cast("long"))
+            .otherwise(F.col("id") % n_d).alias("fk"),
+            (F.col("id") * 2.0).alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        ).repartition(32)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        try:
+            sinks.merge_upsert_manifest(
+                spark, fact, fact_p, ["k"],
+                partition_col=f"bucket({BUCKETS}, fk)",
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+        dim = spark.range(n_d).select(
+            F.col("id").alias("dk"),
+            (F.col("id") % 7).alias("attr"),
+        )
+        sinks.merge_upsert_manifest(
+            spark, dim, dim_p, ["dk"],
+            partition_col=f"bucket({BUCKETS}, dk)",
+        )
+        whole = plan_bucket_pairs(fact_p, dim_p, max_pair_bytes=None)
+        hot_bytes = max(p["bytes"] for p in whole)
+        median_bytes = statistics.median(p["bytes"] for p in whole)
+        cap = max(hot_bytes // 4, int(median_bytes * 2))
+        sub = plan_bucket_pairs(fact_p, dim_p, max_pair_bytes=cap)
+        split_tasks = [p for p in sub if p.get("split")]
+
+        def run(budget):
+            bucket_aligned_join(
+                spark, fact_p, dim_p, "fk", "dk", max_pair_bytes=budget
+            ).write.format("noop").mode("overwrite").save()
+
+        def run_shuffled():
+            f = sinks.read_manifest_table(spark, fact_p)
+            d = sinks.read_manifest_table(spark, dim_p)
+            f.join(d, f["fk"] == d["dk"], "inner").write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        def med(fn) -> float:
+            fn()  # warmup
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                fn()
+                reps.append(time.time() - t0)
+            return round(statistics.median(reps), 3)
+
+        whole_sec = med(lambda: run(None))
+        split_sec = med(lambda: run(cap))
+        shuffled_sec = med(run_shuffled)
+        rec = {
+            "op": "hot_bucket", "factor": factor, "buckets": BUCKETS,
+            "fact_rows": n_f,
+            "hot_pair_bytes": hot_bytes,
+            "median_pair_bytes": int(median_bytes),
+            "skew_ratio": round(hot_bytes / max(median_bytes, 1), 1),
+            "cap": cap,
+            "tasks_whole": len(whole),
+            "tasks_split": len(sub),
+            "hot_sub_tasks": len(split_tasks),
+            "max_task_bytes_split": max(p["bytes"] for p in sub),
+            "whole_sec": whole_sec,
+            "split_sec": split_sec,
+            "shuffled_sec": shuffled_sec,
+            "split_over_whole": round(split_sec / whole_sec, 2),
+            "split_over_shuffled": round(split_sec / shuffled_sec, 2),
+        }
+        if base is None:
+            base = rec
+        else:
+            rec["split_ratio"] = round(split_sec / base["split_sec"], 2)
+        print(json.dumps(rec), flush=True)
+
+
 def probe_router_plan() -> None:
     """Round-11 verdict #8: the console bucket-join ROUTER's plan-time
     cost as a function of manifest FILE COUNT (10^3 → 10^5 per table).
@@ -1319,11 +1433,14 @@ def main() -> None:
         "partition_transforms", "replication", "footer_stats",
         "manifest_crossover", "matview_crossover", "runtime_filter",
         "headline_scale", "bucket_join", "manifest_changes", "commit_path",
-        "router_plan",
+        "router_plan", "hot_bucket",
     ):
         op = args.pop(0)
     if op == "router_plan":
         probe_router_plan()
+        return
+    if op == "hot_bucket":
+        probe_hot_bucket()
         return
     if op == "bucket_join":
         probe_bucket_join()
