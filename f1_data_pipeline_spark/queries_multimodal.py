@@ -64,10 +64,19 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the asset id, so DuckDB generate_series reproduces it exactly —
     oracle-checkable even with codecs stubbed). Audio rows carry NULL
     geometry, so needs_resize is NULL for them (three-valued logic on both
-    engines)."""
+    engines).
+
+    Round-12 probe arm: REAL MP3 / MP4 / WAV container bytes — genuine
+    frame headers and box trees from synthesize_mp3/mp4/wav, with
+    id-derived parameters — run through `probe_media_metadata`'s
+    stdlib parsers (MPEG frame walk, ISO-BMFF box walk, RIFF header)
+    over Arrow batches, so the hash now verifies metadata EXTRACTED
+    from the payloads themselves, not just carried column values; a
+    truncated mp3 surfaces as container='corrupt' and junk bytes as
+    'unknown' (the route-don't-die contract for crawl garbage)."""
     assets = M.synthesize_assets(spark, n=96)
     planned = M.resize_plan(assets, width=64, height=48)
-    return planned.select(
+    base = planned.select(
         "asset_id",
         "media_type",
         F.col("meta.width").alias("width"),
@@ -77,6 +86,30 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.format").alias("format"),
         "needs_resize",
     )
+    rows = []
+    for i in range(16):
+        rows.append((1000 + i, bytearray(M.synthesize_mp3(n_frames=30 + i))))
+        rows.append((2000 + i, bytearray(M.synthesize_mp4(
+            duration_units=(i + 1) * 500, timescale=1000,
+            width=320 + i, height=240 + i,
+        ))))
+        rows.append((3000 + i, bytearray(
+            M.synthesize_wav(duration_ms=(i + 1) * 100)
+        )))
+    rows.append((4000, bytearray(M.synthesize_mp3(n_frames=3)[:-10])))
+    rows.append((4001, bytearray(b"\x00garbage-bytes")))
+    payloads = spark.createDataFrame(rows, "asset_id long, media binary")
+    probed = M.probe_media_metadata(payloads).select(
+        "asset_id",
+        F.col("container").alias("media_type"),
+        "width",
+        "height",
+        "sample_rate",
+        "duration_ms",
+        "format",
+        F.lit(None).cast("boolean").alias("needs_resize"),
+    )
+    return base.unionByName(probed)
 
 
 register(
@@ -92,6 +125,24 @@ register(
            ['png','wav','mp4'][i % 3 + 1] AS format,
            CASE WHEN i % 3 <> 1 THEN (64 + i <> 64) OR (48 + i <> 48) END AS needs_resize
     FROM generate_series(0, 95) t(i)
+    UNION ALL
+    SELECT 1000 + i, 'mp3', CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(44100 AS INT),
+           CAST(((30 + i) * 1152 * 1000) // 44100 AS BIGINT), 'mp3',
+           CAST(NULL AS BOOLEAN)
+    FROM generate_series(0, 15) t(i)
+    UNION ALL
+    SELECT 2000 + i, 'mp4', CAST(320 + i AS INT), CAST(240 + i AS INT),
+           NULL, CAST((i + 1) * 500 AS BIGINT), 'avc1', NULL
+    FROM generate_series(0, 15) t(i)
+    UNION ALL
+    SELECT 3000 + i, 'wav', NULL, NULL, CAST(16000 AS INT),
+           CAST((i + 1) * 100 AS BIGINT), 'wav', NULL
+    FROM generate_series(0, 15) t(i)
+    UNION ALL
+    SELECT 4000, 'corrupt', NULL, NULL, NULL, NULL, NULL, NULL
+    UNION ALL
+    SELECT 4001, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL
     """,
 )
 

@@ -660,3 +660,101 @@ def test_gif_malformed_payloads_raise_valueerror(spark):
     with _pytest.raises(ValueError, match="block grammar"):
         M.decode_gif(bytes(g))
     del struct, np
+
+
+# ---------------------------------------------------------------------------
+# round-12: stdlib MP3 / MP4 metadata arms (no codec library; only
+# sample/pixel decode of these formats remains stubbed)
+# ---------------------------------------------------------------------------
+
+def test_mp3_metadata_roundtrip():
+    p = M.synthesize_mp3(n_frames=40, bitrate_kbps=160, sample_rate=48000)
+    m = M.parse_mp3_metadata(p)
+    assert m == {
+        "container": "mp3", "sample_rate": 48000, "bitrate_kbps": 160,
+        "n_frames": 40, "duration_ms": (40 * 1152 * 1000) // 48000,
+    }
+    # no ID3 tag: the bare frame stream parses identically
+    bare = M.parse_mp3_metadata(
+        M.synthesize_mp3(n_frames=5, with_id3=False)
+    )
+    assert bare["n_frames"] == 5 and bare["sample_rate"] == 44100
+    # VBR (mixed bitrates): duration stays exact, bitrate reports 0
+    vbr = (
+        M.synthesize_mp3(n_frames=3, bitrate_kbps=128, with_id3=False)
+        + M.synthesize_mp3(n_frames=2, bitrate_kbps=320, with_id3=False)
+    )
+    mv = M.parse_mp3_metadata(vbr)
+    assert mv["n_frames"] == 5 and mv["bitrate_kbps"] == 0
+    assert mv["duration_ms"] == (5 * 1152 * 1000) // 44100
+
+
+def test_mp3_metadata_rejects_malformed():
+    good = M.synthesize_mp3(n_frames=3)
+    with pytest.raises(ValueError, match="truncated frame body"):
+        M.parse_mp3_metadata(good[:-10])
+    with pytest.raises(ValueError, match="no frames"):
+        M.parse_mp3_metadata(M.synthesize_mp3(n_frames=0))
+    # lost sync mid-stream
+    b = bytearray(good)
+    # first frame starts after the 47-byte ID3 block (10 header + 37 body)
+    frame_len = (144 * 128 * 1000) // 44100
+    b[47 + frame_len] = 0x00
+    with pytest.raises(ValueError, match="lost frame sync"):
+        M.parse_mp3_metadata(bytes(b))
+    # MPEG-2 / other layers refuse loudly rather than misparse
+    b2 = bytearray(M.synthesize_mp3(n_frames=1, with_id3=False))
+    b2[1] = 0xF3  # version bits -> MPEG-2
+    with pytest.raises(ValueError, match="MPEG-1 Layer III"):
+        M.parse_mp3_metadata(bytes(b2))
+
+
+def test_mp4_metadata_roundtrip():
+    p = M.synthesize_mp4(
+        duration_units=7500, timescale=1000, width=1920, height=1080,
+    )
+    m = M.parse_mp4_metadata(p)
+    assert m["brand"] == "isom" and m["container"] == "mp4"
+    assert m["duration_ms"] == 7500
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["codecs"] == ["avc1"] and m["handlers"] == ["vide"]
+    # an audio track: handler routes, no geometry claimed
+    a = M.parse_mp4_metadata(M.synthesize_mp4(
+        duration_units=90_000, timescale=90_000,
+        codec=b"mp4a", handler=b"soun",
+    ))
+    assert a["duration_ms"] == 1000 and a["codecs"] == ["mp4a"]
+    assert a["handlers"] == ["soun"] and a["width"] is None
+
+
+def test_mp4_metadata_rejects_malformed():
+    good = M.synthesize_mp4()
+    with pytest.raises(ValueError, match="bad size"):
+        # corrupt the moov box size field
+        b = bytearray(good)
+        moov_at = good.index(b"moov") - 4
+        b[moov_at:moov_at + 4] = (10**6).to_bytes(4, "big")
+        M.parse_mp4_metadata(bytes(b))
+    with pytest.raises(ValueError, match="neither ftyp nor moov"):
+        M.parse_mp4_metadata(M._mp4_box(b"free", b"\x00" * 8))
+
+
+def test_probe_media_metadata_routes_containers(spark):
+    rows = [
+        (1, bytearray(M.synthesize_mp3(n_frames=10))),
+        (2, bytearray(M.synthesize_mp4(duration_units=2000))),
+        (3, bytearray(M.synthesize_wav(duration_ms=300))),
+        (4, bytearray(M.synthesize_mp3(n_frames=2)[:-5])),  # corrupt
+        (5, bytearray(b"\x01junk")),                        # unknown
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    got = {r.asset_id: r for r in M.probe_media_metadata(df).collect()}
+    assert got[1].container == "mp3"
+    assert got[1].duration_ms == (10 * 1152 * 1000) // 44100
+    assert got[1].sample_rate == 44100 and got[1].bitrate_kbps == 128
+    assert got[2].container == "mp4" and got[2].format == "avc1"
+    assert (got[2].width, got[2].height) == (640, 360)
+    assert got[2].duration_ms == 2000
+    assert got[3].container == "wav" and got[3].duration_ms == 300
+    assert got[4].container == "corrupt"
+    assert got[5].container == "unknown"
