@@ -591,6 +591,39 @@ def bench_matview(spark, sf_dir: str) -> dict:
         t_rw = statistics.median(_run(True) for _ in range(3))
         t_direct = statistics.median(_run(False) for _ in range(3))
 
+        # round-12: the COARSE rewrite — a strict-subset grouping
+        # answered by re-aggregating the view's ~35 rows instead of
+        # scanning the source; same fired-and-parity gate
+        qc = ("SELECT oyear, COUNT(*) AS n, SUM(o_totalprice) AS rev "
+              "FROM orders_mv_src GROUP BY oyear")
+        cw_df = CAT.catalog_sql(spark, cat, qc)
+        assert cw_df.inputFiles() and all(
+            mv_path in f for f in cw_df.inputFiles()
+        ), "coarse matview rewrite did not fire in the bench arm"
+        cw_rows = {r[0]: (r[1], r[2]) for r in cw_df.collect()}
+        cd_rows = {
+            r[0]: (r[1], r[2])
+            for r in CAT.catalog_sql(
+                spark, cat, qc, matview_rewrite=False
+            ).collect()
+        }
+        assert cw_rows.keys() == cd_rows.keys()
+        for k2, (n_a, rev_a) in cw_rows.items():
+            n_b, rev_b = cd_rows[k2]
+            assert n_a == n_b and _math.isclose(rev_a, rev_b, rel_tol=1e-9)
+
+        def _run_c(rw: bool) -> float:
+            t0 = time.time()
+            CAT.catalog_sql(
+                spark, cat, qc, matview_rewrite=rw
+            ).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        _run_c(True)
+        _run_c(False)  # warmups
+        t_crw = statistics.median(_run_c(True) for _ in range(3))
+        t_cdirect = statistics.median(_run_c(False) for _ in range(3))
+
         return {
             "initial_build_sec": round(t_build, 3),
             "incremental_refresh_sec": round(t_refresh, 3),
@@ -604,6 +637,9 @@ def bench_matview(spark, sf_dir: str) -> dict:
             "rewrite_answer_sec": round(t_rw, 3),
             "rewrite_direct_sec": round(t_direct, 3),
             "rewrite_over_direct": round(t_rw / t_direct, 2),
+            "coarse_rewrite_sec": round(t_crw, 3),
+            "coarse_direct_sec": round(t_cdirect, 3),
+            "coarse_over_direct": round(t_crw / t_cdirect, 2),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
