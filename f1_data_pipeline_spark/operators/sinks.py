@@ -952,6 +952,34 @@ def _pred_bounds(raw):
     return v, v
 
 
+def _decimal_raw_bounds(st) -> tuple:
+    """(min, max) for footer stats pyarrow's logical cast refuses
+    (ArrowNotImplementedError): INT32/INT64-physical DECIMAL columns —
+    Spark's layout for precision ≤ 18 — carry the unscaled integer in
+    min_raw/max_raw, so value = raw · 10^-scale exactly. Returns
+    (None, None) for every other refused shape (recorded as "not
+    prunable on")."""
+    import decimal as _dec
+    import json as _json
+
+    try:
+        lt = st.logical_type
+        info = _json.loads(lt.to_json()) if hasattr(lt, "to_json") else {}
+        if info.get("Type") != "Decimal":
+            return None, None
+        scale = int(info.get("scale", 0))
+        mn_raw, mx_raw = st.min_raw, st.max_raw
+        if not isinstance(mn_raw, int) or not isinstance(mx_raw, int):
+            return None, None  # FLBA decimals cast fine via st.min anyway
+        q = _dec.Decimal(10) ** -scale
+        return (
+            _stat_norm(_dec.Decimal(mn_raw) * q),
+            _stat_norm(_dec.Decimal(mx_raw) * q),
+        )
+    except Exception:
+        return None, None
+
+
 def _collect_file_stats(full_dir: str) -> list[dict]:
     """Per-file footer stats for every parquet data file under `full_dir`:
     [{"name", "rows", "stats": {col: {"min", "max", "nulls"}}}].
@@ -1012,9 +1040,17 @@ def _collect_file_stats(full_dir: str) -> list[dict]:
                         mn, mx = _stat_norm(st.min), _stat_norm(st.max)
                     except NotImplementedError:
                         # pyarrow can't logically cast this type's footer
-                        # bounds (ArrowNotImplementedError — e.g. decimal
-                        # columns): record "not prunable on", never guess
-                        mn = mx = None
+                        # bounds (ArrowNotImplementedError). The one case
+                        # that matters is DECIMAL with INT32/INT64
+                        # physical storage — the layout Spark writes for
+                        # precision ≤ 18 — whose bounds are exactly
+                        # recoverable from the raw unscaled integers;
+                        # anything else records "not prunable on", never
+                        # a guess. Soundness of the float-space bounds:
+                        # decimal→double rounding is monotone, so a true
+                        # range that intersects a predicate range still
+                        # intersects after both sides normalize.
+                        mn, mx = _decimal_raw_bounds(st)
                     if mn is None or mx is None:
                         cur["bounds_ok"] = False
                     else:

@@ -620,6 +620,7 @@ def start_change_stream_replica(
     dst_partition_col: str | None = None,
     trigger_available_now: bool = True,
     max_versions_per_batch: int = 64,
+    processing_time: str = "1 second",
 ):
     """A CDC consumer REWIRED through the streaming source: maintain a
     replica of `src_path` at `dst_path` with readStream + foreachBatch —
@@ -634,7 +635,17 @@ def start_change_stream_replica(
     backlog then stops (the scheduled-batch shape the reference's
     control plane runs, metadata.py:150-191). `max_versions_per_batch`
     (always set — it is also the bound on the per-version MERGE loop
-    inside each micro-batch) rate-limits catch-up."""
+    inside each micro-batch) rate-limits catch-up.
+
+    `trigger_available_now=False` runs the replica CONTINUOUSLY on a
+    `processing_time` trigger — the steady-state consumer shape
+    (round-12): the ~1.2 s per-query Python source-runner spawn is paid
+    ONCE at start, and each commit wave then lands at the marginal
+    batch cost (bench.py's cdc steady_state arm measures that at
+    1.08–1.3× the bare driver loop, with checkpointed exactly-once the
+    loop doesn't have). Pick `processing_time` as the acceptable
+    replica lag — each poll costs one runner round-trip plus a commit-
+    directory listing, so sub-100ms triggers busy-poll for nothing."""
     from pyspark.sql import functions as F
 
     from f1_data_pipeline_spark.operators.sinks import (
@@ -715,4 +726,6 @@ def start_change_stream_replica(
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()

@@ -342,3 +342,61 @@ def test_starting_version_beyond_latest_skips_not_regresses(spark, tmp_path):
     # v4 (below starting_version) never surfaces; v5 and v6 do
     assert sorted(r["_commit_version"] for r in got.collect()) == [5, 6]
     assert sorted(r["k"] for r in got.collect()) == [4, 5]
+
+
+def test_continuous_replica_converges_without_restart(spark, tmp_path):
+    """Round-12: `trigger_available_now=False` keeps ONE replica query
+    alive on a processingTime trigger — the steady-state consumer shape
+    (the per-query source-runner spawn paid once; each commit wave
+    lands at marginal batch cost). Waves committed while the query runs
+    converge onto the replica with no restart; idempotent MERGE/DELETE
+    keeps it exactly-once."""
+    import time as _time
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_table(spark, src)
+
+    q = start_change_stream_replica(
+        spark, src, dst, ["k"], ckpt,
+        trigger_available_now=False, processing_time="100 milliseconds",
+    )
+    try:
+        def _wait_converged(timeout=120.0):
+            want = _rows(sinks.read_manifest_table(spark, src))
+            t0 = _time.time()
+            last = None
+            while _time.time() - t0 < timeout:
+                if q.exception():
+                    raise AssertionError(q.exception())
+                try:
+                    last = _rows(sinks.read_manifest_table(spark, dst))
+                except FileNotFoundError:
+                    last = None
+                if last == want:
+                    return
+                _time.sleep(0.2)
+            raise AssertionError(f"replica never converged: {last}")
+
+        _wait_converged()  # the backlog
+        # two live waves, no restart between them
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(4, "b", 44.0), (11, "a", 11.0)],
+                "k long, g string, v double",
+            ),
+            src, ["k"], partition_col="g",
+        )
+        _wait_converged()
+        sinks.delete_manifest_rows(spark, src, [("k", "=", 7)])
+        sinks.merge_upsert_manifest(
+            spark,
+            spark.createDataFrame(
+                [(12, "b", 12.0)], "k long, g string, v double"
+            ),
+            src, ["k"], partition_col="g",
+        )
+        _wait_converged()
+    finally:
+        q.stop()

@@ -2526,3 +2526,38 @@ def test_consume_table_changes_generalized_loop(spark, tmp_path):
     assert sorted(
         r.k for r in sinks.read_manifest_table(spark, tgt).collect()
     ) == [0, 2, 3, 4, 6, 8, 20, 40]
+
+
+def test_decimal_footer_bounds_recorded_and_prune(spark, tmp_path):
+    """Round-12: decimal columns with INT32/INT64 physical storage
+    (Spark's layout for precision ≤ 18) carry footer bounds pyarrow's
+    logical cast refuses — the writer recovers them exactly from the
+    raw unscaled integers (`_decimal_raw_bounds`), so the decimal
+    measures this repo's own oracle discipline recommends stay
+    file-prunable. FLBA decimals (precision > 18) cast natively; both
+    record real bounds and both actually skip files."""
+    path = str(tmp_path / "dec_stats")
+    df = spark.range(100).selectExpr(
+        "id AS k",
+        "CAST(id >= 50 AS INT) AS g",
+        "CAST(id AS DECIMAL(18,2)) AS d18",
+        "CAST(id AS DECIMAL(9,2)) AS d9",
+        "CAST(id AS DECIMAL(28,2)) AS d28",
+    )
+    sinks.merge_upsert_manifest(spark, df, path, ["k"], partition_col="g")
+    m = sinks.read_manifest(path)
+    lo = m["partitions"]["0"]["files"][0]["stats"]
+    hi = m["partitions"]["1"]["files"][0]["stats"]
+    for c in ("d18", "d9", "d28"):
+        assert lo[c]["min"] == 0.0 and lo[c]["max"] == 49.0, c
+        assert hi[c]["min"] == 50.0 and hi[c]["max"] == 99.0, c
+        # the recorded bounds actually skip files
+        opened = sinks.manifest_scan_files(
+            path, predicates=[(c, ">", 60)]
+        )
+        assert len(opened) == 1 and all("k" for f in opened), c
+        got = sinks.read_manifest_table(
+            spark, path, predicates=[(c, ">", 60)]
+        )
+        assert len(got.inputFiles()) == 1, c
+        assert got.filter(f"{c} > 60").count() == 39, c
