@@ -2774,13 +2774,17 @@ def _matview_rewrite(
     automatic. Returns {"df", "note"} or None (→ the normal plan).
 
     A COARSER grouping (round-12 verdict #3: the query groups by a
-    strict subset of the spec's plain group columns) also answers, by
-    RE-AGGREGATING the view — sound because every spec group lies
-    entirely inside one query group, so COUNT/SUM roll up by summing
-    the stored per-group values and MIN/MAX by min/max (the reference's
-    per-season totals over the per-(season, round) standings store,
-    loaders/__init__.py:517-528). Re-agg results are cast back to the
-    view column's type, which is exactly the direct plan's result type.
+    strict subset of the spec's plain group columns — INCLUDING the
+    empty subset, i.e. a GLOBAL `SELECT SUM(x) FROM src` with no GROUP
+    BY, the dashboard total no metadata fast path can answer) also
+    answers, by RE-AGGREGATING the view — sound because every spec
+    group lies entirely inside one query group, so COUNT/SUM roll up by
+    summing the stored per-group values and MIN/MAX by min/max (the
+    reference's per-season totals over the per-(season, round)
+    standings store, loaders/__init__.py:517-528). Re-agg results are
+    cast back to the view column's type, which is exactly the direct
+    plan's result type; a global COUNT over zero view rows coalesces to
+    0 (SQL COUNT semantics — SUM over nothing is NULL).
     AVG and COUNT(DISTINCT) queries are NOT re-aggregable from final
     values and take the direct plan under a coarser grouping.
     APPROX_COUNT_DISTINCT never rewrites at all (round-11 advice): the
@@ -2847,12 +2851,18 @@ def _matview_rewrite(
         return None
     m = re.match(
         r"\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)"
-        r"(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*$",
+        r"(?:\s+WHERE\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?\s*$",
         sql, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         return None
     sel, src, where, gb = m.groups()
+    # gb is None for a GLOBAL aggregate (round 12: `SELECT SUM(x) FROM
+    # src` — the dashboard total; SUM has no metadata fast path, so the
+    # direct plan is a full scan a fresh view can answer). An ORDER BY /
+    # LIMIT tail on the no-GROUP-BY shape never reaches here: the regex
+    # requires the statement to END after FROM/WHERE, so those fall
+    # through to the direct plan (one output row — nothing to sort).
     if src not in tables or src.lower() in _cte_names(s):
         return None
     wpreds = None
@@ -2867,7 +2877,10 @@ def _matview_rewrite(
     # frame verbatim) — anything else falls through to the direct plan
     order_items: list[tuple[str, bool]] = []
     limit_n: int | None = None
-    gb_marks = _depth0_marks(_strip_sql_strings(gb), r"\b(order|limit)\b")
+    gb_marks = (
+        _depth0_marks(_strip_sql_strings(gb), r"\b(order|limit)\b")
+        if gb is not None else []
+    )
     if gb_marks:
         tail_txt = gb[gb_marks[0][0]:]
         gb = gb[: gb_marks[0][0]]
@@ -2953,8 +2966,12 @@ def _matview_rewrite(
             continue
         return None  # outside the rollup grammar
     n_groups = sum(1 for it in items if it[0] != "agg")
-    if n_groups == len(items) or n_groups == 0:
-        return None  # no aggregates / no group columns: not a rollup
+    if n_groups == len(items):
+        return None  # no aggregates: not a rollup
+    if gb is None and n_groups != 0:
+        return None  # bare columns without GROUP BY: not valid SQL here
+    if gb is not None and n_groups == 0:
+        return None  # GROUP BY with no group items in the SELECT list
     if any(it[0] == "agg" and it[1][0] == "approx_distinct" for it in items):
         # APPROX_COUNT_DISTINCT never rewrites (round-11 advice): the
         # view stores ITS refresh's HLL estimate, which can differ from
@@ -2965,9 +2982,10 @@ def _matview_rewrite(
         return None
     # the GROUP BY list must name exactly the SELECT list's group items
     # (by name, alias, or transform text — same rule as CREATE's parser)
-    gb_items = [norm(g) for g in _split_top_commas(gb)]
-    if set(gb_items) - covered or len(gb_items) != n_groups:
-        return None
+    if gb is not None:
+        gb_items = [norm(g) for g in _split_top_commas(gb)]
+        if set(gb_items) - covered or len(gb_items) != n_groups:
+            return None
 
     e_src = tables[src]
     sv = travel.get(src)
@@ -3091,7 +3109,16 @@ def _matview_rewrite(
                     continue
                 op = key[0]
                 dt = dict(df.dtypes)[c]
-                if op in ("count", "sum"):
+                if op == "count":
+                    # a GLOBAL re-agg over zero view rows must read 0
+                    # like SQL COUNT does (SUM over nothing is NULL);
+                    # grouped re-aggs never see an empty group — a group
+                    # only exists where view rows do
+                    e = F.sum(c).cast(dt)
+                    if not gb_mv:
+                        e = F.coalesce(e, F.lit(0).cast(dt))
+                    agg_exprs.append(e.alias(out))
+                elif op == "sum":
                     agg_exprs.append(F.sum(c).cast(dt).alias(out))
                 elif op == "min":
                     agg_exprs.append(F.min(c).alias(out))

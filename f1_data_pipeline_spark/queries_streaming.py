@@ -296,7 +296,7 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     single oracle-checked result — grouping-set analytics absent from the
     reference (SURVEY §2.D).
 
-    Since round 12 the composite carries three more arms that put the
+    Since round 12 the composite carries four more arms that put the
     TRANSPARENT MATERIALIZED-VIEW REWRITE under the DuckDB oracle
     (round-11 verdict #1 — until now the only read-path planner feature
     whose answers reached users gated by pytest alone): an exact-
@@ -305,9 +305,11 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a manifest copy of `events` via `CREATE MATERIALIZED VIEW`,
     and each arm's SELECT is answered THROUGH `catalog_sql`'s rewrite —
     `matview` (COUNT + decimal SUM at the spec's grouping),
-    `matview_minmax` (MIN/MAX at the spec's grouping), and
+    `matview_minmax` (MIN/MAX at the spec's grouping),
     `matview_coarse` (COUNT + SUM re-aggregated to a strict SUBSET of
-    the spec's group columns — round-12 verdict #3). Each arm first
+    the spec's group columns — round-12 verdict #3), and
+    `matview_global` (no GROUP BY at all — the whole-table total
+    re-aggregated from the view). Each arm first
     runs `EXPLAIN` and RAISES unless the decision record proves the
     rewrite fired (`matview: answered from daily_mv@...`), so the
     oracle hash verifiably covers the rewrite path, never a silent
@@ -359,6 +361,13 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SUM(value_dec) AS total_dec FROM events_m "
             "GROUP BY event_type"
         ),
+        # the GLOBAL shape (round 12): no GROUP BY at all — answered by
+        # re-aggregating the whole view (SUM has no metadata fast path,
+        # so without the rewrite this is a full source scan)
+        "matview_global": (
+            "SELECT COUNT(*) AS n_events, SUM(value_dec) AS total_dec "
+            "FROM events_m"
+        ),
     }
     arms = {}
     for mode, q in arm_sqls.items():
@@ -388,7 +397,13 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("date").alias("day"), "event_type", "n_events",
         F.col("total_dec").cast("double").alias("total_value"),
     )
-    return base.unionAll(mv1).unionAll(mv2).unionAll(mv3)
+    mv4 = arms["matview_global"].select(
+        F.lit("matview_global").alias("mode"),
+        F.lit(None).cast("date").alias("day"),
+        F.lit(None).cast("string").alias("event_type"), "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+    )
+    return base.unionAll(mv1).unionAll(mv2).unionAll(mv3).unionAll(mv4)
 
 
 register(
@@ -424,6 +439,12 @@ register(
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
     FROM events
     GROUP BY event_type
+    UNION ALL
+    SELECT 'matview_global', CAST(NULL AS DATE) AS day,
+           CAST(NULL AS VARCHAR) AS event_type,
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events
     """,
 )
 

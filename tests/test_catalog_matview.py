@@ -464,8 +464,22 @@ _REAGG_AGGS = [
 
 @st.composite
 def _rollup_query(draw):
-    coarse = draw(st.booleans())
-    if coarse:
+    mode = draw(st.sampled_from(["equal", "coarse", "global"]))
+    if mode == "global":
+        # no GROUP BY at all (round-12): re-aggregable aggs only, and
+        # always include SUM(v) — a COUNT(*)-only or MIN/MAX-only list
+        # is answered by a metadata fast path before the rewrite runs
+        aggs = [("SUM(v)", "n1")] + draw(st.lists(
+            st.sampled_from([a for a in _REAGG_AGGS if a[0] != "SUM(v)"]),
+            max_size=3, unique=True,
+        ))
+        asel = [
+            f"{expr} AS {alias}" if draw(st.booleans()) else expr
+            for expr, alias in aggs
+        ]
+        order = draw(st.permutations(asel))
+        return f"SELECT {', '.join(order)} FROM src"
+    if mode == "coarse":
         # subset grouping: group by `cat` only (not `day`, whose
         # COUNT(*)-only shape the partition-histogram fast path answers
         # first) with only re-aggregable aggregates — the round-12
@@ -478,7 +492,7 @@ def _rollup_query(draw):
     gby = [f"g_{g}" if galias and draw(st.booleans()) else g
            for g in groups]
     aggs = draw(st.lists(
-        st.sampled_from(_REAGG_AGGS if coarse else _AGGS),
+        st.sampled_from(_REAGG_AGGS if mode == "coarse" else _AGGS),
         min_size=1, max_size=4, unique=True,
     ))
     asel = [
@@ -653,3 +667,55 @@ def test_rewrite_order_by_limit_tails(spark, tmp_path):
         else:
             assert sorted(tuple(r) for r in got.collect()) == \
                 sorted(tuple(r) for r in direct.collect()), q
+
+
+def test_rewrite_global_aggregate_no_group_by(spark, tmp_path):
+    """Round-12: the GLOBAL shape — `SELECT <aggs> FROM src` with no
+    GROUP BY (the dashboard total; SUM has no metadata fast path, so
+    the direct plan is a full scan) answers by re-aggregating the whole
+    view. WHERE over spec group columns composes; a filtered-to-empty
+    query keeps SQL semantics (COUNT 0, SUM NULL); AVG refuses; an
+    ORDER BY tail falls outside the grammar and takes the direct plan."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total, MIN(v) AS lo, "
+        "MAX(v) AS hi, AVG(v) AS a "
+        "FROM src GROUP BY day, cat",
+    )
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    rewrites = [
+        "SELECT SUM(v) AS s, COUNT(*) AS n FROM src",
+        "SELECT MAX(v) AS hi, MIN(v) AS lo, SUM(v) AS s FROM src",
+        "SELECT SUM(v) AS s FROM src WHERE day >= 2",
+        # filtered to EMPTY: COUNT reads 0, SUM reads NULL — exactly
+        # the direct plan's global-aggregate-over-nothing row
+        "SELECT COUNT(*) AS n, SUM(v) AS s FROM src WHERE day = 99",
+    ]
+    for q in rewrites:
+        got = CAT.catalog_sql(spark, cat, q)
+        files = got.inputFiles()
+        assert files and all(mv_path in f for f in files), q
+        direct = CAT.catalog_sql(spark, cat, q, matview_rewrite=False)
+        assert got.columns == direct.columns, q
+        assert [f.dataType for f in got.schema] == \
+            [f.dataType for f in direct.schema], q
+        _approx_eq(
+            sorted(tuple(r) for r in got.collect()),
+            sorted(tuple(r) for r in direct.collect()),
+        )
+    ex = CAT.catalog_sql(
+        spark, cat, "EXPLAIN SELECT SUM(v) AS s FROM src"
+    ).collect()[0]
+    assert "re-aggregated" in ex["fast_path"]
+    # outside the global grammar: AVG (not re-aggregable), an ORDER BY
+    # tail, bare columns without GROUP BY — all take the direct plan
+    for q in [
+        "SELECT AVG(v) AS a FROM src",
+        "SELECT SUM(v) AS s FROM src ORDER BY s",
+    ]:
+        got = CAT.catalog_sql(spark, cat, q)
+        assert not any(mv_path in f for f in got.inputFiles()), q
+        assert sorted(tuple(r) for r in got.collect()) == \
+            _direct(spark, cat, q), q
