@@ -3085,7 +3085,16 @@ def _matview_rewrite(
         out_by_lower = {out.lower(): out for *_k, out in cols}
         if any(o.lower() not in out_by_lower for o, _asc in order_items):
             continue  # a sort key that isn't an output column: direct
-        df = read_manifest_table(spark, e["path"], version=v_mv)
+        # the WHERE's conjuncts also PRUNE the view's own manifest read
+        # (round 12): wpreds read spec group columns, which keep their
+        # names in the view, so partition/file pruning engages exactly
+        # as on any table — a year-partitioned rollup answering `WHERE
+        # day = X` opens one view partition, not all of them. The
+        # clause still applies verbatim as a row filter below, so the
+        # pruning is semantically invisible (the standard contract).
+        df = read_manifest_table(
+            spark, e["path"], version=v_mv, predicates=wpreds
+        )
         if where is not None:
             # verbatim row filter: plain group cols keep their source
             # names in the view, and wpreds proved the clause reads

@@ -576,6 +576,19 @@ def test_rewrite_where_over_group_columns(spark, tmp_path):
     ).collect()[0]
     assert ex["fast_path"].startswith("matview: answered from mv@v")
     assert "WHERE applied over the view" in ex["fast_path"]
+    # round-12: the WHERE also PRUNES the view's own manifest read —
+    # the day-partitioned rollup opens one partition for `day = 2`,
+    # not all four (the clause still applies as a row filter)
+    all_files = CAT.catalog_sql(
+        spark, cat, "SELECT day, cat, COUNT(*) AS n FROM src "
+        "GROUP BY day, cat",
+    ).inputFiles()
+    one = CAT.catalog_sql(
+        spark, cat, "SELECT day, cat, COUNT(*) AS n FROM src "
+        "WHERE day = 2 GROUP BY day, cat",
+    ).inputFiles()
+    assert one and len(one) < len(all_files)
+    assert all("day=2" in f or mv_path in f for f in one)
 
 
 def test_rewrite_refuses_alias_shadowing_and_transform_specs(spark, tmp_path):
@@ -686,17 +699,21 @@ def test_rewrite_global_aggregate_no_group_by(spark, tmp_path):
     )
     mv_path = CAT.catalog_tables(cat)["mv"]["path"]
     rewrites = [
-        "SELECT SUM(v) AS s, COUNT(*) AS n FROM src",
-        "SELECT MAX(v) AS hi, MIN(v) AS lo, SUM(v) AS s FROM src",
-        "SELECT SUM(v) AS s FROM src WHERE day >= 2",
+        ("SELECT SUM(v) AS s, COUNT(*) AS n FROM src", True),
+        ("SELECT MAX(v) AS hi, MIN(v) AS lo, SUM(v) AS s FROM src", True),
+        ("SELECT SUM(v) AS s FROM src WHERE day >= 2", True),
         # filtered to EMPTY: COUNT reads 0, SUM reads NULL — exactly
-        # the direct plan's global-aggregate-over-nothing row
-        "SELECT COUNT(*) AS n, SUM(v) AS s FROM src WHERE day = 99",
+        # the direct plan's global-aggregate-over-nothing row. The
+        # WHERE prunes EVERY view partition (round-12 view-read
+        # pruning), so the rewritten plan legitimately opens no files.
+        ("SELECT COUNT(*) AS n, SUM(v) AS s FROM src WHERE day = 99",
+         False),
     ]
-    for q in rewrites:
+    for q, expect_files in rewrites:
         got = CAT.catalog_sql(spark, cat, q)
         files = got.inputFiles()
-        assert files and all(mv_path in f for f in files), q
+        assert all(mv_path in f for f in files), q
+        assert bool(files) == expect_files, q
         direct = CAT.catalog_sql(spark, cat, q, matview_rewrite=False)
         assert got.columns == direct.columns, q
         assert [f.dataType for f in got.schema] == \
