@@ -150,7 +150,8 @@ def catalog_read_stream(
     """The cataloged table's CHANGE FEED as a streaming DataFrame —
     `read_change_stream` (streaming/manifest_source.py) resolved by
     catalog name. Keyword args pass through (starting_version, preimage,
-    max_versions_per_batch). Pinned (frozen) catalog entries refuse: a
+    max_versions_per_batch, heartbeat). Pinned (frozen) catalog entries
+    refuse: a
     pin promises a static snapshot, and a change stream is the opposite
     contract — stream the live table under its own name instead."""
     from f1_data_pipeline_spark.streaming.manifest_source import (
