@@ -2785,7 +2785,12 @@ def _matview_rewrite(
     standings store, loaders/__init__.py:517-528). Re-agg results are
     cast back to the view column's type, which is exactly the direct
     plan's result type; a global COUNT over zero view rows coalesces to
-    0 (SQL COUNT semantics — SUM over nothing is NULL).
+    0 (SQL COUNT semantics — SUM over nothing is NULL). The re-agg
+    fires UNGATED whenever the view is fresh — a measured decision, not
+    an oversight (SCALE_NOTES "rewrite crossover"): the re-agg is one
+    ~|view|-row job, FLAT in source size, crossing over at ~100k source
+    rows with a bounded 10–40 ms worst case below it, while not
+    rewriting costs a source scan that grows without bound.
     AVG and COUNT(DISTINCT) queries are NOT re-aggregable from final
     values and take the direct plan under a coarser grouping.
     APPROX_COUNT_DISTINCT never rewrites at all (round-11 advice): the

@@ -1027,6 +1027,77 @@ def probe_bucket_join() -> None:
         print(json.dumps(rec), flush=True)
 
 
+def probe_rewrite_crossover() -> None:
+    """Round-12: is answering a COARSE/GLOBAL rollup by re-aggregating
+    the view ever the measured-slower choice worth gating (the round-10
+    bucket-route lesson)? The re-agg is one ~|view|-row Spark job —
+    FLAT in source size — while the direct plan scans the source. This
+    probe measures both at 1×/4×/16× source data: the contract is
+    rewrite ~flat, direct ∝ source, crossover at toy scale only, with a
+    BOUNDED worst-case penalty (one small job) — which is why the
+    rewrite fires ungated whenever the view is fresh, unlike the bucket
+    route whose wrong choice cost 4.5× unbounded. One JSON line per
+    factor."""
+    import os
+    import statistics
+    import tempfile
+
+    from f1_data_pipeline_spark.operators import catalog as CAT
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import get_spark
+
+    args = sys.argv[2:]
+    factors = [int(a) for a in args] if args else [1, 4, 16]
+    spark = get_spark("scale_probe")
+    BASE = 100_000
+    for factor in factors:
+        work = tempfile.mkdtemp(prefix=f"rwx_{factor}x_")
+        t, cat = os.path.join(work, "t"), os.path.join(work, "cat")
+        df = spark.range(BASE * factor).selectExpr(
+            "id AS k", "CAST(id % 8 AS INT) AS day",
+            "CAST(id % 5 AS INT) AS cat",
+            "CAST(id % 1000 AS DECIMAL(18,2)) AS v",
+            "sha2(CAST(id AS STRING), 256) AS pad",
+        )
+        sinks.merge_upsert_manifest(spark, df, t, ["k"],
+                                    partition_col="day")
+        CAT.catalog_create_table(cat, "src", t)
+        CAT.catalog_sql(
+            spark, cat,
+            "CREATE MATERIALIZED VIEW mv AS SELECT day, cat, "
+            "COUNT(*) AS n, SUM(v) AS s FROM src GROUP BY day, cat",
+        )
+        queries = {
+            "equal": ("SELECT day, cat, COUNT(*) AS n, SUM(v) AS s "
+                      "FROM src GROUP BY day, cat"),
+            "coarse": ("SELECT cat, COUNT(*) AS n, SUM(v) AS s "
+                       "FROM src GROUP BY cat"),
+            "global": "SELECT COUNT(*) AS n, SUM(v) AS s FROM src",
+        }
+        rec = {"op": "rewrite_crossover", "factor": factor,
+               "rows": BASE * factor, "view_rows": 40}
+
+        def med(q, rw):
+            def run():
+                CAT.catalog_sql(
+                    spark, cat, q, matview_rewrite=rw
+                ).write.format("noop").mode("overwrite").save()
+            run()
+            reps = []
+            for _ in range(3):
+                t0 = time.time()
+                run()
+                reps.append(time.time() - t0)
+            return round(statistics.median(reps), 3)
+
+        for name, q in queries.items():
+            rw, direct = med(q, True), med(q, False)
+            rec[f"{name}_rewrite_sec"] = rw
+            rec[f"{name}_direct_sec"] = direct
+            rec[f"{name}_ratio"] = round(rw / direct, 2)
+        print(json.dumps(rec), flush=True)
+
+
 def probe_hot_bucket() -> None:
     """Round-12 verdict #4: the hot-bucket SUB-SPLIT under real key
     skew. Fabricates a fact where one key holds ~half the rows (so one
@@ -1433,11 +1504,14 @@ def main() -> None:
         "partition_transforms", "replication", "footer_stats",
         "manifest_crossover", "matview_crossover", "runtime_filter",
         "headline_scale", "bucket_join", "manifest_changes", "commit_path",
-        "router_plan", "hot_bucket",
+        "router_plan", "hot_bucket", "rewrite_crossover",
     ):
         op = args.pop(0)
     if op == "router_plan":
         probe_router_plan()
+        return
+    if op == "rewrite_crossover":
+        probe_rewrite_crossover()
         return
     if op == "hot_bucket":
         probe_hot_bucket()
