@@ -1444,6 +1444,37 @@ def probe_media_metadata(
                             sample_rate=m["sample_rate"],
                             duration_ms=m["duration_ms"],
                         )
+                    elif b[:8] == _PNG_SIG:
+                        # IHDR is mandatory-first: width/height at 16/20
+                        rec.update(
+                            container="png", format="png",
+                            width=int.from_bytes(b[16:20], "big"),
+                            height=int.from_bytes(b[20:24], "big"),
+                        )
+                    elif b[:2] == b"BM":
+                        rec.update(
+                            container="bmp", format="bmp",
+                            width=int.from_bytes(b[18:22], "little",
+                                                 signed=True),
+                            height=abs(int.from_bytes(
+                                b[22:26], "little", signed=True)),
+                        )
+                    elif b[:4] == b"GIF8":
+                        rec.update(
+                            container="gif", format="gif",
+                            width=int.from_bytes(b[6:8], "little"),
+                            height=int.from_bytes(b[8:10], "little"),
+                        )
+                    elif b[:5] == b"PPMV\n" or b[:2] == b"P6":
+                        off = 0
+                        fmt = "ppm"
+                        if b[:5] == b"PPMV\n":
+                            off = b.index(b"\n", 5) + 1  # past frame count
+                            fmt = "ppmv"
+                        w, h, _px, _end = _parse_p6(b, off)
+                        rec.update(
+                            container=fmt, format=fmt, width=w, height=h,
+                        )
                 except ValueError:
                     rec["container"] = "corrupt"  # sniffed, failed parse
                 rows.append(rec)

@@ -96,6 +96,13 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((3000 + i, bytearray(
             M.synthesize_wav(duration_ms=(i + 1) * 100)
         )))
+    for i in range(8):
+        rows.append((5000 + i, bytearray(
+            M.synthesize_png(width=16 + i, height=12 + i, seed=i)
+        )))
+        rows.append((6000 + i, bytearray(
+            M.synthesize_ppmv(width=8 + i, height=6 + i, n_frames=2)
+        )))
     rows.append((4000, bytearray(M.synthesize_mp3(n_frames=3)[:-10])))
     rows.append((4001, bytearray(b"\x00garbage-bytes")))
     payloads = spark.createDataFrame(rows, "asset_id long, media binary")
@@ -139,6 +146,14 @@ register(
     SELECT 3000 + i, 'wav', NULL, NULL, CAST(16000 AS INT),
            CAST((i + 1) * 100 AS BIGINT), 'wav', NULL
     FROM generate_series(0, 15) t(i)
+    UNION ALL
+    SELECT 5000 + i, 'png', CAST(16 + i AS INT), CAST(12 + i AS INT),
+           NULL, CAST(NULL AS BIGINT), 'png', NULL
+    FROM generate_series(0, 7) t(i)
+    UNION ALL
+    SELECT 6000 + i, 'ppmv', CAST(8 + i AS INT), CAST(6 + i AS INT),
+           NULL, CAST(NULL AS BIGINT), 'ppmv', NULL
+    FROM generate_series(0, 7) t(i)
     UNION ALL
     SELECT 4000, 'corrupt', NULL, NULL, NULL, NULL, NULL, NULL
     UNION ALL

@@ -758,3 +758,23 @@ def test_probe_media_metadata_routes_containers(spark):
     assert got[3].container == "wav" and got[3].duration_ms == 300
     assert got[4].container == "corrupt"
     assert got[5].container == "unknown"
+
+
+def test_probe_media_metadata_image_containers(spark):
+    """The probe also answers image/frame containers header-only: PNG
+    IHDR, BMP/GIF headers, PPM/PPMV geometry — so every synthesizable
+    container in this module routes through one sniff."""
+    rows = [
+        (1, bytearray(M.synthesize_png(width=20, height=14, seed=3))),
+        (2, bytearray(M.synthesize_bmp(width=9, height=7, seed=1))),
+        (3, bytearray(M.synthesize_gif(width=11, height=5, seed=2))),
+        (4, bytearray(M.synthesize_ppm(width=6, height=4, seed=0))),
+        (5, bytearray(M.synthesize_ppmv(width=8, height=6, n_frames=3))),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    got = {r.asset_id: r for r in M.probe_media_metadata(df).collect()}
+    assert (got[1].container, got[1].width, got[1].height) == ("png", 20, 14)
+    assert (got[2].container, got[2].width, got[2].height) == ("bmp", 9, 7)
+    assert (got[3].container, got[3].width, got[3].height) == ("gif", 11, 5)
+    assert (got[4].container, got[4].width, got[4].height) == ("ppm", 6, 4)
+    assert (got[5].container, got[5].width, got[5].height) == ("ppmv", 8, 6)
