@@ -292,7 +292,9 @@ def catalog_sql(
     [LOCATION '<path>'] [AS <select>]` (CTAS runs the select through
     this same function, so pushdown/time travel apply; default location
     `<catalog>/tables/<name>`); `DROP TABLE name` (name only — data
-    keeps its own lifecycle); `SHOW TABLES`; `DESCRIBE [TABLE] name`
+    keeps its own lifecycle); `SHOW TABLES`; `SHOW MATERIALIZED VIEWS`
+    (per-view spec + consumed-source-version watermark + live freshness,
+    metadata-only); `DESCRIBE [TABLE] name`
     (columns + partition spec + layout + constraints + version);
     `DESCRIBE HISTORY name`; `DESCRIBE DETAIL name` (one-row table
     summary: location, layout, version, partitions/files/live rows,
@@ -691,6 +693,10 @@ def _route_statement(
     if verb == "desc":
         verb = "describe"
     if verb == "show":
+        if re.match(
+            r"\s*SHOW\s+MATERIALIZED\s+VIEWS\s*$", sql, re.IGNORECASE
+        ):
+            return _show_matviews(spark, tables)
         if re.match(r"\s*SHOW\s+TABLES\s*$", sql, re.IGNORECASE):
             return _catalog_ddl(spark, catalog_path, tables, "show", sql)
         sm = re.match(
@@ -3225,6 +3231,51 @@ def _create_matview(
     )
     catalog_create_table(catalog_path, name, tgt, mv_of=src)
     return _mv_metrics_df(spark, r)
+
+
+def _show_matviews(spark: SparkSession, tables: dict) -> DataFrame:
+    """`SHOW MATERIALIZED VIEWS`: one row per `mv_of`-marked catalog
+    entry — its source table, the persisted rollup spec, the
+    consumed-source-version watermark, and whether the view is FRESH
+    right now (watermark == the source's current version, i.e. the
+    transparent rewrite would answer from it this instant). Metadata
+    only: one manifest JSON per view plus one per distinct source."""
+    from . import matview as MV
+    from .sinks import read_manifest
+
+    rows = []
+    src_latest: dict[str, int | None] = {}
+    for name, e in sorted(tables.items()):
+        src = e.get("mv_of")
+        if src is None:
+            continue
+        m = read_manifest(
+            e["path"], resolve_manifest_ref(e["path"], e.get("ref"))
+        )
+        app = (m or {}).get("app") or {}
+        spec = app.get("matview_sql") or {}
+        wm = app.get(MV.WATERMARK_KEY)
+        if src not in src_latest:
+            se = tables.get(src)
+            sm = read_manifest(se["path"]) if se else None
+            src_latest[src] = (sm or {}).get("version")
+        gcols = ", ".join(
+            g if isinstance(g, str) else f"{g[1]} AS {g[0]}"
+            for g in spec.get("group_cols", [])
+        )
+        aggs = "; ".join(
+            f"{out}={op}({col})"
+            for out, (op, col) in spec.get("aggs", {}).items()
+        )
+        rows.append((
+            name, src, gcols or None, aggs or None, wm,
+            wm is not None and wm == src_latest[src],
+        ))
+    return spark.createDataFrame(
+        rows,
+        "name string, source string, group_cols string, aggs string, "
+        "consumed_source_version long, fresh boolean",
+    )
 
 
 def _refresh_matview(

@@ -736,3 +736,47 @@ def test_rewrite_global_aggregate_no_group_by(spark, tmp_path):
         assert not any(mv_path in f for f in got.inputFiles()), q
         assert sorted(tuple(r) for r in got.collect()) == \
             _direct(spark, cat, q), q
+
+
+def test_show_materialized_views(spark, tmp_path):
+    """`SHOW MATERIALIZED VIEWS` lists every mv_of-marked entry with its
+    spec, watermark, and LIVE freshness — the rewrite-observability
+    question ('would my query answer from the view right now?') as one
+    metadata-only statement."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total "
+        "FROM src GROUP BY day, cat",
+    )
+    rows = CAT.catalog_sql(spark, cat, "SHOW MATERIALIZED VIEWS").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.name == "mv" and r.source == "src"
+    assert r.group_cols == "day, cat"
+    assert r.aggs == "n=count(*); total=sum(v)"
+    assert r.fresh is True
+    wm = r.consumed_source_version
+    assert wm == sinks.read_manifest(t)["version"]
+
+    # the source moves: the SAME statement now reports stale
+    up = spark.createDataFrame(
+        [(500, 1, 0, 1.0)], "k long, day long, cat long, v double"
+    )
+    sinks.merge_upsert_manifest(spark, up, t, keys=["k"],
+                                partition_col="day")
+    r2 = CAT.catalog_sql(
+        spark, cat, "SHOW MATERIALIZED VIEWS"
+    ).collect()[0]
+    assert r2.fresh is False and r2.consumed_source_version == wm
+    # REFRESH restores freshness
+    CAT.catalog_sql(spark, cat, "REFRESH MATERIALIZED VIEW mv")
+    assert CAT.catalog_sql(
+        spark, cat, "SHOW MATERIALIZED VIEWS"
+    ).collect()[0].fresh is True
+    # no views: empty frame with the same schema, not an error
+    cat2 = str(tmp_path / "cat2")
+    CAT.catalog_create_table(cat2, "src", t)
+    empty = CAT.catalog_sql(spark, cat2, "SHOW MATERIALIZED VIEWS")
+    assert empty.count() == 0 and "fresh" in empty.columns
