@@ -267,6 +267,12 @@ def _split_hot_pair(
             "it would null-extend preserved rows in every sub-task that "
             "lacks their match"
         )
+    elif len(big_f) <= 1:
+        # checked BEFORE the budget: with one hot-side file max(big_per)
+        # is that side's whole size, which always exceeds the budget of
+        # an oversized pair — the budget branch would otherwise shadow
+        # this more precise message
+        why = "the hot side is a single file — nothing to split"
     elif budget <= 0 or (big_per and max(big_per) > budget):
         why = (
             f"no file grouping fits: the replicated side holds "
@@ -276,8 +282,6 @@ def _split_hot_pair(
             f"the replicated side alone holds {small_bytes:,} bytes ≥ "
             "the budget, so every sub-task would still be oversized"
         )
-    elif len(big_f) <= 1:
-        why = "the hot side is a single file — nothing to split"
     if why is not None:
         raise ValueError(
             f"bucket {key!r} pair holds {lbytes + rbytes:,} data bytes "

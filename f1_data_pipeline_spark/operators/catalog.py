@@ -3135,10 +3135,10 @@ def _matview_rewrite(
                     # like SQL COUNT does (SUM over nothing is NULL);
                     # grouped re-aggs never see an empty group — a group
                     # only exists where view rows do
-                    e = F.sum(c).cast(dt)
+                    expr = F.sum(c).cast(dt)
                     if not gb_mv:
-                        e = F.coalesce(e, F.lit(0).cast(dt))
-                    agg_exprs.append(e.alias(out))
+                        expr = F.coalesce(expr, F.lit(0).cast(dt))
+                    agg_exprs.append(expr.alias(out))
                 elif op == "sum":
                     agg_exprs.append(F.sum(c).cast(dt).alias(out))
                 elif op == "min":
@@ -3257,7 +3257,16 @@ def _show_matviews(spark: SparkSession, tables: dict) -> DataFrame:
         wm = app.get(MV.WATERMARK_KEY)
         if src not in src_latest:
             se = tables.get(src)
-            sm = read_manifest(se["path"]) if se else None
+            # resolve the source through its pinned catalog ref, exactly
+            # like the transparent rewrite's freshness gate does — for a
+            # ref-pinned source, "latest" would let the fresh column
+            # contradict whether the rewrite would actually answer
+            sm = (
+                read_manifest(
+                    se["path"], resolve_manifest_ref(se["path"], se.get("ref"))
+                )
+                if se else None
+            )
             src_latest[src] = (sm or {}).get("version")
         gcols = ", ".join(
             g if isinstance(g, str) else f"{g[1]} AS {g[0]}"

@@ -1178,6 +1178,11 @@ def parse_mp3_metadata(payload: bytes) -> dict:
         for x in b[6:10]:
             size = (size << 7) | (x & 0x7F)
         pos = 10 + size
+        if len(b) > 5 and b[5] & 0x10:
+            # ID3v2.4 footer flag: a 10-byte footer trails the tag and
+            # is NOT counted in the syncsafe size — skipping only
+            # 10+size would lose frame sync on real-world v2.4 files
+            pos += 10
     n_frames = 0
     sample_rate = None
     bitrate = None
@@ -1445,13 +1450,21 @@ def probe_media_metadata(
                             duration_ms=m["duration_ms"],
                         )
                     elif b[:8] == _PNG_SIG:
-                        # IHDR is mandatory-first: width/height at 16/20
+                        # IHDR is mandatory-first: width/height at 16/20.
+                        # Length-check BEFORE slicing — int.from_bytes of
+                        # an empty slice is 0, so a bare signature would
+                        # otherwise surface as a 0×0 'png' instead of
+                        # routing to 'corrupt'
+                        if len(b) < 24:
+                            raise ValueError("png: truncated IHDR header")
                         rec.update(
                             container="png", format="png",
                             width=int.from_bytes(b[16:20], "big"),
                             height=int.from_bytes(b[20:24], "big"),
                         )
                     elif b[:2] == b"BM":
+                        if len(b) < 26:
+                            raise ValueError("bmp: truncated DIB header")
                         rec.update(
                             container="bmp", format="bmp",
                             width=int.from_bytes(b[18:22], "little",
@@ -1460,6 +1473,10 @@ def probe_media_metadata(
                                 b[22:26], "little", signed=True)),
                         )
                     elif b[:4] == b"GIF8":
+                        if len(b) < 10:
+                            raise ValueError(
+                                "gif: truncated logical screen descriptor"
+                            )
                         rec.update(
                             container="gif", format="gif",
                             width=int.from_bytes(b[6:8], "little"),

@@ -307,3 +307,24 @@ def test_hot_bucket_sub_split_parity(spark, tmp_path):
             spark, dim_p, fact_p, "dk", "fk", how="left",
             max_pair_bytes=cap,
         )
+
+
+def test_split_hot_pair_single_file_message():
+    """Round-13 advice fix: one oversized hot-side file reports 'single
+    file — nothing to split' — previously shadowed by the budget branch
+    (a single file's max always exceeds an oversized pair's budget)."""
+    from f1_data_pipeline_spark.operators.bucket_join import _split_hot_pair
+
+    with pytest.raises(ValueError, match="single file"):
+        _split_hot_pair(
+            "bucket=0", "inner", 100,
+            ["big.parquet"], [], [500],  # one 500-byte left file
+            ["small.parquet"], [], [10],
+        )
+    # multi-file but no grouping fits: the budget message still fires
+    with pytest.raises(ValueError, match="no file grouping fits"):
+        _split_hot_pair(
+            "bucket=0", "inner", 100,
+            ["a.parquet", "b.parquet"], [], [500, 20],
+            ["small.parquet"], [], [10],
+        )

@@ -778,3 +778,35 @@ def test_probe_media_metadata_image_containers(spark):
     assert (got[3].container, got[3].width, got[3].height) == ("gif", 11, 5)
     assert (got[4].container, got[4].width, got[4].height) == ("ppm", 6, 4)
     assert (got[5].container, got[5].width, got[5].height) == ("ppmv", 8, 6)
+
+
+def test_probe_media_metadata_truncated_image_headers(spark):
+    """Round-13 advice fix: a sniffed image container whose header is cut
+    short must route to 'corrupt', never to a 0×0 geometry row (empty
+    int.from_bytes slices read as 0 without an explicit length check)."""
+    rows = [
+        (1, bytearray(M._PNG_SIG)),                    # bare PNG signature
+        (2, bytearray(M.synthesize_bmp()[:14])),       # BMP cut mid-DIB
+        (3, bytearray(b"GIF89a\x0b")),                 # GIF cut mid-LSD
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    got = {r.asset_id: r for r in M.probe_media_metadata(df).collect()}
+    for i in (1, 2, 3):
+        assert got[i].container == "corrupt", got[i]
+        assert got[i].width is None and got[i].height is None
+
+
+def test_mp3_metadata_id3v24_footer():
+    """Round-13 advice fix: an ID3v2.4 tag with the footer flag set adds
+    10 trailing bytes NOT counted in the syncsafe size — the skip must
+    include them or frame sync is lost on real-world v2.4 files."""
+    frames = M.synthesize_mp3(n_frames=4, with_id3=False)
+    body = b"\x00" * 21
+    tag = (
+        b"ID3\x04\x00\x10"  # v2.4, footer flag (0x10)
+        + bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        + body
+        + b"3DI\x04\x00\x10" + bytes(4)  # the 10-byte footer
+    )
+    m = M.parse_mp3_metadata(tag + frames)
+    assert m["n_frames"] == 4 and m["container"] == "mp3"
