@@ -3060,16 +3060,19 @@ def _matview_rewrite(
             continue  # finer grouping than the spec: the view can't split
         coarse = n_groups < len(spec["group_cols"])
         if coarse and any(
-            it[0] == "agg" and it[1][0] not in ("count", "sum", "min", "max")
+            it[0] == "agg"
+            and it[1][0] not in ("count", "sum", "min", "max", "avg")
             for it in items
         ):
             # coarser grouping re-AGGREGATES the view (round-12, verdict
             # #3): COUNT/SUM roll up by summing the per-group values,
             # MIN/MAX by min/max — sound because every spec group lies
-            # entirely inside one query group. AVG and COUNT(DISTINCT)
-            # are not re-aggregable from final values (the view stores
-            # neither the count behind the avg nor the distinct sets) —
-            # direct plan. (APPROX_COUNT_DISTINCT already refused above.)
+            # entirely inside one query group. AVG is re-aggregable ONLY
+            # when the spec stores both SUM(c) and COUNT(c) — derived as
+            # ΣSUM/ΣCOUNT below (round-13 verdict #3); a stored final
+            # AVG alone is not (the count behind it is lost).
+            # COUNT(DISTINCT) never re-aggregates (the sets are lost);
+            # APPROX_COUNT_DISTINCT already refused above.
             continue
         if wpreds is not None and any(
             c.lower() not in spec_plain for c, _op, _v in wpreds
@@ -3082,11 +3085,29 @@ def _matview_rewrite(
             # then-re-aggregate equals aggregate-then-filter on source).
             continue
         cols = []
+        derived_avg = False
         for kind, key, out in items:
             if kind == "plain":
                 mv_col = spec_plain.get(key.lower())
             else:
                 mv_col = spec_aggs.get(key)
+                if key[0] == "avg" and (coarse or mv_col is None):
+                    # AVG from stored SUM(c) + COUNT(c) (round-13 verdict
+                    # #3): exact at any grouping the view supports —
+                    # per view row SUM/COUNT are the exact group
+                    # aggregates (equal grouping), and ΣSUM/ΣCOUNT is the
+                    # exact coarser AVG (a stored final AVG can NEVER
+                    # re-aggregate, so coarse AVG always takes this
+                    # route or refuses). COUNT(c) specifically — not
+                    # COUNT(*) — because AVG ignores NULLs.
+                    s_col = spec_aggs.get(("sum", key[1]))
+                    c_col = spec_aggs.get(("count", key[1]))
+                    mv_col = (
+                        ("__avg__", s_col, c_col)
+                        if s_col is not None and c_col is not None
+                        else None
+                    )
+                    derived_avg = mv_col is not None
             if mv_col is None:
                 break
             cols.append((kind, key, mv_col, out))
@@ -3114,8 +3135,45 @@ def _matview_rewrite(
             df = df.filter(where)
         if coarse and len({out.lower() for *_k, out in cols}) != len(cols):
             continue  # duplicate output names would make F.col ambiguous
+
+        src_types = {
+            f["name"].lower(): f.get("type")
+            for f in (m_src.get("schema") or {}).get("fields", [])
+        }
+
+        def _avg_type(arg: str) -> str:
+            # Spark's Average result type: decimal(p,s) → decimal(p+4,
+            # s+4) (38-capped), every other numeric → double. The stored
+            # view SUM column is exactly Average's internal sum type
+            # (decimal(p+10,s) / long / double), so dividing it by the
+            # stored COUNT and casting reproduces the direct plan's
+            # value AND dtype bit-for-bit (decimal; double carries the
+            # documented last-ulp plan-order semantic).
+            t = src_types.get(arg)
+            dm = re.match(r"decimal\((\d+),(\d+)\)", t or "")
+            if dm:
+                p, sc = int(dm.group(1)), int(dm.group(2))
+                return f"decimal({min(p + 4, 38)},{min(sc + 4, 38)})"
+            return "double"
+
+        def _avg_expr(key, c):
+            # NULL-safe: a group whose values are all NULL stores
+            # COUNT(c) = 0 — AVG must read NULL, and ANSI mode would
+            # otherwise raise DIVIDE_BY_ZERO
+            num = F.sum(c[1]) if coarse else F.col(c[1])
+            den = F.sum(c[2]) if coarse else F.col(c[2])
+            e = F.when(den != 0, num / den).otherwise(F.lit(None))
+            return e.cast(_avg_type(key[1]))
+
         if not coarse:
-            df = df.select([F.col(c).alias(out) for _k, _key, c, out in cols])
+            df = df.select([
+                (
+                    _avg_expr(key, c).alias(out)
+                    if isinstance(c, tuple)
+                    else F.col(c).alias(out)
+                )
+                for _k, key, c, out in cols
+            ])
         else:
             # re-aggregate the view's rows to the query's coarser
             # grouping; each re-agg result is cast back to the VIEW
@@ -3129,6 +3187,12 @@ def _matview_rewrite(
                 if kind != "agg":
                     continue
                 op = key[0]
+                if op == "avg":
+                    # ΣSUM/ΣCOUNT over the view rows inside each coarser
+                    # group (exact: both operands are exact per-group
+                    # values); a global AVG over zero rows reads NULL
+                    agg_exprs.append(_avg_expr(key, c).alias(out))
+                    continue
                 dt = dict(df.dtypes)[c]
                 if op == "count":
                     # a GLOBAL re-agg over zero view rows must read 0
@@ -3165,6 +3229,10 @@ def _matview_rewrite(
                 f" (re-aggregated {len(spec['group_cols'])} spec group "
                 f"cols → {n_groups})"
                 if coarse else ""
+            )
+            + (
+                " (AVG derived from stored SUM/COUNT)"
+                if derived_avg else ""
             )
             + (
                 " (WHERE applied over the view's group columns)"

@@ -700,6 +700,12 @@ def duplicate_clusters(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize ONCE: every propagation round joins against edges,
+        # and without this the detector plan upstream of `pairs` (minhash
+        # banding / blocked cosine self-join) re-executes per round — at
+        # sf0.1 that re-execution was ~25× the cost of the labels
+        # themselves (112 s → 4 s for semantic_dedup_parts)
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -851,6 +857,24 @@ def semantic_dedup(
     so cells stay broadcast-sized; the paper uses ~100k clusters at
     LAION scale.
     """
+    kept, _pairs = semantic_dedup_parts(
+        df, id_col, vec_col, threshold, n_clusters, seed
+    )
+    return kept
+
+
+def semantic_dedup_parts(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """`semantic_dedup` with its evidence exposed: returns (kept, pairs)
+    so callers can gate the dedup decision against the detector's own pair
+    set (operators/gates.py assert_cluster_dedup_gate — the round-13
+    in-callable ground-truth discipline for rows-only registry keys)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -868,7 +892,7 @@ def semantic_dedup(
     pairs = embedding_cosine_pairs(
         assigned, id_col, vec_col, threshold=threshold, block_col="__cell"
     )
-    return dedup_by_clusters(df, pairs, id_col)
+    return dedup_by_clusters(df, pairs, id_col), pairs
 
 
 def remove_duplicate_spans(

@@ -1388,6 +1388,94 @@ def parse_wav_metadata(payload: bytes) -> dict:
         }
 
 
+def synthesize_jpeg(
+    width: int = 32, height: int = 24, components: int = 3
+) -> bytes:
+    """Genuine minimal JFIF/JPEG bytes: SOI + APP0(JFIF) + COM + DQT +
+    SOF0 (real geometry/component count) + DHT + SOS + a stub entropy
+    segment + EOI. Every marker segment carries a correct big-endian
+    length, so any spec-conforming marker walker parses it; no pixels are
+    actually entropy-coded (decode remains the PIL arm's job)."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00")
+    com = seg(0xFE, b"synthetic fixture")
+    dqt = seg(0xDB, b"\x00" + bytes(range(1, 65)))
+    sof = seg(
+        0xC0,
+        b"\x08"
+        + int(height).to_bytes(2, "big")
+        + int(width).to_bytes(2, "big")
+        + bytes([components])
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(components)),
+    )
+    dht = seg(0xC4, b"\x00" + bytes(16) + b"")
+    sos = seg(
+        0xDA,
+        bytes([components])
+        + b"".join(bytes([i + 1, 0]) for i in range(components))
+        + b"\x00\x3f\x00",
+    )
+    entropy = bytes(range(1, 33))  # no 0xFF bytes → no marker confusion
+    return b"\xff\xd8" + app0 + com + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
+# SOFn markers that carry frame geometry: C0-C3, C5-C7, C9-CB, CD-CF
+# (C4 = DHT, C8 = JPG extension, CC = DAC — length-skipped like any other)
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_metadata(payload: bytes) -> dict:
+    """Stdlib JPEG marker walk (round-12 verdict #5 follow-through: the
+    one container that previously had no header-only metadata arm): skip
+    APPn/COM/DQT/DHT and every other length-carrying segment until a SOFn
+    frame header, then read {height, width, components, progressive}
+    straight from it — geometry without any entropy decoding, the same
+    header-only discipline as the PNG IHDR and MP4 box probes. Baseline
+    (SOF0), extended (SOF1), and progressive (SOF2) all parse; truncated
+    or structurally broken streams raise ValueError naming the offset."""
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI marker")
+    pos = 2
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {pos}")
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1  # fill bytes are legal between segments
+        if pos >= len(b):
+            raise ValueError("jpeg: truncated at fill bytes")
+        marker = b[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers: no length field
+        if marker == 0xD9:
+            break  # EOI before any SOF
+        if pos + 2 > len(b):
+            raise ValueError(f"jpeg: truncated segment length at {pos}")
+        seg_len = int.from_bytes(b[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > len(b):
+            raise ValueError(f"jpeg: bad segment length {seg_len} at {pos}")
+        if marker in _JPEG_SOF_MARKERS:
+            if seg_len < 8:
+                raise ValueError(f"jpeg: SOF segment too short at {pos}")
+            return {
+                "container": "jpeg",
+                "height": int.from_bytes(b[pos + 3 : pos + 5], "big"),
+                "width": int.from_bytes(b[pos + 5 : pos + 7], "big"),
+                "components": b[pos + 7],
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:
+            break  # scan data begins; a SOF must have come first
+        pos += seg_len
+    raise ValueError("jpeg: no SOF frame header found")
+
+
 _MEDIA_PROBE_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType()),
     T.StructField("container", T.StringType()),
@@ -1448,6 +1536,14 @@ def probe_media_metadata(
                             container="wav", format="wav",
                             sample_rate=m["sample_rate"],
                             duration_ms=m["duration_ms"],
+                        )
+                    elif b[:2] == b"\xff\xd8":
+                        m = parse_jpeg_metadata(b)
+                        rec.update(
+                            container="jpeg",
+                            format="jpeg_progressive" if m["progressive"]
+                            else "jpeg",
+                            width=m["width"], height=m["height"],
                         )
                     elif b[:8] == _PNG_SIG:
                         # IHDR is mandatory-first: width/height at 16/20.

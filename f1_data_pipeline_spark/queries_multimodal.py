@@ -25,7 +25,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the full media-pipeline shape for formats whose codec is stubbed);
     `codec` — REAL WAV and PPMV payloads through `fake=False`, i.e. actual
     stdlib decode + signal/pixel/temporal features over Arrow batches.
-    Both end in a JVM-side norm check."""
+    Both end in a JVM-side norm check.
+
+    Round-13 in-callable gates (operators/gates.py): (1) codec parity —
+    one KNOWN pixel array encoded as PNG, BMP, and PPM (three disjoint
+    decoders) plus a WAV tone re-parsed by an independent numpy RIFF
+    reader must all come back from `extract_features(fake=False)` equal
+    to features of the source pixels/waveform; (2) every returned row
+    must carry the declared dim and a unit norm. RAISES on violation."""
+    from f1_data_pipeline_spark.operators import gates
+
+    gates.assert_codec_parity(spark)
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("asset_id"),
@@ -52,7 +62,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     real_assets = M.synthesize_audio_assets(spark, n=32).unionByName(video)
     real_feats = M.extract_features(real_assets, fake=False)
-    return norms(feats, "stub").unionByName(norms(real_feats, "codec"))
+    out = norms(feats, "stub").unionByName(norms(real_feats, "codec"))
+    gates.assert_unit_norm_features(out, dim=M.FEATURE_DIM)
+    return out
 
 
 register("multimodal_features", q_multimodal_features, None)
@@ -102,6 +114,11 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )))
         rows.append((6000 + i, bytearray(
             M.synthesize_ppmv(width=8 + i, height=6 + i, n_frames=2)
+        )))
+        # round-13: JPEG SOFn marker walk — geometry extracted from a
+        # real JFIF marker stream, completing the container matrix
+        rows.append((7000 + i, bytearray(
+            M.synthesize_jpeg(width=32 + i, height=20 + i)
         )))
     rows.append((4000, bytearray(M.synthesize_mp3(n_frames=3)[:-10])))
     rows.append((4001, bytearray(b"\x00garbage-bytes")))
@@ -153,6 +170,10 @@ register(
     UNION ALL
     SELECT 6000 + i, 'ppmv', CAST(8 + i AS INT), CAST(6 + i AS INT),
            NULL, CAST(NULL AS BIGINT), 'ppmv', NULL
+    FROM generate_series(0, 7) t(i)
+    UNION ALL
+    SELECT 7000 + i, 'jpeg', CAST(32 + i AS INT), CAST(20 + i AS INT),
+           NULL, CAST(NULL AS BIGINT), 'jpeg', NULL
     FROM generate_series(0, 7) t(i)
     UNION ALL
     SELECT 4000, 'corrupt', NULL, NULL, NULL, NULL, NULL, NULL

@@ -100,14 +100,27 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three ANN tiers, method-tagged, in one rows-only registry slot
-    (approximate results have no SQL twin; recall floors are pytest-pinned
-    in tests/test_dedup_similarity.py): LSH (bucketed candidates), IVF
+    (approximate results have no SQL twin): LSH (bucketed candidates), IVF
     (cell-pruned scan), PQ (compressed-domain ADC + exact re-rank — the
-    memory tier for 100 TB corpora)."""
+    memory tier for 100 TB corpora).
+
+    Round-13 in-callable gate: the callable computes the EXACT brute-force
+    top-k over the same queries in-Spark and RAISES unless every method's
+    pooled recall@5 clears the 0.8 floor the pytest suite pins — a
+    degraded index or broken candidate machinery can no longer ship a
+    green rows-only row (operators/gates.py)."""
+    from f1_data_pipeline_spark.operators import gates
+
     lsh = q_ann_lsh_topk(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
     ivf = q_ann_ivf_topk(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
     pq = q_ann_pq_topk(spark, sf_dir).select(F.lit("pq").alias("method"), "*")
-    return lsh.unionByName(ivf).unionByName(pq)
+    out = lsh.unionByName(ivf).unionByName(pq)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.brute_force_topk(queries, emb, k=5)
+    gates.assert_topk_recall(out, exact, floor=0.8, methods=("lsh", "ivf", "pq"))
+    return out
 
 
 register("ann_topk", q_ann_topk, None)
@@ -116,13 +129,43 @@ register("ann_topk", q_ann_topk, None)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: seeded-KMeans cells, 0.35-cosine
     within-cell pairs, one representative kept per component (rows-only:
-    the KMeans quantizer has no SQL twin; semantics are pytest-pinned in
-    test_dedup_similarity.py)."""
+    the KMeans quantizer has no SQL twin).
+
+    Round-13 in-callable gates: (1) cluster-dedup invariants against the
+    detector's own pair set — no pair ships with both endpoints kept, no
+    row is dropped without an implicating pair, kept ⊆ input; (2) every
+    emitted pair's cosine re-derived by an independent float64 numpy path
+    must match the carried value and clear the threshold
+    (operators/gates.py)."""
+    from f1_data_pipeline_spark.operators import gates
+
     emb = load_table(spark, sf_dir, "embeddings")
-    out = D.semantic_dedup(
+    kept, pairs = D.semantic_dedup_parts(
         emb, "vec_id", "embedding", threshold=0.35, n_clusters=8
     )
-    return out.select("vec_id", "label")
+    # the gates run several actions over kept/pairs (invariant joins, the
+    # numpy cosine recompute) and the result is collected after them —
+    # materialize both bounded frames once instead of re-running the
+    # KMeans transform + blocked self-join per action
+    pairs = pairs.localCheckpoint()
+    kept = kept.localCheckpoint()
+    gates.assert_cluster_dedup_gate(emb, kept, pairs, "vec_id")
+    vecs = emb.select("vec_id", "embedding")
+    pairs_v = (
+        pairs.join(
+            vecs.select(
+                F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a")
+            ),
+            "id_a",
+        ).join(
+            vecs.select(
+                F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b")
+            ),
+            "id_b",
+        )
+    )
+    gates.assert_semantic_pair_cosines(pairs_v, threshold=0.35)
+    return kept.select("vec_id", "label")
 
 
 register("semantic_dedup", q_semantic_dedup, None)

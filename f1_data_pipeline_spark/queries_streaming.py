@@ -143,8 +143,16 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-count + quantile sketches in one rows-only slot — the
     bounded-state 100 TB forms of `window_distinct_users` / `percentiles`,
     whose exact twins carry the SQL oracles. Sketch internals differ across
-    engines, so values are engine-specific; accuracy-vs-exact is pinned by
-    tests/test_streaming.py instead."""
+    engines, so values are engine-specific.
+
+    Round-13 in-callable gate: the RETURNED estimates are checked against
+    exact aggregates computed in the same invocation — HLL distincts
+    within 3× the target rsd, approx percentiles bracketed by the exact
+    interpolated percentiles at q ± 0.02, the daily-HLL sum within the
+    same rel bound — and the callable RAISES outside the envelope
+    (operators/gates.py assert_sketch_bounds)."""
+    from f1_data_pipeline_spark.operators import gates
+
     ev = load_table(spark, sf_dir, "events")
     daily_hll = W.windowed_approx_distinct(ev, "1 day").select(
         "window_start", "approx_users"
@@ -154,9 +162,11 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99"),
     )
-    return sketch_pct.join(
+    out = sketch_pct.join(
         daily_hll.agg(F.sum("approx_users").alias("sum_daily_approx_users"))
     )
+    gates.assert_sketch_bounds(out, ev)
+    return out
 
 
 register("approx_sketches", q_approx_sketches, None)
@@ -343,6 +353,7 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, cat,
         "CREATE MATERIALIZED VIEW daily_mv AS "
         "SELECT day, event_type, COUNT(*) AS n_events, "
+        "COUNT(value_dec) AS n_vals, "
         "SUM(value_dec) AS total_dec, MIN(event_id) AS min_ev, "
         "MAX(value_dec) AS max_dec "
         "FROM events_m GROUP BY day, event_type",
@@ -370,6 +381,15 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT COUNT(*) AS n_events, SUM(value_dec) AS total_dec "
             "FROM events_m"
         ),
+        # round-13 verdict #3: AVG DERIVED from the stored SUM + COUNT
+        # pair (the view stores no AVG column at all) under a coarser
+        # grouping — ΣSUM/ΣCOUNT per event_type, decimal-exact, hashed
+        # against DuckDB's ROUND(SUM/COUNT, 6) which reproduces Spark's
+        # decimal(22,6) Average bit-for-bit (measured at all three SFs)
+        "matview_avg": (
+            "SELECT event_type, COUNT(value_dec) AS n_events, "
+            "AVG(value_dec) AS avg_dec FROM events_m GROUP BY event_type"
+        ),
     }
     arms = {}
     try:
@@ -385,6 +405,12 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"grouping_analytics arm {mode!r} was NOT answered by "
                     f"the materialized-view rewrite (fast_path={fp!r}) — "
                     "the oracle hash would cover the direct plan instead"
+                )
+            if mode == "matview_avg" and "AVG derived" not in fp:
+                raise RuntimeError(
+                    "grouping_analytics arm 'matview_avg' answered without "
+                    f"the SUM/COUNT derivation (fast_path={fp!r}) — the "
+                    "hash would not cover the derived-AVG path"
                 )
             # materialize the arm NOW (bounded: |day × event_type| rows)
             # and rebind it as a local frame, so the temp manifest table
@@ -414,7 +440,15 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("event_type"), "n_events",
         F.col("total_dec").cast("double").alias("total_value"),
     )
-    return base.unionAll(mv1).unionAll(mv2).unionAll(mv3).unionAll(mv4)
+    mv5 = arms["matview_avg"].select(
+        F.lit("matview_avg").alias("mode"),
+        F.lit(None).cast("date").alias("day"), "event_type", "n_events",
+        F.col("avg_dec").cast("double").alias("total_value"),
+    )
+    return (
+        base.unionAll(mv1).unionAll(mv2).unionAll(mv3).unionAll(mv4)
+        .unionAll(mv5)
+    )
 
 
 register(
@@ -456,6 +490,13 @@ register(
            COUNT(*),
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
     FROM events
+    UNION ALL
+    SELECT 'matview_avg', CAST(NULL AS DATE) AS day, event_type,
+           COUNT(value),
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) / COUNT(value), 6)
+                AS DOUBLE)
+    FROM events
+    GROUP BY event_type
     """,
 )
 

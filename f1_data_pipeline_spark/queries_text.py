@@ -419,16 +419,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both seeded-hash near-dup pair detectors, method-tagged, in one
-    rows-only slot (xxhash64 signatures have no SQL twin; banding/pigeonhole
-    exactness is pytest- and hypothesis-pinned). `score` is est_jaccard for
-    the minhash arm, hamming distance for the simhash arm."""
-    mh = q_dedup_minhash(spark, sf_dir).select(
+    rows-only slot (xxhash64 signatures have no SQL twin). `score` is
+    est_jaccard for the minhash arm, hamming distance for the simhash arm.
+
+    Round-13 in-callable gates (operators/gates.py): the minhash arm's
+    emitted pairs must clear an exact string-n-gram Jaccard floor and a
+    sampled all-pairs sweep must find nothing ≥ threshold+margin that the
+    banding missed; the simhash arm's carried hamming must equal an
+    independently recomputed signature distance, and sampled pairs at
+    hamming ≤ 3 (the pigeonhole guarantee of 4×16-bit chunk blocking)
+    must all be present. Each callable RAISES on violation, so the
+    rows-only row can never be green over a broken detector."""
+    from f1_data_pipeline_spark.operators import gates
+
+    docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint: the gates run several actions over each pair set
+    # (soundness join, completeness anti-join, violation counts) and the
+    # final union is collected after them — materialize the bounded pair
+    # frames once instead of recomputing the LSH plan per action
+    mh_raw = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).localCheckpoint()
+    gates.assert_minhash_pairs_gate(docs, mh_raw, "doc_id", "text", threshold=0.5)
+    sh_raw = D.simhash_pairs(docs, "doc_id", "text", max_hamming=10).localCheckpoint()
+    gates.assert_simhash_pairs_gate(docs, sh_raw, "doc_id", "text", max_hamming=10)
+
+    mh = mh_raw.select(
         F.lit("minhash").alias("method"),
         "id_a",
         "id_b",
         F.col("est_jaccard").cast("double").alias("score"),
     )
-    sh = q_dedup_simhash(spark, sf_dir).select(
+    sh = sh_raw.select(
         F.lit("simhash").alias("method"),
         "id_a",
         "id_b",
@@ -443,12 +463,19 @@ register("dedup_near_pairs", q_dedup_near_pairs, None)
 def q_dedup_near_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup: minhash pairs → connected components → keep one
     representative per duplicate cluster (rows-only: minhash has no SQL
-    twin; component/count invariants are pytest-verified)."""
+    twin).
+
+    Round-13 in-callable gate: the kept set is checked against the
+    detector's own pair set — no pair survives with both endpoints kept,
+    every dropped doc appears in ≥1 pair, kept ⊆ input
+    (operators/gates.py assert_cluster_dedup_gate; RAISES on violation)."""
+    from f1_data_pipeline_spark.operators import gates
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
-    return D.dedup_by_clusters(docs, pairs, "doc_id").select(
-        "doc_id", "lang", "source"
-    )
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).localCheckpoint()
+    kept = D.dedup_by_clusters(docs, pairs, "doc_id").localCheckpoint()
+    gates.assert_cluster_dedup_gate(docs, kept, pairs, "doc_id")
+    return kept.select("doc_id", "lang", "source")
 
 
 register("dedup_near_end_to_end", q_dedup_near_end_to_end, None)

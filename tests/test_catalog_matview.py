@@ -416,6 +416,76 @@ def test_rewrite_coarser_grouping_reaggregates(spark, tmp_path):
     assert ex["files_scanned"] == 0
 
 
+def test_rewrite_avg_derived_from_sum_count(spark, tmp_path):
+    """Round-13 verdict #3: AVG answers from a view storing BOTH SUM(c)
+    and COUNT(c) — per view row for equal groupings, ΣSUM/ΣCOUNT for
+    coarser and global ones — with the direct plan's exact dtype
+    (decimal(p+4, s+4)); a group whose values are all NULL reads NULL
+    (COUNT(c) = 0 never divides); EXPLAIN records the derivation; a view
+    storing only the final AVG still refuses the coarse shape."""
+    import decimal
+
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    rows = [
+        # day = 3 rows carry only NULL v → an all-NULL group per cat
+        (i, i % 4, i % 3, None if i % 4 == 3 else decimal.Decimal(i) / 4)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k long, day long, cat long, v decimal(12,2)")
+    sinks.merge_upsert_manifest(spark, df, t, keys=["k"], partition_col="day")
+    CAT.catalog_create_table(cat, "src", t)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(v) AS nv, SUM(v) AS total "
+        "FROM src GROUP BY day, cat",
+    )
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    queries = [
+        "SELECT day, cat, AVG(v) AS a FROM src GROUP BY day, cat",
+        "SELECT day, AVG(v) AS a, SUM(v) AS s FROM src GROUP BY day",
+        "SELECT AVG(v) AS a FROM src",
+        "SELECT cat, AVG(v) AS a FROM src WHERE day = 3 GROUP BY cat",
+    ]
+    for q in queries:
+        got = CAT.catalog_sql(spark, cat, q)
+        files = got.inputFiles()
+        assert files and all(mv_path in f for f in files), q
+        direct = CAT.catalog_sql(spark, cat, q, matview_rewrite=False)
+        assert got.columns == direct.columns, q
+        assert [f.dataType for f in got.schema] == \
+            [f.dataType for f in direct.schema], q  # decimal(16,6), exact
+        assert sorted(tuple(r) for r in got.collect()) == \
+            sorted(tuple(r) for r in direct.collect()), q
+    ex = CAT.catalog_sql(
+        spark, cat, "EXPLAIN SELECT day, AVG(v) AS a FROM src GROUP BY day"
+    ).collect()[0]
+    assert "AVG derived from stored SUM/COUNT" in ex["fast_path"]
+
+    # a view storing ONLY the final AVG cannot serve a coarser AVG —
+    # and a COUNT(*) column is NOT an acceptable stand-in for COUNT(v)
+    # (AVG ignores NULLs; COUNT(*) does not)
+    cat2 = str(tmp_path / "cat2")
+    t2 = str(tmp_path / "t2")
+    sinks.merge_upsert_manifest(spark, df, t2, keys=["k"], partition_col="day")
+    CAT.catalog_create_table(cat2, "src", t2)
+    CAT.catalog_sql(
+        spark, cat2,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total, AVG(v) AS a "
+        "FROM src GROUP BY day, cat",
+    )
+    mv2 = CAT.catalog_tables(cat2)["mv"]["path"]
+    q = "SELECT cat, AVG(v) AS a FROM src GROUP BY cat"
+    got = CAT.catalog_sql(spark, cat2, q)
+    assert not any(mv2 in f for f in got.inputFiles())
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in
+        CAT.catalog_sql(spark, cat2, q, matview_rewrite=False).collect()
+    )
+
+
 def test_rewrite_refuses_approx_count_distinct(spark, tmp_path):
     """Round-11 advice: APPROX_COUNT_DISTINCT never rewrites — the
     view's stored HLL estimate can differ from the direct plan's
@@ -458,7 +528,12 @@ _AGGS = [
 
 _REAGG_AGGS = [
     a for a in _AGGS
-    if a[0] in ("COUNT(*)", "SUM(v)", "MIN(v)", "MAX(v)", "COUNT(v)")
+    if a[0] in (
+        "COUNT(*)", "SUM(v)", "MIN(v)", "MAX(v)", "COUNT(v)",
+        # round-13: AVG re-aggregates as ΣSUM/ΣCOUNT because the session
+        # view stores BOTH SUM(v) and COUNT(v) — the derived-AVG path
+        "AVG(v)",
+    )
 ]
 
 

@@ -810,3 +810,39 @@ def test_mp3_metadata_id3v24_footer():
     )
     m = M.parse_mp3_metadata(tag + frames)
     assert m["n_frames"] == 4 and m["container"] == "mp3"
+
+
+def test_jpeg_sof_marker_walk():
+    """Round-13 verdict #5: JPEG geometry via a stdlib SOFn marker walk —
+    header-only, skipping APPn/COM/DQT/DHT segments by their declared
+    lengths, no entropy decoding."""
+    m = M.parse_jpeg_metadata(M.synthesize_jpeg(width=320, height=200))
+    assert (m["width"], m["height"], m["components"]) == (320, 200, 3)
+    assert m["progressive"] is False
+
+    # progressive: rewrite the SOF0 marker to SOF2 in place
+    b = bytearray(M.synthesize_jpeg(width=64, height=48))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    m = M.parse_jpeg_metadata(bytes(b))
+    assert m["progressive"] is True and m["width"] == 64
+
+    with pytest.raises(ValueError, match="SOI"):
+        M.parse_jpeg_metadata(b"\x00\x00")
+    with pytest.raises(ValueError, match="truncated|no SOF"):
+        # cut before the SOF segment: the walk must raise, not guess
+        full = M.synthesize_jpeg()
+        M.parse_jpeg_metadata(full[: full.find(b"\xff\xc0")])
+
+
+def test_probe_media_metadata_jpeg(spark):
+    rows = [
+        (1, bytearray(M.synthesize_jpeg(width=100, height=60))),
+        (2, bytearray(M.synthesize_jpeg()[:20])),  # cut inside APP0
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    got = {r.asset_id: r for r in M.probe_media_metadata(df).collect()}
+    assert (got[1].container, got[1].format, got[1].width, got[1].height) == (
+        "jpeg", "jpeg", 100, 60
+    )
+    assert got[2].container == "corrupt"
