@@ -393,14 +393,26 @@ def catalog_sql(
     CTE, or set operand could rename, derive, or aggregate a column so
     that an outer WHERE name denotes a different expression than the
     base table's — pushing through would drop rows); conjuncts come
-    only from a single top-level WHERE; a WHERE carrying a depth-0 OR
-    disables pushdown for the whole clause (AND binds tighter than OR,
-    so conjuncts right of a split may sit inside a disjunct — pushing
-    one would drop the other branch's rows); unparseable conjuncts are
+    only from a single top-level WHERE. A depth-0 OR (round 13): when
+    EVERY branch is a supported conjunction on the SAME eligible table,
+    the whole clause pushes as ONE file-level disjunction — a file
+    survives when ANY branch's stats/bloom/transform check passes, and
+    the row semantics stay in the SQL; otherwise (cross-table branches,
+    functions, nested OR) the full-disable posture holds, because no
+    individual conjunct of a disjunction is implied by every output
+    row. A parenthesized `(a OR b)` appearing as an AND conjunct pushes
+    by the same rule. Unparseable conjuncts are
     ignored; an unqualified column pushes only when exactly one
     referenced table carries it; a table referenced more than once
     (self-join) is never pruned. The pushed conjuncts stay in the SQL
     as row filters, so pruning is semantically invisible.
+
+    Uncorrelated IN-subqueries (round 13): a depth-0 conjunct `col IN
+    (SELECT key FROM dim [WHERE <literals>])` executes the dim side at
+    plan time (the X42 harvest budget: ≤ max_harvests subqueries,
+    ≤ 10k keys each) and prunes the outer table's manifest read with
+    the harvested key set; correlated, aggregating, NOT IN, and
+    OR-glued shapes pass through un-pruned.
 
     One scope refinement: a CTE whose body is itself a single SELECT
     over exactly one cataloged table with a simple WHERE is an
@@ -607,6 +619,13 @@ def catalog_sql(
     try:
         if runtime_filters and not harvested:
             _runtime_join_filters(
+                spark, sql, refs, tables, versions, preds,
+                max_harvests=max_harvests,
+            )
+        if runtime_filters:
+            # uncorrelated IN-subqueries harvest like join filters
+            # (round-13 verdict #4): same budget, same key vocabulary
+            _in_subquery_filters(
                 spark, sql, refs, tables, versions, preds,
                 max_harvests=max_harvests,
             )
@@ -1035,6 +1054,13 @@ def _bind_internal_views(
 
 def _pred_str(p: tuple) -> str:
     col, op, val = p
+    if op == "or":
+        # the pushed file-level disjunction (round-13): every branch
+        # shown, so "why did/didn't it prune" forensics read the whole OR
+        return " OR ".join(
+            "(" + " AND ".join(_pred_str(c) for c in br) + ")"
+            for br in val
+        )
     if op == "in" and isinstance(val, (tuple, list)) and len(val) > 8:
         return f"{col} IN [{len(val)} values]"
     if op == "isnull":
@@ -1216,6 +1242,14 @@ def _explain_select(
             if runtime_filters
             else {}
         )
+        if runtime_filters:
+            # mirror execution: IN-subquery harvests compose with the
+            # join filters in the same record (round-13 verdict #4)
+            for name, notes in _in_subquery_filters(
+                spark, s, refs, tables, versions, preds,
+                max_harvests=max_harvests,
+            ).items():
+                rtf.setdefault(name, []).extend(notes)
         ref_preds = _cte_pushdown_predicates(spark, s, refs, tables)
         ba = _bucket_aligned_notes(s, refs, tables, versions)
         if bj_refused:
@@ -2223,12 +2257,6 @@ def _extract_pushdown_predicates(
     )
     if end:
         clause = clause[: end.start()]
-    if _has_top_level_or(clause):
-        # a depth-0 OR makes the top-level-AND split itself invalid:
-        # `d = 1 OR k = 5 AND v = 2` parses as `d = 1 OR (k = 5 AND
-        # v = 2)`, so `v = 2` is NOT implied — pushing it would drop
-        # d = 1 rows. No conjunct from such a clause is trustworthy.
-        return {}
     # pushdown only targets tables referenced exactly once, at depth 0
     counts: dict[str, int] = {}
     for r in refs:
@@ -2272,17 +2300,115 @@ def _extract_pushdown_predicates(
         pos == 0 or s[pos - 1] != "."
         for pos, _tok in _depth0_marks(s, r"\b(left|right|full)\b")
     )
-    out: dict[str, list[tuple]] = {}
-    for conj in _split_top_and(clause):
-        qual = None
-        body = conj
+
+    def _resolve_owner(col: str, qual: str | None, ctx: str) -> str | None:
+        """The single table owning `col` (qualified or unambiguous), or
+        None with a debug line — shared by the conjunct and OR routes."""
+        q = qual
+        if q is None:
+            owners = [n for n, cols in schemas.items() if col in cols]
+            if len(owners) != 1:
+                _log().debug(
+                    "catalog_sql pushdown skipped for %r: unqualified "
+                    "column %s %s (qualify it as <table>.%s to push)",
+                    ctx, col,
+                    "is ambiguous across " + str(sorted(owners))
+                    if owners else "belongs to no referenced table",
+                    col,
+                )
+                return None
+            q = owners[0]
+        if col not in schemas.get(q, ()):  # alias-qualified: verify
+            _log().debug(
+                "catalog_sql pushdown skipped for %r: %s has no "
+                "column %s", ctx, q, col,
+            )
+            return None
+        if q not in eligible:
+            _log().debug(
+                "catalog_sql pushdown skipped for %r: table %s is "
+                "referenced more than once or inside a derived "
+                "relation", ctx, q,
+            )
+            return None
+        return q
+
+    def _strip_qual(conj: str) -> tuple[str | None, str]:
         qm = re.match(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\.(.+)$", conj.strip())
         if qm and qm.group(1).lower() in alias_of:
-            qual, body = alias_of[qm.group(1).lower()], qm.group(2)
+            return alias_of[qm.group(1).lower()], qm.group(2)
+        return None, conj
+
+    def _or_group(text: str) -> tuple[str, tuple] | None:
+        """Parse a top-level disjunction whose EVERY branch is a
+        conjunction of supported predicates on the SAME eligible table
+        (round-13 verdict #2) → (table, branches) for the or-predicate
+        `(None, "or", branches)`, else None. All-or-nothing: one
+        unsupported / cross-table / isnull-under-outer-join branch
+        refuses the whole disjunction — the file-level soundness
+        argument ("a file survives if ANY branch may match") needs
+        every branch accounted for. The OR of null-REJECTING branches
+        is itself null-rejecting (a null-extended row fails every
+        branch), so pushing under outer joins stays sound."""
+        from .sinks import _split_top_or, _strip_outer_parens
+
+        owner: str | None = None
+        branches: list[tuple] = []
+        for d in _split_top_or(text):
+            body = _strip_outer_parens(d)
+            if _has_top_level_or(body):
+                return None  # nested OR: beyond the pushdown grammar
+            branch: list[tuple] = []
+            for c in _split_top_and(body):
+                qual, cbody = _strip_qual(c)
+                try:
+                    parsed = parse_predicates(cbody)
+                except ValueError:
+                    return None
+                for col, op, v in parsed:
+                    if op == "isnull" and outer_join:
+                        return None  # null-ACCEPTING branch: see below
+                    q = _resolve_owner(col, qual, c.strip())
+                    if q is None or (owner is not None and q != owner):
+                        return None
+                    owner = q
+                    branch.append((col, op, v))
+            if not branch:
+                return None
+            branches.append(tuple(branch))
+        return (owner, tuple(branches)) if owner else None
+
+    if _has_top_level_or(clause):
+        # a depth-0 OR makes the top-level-AND split invalid (`d = 1 OR
+        # k = 5 AND v = 2` parses as `d = 1 OR (k = 5 AND v = 2)`), so
+        # no individual conjunct is trustworthy — but the WHOLE clause
+        # is pushable as one file-level disjunction when every branch
+        # is supported and owned by one table (round-13 verdict #2).
+        grp = _or_group(clause)
+        if grp is None:
+            return {}
+        owner, branches = grp
+        return {owner: [(None, "or", branches)]}
+    out: dict[str, list[tuple]] = {}
+    for conj in _split_top_and(clause):
+        qual, body = _strip_qual(conj)
         try:
             parsed = parse_predicates(body)
         except ValueError:
-            continue  # OR / functions / column-vs-column: skip, stay sound
+            # not a simple conjunct — but a parenthesized disjunction
+            # appearing AS one conjunct (`k = 5 AND (d = 'a' OR
+            # d = 'b')`) pushes as an or-predicate for its owning table
+            from .sinks import _strip_outer_parens
+
+            inner = _strip_outer_parens(conj.strip())
+            if inner != conj.strip() and _has_top_level_or(inner):
+                grp = _or_group(inner)
+                if grp is not None:
+                    owner, branches = grp
+                    out.setdefault(owner, []).append(
+                        (None, "or", branches)
+                    )
+            continue  # functions / column-vs-column: skip, stay sound
         for col, op, v in parsed:
             if op == "isnull" and outer_join:
                 _log().debug(
@@ -2292,35 +2418,9 @@ def _extract_pushdown_predicates(
                     "ones that pass the filter", conj.strip(),
                 )
                 continue
-            q = qual
+            q = _resolve_owner(col, qual, conj.strip())
             if q is None:
-                owners = [n for n, cols in schemas.items() if col in cols]
-                if len(owners) != 1:
-                    # "why didn't it prune" forensics (round-6 nit):
-                    # soundly skipped, but say so at debug level
-                    _log().debug(
-                        "catalog_sql pushdown skipped for %r: unqualified "
-                        "column %s %s (qualify it as <table>.%s to push)",
-                        conj.strip(), col,
-                        "is ambiguous across " + str(sorted(owners))
-                        if owners else "belongs to no referenced table",
-                        col,
-                    )
-                    continue
-                q = owners[0]
-            if col not in schemas.get(q, ()):  # alias-qualified: verify
-                _log().debug(
-                    "catalog_sql pushdown skipped for %r: %s has no "
-                    "column %s", conj.strip(), q, col,
-                )
                 continue
-            if q not in eligible:
-                _log().debug(
-                    "catalog_sql pushdown skipped for %r: table %s is "
-                    "referenced more than once or inside a derived "
-                    "relation", conj.strip(), q,
-                )
-                continue  # self-join or subquery-only reference
             out.setdefault(q, []).append((col, op, v))
     return out
 
@@ -2600,6 +2700,183 @@ def _runtime_join_filters(
                 "runtime join filter: %s.%s IN <%d keys from %s.%s>",
                 fact, fcol, len(vals), dim, dcol,
             )
+    return applied
+
+
+_IN_SUBQ_RE = None
+
+
+def _in_subquery_filters(
+    spark: SparkSession,
+    sql: str,
+    refs: list[dict],
+    tables: dict,
+    versions: dict[str, int],
+    preds: dict,
+    max_harvests: int = 8,
+    max_keys: int = 10_000,
+) -> dict:
+    """Runtime filters from UNCORRELATED IN-subqueries (round-13 verdict
+    #4): a depth-0 WHERE conjunct `col IN (SELECT key FROM dim [WHERE
+    <literal conjunction>])` executes the dim side at plan time — the
+    same bounded harvest, key-type vocabulary, and ≤ `max_keys` budget
+    as the X42 join-filter — and pushes the harvested key set into the
+    outer table's manifest read as an IN predicate. The subquery STAYS
+    in the SQL (Spark computes the exact row semantics); the pushed set
+    is pure I/O pruning, and it EQUALS the subquery's own result at the
+    same pinned dim version, so the superset argument is immediate.
+    NULL keys drop from the harvest (`x IN (...NULL...)` never passes a
+    row via the NULL member).
+
+    Refused shapes pass through un-pruned, loudly at debug level:
+    NOT IN (different NULL semantics — never prune), correlated
+    subqueries (any WHERE column outside the dim's schema), aggregating
+    / grouped / joined / nested subqueries (the regex matches only
+    `SELECT [DISTINCT] <col> FROM <table> [WHERE <paren-free text>]`),
+    a dim that is the outer table itself, an over-budget key set, and
+    an empty harvest (Spark already returns zero rows; `isin()` with no
+    members is not a predicate). Mutates `preds`; returns {outer table:
+    [{"key", "from", "n_keys"}]} for the EXPLAIN record."""
+    import re
+
+    global _IN_SUBQ_RE
+    if _IN_SUBQ_RE is None:
+        _IN_SUBQ_RE = re.compile(
+            r"(\bNOT\s+)?\b(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s+"
+            r"IN\s*\(\s*SELECT\s+(?:DISTINCT\s+)?([A-Za-z_]\w*)\s+FROM\s+"
+            r"([A-Za-z_]\w*)(?:\s+WHERE\s+([^()]+?))?\s*\)",
+            re.IGNORECASE,
+        )
+    from .sinks import parse_predicates, read_manifest
+
+    s = _strip_sql_strings(sql)
+    wheres = [pos for pos, tok in _depth0_marks(s, r"\bwhere\b")]
+    if len(wheres) != 1:
+        return {}
+    if _has_top_level_or(s[wheres[0]:]):
+        # `k IN (SELECT ...) OR v = 1`: the IN conjunct is NOT implied
+        # by every output row — pruning by its keys would drop v = 1
+        # rows. Any depth-0 OR after the WHERE refuses the whole
+        # harvest (parenthesized ORs are caught by the paren-balance
+        # check per match below).
+        return {}
+    counts: dict[str, int] = {}
+    for r in refs:
+        counts[r["name"]] = counts.get(r["name"], 0) + 1
+    eligible = {
+        r["name"] for r in refs if counts[r["name"]] == 1 and r["depth"] == 0
+    }
+    alias_of: dict[str, str] = {}
+    for r in refs:
+        alias_of[(r["alias"] or r["name"]).lower()] = r["name"]
+    schemas: dict[str, set] = {}
+
+    def _schema(name: str) -> set:
+        if name not in schemas:
+            v = versions.get(name)
+            m = read_manifest(tables[name]["path"], v) if name in tables \
+                else None
+            schemas[name] = {
+                f["name"] for f in (m or {}).get("schema", {}).get(
+                    "fields", []
+                )
+            } if m else set()
+        return schemas[name]
+
+    applied: dict[str, list] = {}
+    harvests = 0
+    for mt in _IN_SUBQ_RE.finditer(s):
+        if mt.group(1):
+            continue  # NOT IN: NULL semantics differ — never prune
+        if s[: mt.start()].count("(") != s[: mt.start()].count(")"):
+            continue  # inside parens (nested subquery / derived relation)
+        if mt.start() < wheres[0]:
+            continue  # before the WHERE (e.g. inside a join's ON text)
+        qual, col, dcol, dim, dwhere = mt.groups()[1:]
+        if dim not in tables or dim.lower() in _cte_names(s):
+            continue
+        outer = alias_of.get((qual or "").lower()) if qual else None
+        if qual and outer is None:
+            continue
+        if outer is None:
+            owners = [
+                n for n in counts
+                if counts[n] == 1 and col in _schema(n) and n != dim
+            ]
+            if len(owners) != 1:
+                _log().debug(
+                    "IN-subquery filter skipped: column %s is ambiguous "
+                    "or unresolved", col,
+                )
+                continue
+            outer = owners[0]
+        if (
+            outer not in eligible
+            or outer == dim
+            or col not in _schema(outer)
+            or dcol not in _schema(dim)
+        ):
+            continue
+        dpreds = None
+        if dwhere is not None:
+            try:
+                dpreds = parse_predicates(dwhere.strip(), allow_or=True)
+            except ValueError:
+                _log().debug(
+                    "IN-subquery filter skipped: subquery WHERE %r is "
+                    "outside the literal-conjunction grammar", dwhere,
+                )
+                continue
+
+            def _cols_of(ps):
+                for c, op, v in ps:
+                    if op == "or":
+                        for br in v:
+                            yield from _cols_of(br)
+                    else:
+                        yield c
+
+            if any(c not in _schema(dim) for c in _cols_of(dpreds)):
+                # a column the dim lacks resolves against the OUTER
+                # query — a correlated subquery; the harvest would be
+                # per-outer-row, which this is not. Pass through.
+                _log().debug(
+                    "IN-subquery filter skipped: %r reads columns "
+                    "outside %s — correlated subquery", dwhere, dim,
+                )
+                continue
+        if any(a["key"] == col for a in applied.get(outer, ())):
+            continue  # one filter per (table, column); conjuncts compose
+        if harvests >= max_harvests:
+            _log().debug(
+                "IN-subquery filter budget (%d harvests) exhausted",
+                max_harvests,
+            )
+            continue
+        harvests += 1
+        rows = read_manifest_table(
+            spark, tables[dim]["path"], version=versions.get(dim),
+            predicates=dpreds,
+        ).select(dcol).distinct().limit(max_keys + 1).collect()
+        if len(rows) > max_keys:
+            _log().debug(
+                "IN-subquery filter skipped: %s.%s has > %d distinct "
+                "keys after predicates", dim, dcol, max_keys,
+            )
+            continue
+        vals = tuple(r[0] for r in rows if r[0] is not None)
+        if not vals or any(
+            not isinstance(v, _runtime_key_types()) for v in vals
+        ):
+            continue  # empty subquery / exotic key type → no filter
+        preds.setdefault(outer, []).append((col, "in", vals))
+        applied.setdefault(outer, []).append(
+            {"key": col, "from": f"subquery({dim})", "n_keys": len(vals)}
+        )
+        _log().debug(
+            "IN-subquery runtime filter: %s.%s IN <%d keys from %s.%s>",
+            outer, col, len(vals), dim, dcol,
+        )
     return applied
 
 
@@ -3508,7 +3785,12 @@ def _catalog_dml(
                 "drop the table to remove it entirely)"
             )
         e = _dml_table(tables, m.group(1))
-        preds = parse_predicates(m.group(2).strip())
+        # allow_or (round-13): DELETE/UPDATE WHERE accept one level of
+        # disjunction — every layer below (_predicates_column row match,
+        # _file_maybe_matches narrowing, transform prune) is OR-aware.
+        # (Before the round-13 literal fix, `WHERE day = 'a' OR day =
+        # 'b'` silently parsed as ONE junk equality and deleted nothing.)
+        preds = parse_predicates(m.group(2).strip(), allow_or=True)
         r = delete_manifest_rows(spark, e["path"], preds)
         return _metrics_df(
             spark,
@@ -3544,7 +3826,7 @@ def _catalog_dml(
             from pyspark.sql import functions as F
 
             assignments[am.group(1)] = F.expr(am.group(2).strip())
-        preds = parse_predicates(where_text.strip())
+        preds = parse_predicates(where_text.strip(), allow_or=True)
         r = update_manifest_rows(spark, e["path"], assignments, preds)
         return _metrics_df(
             spark, {k: r[k] for k in ("updated", "partitions_rewritten")}

@@ -291,6 +291,17 @@ def key_maybe_matches(
         return True
     cache = _cache if _cache is not None else {}
     for col, op, raw in predicates:
+        if op == "or":
+            # disjunction (round-13): the partition survives when ANY
+            # branch's conjunction could hold rows in it — e.g. with
+            # days(ts) partitioning, `ts < A OR ts > B` keeps exactly
+            # the day-keys outside [A, B]
+            if not any(
+                key_maybe_matches(spark, t, enc_key, br, cache, source_type)
+                for br in raw
+            ):
+                return False
+            continue
         if col != t.source:
             continue
         if op == "isnull":
@@ -407,17 +418,26 @@ def prune_partition_keys(
     cache: dict = {}
     if t.kind == "bucket":
         vals, seen = [], set()
-        for col, op, raw in predicates:
-            if col != t.source:
-                continue
-            members = (
-                list(raw) if op == "in" else [raw] if op in ("=", "==") else []
-            )
-            for v in members:
-                if v is None or repr(v) in seen:
+
+        def _collect(preds):
+            for col, op, raw in preds:
+                if op == "or":  # harvest every branch for the fused job
+                    for br in raw:
+                        _collect(br)
                     continue
-                seen.add(repr(v))
-                vals.append(v)
+                if col != t.source:
+                    continue
+                members = (
+                    list(raw) if op == "in"
+                    else [raw] if op in ("=", "==") else []
+                )
+                for v in members:
+                    if v is None or repr(v) in seen:
+                        continue
+                    seen.add(repr(v))
+                    vals.append(v)
+
+        _collect(predicates)
         if len(vals) > 1:
             for r, dv in _derive_buckets_batch(
                 spark, t, vals, source_type

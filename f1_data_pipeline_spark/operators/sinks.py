@@ -1157,6 +1157,67 @@ def _split_top_and(s: str) -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+def _split_top_or(s: str) -> list[str]:
+    """Split on depth-0 OR, quote- AND paren-aware (unlike
+    `_split_top_and`, which predates parenthesized predicates: AND
+    conjuncts were historically never parenthesized, but OR branches
+    routinely are — `(a AND b) OR c`). Returns [s] when no depth-0 OR
+    exists."""
+    out, buf, depth, in_q, i = [], [], 0, False, 0
+    up = s.upper()
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            in_q = not in_q
+            buf.append(c)
+            i += 1
+        elif not in_q and c == "(":
+            depth += 1
+            buf.append(c)
+            i += 1
+        elif not in_q and c == ")":
+            depth -= 1
+            buf.append(c)
+            i += 1
+        elif (
+            not in_q
+            and depth == 0
+            and up[i : i + 2] == "OR"
+            and (i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_"))
+            and (
+                i + 2 >= len(s)
+                or not (up[i + 2].isalnum() or up[i + 2] == "_")
+            )
+        ):
+            out.append("".join(buf))
+            buf = []
+            i += 2
+        else:
+            buf.append(c)
+            i += 1
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Remove ONE pair of outer parens when they enclose the whole
+    expression (quote-aware pairing); otherwise return `s` stripped."""
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        return s
+    depth, in_q = 0, False
+    for i, c in enumerate(s):
+        if c == "'":
+            in_q = not in_q
+        elif not in_q and c == "(":
+            depth += 1
+        elif not in_q and c == ")":
+            depth -= 1
+            if depth == 0 and i != len(s) - 1:
+                return s  # `(a) OR (b)`: the first paren closes early
+    return s[1:-1].strip()
+
+
 _PRED_RE = None
 
 
@@ -1181,7 +1242,21 @@ def _parse_pred_literal(raw: str, where: str):
             if body.startswith("'"):
                 return parser(body[1:-1])
     if raw.startswith("'") and raw.endswith("'") and len(raw) >= 2:
-        return raw[1:-1].replace("''", "'")
+        body = raw[1:-1]
+        if body.replace("''", ""). count("'"):
+            # an interior unescaped quote means `raw` is NOT one string
+            # literal — it's a longer expression whose first and last
+            # characters happen to be quotes, e.g. the tail of
+            # `day = 'a' OR day = 'b'`. Accepting it would build the
+            # junk predicate day = "a' OR day = 'b", which PRUNES reads
+            # (matview WHERE, COUNT fast paths, DELETE/UPDATE WHERE)
+            # against a value no row holds — wrong results, silently
+            # (round-13 find, latent since predicates landed).
+            raise ValueError(
+                f"unsupported literal {raw!r} in predicate {where!r} — "
+                "interior quote; not a single string literal"
+            )
+        return body.replace("''", "'")
     if raw.upper() in ("TRUE", "FALSE"):
         return raw.upper() == "TRUE"
     try:
@@ -1195,7 +1270,7 @@ def _parse_pred_literal(raw: str, where: str):
             ) from None
 
 
-def parse_predicates(exprs) -> list[tuple]:
+def parse_predicates(exprs, allow_or: bool = False) -> list[tuple]:
     """Parse simple SQL predicates into the (col, op, value) tuples
     every pruning reader takes — so call sites can say
     `read_manifest_table(..., predicates=parse_predicates(
@@ -1219,10 +1294,24 @@ def parse_predicates(exprs) -> list[tuple]:
       (loaders/__init__.py:73) is exactly this null-predicate shape.
 
     Literals are numbers, 'quoted strings' ('' escapes a quote),
-    TRUE/FALSE, or date'...' / timestamp'...' typed literals. Anything
-    fancier (OR, functions, NOT IN, column-vs-column) raises — pruning
-    predicates are deliberately this small, and the residual-filter
-    guarantee only holds for what the pruners understand."""
+    TRUE/FALSE, or date'...' / timestamp'...' typed literals.
+
+    `allow_or=True` (round-13 verdict #2) additionally accepts ONE level
+    of disjunction: a top-level `a OR b OR ...` whose every branch is a
+    (parenthesizable) conjunction of the simple shapes above, and a
+    fully-parenthesized `(a OR b)` appearing as an AND conjunct. A
+    disjunction parses to the tuple `(None, "or", (branch, ...))` where
+    each branch is a tuple of (col, op, value) triples; the pruners keep
+    a file/partition when ANY branch may match, and the residual row
+    filter applies the OR verbatim — same result-invariance contract as
+    every other predicate. It is OPT-IN so call sites that unpack
+    `(col, op, v)` positionally and use `col` (matview WHERE analysis,
+    layout policies) keep their raises-on-OR behavior unchanged.
+
+    Anything fancier (nested OR-inside-OR branches, functions, NOT IN,
+    column-vs-column) raises — pruning predicates are deliberately this
+    small, and the residual-filter guarantee only holds for what the
+    pruners understand."""
     import re as _re
 
     global _PRED_RE
@@ -1230,10 +1319,34 @@ def parse_predicates(exprs) -> list[tuple]:
         _PRED_RE = _re.compile(
             r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|=|<=|>=|<>|!=|<|>)\s*(.+?)\s*$"
         )
+    if allow_or and isinstance(exprs, str):
+        disjuncts = _split_top_or(exprs)
+        if len(disjuncts) > 1:
+            return [(
+                None, "or",
+                tuple(
+                    tuple(parse_predicates(_strip_outer_parens(d)))
+                    for d in disjuncts
+                ),
+            )]
     if isinstance(exprs, str):
         parts = _split_top_and(exprs)
     else:
         parts = [p for e in exprs for p in _split_top_and(e)]
+    if allow_or:
+        # a parenthesized disjunction appearing as an AND conjunct:
+        # `k = 5 AND (day = 'a' OR day = 'b')` — recurse per part (the
+        # recursion's allow_or path handles the stripped inner OR; a
+        # part whose parens ALSO contain top-level ANDs mis-splits above
+        # and raises here, falling back at the caller — conservative)
+        out: list[tuple] = []
+        for p in parts:
+            inner = _strip_outer_parens(p)
+            if inner != p and _split_top_or(inner) != [inner.strip()]:
+                out.extend(parse_predicates(inner, allow_or=True))
+            else:
+                out.extend(parse_predicates(p))
+        return out
     out: list[tuple] = []
     for p in parts:
         m = _re.match(
@@ -1309,6 +1422,15 @@ def _predicates_column(predicates: Sequence[tuple]) -> Column:
     ops = _pred_ops()
     out = F.lit(True)
     for col, op, v in predicates:
+        if op == "or":
+            # one level of disjunction (parse_predicates allow_or): each
+            # branch is itself a conjunction of simple predicates
+            branch_cols = [_predicates_column(br) for br in v]
+            acc = branch_cols[0]
+            for b in branch_cols[1:]:
+                acc = acc | b
+            out = out & acc
+            continue
         if op == "in":
             out = out & F.col(col).isin(*[F.lit(x) for x in v])
             continue
@@ -1356,6 +1478,13 @@ def _file_maybe_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
     stats = fmeta.get("stats") or {}
     rows = fmeta.get("rows")
     for col, op, raw in predicates:
+        if op == "or":
+            # a disjunction empties the file only when EVERY branch's
+            # bounds prove emptiness — the file-level OR pushdown
+            # (round-13 verdict #2): keep on any possibly-matching branch
+            if not any(_file_maybe_matches(fmeta, br) for br in raw):
+                return False
+            continue
         st = stats.get(col)
         if not st:
             continue
@@ -1498,6 +1627,14 @@ def _file_always_matches(fmeta: dict, predicates: Sequence[tuple]) -> bool:
     unknowable answers False (the file gets scanned, never miscounted)."""
     stats = fmeta.get("stats") or {}
     for col, op, raw in predicates:
+        if op == "or":
+            # every row satisfies a disjunction if SOME single branch is
+            # proven to hold on every row (sufficient, conservative —
+            # rows could also split across branches, which is unknowable
+            # from bounds alone → scanned, never miscounted)
+            if not any(_file_always_matches(fmeta, br) for br in raw):
+                return False
+            continue
         st = stats.get(col)
         if not st:
             return False
@@ -2140,7 +2277,11 @@ def _bloom_prune_entries(
     if not predicates or not entries or m.get("schema") is None:
         return entries
     point: list[tuple[str, list]] = []
+    or_preds: list[tuple] = []
     for col, op, v in predicates:
+        if op == "or":
+            or_preds.append(v)
+            continue
         if op in ("=", "=="):
             vals = [v]
         elif op == "in":
@@ -2150,8 +2291,24 @@ def _bloom_prune_entries(
         if any(x is None for x in vals):
             continue  # NULL never matches a comparison; stats prune it
         point.append((col, vals))
-    if not point:
+    if not point and not or_preds:
         return entries
+    if or_preds:
+        # disjunction (round-13): a partition survives an OR when ANY
+        # branch's bloom pass keeps it — recurse per branch and keep the
+        # union (a branch with no point predicates keeps everything, so
+        # such an OR never drops a partition; conservative by shape)
+        out = dict(entries)
+        for branches in or_preds:
+            keep: set = set()
+            for br in branches:
+                keep.update(
+                    _bloom_prune_entries(spark, path, m, out, list(br))
+                )
+            out = {k: e for k, e in out.items() if k in keep}
+        entries = out
+        if not point:
+            return entries
     schema = T.StructType.fromJson(m["schema"])
     out = dict(entries)
     for col, vals in point:
@@ -2361,7 +2518,14 @@ def _map_predicates(
     filters understand."""
     if not predicates or not l2p:
         return predicates
-    return [(l2p.get(c, c), op, v) for c, op, v in predicates]
+    return [
+        (
+            (None, "or", tuple(tuple(_map_predicates(br, l2p)) for br in v))
+            if op == "or"
+            else (l2p.get(c, c), op, v)
+        )
+        for c, op, v in predicates
+    ]
 
 
 def _to_logical(df: DataFrame, stored: T.StructType | None) -> DataFrame:

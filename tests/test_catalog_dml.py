@@ -310,3 +310,36 @@ def test_sql_dml_null_predicates(spark, tmp_path):
         spark, cat, "SELECT count(*) AS n FROM nulls_t WHERE v IS NOT NULL"
     ).first().n
     assert n == 4
+
+
+def test_sql_dml_or_predicates(spark, tmp_path):
+    """Round-13: DELETE/UPDATE WHERE accept one level of disjunction —
+    the whole predicate chain below (row condition, file narrowing,
+    transform prune) is OR-aware. Before the round-13 literal fix this
+    exact DELETE silently parsed as ONE junk equality (day = \"a' OR
+    day = 'b\") and deleted nothing while reporting success."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"day{i % 4}", float(i)) for i in range(20)],
+        "k long, day string, v double",
+    )
+    sinks.merge_upsert_manifest(spark, df, t, keys=["k"], partition_col="day")
+    CAT.catalog_create_table(cat, "or_t", t)
+
+    r = CAT.catalog_sql(
+        spark, cat, "DELETE FROM or_t WHERE day = 'day1' OR day = 'day2'"
+    )
+    assert r.first().deleted == 10
+    left = sinks.read_manifest_table(spark, t)
+    assert sorted(x.day for x in left.select("day").distinct().collect()) \
+        == ["day0", "day3"]
+
+    r = CAT.catalog_sql(
+        spark, cat,
+        "UPDATE or_t SET v = -1.0 WHERE k < 2 OR (day = 'day3' AND k > 15)",
+    )
+    assert r.first().updated == 2  # k=0 and k=19
+    after = sinks.read_manifest_table(spark, t)  # post-update manifest
+    got = {x.k for x in after.filter("v = -1.0").collect()}
+    assert got == {0, 19}

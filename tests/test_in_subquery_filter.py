@@ -1,0 +1,104 @@
+"""IN-subquery runtime filters (round-13 verdict #4): `WHERE col IN
+(SELECT key FROM dim [WHERE <literals>])` executes the dim side at plan
+time — the X42 harvest budget and key vocabulary — and prunes the outer
+table's manifest read; the subquery stays in the SQL so Spark computes
+the exact row semantics. Correlated / aggregating / NOT IN / OR-glued
+shapes pass through un-pruned."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators import catalog as CAT
+from f1_data_pipeline_spark.operators import sinks
+
+
+@pytest.fixture(scope="module")
+def subq_cat(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("insubq")
+    cat, t, d = str(tmp / "cat"), str(tmp / "t"), str(tmp / "d")
+    fact = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("fk"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    sinks.merge_upsert_manifest(spark, fact, t, keys=["k"],
+                                partition_col="fk")
+    dim = spark.range(20).select(
+        F.col("id").alias("dk"), (F.col("id") % 4).alias("seg")
+    )
+    sinks.merge_upsert_manifest(spark, dim, d, keys=["dk"],
+                                partition_col="seg")
+    CAT.catalog_create_table(cat, "fact", t)
+    CAT.catalog_create_table(cat, "dim", d)
+    sinks.read_manifest_table(spark, t).createOrReplaceTempView("gt_fact")
+    sinks.read_manifest_table(spark, d).createOrReplaceTempView("gt_dim")
+    return cat
+
+
+def _gt(q: str) -> str:
+    return q.replace("FROM fact", "FROM gt_fact").replace(
+        "FROM dim", "FROM gt_dim"
+    )
+
+
+def test_in_subquery_prunes_and_matches(spark, subq_cat):
+    cases = [
+        # (query, expected files_scanned of 20)
+        ("SELECT k FROM fact WHERE fk IN "
+         "(SELECT dk FROM dim WHERE seg = 1)", 5),
+        ("SELECT k FROM fact WHERE fk IN "
+         "(SELECT DISTINCT dk FROM dim WHERE seg = 1 AND dk < 10)", 3),
+        ("SELECT f.k FROM fact f WHERE f.fk IN "
+         "(SELECT dk FROM dim WHERE seg = 2)", 5),
+        # composes with ordinary conjuncts
+        ("SELECT k FROM fact WHERE v >= 0 AND fk IN "
+         "(SELECT dk FROM dim WHERE seg = 0)", 5),
+        # an OR inside the SUBQUERY's own WHERE is fine (allow_or)
+        ("SELECT k FROM fact WHERE fk IN "
+         "(SELECT dk FROM dim WHERE seg = 0 OR seg = 3)", 10),
+    ]
+    for q, want_files in cases:
+        ex = CAT.catalog_sql(spark, subq_cat, "EXPLAIN " + q).collect()
+        r = next(x for x in ex if x.table == "fact")
+        assert r.runtime_filter and "subquery(dim)" in r.runtime_filter, q
+        assert r.files_scanned == want_files, (q, r.files_scanned)
+        got = sorted(x[0] for x in CAT.catalog_sql(spark, subq_cat, q)
+                     .collect())
+        want = sorted(x[0] for x in spark.sql(_gt(q)).collect())
+        assert got == want, q
+
+
+def test_in_subquery_refusals_pass_through(spark, subq_cat):
+    refuse = [
+        # NOT IN: NULL semantics differ — never prune
+        ("SELECT k FROM fact WHERE fk NOT IN "
+         "(SELECT dk FROM dim WHERE seg = 1)"),
+        # depth-0 OR: the IN conjunct is not implied by every row
+        ("SELECT k FROM fact WHERE fk IN "
+         "(SELECT dk FROM dim WHERE seg = 1) OR v < 10"),
+        # aggregating subquery: outside the grammar
+        "SELECT k FROM fact WHERE fk IN (SELECT MAX(dk) FROM dim)",
+        # correlated: `v` belongs to the OUTER table, not dim
+        ("SELECT k FROM fact WHERE fk IN "
+         "(SELECT dk FROM dim WHERE v > 100)"),
+    ]
+    for q in refuse:
+        ex = CAT.catalog_sql(spark, subq_cat, "EXPLAIN " + q).collect()
+        r = next(x for x in ex if x.table == "fact")
+        assert r.runtime_filter is None, q
+        assert r.files_scanned == r.files_total, q
+        got = sorted(x[0] for x in CAT.catalog_sql(spark, subq_cat, q)
+                     .collect())
+        want = sorted(x[0] for x in spark.sql(_gt(q)).collect())
+        assert got == want, q
+
+
+def test_in_subquery_empty_harvest_keeps_files(spark, subq_cat):
+    """An empty subquery result adds no pruning predicate (isin() needs
+    members); Spark itself returns zero rows either way."""
+    q = "SELECT k FROM fact WHERE fk IN (SELECT dk FROM dim WHERE seg = 9)"
+    ex = CAT.catalog_sql(spark, subq_cat, "EXPLAIN " + q).collect()
+    r = next(x for x in ex if x.table == "fact")
+    assert r.runtime_filter is None
+    assert CAT.catalog_sql(spark, subq_cat, q).count() == 0

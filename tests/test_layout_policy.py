@@ -188,6 +188,23 @@ def test_parse_predicates(spark, tmp_path):
     for bad in ("a = b", "NOT a = 1", "a IN ()", "a OR b"):
         with pytest.raises(ValueError):
             sinks.parse_predicates(bad)
+    # round 13: a quoted literal whose interior holds an unescaped quote
+    # is NOT one string — `day = 'a' OR day = 'b'` used to silently
+    # parse as day = "a' OR day = 'b" and PRUNE against that junk value
+    with pytest.raises(ValueError, match="interior quote"):
+        sinks.parse_predicates("day = 'a' OR day = 'b'")
+    # round 13: allow_or parses one level of disjunction
+    assert sinks.parse_predicates(
+        "day = 'a' OR day = 'b'", allow_or=True
+    ) == [(None, "or", ((("day", "=", "a"),), (("day", "=", "b"),)))]
+    assert sinks.parse_predicates(
+        "k = 5 AND (day = 'a' OR v > 2)", allow_or=True
+    ) == [
+        ("k", "=", 5),
+        (None, "or", ((("day", "=", "a"),), (("v", ">", 2),))),
+    ]
+    with pytest.raises(ValueError):  # nested OR stays out of the grammar
+        sinks.parse_predicates("a = 1 OR (b = 2 OR c = 3)", allow_or=True)
     # end to end: the parsed form drives the pruning readers
     path = str(tmp_path / "t")
     _mk(spark, path)
