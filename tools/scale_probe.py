@@ -1212,6 +1212,214 @@ def probe_hot_bucket() -> None:
         print(json.dumps(rec), flush=True)
 
 
+def probe_skewed_shuffle() -> None:
+    """Round-13 verdict #6: what the SHUFFLED plan — the one the bucket
+    route's cost gate prefers below the route floor — does under the
+    SAME key skew as probe_hot_bucket (one key holds ~half the fact).
+
+    Three arms per factor, each on manifest-table reads:
+
+    - `default`: the join exactly as the cost gate runs it. At probe
+      scale Spark BROADCASTS the dim (it is far under the 10 MB
+      default), and a broadcast hash join has no reducer partitions at
+      all — key skew is structurally irrelevant. This is the common
+      production case for the route-floor regime too: a dim small
+      enough to lose to the route floor is usually broadcast-sized.
+    - `smj_skew_on`: broadcast disabled (the 100 TB shape where the dim
+      outgrows the broadcast threshold), AQE skew-join ON with its two
+      thresholds scaled DOWN proportionally to the probe's data
+      (defaults are 256 MB advisory / 5× median — correct at production
+      scale, unreachable at ~20 MB of probe shuffle;
+      forceOptimizeSkewedJoin because the downstream aggregate's
+      required distribution otherwise vetoes the split). Records the
+      number of `skew=true` markers in the FINAL adaptive plan and the
+      per-task duration profile (p50/max) of the heaviest stage via the
+      UI REST API.
+    - `smj_skew_off`: same forced sort-merge join, skew handling off —
+      the straggler arm; the max/p50 task-duration ratio IS the
+      straggler profile.
+
+    Contract: the default plan is broadcast (skew-immune); with SMJ
+    forced, skew-off shows max_task ≫ p50_task while skew-on splits the
+    hot partition (markers ≥ 1) and flattens the profile. Wall-clock
+    may INVERT at toy scale (splitting a ~20 MB straggler buys less
+    than the extra shuffle forceOptimize inserts) — the probe records
+    it honestly; the asymmetry reverses when the straggler holds
+    gigabytes. One JSON line per (factor, arm)."""
+    import json as _json
+    import os
+    import statistics
+    import tempfile
+    import urllib.request
+
+    from pyspark.sql import SparkSession
+
+    from f1_data_pipeline_spark.operators import sinks
+    from f1_data_pipeline_spark.session import (
+        RUNTIME_CONFS,
+        apply_runtime_confs,
+    )
+
+    args = sys.argv[2:]
+    factors = [int(a) for a in args] if args else [1, 4]
+    # NOT get_spark: this probe needs the UI's REST API for per-task
+    # duration quantiles (get_spark disables the UI); engine runtime
+    # confs are mirrored so join/AQE behavior matches the real session
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    b = (
+        SparkSession.builder.appName("scale_probe_skew")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = apply_runtime_confs(b.getOrCreate())
+    sc = spark.sparkContext
+    BUCKETS, BASE_FACT, BASE_DIM = 16, 400_000, 40_000
+
+    def _api(path: str):
+        base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+        with urllib.request.urlopen(base + path) as fh:
+            return _json.load(fh)
+
+    def _max_stage_id() -> int:
+        try:
+            return max(
+                (s["stageId"] for s in _api("/stages?status=COMPLETE")),
+                default=-1,
+            )
+        except Exception:
+            return -1
+
+    def _task_profile(since: int) -> dict | None:
+        """p50/max task duration (ms) of the heaviest stage completed
+        after `since` — the straggler evidence. None when the UI REST
+        API is unavailable (headless builds); the probe still runs."""
+        try:
+            stages = [
+                s for s in _api("/stages?status=COMPLETE")
+                if s["stageId"] > since and s["numCompleteTasks"] > 1
+            ]
+            best = None
+            for s in stages:
+                q = _api(
+                    f"/stages/{s['stageId']}/{s['attemptId']}/taskSummary"
+                    "?quantiles=0.5,1.0"
+                )
+                d = q.get("duration")
+                if not d:
+                    continue
+                prof = {
+                    "stage": s["stageId"],
+                    "tasks": s["numCompleteTasks"],
+                    "p50_task_ms": round(d[0]),
+                    "max_task_ms": round(d[1]),
+                }
+                if best is None or prof["max_task_ms"] > best["max_task_ms"]:
+                    best = prof
+            return best
+        except Exception:
+            return None
+
+    for factor in factors:
+        work = tempfile.mkdtemp(prefix=f"skewed_shuffle_{factor}x_")
+        fact_p, dim_p = os.path.join(work, "f"), os.path.join(work, "d")
+        n_f, n_d = BASE_FACT * factor, BASE_DIM * factor
+        fact = spark.range(n_f).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, F.lit(7).cast("long"))
+            .otherwise(F.col("id") % n_d).alias("fk"),
+            (F.col("id") * 2.0).alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        ).repartition(32)
+        sinks.merge_upsert_manifest(
+            spark, fact, fact_p, ["k"],
+            partition_col=f"bucket({BUCKETS}, fk)",
+        )
+        dim = spark.range(n_d).select(
+            F.col("id").alias("dk"), (F.col("id") % 7).alias("attr"),
+        )
+        sinks.merge_upsert_manifest(
+            spark, dim, dim_p, ["dk"], partition_col=f"bucket({BUCKETS}, dk)",
+        )
+        # proportional thresholds: hot shuffle partition ≈ payload bytes
+        # of the hot key's rows; an eighth of it clears the 5× median
+        # factor while staying well under the partition itself
+        hot_rows = n_f // 2
+        hot_bytes_est = hot_rows * 100  # ~100 B/row of join payload
+        thresh = max(1 << 20, hot_bytes_est // 8)
+        arms = {
+            "default": {},
+            "smj_skew_on": {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.skewJoin.enabled": "true",
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes": str(thresh),
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+                    str(thresh),
+                "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+            },
+            "smj_skew_off": {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.skewJoin.enabled": "false",
+                "spark.sql.adaptive.forceOptimizeSkewedJoin": "false",
+            },
+        }
+        saved = {
+            k: spark.conf.get(k, None)
+            for a in arms.values() for k in a
+        }
+        try:
+            for arm, confs in arms.items():
+                for k, v in confs.items():
+                    spark.conf.set(k, v)
+                f = sinks.read_manifest_table(spark, fact_p)
+                d = sinks.read_manifest_table(spark, dim_p)
+
+                def q():
+                    return f.join(d, f["fk"] == d["dk"], "inner").select(
+                        F.sum(F.length("payload")).alias("s")
+                    )
+
+                q().collect()  # warmup
+                reps, plan, prof = [], "", None
+                for i in range(3):
+                    since = _max_stage_id()
+                    j = q()
+                    t0 = time.time()
+                    j.collect()
+                    reps.append(time.time() - t0)
+                    if i == 0:
+                        plan = j._jdf.queryExecution().executedPlan() \
+                            .toString()
+                        prof = _task_profile(since)
+                print(_json.dumps({
+                    "op": "skewed_shuffle", "factor": factor, "arm": arm,
+                    "fact_rows": n_f,
+                    "skew": "one key holds ~50% of fact rows",
+                    "sec": round(statistics.median(reps), 3),
+                    "join": (
+                        "broadcast" if "BroadcastHashJoin" in plan
+                        else "sort_merge" if "SortMergeJoin" in plan
+                        else "other"
+                    ),
+                    "skew_splits": plan.count("skew=true"),
+                    "task_profile": prof,
+                }), flush=True)
+                for k in confs:
+                    old = saved[k]
+                    if old is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, old)
+        finally:
+            import shutil
+
+            shutil.rmtree(work, ignore_errors=True)
+
+
 def probe_router_plan() -> None:
     """Round-11 verdict #8: the console bucket-join ROUTER's plan-time
     cost as a function of manifest FILE COUNT (10^3 → 10^5 per table).
@@ -1504,9 +1712,12 @@ def main() -> None:
         "partition_transforms", "replication", "footer_stats",
         "manifest_crossover", "matview_crossover", "runtime_filter",
         "headline_scale", "bucket_join", "manifest_changes", "commit_path",
-        "router_plan", "hot_bucket", "rewrite_crossover",
+        "router_plan", "hot_bucket", "rewrite_crossover", "skewed_shuffle",
     ):
         op = args.pop(0)
+    if op == "skewed_shuffle":
+        probe_skewed_shuffle()
+        return
     if op == "router_plan":
         probe_router_plan()
         return
