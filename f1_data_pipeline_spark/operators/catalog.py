@@ -2793,6 +2793,11 @@ def _in_subquery_filters(
         if mt.start() < wheres[0]:
             continue  # before the WHERE (e.g. inside a join's ON text)
         qual, col, dcol, dim, dwhere = mt.groups()[1:]
+        if dwhere is not None:
+            # the regex ran over STRING-STRIPPED text (so literals never
+            # fake structure), but the harvest needs the REAL literal
+            # values — lengths are preserved, so the span maps back
+            dwhere = sql[mt.start(6):mt.end(6)]
         if dim not in tables or dim.lower() in _cte_names(s):
             continue
         outer = alias_of.get((qual or "").lower()) if qual else None
@@ -3094,14 +3099,17 @@ def _matview_rewrite(
     marked `mv_of == src` at CREATE MATERIALIZED VIEW time are read
     (one manifest JSON per candidate).
 
-    A WHERE is allowed when it is a simple conjunction over PLAIN group
-    columns only (parse_predicates shape): a predicate on grouping
-    columns commutes with the grouping (σ_P(γ_G(T)) = γ_G(σ_P(T)) when
-    P reads only G), and plain group columns keep their source names in
-    the view, so the clause applies verbatim as a row filter over the
-    view. Anything else in the WHERE — a non-group column, a transform
-    source column (`days(ts)`-grouped views store `day`, not `ts`), an
-    OR, a function — falls through.
+    A WHERE is allowed when every column it reads is a PLAIN group
+    column (parse_predicates shape, one level of OR included since
+    round 13): a predicate on grouping columns commutes with the
+    grouping (σ_P(γ_G(T)) = γ_G(σ_P(T)) when P reads only G — the
+    argument is about WHICH columns P reads, not its boolean
+    structure), and plain group columns keep their source names in the
+    view, so the clause applies verbatim as a row filter over the
+    view (and prunes the view's own manifest read, OR included).
+    Anything else in the WHERE — a non-group column, a transform
+    source column (`days(ts)`-grouped views store `day`, not `ts`),
+    a function — falls through.
 
     ORDER BY / LIMIT tails are allowed when every sort key is an
     OUTPUT column name of the query (`... GROUP BY day ORDER BY n DESC
@@ -3157,9 +3165,15 @@ def _matview_rewrite(
     wpreds = None
     if where is not None:
         try:
-            wpreds = parse_predicates(where.strip())
+            # allow_or (round 13): a disjunction over group columns
+            # commutes with the grouping exactly like a conjunction
+            # does (σ commutes with γ whenever the predicate reads only
+            # group columns — its boolean structure is irrelevant), the
+            # clause applies VERBATIM as the row filter below, and the
+            # view's own manifest read prunes or-predicates natively
+            wpreds = parse_predicates(where.strip(), allow_or=True)
         except ValueError:
-            return None  # OR / functions / qualified cols: direct plan
+            return None  # functions / qualified cols: direct plan
     # ORDER BY / LIMIT tails (the top-N dashboard shape): split off the
     # GROUP BY text's depth-0 ORDER/LIMIT marks; sort keys must be
     # OUTPUT column names of this query (they exist on the rewritten
@@ -3351,8 +3365,16 @@ def _matview_rewrite(
             # COUNT(DISTINCT) never re-aggregates (the sets are lost);
             # APPROX_COUNT_DISTINCT already refused above.
             continue
+        def _wpred_cols(ps):
+            for c, op, v in ps:
+                if op == "or":
+                    for br in v:
+                        yield from _wpred_cols(br)
+                else:
+                    yield c
+
         if wpreds is not None and any(
-            c.lower() not in spec_plain for c, _op, _v in wpreds
+            c.lower() not in spec_plain for c in _wpred_cols(wpreds)
         ):
             # only predicates over PLAIN group columns commute with the
             # grouping AND keep their names in the view — anything else

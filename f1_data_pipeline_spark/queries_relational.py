@@ -368,7 +368,72 @@ def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("console_bucket").alias("which"), "o_orderkey", "c_name",
         "o_totalprice",
     )
-    return console.unionAll(bucket).unionAll(routed)
+
+    # fourth arm (round 13): the OR pushdown under the oracle — the
+    # dim's WHERE is a depth-0 disjunction, pushed into customer_m's
+    # manifest read as a file-level OR. EXPLAIN-gated like the matview
+    # arms: the callable RAISES unless the record shows the disjunction
+    # pushed AND strictly fewer files scanned (customer_m is
+    # c_mktsegment-partitioned, so two of five segments must prune to
+    # two partitions), so the hash can never silently cover an unpruned
+    # plan.
+    or_q = """
+        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        FROM orders_m o JOIN customer_m c ON o.o_custkey = c.c_custkey
+        WHERE (c.c_mktsegment = 'FURNITURE' OR c.c_mktsegment = 'HOUSEHOLD')
+          AND EXTRACT(YEAR FROM o.o_orderdate) = 1995
+    """
+    ex = {
+        r["table"]: r
+        for r in CAT.catalog_sql(spark, cat, "EXPLAIN " + or_q).collect()
+    }
+    cm = ex["customer_m"]
+    if not (
+        cm["pushdown"]
+        and any(" OR " in p for p in cm["pushdown"])
+        and cm["files_scanned"] < cm["files_total"]
+    ):
+        raise RuntimeError(
+            "join_inner_equi arm 'console_or' did NOT push the "
+            f"disjunction (pushdown={cm['pushdown']!r}, "
+            f"files {cm['files_scanned']}/{cm['files_total']}) — the "
+            "oracle hash would cover an unpruned plan"
+        )
+    or_arm = CAT.catalog_sql(spark, cat, or_q).select(
+        F.lit("console_or").alias("which"), "o_orderkey", "c_name",
+        "o_totalprice",
+    )
+
+    # fifth arm (round 13): the uncorrelated IN-subquery runtime filter
+    # under the oracle — the dim side executes at plan time and its
+    # harvested keys prune the fact's manifest read. EXPLAIN-gated on
+    # the recorded harvest.
+    subq_q = """
+        SELECT o_orderkey, o_totalprice FROM orders_m
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer_m WHERE c_mktsegment = 'MACHINERY'
+        ) AND EXTRACT(YEAR FROM o_orderdate) = 1994
+    """
+    ex2 = {
+        r["table"]: r
+        for r in CAT.catalog_sql(spark, cat, "EXPLAIN " + subq_q).collect()
+    }
+    om = ex2["orders_m"]
+    if not (om["runtime_filter"] and "subquery(customer_m)" in
+            om["runtime_filter"]):
+        raise RuntimeError(
+            "join_inner_equi arm 'console_in_subq' did NOT harvest the "
+            f"IN-subquery (runtime_filter={om['runtime_filter']!r}) — "
+            "the oracle hash would cover an unfiltered plan"
+        )
+    subq_arm = CAT.catalog_sql(spark, cat, subq_q).select(
+        F.lit("console_in_subq").alias("which"), "o_orderkey",
+        F.lit(None).cast("string").alias("c_name"), "o_totalprice",
+    )
+    return (
+        console.unionAll(bucket).unionAll(routed).unionAll(or_arm)
+        .unionAll(subq_arm)
+    )
 
 
 register(
@@ -386,6 +451,18 @@ register(
     SELECT 'console_bucket' AS which, o_orderkey, c_name, o_totalprice
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND c_mktsegment = 'AUTOMOBILE'
+    UNION ALL
+    SELECT 'console_or' AS which, o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE (c_mktsegment = 'FURNITURE' OR c_mktsegment = 'HOUSEHOLD')
+      AND EXTRACT(YEAR FROM o_orderdate) = 1995
+    UNION ALL
+    SELECT 'console_in_subq' AS which, o_orderkey, CAST(NULL AS VARCHAR),
+           o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ) AND EXTRACT(YEAR FROM o_orderdate) = 1994
     """,
 )
 

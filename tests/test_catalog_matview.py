@@ -349,8 +349,10 @@ def test_rewrite_conservative_refusals(spark, tmp_path):
         "SELECT day, cat, MAX(v) AS m FROM src GROUP BY day, cat",  # agg
         ("SELECT day, cat, COUNT(*) AS n FROM src "
          "WHERE v > 3 GROUP BY day, cat"),                   # non-group WHERE
+        # an OR whose branches touch a NON-group column still refuses
+        # (round 13 accepts group-column-only ORs — see the WHERE test)
         ("SELECT day, cat, COUNT(*) AS n FROM src "
-         "WHERE day = 1 OR cat = 2 GROUP BY day, cat"),      # OR WHERE
+         "WHERE day = 1 OR v = 2 GROUP BY day, cat"),
         ("SELECT day, cat AS c, COUNT(*) AS n FROM src "
          "GROUP BY day, cat ORDER BY cat"),    # sort key not an output
         ("SELECT day, cat, COUNT(*) AS n FROM src "
@@ -618,11 +620,12 @@ def mv_session(spark, tmp_path_factory):
 
 
 def test_rewrite_where_over_group_columns(spark, tmp_path):
-    """A WHERE that is a simple conjunction over PLAIN group columns
-    commutes with the grouping, so the view answers it with the clause
-    applied verbatim as a row filter — the dashboard shape
-    (`... WHERE day >= X GROUP BY day, cat`). Non-group columns, ORs,
-    and transform sources keep refusing (the refusals test)."""
+    """A WHERE whose every column is a PLAIN group column commutes with
+    the grouping — conjunctions AND (round 13) one level of OR — so the
+    view answers it with the clause applied verbatim as a row filter,
+    the dashboard shape (`... WHERE day >= X GROUP BY day, cat`).
+    Non-group columns and transform sources keep refusing (the
+    refusals test)."""
     cat, t = _seed(spark, tmp_path)
     CAT.catalog_sql(
         spark, cat,
@@ -638,6 +641,15 @@ def test_rewrite_where_over_group_columns(spark, tmp_path):
          "WHERE day = 2 AND cat <> 0 GROUP BY day, cat"),
         ("SELECT day, cat, COUNT(*) AS n FROM src "
          "WHERE day IN (0, 3) GROUP BY day, cat"),
+        # round 13: group-column disjunctions rewrite too — the σ/γ
+        # commutation argument is about WHICH columns the predicate
+        # reads, not its boolean structure
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "WHERE day = 0 OR cat = 2 GROUP BY day, cat"),
+        ("SELECT day, cat, COUNT(*) AS n FROM src "
+         "WHERE day >= 3 OR (day = 1 AND cat = 0) GROUP BY day, cat"),
+        ("SELECT cat, COUNT(*) AS n FROM src "
+         "WHERE day = 1 OR day = 2 GROUP BY cat"),  # coarse + OR
     ):
         got = CAT.catalog_sql(spark, cat, q)
         files = got.inputFiles()

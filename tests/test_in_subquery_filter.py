@@ -25,7 +25,10 @@ def subq_cat(spark, tmp_path_factory):
     sinks.merge_upsert_manifest(spark, fact, t, keys=["k"],
                                 partition_col="fk")
     dim = spark.range(20).select(
-        F.col("id").alias("dk"), (F.col("id") % 4).alias("seg")
+        F.col("id").alias("dk"),
+        (F.col("id") % 4).alias("seg"),
+        F.concat(F.lit("seg_"), (F.col("id") % 4).cast("string"))
+        .alias("lbl"),
     )
     sinks.merge_upsert_manifest(spark, dim, d, keys=["dk"],
                                 partition_col="seg")
@@ -92,6 +95,21 @@ def test_in_subquery_refusals_pass_through(spark, subq_cat):
                      .collect())
         want = sorted(x[0] for x in spark.sql(_gt(q)).collect())
         assert got == want, q
+
+
+def test_in_subquery_string_literal_where(spark, subq_cat):
+    """Regression (round-13, caught by the join_inner_equi oracle gate):
+    the matcher runs over STRING-STRIPPED text so literals never fake
+    structure — but the harvest must read the REAL literal back from the
+    original text, or a string-valued dim WHERE harvests zero keys."""
+    q = ("SELECT k FROM fact WHERE fk IN "
+         "(SELECT dk FROM dim WHERE lbl = 'seg_2')")
+    ex = CAT.catalog_sql(spark, subq_cat, "EXPLAIN " + q).collect()
+    r = next(x for x in ex if x.table == "fact")
+    assert r.runtime_filter and "5 keys" in r.runtime_filter
+    assert r.files_scanned == 5
+    got = sorted(x[0] for x in CAT.catalog_sql(spark, subq_cat, q).collect())
+    assert got == sorted(x[0] for x in spark.sql(_gt(q)).collect())
 
 
 def test_in_subquery_empty_harvest_keeps_files(spark, subq_cat):
