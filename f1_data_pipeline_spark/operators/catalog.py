@@ -2704,6 +2704,8 @@ def _runtime_join_filters(
 
 
 _IN_SUBQ_RE = None
+_EXISTS_RE = None
+_CORR_EQ_RE = None
 
 
 def _in_subquery_filters(
@@ -2716,27 +2718,37 @@ def _in_subquery_filters(
     max_harvests: int = 8,
     max_keys: int = 10_000,
 ) -> dict:
-    """Runtime filters from UNCORRELATED IN-subqueries (round-13 verdict
-    #4): a depth-0 WHERE conjunct `col IN (SELECT key FROM dim [WHERE
-    <literal conjunction>])` executes the dim side at plan time — the
-    same bounded harvest, key-type vocabulary, and ≤ `max_keys` budget
-    as the X42 join-filter — and pushes the harvested key set into the
-    outer table's manifest read as an IN predicate. The subquery STAYS
-    in the SQL (Spark computes the exact row semantics); the pushed set
-    is pure I/O pruning, and it EQUALS the subquery's own result at the
-    same pinned dim version, so the superset argument is immediate.
-    NULL keys drop from the harvest (`x IN (...NULL...)` never passes a
-    row via the NULL member).
+    """Runtime filters from semi-join-shaped subqueries (round-13
+    verdict #4): a depth-0 WHERE conjunct in either spelling —
+
+    - `col IN (SELECT key FROM dim [WHERE <literal conjunction>])`
+      (uncorrelated), or
+    - `EXISTS (SELECT 1 FROM dim [alias] WHERE <ONE cross-scope
+      equality> AND <dim literals>)` (the correlated spelling of the
+      same semi-join — the single equality names the harvest column)
+
+    executes the dim side at plan time — the same bounded harvest,
+    key-type vocabulary, and ≤ `max_keys` budget as the X42
+    join-filter — and pushes the harvested key set into the outer
+    table's manifest read as an IN predicate. The subquery STAYS in
+    the SQL (Spark computes the exact row semantics); the pushed set
+    is pure I/O pruning, and it EQUALS the subquery's matchable key
+    set at the same pinned dim version, so the superset argument is
+    immediate. NULL keys drop from the harvest (`x IN (...NULL...)`
+    never passes a row via the NULL member; an equality never matches
+    NULL either).
 
     Refused shapes pass through un-pruned, loudly at debug level:
-    NOT IN (different NULL semantics — never prune), correlated
-    subqueries (any WHERE column outside the dim's schema), aggregating
-    / grouped / joined / nested subqueries (the regex matches only
-    `SELECT [DISTINCT] <col> FROM <table> [WHERE <paren-free text>]`),
-    a dim that is the outer table itself, an over-budget key set, and
-    an empty harvest (Spark already returns zero rows; `isin()` with no
-    members is not a predicate). Mutates `preds`; returns {outer table:
-    [{"key", "from", "n_keys"}]} for the EXPLAIN record."""
+    NOT IN / NOT EXISTS (anti-join semantics — never prune), correlated
+    reads beyond the single EXISTS equality (any WHERE column outside
+    the dim's schema, or a second cross-scope equality), aggregating
+    / grouped / joined / nested subqueries (the regexes match only
+    `SELECT [DISTINCT] <col> FROM <table> [WHERE <paren-free text>]`
+    bodies), a dim that is the outer table itself, an over-budget key
+    set, and an empty harvest (Spark already returns zero rows;
+    `isin()` with no members is not a predicate). Mutates `preds`;
+    returns {outer table: [{"key", "from", "n_keys"}]} for the EXPLAIN
+    record."""
     import re
 
     global _IN_SUBQ_RE
@@ -2785,6 +2797,44 @@ def _in_subquery_filters(
 
     applied: dict[str, list] = {}
     harvests = 0
+
+    def _harvest(outer, col, dim, dcol, dpreds, label) -> None:
+        """Shared tail for the IN- and EXISTS-shapes: budget, bounded
+        dim read, key-type vocabulary, predicate + EXPLAIN note."""
+        nonlocal harvests
+        if any(a["key"] == col for a in applied.get(outer, ())):
+            return  # one filter per (table, column); conjuncts compose
+        if harvests >= max_harvests:
+            _log().debug(
+                "subquery filter budget (%d harvests) exhausted",
+                max_harvests,
+            )
+            return
+        harvests += 1
+        rows = read_manifest_table(
+            spark, tables[dim]["path"], version=versions.get(dim),
+            predicates=dpreds,
+        ).select(dcol).distinct().limit(max_keys + 1).collect()
+        if len(rows) > max_keys:
+            _log().debug(
+                "subquery filter skipped: %s.%s has > %d distinct "
+                "keys after predicates", dim, dcol, max_keys,
+            )
+            return
+        vals = tuple(r[0] for r in rows if r[0] is not None)
+        if not vals or any(
+            not isinstance(v, _runtime_key_types()) for v in vals
+        ):
+            return  # empty subquery / exotic key type → no filter
+        preds.setdefault(outer, []).append((col, "in", vals))
+        applied.setdefault(outer, []).append(
+            {"key": col, "from": label, "n_keys": len(vals)}
+        )
+        _log().debug(
+            "subquery runtime filter: %s.%s IN <%d keys from %s>",
+            outer, col, len(vals), label,
+        )
+
     for mt in _IN_SUBQ_RE.finditer(s):
         if mt.group(1):
             continue  # NOT IN: NULL semantics differ — never prune
@@ -2850,38 +2900,110 @@ def _in_subquery_filters(
                     "outside %s — correlated subquery", dwhere, dim,
                 )
                 continue
-        if any(a["key"] == col for a in applied.get(outer, ())):
-            continue  # one filter per (table, column); conjuncts compose
-        if harvests >= max_harvests:
-            _log().debug(
-                "IN-subquery filter budget (%d harvests) exhausted",
-                max_harvests,
-            )
+        _harvest(outer, col, dim, dcol, dpreds, f"subquery({dim})")
+
+    # EXISTS semi-joins: `EXISTS (SELECT 1 FROM dim [alias] WHERE
+    # <exactly one cross-scope equality> AND <dim literals>)` — the
+    # idiomatic spelling of the same semi-join the IN-shape writes.
+    # The correlation equality names the harvest column; everything
+    # else must be a dim-local literal conjunction. NOT EXISTS never
+    # prunes (anti-join semantics).
+    global _EXISTS_RE, _CORR_EQ_RE
+    if _EXISTS_RE is None:
+        _EXISTS_RE = re.compile(
+            r"(\bNOT\s+)?\bEXISTS\s*\(\s*SELECT\s+(?:1|\*|[A-Za-z_]\w*)"
+            r"\s+FROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"
+            r"\s+WHERE\s+([^()]+?)\s*\)",
+            re.IGNORECASE,
+        )
+        _CORR_EQ_RE = re.compile(
+            r"^\s*(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*=\s*"
+            r"(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*$"
+        )
+    from .sinks import _split_top_and
+
+    for mt in _EXISTS_RE.finditer(s):
+        if mt.group(1):
+            continue  # NOT EXISTS: anti-join — pruning would be unsound
+        if s[: mt.start()].count("(") != s[: mt.start()].count(")"):
             continue
-        harvests += 1
-        rows = read_manifest_table(
-            spark, tables[dim]["path"], version=versions.get(dim),
-            predicates=dpreds,
-        ).select(dcol).distinct().limit(max_keys + 1).collect()
-        if len(rows) > max_keys:
-            _log().debug(
-                "IN-subquery filter skipped: %s.%s has > %d distinct "
-                "keys after predicates", dim, dcol, max_keys,
-            )
+        if mt.start() < wheres[0]:
             continue
-        vals = tuple(r[0] for r in rows if r[0] is not None)
-        if not vals or any(
-            not isinstance(v, _runtime_key_types()) for v in vals
+        dim, dalias, _w = mt.group(2), mt.group(3), mt.group(4)
+        inner_where = sql[mt.start(4):mt.end(4)]  # REAL literals
+        if dim not in tables or dim.lower() in _cte_names(s):
+            continue
+        dnames = {dim.lower()} | ({dalias.lower()} if dalias else set())
+        corr = None  # (outer_table, outer_col, dim_col)
+        lits: list[str] = []
+        ok = True
+        for conj in _split_top_and(inner_where):
+            cm = _CORR_EQ_RE.match(conj)
+            sides = None
+            if cm:
+                q1, c1, q2, c2 = cm.groups()
+
+                def _side(q, c):
+                    # (kind, table, col): "dim" when qualified by the
+                    # subquery's own alias or unqualified-and-in-dim
+                    # (innermost scope wins), "outer" for an eligible
+                    # outer reference, None otherwise
+                    if q is not None:
+                        if q.lower() in dnames:
+                            return ("dim", dim, c)
+                        t = alias_of.get(q.lower())
+                        return ("outer", t, c) if t else None
+                    if c in _schema(dim):
+                        return ("dim", dim, c)
+                    owners = [
+                        n for n in counts
+                        if counts[n] == 1 and c in _schema(n) and n != dim
+                    ]
+                    return ("outer", owners[0], c) if len(owners) == 1 \
+                        else None
+                sides = (_side(q1, c1), _side(q2, c2))
+            if sides and all(sides) and {k for k, *_r in sides} == \
+                    {"dim", "outer"}:
+                if corr is not None:
+                    ok = False  # two correlation equalities: beyond scope
+                    break
+                d_side = next(x for x in sides if x[0] == "dim")
+                o_side = next(x for x in sides if x[0] == "outer")
+                corr = (o_side[1], o_side[2], d_side[2])
+                continue
+            lit = conj.strip()
+            lm = re.match(r"^([A-Za-z_]\w*)\s*\.\s*(.+)$", lit)
+            if lm and lm.group(1).lower() in dnames:
+                lit = lm.group(2)  # inner-alias-qualified dim literal
+            lits.append(lit)
+        if not ok or corr is None:
+            continue
+        outer, col, dcol = corr
+        if (
+            outer not in eligible
+            or outer == dim
+            or col not in _schema(outer)
+            or dcol not in _schema(dim)
         ):
-            continue  # empty subquery / exotic key type → no filter
-        preds.setdefault(outer, []).append((col, "in", vals))
-        applied.setdefault(outer, []).append(
-            {"key": col, "from": f"subquery({dim})", "n_keys": len(vals)}
-        )
-        _log().debug(
-            "IN-subquery runtime filter: %s.%s IN <%d keys from %s.%s>",
-            outer, col, len(vals), dim, dcol,
-        )
+            continue
+        dpreds = None
+        if lits:
+            try:
+                dpreds = parse_predicates(" AND ".join(lits), allow_or=True)
+            except ValueError:
+                continue
+
+            def _cols_of2(ps):
+                for c, op, v in ps:
+                    if op == "or":
+                        for br in v:
+                            yield from _cols_of2(br)
+                    else:
+                        yield c
+
+            if any(c not in _schema(dim) for c in _cols_of2(dpreds)):
+                continue  # reads outer columns beyond the correlation
+        _harvest(outer, col, dim, dcol, dpreds, f"exists({dim})")
     return applied
 
 

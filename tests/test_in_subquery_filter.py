@@ -120,3 +120,41 @@ def test_in_subquery_empty_harvest_keeps_files(spark, subq_cat):
     r = next(x for x in ex if x.table == "fact")
     assert r.runtime_filter is None
     assert CAT.catalog_sql(spark, subq_cat, q).count() == 0
+
+
+def test_exists_semi_join_harvest(spark, subq_cat):
+    """EXISTS with one cross-scope equality + dim literals — the
+    idiomatic semi-join spelling — harvests exactly like the IN-shape;
+    NOT EXISTS (anti-join) and doubly-correlated shapes pass through."""
+    cases = [
+        ("SELECT k FROM fact f WHERE EXISTS "
+         "(SELECT 1 FROM dim d WHERE d.dk = f.fk AND d.seg = 1)", 5),
+        # reversed equality + string literal (the stripped-literal
+        # regression applies here too)
+        ("SELECT k FROM fact f WHERE EXISTS "
+         "(SELECT 1 FROM dim d WHERE f.fk = d.dk AND d.lbl = 'seg_2')", 5),
+        # unqualified columns resolve innermost-first (dk, seg → dim)
+        ("SELECT k FROM fact WHERE v >= 0 AND EXISTS "
+         "(SELECT 1 FROM dim WHERE dk = fk AND seg = 0)", 5),
+    ]
+    for q, want_files in cases:
+        ex = CAT.catalog_sql(spark, subq_cat, "EXPLAIN " + q).collect()
+        r = next(x for x in ex if x.table == "fact")
+        assert r.runtime_filter and "exists(dim)" in r.runtime_filter, q
+        assert r.files_scanned == want_files, (q, r.files_scanned)
+        got = sorted(x[0] for x in CAT.catalog_sql(spark, subq_cat, q)
+                     .collect())
+        assert got == sorted(x[0] for x in spark.sql(_gt(q)).collect()), q
+    for q in (
+        "SELECT k FROM fact f WHERE NOT EXISTS "
+        "(SELECT 1 FROM dim d WHERE d.dk = f.fk AND d.seg = 1)",
+        # a second correlation equality: beyond the harvest's scope
+        "SELECT k FROM fact f WHERE EXISTS "
+        "(SELECT 1 FROM dim d WHERE d.dk = f.fk AND d.seg = f.k)",
+    ):
+        ex = CAT.catalog_sql(spark, subq_cat, "EXPLAIN " + q).collect()
+        r = next(x for x in ex if x.table == "fact")
+        assert r.runtime_filter is None, q
+        got = sorted(x[0] for x in CAT.catalog_sql(spark, subq_cat, q)
+                     .collect())
+        assert got == sorted(x[0] for x in spark.sql(_gt(q)).collect()), q
