@@ -435,7 +435,33 @@ def bench_metadata(spark, sf_dir: str) -> dict:
         t_scan_hist = time.time() - t0
         assert hist == scan_hist
 
+        # round-13 row: OR pushdown — the file-level disjunction (two
+        # disjoint key ranges) vs the same filter over an unpruned scan,
+        # parity-asserted; at 100 TB this is the ad-hoc two-days query
+        lo, hi = int(probe_key) // 10, int(probe_key) - int(probe_key) // 10
+        or_pred = sinks.parse_predicates(
+            f"o_orderkey < {lo} OR o_orderkey > {hi}", allow_or=True
+        )
+        t0 = time.time()
+        or_pruned = sinks.read_manifest_table(
+            spark, path, predicates=or_pred
+        ).count()
+        t_or_pruned = time.time() - t0
+        or_files = len(sinks.manifest_scan_files(path, predicates=or_pred))
+        t0 = time.time()
+        or_scan = (
+            sinks.read_manifest_table(spark, path)
+            .filter(
+                (F.col("o_orderkey") < lo) | (F.col("o_orderkey") > hi)
+            ).count()
+        )
+        t_or_scan = time.time() - t0
+        assert or_pruned == or_scan, (or_pruned, or_scan)
+
         return {
+            "or_pushdown_sec": round(t_or_pruned, 3),
+            "or_scan_sec": round(t_or_scan, 3),
+            "or_files_scanned": or_files,
             "minmax_where_meta_sec": round(t_meta_minmax, 3),
             "minmax_where_scan_sec": round(t_scan_minmax, 3),
             "count_col_meta_sec": round(t_meta_ccol, 4),
@@ -458,6 +484,10 @@ def bench_metadata(spark, sf_dir: str) -> dict:
             "point_scan_sec": round(t_full_point, 3),
             "point_partitions_scanned": len(bloom["maybe"])
             + len(bloom["no_bloom"]),
+            "files_total": sum(
+                len(e.get("files") or ())
+                for e in sinks.read_manifest(path)["partitions"].values()
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
