@@ -435,12 +435,17 @@ def bench_metadata(spark, sf_dir: str) -> dict:
         t_scan_hist = time.time() - t0
         assert hist == scan_hist
 
-        # round-13 row: OR pushdown — the file-level disjunction (two
-        # disjoint key ranges) vs the same filter over an unpruned scan,
+        # round-13 row: OR pushdown — a file-level disjunction of two
+        # narrow disjoint key ranges (both in the clustered key space's
+        # LOW half, so high-half files provably miss BOTH branches and
+        # prune) vs the same filter over an unpruned scan,
         # parity-asserted; at 100 TB this is the ad-hoc two-days query
-        lo, hi = int(probe_key) // 10, int(probe_key) - int(probe_key) // 10
+        pk = int(probe_key)
+        a_hi, b_lo, b_hi = pk // 10, pk // 4, pk // 4 + pk // 10
         or_pred = sinks.parse_predicates(
-            f"o_orderkey < {lo} OR o_orderkey > {hi}", allow_or=True
+            f"o_orderkey < {a_hi} OR "
+            f"(o_orderkey >= {b_lo} AND o_orderkey < {b_hi})",
+            allow_or=True,
         )
         t0 = time.time()
         or_pruned = sinks.read_manifest_table(
@@ -452,7 +457,11 @@ def bench_metadata(spark, sf_dir: str) -> dict:
         or_scan = (
             sinks.read_manifest_table(spark, path)
             .filter(
-                (F.col("o_orderkey") < lo) | (F.col("o_orderkey") > hi)
+                (F.col("o_orderkey") < a_hi)
+                | (
+                    (F.col("o_orderkey") >= b_lo)
+                    & (F.col("o_orderkey") < b_hi)
+                )
             ).count()
         )
         t_or_scan = time.time() - t0

@@ -2788,11 +2788,13 @@ def _in_subquery_filters(
             v = versions.get(name)
             m = read_manifest(tables[name]["path"], v) if name in tables \
                 else None
+            # `or {}` twice: a pre-schema manifest carries "schema": None
+            # (the key EXISTS), so .get("schema", {}) would return None
+            # and crash the harvest instead of soundly skipping it
             schemas[name] = {
-                f["name"] for f in (m or {}).get("schema", {}).get(
-                    "fields", []
-                )
-            } if m else set()
+                f["name"]
+                for f in ((m or {}).get("schema") or {}).get("fields", [])
+            }
         return schemas[name]
 
     applied: dict[str, list] = {}
