@@ -2236,17 +2236,45 @@ def _extract_pushdown_predicates(
     from .sinks import _split_top_and, parse_predicates
 
     s = _strip_sql_strings(sql)
+    set_marks = _depth0_marks(s, r"\b(union|except|intersect)\b")
+    if set_marks:
+        # per-OPERAND pushdown (round 13): each depth-0 set operand is
+        # its own SELECT scope, so a table referenced in exactly ONE
+        # operand of the whole statement soundly takes that operand's
+        # own WHERE conjuncts (the pushed view is read by that operand
+        # alone). Each operand resolves aliases against ITS OWN refs —
+        # a global alias map would let `... FROM t1 x ... UNION ...
+        # FROM t2 x ...` resolve segment-1's `x` to t2 — while the
+        # STATEMENT-wide reference count keeps any table read by more
+        # than one operand un-pruned (one internal view serves them
+        # all). Operand boundaries come from the stripped text
+        # (literals can't fake keywords) and slice the ORIGINAL text
+        # (lengths preserved).
+        global_counts: dict[str, int] = {}
+        for r in refs:
+            global_counts[r["name"]] = global_counts.get(r["name"], 0) + 1
+        out_set: dict[str, list[tuple]] = {}
+        prev = 0
+        segs = []
+        for pos, tok in set_marks:
+            segs.append(sql[prev:pos])
+            prev = pos + len(tok)
+        segs.append(sql[prev:])
+        for seg in segs:
+            seg = re.sub(r"^\s*ALL\b", "", seg, flags=re.IGNORECASE)
+            seg_refs = _relation_refs(seg, tables)
+            for name, ps in _extract_pushdown_predicates(
+                spark, seg, seg_refs, tables
+            ).items():
+                if global_counts.get(name) == 1:
+                    out_set.setdefault(name, []).extend(ps)
+        return out_set
     if len(re.findall(r"\bselect\b", s, re.IGNORECASE)) != 1:
         return {}
-    # exactly one top-level WHERE, no top-level set operators
-    wheres = []
-    for pos, tok in _depth0_marks(
-        s, r"\b(where|union|except|intersect)\b"
-    ):
-        if tok == "where":
-            wheres.append(pos + len("where"))
-        else:
-            return {}
+    # exactly one top-level WHERE
+    wheres = [
+        pos + len("where") for pos, tok in _depth0_marks(s, r"\bwhere\b")
+    ]
     if len(wheres) != 1:
         return {}
     clause = sql[wheres[0]:]

@@ -439,3 +439,50 @@ def test_or_pushdown_transform_partition_prune(spark, or_console):
     assert sorted(
         t[0] for t in CAT.catalog_sql(spark, or_console, q).collect()
     ) == [1, 3]
+
+
+def test_set_operand_pushdown(spark, or_console):
+    """Round-13: UNION/EXCEPT/INTERSECT statements get PER-OPERAND
+    pushdown — each depth-0 operand is its own SELECT scope, so a table
+    read by exactly one operand takes that operand's WHERE (OR shapes
+    included); a table read by several operands stays un-pruned (one
+    internal view serves them all), and aliases resolve per-operand."""
+    sinks.read_manifest_table(
+        spark, CAT.catalog_tables(or_console)["d"]["path"]
+    ).createOrReplaceTempView("gt_or_d")
+    q = ("SELECT k FROM t WHERE day = 'day1' OR day = 'day3' "
+         "UNION ALL SELECT cat FROM d WHERE cat = 2")
+    ex = {r.table: r for r in
+          CAT.catalog_sql(spark, or_console, "EXPLAIN " + q).collect()}
+    assert ex["t"].files_scanned == 2 and ex["t"].files_total == 8
+    assert ex["d"].files_scanned == 1 and ex["d"].files_total == 5
+    got = _rows(CAT.catalog_sql(spark, or_console, q))
+    want = _rows(spark.sql(
+        q.replace("FROM t", "FROM gt_or_t").replace("FROM d", "FROM gt_or_d")
+    ))
+    assert got == want
+
+    # the same table in two operands: NO pushdown (the shared view must
+    # satisfy both operands' reads)
+    q2 = ("SELECT k FROM t WHERE day = 'day1' "
+          "UNION ALL SELECT k FROM t WHERE day = 'day2'")
+    ex2 = {r.table: r for r in
+           CAT.catalog_sql(spark, or_console, "EXPLAIN " + q2).collect()}
+    assert not ex2["t"].pushdown
+    assert ex2["t"].files_scanned == ex2["t"].files_total
+    assert _rows(CAT.catalog_sql(spark, or_console, q2)) == _rows(
+        spark.sql(q2.replace("FROM t", "FROM gt_or_t"))
+    )
+
+    # one alias naming DIFFERENT tables across operands resolves
+    # per-operand — segment-1's `x` must never push into `d`
+    q3 = ("SELECT x.k FROM t x WHERE x.day = 'day1' "
+          "UNION ALL SELECT x.cat FROM d x WHERE x.cat = 3")
+    ex3 = {r.table: r for r in
+           CAT.catalog_sql(spark, or_console, "EXPLAIN " + q3).collect()}
+    assert list(ex3["t"].pushdown) == ["day = 'day1'"]
+    assert list(ex3["d"].pushdown) == ["cat = 3"]
+    assert _rows(CAT.catalog_sql(spark, or_console, q3)) == _rows(
+        spark.sql(q3.replace("FROM t", "FROM gt_or_t")
+                  .replace("FROM d", "FROM gt_or_d"))
+    )
