@@ -2736,6 +2736,25 @@ _EXISTS_RE = None
 _CORR_EQ_RE = None
 
 
+def _in_subq_re():
+    """The shared `col IN (SELECT key FROM dim [WHERE ...])` matcher —
+    compiled once; used by the read-path harvester AND the DML WHERE
+    parser (one grammar, so the two surfaces can't drift)."""
+    import re
+
+    global _IN_SUBQ_RE
+    if _IN_SUBQ_RE is None:
+        # groups: 1 qual, 2 col, 3 NOT (SQL spells `col NOT IN` — the
+        # negation sits BETWEEN column and IN), 4 dcol, 5 dim, 6 dwhere
+        _IN_SUBQ_RE = re.compile(
+            r"\b(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s+(NOT\s+)?"
+            r"IN\s*\(\s*SELECT\s+(?:DISTINCT\s+)?([A-Za-z_]\w*)\s+FROM\s+"
+            r"([A-Za-z_]\w*)(?:\s+WHERE\s+([^()]+?))?\s*\)",
+            re.IGNORECASE,
+        )
+    return _IN_SUBQ_RE
+
+
 def _in_subquery_filters(
     spark: SparkSession,
     sql: str,
@@ -2779,14 +2798,6 @@ def _in_subquery_filters(
     record."""
     import re
 
-    global _IN_SUBQ_RE
-    if _IN_SUBQ_RE is None:
-        _IN_SUBQ_RE = re.compile(
-            r"(\bNOT\s+)?\b(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s+"
-            r"IN\s*\(\s*SELECT\s+(?:DISTINCT\s+)?([A-Za-z_]\w*)\s+FROM\s+"
-            r"([A-Za-z_]\w*)(?:\s+WHERE\s+([^()]+?))?\s*\)",
-            re.IGNORECASE,
-        )
     from .sinks import parse_predicates, read_manifest
 
     s = _strip_sql_strings(sql)
@@ -2865,14 +2876,15 @@ def _in_subquery_filters(
             outer, col, len(vals), label,
         )
 
-    for mt in _IN_SUBQ_RE.finditer(s):
-        if mt.group(1):
+    for mt in _in_subq_re().finditer(s):
+        if mt.group(3):
             continue  # NOT IN: NULL semantics differ — never prune
         if s[: mt.start()].count("(") != s[: mt.start()].count(")"):
             continue  # inside parens (nested subquery / derived relation)
         if mt.start() < wheres[0]:
             continue  # before the WHERE (e.g. inside a join's ON text)
-        qual, col, dcol, dim, dwhere = mt.groups()[1:]
+        qual, col = mt.group(1), mt.group(2)
+        dcol, dim, dwhere = mt.group(4), mt.group(5), mt.group(6)
         if dwhere is not None:
             # the regex ran over STRING-STRIPPED text (so literals never
             # fake structure), but the harvest needs the REAL literal
@@ -3051,6 +3063,87 @@ def _log():
 # Only shapes the verbs can honor exactly are accepted; anything else
 # raises loudly — never a silent partial write.
 # ---------------------------------------------------------------------------
+
+
+def _dml_where_predicates(
+    spark: SparkSession,
+    tables: dict,
+    where_text: str,
+    max_keys: int = 100_000,
+) -> list[tuple]:
+    """DELETE/UPDATE WHERE parsing: the plain predicate grammar (one OR
+    level included), PLUS `col IN (SELECT key FROM dim [WHERE
+    <literals>])` conjuncts resolved to their EXACT key set at statement
+    time — the delete-by-lookup shape (GDPR erasure driven by a consent
+    table, bad-batch rollback driven by an audit table). Unlike the
+    read-path harvest this is SEMANTICS, not pruning: the mutation
+    deletes/updates precisely the harvested keys, so an over-budget key
+    set RAISES loudly (use MERGE for bulk reshapes) and an empty
+    subquery becomes a matches-nothing predicate (the statement
+    legitimately touches zero rows). NOT IN raises (its NULL semantics
+    cannot be reproduced by a key list when the subquery yields NULLs
+    — refusing beats a silent wrong delete)."""
+    import re
+
+    from .sinks import _split_top_and, parse_predicates
+
+    try:
+        return parse_predicates(where_text.strip(), allow_or=True)
+    except ValueError:
+        pass  # may carry an IN-subquery conjunct — handle below
+    out: list[tuple] = []
+    for conj in _split_top_and(where_text, skip_parens=True):
+        stripped = _strip_sql_strings(conj)
+        m = _in_subq_re().search(stripped)
+        if not (
+            m
+            and stripped[: m.start()].strip() == ""
+            and stripped[m.end():].strip() == ""
+        ):
+            # not an IN-subquery conjunct: the plain grammar must take
+            # it whole (raises on anything it can't honor exactly)
+            out.extend(parse_predicates(conj, allow_or=True))
+            continue
+        if m.group(3):
+            raise ValueError(
+                "NOT IN (SELECT ...) is not supported in DML WHERE — "
+                "its NULL semantics cannot be reproduced by a key "
+                "list; use MERGE for anti-join mutations"
+            )
+        qual, col = m.group(1), m.group(2)
+        dcol, dim, dwhere = m.group(4), m.group(5), m.group(6)
+        if qual is not None:
+            raise ValueError(
+                f"qualified column {qual}.{col} in DML WHERE — the "
+                "statement names one table; drop the qualifier"
+            )
+        if dim not in tables:
+            raise FileNotFoundError(f"no table {dim!r} in the catalog")
+        if dwhere is not None:
+            dwhere = conj[m.start(6):m.end(6)]  # REAL literals
+        dpreds = (
+            parse_predicates(dwhere.strip(), allow_or=True)
+            if dwhere is not None else None
+        )
+        e = tables[dim]
+        rows = read_manifest_table(
+            spark, e["path"],
+            version=resolve_manifest_ref(e["path"], e.get("ref")),
+            predicates=dpreds,
+        ).select(dcol).distinct().limit(max_keys + 1).collect()
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"IN-subquery on {dim}.{dcol} yields more than "
+                f"{max_keys:,} distinct keys — a key-list mutation at "
+                "that scale belongs to MERGE, not DELETE/UPDATE WHERE"
+            )
+        vals = tuple(r[0] for r in rows if r[0] is not None)
+        # empty set: `x IN ()` matches nothing — represent as an
+        # IN (NULL), which no row satisfies (NULL never compares equal)
+        out.append((col, "in", vals or (None,)))
+    if not out:
+        raise ValueError(f"unsupported DML WHERE {where_text!r}")
+    return out
 
 
 def _dml_table(tables: dict, name: str) -> dict:
@@ -3959,12 +4052,13 @@ def _catalog_dml(
                 "drop the table to remove it entirely)"
             )
         e = _dml_table(tables, m.group(1))
-        # allow_or (round-13): DELETE/UPDATE WHERE accept one level of
-        # disjunction — every layer below (_predicates_column row match,
-        # _file_maybe_matches narrowing, transform prune) is OR-aware.
-        # (Before the round-13 literal fix, `WHERE day = 'a' OR day =
-        # 'b'` silently parsed as ONE junk equality and deleted nothing.)
-        preds = parse_predicates(m.group(2).strip(), allow_or=True)
+        # _dml_where_predicates (round-13): one OR level (every layer
+        # below — row match, file narrowing, transform prune — is
+        # OR-aware) plus `col IN (SELECT ...)` conjuncts resolved to
+        # exact key sets (the delete-by-lookup shape). Before the
+        # round-13 literal fix, `WHERE day = 'a' OR day = 'b'` silently
+        # parsed as ONE junk equality and deleted nothing.
+        preds = _dml_where_predicates(spark, tables, m.group(2).strip())
         r = delete_manifest_rows(spark, e["path"], preds)
         return _metrics_df(
             spark,
@@ -4000,7 +4094,7 @@ def _catalog_dml(
             from pyspark.sql import functions as F
 
             assignments[am.group(1)] = F.expr(am.group(2).strip())
-        preds = parse_predicates(where_text.strip(), allow_or=True)
+        preds = _dml_where_predicates(spark, tables, where_text.strip())
         r = update_manifest_rows(spark, e["path"], assignments, preds)
         return _metrics_df(
             spark, {k: r[k] for k in ("updated", "partitions_rewritten")}

@@ -1094,20 +1094,26 @@ def _pred_ops():
             ">": _op.gt, ">=": _op.ge}
 
 
-def _split_top_and(s: str) -> list[str]:
+def _split_top_and(s: str, skip_parens: bool = False) -> list[str]:
     """Split on top-level AND, quote-aware (no AND inside '...'),
     BETWEEN-aware (the AND that closes `col BETWEEN a AND b` belongs to
     the predicate and never splits), and CASE-aware: ANDs inside a
     `CASE ... END` expression are part of that expression — splitting
     there would isolate fragments like `fact.a = dim.b` out of a WHEN
     condition and hand the equi-join/pushdown extractors a predicate no
-    output row is required to satisfy (wrong results)."""
+    output row is required to satisfy (wrong results).
+
+    `skip_parens=True` additionally treats parenthesized spans as
+    atomic (ANDs inside them never split) — required when a conjunct
+    may carry a subquery (`fk IN (SELECT ... WHERE a AND b)`); kept
+    opt-in because the historical call sites split pre-paren-era text
+    and behave identically either way."""
     # pending BETWEEN counts are PER CASE-NESTING LEVEL (a stack): in
     # `x BETWEEN CASE WHEN a AND b THEN 1 ELSE 2 END AND 10`, the WHEN's
     # AND belongs to the inner CASE and must NOT consume the outer
     # BETWEEN's closing AND — a flat counter did exactly that, mis-
     # splitting at the real closing AND
-    out, buf, i, in_q, pending = [], [], 0, False, [0]
+    out, buf, i, in_q, pending, depth = [], [], 0, False, [0], 0
     up = s.upper()
 
     def _word_at(j: int, w: str) -> bool:
@@ -1124,6 +1130,13 @@ def _split_top_and(s: str) -> list[str]:
         c = s[i]
         if c == "'":
             in_q = not in_q
+            buf.append(c)
+            i += 1
+        elif skip_parens and not in_q and c in "()":
+            depth += 1 if c == "(" else -1
+            buf.append(c)
+            i += 1
+        elif skip_parens and not in_q and depth > 0:
             buf.append(c)
             i += 1
         elif not in_q and _word_at(i, "BETWEEN"):

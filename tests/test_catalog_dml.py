@@ -343,3 +343,62 @@ def test_sql_dml_or_predicates(spark, tmp_path):
     after = sinks.read_manifest_table(spark, t)  # post-update manifest
     got = {x.k for x in after.filter("v = -1.0").collect()}
     assert got == {0, 19}
+
+
+def test_sql_dml_in_subquery(spark, tmp_path):
+    """Round-13: DELETE/UPDATE WHERE accept `col IN (SELECT key FROM
+    dim [WHERE literals])` — the delete-by-lookup shape (GDPR erasure
+    driven by a consent table). Unlike the read-path harvest this is
+    SEMANTICS: the key set resolves exactly at statement time, an empty
+    subquery mutates zero rows, and NOT IN raises loudly (its NULL
+    semantics cannot be reproduced by a key list)."""
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    d = str(tmp_path / "d")
+    fact = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(100)],
+        "k long, fk long, v double",
+    )
+    sinks.merge_upsert_manifest(spark, fact, t, keys=["k"],
+                                partition_col="fk")
+    dim = spark.createDataFrame(
+        [(i, i % 3) for i in range(10)], "dk long, seg long"
+    )
+    sinks.merge_upsert_manifest(spark, dim, d, keys=["dk"],
+                                partition_col="seg")
+    CAT.catalog_create_table(cat, "f_t", t)
+    CAT.catalog_create_table(cat, "c_dim", d)
+
+    r = CAT.catalog_sql(
+        spark, cat,
+        "DELETE FROM f_t WHERE fk IN (SELECT dk FROM c_dim WHERE seg = 1)",
+    )
+    assert r.first().deleted == 30  # dk ∈ {1, 4, 7} → 10 rows each
+    left = sinks.read_manifest_table(spark, t)
+    assert sorted(
+        x.fk for x in left.select("fk").distinct().collect()
+    ) == [0, 2, 3, 5, 6, 8, 9]
+
+    # composes with plain conjuncts
+    r2 = CAT.catalog_sql(
+        spark, cat,
+        "UPDATE f_t SET v = -1.0 WHERE k < 50 AND fk IN "
+        "(SELECT dk FROM c_dim WHERE seg = 2)",
+    )
+    assert r2.first().updated == 15
+    after = sinks.read_manifest_table(spark, t)
+    assert after.filter("v = -1.0").count() == 15
+
+    # empty subquery: a legitimate zero-row mutation, not an error
+    r3 = CAT.catalog_sql(
+        spark, cat,
+        "DELETE FROM f_t WHERE fk IN (SELECT dk FROM c_dim WHERE seg = 9)",
+    )
+    assert r3.first().deleted == 0
+
+    with pytest.raises(ValueError, match="NOT IN"):
+        CAT.catalog_sql(
+            spark, cat,
+            "DELETE FROM f_t WHERE fk NOT IN "
+            "(SELECT dk FROM c_dim WHERE seg = 1)",
+        )
