@@ -3295,6 +3295,96 @@ def _parse_mv_query(body: str, tables: dict):
     return src, group_cols, aggs
 
 
+def _having_predicates(txt: str, items: list[tuple]) -> list[tuple] | None:
+    """HAVING resolved against the query's OUTPUT columns → predicate
+    tuples ready for `_predicates_column` over the rewritten frame, or
+    None when anything doesn't resolve (→ direct plan). Each conjunct's
+    LHS may be an output alias, an unaliased group column, or an
+    aggregate expression textually matching a SELECT item (Spark
+    resolves `HAVING COUNT(*) > 5` against the aggregate — here it maps
+    to that item's output column; aggregate LHSes substitute through a
+    placeholder identifier so default output names like `count(1)`
+    survive the predicate grammar). The comparison vocabulary is
+    parse_predicates' own (including IN / BETWEEN / IS NULL and one OR
+    level), so HAVING filters exactly what a WHERE over the output
+    frame would."""
+    import re
+
+    from .sinks import _split_top_and, parse_predicates
+
+    def _agg_key(t: str):
+        t = t.strip()
+        if re.match(r"^COUNT\s*\(\s*\*\s*\)$", t, re.IGNORECASE):
+            return ("count", "*")
+        m = re.match(
+            r"^COUNT\s*\(\s*DISTINCT\s+([A-Za-z_]\w*)\s*\)$", t,
+            re.IGNORECASE,
+        )
+        if m:
+            return ("count_distinct", m.group(1).lower())
+        m = re.match(
+            r"^(SUM|MIN|MAX|AVG|COUNT|APPROX_COUNT_DISTINCT)"
+            r"\s*\(\s*([A-Za-z_]\w*)\s*\)$",
+            t, re.IGNORECASE,
+        )
+        if m:
+            op = m.group(1).lower()
+            return (
+                "approx_distinct" if op == "approx_count_distinct" else op,
+                m.group(2).lower(),
+            )
+        return None
+
+    if len({out.lower() for *_k, out in items}) != len(items):
+        return None  # duplicate output names: F.col would be ambiguous
+    agg_out = {key: out for kind, key, out in items if kind == "agg"}
+    outs = {out.lower(): out for _k, _key, out in items}
+    placemap: dict[str, str] = {}
+    rewritten: list[str] = []
+    for i, conj in enumerate(_split_top_and(txt, skip_parens=True)):
+        m = re.match(
+            r"^\s*\(?\s*((?:COUNT|SUM|MIN|MAX|AVG|APPROX_COUNT_DISTINCT)"
+            r"\s*\([^()]*\))\s*(.*)$",
+            conj, re.IGNORECASE | re.DOTALL,
+        )
+        if m and not conj.strip().startswith("("):
+            key = _agg_key(m.group(1))
+            if key is None or key not in agg_out:
+                return None  # an aggregate the SELECT doesn't carry
+            ph = f"__hv{i}"
+            placemap[ph] = agg_out[key]
+            rewritten.append(f"{ph} {m.group(2)}")
+        else:
+            rewritten.append(conj)
+    try:
+        parsed: list[tuple] = []
+        for c in rewritten:
+            parsed.extend(parse_predicates(c, allow_or=True))
+    except ValueError:
+        return None  # beyond the predicate grammar (an aggregate LHS
+        # inside an OR branch, functions, ...): direct plan
+
+    def _map(ps):
+        out_list = []
+        for c, op, v in ps:
+            if op == "or":
+                branches = []
+                for br in v:
+                    mb = _map(br)
+                    if mb is None:
+                        return None
+                    branches.append(tuple(mb))
+                out_list.append((None, "or", tuple(branches)))
+                continue
+            name = placemap.get(c) or outs.get(c.lower())
+            if name is None:
+                return None  # not an output column: direct plan
+            out_list.append((name, op, v))
+        return out_list
+
+    return _map(parsed)
+
+
 def _matview_rewrite(
     spark: SparkSession, tables: dict, sql: str, travel: dict
 ) -> dict | None:
@@ -3362,9 +3452,15 @@ def _matview_rewrite(
     rewritten frame; expression sort keys, NULLS FIRST/LAST, or keys
     outside the output list fall through.
 
-    Conservative refusals (fall through, never wrong): HAVING (the
-    regex requires GROUP BY — with the optional tails above — to end
-    the statement and FROM to bind directly to the source), a WHERE
+    A HAVING applies as a row filter over the rewritten frame (round
+    13) when every reference resolves to an OUTPUT column — by alias,
+    unaliased group column, or an aggregate expression matching a
+    SELECT item (`HAVING COUNT(*) > 5`); parse_predicates' vocabulary
+    including IN/BETWEEN/IS NULL and one OR level. Aggregates the
+    SELECT doesn't carry, expressions beyond that grammar, or
+    ambiguous/duplicate output names fall through.
+
+    Conservative refusals (fall through, never wrong): a WHERE
     outside the group-column conjunction shape above, multiple SELECTs,
     CTE-shadowed source names, a grouping FINER than the spec's (the
     view cannot split its groups), a coarser grouping whose aggregates
@@ -3419,29 +3515,42 @@ def _matview_rewrite(
             wpreds = parse_predicates(where.strip(), allow_or=True)
         except ValueError:
             return None  # functions / qualified cols: direct plan
-    # ORDER BY / LIMIT tails (the top-N dashboard shape): split off the
-    # GROUP BY text's depth-0 ORDER/LIMIT marks; sort keys must be
-    # OUTPUT column names of this query (they exist on the rewritten
-    # frame verbatim) — anything else falls through to the direct plan
+    # HAVING / ORDER BY / LIMIT tails: split off the GROUP BY text's
+    # depth-0 marks in their mandatory SQL order. HAVING (round 13)
+    # applies as a row filter over the rewritten frame when every
+    # reference resolves to an OUTPUT column — by alias, by unaliased
+    # group-column name, or by aggregate expression matched against the
+    # SELECT's own items (`HAVING COUNT(*) > 5` filters the item whose
+    # key is ("count", "*")); sort keys must be OUTPUT column names —
+    # anything else falls through to the direct plan
     order_items: list[tuple[str, bool]] = []
     limit_n: int | None = None
+    having_txt: str | None = None
     gb_marks = (
-        _depth0_marks(_strip_sql_strings(gb), r"\b(order|limit)\b")
+        _depth0_marks(_strip_sql_strings(gb), r"\b(having|order|limit)\b")
         if gb is not None else []
     )
     if gb_marks:
-        tail_txt = gb[gb_marks[0][0]:]
+        toks = [t for _p, t in gb_marks]
+        rank = {"having": 0, "order": 1, "limit": 2}
+        if len(set(toks)) != len(toks) or toks != sorted(
+            toks, key=rank.__getitem__
+        ):
+            return None  # repeated or out-of-order clauses
+        bounds = gb_marks + [(len(gb), "")]
+        seg = {
+            tok: gb[pos + len(tok): nxt]
+            for (pos, tok), (nxt, _t2) in zip(gb_marks, bounds[1:])
+        }
         gb = gb[: gb_marks[0][0]]
-        tm = re.match(
-            r"^(?:ORDER\s+BY\s+(.+?))?(?:\s*LIMIT\s+(\d+))?\s*$",
-            tail_txt, re.IGNORECASE | re.DOTALL,
-        )
-        if not tm or (tm.group(1) is None and tm.group(2) is None):
-            return None
-        if tm.group(2) is not None:
-            limit_n = int(tm.group(2))
-        if tm.group(1) is not None:
-            for it in _split_top_commas(tm.group(1)):
+        having_txt = seg.get("having")
+        if "order" in seg:
+            om = re.match(
+                r"^\s*BY\s+(.+)$", seg["order"], re.IGNORECASE | re.DOTALL
+            )
+            if not om:
+                return None
+            for it in _split_top_commas(om.group(1)):
                 im = re.match(
                     r"^\s*([A-Za-z_]\w*)(?:\s+(ASC|DESC))?\s*$",
                     it, re.IGNORECASE,
@@ -3451,6 +3560,11 @@ def _matview_rewrite(
                 order_items.append(
                     (im.group(1), (im.group(2) or "ASC").upper() == "ASC")
                 )
+        if "limit" in seg:
+            lm = re.match(r"^\s*(\d+)\s*$", seg["limit"])
+            if not lm:
+                return None
+            limit_n = int(lm.group(1))
 
     def norm(t: str) -> str:
         return re.sub(r"\s+", "", t).lower()
@@ -3520,6 +3634,11 @@ def _matview_rewrite(
         return None  # bare columns without GROUP BY: not valid SQL here
     if gb is not None and n_groups == 0:
         return None  # GROUP BY with no group items in the SELECT list
+    having_preds: list[tuple] | None = None
+    if having_txt is not None:
+        having_preds = _having_predicates(having_txt, items)
+        if having_preds is None:
+            return None  # unresolvable HAVING: direct plan
     if any(it[0] == "agg" and it[1][0] == "approx_distinct" for it in items):
         # APPROX_COUNT_DISTINCT never rewrites (round-11 advice): the
         # view stores ITS refresh's HLL estimate, which can differ from
@@ -3759,6 +3878,12 @@ def _matview_rewrite(
                 (F.col(c).alias(out) if kind == "plain" else F.col(out))
                 for kind, _key, c, out in cols
             ])
+        if having_preds is not None:
+            from .sinks import _predicates_column
+
+            # a row filter over the OUTPUT frame — exactly what Spark's
+            # HAVING computes after the aggregation this frame replaces
+            df = df.filter(_predicates_column(having_preds))
         if order_items:
             df = df.orderBy([
                 F.col(out_by_lower[o.lower()]).asc() if asc

@@ -867,3 +867,60 @@ def test_show_materialized_views(spark, tmp_path):
     CAT.catalog_create_table(cat2, "src", t)
     empty = CAT.catalog_sql(spark, cat2, "SHOW MATERIALIZED VIEWS")
     assert empty.count() == 0 and "fresh" in empty.columns
+
+
+def test_rewrite_having_over_output_columns(spark, tmp_path):
+    """Round-13: HAVING applies as a row filter over the rewritten frame
+    when every reference resolves to an OUTPUT column — alias, unaliased
+    group column, or an aggregate expression matching a SELECT item
+    (`HAVING COUNT(*) > 3` maps to the ("count","*") item). Composes
+    with coarse re-agg, derived AVG, and ORDER/LIMIT tails; aggregates
+    the SELECT doesn't carry and arithmetic beyond the predicate grammar
+    fall to the direct plan."""
+    cat, t = _seed(spark, tmp_path)
+    CAT.catalog_sql(
+        spark, cat,
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT day, cat, COUNT(*) AS n, SUM(v) AS total, COUNT(v) AS nv "
+        "FROM src GROUP BY day, cat",
+    )
+    mv_path = CAT.catalog_tables(cat)["mv"]["path"]
+    answered = [
+        "SELECT day, cat, COUNT(*) AS n FROM src GROUP BY day, cat "
+        "HAVING n > 3",
+        "SELECT day, cat, COUNT(*) AS n FROM src GROUP BY day, cat "
+        "HAVING COUNT(*) >= 3",
+        "SELECT day, cat, SUM(v) AS s FROM src GROUP BY day, cat "
+        "HAVING day >= 2",
+        # coarse re-agg + HAVING over the re-aggregated value
+        "SELECT cat, SUM(v) AS s FROM src GROUP BY cat HAVING s > 200",
+        # one OR level and BETWEEN work (parse_predicates vocabulary)
+        "SELECT day, cat, SUM(v) AS s FROM src GROUP BY day, cat "
+        "HAVING s > 150 OR day = 0",
+        # tails compose (total is tie-free per (day, cat) here)
+        "SELECT day, cat, SUM(v) AS s FROM src GROUP BY day, cat "
+        "HAVING s >= 50 ORDER BY s DESC LIMIT 3",
+    ]
+    for q in answered:
+        got = CAT.catalog_sql(spark, cat, q)
+        files = got.inputFiles()
+        assert files and all(mv_path in f for f in files), q
+        direct = CAT.catalog_sql(spark, cat, q, matview_rewrite=False)
+        assert got.columns == direct.columns, q
+        _approx_eq(
+            sorted(tuple(r) for r in got.collect()),
+            sorted(tuple(r) for r in direct.collect()),
+        )
+    refused = [
+        # an aggregate the SELECT list doesn't carry
+        "SELECT day, cat FROM src GROUP BY day, cat HAVING COUNT(*) > 3",
+        # arithmetic beyond the predicate grammar
+        "SELECT day, cat, COUNT(*) AS n FROM src GROUP BY day, cat "
+        "HAVING n + 1 > 4",
+    ]
+    for q in refused:
+        got = CAT.catalog_sql(spark, cat, q)
+        assert not any(mv_path in f for f in got.inputFiles()), q
+        direct = CAT.catalog_sql(spark, cat, q, matview_rewrite=False)
+        assert sorted(tuple(r) for r in got.collect()) == \
+            sorted(tuple(r) for r in direct.collect()), q
