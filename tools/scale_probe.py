@@ -1212,6 +1212,95 @@ def probe_hot_bucket() -> None:
         print(json.dumps(rec), flush=True)
 
 
+def probe_gate_cost() -> None:
+    """Round-13: the in-callable ground-truth gates' cost contract —
+    the per-emitted-pair soundness arm grows with the OUTPUT (emitted
+    pairs), while the quadratic completeness sweeps run over
+    deterministic samples capped at a few hundred docs, so their cost
+    stays FLAT as the corpus replicates. Replicates the sf0.1
+    documents table N× (ids offset, texts perturbed per replica — the
+    minhash probe's fixture discipline) and times the minhash gate's
+    two arms separately plus the simhash gate. One JSON line per
+    factor; contract: completeness ≈ flat, soundness ∝ emitted pairs."""
+    import statistics
+
+    from f1_data_pipeline_spark.operators import dedup as D
+    from f1_data_pipeline_spark.operators import gates as G
+    from f1_data_pipeline_spark.session import get_spark
+
+    args = [a for a in sys.argv[2:] if not a.startswith("sf_dir=")]
+    factors = [int(a) for a in args] if args else [1, 4]
+    sf_dir = "/root/testdata/sf0.1"
+    spark = get_spark("scale_probe")
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    n_base = base.count()
+    prev: dict | None = None
+    for factor in factors:
+        reps = []
+        for r in range(factor):
+            reps.append(
+                base.select(
+                    (F.col("doc_id") + F.lit(r * n_base)).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(f" replica{r}"))
+                    .alias("text"),
+                )
+            )
+        docs = reps[0]
+        for d in reps[1:]:
+            docs = docs.unionAll(d)
+        docs = docs.localCheckpoint()  # fixture cost out of the timings
+        pairs = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).localCheckpoint()
+        n_pairs = pairs.count()
+        sh = D.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=10
+        ).localCheckpoint()
+
+        def med(fn) -> float:
+            fn()
+            out = []
+            for _ in range(3):
+                t0 = time.time()
+                fn()
+                out.append(time.time() - t0)
+            return round(statistics.median(out), 2)
+
+        # the soundness arm alone (exact Jaccard of every emitted pair)
+        t_sound = med(lambda: G.exact_jaccard_for_pairs(
+            pairs, docs, "doc_id", "text"
+        ).filter(F.col("exact_j") < 0.4).count())
+        # the full minhash gate (soundness + capped completeness sweep)
+        t_mh = med(lambda: G.assert_minhash_pairs_gate(
+            docs, pairs, "doc_id", "text", threshold=0.5
+        ))
+        t_sh = med(lambda: G.assert_simhash_pairs_gate(
+            docs, sh, "doc_id", "text", max_hamming=10
+        ))
+        rec = {
+            "op": "gate_cost", "factor": factor,
+            "docs": n_base * factor, "emitted_pairs": n_pairs,
+            "soundness_sec": t_sound,
+            "minhash_gate_sec": t_mh,
+            "completeness_sec": round(t_mh - t_sound, 2),
+            "simhash_gate_sec": t_sh,
+        }
+        if prev is not None:
+            rec["completeness_ratio"] = round(
+                max(t_mh - t_sound, 0.01)
+                / max(prev["minhash_gate_sec"] - prev["soundness_sec"],
+                      0.01),
+                2,
+            )
+            rec["gate_ratio"] = round(t_mh / prev["minhash_gate_sec"], 2)
+        else:
+            prev = rec
+        print(json.dumps(rec), flush=True)
+
+
 def probe_skewed_shuffle() -> None:
     """Round-13 verdict #6: what the SHUFFLED plan — the one the bucket
     route's cost gate prefers below the route floor — does under the
@@ -1713,8 +1802,12 @@ def main() -> None:
         "manifest_crossover", "matview_crossover", "runtime_filter",
         "headline_scale", "bucket_join", "manifest_changes", "commit_path",
         "router_plan", "hot_bucket", "rewrite_crossover", "skewed_shuffle",
+        "gate_cost",
     ):
         op = args.pop(0)
+    if op == "gate_cost":
+        probe_gate_cost()
+        return
     if op == "skewed_shuffle":
         probe_skewed_shuffle()
         return
