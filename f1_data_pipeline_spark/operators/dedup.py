@@ -89,10 +89,23 @@ def _minhash_banded(
     num_hashes: int,
     bands: int,
     shingle_size: int,
+    materialize_sig: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared banding pipeline: returns (sig, banded) where sig has one row
     per doc with columns m0..m{num_hashes-1} and banded has one row per
-    (doc, band) carrying only (id, band, band_hash)."""
+    (doc, band) carrying only (id, band, band_hash).
+
+    `materialize_sig=True` localCheckpoints the signature table before
+    fanning it out (r13 optimization): a consumer that self-joins `banded`
+    and joins `sig` back twice (minhash_lsh_pairs) otherwise re-runs the
+    whole scan→shingle→64-min-aggregate pipeline FOUR times — the plan's
+    four branches are not exchange-reusable because two of them sit under
+    BroadcastExchange. The signature table is tiny relative to the work
+    that builds it (docs × (id + 64 longs) ≈ 0.5 KB/doc — the guide §8
+    "decide with small rows" proxy), so materializing it once turns four
+    shingle passes into one. Measured at sf0.1: pairs query 4.18 → 2.78 s,
+    byte-identical output. Left False for single-consumer callers
+    (bucket stats, index build) where the plan uses each branch once."""
     rows_per_band = num_hashes // bands
     # Shared codegen'd shingler (functions/text.py positional_ngrams; the
     # array-HOF form dominated runtime — ~4.6s of a 5.4s sf0.1 run).
@@ -109,6 +122,8 @@ def _minhash_banded(
     sig = shingled.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), "h")).alias(f"m{i}") for i in range(num_hashes)]
     )
+    if materialize_sig:
+        sig = sig.localCheckpoint()
 
     # banded rows carry only (id, band, band_hash) — not the 64-long
     # signature (16× per doc through the shuffle adds up at scale); the
@@ -200,9 +215,16 @@ def minhash_lsh_pairs(
     interpreted (outside codegen), and Catalyst's project collapsing
     re-inlines the whole signature expression into every band — measured
     ~20× slower than this aggregate form at sf0.01.
+
+    r13: the signature table is localCheckpointed before fan-out (see
+    _minhash_banded.materialize_sig) — this function's plan consumes it
+    four times (banded self-join left/right + two sig join-backs) and the
+    branches are not exchange-reusable. Makes the call EAGER (one job at
+    build time); every current caller is a batch/foreachBatch context.
     """
     sig, banded = _minhash_banded(
-        df, id_col, text_col, num_hashes, bands, shingle_size
+        df, id_col, text_col, num_hashes, bands, shingle_size,
+        materialize_sig=True,
     )
 
     if max_bucket_size is not None:
@@ -783,16 +805,31 @@ def duplicate_spans(
     Plan shape (all linear, never all-pairs): positional grams stream
     through the codegen'd posexplode+lead pattern (the minhash/
     contamination shingler); the gram→doc-frequency aggregate shuffles on
-    the md5 gram hash (uniform); flagged positions re-join gram-keyed
+    the gram hash (uniform); flagged positions re-join gram-keyed
     (AQE splits boilerplate-gram skew); interval merging is one per-doc
     window (gaps-and-islands) keyed on the id. At 100 TB the gram aggregate
     is the big shuffle — it partial-aggregates map-side and its key space
     is bounded by total corpus tokens, the same scaling as the minhash
     shingle pass.
+
+    r13 optimizations (output byte-identical, oracle re-proved both SFs):
+    the gram hash is xxhash64 (8-byte long) instead of md5 (32-char hex
+    string) — the hash never reaches the output (only positions do), and
+    it keys the doc-frequency shuffle and the flagged join, so 4× narrower
+    keys cut both shuffles (guide §2.3 "narrower types"); and the gram
+    table is localCheckpointed — the plan consumes it twice (doc-frequency
+    aggregate + flagged join) and would otherwise run the scan→posexplode→
+    window shingler twice end to end. Measured together at sf0.1:
+    2.55 → 1.61 s. Makes the call EAGER (one job at build time). Scale
+    note: the materialized gram table is (id, pos, hash) ≈ 20 B/token —
+    about the bytes ONE of the two saved shuffles would move; on a
+    cluster, executor loss under localCheckpoint forfeits lineage, so a
+    long-running job would swap this for persist(DISK_ONLY) — same reuse,
+    recoverable lineage.
     """
     grams = positional_ngrams(df, id_col, text_col, n).select(
-        id_col, "pos", F.md5("ngram").alias("gh")
-    )
+        id_col, "pos", F.xxhash64("ngram").alias("gh")
+    ).localCheckpoint()
     dup_grams = (
         grams.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))

@@ -41,14 +41,25 @@ def brute_force_topk(
     Plan shape: broadcast(queries) ⨯ corpus → per-row cosine → windowed
     top-k partitioned by query. The corpus is scanned once and never
     shuffled before the (small) per-query candidate reduction.
+
+    r13: vector norms are computed as columns BELOW the join (once per
+    query row and once per corpus row) instead of inside the per-pair
+    cosine — the HOF norm kernel otherwise re-runs |queries| times per
+    corpus vector. The cosine arithmetic is unchanged
+    (dot / sqrt(Σq²)·sqrt(Σc²), same op order), so values are
+    bit-identical; the projections sit under the join, where Catalyst
+    cannot re-inline them into the pair expression. Measured at sf0.1:
+    1.14 → 0.84 s.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("__qn", norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("__cn", norm(F.col("c_vec")))
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 4
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

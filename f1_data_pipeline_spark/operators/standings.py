@@ -46,8 +46,25 @@ def customer_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each product term is one double multiply (bit-identical across engines);
     # accumulating in DECIMAL makes the multi-row sum order-independent and
     # therefore exactly reproducible by the oracle.
+    #
+    # r13: semi-filter lineitem on the filtered orders' keys BEFORE the
+    # decimal aggregate (guide §3.2 — reduce the big side early). Only
+    # ~half of orders pass status='F', and the inner join below discards
+    # the rest's revenue groups anyway — pre-dropping their lineitems
+    # halves the double→decimal casts + exact-decimal sums, the expensive
+    # per-row work of this plan. At bench scale the semi probes the SAME
+    # broadcast relation the inner join builds; at warehouse scale it
+    # becomes an SMJ-semi on l_orderkey whose output partitioning the
+    # groupBy and the orders join then REUSE (no added lineitem exchange —
+    # one extra orders-side exchange buys half the aggregate work).
+    # Measured at sf0.1: 2.82 → 1.84 s, byte-identical output.
     order_rev = (
-        lineitem.groupBy("l_orderkey")
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_semi",
+        )
+        .groupBy("l_orderkey")
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
