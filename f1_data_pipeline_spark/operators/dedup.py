@@ -30,7 +30,7 @@ from f1_data_pipeline_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from f1_data_pipeline_spark.functions.vectors import cosine
+from f1_data_pipeline_spark.functions.vectors import dot, norm
 
 # ---------------------------------------------------------------------------
 # X2 — exact dedup
@@ -672,21 +672,29 @@ def embedding_cosine_pairs(
                 "pairs; pass block_col (label/cluster/LSH bucket) for a "
                 "blocked join"
             )
+    # r13: norms are columns computed once per ROW below the join (the
+    # brute_force_topk discipline) — inside `cosine` they would re-run per
+    # PAIR, i.e. block-size times per vector. Same op order
+    # (dot / sqrt(Σa²)·sqrt(Σb²)) → bit-identical cos_sim.
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    )
+    ).withColumn("__n", norm(F.col("vec")))
     a = base.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("__n").alias("__na"),
         *([F.col("blk").alias("blk")] if block_col else []),
     )
     b = base.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("__n").alias("__nb"),
         *([F.col("blk").alias("blk")] if block_col else []),
     )
     joined = a.join(b, ["blk"]) if block_col else a.crossJoin(b)
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    sim = F.round(
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("__na") * F.col("__nb")), 4
+    )
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", sim)
