@@ -190,12 +190,20 @@ def lsh_ann_topk(
         )
     bucket_rows = F.explode(F.array(*sigs)).alias("tb")
 
+    # r13: norms as per-row columns below the candidate join (the
+    # brute_force_topk discipline) — computed BEFORE the bucket explode,
+    # so once per vector rather than per (table-replica × candidate pair).
+    # Same op order as `cosine` → bit-identical values.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), bucket_rows
-    ).select("query_id", "q_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("__qn"), bucket_rows
+    ).select("query_id", "q_vec", "__qn",
+             F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), bucket_rows
-    ).select("neighbor_id", "c_vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("__cn"), bucket_rows
+    ).select("neighbor_id", "c_vec", "__cn",
+             F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"))
 
     cand = (
         c.join(F.broadcast(q), ["tbl", "bkt"])
@@ -203,7 +211,9 @@ def lsh_ann_topk(
         # a pair can collide in several tables — score it once
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 4
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         cand.withColumn("cos_sim", sim)
@@ -242,13 +252,17 @@ def ivf_ann_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     km = KMeans(k=nlist, seed=seed, maxIter=10).fit(corpus_ml.select("features"))
+    # r13: corpus norm once per row below the cell join (brute_force_topk
+    # discipline; same op order as `cosine` → bit-identical values)
     assigned = km.transform(corpus_ml).select(
         "neighbor_id", "c_vec", F.col("prediction").alias("cell")
-    )
+    ).withColumn("__cn", norm(F.col("c_vec")))
 
     centroids = [c.tolist() for c in km.clusterCenters()]
     # per-query: distances to all centroids (tiny — nlist entries), take nprobe
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("__qn", norm(F.col("q_vec")))
     cell_dists = F.array(
         *[
             F.struct(
@@ -269,7 +283,9 @@ def ivf_ann_topk(
             )
         ),
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 4
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         assigned.join(F.broadcast(q_cells), "cell")
@@ -433,8 +449,13 @@ def ivf_search(
     q_cells = spark.createDataFrame(q_rows, q_cells.schema)
     cells = spark.read.parquet(f"{index_path}/cells").filter(
         F.col("cell").isin(probed)  # partition pruning on the index layout
+    ).withColumn("__cn", norm(F.col("c_vec")))
+    # r13: per-row norms below the join (brute_force_topk discipline; same
+    # op order as `cosine` → bit-identical values)
+    q_cells = q_cells.withColumn("__qn", norm(F.col("q_vec")))
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("__qn") * F.col("__cn")), 4
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         cells.join(F.broadcast(q_cells), "cell")
