@@ -515,8 +515,16 @@ def simhash_pairs(
     Blocking: split the 64-bit signature into 4 × 16-bit chunks; by
     pigeonhole any pair within hamming ≤ 3 shares at least one exact chunk,
     so candidates come from 4 chunk-equality joins — never all pairs.
+
+    r13: the signature table is localCheckpointed before the chunk
+    self-join — both join branches otherwise re-run the full
+    scan→shingle→simhash pipeline (the minhash_lsh_pairs finding; the
+    signature is one long per doc, the §8 small-rows proxy). Makes the
+    call eager; every caller is a batch context.
     """
-    sig = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("sim")
+    ).localCheckpoint()
     chunks = sig.select(
         "id",
         "sim",
