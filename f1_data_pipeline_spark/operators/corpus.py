@@ -202,13 +202,26 @@ def mixture_sample(
 # --- quality signals ------------------------------------------------------------
 
 
-def quality_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tok_rows: DataFrame | None = None,
+) -> DataFrame:
     """Per-document repetition/quality statistics + composite keep flag
     (the standard LLM-data filter shape: repetition caps + length band).
     One explode + two aggregates — shuffles keyed on (doc, token) then doc.
     Shared by the `repetition_quality` registry query and the curation plan
-    (plans/curation.py)."""
-    tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    (plans/curation.py).
+
+    `tok_rows` (r13): optionally pass a pre-exploded (id_col, tok) frame so
+    a composite that also tokenizes for other signals (q_text_quality)
+    explodes the corpus once instead of once per consumer — the aggregation
+    arithmetic is unchanged, only where the rows come from."""
+    if tok_rows is None:
+        tok_rows = df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+        )
     per_tok = tok_rows.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
     n = F.sum("c")
     sig = per_tok.groupBy(id_col).agg(
@@ -485,6 +498,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     smoothing_k: float = 0.5,
+    tok_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean token log-probability under the corpus's OWN
     add-k-smoothed unigram LM — the scalable stand-in for LM-perplexity
@@ -510,8 +524,17 @@ def unigram_logprob(
     exactly the junk such a filter wants to drop): left-join this result
     back to the corpus ids and treat NULL mean_logprob as its own class —
     the `text_quality` registry composite does precisely that.
+
+    `tok_rows` (r13): optionally pass a pre-exploded (id_col, term) frame —
+    this plan consumes the token stream TWICE (term counts + the scoring
+    join), so a composite caller handing in a localCheckpointed frame cuts
+    two more explode passes; the arithmetic is unchanged.
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tok = (
+        tok_rows
+        if tok_rows is not None
+        else df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    )
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(
         F.sum("c").cast("double").alias("_total"),

@@ -113,7 +113,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     surface = q_text_surface(spark, sf_dir)
-    rep = quality_signals(docs, "doc_id", "text").select(
+    # r13: one shared token explode for the three downstream consumers
+    # (repetition counts + the LM's term counts AND scoring join) instead
+    # of three scan→split→explode passes; localCheckpoint materializes it
+    # once. Aggregation arithmetic is untouched — oracle re-proved both SFs.
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens("text")).alias("tok")
+    ).localCheckpoint()
+    rep = quality_signals(docs, "doc_id", "text", tok_rows=tok).select(
         "doc_id",
         F.col("n_tokens").alias("rep_n_tokens"),
         "distinct_tokens",
@@ -122,7 +129,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_word_len",
         "keep",
     )
-    lm = unigram_logprob(docs, "doc_id", "text", smoothing_k=0.5).select(
+    lm = unigram_logprob(
+        docs, "doc_id", "text", smoothing_k=0.5,
+        tok_rows=tok.select("doc_id", F.col("tok").alias("term")),
+    ).select(
         "doc_id",
         F.col("n_tokens").alias("lm_n_tokens"),
         "mean_logprob",
