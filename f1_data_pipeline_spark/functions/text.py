@@ -34,7 +34,7 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def positional_ngrams(df, id_col: str, text_col: str, n: int):
+def positional_ngrams(df, id_col: str, text_col: str, n: int, spread: bool = True):
     """(id_col, pos, ngram) rows: the codegen'd posexplode + window-lead
     shingler shared by minhash, contamination, and duplicate-span dedup.
 
@@ -44,10 +44,40 @@ def positional_ngrams(df, id_col: str, text_col: str, n: int):
     measured 167 s vs ~5 s at sf0.1 for the contamination query. `pos` is
     the 0-based token position of the gram's first token; docs shorter than
     n tokens yield no rows. One window shuffle keyed on the id.
+
+    r14 (`spread=True`): the id-keyed exchange the window needs is issued
+    EXPLICITLY on the raw (id, text) rows, BEFORE tokenize+posexplode,
+    instead of implicitly on the exploded (id, pos, tok) rows. Two effects,
+    both guide §2: the exchange moves ~3× fewer bytes (one text string per
+    doc instead of one row per token — §2.3 "project before the exchange"),
+    and tokenize+explode run AFTER the shuffle, so a low-split input (one
+    parquet row group, a gzip file, one hot partition — §2.5 input skew)
+    no longer serializes them into a single scan task. Exchange count is
+    unchanged — the repartition satisfies the window's required
+    distribution, so the window's own exchange disappears. Interleaved A/B
+    at sf0.1 (single-row-group input): minhash sig build 1.175 → 0.911 s.
+    Pass spread=False when the input is already hash-partitioned by
+    `id_col` (then the window is exchange-free and the explicit repartition
+    would ADD one).
     """
     from pyspark.sql.window import Window
 
-    tok_rows = df.select(
+    base = df.select(F.col(id_col), F.col(text_col))
+    if spread:
+        # Explicit partition count: a bare repartition(col) is
+        # AQE-coalesced by BYTES (minPartitionSize 1 MB), which re-serializes
+        # a small-but-CPU-heavy text batch onto 1-2 tasks — bytes are the
+        # wrong proxy when each text byte fans out into token rows, window
+        # sort and hash work. Never go below the input's own split count
+        # (at warehouse scale the scan already arrives in thousands of
+        # splits and this keeps that granularity); raise degenerate layouts
+        # to at least one partition per core.
+        n_parts = max(
+            base.rdd.getNumPartitions(),
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
+        base = base.repartition(n_parts, F.col(id_col))
+    tok_rows = base.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
