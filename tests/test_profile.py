@@ -60,3 +60,39 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
     a = approx[("user_id", "n_distinct")]
     assert abs(a - e) / e < 0.1
     assert approx[("user_id", "n_nulls")] == exact[("user_id", "n_nulls")]
+
+def test_distinct_strategies_agree_on_float_edge_cases(spark):
+    """The default "set" strategy must reproduce count_distinct exactly,
+    including the float cases where collect_set's primitive == diverges
+    (NaN never equals itself, -0.0 keeps its bit pattern): r14 normalizes
+    -0.0 via +0.0 and routes NaN through a max(isnan) flag."""
+    rows = [
+        (float("nan"), 1),
+        (float("nan"), 1),
+        (-0.0, None),
+        (0.0, 2),
+        (None, 2),
+        (1.5, 3),
+        (1.5, 3),
+    ]
+    df = spark.createDataFrame(rows, "v double, k int")
+    a = _stats(P.profile_long(df, distinct_strategy="expand"))
+    b = _stats(P.profile_long(df, distinct_strategy="set"))
+    assert a == b
+    assert b[("v", "n_distinct")] == 3.0  # {NaN, 0.0, 1.5}
+    assert b[("k", "n_distinct")] == 3.0
+
+
+def test_set_strategy_has_no_expand(spark, sf_dir):
+    from f1_data_pipeline_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = P.profile_long(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    plan_e = (
+        P.profile_long(ev, distinct_strategy="expand")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in plan_e
